@@ -1,0 +1,81 @@
+package graft.examples
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.io._
+import graft.merge._
+
+/** Tour of the public surface on real testdata — run with:
+  * {{{
+  * sbt "runMain graft.examples.QuickStart /root/testdata/sf0.001 /tmp/graft-demo"
+  * }}}
+  */
+object QuickStart {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-demo").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val table = s"$out/lineitem"
+
+    // 1. create a partitioned graft table
+    val v0 = GraftWriter.write(spark, lineitem, table,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("l_returnflag"),
+        metadata = Map("author" -> "quickstart")))
+    println(s"[1] wrote version $v0; stats:")
+    GraftTable(spark, table).stats().show(truncate = false)
+
+    // 2. partition-scoped overwrite: replace flag 'A' with doubled quantity
+    val v1 = GraftWriter.write(spark,
+      lineitem.filter(col("l_returnflag") === "A")
+        .withColumn("l_quantity", col("l_quantity") * 2),
+      table,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("l_returnflag"),
+        replaceWhere = Some(col("l_returnflag") === "A")))
+    println(s"[2] replaceWhere committed version $v1")
+
+    // 3. sliced read: static partition keys + projection + time window
+    val slice = TableSlice("public", "lineitem",
+      partitionDimensions = Seq(
+        StaticDimension("l_returnflag", Seq("A", "R")),
+        TimeWindowDimension("l_shipdate", Seq(TimeWindow(
+          Timestamp.valueOf("1995-01-01 00:00:00"),
+          Timestamp.valueOf("1997-01-01 00:00:00"))))),
+      columns = Some(Seq("l_returnflag", "l_quantity", "l_shipdate")))
+    val sliced = GraftTable(spark, table).scan(slice)
+    println(s"[3] sliced scan rows=${sliced.count()}")
+    sliced.groupBy("l_returnflag").agg(sum("l_quantity").as("qty")).show()
+
+    // 4. time travel: version 0 still has original quantities
+    val q0 = GraftTable(spark, table).toDf(Some(0L))
+      .filter(col("l_returnflag") === "A").agg(sum("l_quantity")).first().getDouble(0)
+    val q1 = GraftTable(spark, table).toDf()
+      .filter(col("l_returnflag") === "A").agg(sum("l_quantity")).first().getDouble(0)
+    println(f"[4] time travel: sum(qty|A) v0=$q0%.1f latest=$q1%.1f (expect 2x)")
+
+    // 5. merge: upsert modified rows by key
+    val src = lineitem.filter(col("l_orderkey") % 100 === 0)
+      .withColumn("l_tax", lit(0.99))
+    val stats = MergeExecutor.merge(spark, src, table,
+      MergeConfig(MergeType.Upsert,
+        "s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber"))
+    println(s"[5] upsert: $stats")
+    println("[5] history:")
+    GraftTable(spark, table).history().foreach(c =>
+      println(s"    v${c.version} ${c.operation}/${c.mode} " +
+        s"metrics=${c.operationMetrics} meta=${c.metadata}"))
+    spark.stop()
+  }
+}

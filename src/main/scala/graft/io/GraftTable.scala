@@ -1,0 +1,104 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{SliceCompiler, TableSlice}
+import graft.log.{AddFile, CommitLog, Snapshot}
+
+/** Read-side handle for a graft table — the Spark-native analog of the
+  * reference's `DeltaTable` usage (scan: dagster_delta/handler.py:519-551;
+  * time travel: resource.py:46,72-77; stats: handler.py:490-516;
+  * history: surfaced metadata, handler.py:264-291).
+  */
+final class GraftTable(val spark: SparkSession, val path: String) {
+
+  val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+
+  def version(): Long =
+    log.latestVersion().getOrElse(
+      throw new IllegalStateException(s"no graft table at $path"))
+
+  def snapshot(versionAsOf: Option[Long] = None): Snapshot =
+    log.snapshot(versionAsOf)
+
+  /** Full-table DataFrame at a version. Files are enumerated from the log
+    * (never by directory listing — object-store-listing-free, like Delta),
+    * partition columns are recovered from hive-style paths via `basePath`,
+    * and the final projection pins column order and types to the table
+    * schema so schema evolution (older files lacking new columns) reads as
+    * nulls.
+    */
+  def toDf(versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(versionAsOf)
+    dfForFiles(snap, snap.files)
+  }
+
+  private[graft] def dfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val schema = snap.schema
+    if (files.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    }
+    val partCols = snap.partitionColumns.toSet
+    val dataSchema = StructType(schema.filterNot(f => partCols(f.name)))
+    val abs = files.map(f => new Path(path, f.path).toString)
+    val raw = spark.read
+      .schema(dataSchema)
+      .option("basePath", path)
+      .parquet(abs: _*)
+    // pin column order + partition column types to the declared schema
+    raw.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Sliced scan: partition predicate (read-side range semantics) +
+    * projection — the reference's `load_input` path
+    * (handler.py:293-317,536-549) with Catalyst doing the pushdown.
+    */
+  def scan(slice: TableSlice, versionAsOf: Option[Long] = None): DataFrame =
+    SliceCompiler(toDf(versionAsOf), slice)
+
+  /** Live-files ⋈ add-actions stats join + SUM — the reference's only
+    * embedded relational computation (handler.py:490-516). Returns one row:
+    * (num_files, size_bytes, size_mb, num_records).
+    */
+  def stats(): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot()
+    val liveFiles = snap.files.map(_.path).toDF("path")
+    val actions = snap.commits
+      .flatMap(_.add)
+      .map(a => (a.path, a.sizeBytes, a.numRecords))
+      .toDF("path", "size_bytes", "num_records")
+      // latest add action per path wins
+      .groupBy("path")
+      .agg(last("size_bytes").as("size_bytes"),
+           last("num_records").as("num_records"))
+    liveFiles
+      .join(actions, Seq("path"), "inner")
+      .agg(
+        count(lit(1)).as("num_files"),
+        coalesce(sum($"size_bytes"), lit(0L)).as("size_bytes"),
+        (coalesce(sum($"size_bytes"), lit(0L)) / lit(1024.0 * 1024.0))
+          .as("size_mb"),
+        coalesce(sum($"num_records"), lit(0L)).as("num_records"))
+  }
+
+  /** Commit history, newest first (Delta `history()` analog; the reference
+    * asserts custom metadata shows up here —
+    * dagster_delta_tests/test_metadata_inputs.py:44-51).
+    */
+  def history(): Seq[graft.log.Commit] =
+    snapshot().commits.reverse
+}
+
+object GraftTable {
+  def apply(spark: SparkSession, path: String): GraftTable =
+    new GraftTable(spark, path)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    new CommitLog(path, spark.sessionState.newHadoopConf()).tableExists()
+}

@@ -1,0 +1,204 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.io._
+import graft.merge._
+
+/** Ports the reference's behavioral contract (SURVEY §5) to the native
+  * table layer: write modes, idempotent overwrite, partition-scoped
+  * overwrite (backfill), schema evolution, time travel, commit metadata,
+  * stats, and the four merge strategies (run-twice idempotency included).
+  */
+class TableLayerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def abDf = Seq((1L, 4L), (2L, 5L), (3L, 6L)).toDF("a", "b")
+
+  test("round-trip write/read (a_df contract)") {
+    val p = tmpDir("rt")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    val back = GraftTable(spark, p).toDf()
+    assert(back.orderBy("a").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 4L), (2L, 5L), (3L, 6L)))
+  }
+
+  test("overwrite is idempotent (run twice => same content)") {
+    val p = tmpDir("ow")
+    (1 to 2).foreach { _ =>
+      GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+      assert(GraftTable(spark, p).toDf().count() == 3)
+    }
+    assert(GraftTable(spark, p).version() == 1)
+  }
+
+  test("append accumulates; ignore leaves version unchanged after 5 runs") {
+    val p = tmpDir("ai")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Append))
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Append))
+    assert(GraftTable(spark, p).toDf().count() == 6)
+    (1 to 5).foreach { _ =>
+      GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Ignore))
+    }
+    assert(GraftTable(spark, p).version() == 1)
+    assert(GraftTable(spark, p).toDf().count() == 6)
+  }
+
+  test("error mode throws on existing table") {
+    val p = tmpDir("err")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.ErrorIfExists))
+    intercept[IllegalStateException] {
+      GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.ErrorIfExists))
+    }
+  }
+
+  test("partition-scoped overwrite backfills only its own window (daily_partitioned contract)") {
+    val p = tmpDir("rw")
+    def day(d: String, v: Long) =
+      Seq((Timestamp.valueOf(s"$d 00:00:00"), "x", v)).toDF("time", "a", "b")
+    val opts = WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("time"))
+    GraftWriter.write(spark, day("2022-01-01", 1), p,
+      opts.copy(replaceWhere = Some(col("time") === lit(Timestamp.valueOf("2022-01-01 00:00:00")))))
+    GraftWriter.write(spark, day("2022-01-02", 2), p,
+      opts.copy(replaceWhere = Some(col("time") === lit(Timestamp.valueOf("2022-01-02 00:00:00")))))
+    // backfill the OLDER partition with a new value
+    GraftWriter.write(spark, day("2022-01-01", 9), p,
+      opts.copy(replaceWhere = Some(col("time") === lit(Timestamp.valueOf("2022-01-01 00:00:00")))))
+    val t = GraftTable(spark, p)
+    val rows = t.toDf().orderBy("time").select("b").as[Long].collect().toSeq
+    assert(rows == Seq(9L, 2L))
+    // rows violating the predicate are rejected
+    intercept[IllegalArgumentException] {
+      GraftWriter.write(spark, day("2022-01-03", 3), p,
+        opts.copy(replaceWhere = Some(col("time") === lit(Timestamp.valueOf("2022-01-01 00:00:00")))))
+    }
+  }
+
+  test("static partition overwrite by key (static_partitioned contract)") {
+    val p = tmpDir("sp")
+    val df = Seq(("red", "r1", 1L), ("blue", "b1", 2L)).toDF("color", "a", "b")
+    GraftWriter.write(spark, df, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("color")))
+    GraftWriter.write(spark, Seq(("red", "r2", 9L)).toDF("color", "a", "b"), p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("color"),
+        replaceWhere = Some(col("color") === "red")))
+    val back = GraftTable(spark, p).toDf().orderBy("color")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(back == Seq(("blue", "b1", 2L), ("red", "r2", 9L)))
+  }
+
+  test("time travel: version 0 reads pre-append state (resource contract)") {
+    val p = tmpDir("tt")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, Seq((9L, 9L)).toDF("a", "b"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val t = GraftTable(spark, p)
+    assert(t.toDf().count() == 4)
+    assert(t.toDf(versionAsOf = Some(0L)).count() == 3)
+  }
+
+  test("schema evolution: merge appends new nullable column") {
+    val p = tmpDir("se")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    // without schemaMode: mismatch errors
+    intercept[IllegalArgumentException] {
+      GraftWriter.write(spark, Seq((4L, 7L, "x")).toDF("a", "b", "c"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    GraftWriter.write(spark, Seq((4L, 7L, "x")).toDF("a", "b", "c"), p,
+      WriteOptions(mode = WriteMode.Append, schemaMode = Some(SchemaMode.Merge)))
+    val t = GraftTable(spark, p).toDf()
+    assert(t.columns.toSeq == Seq("a", "b", "c"))
+    assert(t.filter($"c".isNull).count() == 3)
+    assert(t.filter($"c" === "x").count() == 1)
+  }
+
+  test("create_or_replace drops data and replaces schema") {
+    val p = tmpDir("cor")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, Seq(("z", 1.5)).toDF("s", "d"), p,
+      WriteOptions(mode = WriteMode.CreateOrReplace))
+    val t = GraftTable(spark, p).toDf()
+    assert(t.columns.toSeq == Seq("s", "d"))
+    assert(t.count() == 1)
+  }
+
+  test("commit metadata lands in history; files are zstd parquet") {
+    val p = tmpDir("md")
+    GraftWriter.write(spark, abDf, p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map("userName" -> "John Doe")))
+    val t = GraftTable(spark, p)
+    assert(t.history().head.metadata("userName") == "John Doe")
+    val files = t.snapshot().files
+    assert(files.nonEmpty && files.forall(_.path.contains("zstd")))
+  }
+
+  test("stats = files ⋈ add-actions with sums") {
+    val p = tmpDir("st")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Append))
+    val r = GraftTable(spark, p).stats().collect()(0)
+    assert(r.getAs[Long]("num_records") == 6L)
+    assert(r.getAs[Long]("size_bytes") > 0L)
+  }
+
+  private def target = Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("k", "v")
+  private def source = Seq((2L, "s2"), (4L, "s4")).toDF("k", "v")
+  private def cfg(mt: MergeType) = MergeConfig(mt, "s.k = t.k")
+  private def contents(p: String): Set[(Long, String)] =
+    GraftTable(spark, p).toDf().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("merge update_only") {
+    val p = tmpDir("mu")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    MergeExecutor.merge(spark, source, p, cfg(MergeType.UpdateOnly))
+    assert(contents(p) == Set((1L, "t1"), (2L, "s2"), (3L, "t3")))
+  }
+
+  test("merge deduplicate_insert is idempotent") {
+    val p = tmpDir("mdi")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    (1 to 2).foreach { _ =>
+      MergeExecutor.merge(spark, source, p, cfg(MergeType.DeduplicateInsert))
+      assert(contents(p) == Set((1L, "t1"), (2L, "t2"), (3L, "t3"), (4L, "s4")))
+    }
+  }
+
+  test("merge upsert is idempotent") {
+    val p = tmpDir("mup")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    (1 to 2).foreach { _ =>
+      val stats = MergeExecutor.merge(spark, source, p, cfg(MergeType.Upsert))
+      assert(contents(p) == Set((1L, "t1"), (2L, "s2"), (3L, "t3"), (4L, "s4")))
+      assert(stats.numSourceRows == 2L)
+      assert(stats.numOutputRows == 4L)
+    }
+  }
+
+  test("merge replace_delete_unmatched keeps only matched source rows") {
+    val p = tmpDir("mrd")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    MergeExecutor.merge(spark, source, p, cfg(MergeType.ReplaceDeleteUnmatched))
+    assert(contents(p) == Set((2L, "s2")))
+  }
+
+  test("merge auto-creates missing target from source schema") {
+    val p = tmpDir("mac")
+    MergeExecutor.merge(spark, source, p, cfg(MergeType.Upsert))
+    assert(contents(p) == Set((2L, "s2"), (4L, "s4")))
+  }
+
+  test("merge with partition scope leaves out-of-scope rows untouched") {
+    val p = tmpDir("mps")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    // scope to k <= 2: the k=4 source row inserts, k=2 updates, but a
+    // replace_delete_unmatched confined to k<=2 must keep k=3
+    MergeExecutor.merge(spark, source, p,
+      cfg(MergeType.ReplaceDeleteUnmatched).copy(partitionFilter = Some(col("k") <= 2)))
+    assert(contents(p) == Set((2L, "s2"), (3L, "t3")))
+  }
+}
