@@ -1,0 +1,381 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]].
+  *
+  * Mirrors the Spark plans in exact integer arithmetic (see the
+  * output-type discipline note on [[SparkEntry]]); the text/similarity
+  * oracles recompute md5-based MinHash/SimHash and the sequential-fold dot
+  * product so values are bit-identical across engines.
+  */
+object OracleSql {
+
+  private def cents(x: String) = s"CAST(round(($x) * 100) AS BIGINT)"
+
+  private val priceC = cents("l_extendedprice")
+  private val discC = cents("l_discount")
+  private val taxC = cents("l_tax")
+
+  // DuckDB list comprehension of whitespace tokens / 3-word shingles
+  private val TOKS = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  private val DOCS_TOKS = s"SELECT doc_id, $TOKS AS toks FROM documents"
+  private val SHINGLES =
+    """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+       END"""
+
+  /** Sequential-fold dot product in double (matches Spark's
+    * `aggregate(zip_with(...))` fold order).
+    */
+  private def dot(a: String, b: String) =
+    s"list_sum([($a[i]::DOUBLE) * ($b[i]::DOUBLE) for i in range(1, len($a)+1)])"
+
+  private def simE6(a: String, b: String) =
+    s"CAST(round((${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) * 1000000) AS BIGINT)"
+
+  private val minhashSql: String = {
+    val perms = 16
+    val rowsPerBand = 4
+    val P = graft.ext.TextOps.MersennePrime31
+    val params = graft.ext.TextOps.minhashParams(perms)
+    val sig = params.zipWithIndex
+      .map { case ((a, b), p) => s"min(($a * h31 + $b) % $P) AS mh$p" }
+      .mkString(", ")
+    val bands = (0 until perms / rowsPerBand).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"mh${b * rowsPerBand + r}::VARCHAR")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_id, md5($key) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS ($DOCS_TOKS),
+        shd AS (SELECT doc_id, $SHINGLES AS sh FROM d),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shd),
+        hh AS (SELECT doc_id,
+                      (('0x' || substring(md5(s), 1, 15))::BIGINT & 2147483647) AS h31
+               FROM ex),
+        sig AS (SELECT doc_id, $sig FROM hh GROUP BY doc_id),
+        bands AS ($bands)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id"""
+  }
+
+  private val simhashSql: String = {
+    val bits = (0 until 64).map { b =>
+      val pos = b / 4 + 1
+      val shift = b % 4
+      s"""CASE WHEN list_sum([CASE WHEN (((strpos('0123456789abcdef', substring(x, $pos, 1)) - 1) >> $shift) & 1) = 1 THEN 1 ELSE -1 END for x in hs]) > 0 THEN '1' ELSE '0' END"""
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
+        h AS (SELECT doc_id, [md5(x) for x in toks] AS hs FROM d)
+        SELECT doc_id, concat($bits) AS simhash FROM h"""
+  }
+
+  private val mergeCte =
+    """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderkey % 4 <> 0),
+            s AS (SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+                         o_totalprice + 1 AS o_totalprice
+                  FROM orders WHERE o_orderkey % 2 = 0)"""
+
+  private val knnBruteSql = {
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 32),
+        c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+        scored AS (SELECT q_id, n_id, ${simE6("q_vec", "n_vec")} AS sim_e6
+                   FROM q, c WHERE n_id <> q_id),
+        ranked AS (SELECT q_id, n_id, sim_e6,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, n_id) AS "rank"
+                   FROM scored)
+        SELECT q_id, n_id, "rank", sim_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
+  private val knnIvfSql = {
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % 16 = 0),
+        scored AS (SELECT e.vec_id, e.embedding, c_id,
+                          ${simE6("e.embedding", "c_vec")} AS c_sim
+                   FROM embeddings e, cent),
+        assign AS (SELECT vec_id, embedding, c_id AS cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+                      FROM scored) WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM assign WHERE vec_id < 32),
+        n AS (SELECT vec_id AS n_id, embedding AS n_vec, cell FROM assign),
+        sc2 AS (SELECT q_id, n_id, ${simE6("q_vec", "n_vec")} AS sim_e6
+                FROM q JOIN n USING(cell) WHERE n_id <> q_id),
+        ranked AS (SELECT q_id, n_id, sim_e6,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, n_id) AS "rank"
+                   FROM sc2)
+        SELECT q_id, n_id, "rank", sim_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
+  val all: Map[String, String] = ListMap(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_cents,
+            CAST(sum($priceC) AS BIGINT) AS sum_base_cents,
+            CAST(sum($priceC * (100 - $discC)) AS BIGINT) AS sum_disc_e4,
+            CAST(sum($priceC * (100 - $discC) * (100 + $taxC)) AS BIGINT) AS sum_charge_e6,
+            count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY 1, 2""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05""",
+
+    "q03_revenue_by_nation" ->
+      s"""SELECT n_name,
+            CAST(sum($priceC * (100 - $discC)) AS BIGINT) AS revenue_e4,
+            count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1""",
+
+    "q04_brand_volume" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+            CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_cents,
+            count(DISTINCT l_suppkey) AS n_suppliers
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1""",
+
+    "q05_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3""",
+
+    "q06_running_total" ->
+      s"""SELECT o_custkey, o_orderkey,
+            CAST(sum(${cents("o_totalprice")})
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS running_cents
+          FROM orders""",
+
+    "q07_cust_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')""",
+
+    "q08_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         GROUP BY 1""",
+
+    "q09_global_topk" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         LIMIT 20""",
+
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY 1""",
+
+    "q11_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+            coalesce(l_linestatus, 'ALL') AS status,
+            CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_cents,
+            count(*) AS n_rows
+          FROM lineitem
+          GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q12_set_ops" ->
+      """SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0""",
+
+    "q13_events_json" ->
+      """SELECT event_id, user_id, event_type,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events""",
+
+    "q14_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+                    FROM events),
+              l AS (SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS prev FROM e),
+              n AS (SELECT *, CASE WHEN prev IS NOT NULL AND ep - prev > 1800 THEN 1 ELSE 0 END AS nw FROM l),
+              s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                    FROM n)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ep) AS start_epoch, max(ep) AS end_epoch,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
+         FROM s GROUP BY 1, 2""",
+
+    "merge_update_only" ->
+      s"""$mergeCte
+          SELECT t.o_orderkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+          FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey""",
+
+    "merge_dedup_insert" ->
+      s"""$mergeCte
+          SELECT * FROM t
+          UNION ALL
+          SELECT s.* FROM s
+          WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)""",
+
+    "merge_upsert" ->
+      s"""$mergeCte,
+          u AS (SELECT t.o_orderkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+                FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey)
+          SELECT * FROM u
+          UNION ALL
+          SELECT s.* FROM s
+          WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)""",
+
+    "merge_replace_delete_unmatched" ->
+      s"""$mergeCte
+          SELECT s.* FROM s
+          WHERE EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)""",
+
+    "table_roundtrip" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                l_returnflag, l_quantity, l_shipdate
+         FROM lineitem WHERE l_returnflag IN ('A', 'R')""",
+
+    "table_replace_where" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus <> 'F'
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0""",
+
+    "table_time_travel" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
+
+    "table_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS o_flag FROM orders
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 'new' AS o_flag FROM orders
+         WHERE o_orderkey % 10 = 0""",
+
+    "table_slice_time_window" ->
+      """SELECT o_orderkey, o_totalprice,
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month
+         FROM orders
+         WHERE date_trunc('month', o_orderdate) >= TIMESTAMP '1995-03-01 00:00:00'
+           AND date_trunc('month', o_orderdate) < TIMESTAMP '1995-09-01 00:00:00'""",
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash,
+                min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+
+    "dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value
+         FROM (SELECT user_id, event_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1""",
+
+    "minhash_lsh_pairs" -> minhashSql,
+
+    "simhash_signature" -> simhashSql,
+
+    "ngram_jaccard_pairs" ->
+      s"""WITH d AS (SELECT source AS block, doc_id, list_distinct($TOKS) AS toks FROM documents),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+                       CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+                FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, inter, uni,
+                 CAST(floor(1000 * inter / uni) AS BIGINT) AS jac_permille
+          FROM p
+          WHERE CAST(floor(1000 * inter / uni) AS BIGINT) >= 200""",
+
+    "text_token_stats" ->
+      s"""WITH d AS ($DOCS_TOKS)
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                 CAST(list_max([length(x) for x in toks]) AS BIGINT) AS max_token_len,
+                 CAST(length(text) AS BIGINT) AS n_chars_computed
+          FROM d JOIN documents USING (doc_id)""",
+
+    "text_lang_id" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
+          h AS (SELECT doc_id,
+                  CAST(len(list_intersect(toks, ['the','a','of','and'])) AS BIGINT) AS en,
+                  CAST(len(list_intersect(toks, ['der','die','das','und'])) AS BIGINT) AS de,
+                  CAST(len(list_intersect(toks, ['el','la','los','y'])) AS BIGINT) AS es
+                FROM d)
+          SELECT doc_id,
+                 CASE WHEN greatest(en, de, es) > 0 THEN
+                   CASE WHEN en >= de AND en >= es THEN 'en'
+                        WHEN de >= es THEN 'de' ELSE 'es' END
+                 ELSE 'unk' END AS pred_lang,
+                 greatest(en, de, es) AS hits
+          FROM h""",
+
+    "text_quality_score" ->
+      s"""WITH d AS ($DOCS_TOKS)
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len([x for x in toks if list_contains(['the','a','of','and','is','to','in'], x)]) AS BIGINT) AS n_stopwords,
+                 CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+                 CAST(floor(1000 * len([x for x in toks if list_contains(['the','a','of','and','is','to','in'], x)]) / len(toks)) AS BIGINT) AS stop_permille
+          FROM d JOIN documents USING (doc_id)""",
+
+    "text_bpeish_count" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+         FROM documents""",
+
+    "text_fingerprint" ->
+      s"""WITH d AS ($DOCS_TOKS),
+          shd AS (SELECT doc_id, $SHINGLES AS sh FROM d)
+          SELECT doc_id, list_min([md5(x) for x in sh]) AS fingerprint FROM shd""",
+
+    "knn_brute_topk" -> knnBruteSql,
+
+    "knn_ivf_topk" -> knnIvfSql,
+
+    "multimodal_project" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                CAST(e.label AS BIGINT) AS label,
+                CAST(len(e.embedding) AS BIGINT) AS embedding_dim
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
+
+    "binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                md5(text) AS payload_md5
+         FROM documents""",
+
+    "embedding_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+                CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+                CAST(max(len(embedding)) AS BIGINT) AS max_dim
+         FROM embeddings GROUP BY 1"""
+  )
+}

@@ -1,13 +1,404 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.ext._
+import graft.io._
+import graft.merge._
+
+/** Driver contract — one entry per implemented operator (SURVEY §2) with a
+  * DuckDB-oracle SQL equivalent.
+  *
+  * Output-type discipline (the driver hash-compares against DuckDB):
+  *   - aggregates and derived numerics are EXACT integers (cents / e4 / e6
+  *     fixed-point `bigint`), never summed doubles (double addition is
+  *     order-dependent across partitions);
+  *   - raw double columns are passed through unchanged (bit-identical);
+  *   - every integer output is cast to bigint on both sides;
+  *   - timestamps are output as epoch seconds or passed through at µs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------- helpers ----------
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
+    * a nanos long (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    * Verify/Bench). Normalize to a µs timestamp with integer division
+    * (double division would lose precision at 1e18 magnitudes).
+    */
+  private def tEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Exact cents of a 2-decimal double column (value is within 1e-9 of an
+    * integer after *100, so round() is never near a half boundary).
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def ts(s: String): Column = lit(Timestamp.valueOf(s))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ---------- flagship ----------
+
+  /** Flagship query on sf0.001 (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q01PricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ---------- relational core ----------
+
+  private def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+    // exact fixed-point: price_cents * (100 - disc_cents) => 1e-4 dollars
+    val priceC = cents(col("l_extendedprice"))
+    val discC = cents(col("l_discount")) // discount in [0,1] -> 0..100
+    val taxC = cents(col("l_tax"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(priceC).as("sum_base_cents"),
+        sum(priceC * (lit(100) - discC)).as("sum_disc_e4"),
+        sum(priceC * (lit(100) - discC) * (lit(100) + taxC)).as("sum_charge_e6"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+
+  private def q03RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val l = t(spark, dir, "lineitem")
+    val n = t(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private def q04BrandVolume(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+
+  private def q05TopOrdersPerCust(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  private def q06RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .withColumn("running_cents", sum(cents(col("o_totalprice"))).over(w))
+      .select("o_custkey", "o_orderkey", "running_cents")
+  }
+
+  private def q07CustNoOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate") < ts("1996-01-01 00:00:00")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  private def q08OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-01-01 00:00:00"))
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+
+  private def q09GlobalTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+
+  private def q10DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  private def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty_cents"), col("n_rows"))
+
+  private def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
+    // customers active in 1995 INTERSECT 1996, minus (EXCEPT) big spenders
+    val o = t(spark, dir, "orders")
+    def active(y: String, y1: String) =
+      o.filter(col("o_orderdate") >= ts(s"$y-01-01 00:00:00") &&
+        col("o_orderdate") < ts(s"$y1-01-01 00:00:00")).select("o_custkey")
+    val big = o.filter(col("o_totalprice") > 400000.0).select("o_custkey")
+    active("1995", "1996").intersect(active("1996", "1997")).except(big)
+  }
+
+  // ---------- events ----------
+
+  private def q13EventsJson(spark: SparkSession, dir: String): DataFrame =
+    Events.jsonExtract(tEvents(spark, dir))
+
+  private def q14Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionize(tEvents(spark, dir))
+      .select(col("user_id"), col("session_id"),
+        col("n_events"), col("start_epoch"), col("end_epoch"), col("n_clicks"))
+
+  // ---------- merge family (through the real table layer) ----------
+
+  private def mergeCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  private def mergeQuery(mt: MergeType)(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders").select(mergeCols.map(col): _*)
+    val target = orders.filter(col("o_orderkey") % 4 =!= 0)
+    val source = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("o_orderstatus", lit("M"))
+    val p = tmp(s"graft_merge_${mt.name}")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    MergeExecutor.merge(spark, source, p, MergeConfig(mt, "s.o_orderkey = t.o_orderkey"))
+    GraftTable(spark, p).toDf()
+  }
+
+  // ---------- table layer (write -> slice-read round trips) ----------
+
+  private def qTableRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+    val p = tmp("graft_rt")
+    GraftWriter.write(spark, li, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("l_returnflag")))
+    GraftTable(spark, p).scan(TableSlice("public", "lineitem",
+      Seq(StaticDimension("l_returnflag", Seq("A", "R")))))
+  }
+
+  private def qReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_rw")
+    GraftWriter.write(spark, o, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    GraftWriter.write(spark,
+      o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0), p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus"),
+        replaceWhere = Some(col("o_orderstatus") === "F")))
+    GraftTable(spark, p).toDf()
+  }
+
+  private def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val p = tmp("graft_tt")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, o.withColumn("o_totalprice", col("o_totalprice") + 1000),
+      p, WriteOptions(mode = WriteMode.Append))
+    GraftTable(spark, p).toDf(versionAsOf = Some(0L))
+  }
+
+  private def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val p = tmp("graft_se")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark,
+      o.filter(col("o_orderkey") % 10 === 0).withColumn("o_flag", lit("new")),
+      p, WriteOptions(mode = WriteMode.Append, schemaMode = Some(SchemaMode.Merge)))
+    GraftTable(spark, p).toDf()
+  }
+
+  private def qSliceTimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_trunc("month", col("o_orderdate")).as("o_month"))
+    val p = tmp("graft_tw")
+    GraftWriter.write(spark, o, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_month")))
+    GraftTable(spark, p).scan(TableSlice("public", "orders",
+      Seq(TimeWindowDimension("o_month", Seq(TimeWindow(
+        Timestamp.valueOf("1995-03-01 00:00:00"),
+        Timestamp.valueOf("1995-09-01 00:00:00")))))))
+  }
+
+  // ---------- EXT: dedup / text / similarity / multimodal ----------
+
+  private def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"))
+
+  private def qDedupLatest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.latestByKey(tEvents(spark, dir), Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id", "event_type", "value")
+
+  private def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(spark, dir, "documents"))
+
+  private def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(spark, dir, "documents"))
+
+  private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "source", 200)
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"), col("jac_permille"))
+
+  private def qTokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("max_token_len").cast("long").as("max_token_len"),
+        col("n_chars_computed").cast("long").as("n_chars_computed"))
+
+  private def qLangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("pred_lang"), col("hits").cast("long").as("hits"))
+
+  private def qQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_stopwords").cast("long").as("n_stopwords"),
+        col("n_punct").cast("long").as("n_punct"), col("stop_permille"))
+
+  private def qBpeish(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeishCount(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_bpeish").cast("long").as("n_bpeish"))
+
+  private def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(t(spark, dir, "documents"))
+
+  private def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 32), 5)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim_e6"))
+  }
+
+  private def qKnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim_e6"))
+
+  private def qMultimodalProject(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.project(t(spark, dir, "documents"), t(spark, dir, "embeddings"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label").cast("long").as("label"),
+        col("embedding_dim").cast("long").as("embedding_dim"))
+
+  private def qBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.binaryMeta(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
+        col("payload_md5"))
+
+  private def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(size(col("embedding"))).cast("long").as("min_dim"),
+        max(size(col("embedding"))).cast("long").as("max_dim"))
+
+  // ---------- registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_revenue_by_nation" -> (q03RevenueByNation _),
+    "q04_brand_volume" -> (q04BrandVolume _),
+    "q05_top_orders_per_cust" -> (q05TopOrdersPerCust _),
+    "q06_running_total" -> (q06RunningTotal _),
+    "q07_cust_no_orders" -> (q07CustNoOrders _),
+    "q08_order_priority" -> (q08OrderPriority _),
+    "q09_global_topk" -> (q09GlobalTopK _),
+    "q10_distinct_agg" -> (q10DistinctAgg _),
+    "q11_rollup" -> (q11Rollup _),
+    "q12_set_ops" -> (q12SetOps _),
+    "q13_events_json" -> (q13EventsJson _),
+    "q14_sessionize" -> (q14Sessionize _),
+    "merge_update_only" -> (mergeQuery(MergeType.UpdateOnly) _),
+    "merge_dedup_insert" -> (mergeQuery(MergeType.DeduplicateInsert) _),
+    "merge_upsert" -> (mergeQuery(MergeType.Upsert) _),
+    "merge_replace_delete_unmatched" -> (mergeQuery(MergeType.ReplaceDeleteUnmatched) _),
+    "table_roundtrip" -> (qTableRoundtrip _),
+    "table_replace_where" -> (qReplaceWhere _),
+    "table_time_travel" -> (qTimeTravel _),
+    "table_schema_evolution" -> (qSchemaEvolution _),
+    "table_slice_time_window" -> (qSliceTimeWindow _),
+    "dedup_exact" -> (qDedupExact _),
+    "dedup_latest" -> (qDedupLatest _),
+    "minhash_lsh_pairs" -> (qMinhashPairs _),
+    "simhash_signature" -> (qSimhash _),
+    "ngram_jaccard_pairs" -> (qNgramJaccard _),
+    "text_token_stats" -> (qTokenStats _),
+    "text_lang_id" -> (qLangId _),
+    "text_quality_score" -> (qQuality _),
+    "text_bpeish_count" -> (qBpeish _),
+    "text_fingerprint" -> (qFingerprint _),
+    "knn_brute_topk" -> (qKnnBrute _),
+    "knn_ivf_topk" -> (qKnnIvf _),
+    "multimodal_project" -> (qMultimodalProject _),
+    "binary_meta" -> (qBinaryMeta _),
+    "embedding_stats" -> (qEmbeddingStats _)
+  )
+
+  /** Read-only headline queries for Bench (excludes temp-table writers,
+    * which are exercised by Verify and the ScalaTest suites).
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
+    "q04_brand_volume", "q05_top_orders_per_cust", "q06_running_total",
+    "q07_cust_no_orders", "q08_order_priority", "q09_global_topk",
+    "q10_distinct_agg", "q11_rollup", "q12_set_ops", "q13_events_json",
+    "q14_sessionize", "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
+    "simhash_signature", "ngram_jaccard_pairs", "text_token_stats",
+    "text_lang_id", "text_quality_score", "text_bpeish_count",
+    "text_fingerprint", "knn_brute_topk", "knn_ivf_topk",
+    "multimodal_project", "binary_meta", "embedding_stats")
+
+  // ---------- DuckDB oracle SQL ----------
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

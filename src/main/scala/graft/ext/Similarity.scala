@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `Array[Float]` embedding
+  * column (north-star EXT surface; SURVEY §2.8).
+  *
+  * Numeric discipline: every dot product is a sequential left-to-right
+  * fold over float-widened-to-double elements, so results are
+  * bit-reproducible across engines (the DuckDB oracle computes the same
+  * fold); ranking uses micro-rounded similarity with an id tie-break so
+  * the top-k set is stable.
+  *
+  * Scale paths:
+  *   - [[bruteTopK]]: broadcast the (small) query set, stream the corpus —
+  *     O(|corpus|·|queries|) FLOPs, no shuffle of the corpus, the right
+  *     plan when queries ≪ corpus (the common "probe set" case).
+  *   - [[ivfTopK]]: coarse-quantize the corpus to deterministic centroids
+  *     (IVF); queries probe only their own cell — O(|corpus|·k_centroids)
+  *     assignment (one broadcast pass) + per-cell joins. At 100 TB the
+  *     cell assignment is the only corpus-wide pass and the candidate
+  *     join shuffles on `cell`, not all-pairs.
+  */
+object Similarity {
+
+  /** Sequential fold dot product of two float-array columns in double —
+    * dispatched to the native codegen expression
+    * [[graft.functions.DotProductFP64]] (registered by every operator
+    * entry point below); semantics identical to the HOF fold
+    * `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)), 0d, +)`.
+    */
+  def dot(a: Column, b: Column): Column =
+    call_function(graft.functions.GraftFunctions.DotName, a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Micro-rounded cosine for stable cross-engine ordering. */
+  def simE6(a: Column, b: Column): Column =
+    round(cosine(a, b) * 1e6).cast("long")
+
+  /** Exact top-k cosine neighbors of each query vector, brute force.
+    * `queries` must be small enough to broadcast.
+    */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c
+      .crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim_e6", simE6(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_e6").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim_e6")
+  }
+
+  /** Deterministic coarse centroids: every `stride`-th vector by id.
+    * (Production would k-means; the plan shape downstream is identical.)
+    */
+  def centroids(corpus: DataFrame, stride: Int, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+
+  /** Cell assignment: nearest centroid per vector (broadcast pass). */
+  def assignCells(
+      corpus: DataFrame,
+      cents: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val scored = corpus
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", simE6(col(vecCol), col("c_vec")))
+    val w = Window.partitionBy(idCol).orderBy(col("c_sim").desc, col("c_id"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("c_id").as("cell"))
+  }
+
+  /** IVF top-k: probe only the query's own cell. Trades recall for a
+    * |cell|/|corpus| reduction in comparisons.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      stride: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = assignCells(corpus,
+      centroids(corpus, stride, idCol, vecCol), idCol, vecCol)
+    val q = cells.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell"))
+    val c = cells
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
+    val scored = q
+      .join(c, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim_e6", simE6(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_e6").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim_e6")
+  }
+}

@@ -1,0 +1,270 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives. All expressions are chosen to have exact
+  * DuckDB-SQL equivalents (so every operator built on them is
+  * oracle-checkable) and to stay inside whole-stage codegen: pure
+  * built-in higher-order functions, no UDFs, no shuffles beyond the
+  * operator's own aggregation.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** `n`-word shingles; whole text as a single shingle when shorter.
+    * (Word shingles, not char shingles: ~50 tokens/doc ⇒ ~50 shingles,
+    * which keeps MinHash linear in corpus size at 100 TB.)
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** 31-bit base hash of a shingle: low 31 bits of the first 60 bits of
+    * its md5. One md5 per shingle; the permutation family is arithmetic
+    * (multiply-shift mod 2^31-1), so k permutations cost k multiplies,
+    * not k hashes — and every step is exact bigint math reproducible in
+    * any engine.
+    */
+  def hash31(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+      .bitwiseAND(lit(2147483647L))
+
+  val MersennePrime31: Long = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a_p, b_p) multiply-shift parameters, shared with the
+    * DuckDB oracle (see [[graft.OracleSql]]).
+    */
+  def minhashParams(perms: Int): Seq[(Long, Long)] =
+    (0 until perms).map { p =>
+      val a = ((p + 1) * 2654435761L) % MersennePrime31
+      val b = (p * 40503L + 17L) % MersennePrime31
+      (a, b)
+    }
+
+  /** Permuted hash value for permutation parameters (a, b). */
+  def permute(h31: Column, a: Long, b: Long): Column =
+    (lit(a) * h31 + lit(b)) % MersennePrime31
+}
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * EXT surface; SURVEY §2.8). Each is a declarative plan: hash-groupBy
+  * for exact dedup (one partial-aggregated shuffle), window-rank for
+  * latest-wins, MinHash+LSH banding for near-dup candidate pairs (the
+  * 100 TB path: no O(n²) comparisons, shuffles only on band keys).
+  */
+object Dedup {
+  import TextOps._
+
+  /** Exact dedup by normalized-text hash: one row per distinct content,
+    * keeping the smallest id; `n_dups` counts the collapsed group.
+    * GroupBy on the 128-bit hash (not the full text) keeps shuffle rows
+    * narrow at scale.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(lower(trim(col(textCol)))))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Newest record per key — upsert-compaction / write-time dedup
+    * (generalizes the reference's `deduplicate_insert`,
+    * dagster_delta/handler.py:113-114).
+    */
+  def latestByKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MinHash signatures: explode shingles to rows (one md5 each), then
+    * `perms` arithmetic permutations as partial-aggregated `min`s in a
+    * single groupBy — the 100 TB shape: hashing is one pass, the only
+    * shuffle carries (id, 31-bit hash) rows, and map-side combine
+    * collapses them before the exchange.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      perms: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingles(tokens(col(textCol)), 3)
+    val exploded = docs
+      .select(col(idCol), explode(sh).as("s"))
+      .select(col(idCol), hash31(col("s")).as("h31"))
+    val aggs = minhashParams(perms).zipWithIndex.map { case ((a, b), p) =>
+      min(permute(col("h31"), a, b)).as(s"mh$p")
+    }
+    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band_id, band_key) LSH banding rows for `perms` MinHash
+    * permutations in bands of `rowsPerBand`.
+    */
+  def minhashBands(
+      docs: DataFrame,
+      perms: Int = 16,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigDf = minhashSignatures(docs, perms, idCol, textCol)
+    val nBands = perms / rowsPerBand
+    val bands = array((0 until nBands).map { b =>
+      val keyCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      md5(concat_ws("|", keyCols: _*))
+    }: _*)
+    sigDf.select(col(idCol), posexplode(bands).as(Seq("band_id", "band_key")))
+  }
+
+  /** Near-duplicate candidate pairs: docs sharing any LSH band. The only
+    * shuffle is the self-equi-join on (band_id, band_key); Catalyst plans
+    * it as a hash join keyed on the band, so cost is Σ bucket² — linear
+    * for non-degenerate corpora.
+    */
+  def minhashPairs(docs: DataFrame, perms: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val b = minhashBands(docs, perms, rowsPerBand)
+    val a = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val c = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+    a.join(c, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** 64-bit SimHash signature as a '0'/'1' string. Per-token bits come
+    * from the token's md5; each bit of the signature is the sign of the
+    * per-bit vote over distinct tokens. Plan: explode distinct tokens
+    * (md5 computed once per token row), then all 64 bit-votes as
+    * partial-aggregated sums in one groupBy — one narrow shuffle,
+    * map-side combined.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("h"))
+    def hexVal(h: Column, pos: Int): Column =
+      call_function("instr", lit("0123456789abcdef"), substring(h, pos, 1)) - 1
+    val votes = (0 until 64).map { b =>
+      val pos = b / 4 + 1 // hex digit index (1-based)
+      val shift = b % 4
+      sum(when(shiftright(hexVal(col("h"), pos), shift) % 2 === 1, 1).otherwise(-1))
+        .as(s"v$b")
+    }
+    exploded
+      .groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        concat((0 until 64).map(b =>
+          when(col(s"v$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs blocked by a key
+    * (e.g. same `source`), in exact integer arithmetic (permille).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      minPermille: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = array_distinct(TextOps.tokens(col(textCol)))
+    val base = docs.select(col(blockCol).as("block"), col(idCol), toks.as("toks"))
+    val a = base.select(col("block"), col(idCol).as("doc_a"), col("toks").as("ta"))
+    val b = base.select(col("block"), col(idCol).as("doc_b"), col("toks").as("tb"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni", size(array_union(col("ta"), col("tb"))))
+      .withColumn("jac_permille", floor(lit(1000) * col("inter") / col("uni")).cast("long"))
+      .filter(col("jac_permille") >= minPermille)
+      .select("doc_a", "doc_b", "inter", "uni", "jac_permille")
+  }
+}
+
+/** Text analysis: token/char statistics, heuristic language ID, quality
+  * scoring, BPE-ish token counting, content fingerprinting
+  * (SURVEY §2.8 / north-star text-analysis surface). All exact integer
+  * outputs so the DuckDB oracle hash-matches.
+  */
+object TextAnalysis {
+  import TextOps._
+
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      array_max(transform(toks, t => length(t))).as("max_token_len"),
+      length(col("text")).as("n_chars_computed"))
+  }
+
+  /** Tiny-dictionary language ID: vote by stopword hits per language,
+    * deterministic tie-break by language code. (A real system would use
+    * char n-gram profiles; the plan shape — per-row array ops, no
+    * shuffle — is the same.)
+    */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = langDicts.map { case (lang, words) =>
+      lang -> size(array_intersect(array_distinct(toks),
+        array(words.map(lit): _*)))
+    }
+    // argmax with fixed priority order (en > de > es) on ties
+    val Seq(en, de, es) = hits.map(_._2)
+    val best = when(en >= de && en >= es, "en")
+      .when(de >= es, "de").otherwise("es")
+    val bestHits = greatest(en, de, es)
+    docs.select(
+      col("doc_id"),
+      when(bestHits > 0, best).otherwise("unk").as("pred_lang"),
+      bestHits.as("hits"))
+  }
+
+  /** Quality scoring: punctuation count, stopword count/ratio — the
+    * usual cheap pre-filters before expensive pipeline stages.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = array(Seq("the", "a", "of", "and", "is", "to", "in").map(lit): _*)
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => array_contains(stop, t)))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      nPunct.as("n_punct"),
+      floor(lit(1000) * nStop / nTok).cast("long").as("stop_permille"))
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, single symbols. */
+  def bpeishCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpeish"))
+
+  /** Content fingerprint: min-md5 over 3-word shingles (a 1-permutation
+    * MinHash) — robust to reordering-free small edits. Explode + min-agg
+    * so each shingle is hashed exactly once.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val sh = shingles(tokens(col("text")), 3)
+    docs.select(col("doc_id"), explode(sh).as("s"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("s"))).as("fingerprint"))
+  }
+}
