@@ -77,6 +77,30 @@ object QuickStart {
     GraftTable(spark, table).history().foreach(c =>
       println(s"    v${c.version} ${c.operation}/${c.mode} " +
         s"metrics=${c.operationMetrics} meta=${c.metadata}"))
+
+    // 6. IO manager: asset-key -> slice resolution, schema-folder layout
+    import graft.manager._
+    import TypeHandlers._
+    val mgr = new GraftIOManager(spark, s"$out/warehouse")
+    val key = AssetKey(Seq("analytics", "daily_orders"))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    mgr.handleOutput(OutputContext(key), orders)
+    val loaded = mgr.loadInput[org.apache.spark.sql.DataFrame](
+      OutputContext(key, columns = Some(Seq("o_orderkey", "o_totalprice"))))
+    println(s"[6] manager round trip: cols=${loaded.columns.mkString(",")} rows=${loaded.count()}")
+
+    // 7. streaming: events parquet replayed as a file stream into a table
+    import graft.streaming.Streams
+    val eventsDir = s"$out/events_in"
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .write.parquet(eventsDir)
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = Streams.toGraftTable(stream, s"$out/events_table", s"$out/ckpt")
+    q.awaitTermination()
+    println(s"[7] streamed events -> graft table rows=" +
+      GraftTable(spark, s"$out/events_table").toDf().count())
     spark.stop()
   }
 }

@@ -1,0 +1,152 @@
+package graft.manager
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+
+import graft.core._
+import graft.io._
+import graft.merge._
+
+/** Asset address: hierarchical key, e.g. `my_prefix/my_table`
+  * (reference: Dagster AssetKey, resolved in
+  * dagster_delta/dbiomanager_fixed.py:23-126).
+  */
+final case class AssetKey(parts: Seq[String]) {
+  require(parts.nonEmpty, "empty asset key")
+  def name: String = parts.last
+  def prefix: Option[String] = parts.dropRight(1).lastOption
+}
+
+/** Per-output context: metadata keys mirror the reference's output
+  * metadata surface — `schema`, `root_name`, `mode`, `merge_predicate`
+  * (dagster_delta/dbiomanager_fixed.py:36-48, handler.py:150,162-183).
+  */
+final case class OutputContext(
+    assetKey: AssetKey,
+    metadata: Map[String, String] = Map.empty,
+    partitionDimensions: Seq[PartitionDimension] = Nil,
+    columns: Option[Seq[String]] = None)
+
+/** The reference's extension point, Spark-natively: a handler converts a
+  * user object to/from DataFrame at the IO boundary
+  * (reference `DbTypeHandler`: dagster_delta/handler.py:123-137,
+  * io_manager.py:192-199). In Spark the `Encoder` IS the conversion, so
+  * handlers are thin.
+  */
+trait TypeHandler[T] {
+  def toDf(spark: SparkSession, obj: T): DataFrame
+  def fromDf(df: DataFrame): T
+}
+
+object TypeHandlers {
+  implicit val dataFrameHandler: TypeHandler[DataFrame] =
+    new TypeHandler[DataFrame] {
+      def toDf(spark: SparkSession, obj: DataFrame): DataFrame = obj
+      def fromDf(df: DataFrame): DataFrame = df
+    }
+
+  /** Typed datasets round-trip through their Encoder. */
+  def datasetHandler[T: Encoder]: TypeHandler[Dataset[T]] =
+    new TypeHandler[Dataset[T]] {
+      def toDf(spark: SparkSession, obj: Dataset[T]): DataFrame = obj.toDF()
+      def fromDf(df: DataFrame): Dataset[T] = df.as[T]
+    }
+}
+
+/** IO manager over graft tables: resolves asset keys to table slices,
+  * writes outputs (mode/merge per-output overridable), loads inputs as
+  * sliced scans.
+  *
+  * Schema precedence (ported behavioral contract,
+  * dbiomanager_fixed.py:40-48 + tests test_type_handler.py:79-124):
+  * output metadata `schema` > manager-level schema > asset key prefix >
+  * `"public"`. Table name: metadata `root_name` > asset key tail.
+  * Tables live at `rootUri/<schema>/<table>` (io_manager.py:276-280);
+  * schema "folders" are created implicitly on write.
+  */
+final class GraftIOManager(
+    val spark: SparkSession,
+    val rootUri: String,
+    val managerSchema: Option[String] = None,
+    val defaultMode: WriteMode = WriteMode.Overwrite,
+    val mergeConfig: Option[MergeConfig] = None) {
+
+  def resolveSlice(ctx: OutputContext): TableSlice = {
+    val table = ctx.metadata.getOrElse("root_name", ctx.assetKey.name)
+    val schema = ctx.metadata.get("schema")
+      .orElse(managerSchema)
+      .orElse(ctx.assetKey.prefix)
+      .getOrElse("public")
+    TableSlice(schema, table, ctx.partitionDimensions, ctx.columns)
+  }
+
+  def pathFor(slice: TableSlice): String =
+    s"$rootUri/${slice.schema}/${slice.table}"
+
+  private def parseMode(s: String): WriteMode = s match {
+    case "error"             => WriteMode.ErrorIfExists
+    case "append"            => WriteMode.Append
+    case "overwrite"         => WriteMode.Overwrite
+    case "ignore"            => WriteMode.Ignore
+    case "create_or_replace" => WriteMode.CreateOrReplace
+    case "merge"             => WriteMode.Overwrite // handled by handleOutput
+    case other => throw new IllegalArgumentException(s"unknown mode '$other'")
+  }
+
+  /** Write an asset output. Partitioned slices overwrite only their own
+    * partitions (write-side pinned predicate -> replaceWhere), the
+    * reference's idempotent re-materialization model
+    * (handler.py:190-225,474-480).
+    */
+  def handleOutput[T](ctx: OutputContext, obj: T)(
+      implicit h: TypeHandler[T]): Long = {
+    val slice = resolveSlice(ctx)
+    val df0 = h.toDf(spark, obj)
+    val df = slice.columns match {
+      case Some(cols) => df0.selectExpr(cols: _*)
+      case None       => df0
+    }
+    val path = pathFor(slice)
+
+    if (ctx.metadata.get("mode").contains("merge") || (mergeConfig.isDefined
+        && !ctx.metadata.contains("mode"))) {
+      val cfg0 = mergeConfig.getOrElse(throw new IllegalArgumentException(
+        "mode=merge requires a MergeConfig"))
+      // per-output predicate override (reference: handler.py:83-88,150)
+      val cfg = ctx.metadata.get("merge_predicate")
+        .map(p => cfg0.copy(predicate = p)).getOrElse(cfg0)
+      // partition conjuncts confine the merge (handler.py:92-98)
+      val scoped = SliceCompiler.compile(slice, SliceCompiler.WriteSide, Some(df.schema))
+        .map(p => cfg.copy(partitionFilter = Some(p))).getOrElse(cfg)
+      return MergeExecutor.merge(spark, df, path, scoped,
+        partitionBy = slice.partitionDimensions.map(_.column)).version
+    }
+
+    val mode = ctx.metadata.get("mode").map(parseMode).getOrElse(defaultMode)
+    val partCols = slice.partitionDimensions.map(_.column)
+    val replaceWhere =
+      if (mode == WriteMode.Overwrite && partCols.nonEmpty)
+        SliceCompiler.compile(slice, SliceCompiler.WriteSide, Some(df.schema))
+      else None
+    GraftWriter.write(spark, df, path, WriteOptions(
+      mode = mode,
+      partitionBy = partCols,
+      replaceWhere = replaceWhere,
+      schemaMode = ctx.metadata.get("schema_mode").map {
+        case "merge"     => SchemaMode.Merge
+        case "overwrite" => SchemaMode.Overwrite
+        case other => throw new IllegalArgumentException(s"unknown schema_mode '$other'")
+      },
+      metadata = ctx.metadata.filterNot { case (k, _) =>
+        Set("mode", "schema", "schema_mode", "root_name", "merge_predicate")(k)
+      }))
+  }
+
+  /** Load an asset input: read-side slice (range semantics for time
+    * windows) + projection (reference: handler.py:293-317,536-549).
+    */
+  def loadInput[T](ctx: OutputContext, versionAsOf: Option[Long] = None)(
+      implicit h: TypeHandler[T]): T = {
+    val slice = resolveSlice(ctx)
+    h.fromDf(GraftTable(spark, pathFor(slice)).scan(slice, versionAsOf))
+  }
+}

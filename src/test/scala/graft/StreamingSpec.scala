@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ext.Events
+import graft.io.GraftTable
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    // user 1: two sessions (gap > 30 min between 10:00 block and 11:30)
+    (ts("2024-01-01 10:00:00"), 1L, "click"),
+    (ts("2024-01-01 10:10:00"), 1L, "view"),
+    (ts("2024-01-01 11:30:00"), 1L, "click"),
+    // user 2: one session
+    (ts("2024-01-01 09:00:00"), 2L, "view"),
+    (ts("2024-01-01 09:20:00"), 2L, "view"))
+
+  test("session_window streaming matches batch sessionize per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    mem.addData(sample: _*)
+    val stream = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.sessionWindows(stream)
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sess")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = Events.sessionize(
+      sample.toDF("ts", "user_id", "event_type").withColumn("event_id", lit(0L)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 2L, 3L), (2L, 1L, 2L)))
+  }
+
+  test("watermarked tumbling counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    mem.addData(sample: _*)
+    val q = Streams.tumblingCounts(mem.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("tumb")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "click", 1L),
+      ("2024-01-01 10:00:00.0", "view", 1L),
+      ("2024-01-01 11:00:00.0", "click", 1L),
+      ("2024-01-01 09:00:00.0", "view", 2L)))
+  }
+
+  test("mapGroupsWithState running counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (1L, "b"), (2L, "a"))
+    val q = Streams.runningCounts(mem.toDS())
+      .writeStream.format("memory").queryName("rc").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((1L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user wins
+    val last = spark.table("rc").groupBy("_1").agg(max("_2").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(last == Set((1L, 3L), (2L, 1L)))
+  }
+
+  test("stream to graft table is exactly-once per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val path = tmpDir("graft_stream") + "/events"
+    val ckpt = tmpDir("graft_ckpt")
+    mem.addData(sample: _*)
+    val q1 = Streams.toGraftTable(mem.toDF().toDF("ts", "user_id", "event_type"), path, ckpt)
+    q1.awaitTermination()
+    assert(GraftTable(spark, path).toDf().count() == 5)
+    // restart from the same checkpoint: no new data => no new commits
+    val q2 = Streams.toGraftTable(mem.toDF().toDF("ts", "user_id", "event_type"), path, ckpt)
+    q2.awaitTermination()
+    assert(GraftTable(spark, path).toDf().count() == 5)
+    // new data appends once
+    mem.addData((ts("2024-01-01 12:00:00"), 3L, "click"))
+    val q3 = Streams.toGraftTable(mem.toDF().toDF("ts", "user_id", "event_type"), path, ckpt)
+    q3.awaitTermination()
+    assert(GraftTable(spark, path).toDf().count() == 6)
+  }
+}
