@@ -361,6 +361,20 @@ object OracleSql {
 
     "knn_ivf_topk" -> knnIvfSql,
 
+    "cosine_dup_pairs" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % 16 = 0),
+          scored AS (SELECT e.vec_id, e.embedding, c_id,
+                            ${simE6("e.embedding", "c_vec")} AS c_sim
+                     FROM embeddings e, cent),
+          assign AS (SELECT vec_id, embedding, c_id AS cell FROM
+                       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+                        FROM scored) WHERE rn = 1)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${simE6("a.embedding", "b.embedding")} AS sim_e6
+          FROM assign a JOIN assign b USING(cell)
+          WHERE a.vec_id < b.vec_id
+            AND ${simE6("a.embedding", "b.embedding")} >= 450000""",
+
     "multimodal_project" ->
       """SELECT d.doc_id, d.lang, d.source, d.n_chars,
                 CAST(e.label AS BIGINT) AS label,

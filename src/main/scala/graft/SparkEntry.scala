@@ -323,6 +323,9 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("sim_e6"))
 
+  private def qCosineDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(t(spark, dir, "embeddings"), 450000L)
+
   private def qMultimodalProject(spark: SparkSession, dir: String): DataFrame =
     Multimodal.project(t(spark, dir, "documents"), t(spark, dir, "embeddings"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -379,6 +382,7 @@ object SparkEntry {
     "text_fingerprint" -> (qFingerprint _),
     "knn_brute_topk" -> (qKnnBrute _),
     "knn_ivf_topk" -> (qKnnIvf _),
+    "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
     "binary_meta" -> (qBinaryMeta _),
     "embedding_stats" -> (qEmbeddingStats _)
@@ -395,7 +399,7 @@ object SparkEntry {
     "q14_sessionize", "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
     "simhash_signature", "ngram_jaccard_pairs", "text_token_stats",
     "text_lang_id", "text_quality_score", "text_bpeish_count",
-    "text_fingerprint", "knn_brute_topk", "knn_ivf_topk",
+    "text_fingerprint", "knn_brute_topk", "knn_ivf_topk", "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats")
 
   // ---------- DuckDB oracle SQL ----------

@@ -1,0 +1,61 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.io._
+
+/** Prints the physical plans the engine actually produces on key paths so
+  * plan regressions (lost pushdown, lost broadcast, lost codegen) are
+  * visible. Run: `sbt "runMain graft.examples.ExplainAudit"`.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val p = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    GraftWriter.write(spark, li, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("l_returnflag")))
+
+    println("=== [A] graft scan with partition slice (expect PartitionFilters + pruned files) ===")
+    val sliced = GraftTable(spark, p).scan(TableSlice("s", "t",
+      Seq(StaticDimension("l_returnflag", Seq("A"))),
+      columns = Some(Seq("l_orderkey", "l_quantity", "l_returnflag"))))
+    sliced.explain("formatted")
+    val scanned = sliced.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    println(s"--- partitions actually scanned: ${countFiles(sliced)} of ${countFiles(GraftTable(spark, p).toDf())}")
+
+    println("=== [B] filter + projection pushdown to parquet (expect PushedFilters/ReadSchema) ===")
+    val pushed = GraftTable(spark, p).toDf()
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    pushed.explain("formatted")
+
+    println("=== [C] dim join (expect BroadcastHashJoin, no shuffle of fact side) ===")
+    val q3 = graft.SparkEntry.queries("q03_revenue_by_nation")(spark, sfDir)
+    q3.explain("formatted")
+
+    println("=== [D] knn dot product (expect WholeStageCodegen over graft_dot) ===")
+    val knn = graft.SparkEntry.queries("knn_brute_topk")(spark, sfDir)
+    knn.explain("formatted")
+    spark.stop()
+  }
+
+  private def countFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.relation.location.inputFiles.length.toLong
+    }.sum
+  }
+}

@@ -101,6 +101,18 @@ object QuickStart {
     q.awaitTermination()
     println(s"[7] streamed events -> graft table rows=" +
       GraftTable(spark, s"$out/events_table").toDf().count())
+
+    // 8. coordinated write: branch -> gate -> promote (lakeFS-style flow)
+    val coord = new RetryingCoordinator(
+      new BranchingCoordinator(gate = _.count() > 0), baseBackoffMs = 10)
+    val cpath = s"$out/coordinated/suppliers"
+    coord.coordinate(spark, cpath) { branchPath =>
+      GraftWriter.write(spark, spark.read.parquet(s"$sfDir/supplier.parquet"),
+        branchPath, WriteOptions(mode = WriteMode.Overwrite))
+    }
+    println(s"[8] coordinated write: rows=" +
+      GraftTable(spark, cpath).toDf().count() +
+      s" promoted_from=${GraftTable(spark, cpath).history().head.metadata.contains("promoted_from")}")
     spark.stop()
   }
 }

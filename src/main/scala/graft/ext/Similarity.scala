@@ -92,6 +92,28 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("c_id").as("cell"))
   }
 
+  /** Embedding-cosine near-duplicate candidate pairs, blocked by IVF
+    * cell: vectors in the same coarse cell whose cosine exceeds the
+    * threshold. The all-pairs compare is confined to cells (like LSH
+    * bands for text) — the shuffle keys on `cell`, never all-pairs.
+    */
+  def cosineDupPairs(
+      corpus: DataFrame,
+      minSimE6: Long,
+      stride: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = assignCells(corpus,
+      centroids(corpus, stride, idCol, vecCol), idCol, vecCol)
+    val a = cells.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cell"))
+    val b = cells.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_e6", simE6(col("va"), col("vb")))
+      .filter(col("sim_e6") >= minSimE6)
+      .select("id_a", "id_b", "sim_e6")
+  }
+
   /** IVF top-k: probe only the query's own cell. Trades recall for a
     * |cell|/|corpus| reduction in comparisons.
     */
