@@ -113,6 +113,12 @@ object QuickStart {
     println(s"[8] coordinated write: rows=" +
       GraftTable(spark, cpath).toDf().count() +
       s" promoted_from=${GraftTable(spark, cpath).history().head.metadata.contains("promoted_from")}")
+
+    // 9. vacuum: drop files only referenced by versions older than the
+    // last two (v0's originals were replaced in steps 2 and 5)
+    val deleted = GraftTable(spark, table).vacuum(retainVersions = 2)
+    println(s"[9] vacuum removed ${deleted.size} files; " +
+      s"latest still reads ${GraftTable(spark, table).toDf().count()} rows")
     spark.stop()
   }
 }

@@ -174,14 +174,20 @@ object Dedup {
       minPermille: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = array_distinct(TextOps.tokens(col(textCol)))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // sort each token set ONCE per document; the per-pair intersection is
+    // then a zero-allocation two-pointer merge (codegen expression)
+    // instead of a hash-set build per pair — the pairwise compare is the
+    // O(pairs) hot loop of this operator.
+    val toks = array_sort(array_distinct(TextOps.tokens(col(textCol))))
     val base = docs.select(col(blockCol).as("block"), col(idCol), toks.as("toks"))
     val a = base.select(col("block"), col(idCol).as("doc_a"), col("toks").as("ta"))
     val b = base.select(col("block"), col(idCol).as("doc_b"), col("toks").as("tb"))
     a.join(b, Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-      .withColumn("uni", size(array_union(col("ta"), col("tb"))))
+      .withColumn("inter", call_function(
+        graft.functions.GraftFunctions.SortedIntersectName, col("ta"), col("tb")))
+      .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
       .withColumn("jac_permille", floor(lit(1000) * col("inter") / col("uni")).cast("long"))
       .filter(col("jac_permille") >= minPermille)
       .select("doc_a", "doc_b", "inter", "uni", "jac_permille")

@@ -59,6 +59,7 @@ case class DotProductFP64(left: Expression, right: Expression)
 /** Session registration for graft native functions (idempotent). */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val SortedIntersectName = "graft_sorted_intersect_count"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -66,6 +67,13 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2, s"$DotName expects 2 arguments")
         DotProductFP64(args(0), args(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SortedIntersectName,
+      { args: Seq[Expression] =>
+        require(args.length == 2, s"$SortedIntersectName expects 2 arguments")
+        SortedIntersectCount(args(0), args(1))
       },
       "built-in")
   }

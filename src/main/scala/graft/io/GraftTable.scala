@@ -93,6 +93,25 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     */
   def history(): Seq[graft.log.Commit] =
     snapshot().commits.reverse
+
+  /** Physically delete data files not live in any of the newest
+    * `retainVersions` snapshots (they were logically removed earlier).
+    * Time travel remains possible only within the retained window —
+    * Delta's `VACUUM`, keyed on versions instead of wall-clock age.
+    * Returns the deleted relative paths.
+    */
+  def vacuum(retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val vs = log.versions()
+    val retained = vs.takeRight(retainVersions)
+    val live: Set[String] =
+      retained.flatMap(v => log.snapshot(Some(v)).files.map(_.path)).toSet
+    val everAdded = vs.flatMap(v => log.readCommit(v).add.map(_.path)).distinct
+    val doomed = everAdded.filterNot(live)
+    val fs = log.fs
+    // delete() returns false for already-gone files (prior vacuum)
+    doomed.filter(rel => fs.delete(new Path(path, rel), false))
+  }
 }
 
 object GraftTable {

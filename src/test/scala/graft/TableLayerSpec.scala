@@ -146,6 +146,23 @@ class TableLayerSpec extends SparkSpec {
     assert(r.getAs[Long]("size_bytes") > 0L)
   }
 
+  test("vacuum deletes only unreferenced files; retained versions still read") {
+    val p = tmpDir("vac")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, Seq((7L, 8L)).toDF("a", "b"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val t = GraftTable(spark, p)
+    // retain last 2 versions: v0's files deletable, v1+v2 still readable
+    val deleted = t.vacuum(retainVersions = 2)
+    assert(deleted.nonEmpty)
+    assert(t.toDf(Some(1L)).count() == 3)
+    assert(t.toDf().count() == 1)
+    intercept[Exception] { t.toDf(Some(0L)).count() } // v0 files gone
+    // vacuum again: nothing left to delete
+    assert(t.vacuum(retainVersions = 2).isEmpty)
+  }
+
   private def target = Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("k", "v")
   private def source = Seq((2L, "s2"), (4L, "s4")).toDF("k", "v")
   private def cfg(mt: MergeType) = MergeConfig(mt, "s.k = t.k")
