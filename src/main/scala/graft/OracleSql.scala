@@ -227,6 +227,44 @@ object OracleSql {
                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
          FROM s GROUP BY 1, 2""",
 
+    "q15_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+                    FROM events),
+              l AS (SELECT user_id, event_id, ep FROM e WHERE event_type = 'click'),
+              r AS (SELECT user_id, ep, max(event_id) AS purchase_event_id,
+                           ep AS purchase_epoch
+                    FROM e WHERE event_type = 'purchase' GROUP BY user_id, ep)
+         SELECT l.event_id, l.user_id, l.ep AS click_epoch,
+                r.purchase_event_id, r.purchase_epoch
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ep >= r.ep""",
+
+    "q16_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+            coalesce(o_orderpriority, 'ALL') AS priority,
+            CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS sum_total_cents,
+            count(*) AS n_orders
+          FROM orders
+          GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
+    "q17_scalar_funcs" ->
+      s"""SELECT o_orderkey,
+            strftime(o_orderdate, '%Y-%m') AS order_month,
+            CAST(year(o_orderdate) AS BIGINT) AS order_year,
+            CAST(day(o_orderdate) AS BIGINT) AS order_dom,
+            o_orderstatus || '#' || o_orderpriority AS tag,
+            upper(substring(o_orderpriority, 1, 4)) AS prio4,
+            CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+            o_orderkey % 7 AS key_mod7,
+            abs(o_orderkey - 1000) AS key_absdiff,
+            CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS bucket,
+            ${cents("o_totalprice")} AS total_cents
+          FROM orders""",
+
+    // q18_approx_distinct: HLL sketches are engine-specific -- no oracle
+    // (driver records a rows-only check); exact twin is q10_distinct_agg.
+
     "merge_update_only" ->
       s"""$mergeCte
           SELECT t.o_orderkey,
@@ -390,6 +428,13 @@ object OracleSql {
       """SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
                 CAST(min(len(embedding)) AS BIGINT) AS min_dim,
                 CAST(max(len(embedding)) AS BIGINT) AS max_dim
-         FROM embeddings GROUP BY 1"""
+         FROM embeddings GROUP BY 1""",
+
+    "embedding_centroid_sums" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS ord,
+                CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
+                count(*) AS n
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+         GROUP BY 1, 2"""
   )
 }

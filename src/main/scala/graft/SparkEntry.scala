@@ -193,6 +193,61 @@ object SparkEntry {
       .select(col("user_id"), col("session_id"),
         col("n_events"), col("start_epoch"), col("end_epoch"), col("n_clicks"))
 
+  private def q15AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = tEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ep")
+    // right side must be unique per (key, ts): keep max event id
+    val right = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ep")
+      .agg(max("event_id").as("purchase_event_id"))
+      .withColumn("purchase_epoch", col("ep"))
+    Joins.asof(clicks, right, Seq("user_id"), "ep",
+      Seq("purchase_event_id", "purchase_epoch"))
+      .select(col("event_id"), col("user_id"), col("ep").as("click_epoch"),
+        col("purchase_event_id"), col("purchase_epoch"))
+  }
+
+  private def q16Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(sum(cents(col("o_totalprice"))).as("sum_total_cents"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sum_total_cents"), col("n_orders"))
+
+  /** Scalar-function surface: date, string, math, conditional — each
+    * chosen with an exact DuckDB twin (SURVEY §2.7).
+    */
+  private def q17ScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      dayofmonth(col("o_orderdate")).cast("long").as("order_dom"),
+      concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+      upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
+      length(col("o_orderpriority")).cast("long").as("prio_len"),
+      (col("o_orderkey") % 7).as("key_mod7"),
+      abs(col("o_orderkey") - 1000).as("key_absdiff"),
+      when(col("o_totalprice") > 200000.0, "big").otherwise("small").as("bucket"),
+      cents(col("o_totalprice")).as("total_cents"))
+
+  /** Sketch aggregation (HyperLogLog++): not bit-reproducible in DuckDB,
+    * so deliberately no oracle — the driver records a rows-only check.
+    * The exact counterpart is q10_distinct_agg.
+    */
+  private def q18ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
   // ---------- merge family (through the real table layer) ----------
 
   private def mergeCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -337,6 +392,20 @@ object SparkEntry {
       .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
         col("payload_md5"))
 
+  /** Per-label centroid sums via the typed Aggregator (UDAF surface):
+    * exploded to (label, ord, sum_e6, n) rows for the oracle.
+    */
+  private def qCentroidSums(spark: SparkSession, dir: String): DataFrame = {
+    val vecsum = udaf(new graft.functions.VecSumE6())
+    t(spark, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(vecsum(col("embedding")).as("agg"))
+      .select(col("label"), col("agg.n").as("n"),
+        posexplode(col("agg.sums")).as(Seq("ord0", "sum_e6")))
+      .select(col("label"), (col("ord0") + 1).cast("long").as("ord"),
+        col("sum_e6"), col("n"))
+  }
+
   private def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .groupBy(col("label").cast("long").as("label"))
@@ -361,6 +430,10 @@ object SparkEntry {
     "q12_set_ops" -> (q12SetOps _),
     "q13_events_json" -> (q13EventsJson _),
     "q14_sessionize" -> (q14Sessionize _),
+    "q15_asof_join" -> (q15AsofJoin _),
+    "q16_cube" -> (q16Cube _),
+    "q17_scalar_funcs" -> (q17ScalarFuncs _),
+    "q18_approx_distinct" -> (q18ApproxDistinct _),
     "merge_update_only" -> (mergeQuery(MergeType.UpdateOnly) _),
     "merge_dedup_insert" -> (mergeQuery(MergeType.DeduplicateInsert) _),
     "merge_upsert" -> (mergeQuery(MergeType.Upsert) _),
@@ -385,7 +458,8 @@ object SparkEntry {
     "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
     "binary_meta" -> (qBinaryMeta _),
-    "embedding_stats" -> (qEmbeddingStats _)
+    "embedding_stats" -> (qEmbeddingStats _),
+    "embedding_centroid_sums" -> (qCentroidSums _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,
@@ -396,11 +470,13 @@ object SparkEntry {
     "q04_brand_volume", "q05_top_orders_per_cust", "q06_running_total",
     "q07_cust_no_orders", "q08_order_priority", "q09_global_topk",
     "q10_distinct_agg", "q11_rollup", "q12_set_ops", "q13_events_json",
-    "q14_sessionize", "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
+    "q14_sessionize", "q15_asof_join", "q16_cube", "q17_scalar_funcs",
+    "q18_approx_distinct", "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
     "simhash_signature", "ngram_jaccard_pairs", "text_token_stats",
     "text_lang_id", "text_quality_score", "text_bpeish_count",
     "text_fingerprint", "knn_brute_topk", "knn_ivf_topk", "cosine_dup_pairs",
-    "multimodal_project", "binary_meta", "embedding_stats")
+    "multimodal_project", "binary_meta", "embedding_stats",
+    "embedding_centroid_sums")
 
   // ---------- DuckDB oracle SQL ----------
 
