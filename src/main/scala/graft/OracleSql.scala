@@ -265,6 +265,12 @@ object OracleSql {
     // q18_approx_distinct: HLL sketches are engine-specific -- no oracle
     // (driver records a rows-only check); exact twin is q10_distinct_agg.
 
+    "q19_salted_agg" ->
+      """SELECT event_type,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+                count(*) AS n_rows
+         FROM events GROUP BY 1""",
+
     "merge_update_only" ->
       s"""$mergeCte
           SELECT t.o_orderkey,

@@ -248,6 +248,18 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** Skew-tolerant two-phase aggregation: results identical to a plain
+    * GROUP BY (the oracle), but the reduce side spreads hot keys over 16
+    * salt buckets.
+    */
+  private def q19SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(
+      tEvents(spark, dir),
+      Seq("event_type"),
+      cents(col("value")),
+      col("event_id"))
+      .select(col("event_type"), col("value_sum").as("value_cents"), col("n_rows"))
+
   // ---------- merge family (through the real table layer) ----------
 
   private def mergeCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -434,6 +446,7 @@ object SparkEntry {
     "q16_cube" -> (q16Cube _),
     "q17_scalar_funcs" -> (q17ScalarFuncs _),
     "q18_approx_distinct" -> (q18ApproxDistinct _),
+    "q19_salted_agg" -> (q19SaltedAgg _),
     "merge_update_only" -> (mergeQuery(MergeType.UpdateOnly) _),
     "merge_dedup_insert" -> (mergeQuery(MergeType.DeduplicateInsert) _),
     "merge_upsert" -> (mergeQuery(MergeType.Upsert) _),
@@ -471,7 +484,8 @@ object SparkEntry {
     "q07_cust_no_orders", "q08_order_priority", "q09_global_topk",
     "q10_distinct_agg", "q11_rollup", "q12_set_ops", "q13_events_json",
     "q14_sessionize", "q15_asof_join", "q16_cube", "q17_scalar_funcs",
-    "q18_approx_distinct", "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
+    "q18_approx_distinct", "q19_salted_agg",
+    "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
     "simhash_signature", "ngram_jaccard_pairs", "text_token_stats",
     "text_lang_id", "text_quality_score", "text_bpeish_count",
     "text_fingerprint", "knn_brute_topk", "knn_ivf_topk", "cosine_dup_pairs",

@@ -119,6 +119,13 @@ object QuickStart {
     val deleted = GraftTable(spark, table).vacuum(retainVersions = 2)
     println(s"[9] vacuum removed ${deleted.size} files; " +
       s"latest still reads ${GraftTable(spark, table).toDf().count()} rows")
+
+    // 10. direct table resource handle (storage-config plumbing + pinned
+    // version), reading with explicit parquet options
+    val resource = new GraftTableResource(cpath, graft.config.LocalConfig())
+    val handle = resource.load(spark, version = Some(0L))
+    println(s"[10] resource v${handle.version()} rows=" +
+      handle.toDf(Some(0L), Map("mergeSchema" -> "false")).count())
     spark.stop()
   }
 }

@@ -32,12 +32,22 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     * schema so schema evolution (older files lacking new columns) reads as
     * nulls.
     */
-  def toDf(versionAsOf: Option[Long] = None): DataFrame = {
+  def toDf(versionAsOf: Option[Long] = None): DataFrame =
+    toDf(versionAsOf, Map.empty)
+
+  /** `readOptions` are passed to the parquet reader — the reference's
+    * `parquet_read_options` surface (e.g. int96 timestamp handling,
+    * handler.py:300-309).
+    */
+  def toDf(versionAsOf: Option[Long], readOptions: Map[String, String]): DataFrame = {
     val snap = snapshot(versionAsOf)
-    dfForFiles(snap, snap.files)
+    dfForFiles(snap, snap.files, readOptions)
   }
 
-  private[graft] def dfForFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+  private[graft] def dfForFiles(
+      snap: Snapshot,
+      files: Seq[AddFile],
+      readOptions: Map[String, String] = Map.empty): DataFrame = {
     val schema = snap.schema
     if (files.isEmpty) {
       return spark.createDataFrame(
@@ -48,6 +58,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val abs = files.map(f => new Path(path, f.path).toString)
     val raw = spark.read
       .schema(dataSchema)
+      .options(readOptions)
       .option("basePath", path)
       .parquet(abs: _*)
     // pin column order + partition column types to the declared schema
