@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductFP64, GraftFunctions, SortedIntersectCount}
+
+/** Session extension registering graft's native expressions, for use via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the deployment
+  * path that makes `graft_dot(...)` available to plain SQL users on a
+  * cluster. (Library operators also self-register per session through
+  * [[graft.functions.GraftFunctions.register]], so the extension is not
+  * required for the programmatic API.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.DotName),
+      new ExpressionInfo(classOf[DotProductFP64].getName, GraftFunctions.DotName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"${GraftFunctions.DotName} expects 2 arguments")
+        DotProductFP64(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SortedIntersectName),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        GraftFunctions.SortedIntersectName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"${GraftFunctions.SortedIntersectName} expects 2 arguments")
+        SortedIntersectCount(args(0), args(1))
+      }))
+  }
+}

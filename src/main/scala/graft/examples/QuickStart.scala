@@ -126,6 +126,17 @@ object QuickStart {
     val handle = resource.load(spark, version = Some(0L))
     println(s"[10] resource v${handle.version()} rows=" +
       handle.toDf(Some(0L), Map("mergeSchema" -> "false")).count())
+
+    // 11. data skipping: range-clustered write, file-pruned point read
+    val skipPath = s"$out/orders_by_key"
+    GraftWriter.write(spark,
+      orders.repartitionByRange(8, col("o_orderkey")), skipPath,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val st = GraftTable(spark, skipPath)
+    val fAll = st.snapshot().files.size
+    val filt = Seq(DataFilter("o_orderkey", SkipOp.Ge, 1400L))
+    println(s"[11] data skipping: ${st.filesAfterPruning(filt)} of $fAll files read, " +
+      s"rows=${st.scanPruned(filt).count()}")
     spark.stop()
   }
 }

@@ -1,0 +1,92 @@
+package graft.io
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import graft.log.AddFile
+
+/** Comparison op for data-skipping filters. */
+sealed trait SkipOp
+object SkipOp {
+  case object Eq extends SkipOp
+  case object Lt extends SkipOp
+  case object Le extends SkipOp
+  case object Gt extends SkipOp
+  case object Ge extends SkipOp
+}
+
+/** A simple `column op literal` filter usable for file pruning. Value
+  * types: Int/Long/Double/String/java.sql.Timestamp.
+  */
+final case class DataFilter(column: String, op: SkipOp, value: Any) {
+  def toColumn: Column = op match {
+    case SkipOp.Eq => col(column) === lit(value)
+    case SkipOp.Lt => col(column) < lit(value)
+    case SkipOp.Le => col(column) <= lit(value)
+    case SkipOp.Gt => col(column) > lit(value)
+    case SkipOp.Ge => col(column) >= lit(value)
+  }
+}
+
+private[io] object DataSkipping {
+
+  private def micros(ts: Timestamp): BigDecimal =
+    BigDecimal(ts.getTime / 1000L) * 1000000L +
+      BigDecimal(ts.getNanos) / 1000
+
+  /** Numeric rank for exact cross-type comparison; None for strings. */
+  private def num(v: Any): Option[BigDecimal] = v match {
+    case i: Int        => Some(BigDecimal(i))
+    case l: Long       => Some(BigDecimal(l))
+    case d: Double     => Some(BigDecimal(d))
+    case f: Float      => Some(BigDecimal(f.toDouble))
+    case t: Timestamp  => Some(micros(t))
+    case _             => None
+  }
+
+  private def parseStat(s: String, dt: DataType): Option[Any] = dt match {
+    case IntegerType | LongType => Some(s.toLong)
+    case DoubleType | FloatType => Some(s.toDouble)
+    case TimestampType | TimestampNTZType => Some(s.toLong) // stored micros
+    case StringType => Some(s)
+    case _ => None
+  }
+
+  /** True unless the file's [min, max] interval PROVES the filter cannot
+    * match (missing/unusable stats always keep the file; the residual
+    * filter guarantees correctness either way).
+    */
+  def mayMatch(file: AddFile, schema: StructType, f: DataFilter): Boolean = {
+    val statOpt = file.stats.get(f.column)
+    val dtOpt = schema.find(_.name == f.column).map(_.dataType)
+    (statOpt, dtOpt) match {
+      case (Some(st), Some(dt)) =>
+        val (minV, maxV) = (
+          st.min.flatMap(parseStat(_, dt)),
+          st.max.flatMap(parseStat(_, dt)))
+        if (minV.isEmpty || maxV.isEmpty) return true
+        // timestamp filter values arrive as Timestamp; stats as micros
+        val fv = f.value
+        def cmpNum(a: Any, b: Any): Option[Int] =
+          for { x <- num(a); y <- num(b) } yield x.compare(y)
+        def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+          case (x: String, y: String) => Some(x.compareTo(y))
+          case _ => cmpNum(a, b)
+        }
+        (for {
+          cMin <- cmp(minV.get, fv) // min ? value
+          cMax <- cmp(maxV.get, fv) // max ? value
+        } yield f.op match {
+          case SkipOp.Eq => cMin <= 0 && cMax >= 0
+          case SkipOp.Lt => cMin < 0
+          case SkipOp.Le => cMin <= 0
+          case SkipOp.Gt => cMax > 0
+          case SkipOp.Ge => cMax >= 0
+        }).getOrElse(true)
+      case _ => true
+    }
+  }
+}

@@ -72,6 +72,29 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def scan(slice: TableSlice, versionAsOf: Option[Long] = None): DataFrame =
     SliceCompiler(toDf(versionAsOf), slice)
 
+  /** Data-skipping scan: prune whole files whose footer min/max stats
+    * prove they cannot satisfy the filters (Delta-style skipping on
+    * NON-partition columns), then apply the filters as a residual. At
+    * 100 TB this turns a selective point/range query on a clustered
+    * column into an O(matching-files) read instead of a full scan —
+    * pruning happens on the driver against log metadata, no file IO.
+    */
+  def scanPruned(
+      filters: Seq[DataFilter],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(versionAsOf)
+    val kept = snap.files.filter(f =>
+      filters.forall(DataSkipping.mayMatch(f, snap.schema, _)))
+    val df = dfForFiles(snap, kept)
+    filters.map(_.toColumn).reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
+  /** Number of files a filter set would read (for tests/diagnostics). */
+  def filesAfterPruning(filters: Seq[DataFilter]): Int = {
+    val snap = snapshot()
+    snap.files.count(f => filters.forall(DataSkipping.mayMatch(f, snap.schema, _)))
+  }
+
   /** Live-files ⋈ add-actions stats join + SUM — the reference's only
     * embedded relational computation (handler.py:490-516). Returns one row:
     * (num_files, size_bytes, size_mb, num_records).

@@ -136,25 +136,77 @@ object GraftWriter {
         effectiveDf.repartition(partitionCols.map(col): _*)
       else effectiveDf
     val stage = new Path(path, s"_staging-${UUID.randomUUID()}")
-    var w = writeDf.write.option("compression", opts.compression)
-    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
-    w.parquet(stage.toString)
+    // INT96 (the legacy default) carries no usable footer statistics;
+    // MICROS makes timestamp columns data-skippable. Session conf is
+    // restored afterwards — it must not leak into the caller's writes.
+    val tsConfKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsConf = spark.conf.getOption(tsConfKey)
+    val added = try {
+      spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+      var w = writeDf.write.option("compression", opts.compression)
+      if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+      w.parquet(stage.toString)
+      promoteStaged(fs, conf, stage, new Path(path))
+    } finally {
+      prevTsConf match {
+        case Some(v) => spark.conf.set(tsConfKey, v)
+        case None    => spark.conf.unset(tsConfKey)
+      }
+    }
 
-    val added = promoteStaged(fs, conf, stage, new Path(path))
-
-    val metrics = Map(
-      "num_added_files" -> added.size.toLong,
-      "num_removed_files" -> removals.size.toLong,
-      "num_output_rows" -> added.map(_.numRecords).sum)
-    log.commit(
-      operation = "WRITE",
-      mode = opts.mode.name,
-      schemaDdl = newSchema.toDDL,
-      partitionColumns = partitionCols,
-      metadata = opts.metadata,
-      operationMetrics = metrics,
-      add = added,
-      remove = removals)
+    // Commit with bounded retry: on a concurrent-commit conflict the
+    // staged files stay valid — only the log actions (removals, evolved
+    // schema) are re-derived against the fresh snapshot. Last writer
+    // wins, like Delta's conflict resolution for non-overlapping txns.
+    var attempt = 0
+    while (true) {
+      val (schemaDdl, removals2) =
+        if (attempt == 0) (newSchema.toDDL, removals)
+        else {
+          val fresh = if (log.tableExists()) Some(log.snapshot()) else None
+          fresh.foreach { s =>
+            require(s.partitionColumns == partitionCols,
+              s"concurrent writer changed partitioning to ${s.partitionColumns}")
+          }
+          val schema2 = fresh match {
+            case Some(s) if opts.mode == WriteMode.Append || opts.mode == WriteMode.Overwrite =>
+              opts.schemaMode match {
+                case Some(SchemaMode.Overwrite) => df.schema
+                case Some(SchemaMode.Merge)     => mergeSchemas(s.schema, df.schema)
+                case None => requireCompatible(s.schema, df.schema, path); s.schema
+              }
+            case _ => df.schema
+          }
+          val rm = (opts.mode, opts.replaceWhere, fresh) match {
+            case (WriteMode.Overwrite, Some(pred), Some(s)) =>
+              matchingFiles(spark, s.files, s.schema, s.partitionColumns, pred)
+                .map(RemoveFile)
+            case (WriteMode.Overwrite, None, Some(s)) => s.files.map(f => RemoveFile(f.path))
+            case (WriteMode.CreateOrReplace, _, Some(s)) => s.files.map(f => RemoveFile(f.path))
+            case _ => Seq.empty[RemoveFile]
+          }
+          (schema2.toDDL, rm)
+        }
+      val metrics = Map(
+        "num_added_files" -> added.size.toLong,
+        "num_removed_files" -> removals2.size.toLong,
+        "num_output_rows" -> added.map(_.numRecords).sum)
+      try {
+        return log.commit(
+          operation = "WRITE",
+          mode = opts.mode.name,
+          schemaDdl = schemaDdl,
+          partitionColumns = partitionCols,
+          metadata = opts.metadata,
+          operationMetrics = metrics,
+          add = added,
+          remove = removals2)
+      } catch {
+        case _: java.util.ConcurrentModificationException if attempt < 5 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Move staged parquet files into the table root, preserving partition
@@ -173,8 +225,9 @@ object GraftWriter {
       if (!fs.rename(f, target))
         throw new java.io.IOException(s"rename $f -> $target failed")
       val st = fs.getFileStatus(target)
+      val (rows, stats) = footerInfo(conf, target)
       AddFile(rel, partitionValuesOf(rel), st.getLen,
-        footerRowCount(conf, target), st.getModificationTime)
+        rows, st.getModificationTime, stats)
     }
     fs.delete(stage, true)
     adds
@@ -203,10 +256,66 @@ object GraftWriter {
         java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8"))
     }.toMap
 
-  private def footerRowCount(conf: Configuration, p: Path): Long = {
+  /** Row count + per-column min/max/null stats from the parquet footer —
+    * data-skipping metadata comes free with the write, no extra pass
+    * (the vectorized writer already computed the statistics).
+    */
+  private def footerInfo(
+      conf: Configuration, p: Path): (Long, Map[String, graft.log.FileColStat]) = {
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-    try r.getFooter.getBlocks.stream().mapToLong(_.getRowCount).sum()
-    finally r.close()
+    try {
+      val footer = r.getFooter
+      val blocks = footer.getBlocks
+      var rows = 0L
+      // (min, max, nulls, usable) accumulated across row groups
+      val acc = scala.collection.mutable.LinkedHashMap[String, (Any, Any, Long, Boolean)]()
+      blocks.forEach { b =>
+        rows += b.getRowCount
+        b.getColumns.forEach { c =>
+          if (c.getPath.size() == 1) { // top-level leaf columns only
+            val name = c.getPath.toDotString
+            val s = c.getStatistics
+            val usable = s != null && !s.isEmpty && s.hasNonNullValue
+            val cur = acc.getOrElse(name, (null, null, 0L, true))
+            if (!usable || !cur._4) {
+              acc(name) = (null, null, cur._3 + (if (s != null) s.getNumNulls else 0L), false)
+            } else {
+              val mn = s.genericGetMin
+              val mx = s.genericGetMax
+              def lt(a: Any, b: Any): Boolean = (a, b) match {
+                case (x: Binary, y: Binary) => x.compareTo(y) < 0
+                case (x: Comparable[_], y) =>
+                  x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+              }
+              val nmn = if (cur._1 == null || lt(mn, cur._1)) mn else cur._1
+              val nmx = if (cur._2 == null || lt(cur._2, mx)) mx else cur._2
+              acc(name) = (nmn, nmx, cur._3 + s.getNumNulls, true)
+            }
+          }
+        }
+      }
+      val isString: Set[String] = footer.getFileMetaData.getSchema.getFields
+        .toArray.collect {
+          case f: org.apache.parquet.schema.Type
+              if f.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+            f.getName
+        }.toSet
+      def render(v: Any, name: String): Option[String] = v match {
+        case null => None
+        case b: Binary if isString(name) => Some(b.toStringUsingUTF8)
+        case _: Binary => None // non-string binary: no stats
+        case other => Some(other.toString)
+      }
+      val stats = acc.map { case (name, (mn, mx, nulls, usable)) =>
+        if (usable)
+          name -> graft.log.FileColStat(render(mn, name), render(mx, name), nulls)
+        else name -> graft.log.FileColStat(None, None, nulls)
+      }.toMap
+      (rows, stats)
+    } finally r.close()
   }
 
   /** Live files whose stringified partition values satisfy `pred` —

@@ -7,6 +7,15 @@ import org.json4s.jackson.{JsonMethods, Serialization}
 
 import org.apache.spark.sql.types.StructType
 
+/** Per-column min/max/null-count for one data file (stringified for the
+  * JSON log; typed back through the table schema at prune time) — the
+  * data-skipping stats Delta keeps on add actions.
+  */
+final case class FileColStat(
+    min: Option[String],
+    max: Option[String],
+    nullCount: Long)
+
 /** One data file added to the table. `path` is relative to the table root
   * (hive-style partition dirs included). Partition values are stringified,
   * like Delta's add-action partitionValues.
@@ -16,7 +25,8 @@ final case class AddFile(
     partitionValues: Map[String, String],
     sizeBytes: Long,
     numRecords: Long,
-    modificationTime: Long)
+    modificationTime: Long,
+    stats: Map[String, FileColStat] = Map.empty)
 
 /** Logical deletion of a previously added file. */
 final case class RemoveFile(path: String)
