@@ -348,6 +348,27 @@ object OracleSql {
 
     "simhash_signature" -> simhashSql,
 
+    "simhash_band_pairs" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band_id, substring(simhash, ${b * 16 + 1}, 16) AS chunk, simhash FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH sigs AS ($simhashSql),
+          bands0 AS ($bands),
+          bands AS (SELECT * FROM
+                      (SELECT *, count(*) OVER (PARTITION BY band_id, chunk) AS bn
+                       FROM bands0)
+                    WHERE bn <= 32),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.simhash AS sa, b.simhash AS sb
+                   FROM bands a JOIN bands b
+                     ON a.band_id = b.band_id AND a.chunk = b.chunk
+                    AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(len([i for i in range(1, 65) if sa[i:i] <> sb[i:i]]) AS BIGINT) AS hamming
+          FROM cand
+          WHERE len([i for i in range(1, 65) if sa[i:i] <> sb[i:i]]) <= 6"""
+    },
+
     "ngram_jaccard_pairs" ->
       s"""WITH d AS (SELECT source AS block, doc_id, list_distinct($TOKS) AS toks FROM documents),
           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -349,6 +349,9 @@ object SparkEntry {
   private def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(spark, dir, "documents"))
 
+  private def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"))
+
   private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "source", 200)
       .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
@@ -460,6 +463,7 @@ object SparkEntry {
     "dedup_latest" -> (qDedupLatest _),
     "minhash_lsh_pairs" -> (qMinhashPairs _),
     "simhash_signature" -> (qSimhash _),
+    "simhash_band_pairs" -> (qSimhashPairs _),
     "ngram_jaccard_pairs" -> (qNgramJaccard _),
     "text_token_stats" -> (qTokenStats _),
     "text_lang_id" -> (qLangId _),
@@ -486,7 +490,8 @@ object SparkEntry {
     "q14_sessionize", "q15_asof_join", "q16_cube", "q17_scalar_funcs",
     "q18_approx_distinct", "q19_salted_agg",
     "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
-    "simhash_signature", "ngram_jaccard_pairs", "text_token_stats",
+    "simhash_signature", "simhash_band_pairs", "ngram_jaccard_pairs",
+    "text_token_stats",
     "text_lang_id", "text_quality_score", "text_bpeish_count",
     "text_fingerprint", "knn_brute_topk", "knn_ivf_topk", "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",

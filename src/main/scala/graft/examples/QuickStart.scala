@@ -137,6 +137,19 @@ object QuickStart {
     val filt = Seq(DataFilter("o_orderkey", SkipOp.Ge, 1400L))
     println(s"[11] data skipping: ${st.filesAfterPruning(filt)} of $fAll files read, " +
       s"rows=${st.scanPruned(filt).count()}")
+
+    // 12. compaction: many small appends -> OPTIMIZE -> one file/partition
+    val smallPath = s"$out/small_appends"
+    (1 to 6).foreach { i =>
+      GraftWriter.write(spark,
+        spark.createDataFrame(Seq((i.toLong, s"row$i"))).toDF("id", "s"),
+        smallPath, WriteOptions(mode = WriteMode.Append))
+    }
+    val before = GraftTable(spark, smallPath).snapshot().files.size
+    GraftWriter.optimize(spark, smallPath)
+    println(s"[12] optimize: $before files -> " +
+      s"${GraftTable(spark, smallPath).snapshot().files.size}, rows=" +
+      GraftTable(spark, smallPath).toDf().count())
     spark.stop()
   }
 }

@@ -165,6 +165,50 @@ object Dedup {
           when(col(s"v$b") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: LSH banding over the 64-bit signature
+    * (4 chunks of 16 bits — any pair within Hamming distance that leaves
+    * one chunk untouched becomes a candidate), then exact Hamming
+    * filtering. Join shuffles on the 16-bit chunk, never all-pairs.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 6,
+      maxBucket: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val chunks = array((0 until 4).map(b =>
+      substring(col("simhash"), b * 16 + 1, 16)): _*)
+    // Degenerate-bucket guard: a chunk value shared by b docs yields
+    // O(b²) candidates; buckets above `maxBucket` are dropped (hot
+    // buckets carry near-zero LSH signal — they mean the chunk is
+    // uninformative for this corpus). This bounds worst-case work to
+    // O(#buckets · maxBucket²) regardless of corpus degeneracy.
+    val bands = sigs
+      .select(col(idCol), col("simhash"),
+        posexplode(chunks).as(Seq("band_id", "chunk")))
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy("band_id", "chunk")))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val a = bands.select(col("band_id"), col("chunk"),
+      col(idCol).as("doc_a"), col("simhash").as("sa"))
+    val b = bands.select(col("band_id"), col("chunk"),
+      col(idCol).as("doc_b"), col("simhash").as("sb"))
+    val cand = a.join(b, Seq("band_id", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb")
+      .distinct()
+    val hamming = aggregate(
+      zip_with(split(col("sa"), ""), split(col("sb"), ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cand
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** n-gram Jaccard similarity for candidate pairs blocked by a key
     * (e.g. same `source`), in exact integer arithmetic (permille).
     */

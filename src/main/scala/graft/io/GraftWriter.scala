@@ -209,6 +209,56 @@ object GraftWriter {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Compact small files (Delta `OPTIMIZE`): rewrite every partition
+    * holding more than one file into ~`maxRecordsPerFile`-row files, in
+    * one commit that swaps adds for removes without changing table
+    * contents. Readers are never blocked (old files stay until vacuum);
+    * time travel to pre-compaction versions keeps working. Returns the
+    * committed version (current version when nothing to compact).
+    *
+    * At scale, compaction is what keeps a streamed/merged table's file
+    * count O(data/maxFileSize) instead of O(commits).
+    */
+  def optimize(
+      spark: SparkSession,
+      path: String,
+      maxRecordsPerFile: Long = 4 * 1024 * 1024): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new CommitLog(path, conf)
+    val fs = new Path(path).getFileSystem(conf)
+    val snap = log.snapshot()
+    val byPartition = snap.files.groupBy(_.partitionValues)
+    val toCompact = byPartition.filter(_._2.size > 1).values.flatten.toSeq
+    if (toCompact.isEmpty) return snap.version
+
+    val table = new GraftTable(spark, path)
+    val df = table.dfForFiles(snap, toCompact)
+    val totalRows = toCompact.map(_.numRecords).sum
+    val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
+
+    val stage = new Path(path, s"_staging-${UUID.randomUUID()}")
+    val writeDf =
+      if (snap.partitionColumns.nonEmpty)
+        df.repartition(snap.partitionColumns.map(col): _*)
+      else df.repartition(nOut)
+    var w = writeDf.write.option("compression", "zstd")
+    if (snap.partitionColumns.nonEmpty) w = w.partitionBy(snap.partitionColumns: _*)
+    w.parquet(stage.toString)
+    val added = promoteStaged(fs, conf, stage, new Path(path))
+
+    log.commit(
+      operation = "OPTIMIZE",
+      mode = "compaction",
+      schemaDdl = snap.schema.toDDL,
+      partitionColumns = snap.partitionColumns,
+      metadata = Map.empty,
+      operationMetrics = Map(
+        "num_compacted_files" -> toCompact.size.toLong,
+        "num_added_files" -> added.size.toLong),
+      add = added,
+      remove = toCompact.map(f => RemoveFile(f.path)))
+  }
+
   /** Move staged parquet files into the table root, preserving partition
     * subdirectories; return their add actions (with footer row counts).
     */

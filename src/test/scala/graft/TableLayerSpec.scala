@@ -146,6 +146,41 @@ class TableLayerSpec extends SparkSpec {
     assert(r.getAs[Long]("size_bytes") > 0L)
   }
 
+  test("optimize compacts small files without changing contents") {
+    val p = tmpDir("opt")
+    (1 to 5).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, i.toLong)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val t = GraftTable(spark, p)
+    val before = t.toDf().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t.snapshot().files.size == 5)
+    val v = GraftWriter.optimize(spark, p)
+    assert(v == 5L)
+    assert(t.snapshot().files.size == 1)
+    assert(t.toDf().collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    // pre-compaction version still time-travels
+    assert(t.toDf(Some(4L)).count() == 5)
+    // idempotent: nothing left to compact
+    assert(GraftWriter.optimize(spark, p) == 5L)
+  }
+
+  test("optimize compacts per partition, leaving single-file partitions alone") {
+    val p = tmpDir("optp")
+    val opts = WriteOptions(mode = WriteMode.Append, partitionBy = Seq("c"),
+      clusterByPartition = false)
+    GraftWriter.write(spark, Seq(("x", 1L), ("y", 2L)).toDF("c", "b"), p, opts)
+    GraftWriter.write(spark, Seq(("x", 3L)).toDF("c", "b"), p, opts)
+    val t = GraftTable(spark, p)
+    val nX = t.snapshot().files.count(_.partitionValues("c") == "x")
+    assert(nX == 2)
+    GraftWriter.optimize(spark, p)
+    val files = t.snapshot().files
+    assert(files.count(_.partitionValues("c") == "x") == 1)
+    assert(files.count(_.partitionValues("c") == "y") == 1)
+    assert(t.toDf().count() == 3)
+  }
+
   test("vacuum deletes only unreferenced files; retained versions still read") {
     val p = tmpDir("vac")
     GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
