@@ -2,9 +2,19 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+
+/** Input row for stateful sessionization. */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** Open-session state carried between micro-batches. */
+final case class SessionState(start: Long, last: Long, n: Long)
+
+/** One completed session. */
+final case class SessionOut(
+    user_id: Long, start_epoch: Long, end_epoch: Long, n_events: Long)
 
 /** Structured-Streaming surface (SURVEY §2.9).
   *
@@ -58,6 +68,60 @@ object Streams {
           val next = state.getOption.getOrElse(0L) + batch.size
           state.update(next)
           (user, next)
+      }
+  }
+
+  /** Custom stateful sessionization with `flatMapGroupsWithState` +
+    * event-time timeout: completed sessions (gap exceeded inside a
+    * batch) emit immediately; the open session per user is held in
+    * `GroupState` and flushed when the watermark passes its gap window.
+    * State size is O(open sessions), bounded by the watermark — the
+    * hand-rolled analog of [[sessionWindows]] for when session logic
+    * outgrows `session_window` (custom close conditions, side outputs).
+    */
+  def statefulSessions(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start, s.last, s.n))
+          } else {
+            val epochs = batch.map(_.ts.getTime / 1000).toArray.sorted
+            var cur = state.getOption
+            val closed = Iterator.unfold(0) { i =>
+              if (i >= epochs.length) None
+              else {
+                val e = epochs(i)
+                cur match {
+                  case Some(s) if e - s.last > gapSeconds =>
+                    cur = Some(SessionState(e, e, 1))
+                    Some((Some(SessionOut(user, s.start, s.last, s.n)), i + 1))
+                  case Some(s) =>
+                    cur = Some(SessionState(s.start, e, s.n + 1))
+                    Some((None, i + 1))
+                  case None =>
+                    cur = Some(SessionState(e, e, 1))
+                    Some((None, i + 1))
+                }
+              }
+            }.flatten.toVector
+            cur.foreach { s =>
+              state.update(s)
+              // flush the open session once the watermark passes last+gap
+              state.setTimeoutTimestamp((s.last + gapSeconds) * 1000 + 1)
+            }
+            closed.iterator
+          }
       }
   }
 

@@ -80,6 +80,36 @@ class StreamingSpec extends SparkSpec {
     assert(last == Set((1L, 3L), (2L, 1L)))
   }
 
+  test("flatMapGroupsWithState sessions: in-batch closes emit now, open ones on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionEvent
+    val mem = MemoryStream[SessionEvent]
+    mem.addData(sample.map { case (t, u, _) => SessionEvent(u, t) }: _*)
+    val q = Streams.statefulSessions(mem.toDS())
+      .writeStream.format("memory").queryName("sfs").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // user 1's first session (10:00-10:10) closed by the 11:30 event;
+      // user 2's flushed by the advanced watermark (11:30 - 1h > 09:50)
+      val early = spark.table("sfs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(early == Set(
+        (1L, ts("2024-01-01 10:00:00").getTime / 1000,
+          ts("2024-01-01 10:10:00").getTime / 1000, 2L),
+        (2L, ts("2024-01-01 09:00:00").getTime / 1000,
+          ts("2024-01-01 09:20:00").getTime / 1000, 2L)))
+      // advance the watermark far past every open session + gap
+      mem.addData(SessionEvent(99L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(99L, ts("2024-01-02 00:00:01")))
+      q.processAllAvailable()
+      val all = spark.table("sfs").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      // user 1: sessions of 2 and 1 events; user 2: one of 2 events
+      assert(all.contains((1L, 2L)) && all.contains((1L, 1L)) && all.contains((2L, 2L)))
+    } finally q.stop()
+  }
+
   test("stream to graft table is exactly-once per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
