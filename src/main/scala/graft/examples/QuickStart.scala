@@ -102,6 +102,19 @@ object QuickStart {
     println(s"[7] streamed events -> graft table rows=" +
       GraftTable(spark, s"$out/events_table").toDf().count())
 
+    // 7b. stateful sessionization over the same file stream
+    import spark.implicits._
+    import graft.streaming.SessionEvent
+    val sessQ = Streams.statefulSessions(
+      spark.readStream.schema(schema).parquet(eventsDir)
+        .select(col("user_id"), col("ts")).as[SessionEvent])
+      .writeStream.format("memory").queryName("qs_sessions")
+      .outputMode("append").start()
+    sessQ.processAllAvailable()
+    sessQ.stop()
+    println(s"[7b] stateful sessions closed so far: " +
+      spark.table("qs_sessions").count())
+
     // 8. coordinated write: branch -> gate -> promote (lakeFS-style flow)
     val coord = new RetryingCoordinator(
       new BranchingCoordinator(gate = _.count() > 0), baseBackoffMs = 10)
