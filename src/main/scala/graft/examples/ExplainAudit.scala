@@ -32,9 +32,7 @@ object ExplainAudit {
       Seq(StaticDimension("l_returnflag", Seq("A"))),
       columns = Some(Seq("l_orderkey", "l_quantity", "l_returnflag"))))
     sliced.explain("formatted")
-    val scanned = sliced.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString("\n")
-    println(s"--- partitions actually scanned: ${countFiles(sliced)} of ${countFiles(GraftTable(spark, p).toDf())}")
+    println(s"--- files in index: ${countFiles(sliced)} (PartitionFilters prune at execution)")
 
     println("=== [B] filter + projection pushdown to parquet (expect PushedFilters/ReadSchema) ===")
     val pushed = GraftTable(spark, p).toDf()
