@@ -163,6 +163,18 @@ object QuickStart {
     println(s"[12] optimize: $before files -> " +
       s"${GraftTable(spark, smallPath).snapshot().files.size}, rows=" +
       GraftTable(spark, smallPath).toDf().count())
+
+    // 13. multimodal pipeline: binary payloads -> decode -> resize ->
+    // frame-sample (decode/resize are clearly-marked deterministic stubs;
+    // the Spark plumbing - schema, mapPartitions batching - is real)
+    import graft.ext.Multimodal
+    val media = Multimodal.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val feats = Multimodal.decodeStub(media)
+    val frames = Multimodal.frameSampleStub(
+      Multimodal.resizeStub(media, 16, 16), frameBytes = 64, stride = 2)
+    println(s"[13] multimodal: ${feats.count()} decoded, " +
+      s"${frames.count()} sampled frames of ${frames.head().payload.length} bytes")
     spark.stop()
   }
 }

@@ -79,6 +79,56 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation would decode, scale with a codec
+    * and re-encode; the fake deterministically folds the payload into a
+    * `w*h` byte grid so output shape/size semantics are honest. Runs as
+    * mapPartitions — same plumbing a native resizer would use.
+    */
+  def resizeStub(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val out = new Array[Byte](w * h)
+        if (r.payload.nonEmpty) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = r.payload((i.toLong * r.payload.length / out.length).toInt)
+            i += 1
+          }
+        }
+        r.copy(payload = out,
+          meta = r.meta ++ Map("width" -> w.toString, "height" -> h.toString,
+            "resized" -> "true"))
+      }
+    }
+  }
+
+  /** STUB frame sampling: treat the payload as a "video" of fixed-size
+    * frames and emit every `stride`-th frame as its own record (id
+    * composed as parent*1000+frame). Real codecs slot into the same
+    * mapPartitions + flatMap shape.
+    */
+  def frameSampleStub(
+      records: Dataset[MediaRecord],
+      frameBytes: Int,
+      stride: Int): Dataset[MediaRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by stride).map { f =>
+          MediaRecord(
+            r.media_id * 1000 + f,
+            "frame/stub",
+            r.payload.slice(f * frameBytes, (f + 1) * frameBytes),
+            r.meta ++ Map("parent_id" -> r.media_id.toString, "frame" -> f.toString))
+        }
+      }
+    }
+  }
+
   /** Join text, embedding and (decoded) media modalities into one row per
     * document — the "multimodal projection" a training pipeline feeds to
     * tokenization. Equi-join on id; Catalyst broadcasts the small side.

@@ -76,6 +76,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(f.forall(x => again(x.media_id) == x.sha_hex))
   }
 
+  test("multimodal resize/frame-sample stubs: shape contracts hold") {
+    val media = Multimodal.fromDocuments(docs)
+    val resized = Multimodal.resizeStub(media, 8, 8).collect()
+    assert(resized.forall(_.payload.length == 64))
+    assert(resized.forall(r => r.meta("width") == "8" && r.meta("resized") == "true"))
+    val frames = Multimodal.frameSampleStub(media, frameBytes = 32, stride = 2)
+    val f = frames.collect()
+    assert(f.nonEmpty && f.forall(_.payload.length == 32))
+    assert(f.forall(x => x.meta.contains("parent_id") && x.media_type == "frame/stub"))
+    // every sampled frame index is even (stride 2)
+    assert(f.forall(_.meta("frame").toInt % 2 == 0))
+  }
+
   test("language id picks a dictionary language only when stopwords present") {
     val out = TextAnalysis.langId(docs)
     assert(out.filter(col("pred_lang") === "unk" && col("hits") > 0).count() == 0)
