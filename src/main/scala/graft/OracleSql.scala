@@ -91,6 +91,42 @@ object OracleSql {
         SELECT q_id, n_id, "rank", sim_e6 FROM ranked WHERE "rank" <= 5"""
   }
 
+  /** Oracle for IVF over k-means-refined centroids: replays the 2 Lloyd
+    * iterations exactly — assignment by rounded cosine argmax, new
+    * centroids as fixed-point elementwise means cast to float.
+    */
+  private val knnIvfKmeansSql: String = {
+    def assign(centCte: String, name: String) =
+      s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
+            (SELECT e.vec_id, e.embedding, c.c_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${simE6("e.embedding", "c.c_vec")} DESC, c.c_id) AS rn
+             FROM embeddings e, $centCte c) WHERE rn = 1)"""
+    def recompute(assignCte: String, name: String) =
+      s"""${name}_s AS (SELECT cell, i,
+              CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS n
+            FROM $assignCte, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY cell, i),
+          $name AS (SELECT cell AS c_id,
+              list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS c_vec
+            FROM ${name}_s GROUP BY cell)"""
+    s"""WITH c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % 16 = 0),
+        ${assign("c0", "a1")},
+        ${recompute("a1", "c1")},
+        ${assign("c1", "a2")},
+        ${recompute("a2", "c2")},
+        ${assign("c2", "af")},
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM af WHERE vec_id < 32),
+        n AS (SELECT vec_id AS n_id, embedding AS n_vec, cell FROM af),
+        sc AS (SELECT q_id, n_id, ${simE6("q_vec", "n_vec")} AS sim_e6
+               FROM q JOIN n USING(cell) WHERE n_id <> q_id),
+        ranked AS (SELECT q_id, n_id, sim_e6,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, n_id) AS "rank"
+                   FROM sc)
+        SELECT q_id, n_id, "rank", sim_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
   private val knnIvfSql = {
     s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % 16 = 0),
         scored AS (SELECT e.vec_id, e.embedding, c_id,
@@ -425,6 +461,8 @@ object OracleSql {
     "knn_brute_topk" -> knnBruteSql,
 
     "knn_ivf_topk" -> knnIvfSql,
+
+    "knn_ivf_kmeans" -> knnIvfKmeansSql,
 
     "cosine_dup_pairs" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % 16 = 0),

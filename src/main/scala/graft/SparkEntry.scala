@@ -393,6 +393,19 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("sim_e6"))
 
+  /** IVF probe against k-means-refined centroids (2 Lloyd iterations on
+    * exact fixed-point partial sums — deterministic, so oracle-checked
+    * end-to-end through the training).
+    */
+  private def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopKWith(emb,
+      Similarity.kmeansCentroids(emb, stride = 16, iters = 2),
+      col("vec_id") < 32, 5)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim_e6"))
+  }
+
   private def qCosineDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(t(spark, dir, "embeddings"), 450000L)
 
@@ -472,6 +485,7 @@ object SparkEntry {
     "text_fingerprint" -> (qFingerprint _),
     "knn_brute_topk" -> (qKnnBrute _),
     "knn_ivf_topk" -> (qKnnIvf _),
+    "knn_ivf_kmeans" -> (qKnnIvfKmeans _),
     "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
     "binary_meta" -> (qBinaryMeta _),
@@ -493,7 +507,8 @@ object SparkEntry {
     "simhash_signature", "simhash_band_pairs", "ngram_jaccard_pairs",
     "text_token_stats",
     "text_lang_id", "text_quality_score", "text_bpeish_count",
-    "text_fingerprint", "knn_brute_topk", "knn_ivf_topk", "cosine_dup_pairs",
+    "text_fingerprint", "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
+    "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",
     "embedding_centroid_sums")
 

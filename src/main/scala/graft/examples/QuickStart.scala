@@ -175,6 +175,15 @@ object QuickStart {
       Multimodal.resizeStub(media, 16, 16), frameBytes = 64, stride = 2)
     println(s"[13] multimodal: ${feats.count()} decoded, " +
       s"${frames.count()} sampled frames of ${frames.head().payload.length} bytes")
+
+    // 14. the registered data source format: plain spark.read + SQL
+    val gsrc = spark.read.format("graft").load(table)
+    gsrc.createOrReplaceTempView("graft_lineitem")
+    val n = spark.sql(
+      "SELECT count(*) FROM graft_lineitem WHERE l_quantity > 25").first().getLong(0)
+    // v1 is the oldest vacuum-retained version (v0's files were reclaimed in [9])
+    println(s"[14] format(graft): rows=${gsrc.count()}, qty>25 via SQL=$n, " +
+      s"v1=${spark.read.format("graft").option("versionAsOf", 1).load(table).count()}")
     spark.stop()
   }
 }

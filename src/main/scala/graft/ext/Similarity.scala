@@ -92,6 +92,59 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("c_id").as("cell"))
   }
 
+  /** Lloyd (k-means) refinement of the coarse IVF centroids: assign to
+    * the nearest centroid, recompute each cell's element-wise mean,
+    * repeat. The mean runs through the exact fixed-point
+    * [[graft.functions.VecSumE6]] aggregator (sum_e6 / 1e6 / n, cast to
+    * float), so every iteration is deterministic and cross-engine
+    * reproducible. Per iteration: one broadcast assignment pass + one
+    * partial-aggregated shuffle on `cell` — linear in corpus size.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      stride: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val vecsum = udaf(new graft.functions.VecSumE6())
+    var cents = centroids(corpus, stride, idCol, vecCol)
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, cents, idCol, vecCol)
+      cents = assigned
+        .groupBy(col("cell").as("c_id"))
+        .agg(vecsum(col(vecCol)).as("agg"))
+        .select(col("c_id"),
+          transform(col("agg.sums"),
+            s => (s.cast("double") / lit(1e6) / col("agg.n")).cast("float"))
+            .as("c_vec"))
+    }
+    cents
+  }
+
+  /** IVF top-k against an explicit centroid set (e.g. k-means-refined). */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      cents: DataFrame,
+      queryPred: Column,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = assignCells(corpus, cents, idCol, vecCol)
+    val q = cells.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell"))
+    val c = cells
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
+    val scored = q
+      .join(c, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim_e6", simE6(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_e6").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim_e6")
+  }
+
   /** Embedding-cosine near-duplicate candidate pairs, blocked by IVF
     * cell: vectors in the same coarse cell whose cosine exceeds the
     * threshold. The all-pairs compare is confined to cells (like LSH
@@ -123,21 +176,7 @@ object Similarity {
       k: Int,
       stride: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cells = assignCells(corpus,
-      centroids(corpus, stride, idCol, vecCol), idCol, vecCol)
-    val q = cells.filter(queryPred)
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell"))
-    val c = cells
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
-    val scored = q
-      .join(c, Seq("cell"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim_e6", simE6(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim_e6").desc, col("n_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "sim_e6")
-  }
+      vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(corpus, centroids(corpus, stride, idCol, vecCol),
+      queryPred, k, idCol, vecCol)
 }

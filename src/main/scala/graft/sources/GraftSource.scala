@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.io.{DataFilter, GraftTable, SkipOp}
+
+/** Registers graft tables as a Spark data source format:
+  *
+  * {{{
+  * spark.read.format("graft").load(path)
+  * spark.read.format("graft").option("versionAsOf", 3).load(path)
+  * }}}
+  *
+  * Built on the stable V1 source API: [[PrunedFilteredScan]] receives the
+  * required columns and the pushable filters from Catalyst, maps them to
+  * commit-log **data skipping** (file-level min/max pruning) plus the
+  * normal parquet pushdown, and returns the pruned plan's RDD. Filters
+  * are also re-applied by Spark above the scan, so unhandled filter
+  * shapes stay correct automatically.
+  */
+final class GraftSource
+    extends RelationProvider
+    with SchemaRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftRelation(
+      sqlContext,
+      parameters.getOrElse("path",
+        throw new IllegalArgumentException("graft source requires a path")),
+      parameters.get("versionAsOf").map(_.toLong))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters) // schema comes from the log
+}
+
+final case class GraftRelation(
+    sqlContext: SQLContext,
+    path: String,
+    versionAsOf: Option[Long])
+    extends BaseRelation
+    with PrunedFilteredScan {
+
+  private def table = GraftTable(sqlContext.sparkSession, path)
+
+  override val schema: StructType = table.snapshot(versionAsOf).schema
+
+  /** Map Catalyst source filters to data-skipping filters where the shape
+    * allows (comparisons against literals on stat-bearing columns).
+    */
+  private def toSkip(f: Filter): Seq[DataFilter] = f match {
+    case EqualTo(a, v)            => Seq(DataFilter(a, SkipOp.Eq, v))
+    case LessThan(a, v)           => Seq(DataFilter(a, SkipOp.Lt, v))
+    case LessThanOrEqual(a, v)    => Seq(DataFilter(a, SkipOp.Le, v))
+    case GreaterThan(a, v)        => Seq(DataFilter(a, SkipOp.Gt, v))
+    case GreaterThanOrEqual(a, v) => Seq(DataFilter(a, SkipOp.Ge, v))
+    case And(l, r)                => toSkip(l) ++ toSkip(r)
+    case _                        => Nil // Or/In/IsNull/...: residual only
+  }
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val skips = filters.toSeq.flatMap(toSkip)
+      .filter(d => d.value != null && !d.value.isInstanceOf[Array[_]])
+    val pruned: DataFrame = table.scanPruned(skips, versionAsOf)
+    val projected =
+      if (requiredColumns.isEmpty) pruned
+      else pruned.select(requiredColumns.head, requiredColumns.tail: _*)
+    projected.rdd
+  }
+}

@@ -152,6 +152,38 @@ object Streams {
       }
       .start()
 
+  /** Stream a per-window aggregate into window-partitioned graft
+    * partitions: every micro-batch overwrites exactly the partitions of
+    * the windows it updates (foreachBatch + replaceWhere) — the
+    * reference's idempotent re-materialize-the-window model
+    * (dagster_delta tests: time-window partition overwrite incl.
+    * backfill), driven by a stream.
+    *
+    * Contract: `windowedAgg` must be an Update-mode streaming aggregate
+    * whose ONLY grouping key is `windowCol` (one output row per window),
+    * so each emitted row is the complete new content of its partition.
+    */
+  def upsertWindowsToGraftTable(
+      windowedAgg: DataFrame,
+      path: String,
+      checkpoint: String,
+      windowCol: String): StreamingQuery =
+    windowedAgg.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val windows = batch.select(windowCol).distinct().collect().map(_.get(0))
+        if (windows.nonEmpty) {
+          GraftWriter.write(batch.sparkSession, batch, path, WriteOptions(
+            mode = WriteMode.Overwrite,
+            partitionBy = Seq(windowCol),
+            replaceWhere = Some(col(windowCol).isin(windows: _*))))
+        }
+        ()
+      }
+      .start()
+
   private def lastCommittedBatch(spark: SparkSession, path: String): Option[Long] =
     if (!GraftTable.exists(spark, path)) None
     else GraftTable(spark, path).history()

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io._
+
+class SourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spark.read.format(graft) round trip, version travel, pushdown") {
+    val p = tmpDir("src")
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 10).as("g"))
+      .repartitionByRange(4, col("k"))
+    GraftWriter.write(spark, df, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, Seq((5000L, 0L)).toDF("k", "g"), p,
+      WriteOptions(mode = WriteMode.Append))
+
+    val r = spark.read.format("graft").load(p)
+    assert(r.count() == 1001)
+    assert(r.schema.fieldNames.toSeq == Seq("k", "g"))
+
+    val v0 = spark.read.format("graft").option("versionAsOf", 0).load(p)
+    assert(v0.count() == 1000)
+
+    // filter + projection through the source: values correct
+    val sel = r.filter(col("k") >= 900 && col("k") < 950).select("k")
+    assert(sel.as[Long].collect().sorted.toSeq == (900L until 950L))
+
+    // SQL over the source works too
+    r.createOrReplaceTempView("graft_src")
+    assert(spark.sql("SELECT count(*) FROM graft_src WHERE k < 10").first().getLong(0) == 10)
+  }
+
+  test("source handles unpushable filters as residuals") {
+    val p = tmpDir("srcr")
+    GraftWriter.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String])).toDF("k", "s"),
+      p, WriteOptions(mode = WriteMode.Overwrite))
+    val r = spark.read.format("graft").load(p)
+    assert(r.filter(col("s").isNull).count() == 1)
+    assert(r.filter(col("s").isin("a", "b")).count() == 2)
+    assert(r.filter(col("k") === 2 || col("s") === "a").count() == 2)
+  }
+}

@@ -110,6 +110,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed upsert sink re-materializes only updated window partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{window => fwindow}
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val path = tmpDir("wsink") + "/hourly"
+    val ckpt = tmpDir("wsink_ckpt")
+    def agg = mem.toDF().toDF("ts", "user_id", "event_type")
+      .groupBy(fwindow(col("ts"), "1 hour").getField("start").as("w"))
+      .agg(count(lit(1)).as("n"))
+    // batch 1: two windows
+    mem.addData(sample: _*)
+    Streams.upsertWindowsToGraftTable(agg, path, ckpt, "w").awaitTermination()
+    val t = GraftTable(spark, path)
+    def state = t.toDf().collect()
+      .map(r => (r.getAs[Timestamp]("w").toString, r.getAs[Long]("n"))).toMap
+    assert(state == Map(
+      "2024-01-01 09:00:00.0" -> 2L, "2024-01-01 10:00:00.0" -> 2L,
+      "2024-01-01 11:00:00.0" -> 1L))
+    // batch 2: one more event in the 10:00 window -> only that partition
+    // re-materializes (count becomes 3), other windows untouched
+    mem.addData((ts("2024-01-01 10:20:00"), 3L, "view"))
+    Streams.upsertWindowsToGraftTable(agg, path, ckpt, "w").awaitTermination()
+    assert(state == Map(
+      "2024-01-01 09:00:00.0" -> 2L, "2024-01-01 10:00:00.0" -> 3L,
+      "2024-01-01 11:00:00.0" -> 1L))
+    val lastCommit = t.history().head
+    assert(lastCommit.operationMetrics("num_removed_files") == 1L)
+  }
+
   test("stream to graft table is exactly-once per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
