@@ -184,6 +184,18 @@ object QuickStart {
     // v1 is the oldest vacuum-retained version (v0's files were reclaimed in [9])
     println(s"[14] format(graft): rows=${gsrc.count()}, qty>25 via SQL=$n, " +
       s"v1=${spark.read.format("graft").option("versionAsOf", 1).load(table).count()}")
+
+    // 15. co-located bucketed tables: point lookup + bucket-wise join
+    val bo = s"$out/bucketed/orders"
+    val bl = s"$out/bucketed/lineitem"
+    Bucketing.write(spark, orders, bo, "o_orderkey", 8)
+    Bucketing.write(spark, lineitem.select("l_orderkey", "l_quantity"), bl,
+      "l_orderkey", 8)
+    val tOrders = GraftTable(spark, bo)
+    println(s"[15] bucketed lookup key=42: " +
+      s"${Bucketing.filesForLookup(tOrders, 42L)} of ${tOrders.snapshot().files.size} files; " +
+      s"bucket-wise join rows=" +
+      Bucketing.join(tOrders, GraftTable(spark, bl)).count())
     spark.stop()
   }
 }

@@ -1,0 +1,110 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed table layout — the co-location primitive Spark's
+  * catalog `bucketBy` provides, rebuilt on the graft commit log (no
+  * catalog available): rows land in `pmod(hash(key), n)` bucket
+  * directories, the spec is recorded in commit metadata, and two tables
+  * bucketed the same way can be joined bucket-by-bucket.
+  *
+  * What this buys at 100 TB:
+  *   - **point lookups**: an equality probe on the bucket key reads
+  *     1/n of the files (driver-side pruning, no file IO);
+  *   - **bucket-wise joins**: each sub-join sees only its bucket's rows,
+  *     so the shuffle (or broadcast) is per-bucket — co-partitioned
+  *     inputs never meet in one giant exchange;
+  *   - combined with per-file min/max skipping inside each bucket.
+  */
+object Bucketing {
+
+  val BucketCol = "__bucket"
+  private val KeyMeta = "bucket_column"
+  private val CountMeta = "bucket_count"
+
+  /** Write `df` bucketed by `key` into `n` buckets (layered under any
+    * `partitionBy` the options carry). The bucket column materializes as
+    * a visible derived partition column (`__bucket`); the read helpers
+    * below drop it.
+    */
+  def write(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      key: String,
+      n: Int,
+      opts: WriteOptions = WriteOptions(mode = WriteMode.Overwrite)): Long = {
+    require(n > 0, "bucket count must be positive")
+    val bucketed = df.withColumn(BucketCol, pmod(hash(col(key)), lit(n)))
+    GraftWriter.write(spark, bucketed, path, opts.copy(
+      partitionBy = opts.partitionBy :+ BucketCol,
+      metadata = opts.metadata ++ Map(KeyMeta -> key, CountMeta -> n.toString)))
+  }
+
+  /** The table's bucket spec (key column, bucket count), if bucketed. */
+  def spec(table: GraftTable): Option[(String, Int)] = {
+    val c = table.snapshot().commits.last
+    for {
+      k <- c.metadata.get(KeyMeta)
+      n <- c.metadata.get(CountMeta)
+    } yield (k, n.toInt)
+  }
+
+  /** Bucket id of a literal value (must match the write-side hash —
+    * evaluated through Spark itself so the Murmur3 semantics are
+    * identical by construction).
+    */
+  def bucketOf(spark: SparkSession, value: Any, n: Int): Int =
+    spark.range(1).select(pmod(hash(lit(value)), lit(n))).first().getInt(0)
+
+  /** Equality point-lookup reading only the matching bucket's files. */
+  def lookup(table: GraftTable, value: Any): DataFrame = {
+    val (key, n) = spec(table).getOrElse(
+      throw new IllegalArgumentException(s"${table.path} is not bucketed"))
+    val b = bucketOf(table.spark, value, n).toString
+    val snap = table.snapshot()
+    val files = snap.files.filter(_.partitionValues.get(BucketCol).contains(b))
+    table.dfForFiles(snap, files).filter(col(key) === lit(value))
+      .drop(BucketCol)
+  }
+
+  /** Number of files a lookup would read (tests/diagnostics). */
+  def filesForLookup(table: GraftTable, value: Any): Int = {
+    val (_, n) = spec(table).getOrElse(return table.snapshot().files.size)
+    val b = bucketOf(table.spark, value, n).toString
+    table.snapshot().files.count(_.partitionValues.get(BucketCol).contains(b))
+  }
+
+  /** Bucket-wise equi-join of two tables bucketed identically on their
+    * join keys: the plan is a union of per-bucket joins, so each join
+    * stage touches only co-located rows. Key columns may differ in name
+    * (e.g. `o_orderkey` = `l_orderkey`); bucket count and hash must
+    * match (enforced).
+    */
+  def join(
+      left: GraftTable,
+      right: GraftTable,
+      how: String = "inner"): DataFrame = {
+    val (lk, ln) = spec(left).getOrElse(
+      throw new IllegalArgumentException(s"${left.path} is not bucketed"))
+    val (rk, rn) = spec(right).getOrElse(
+      throw new IllegalArgumentException(s"${right.path} is not bucketed"))
+    require(ln == rn, s"bucket counts differ: $ln vs $rn")
+    val lSnap = left.snapshot()
+    val rSnap = right.snapshot()
+    val perBucket = (0 until ln).flatMap { b =>
+      val lf = lSnap.files.filter(_.partitionValues.get(BucketCol).contains(b.toString))
+      val rf = rSnap.files.filter(_.partitionValues.get(BucketCol).contains(b.toString))
+      if (lf.isEmpty && rf.isEmpty) None
+      else Some(
+        left.dfForFiles(lSnap, lf).drop(BucketCol)
+          .join(right.dfForFiles(rSnap, rf).drop(BucketCol),
+            col(lk) === col(rk), how))
+    }
+    perBucket.reduceOption(_ unionByName _).getOrElse(
+      left.toDf().drop(BucketCol)
+        .join(right.toDf().drop(BucketCol), col(lk) === col(rk), how)
+        .limit(0))
+  }
+}

@@ -38,6 +38,10 @@ final case class MergeConfig(
       * handler.py:92-98).
       */
     partitionFilter: Option[Column] = None,
+    /** Reject source columns whose type differs from the target's
+      * (reference: config.py `error_on_type_mismatch`, default true).
+      */
+    errorOnTypeMismatch: Boolean = true,
     metadata: Map[String, String] = Map.empty)
 
 final case class MergeStats(
@@ -107,6 +111,15 @@ object MergeExecutor {
     * a standalone transformation without a table on disk.
     */
   def apply(target: DataFrame, source: DataFrame, config: MergeConfig): DataFrame = {
+    if (config.errorOnTypeMismatch) {
+      val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+      source.schema.foreach { f =>
+        tTypes.get(f.name).foreach { tt =>
+          require(tt == f.dataType,
+            s"merge type mismatch on '${f.name}': target $tt vs source ${f.dataType}")
+        }
+      }
+    }
     val ta = config.targetAlias
     val sa = config.sourceAlias
     val cond = expr(config.predicate)

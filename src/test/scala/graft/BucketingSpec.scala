@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io._
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed write records spec; point lookup reads one bucket") {
+    val p = tmpDir("bkt")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    Bucketing.write(spark, orders, p, "o_orderkey", 8)
+    val t = GraftTable(spark, p)
+    assert(Bucketing.spec(t).contains(("o_orderkey", 8)))
+    val total = t.snapshot().files.size
+    assert(total >= 8)
+    assert(Bucketing.filesForLookup(t, 42L) <= total / 4)
+    val row = Bucketing.lookup(t, 42L)
+    assert(row.count() == 1)
+    assert(!row.columns.contains(Bucketing.BucketCol))
+    assert(row.first().getAs[Long]("o_orderkey") == 42L)
+  }
+
+  test("bucket-wise join equals plain join (inner and left)") {
+    val po = tmpDir("bko")
+    val pl = tmpDir("bkl")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    Bucketing.write(spark, orders, po, "o_orderkey", 8)
+    Bucketing.write(spark, lineitem, pl, "l_orderkey", 8)
+    val to = GraftTable(spark, po)
+    val tl = GraftTable(spark, pl)
+
+    val bucketed = Bucketing.join(to, tl)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    val plain = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    assert(bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // left join: orders with no lineitems survive with nulls
+    val bl = Bucketing.join(to, tl, "left")
+    val pj = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"), "left")
+    assert(bl.count() == pj.count())
+    assert(bl.filter(col("l_orderkey").isNull).count()
+      == pj.filter(col("l_orderkey").isNull).count())
+  }
+
+  test("mismatched bucket counts are rejected") {
+    val pa = tmpDir("bka")
+    val pb = tmpDir("bkb")
+    val df = Seq((1L, "x")).toDF("k", "v")
+    Bucketing.write(spark, df, pa, "k", 4)
+    Bucketing.write(spark, df.toDF("k2", "v2"), pb, "k2", 8)
+    intercept[IllegalArgumentException] {
+      Bucketing.join(GraftTable(spark, pa), GraftTable(spark, pb))
+    }
+  }
+}

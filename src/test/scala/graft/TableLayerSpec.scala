@@ -238,6 +238,15 @@ class TableLayerSpec extends SparkSpec {
     assert(contents(p) == Set((2L, "s2")))
   }
 
+  test("merge rejects type mismatches unless disabled") {
+    val p = tmpDir("mtm")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    val badSource = Seq((2, "s2")).toDF("k", "v") // k int, target k long
+    intercept[IllegalArgumentException] {
+      MergeExecutor.merge(spark, badSource, p, cfg(MergeType.Upsert))
+    }
+  }
+
   test("merge auto-creates missing target from source schema") {
     val p = tmpDir("mac")
     MergeExecutor.merge(spark, source, p, cfg(MergeType.Upsert))
