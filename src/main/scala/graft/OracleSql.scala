@@ -301,6 +301,20 @@ object OracleSql {
     // q18_approx_distinct: HLL sketches are engine-specific -- no oracle
     // (driver records a rows-only check); exact twin is q10_distinct_agg.
 
+    "q20_bucket_join" ->
+      s"""SELECT o_custkey, count(*) AS n_items,
+            CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_cents
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1""",
+
+    "q21_range_join" ->
+      """WITH e AS (SELECT event_id,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+                    FROM events)
+         SELECT a.event_id AS a_id, b.event_id AS b_id, b.ep - a.ep AS diff
+         FROM e a JOIN e b
+           ON a.event_id < b.event_id AND abs(a.ep - b.ep) <= 1""",
+
     "q19_salted_agg" ->
       """SELECT event_type,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,

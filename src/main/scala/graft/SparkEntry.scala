@@ -248,6 +248,33 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** Bucketed equi-join through real co-located graft tables: the
+    * bucket-wise union-of-joins plan must equal the plain join (the
+    * oracle). Exercises Bucketing.write + Bucketing.join end-to-end.
+    */
+  private def q20BucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val lineitem = t(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val po = tmp("graft_bkt_o")
+    val pl = tmp("graft_bkt_l")
+    Bucketing.write(spark, orders, po, "o_orderkey", 8)
+    Bucketing.write(spark, lineitem, pl, "l_orderkey", 8)
+    Bucketing.join(GraftTable(spark, po), GraftTable(spark, pl))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+  }
+
+  /** Non-equi range join: event pairs within 1 second of each other,
+    * found via delta-width bucketing (linear) while the oracle runs the
+    * naive inequality join.
+    */
+  private def q21RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = tEvents(spark, dir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ep"))
+    Joins.bandedRangeSelfJoin(e, "event_id", "ep", 1L)
+  }
+
   /** Skew-tolerant two-phase aggregation: results identical to a plain
     * GROUP BY (the oracle), but the reduce side spreads hot keys over 16
     * salt buckets.
@@ -463,6 +490,8 @@ object SparkEntry {
     "q17_scalar_funcs" -> (q17ScalarFuncs _),
     "q18_approx_distinct" -> (q18ApproxDistinct _),
     "q19_salted_agg" -> (q19SaltedAgg _),
+    "q20_bucket_join" -> (q20BucketJoin _),
+    "q21_range_join" -> (q21RangeJoin _),
     "merge_update_only" -> (mergeQuery(MergeType.UpdateOnly) _),
     "merge_dedup_insert" -> (mergeQuery(MergeType.DeduplicateInsert) _),
     "merge_upsert" -> (mergeQuery(MergeType.Upsert) _),
@@ -502,7 +531,7 @@ object SparkEntry {
     "q07_cust_no_orders", "q08_order_priority", "q09_global_topk",
     "q10_distinct_agg", "q11_rollup", "q12_set_ops", "q13_events_json",
     "q14_sessionize", "q15_asof_join", "q16_cube", "q17_scalar_funcs",
-    "q18_approx_distinct", "q19_salted_agg",
+    "q18_approx_distinct", "q19_salted_agg", "q21_range_join",
     "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
     "simhash_signature", "simhash_band_pairs", "ngram_jaccard_pairs",
     "text_token_stats",

@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Banded range self-join: all unordered row pairs whose integer
+    * `epCol` values lie within `delta` of each other. Instead of the
+    * naive O(n²) inequality join, rows are bucketed at width `delta` and
+    * each left row probes only buckets {b-1, b, b+1} — the join shuffles
+    * on the bucket key and each pair is found exactly once (the right
+    * row's bucket is unique). Linear in data for bounded density.
+    */
+  def bandedRangeSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      epCol: String,
+      delta: Long): DataFrame = {
+    require(delta > 0, "delta must be positive")
+    val base = df.select(col(idCol), col(epCol))
+    val bucket = floor(col(epCol) / delta).cast("long")
+    val probes = base
+      .select(col(idCol).as("a_id"), col(epCol).as("ep_a"),
+        explode(array(bucket - 1, bucket, bucket + 1)).as("__bucket"))
+    val build = base
+      .select(col(idCol).as("b_id"), col(epCol).as("ep_b"),
+        bucket.as("__bucket"))
+    probes
+      .join(build, Seq("__bucket"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("ep_a") - col("ep_b")) <= delta)
+      .select(col("a_id"), col("b_id"), (col("ep_b") - col("ep_a")).as("diff"))
+  }
+
   /** As-of join: for every left row, the single latest right row with
     * `right.ts <= left.ts` in the same key group (LEFT semantics:
     * unmatched left rows keep nulls).
