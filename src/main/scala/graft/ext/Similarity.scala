@@ -74,12 +74,17 @@ object Similarity {
       .filter(col(idCol) % stride === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
 
-  /** Cell assignment: nearest centroid per vector (broadcast pass). */
+  /** Cell assignment: the `nprobe` nearest centroids per vector
+    * (broadcast pass); `nprobe = 1` is the storage assignment, higher
+    * values are the query-side multi-probe that trades compute for
+    * recall.
+    */
   def assignCells(
       corpus: DataFrame,
       cents: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      nprobe: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val scored = corpus
       .select(col(idCol), col(vecCol))
@@ -88,7 +93,7 @@ object Similarity {
     val w = Window.partitionBy(idCol).orderBy(col("c_sim").desc, col("c_id"))
     scored
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= nprobe)
       .select(col(idCol), col(vecCol), col("c_id").as("cell"))
   }
 
@@ -121,16 +126,20 @@ object Similarity {
     cents
   }
 
-  /** IVF top-k against an explicit centroid set (e.g. k-means-refined). */
+  /** IVF top-k against an explicit centroid set (e.g. k-means-refined).
+    * Queries probe their `nprobe` nearest cells (corpus rows stay in
+    * exactly one cell, so candidates are distinct by construction).
+    */
   def ivfTopKWith(
       corpus: DataFrame,
       cents: DataFrame,
       queryPred: Column,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      nprobe: Int = 1): DataFrame = {
     val cells = assignCells(corpus, cents, idCol, vecCol)
-    val q = cells.filter(queryPred)
+    val q = assignCells(corpus.filter(queryPred), cents, idCol, vecCol, nprobe)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell"))
     val c = cells
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))

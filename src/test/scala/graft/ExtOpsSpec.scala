@@ -76,6 +76,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(f.forall(x => again(x.media_id) == x.sha_hex))
   }
 
+  test("IVF multi-probe (nprobe) recall dominates single-probe") {
+    val pred = col("vec_id") < 16
+    val brute = Similarity.bruteTopK(embs, embs.filter(pred), 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val ivf = Similarity.ivfTopKWith(embs,
+        Similarity.centroids(embs, 16, "vec_id", "embedding"), pred, 5,
+        nprobe = nprobe)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect ivf).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r3 >= r1, s"nprobe=3 recall $r3 < nprobe=1 recall $r1")
+    assert(r3 > 0.3, s"nprobe=3 recall $r3 unexpectedly low")
+  }
+
   test("multimodal resize/frame-sample stubs: shape contracts hold") {
     val media = Multimodal.fromDocuments(docs)
     val resized = Multimodal.resizeStub(media, 8, 8).collect()

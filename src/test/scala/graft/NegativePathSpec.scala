@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.io._
+
+/** Failure-mode contracts: errors must be early, specific, and never
+  * corrupt table state.
+  */
+class NegativePathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def abDf = Seq((1L, 4L)).toDF("a", "b")
+
+  test("reading a non-table path fails with a clear message") {
+    val p = tmpDir("nt")
+    val e = intercept[IllegalArgumentException] {
+      GraftTable(spark, p).toDf()
+    }
+    assert(e.getMessage.contains("does not exist"))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(p).count()
+    }
+  }
+
+  test("unknown version is rejected with the available range") {
+    val p = tmpDir("uv")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable(spark, p).toDf(Some(7L))
+    }
+    assert(e.getMessage.contains("version 7"))
+  }
+
+  test("a corrupted commit file fails loudly, not silently") {
+    val p = tmpDir("cc")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    val log = new java.io.File(p, "_graft_log/v0000000000.json")
+    java.nio.file.Files.writeString(log.toPath, "{ not json")
+    intercept[Exception] { GraftTable(spark, p).toDf().count() }
+  }
+
+  test("slice on a missing column fails at analysis, table intact") {
+    val p = tmpDir("mc")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    intercept[Exception] {
+      GraftTable(spark, p).scan(TableSlice("s", "t",
+        Seq(StaticDimension("nope", Seq("x"))))).count()
+    }
+    assert(GraftTable(spark, p).toDf().count() == 1) // unharmed
+  }
+
+  test("failed staged write leaves no committed state") {
+    val p = tmpDir("fw")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    // a df that throws at execution time
+    val bomb = spark.range(1).select(
+      (lit(1) / lit(0)).cast("long").as("a"),
+      assert_true(lit(false)).cast("long").as("b"))
+    intercept[Exception] {
+      GraftWriter.write(spark, bomb, p, WriteOptions(mode = WriteMode.Append))
+    }
+    val t = GraftTable(spark, p)
+    assert(t.version() == 0L) // no new commit
+    assert(t.toDf().count() == 1) // contents unchanged
+  }
+}
