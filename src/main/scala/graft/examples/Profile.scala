@@ -37,6 +37,18 @@ object Profile {
       .write.format("noop").mode("overwrite").save())
     time("full minhash sig")(graft.ext.Dedup.minhashSignatures(docs)
       .write.format("noop").mode("overwrite").save())
+    time("minhash sig 2nd run")(graft.ext.Dedup.minhashSignatures(docs)
+      .write.format("noop").mode("overwrite").save())
+    time("jaccard pairs")(graft.ext.Dedup.ngramJaccardPairs(docs, "source", 200)
+      .write.format("noop").mode("overwrite").save())
+    time("jaccard pairs 2nd run")(graft.ext.Dedup.ngramJaccardPairs(docs, "source", 200)
+      .write.format("noop").mode("overwrite").save())
+    println("input partitions: " + docs.rdd.getNumPartitions)
+    val docs4 = docs.repartition(4)
+    time("minhash sig repart4 warm")(graft.ext.Dedup.minhashSignatures(docs4)
+      .write.format("noop").mode("overwrite").save())
+    time("minhash sig repart4 2nd")(graft.ext.Dedup.minhashSignatures(docs4)
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -54,7 +54,8 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val c = TextOps.spread(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val scored = c
       .crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
@@ -86,7 +87,7 @@ object Similarity {
       vecCol: String = "embedding",
       nprobe: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val scored = corpus
+    val scored = TextOps.spread(corpus)
       .select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cents))
       .withColumn("c_sim", simE6(col(vecCol), col("c_vec")))

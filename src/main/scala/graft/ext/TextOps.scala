@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Ensure at least default parallelism for compute-heavy per-row work.
+    * Testdata-sized inputs are single-row-group parquet (one scan task);
+    * a cheap early repartition buys every core. At real scale inputs
+    * already have >= cores partitions and this is a no-op.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -67,7 +77,7 @@ object Dedup {
     * narrow at scale.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+    TextOps.spread(docs)
       .withColumn("text_hash", md5(lower(trim(col(textCol)))))
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
@@ -95,7 +105,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sh = shingles(tokens(col(textCol)), 3)
-    val exploded = docs
+    val exploded = TextOps.spread(docs)
       .select(col(idCol), explode(sh).as("s"))
       .select(col(idCol), hash31(col("s")).as("h31"))
     val aggs = minhashParams(perms).zipWithIndex.map { case ((a, b), p) =>
@@ -145,7 +155,7 @@ object Dedup {
     * map-side combined.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exploded = docs
+    val exploded = TextOps.spread(docs)
       .select(col(idCol),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
       .select(col(idCol), md5(col("tok")).as("h"))
@@ -224,7 +234,8 @@ object Dedup {
     // instead of a hash-set build per pair — the pairwise compare is the
     // O(pairs) hot loop of this operator.
     val toks = array_sort(array_distinct(TextOps.tokens(col(textCol))))
-    val base = docs.select(col(blockCol).as("block"), col(idCol), toks.as("toks"))
+    val base = TextOps.spread(docs)
+      .select(col(blockCol).as("block"), col(idCol), toks.as("toks"))
     val a = base.select(col("block"), col(idCol).as("doc_a"), col("toks").as("ta"))
     val b = base.select(col("block"), col(idCol).as("doc_b"), col("toks").as("tb"))
     a.join(b, Seq("block"))
@@ -313,7 +324,7 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame): DataFrame = {
     val sh = shingles(tokens(col("text")), 3)
-    docs.select(col("doc_id"), explode(sh).as("s"))
+    TextOps.spread(docs).select(col("doc_id"), explode(sh).as("s"))
       .groupBy("doc_id")
       .agg(min(md5(col("s"))).as("fingerprint"))
   }
