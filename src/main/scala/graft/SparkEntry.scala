@@ -29,6 +29,10 @@ object SparkEntry {
 
   // ---------- helpers ----------
 
+  // NOTE: deliberately no TextOps.spread here — a blanket repartition of
+  // raw scans shuffles full-width rows before pruning and measured SLOWER
+  // overall (37s -> 44s at sf0.1); spreading lives inside the
+  // compute-heavy operators where the arithmetic dominates the exchange.
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
