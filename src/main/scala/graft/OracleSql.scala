@@ -301,6 +301,26 @@ object OracleSql {
     // q18_approx_distinct: HLL sketches are engine-specific -- no oracle
     // (driver records a rows-only check); exact twin is q10_distinct_agg.
 
+    "q22_pivot" -> {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val cols = types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+        .mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY 1"
+    },
+
+    "q23_quantile_disc" ->
+      """WITH ranked AS (
+           SELECT o_orderstatus, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+                  count(*) OVER (PARTITION BY o_orderstatus) AS n
+           FROM orders)
+         SELECT o_orderstatus, 'p50' AS q, min(o_totalprice) AS value
+         FROM ranked WHERE rn = CAST(ceil(0.5 * n) AS INT) GROUP BY 1
+         UNION ALL
+         SELECT o_orderstatus, 'p90' AS q, min(o_totalprice) AS value
+         FROM ranked WHERE rn = CAST(ceil(0.9 * n) AS INT) GROUP BY 1""",
+
     "q20_bucket_join" ->
       s"""SELECT o_custkey, count(*) AS n_items,
             CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_cents

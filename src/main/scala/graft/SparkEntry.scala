@@ -291,6 +291,34 @@ object SparkEntry {
       col("event_id"))
       .select(col("event_type"), col("value_sum").as("value_cents"), col("n_rows"))
 
+  /** Pivot: one column per event type, count per user. */
+  private def q22Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val pivoted = tEvents(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+    pivoted.select(col("user_id") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** Discrete rank statistics (percentile_disc semantics, implemented
+    * identically in both engines — no interpolation, so no cross-engine
+    * floating-point hazard): the element at rank ceil(q*n).
+    */
+  private def q23QuantileDisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    val ranked = t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+    def pick(q: Double, label: String) = ranked
+      .filter(col("rn") === ceil(lit(q) * col("n")).cast("int"))
+      .groupBy("o_orderstatus")
+      .agg(min(col("o_totalprice")).as("value")) // ties: same value anyway
+      .select(col("o_orderstatus"), lit(label).as("q"), col("value"))
+    pick(0.5, "p50").unionByName(pick(0.9, "p90"))
+  }
+
   // ---------- merge family (through the real table layer) ----------
 
   private def mergeCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -496,6 +524,8 @@ object SparkEntry {
     "q19_salted_agg" -> (q19SaltedAgg _),
     "q20_bucket_join" -> (q20BucketJoin _),
     "q21_range_join" -> (q21RangeJoin _),
+    "q22_pivot" -> (q22Pivot _),
+    "q23_quantile_disc" -> (q23QuantileDisc _),
     "merge_update_only" -> (mergeQuery(MergeType.UpdateOnly) _),
     "merge_dedup_insert" -> (mergeQuery(MergeType.DeduplicateInsert) _),
     "merge_upsert" -> (mergeQuery(MergeType.Upsert) _),
@@ -536,6 +566,7 @@ object SparkEntry {
     "q10_distinct_agg", "q11_rollup", "q12_set_ops", "q13_events_json",
     "q14_sessionize", "q15_asof_join", "q16_cube", "q17_scalar_funcs",
     "q18_approx_distinct", "q19_salted_agg", "q21_range_join",
+    "q22_pivot", "q23_quantile_disc",
     "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
     "simhash_signature", "simhash_band_pairs", "ngram_jaccard_pairs",
     "text_token_stats",
