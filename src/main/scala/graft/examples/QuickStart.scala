@@ -115,6 +115,20 @@ object QuickStart {
     println(s"[7b] stateful sessions closed so far: " +
       spark.table("qs_sessions").count())
 
+    // 7c. streaming dedup: the same events file fed twice collapses back
+    // to the unique set
+    val dupDir = s"$out/events_dup"
+    spark.read.parquet(eventsDir).write.parquet(dupDir)
+    spark.read.parquet(eventsDir).write.mode("append").parquet(dupDir)
+    val dq = Streams.dedupStream(
+      spark.readStream.schema(schema).parquet(dupDir), Seq("event_id"))
+      .writeStream.format("memory").queryName("qs_dedup")
+      .outputMode("append").start()
+    dq.processAllAvailable()
+    dq.stop()
+    println(s"[7c] streaming dedup: ${spark.read.parquet(dupDir).count()} in -> " +
+      s"${spark.table("qs_dedup").count()} unique out")
+
     // 8. coordinated write: branch -> gate -> promote (lakeFS-style flow)
     val coord = new RetryingCoordinator(
       new BranchingCoordinator(gate = _.count() > 0), baseBackoffMs = 10)

@@ -71,6 +71,21 @@ object Streams {
       }
   }
 
+  /** Streaming exact deduplication: drop repeated ids across
+    * micro-batches, with state bounded by the watermark (an id older
+    * than the watermark horizon can be forgotten — late duplicates
+    * beyond it are also dropped as late data). The streaming face of
+    * [[graft.ext.Dedup.exact]] for at-least-once upstream sources.
+    */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(idCols :+ tsCol)
+
   /** Custom stateful sessionization with `flatMapGroupsWithState` +
     * event-time timeout: completed sessions (gap exceeded inside a
     * batch) emit immediately; the open session per user is held in

@@ -110,6 +110,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Streams.dedupStream(
+      mem.toDF().toDF("ts", "event_id", "payload"), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:00:00"), 1L, "a"), // in-batch dup
+        (ts("2024-01-01 10:01:00"), 2L, "b"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:00:00"), 1L, "a")) // cross-batch dup
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:05:00"), 3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup").collect().map(_.getLong(1)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("windowed upsert sink re-materializes only updated window partitions") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{window => fwindow}
