@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductFP64, GraftFunctions, SortedIntersectCount}
+import graft.functions.{DotProductFP64, DotProductRewrite, GraftFunctions, SortedIntersectCount}
 
 /** Session extension registering graft's native expressions, for use via
   * `--conf spark.sql.extensions=graft.GraftExtensions` — the deployment
@@ -16,6 +16,7 @@ import graft.functions.{DotProductFP64, GraftFunctions, SortedIntersectCount}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProductFP64].getName, GraftFunctions.DotName),

@@ -25,6 +25,7 @@ object QuickStart {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -210,6 +211,17 @@ object QuickStart {
       s"${Bucketing.filesForLookup(tOrders, 42L)} of ${tOrders.snapshot().files.size} files; " +
       s"bucket-wise join rows=" +
       Bucketing.join(tOrders, GraftTable(spark, bl)).count())
+
+    // 16. optimizer rule: a user-written HOF dot-product fold in plain
+    // SQL is rewritten to the native codegen expression
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
+    val hof = spark.sql(
+      """SELECT vec_id, aggregate(zip_with(embedding, embedding,
+        |  (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v) AS norm2
+        |FROM emb ORDER BY vec_id LIMIT 1""".stripMargin)
+    val rewritten = hof.queryExecution.optimizedPlan.toString.contains("graft_dot")
+    println(s"[16] optimizer rewrite applied=$rewritten " +
+      s"norm2(vec 0)=${hof.first().getDouble(1)}")
     spark.stop()
   }
 }

@@ -13,4 +13,36 @@ class ExtensionsSpec extends SparkSpec {
       .first().getInt(0)
     assert(n == 2)
   }
+
+  test("optimizer rule rewrites the HOF dot-product fold to DotProductFP64") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    def hofDot = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val df = emb.select(col("vec_id"), hofDot.as("d"))
+    // rewritten plan contains the native expression, not ArrayAggregate
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"no rewrite in:\n$optimized")
+    assert(!optimized.contains("aggregate("), s"HOF survived in:\n$optimized")
+    // and values equal the native formulation exactly
+    val native = emb.select(col("vec_id"),
+      graft.ext.Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    assert(df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == native.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+  }
+
+  test("rule leaves non-matching folds untouched") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(5)
+    // different zero literal => not a dot product; must NOT be rewritten
+    val df = emb.select(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(1.0), (acc, v) => acc + v).as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    assert(df.first().getDouble(0) >= 1.0)
+  }
 }
