@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: dot product of two `array<float>` columns,
   * accumulated left-to-right in double — the exact fold semantics of
@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * per-element interpreted lambdas (~20x on 64-dim vectors). This is the
   * hot inner op of every similarity operator, so it must stay inside
   * whole-stage codegen.
+  *
+  * Null semantics mirror the HOF exactly, so [[DotProductRewrite]] is
+  * value-preserving on arbitrary user data: `zip_with` pads the shorter
+  * array with nulls and null elements propagate through the fold, so the
+  * HOF yields NULL for length-mismatched arrays or any null element —
+  * and so does this expression. The per-element null check is elided at
+  * codegen time when both inputs are `containsNull = false` (the case for
+  * every graft.ext.Similarity call site), keeping the hot loop
+  * branch-free.
   */
 case class DotProductFP64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -21,15 +30,28 @@ case class DotProductFP64(left: Expression, right: Expression)
   // array<float>; no ExpectsInputTypes (private API in Spark 4)
   override def dataType: DataType = DoubleType
 
+  // NULL on length mismatch / null element, even for non-null children
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
+
+  private def mayContainNullElems: Boolean = {
+    def cn(e: Expression): Boolean = e.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+    cn(left) || cn(right)
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -41,13 +63,22 @@ case class DotProductFP64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (mayContainNullElems)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -64,10 +64,12 @@ final case class Snapshot(
 /** Per-table JSON commit log under `<table>/_graft_log/vNNNNNNNNNN.json`.
   *
   * Single JSON document per version; atomic publication via
-  * write-temp-then-rename (rename-if-absent is the commit point). This is
-  * the single-writer simplification of Delta's protocol — adequate for a
-  * single-driver deployment; a lakeFS-style CommitCoordinator can be layered
-  * on top (see graft.manager).
+  * write-temp-then-link (hard-link on local POSIX, fail-if-exists
+  * FileContext rename on HDFS-like stores — see [[publish]]). Concurrent
+  * committers at the same version lose with
+  * ConcurrentModificationException and retry after re-reading the
+  * snapshot; a lakeFS-style CommitCoordinator can be layered on top (see
+  * graft.manager).
   *
   * At 100 TB the log stays small: it holds file *metadata* only (a few
   * hundred bytes per data file), and snapshot replay is O(#commits) on the
@@ -158,12 +160,37 @@ final class CommitLog(tablePath: String, conf: Configuration) {
     val out = fs.create(tmp, false)
     try out.write(Serialization.write(c).getBytes("UTF-8"))
     finally out.close()
-    val target = versionFile(v)
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"concurrent commit at version $v for $tablePath")
-    }
+    publish(tmp, versionFile(v), v)
     v
+  }
+
+  /** Atomic commit point: make `tmp` visible as `target`, failing (not
+    * overwriting) if `target` already exists. POSIX `rename(2)` silently
+    * replaces an existing destination, so an exists()+rename pair has a
+    * lost-commit race; instead we hard-link (atomic, EEXIST on collision)
+    * on local filesystems and use `FileContext.rename(..., Rename.NONE)`
+    * (atomic fail-if-exists on HDFS-like stores) elsewhere. Losers get
+    * ConcurrentModificationException, which GraftWriter's optimistic
+    * retry loop and RetryingCoordinator are built on.
+    */
+  private def publish(tmp: Path, target: Path, v: Long): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    try {
+      if (scheme == "file") {
+        val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val nioTarget = java.nio.file.Paths.get(target.toUri.getPath)
+        java.nio.file.Files.createLink(nioTarget, nioTmp)
+        fs.delete(tmp, false)
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+      }
+    } catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit at version $v for $tablePath (${e.getMessage})")
+    }
   }
 }

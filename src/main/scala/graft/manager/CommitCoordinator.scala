@@ -59,11 +59,17 @@ final class RetryingCoordinator(
   }
 }
 
-/** Branch-per-write against a plain filesystem: stage the whole write in
-  * `<table>/../_branches/<uuid>/<table-name>`, gate on a user predicate
-  * over the branch result, then replay the staged data onto the main
-  * table in one commit. (On lakeFS the branch/merge would be API calls;
-  * the lifecycle and gate semantics are identical.)
+/** Branch-per-write against a plain filesystem: seed a branch at
+  * `<table>/../_branches/<uuid>/<table-name>` from the current main
+  * snapshot (lakeFS branches start from main's contents — on real lakeFS
+  * this is an O(1) metadata operation; on a plain FS it is a physical
+  * copy, so this coordinator is for gate/audit workflows, not the 100 TB
+  * hot path), run the write on the branch, gate on a user predicate over
+  * the branch result, then replay the branch contents onto the main
+  * table in one commit. Seeding makes Append/merge writes correct: the
+  * branch holds the full logical table, so the Overwrite promotion
+  * preserves pre-existing main data instead of replacing the table with
+  * just the new batch.
   */
 final class BranchingCoordinator(
     gate: DataFrame => Boolean = _ => true) extends CommitCoordinator {
@@ -71,9 +77,19 @@ final class BranchingCoordinator(
     val p = new org.apache.hadoop.fs.Path(path)
     val branch = new org.apache.hadoop.fs.Path(
       p.getParent, s"_branches/${java.util.UUID.randomUUID()}/${p.getName}")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
     try {
-      write(branch.toString) // full write on the branch
+      val mainLog = new graft.log.CommitLog(path, conf)
+      if (mainLog.tableExists()) {
+        val snap = mainLog.snapshot()
+        GraftWriter.write(spark, graft.io.GraftTable(spark, path).toDf(), branch.toString,
+          WriteOptions(mode = graft.io.WriteMode.Overwrite,
+            partitionBy = snap.partitionColumns,
+            metadata = Map("branched_from" -> path,
+              "branched_at_version" -> snap.version.toString)))
+      }
+      write(branch.toString) // the coordinated write, on the seeded branch
       val branchDf = graft.io.GraftTable(spark, branch.toString).toDf()
       if (!gate(branchDf))
         throw new IllegalStateException(s"branch gate rejected write for $path")

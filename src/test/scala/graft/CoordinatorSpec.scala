@@ -60,6 +60,18 @@ class CoordinatorSpec extends SparkSpec {
     assert(!branches.exists() || branches.listFiles().isEmpty)
   }
 
+  test("branching coordinator seeds the branch from main so appends preserve existing data") {
+    val p = tmpDir("branchseed") + "/tbl"
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    val coord = new BranchingCoordinator()
+    coord.coordinate(spark, p)(path =>
+      GraftWriter.write(spark, Seq((3L, 6L)).toDF("a", "b"), path,
+        WriteOptions(mode = WriteMode.Append)))
+    val rows = GraftTable(spark, p).toDf().orderBy("a").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 4L), (2L, 5L), (3L, 6L)),
+      "pre-existing main rows must survive a coordinated Append")
+  }
+
   test("branching coordinator rejects writes that fail the gate, leaving main untouched") {
     val p = tmpDir("branchr") + "/tbl"
     GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))

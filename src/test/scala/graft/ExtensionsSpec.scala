@@ -34,6 +34,21 @@ class ExtensionsSpec extends SparkSpec {
       == native.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
   }
 
+  test("graft_dot preserves HOF null semantics: length mismatch and null elements yield NULL") {
+    val r = spark.sql(
+      """SELECT
+        | graft_dot(array(cast(1 as float), cast(2 as float)),
+        |           array(cast(1 as float)))                          AS mismatch,
+        | graft_dot(array(cast(1 as float), cast(null as float)),
+        |           array(cast(1 as float), cast(2 as float)))        AS withnull,
+        | graft_dot(cast(array() as array<float>),
+        |           cast(array() as array<float>))                    AS empty
+        |""".stripMargin).first()
+    assert(r.isNullAt(0), "length mismatch must be NULL (zip_with pads with nulls)")
+    assert(r.isNullAt(1), "null element must propagate to NULL")
+    assert(r.getDouble(2) == 0.0, "empty arrays fold to the zero literal")
+  }
+
   test("rule leaves non-matching folds untouched") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(5)

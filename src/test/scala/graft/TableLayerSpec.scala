@@ -262,4 +262,39 @@ class TableLayerSpec extends SparkSpec {
       cfg(MergeType.ReplaceDeleteUnmatched).copy(partitionFilter = Some(col("k") <= 2)))
     assert(contents(p) == Set((2L, "s2"), (3L, "t3")))
   }
+
+  test("concurrent committers never silently lose a commit") {
+    import graft.log.{AddFile, CommitLog}
+    val p = tmpDir("cc")
+    val log = new CommitLog(p, spark.sessionState.newHadoopConf())
+    val threads = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    val versions = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    (1 to threads).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          var committed = false
+          while (!committed) {
+            try {
+              val v = log.commit("test", "append", "a BIGINT", Nil, Map.empty,
+                Map.empty, Seq(AddFile(s"f$i.parquet", Map.empty, 1, 1, 0)), Nil)
+              versions.add(v); committed = true
+            } catch { case _: java.util.ConcurrentModificationException => () }
+          }
+          done.countDown()
+        }
+      })
+    }
+    start.countDown()
+    assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // every committer got a distinct version and every add action survived
+    assert(versions.size == threads)
+    assert(log.versions() == (0L until threads.toLong))
+    assert(log.snapshot().files.map(_.path).toSet ==
+      (1 to threads).map(i => s"f$i.parquet").toSet)
+  }
 }
