@@ -373,6 +373,25 @@ object OracleSql {
           SELECT s.* FROM s
           WHERE EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)""",
 
+    // upsert confined to the o_orderstatus='O' scope: only in-scope target
+    // rows update; inserts are source rows unmatched within the scope;
+    // out-of-scope rows pass through untouched
+    "merge_partition_scoped" ->
+      s"""$mergeCte,
+          tin AS (SELECT * FROM t WHERE o_orderstatus = 'O'),
+          tout AS (SELECT * FROM t WHERE o_orderstatus <> 'O'),
+          u AS (SELECT tin.o_orderkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE tin.o_custkey END AS o_custkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE tin.o_orderstatus END AS o_orderstatus,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE tin.o_totalprice END AS o_totalprice
+                FROM tin LEFT JOIN s ON s.o_orderkey = tin.o_orderkey)
+          SELECT * FROM u
+          UNION ALL
+          SELECT s.* FROM s
+          WHERE NOT EXISTS (SELECT 1 FROM tin WHERE tin.o_orderkey = s.o_orderkey)
+          UNION ALL
+          SELECT * FROM tout""",
+
     "table_roundtrip" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                 l_returnflag, l_quantity, l_shipdate

@@ -335,6 +335,26 @@ object SparkEntry {
     GraftTable(spark, p).toDf()
   }
 
+  /** Partition-scoped upsert through the copy-on-write path: the target is
+    * hive-partitioned on o_orderstatus and the merge is confined to the
+    * 'O' partition — out-of-scope partitions keep their physical files
+    * (asserted by TableLayerSpec; this query checks the row semantics).
+    */
+  private def qMergePartitionScoped(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders").select(mergeCols.map(col): _*)
+    val target = orders.filter(col("o_orderkey") % 4 =!= 0)
+    val source = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("o_orderstatus", lit("M"))
+    val p = tmp("graft_merge_pscope")
+    GraftWriter.write(spark, target, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    MergeExecutor.merge(spark, source, p,
+      MergeConfig(MergeType.Upsert, "s.o_orderkey = t.o_orderkey",
+        partitionFilter = Some(col("o_orderstatus") === "O")))
+    GraftTable(spark, p).toDf()
+  }
+
   // ---------- table layer (write -> slice-read round trips) ----------
 
   private def qTableRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -530,6 +550,7 @@ object SparkEntry {
     "merge_dedup_insert" -> (mergeQuery(MergeType.DeduplicateInsert) _),
     "merge_upsert" -> (mergeQuery(MergeType.Upsert) _),
     "merge_replace_delete_unmatched" -> (mergeQuery(MergeType.ReplaceDeleteUnmatched) _),
+    "merge_partition_scoped" -> (qMergePartitionScoped _),
     "table_roundtrip" -> (qTableRoundtrip _),
     "table_replace_where" -> (qReplaceWhere _),
     "table_time_travel" -> (qTimeTravel _),

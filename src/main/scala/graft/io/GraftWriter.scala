@@ -135,24 +135,8 @@ object GraftWriter {
       if (partitionCols.nonEmpty && opts.clusterByPartition)
         effectiveDf.repartition(partitionCols.map(col): _*)
       else effectiveDf
-    val stage = new Path(path, s"_staging-${UUID.randomUUID()}")
-    // INT96 (the legacy default) carries no usable footer statistics;
-    // MICROS makes timestamp columns data-skippable. Session conf is
-    // restored afterwards — it must not leak into the caller's writes.
-    val tsConfKey = "spark.sql.parquet.outputTimestampType"
-    val prevTsConf = spark.conf.getOption(tsConfKey)
-    val added = try {
-      spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
-      var w = writeDf.write.option("compression", opts.compression)
-      if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
-      w.parquet(stage.toString)
-      promoteStaged(fs, conf, stage, new Path(path))
-    } finally {
-      prevTsConf match {
-        case Some(v) => spark.conf.set(tsConfKey, v)
-        case None    => spark.conf.unset(tsConfKey)
-      }
-    }
+    val added =
+      stageAndPromote(spark, fs, conf, writeDf, path, partitionCols, opts.compression)
 
     // Commit with bounded retry: on a concurrent-commit conflict the
     // staged files stay valid — only the log actions (removals, evolved
@@ -257,6 +241,78 @@ object GraftWriter {
         "num_added_files" -> added.size.toLong),
       add = added,
       remove = toCompact.map(f => RemoveFile(f.path)))
+  }
+
+  /** Copy-on-write commit: stage `df` as new data files and commit them
+    * together with an explicit removal list — the file-granular rewrite
+    * primitive behind [[graft.merge.MergeExecutor]] (only the files a
+    * merge actually touches are replaced; everything else stays as-is in
+    * the log). Single attempt by design: a concurrent commit invalidates
+    * the caller's removal set, so conflicts surface as
+    * ConcurrentModificationException for the caller (or a
+    * RetryingCoordinator) to re-derive and re-run.
+    */
+  private[graft] def writeCow(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      snap: graft.log.Snapshot,
+      removals: Seq[RemoveFile],
+      operation: String,
+      metadata: Map[String, String],
+      compression: String = "zstd"): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new CommitLog(path, conf)
+    val fs = new Path(path).getFileSystem(conf)
+    val writeDf =
+      if (snap.partitionColumns.nonEmpty)
+        df.repartition(snap.partitionColumns.map(col): _*)
+      else df
+    val added =
+      stageAndPromote(spark, fs, conf, writeDf, path, snap.partitionColumns, compression)
+    log.commit(
+      operation = operation,
+      mode = "cow",
+      schemaDdl = snap.schema.toDDL,
+      partitionColumns = snap.partitionColumns,
+      metadata = metadata,
+      operationMetrics = Map(
+        "num_added_files" -> added.size.toLong,
+        "num_removed_files" -> removals.size.toLong,
+        "num_output_rows" -> added.map(_.numRecords).sum),
+      add = added,
+      remove = removals)
+  }
+
+  /** Write `df` under a staging dir, then promote the parquet files into
+    * the table root. INT96 (the legacy default) carries no usable footer
+    * statistics; MICROS makes timestamp columns data-skippable. Session
+    * conf is restored afterwards — it must not leak into the caller's
+    * writes.
+    */
+  private def stageAndPromote(
+      spark: SparkSession,
+      fs: FileSystem,
+      conf: Configuration,
+      writeDf: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      compression: String): Seq[AddFile] = {
+    val stage = new Path(path, s"_staging-${UUID.randomUUID()}")
+    val tsConfKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsConf = spark.conf.getOption(tsConfKey)
+    try {
+      spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+      var w = writeDf.write.option("compression", compression)
+      if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+      w.parquet(stage.toString)
+      promoteStaged(fs, conf, stage, new Path(path))
+    } finally {
+      prevTsConf match {
+        case Some(v) => spark.conf.set(tsConfKey, v)
+        case None    => spark.conf.unset(tsConfKey)
+      }
+    }
   }
 
   /** Move staged parquet files into the table root, preserving partition

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+import graft.log.{AddFile, RemoveFile}
 
 /** The reference's four merge strategies
   * (reference: dagster_delta/config.py:190-196, handler.py:70-120).
@@ -65,10 +66,26 @@ final case class MergeStats(
   * needing Delta semantics should de-duplicate the source on the merge key
   * first (e.g. with [[graft.ext.Dedup.latestByKey]]).
   *
-  * Scale notes: the join shuffles on the merge keys; Catalyst picks
-  * broadcast when the source is small (the common CDC case). The rewrite is
-  * confined to `partitionFilter` when given, so a partition-scoped merge
-  * touches only those partitions' files.
+  * Physical execution is file-granular copy-on-write, the property that
+  * makes merge usable at 100 TB (a 1-row upsert must not be a 100 TB
+  * write — the reference gets this from delta-rs merge internals driven
+  * at handler.py:70-120):
+  *
+  *   1. candidate files = the snapshot, narrowed to `partitionFilter`'s
+  *      partitions when the predicate is partition-aligned (the reference
+  *      ANDs partition conjuncts the same way, handler.py:92-98);
+  *   2. touched files = candidates holding ≥1 in-scope row matching the
+  *      merge predicate, discovered with a semi-join over
+  *      `input_file_name()`;
+  *   3. only touched files are rewritten (their unmatched and
+  *      out-of-scope rows are carried over); everything else stays
+  *      untouched in the commit. `deduplicate_insert` never rewrites at
+  *      all — it appends the anti-joined inserts.
+  *
+  * Scale notes: the joins shuffle on the merge keys; Catalyst picks
+  * broadcast when the source is small (the common CDC case). The source
+  * is persisted for the duration — it is used by both the
+  * touched-file discovery and the rewrite.
   */
 object MergeExecutor {
 
@@ -84,26 +101,88 @@ object MergeExecutor {
         WriteOptions(mode = WriteMode.ErrorIfExists, partitionBy = partitionBy))
     }
     val table = GraftTable(spark, path)
-    val full = table.toDf()
-    val (inScope, outOfScope) = config.partitionFilter match {
-      case Some(p) => (full.filter(p), Some(full.filter(!p)))
-      case None    => (full, None)
-    }
+    val snap = table.snapshot()
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val numSource = src.count() // also materializes the cache
+      val cols = snap.schema.map(_.name)
+      val cond = expr(config.predicate)
+      val sa = config.sourceAlias
+      val ta = config.targetAlias
 
-    val merged = apply(inScope, source, config)
-    val result = outOfScope match {
-      case Some(rest) => merged.unionByName(rest)
-      case None       => merged
-    }
+      // 1. Candidate files: prune whole partitions when the scope
+      // predicate resolves against partition columns alone (non-aligned
+      // predicates fall back to all files, scoped per-row below).
+      val candidates: Seq[AddFile] = config.partitionFilter match {
+        case Some(p) if snap.partitionColumns.nonEmpty =>
+          try {
+            val keep = GraftWriter.matchingFiles(
+              spark, snap.files, snap.schema, snap.partitionColumns, p).toSet
+            snap.files.filter(f => keep(f.path))
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => snap.files
+          }
+        case _ => snap.files
+      }
+      val candDf = table.dfForFiles(snap, candidates)
+      // row-level scope (exact even when the filter isn't partition-aligned);
+      // filter sits directly on the scan so pruning/pushdown still fire
+      val scoped = config.partitionFilter.map(candDf.filter).getOrElse(candDf)
+      val fileCol = "__graft_file"
+      val scopedWithFile = scoped.withColumn(fileCol, input_file_name())
 
-    val numSource = source.count()
-    val v = GraftWriter.write(spark, result, path,
-      WriteOptions(
-        mode = WriteMode.Overwrite,
-        partitionBy = table.snapshot().partitionColumns,
-        metadata = config.metadata ++ Map("operation" -> s"MERGE:${config.mergeType.name}")))
-    val numOut = table.snapshot().files.map(_.numRecords).sum
-    MergeStats(v, numSource, numOut)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val rootAbs = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+        .toUri.getPath.stripSuffix("/")
+      def collectFiles(d: DataFrame): Seq[AddFile] = {
+        val rels = d.select(fileCol).distinct().collect().map { r =>
+          new java.net.URI(r.getString(0)).getPath
+            .stripPrefix(rootAbs).stripPrefix("/")
+        }.toSet
+        candidates.filter(f => rels(f.path))
+      }
+
+      // 2. Touched files (metadata-scale driver collect, like Delta's).
+      val touched: Seq[AddFile] = config.mergeType match {
+        case MergeType.DeduplicateInsert => Nil // append-only, nothing rewritten
+        case MergeType.ReplaceDeleteUnmatched =>
+          // every file holding an in-scope row loses its unmatched rows
+          collectFiles(scopedWithFile)
+        case _ =>
+          collectFiles(
+            scopedWithFile.alias(ta).join(src.alias(sa), cond, "left_semi"))
+      }
+
+      // 3. Rewrite only the touched files; carry over their out-of-scope
+      // rows; remove only them.
+      val (newData, removals) = config.mergeType match {
+        case MergeType.DeduplicateInsert =>
+          val inserts = src.alias(sa)
+            .join(scoped.alias(ta), cond, "left_anti")
+            .select(cols.map(col): _*)
+          (inserts, Nil)
+        case _ =>
+          val affDf = table.dfForFiles(snap, touched)
+          val affScoped = config.partitionFilter.map(affDf.filter).getOrElse(affDf)
+          // matches exist only in touched files, so merging the touched
+          // in-scope rows is equivalent to merging the full scope (and
+          // the anti-join inserts of upsert are likewise unchanged)
+          val merged = apply(affScoped, src, config)
+          val withKept = config.partitionFilter match {
+            case Some(p) => merged.unionByName(affDf.filter(!p))
+            case None    => merged
+          }
+          (withKept, touched.map(f => RemoveFile(f.path)))
+      }
+
+      val v = GraftWriter.writeCow(spark, newData, path, snap, removals,
+        operation = "MERGE",
+        metadata = config.metadata ++
+          Map("operation" -> s"MERGE:${config.mergeType.name}"))
+      val numOut = table.snapshot().files.map(_.numRecords).sum
+      MergeStats(v, numSource, numOut)
+    } finally src.unpersist()
   }
 
   /** The pure-relational core: merge `source` into `target` and return the

@@ -263,6 +263,65 @@ class TableLayerSpec extends SparkSpec {
     assert(contents(p) == Set((2L, "s2"), (3L, "t3")))
   }
 
+  test("partition-scoped merge rewrites only in-scope partitions' files") {
+    val p = tmpDir("mcowp")
+    val part = Seq((1L, "t1", "a"), (2L, "t2", "a"), (3L, "t3", "b"), (4L, "t4", "c"))
+      .toDF("k", "v", "pt")
+    GraftWriter.write(spark, part, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pt")))
+    val before = GraftTable(spark, p).snapshot()
+    val outOfScopePaths = before.files.filter(_.partitionValues("pt") != "a").map(_.path).toSet
+    val totalFiles = before.files.size
+
+    val src = Seq((2L, "s2", "a"), (9L, "s9", "a")).toDF("k", "v", "pt")
+    MergeExecutor.merge(spark, src, p,
+      MergeConfig(MergeType.Upsert, "s.k = t.k",
+        partitionFilter = Some(col("pt") === "a")))
+
+    val t = GraftTable(spark, p)
+    assert(t.toDf().collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "t1"), (2L, "s2"), (3L, "t3"), (4L, "t4"), (9L, "s9")))
+    val commit = t.history().head
+    assert(commit.operationMetrics("num_removed_files") < totalFiles,
+      "a partition-confined merge must not rewrite the whole table")
+    // out-of-scope partitions keep their exact physical files
+    val after = t.snapshot().files.map(_.path).toSet
+    assert(outOfScopePaths.subsetOf(after))
+  }
+
+  test("merge copy-on-write touches only files containing matches") {
+    val p = tmpDir("mcowf")
+    // three appends => three physical files, one key each
+    Seq(1L, 2L, 3L).foreach { k =>
+      GraftWriter.write(spark, Seq((k, s"t$k")).toDF("k", "v"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val before = GraftTable(spark, p).snapshot()
+    assert(before.files.size == 3)
+
+    MergeExecutor.merge(spark, Seq((2L, "s2")).toDF("k", "v"), p,
+      MergeConfig(MergeType.Upsert, "s.k = t.k"))
+    val t = GraftTable(spark, p)
+    assert(contents(p) == Set((1L, "t1"), (2L, "s2"), (3L, "t3")))
+    val commit = t.history().head
+    assert(commit.operationMetrics("num_removed_files") == 1L,
+      "only the file containing k=2 should be rewritten")
+    // the two untouched files survive physically identical
+    val after = t.snapshot().files.map(_.path).toSet
+    assert(before.files.map(_.path).count(after) == 2)
+  }
+
+  test("merge deduplicate_insert appends without rewriting any file") {
+    val p = tmpDir("mcowd")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    val before = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+    MergeExecutor.merge(spark, source, p, cfg(MergeType.DeduplicateInsert))
+    val t = GraftTable(spark, p)
+    assert(contents(p) == Set((1L, "t1"), (2L, "t2"), (3L, "t3"), (4L, "s4")))
+    assert(t.history().head.operationMetrics("num_removed_files") == 0L)
+    assert(before.subsetOf(t.snapshot().files.map(_.path).toSet))
+  }
+
   test("concurrent committers never silently lose a commit") {
     import graft.log.{AddFile, CommitLog}
     val p = tmpDir("cc")
