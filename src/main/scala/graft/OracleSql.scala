@@ -91,6 +91,11 @@ object OracleSql {
         SELECT q_id, n_id, "rank", sim_e6 FROM ranked WHERE "rank" <= 5"""
   }
 
+  /** Fixed-k centroid stride (mirrors Similarity.centroidsK: k=32,
+    * stride = ceil(n/k) -- centroid count independent of corpus size). */
+  private val centStride =
+    "(SELECT GREATEST(1, CAST(ceil(count(*) / 32.0) AS BIGINT)) FROM embeddings)"
+
   /** Oracle for IVF over k-means-refined centroids: replays the 2 Lloyd
     * iterations exactly — assignment by rounded cosine argmax, new
     * centroids as fixed-point elementwise means cast to float.
@@ -111,7 +116,7 @@ object OracleSql {
           $name AS (SELECT cell AS c_id,
               list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS c_vec
             FROM ${name}_s GROUP BY cell)"""
-    s"""WITH c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % 16 = 0),
+    s"""WITH c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
         ${assign("c0", "a1")},
         ${recompute("a1", "c1")},
         ${assign("c1", "a2")},
@@ -128,7 +133,7 @@ object OracleSql {
   }
 
   private val knnIvfSql = {
-    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % 16 = 0),
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
         scored AS (SELECT e.vec_id, e.embedding, c_id,
                           ${simE6("e.embedding", "c_vec")} AS c_sim
                    FROM embeddings e, cent),
@@ -518,7 +523,7 @@ object OracleSql {
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
 
     "cosine_dup_pairs" ->
-      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % 16 = 0),
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
           scored AS (SELECT e.vec_id, e.embedding, c_id,
                             ${simE6("e.embedding", "c_vec")} AS c_sim
                      FROM embeddings e, cent),

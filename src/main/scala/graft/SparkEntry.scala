@@ -479,7 +479,7 @@ object SparkEntry {
   private def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopKWith(emb,
-      Similarity.kmeansCentroids(emb, stride = 16, iters = 2),
+      Similarity.kmeansCentroids(emb, numCentroids = 32, iters = 2),
       col("vec_id") < 32, 5)
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("sim_e6"))

@@ -70,10 +70,31 @@ object Similarity {
   /** Deterministic coarse centroids: every `stride`-th vector by id.
     * (Production would k-means; the plan shape downstream is identical.)
     */
-  def centroids(corpus: DataFrame, stride: Int, idCol: String, vecCol: String): DataFrame =
+  def centroids(corpus: DataFrame, stride: Long, idCol: String, vecCol: String): DataFrame =
     corpus
       .filter(col(idCol) % stride === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+
+  /** Fixed-size centroid seed: `k` is independent of the corpus size
+    * (stride = ceil(n/k) over the id space), which bounds the centroid
+    * broadcast at k·dim·4 bytes — k=32, dim=64 is 8 KiB; even k=4096,
+    * dim=1024 is 16 MiB — no matter how large the corpus grows, and keeps
+    * the assignment pass at O(n·k) FLOPs with a single broadcast. (The
+    * earlier every-16th-vector seeding grew k linearly with n, so the
+    * broadcast itself would die around ~10M vectors.) Seeding by id
+    * modulo assumes roughly uniform ids; [[kmeansCentroids]] layers Lloyd
+    * refinement on top for data-adapted cells.
+    */
+  def centroidsK(
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "centroid count must be positive")
+    val n = corpus.count()
+    val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
+    centroids(corpus, stride, idCol, vecCol)
+  }
 
   /** Cell assignment: the `nprobe` nearest centroids per vector
     * (broadcast pass); `nprobe = 1` is the storage assignment, higher
@@ -108,12 +129,12 @@ object Similarity {
     */
   def kmeansCentroids(
       corpus: DataFrame,
-      stride: Int,
+      numCentroids: Int,
       iters: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val vecsum = udaf(new graft.functions.VecSumE6())
-    var cents = centroids(corpus, stride, idCol, vecCol)
+    var cents = centroidsK(corpus, numCentroids, idCol, vecCol)
     for (_ <- 1 to iters) {
       val assigned = assignCells(corpus, cents, idCol, vecCol)
       cents = assigned
@@ -163,11 +184,11 @@ object Similarity {
   def cosineDupPairs(
       corpus: DataFrame,
       minSimE6: Long,
-      stride: Int = 16,
+      numCentroids: Int = 32,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cells = assignCells(corpus,
-      centroids(corpus, stride, idCol, vecCol), idCol, vecCol)
+      centroidsK(corpus, numCentroids, idCol, vecCol), idCol, vecCol)
     val a = cells.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cell"))
     val b = cells.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cell"))
     a.join(b, Seq("cell"))
@@ -184,9 +205,9 @@ object Similarity {
       corpus: DataFrame,
       queryPred: Column,
       k: Int,
-      stride: Int = 16,
+      numCentroids: Int = 32,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
-    ivfTopKWith(corpus, centroids(corpus, stride, idCol, vecCol),
+    ivfTopKWith(corpus, centroidsK(corpus, numCentroids, idCol, vecCol),
       queryPred, k, idCol, vecCol)
 }

@@ -93,6 +93,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(r3 > 0.3, s"nprobe=3 recall $r3 unexpectedly low")
   }
 
+  test("k-means-refined IVF with multi-probe meets a recall floor vs brute force") {
+    val pred = col("vec_id") < 16
+    val brute = Similarity.bruteTopK(embs, embs.filter(pred), 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKWith(embs,
+      Similarity.kmeansCentroids(embs, numCentroids = 32, iters = 2), pred, 5,
+      nprobe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // deterministic inputs (fixed testdata + deterministic seeding/Lloyd),
+    // so this is a stable floor, not a flaky statistical bound. The
+    // synthetic embeddings are near-uniform random (worst case for IVF —
+    // measured 0.4625 here); the floor catches regressions in
+    // assignment/probing, not absolute ANN quality.
+    assert(recall >= 0.4, s"kmeans-IVF nprobe=4 recall $recall below floor")
+  }
+
   test("multimodal resize/frame-sample stubs: shape contracts hold") {
     val media = Multimodal.fromDocuments(docs)
     val resized = Multimodal.resizeStub(media, 8, 8).collect()
