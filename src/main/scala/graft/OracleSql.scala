@@ -34,7 +34,11 @@ object OracleSql {
   private def simE6(a: String, b: String) =
     s"CAST(round((${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) * 1000000) AS BIGINT)"
 
-  private val minhashSql: String = {
+  /** Shared MinHash CTE chain (16 perms, 4 rows/band) ending in a
+    * `bands` relation — reused by the LSH pair query and the LSH-first
+    * Jaccard verify.
+    */
+  private val minhashCtes: String = {
     val perms = 16
     val rowsPerBand = 4
     val P = graft.ext.TextOps.MersennePrime31
@@ -48,19 +52,23 @@ object OracleSql {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_id, md5($key) AS band_key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH d AS ($DOCS_TOKS),
+    s"""d AS ($DOCS_TOKS),
         shd AS (SELECT doc_id, $SHINGLES AS sh FROM d),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM shd),
         hh AS (SELECT doc_id,
                       (('0x' || substring(md5(s), 1, 15))::BIGINT & 2147483647) AS h31
                FROM ex),
         sig AS (SELECT doc_id, $sig FROM hh GROUP BY doc_id),
-        bands AS ($bands)
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id"""
+        bands AS ($bands)"""
   }
+
+  private val minhashPairsSelect =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b
+         ON a.band_id = b.band_id AND a.band_key = b.band_key
+        AND a.doc_id < b.doc_id"""
+
+  private val minhashSql: String = s"WITH $minhashCtes $minhashPairsSelect"
 
   private val simhashSql: String = {
     val bits = (0 until 64).map { b =>
@@ -463,12 +471,18 @@ object OracleSql {
           WHERE len([i for i in range(1, 65) if sa[i:i] <> sb[i:i]]) <= 6"""
     },
 
+    // LSH-first: MinHash band candidates, exactly verified on distinct
+    // token sets (same contract as Dedup.ngramJaccardPairs)
     "ngram_jaccard_pairs" ->
-      s"""WITH d AS (SELECT source AS block, doc_id, list_distinct($TOKS) AS toks FROM documents),
-          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
-                       CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
-                FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id)
+      s"""WITH $minhashCtes,
+          cand AS ($minhashPairsSelect),
+          tk AS (SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
+          p AS (SELECT c.doc_a, c.doc_b,
+                       CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
+                       CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS uni
+                FROM cand c
+                JOIN tk ta ON ta.doc_id = c.doc_a
+                JOIN tk tb ON tb.doc_id = c.doc_b)
           SELECT doc_a, doc_b, inter, uni,
                  CAST(floor(1000 * inter / uni) AS BIGINT) AS jac_permille
           FROM p

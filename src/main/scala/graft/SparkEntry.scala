@@ -432,7 +432,7 @@ object SparkEntry {
     Dedup.simhashPairs(t(spark, dir, "documents"))
 
   private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "source", 200)
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), 200)
       .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
         col("uni").cast("long").as("uni"), col("jac_permille"))
 

@@ -40,9 +40,9 @@ object Profile {
       .write.format("noop").mode("overwrite").save())
     time("minhash sig 2nd run")(graft.ext.Dedup.minhashSignatures(docs)
       .write.format("noop").mode("overwrite").save())
-    time("jaccard pairs")(graft.ext.Dedup.ngramJaccardPairs(docs, "source", 200)
+    time("jaccard pairs")(graft.ext.Dedup.ngramJaccardPairs(docs, 200)
       .write.format("noop").mode("overwrite").save())
-    time("jaccard pairs 2nd run")(graft.ext.Dedup.ngramJaccardPairs(docs, "source", 200)
+    time("jaccard pairs 2nd run")(graft.ext.Dedup.ngramJaccardPairs(docs, 200)
       .write.format("noop").mode("overwrite").save())
     println("input partitions: " + docs.rdd.getNumPartitions)
     val docs4 = docs.repartition(4)
