@@ -102,15 +102,13 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def stats(): DataFrame = {
     import spark.implicits._
     val snap = snapshot()
+    // snap.files IS the latest add action per live path (replay keeps the
+    // newest), so the files ⋈ actions join collapses to the file list —
+    // and stays correct when replay starts from a checkpoint
     val liveFiles = snap.files.map(_.path).toDF("path")
-    val actions = snap.commits
-      .flatMap(_.add)
+    val actions = snap.files
       .map(a => (a.path, a.sizeBytes, a.numRecords))
       .toDF("path", "size_bytes", "num_records")
-      // latest add action per path wins
-      .groupBy("path")
-      .agg(last("size_bytes").as("size_bytes"),
-           last("num_records").as("num_records"))
     liveFiles
       .join(actions, Seq("path"), "inner")
       .agg(
@@ -126,7 +124,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     * dagster_delta_tests/test_metadata_inputs.py:44-51).
     */
   def history(): Seq[graft.log.Commit] =
-    snapshot().commits.reverse
+    log.versions().map(log.readCommit).reverse
 
   /** Physically delete data files not live in any of the newest
     * `retainVersions` snapshots (they were logically removed earlier).

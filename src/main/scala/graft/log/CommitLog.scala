@@ -51,7 +51,11 @@ final case class Commit(
     add: Seq[AddFile],
     remove: Seq[RemoveFile])
 
-/** Materialized view of the log at a version. */
+/** Materialized view of the log at a version. `commits` is the replay
+  * suffix (everything after the checkpoint the snapshot was built from,
+  * always non-empty and ending at `version`) — use
+  * [[graft.io.GraftTable.history]] for the full audit trail.
+  */
 final case class Snapshot(
     version: Long,
     schema: StructType,
@@ -60,6 +64,18 @@ final case class Snapshot(
     commits: Seq[Commit]) {
   def isEmpty: Boolean = files.isEmpty
 }
+
+/** Periodic full-snapshot checkpoint: the live file set + schema at
+  * `version`, so snapshot replay reads one checkpoint + O(interval)
+  * commits instead of O(#commits) JSON files — the Delta checkpoint
+  * pattern, essential once a streaming sink appends per micro-batch.
+  */
+final case class Checkpoint(
+    version: Long,
+    timestampMs: Long,
+    schemaDdl: String,
+    partitionColumns: Seq[String],
+    files: Seq[AddFile])
 
 /** Per-table JSON commit log under `<table>/_graft_log/vNNNNNNNNNN.json`.
   *
@@ -75,7 +91,11 @@ final case class Snapshot(
   * hundred bytes per data file), and snapshot replay is O(#commits) on the
   * driver, same as Delta's.
   */
-final class CommitLog(tablePath: String, conf: Configuration) {
+final class CommitLog(
+    tablePath: String,
+    conf: Configuration,
+    /** Write a checkpoint every N commits; <= 0 disables. */
+    checkpointInterval: Int = 10) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -85,6 +105,9 @@ final class CommitLog(tablePath: String, conf: Configuration) {
 
   private def versionFile(v: Long): Path =
     new Path(logDir, f"v$v%010d.json")
+
+  private def checkpointFile(v: Long): Path =
+    new Path(logDir, f"ckpt-v$v%010d.json")
 
   /** Sorted list of committed versions; empty if the table doesn't exist. */
   def versions(): Seq[Long] = {
@@ -103,18 +126,43 @@ final class CommitLog(tablePath: String, conf: Configuration) {
 
   def tableExists(): Boolean = latestVersion().isDefined
 
-  def readCommit(v: Long): Commit = {
-    val in = fs.open(versionFile(v))
+  private def readJson(p: Path): String = {
+    val in = fs.open(p)
     try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      JsonMethods.parse(buf.toString("UTF-8")).extract[Commit]
+      buf.toString("UTF-8")
     } finally in.close()
   }
 
-  /** Replay the log up to `versionAsOf` (inclusive; latest when None). */
+  def readCommit(v: Long): Commit =
+    JsonMethods.parse(readJson(versionFile(v))).extract[Commit]
+
+  /** Sorted checkpoint versions present in the log dir. */
+  def checkpointVersions(): Seq[Long] = {
+    if (!fs.exists(logDir)) return Nil
+    fs.listStatus(logDir)
+      .iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("ckpt-v") && n.endsWith(".json") =>
+        n.stripPrefix("ckpt-v").stripSuffix(".json").toLong
+      }
+      .toSeq
+      .sorted
+  }
+
+  def readCheckpoint(v: Long): Checkpoint =
+    JsonMethods.parse(readJson(checkpointFile(v))).extract[Checkpoint]
+
+  /** Replay the log up to `versionAsOf` (inclusive; latest when None).
+    * Starts from the newest checkpoint at or before the target, so
+    * driver-side replay cost is O(checkpointInterval), not O(#commits).
+    * The checkpoint-version commit is re-applied — actions are
+    * idempotent map upserts/deletes — which also guarantees
+    * `Snapshot.commits` is non-empty.
+    */
   def snapshot(versionAsOf: Option[Long] = None): Snapshot = {
     val vs = versions()
     require(vs.nonEmpty, s"graft table does not exist at $tablePath")
@@ -124,8 +172,18 @@ final class CommitLog(tablePath: String, conf: Configuration) {
         vs.filter(_ <= v)
       case None => vs
     }
-    val commits = upTo.map(readCommit)
+    val target = upTo.last
+    val ckpt: Option[Checkpoint] = checkpointVersions()
+      .filter(v => v <= target && vs.contains(v))
+      .lastOption
+      .flatMap { v =>
+        try Some(readCheckpoint(v))
+        catch { case scala.util.control.NonFatal(_) => None } // fall back to full replay
+      }
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    ckpt.foreach(_.files.foreach(a => live(a.path) = a))
+    val replayFrom = ckpt.map(_.version).getOrElse(0L)
+    val commits = upTo.filter(_ >= replayFrom).map(readCommit)
     commits.foreach { c =>
       c.remove.foreach(r => live.remove(r.path))
       c.add.foreach(a => live(a.path) = a)
@@ -137,6 +195,18 @@ final class CommitLog(tablePath: String, conf: Configuration) {
       last.partitionColumns,
       live.values.toSeq,
       commits)
+  }
+
+  /** Write the checkpoint for `v` (idempotent — content is a pure
+    * function of the log at `v`; overwrite is safe).
+    */
+  def writeCheckpoint(v: Long): Unit = {
+    val snap = snapshot(Some(v))
+    val c = Checkpoint(v, System.currentTimeMillis(), snap.schema.toDDL,
+      snap.partitionColumns, snap.files)
+    val out = fs.create(checkpointFile(v), true)
+    try out.write(Serialization.write(c).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Atomically publish the next commit. Returns the committed version.
@@ -161,6 +231,11 @@ final class CommitLog(tablePath: String, conf: Configuration) {
     try out.write(Serialization.write(c).getBytes("UTF-8"))
     finally out.close()
     publish(tmp, versionFile(v), v)
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0) {
+      // best-effort: a failed checkpoint only costs replay time
+      try writeCheckpoint(v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     v
   }
 

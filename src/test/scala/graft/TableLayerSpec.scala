@@ -322,6 +322,32 @@ class TableLayerSpec extends SparkSpec {
     assert(before.subsetOf(t.snapshot().files.map(_.path).toSet))
   }
 
+  test("checkpointed log: 100+ commits replay through the checkpoint with identical contents") {
+    import graft.log.CommitLog
+    val p = tmpDir("ckpt")
+    (0 until 104).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, i.toLong * 2)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val log = new CommitLog(p, spark.sessionState.newHadoopConf())
+    assert(log.checkpointVersions().contains(100L))
+    val full = GraftTable(spark, p).toDf().collect().map(_.getLong(0)).sorted
+    assert(full.toSeq == (0L until 104L))
+
+    // prove the checkpoint path is actually used: drop every commit file
+    // below the newest checkpoint — replay must still reconstruct the
+    // full live set from ckpt-100 + commits 100..103
+    val fs = log.fs
+    (0L until 100L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, f"_graft_log/v$v%010d.json"), false)
+    }
+    val viaCkpt = GraftTable(spark, p).toDf().collect().map(_.getLong(0)).sorted
+    assert(viaCkpt.toSeq == (0L until 104L),
+      "snapshot through the checkpoint must equal the fully-replayed contents")
+    // time travel within the surviving suffix also works
+    assert(GraftTable(spark, p).toDf(Some(102L)).count() == 103)
+  }
+
   test("concurrent committers never silently lose a commit") {
     import graft.log.{AddFile, CommitLog}
     val p = tmpDir("cc")
