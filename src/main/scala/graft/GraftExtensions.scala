@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // format("graft") reads become native columnar parquet scans (with
+    // BucketSpec-reported partitioning for co-bucketed joins)
+    ext.injectResolutionRule(session =>
+      new graft.sources.GraftRelationSubstitution(session))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProductFP64].getName, GraftFunctions.DotName),

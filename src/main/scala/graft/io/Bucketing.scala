@@ -76,9 +76,15 @@ object Bucketing {
     table.snapshot().files.count(_.partitionValues.get(BucketCol).contains(b))
   }
 
-  /** Bucket-wise equi-join of two tables bucketed identically on their
-    * join keys: the plan is a union of per-bucket joins, so each join
-    * stage touches only co-located rows. Key columns may differ in name
+  /** Equi-join of two tables bucketed identically on their join keys, as
+    * ONE join over the native graft relations. Because the scans report
+    * the bucket layout as a real BucketSpec (see
+    * [[graft.sources.GraftNativeRelation]]), each side's
+    * outputPartitioning is `HashPartitioning(key, n)` and Catalyst itself
+    * elides both Exchanges — co-partitioned inputs never shuffle,
+    * and the plan is O(1) in the bucket count (the previous
+    * union-of-per-bucket-joins grew the plan linearly with n, blowing up
+    * Catalyst planning around n ≥ 256). Key columns may differ in name
     * (e.g. `o_orderkey` = `l_orderkey`); bucket count and hash must
     * match (enforced).
     */
@@ -91,20 +97,9 @@ object Bucketing {
     val (rk, rn) = spec(right).getOrElse(
       throw new IllegalArgumentException(s"${right.path} is not bucketed"))
     require(ln == rn, s"bucket counts differ: $ln vs $rn")
-    val lSnap = left.snapshot()
-    val rSnap = right.snapshot()
-    val perBucket = (0 until ln).flatMap { b =>
-      val lf = lSnap.files.filter(_.partitionValues.get(BucketCol).contains(b.toString))
-      val rf = rSnap.files.filter(_.partitionValues.get(BucketCol).contains(b.toString))
-      if (lf.isEmpty && rf.isEmpty) None
-      else Some(
-        left.dfForFiles(lSnap, lf).drop(BucketCol)
-          .join(right.dfForFiles(rSnap, rf).drop(BucketCol),
-            col(lk) === col(rk), how))
-    }
-    perBucket.reduceOption(_ unionByName _).getOrElse(
-      left.toDf().drop(BucketCol)
-        .join(right.toDf().drop(BucketCol), col(lk) === col(rk), how)
-        .limit(0))
+    val spark = left.spark
+    val l = spark.read.format("graft").load(left.path).drop(BucketCol)
+    val r = spark.read.format("graft").load(right.path).drop(BucketCol)
+    l.join(r, col(lk) === col(rk), how)
   }
 }

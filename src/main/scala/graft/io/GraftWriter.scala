@@ -325,7 +325,20 @@ object GraftWriter {
       root: Path): Seq[AddFile] = {
     val staged = listRec(fs, stage).filter(_.getName.endsWith(".parquet"))
     val adds = staged.map { f =>
-      val rel = relativize(stage, f)
+      val rel0 = relativize(stage, f)
+      // files under a __bucket=N dir get Spark's `_NNNNN` bucket-id name
+      // suffix, so the native scan can read the table with a BucketSpec
+      // (exchange-free co-bucketed joins; see GraftNativeRelation)
+      val rel = partitionValuesOf(rel0).get(Bucketing.BucketCol).map(_.toInt) match {
+        case Some(b) =>
+          val segs = rel0.split('/')
+          val name = segs.last
+          val renamed =
+            if (name.contains(".")) name.replaceFirst("\\.", f"_$b%05d.")
+            else f"${name}_$b%05d"
+          (segs.dropRight(1) :+ renamed).mkString("/")
+        case None => rel0
+      }
       val target = new Path(root, rel)
       fs.mkdirs(target.getParent)
       if (!fs.rename(f, target))

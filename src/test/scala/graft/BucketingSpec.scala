@@ -49,6 +49,22 @@ class BucketingSpec extends SparkSpec {
     assert(bl.count() == pj.count())
     assert(bl.filter(col("l_orderkey").isNull).count()
       == pj.filter(col("l_orderkey").isNull).count())
+
+    // the co-bucketed join plans with NO Exchange on either side: both
+    // scans report HashPartitioning(key, 8) from the BucketSpec. On this
+    // tiny data Spark rightly prefers broadcast, so force the
+    // large-large (sort-merge) path to observe the property that matters
+    // at scale.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val joinPlan = Bucketing.join(to, tl).queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$joinPlan")
+      assert(joinPlan.contains("SelectedBucketsCount"),
+        s"expected bucketed scans:\n$joinPlan")
+    } finally spark.conf.set(thresholdKey, prev)
   }
 
   test("mismatched bucket counts are rejected") {

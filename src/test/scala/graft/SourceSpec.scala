@@ -32,6 +32,28 @@ class SourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_src WHERE k < 10").first().getLong(0) == 10)
   }
 
+  test("format(graft) reads are native columnar parquet scans (no RDD boundary)") {
+    val p = tmpDir("srcn")
+    GraftWriter.write(spark, spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val df = spark.read.format("graft").load(p).filter(col("k") >= 10).select("v")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("DeserializeToObject"),
+      s"row-deserialization boundary in plan:\n$physical")
+    assert(physical.contains("FileScan parquet"),
+      s"expected a native parquet scan in plan:\n$physical")
+    assert(physical.contains("Batched: true"),
+      s"expected a vectorized (columnar-batch) scan in plan:\n$physical")
+    assert(physical.contains("*("), // WholeStageCodegen stage marker
+      s"expected whole-stage codegen in plan:\n$physical")
+    // pushdown reaches the scan
+    assert(physical.contains("PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,10)]")
+      || physical.contains("GreaterThanOrEqual(k,10)"),
+      s"filter not pushed to the scan:\n$physical")
+    assert(df.as[Long].collect().sorted.toSeq == (10L until 100L).map(_ * 2))
+  }
+
   test("source handles unpushable filters as residuals") {
     val p = tmpDir("srcr")
     GraftWriter.write(spark,
