@@ -44,7 +44,10 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     dfForFiles(snap, snap.files, readOptions)
   }
 
-  private[graft] def dfForFiles(
+  /** Advanced: read a specific file subset of a snapshot (used by the
+    * streaming source and bucketing internals).
+    */
+  def dfForFiles(
       snap: Snapshot,
       files: Seq[AddFile],
       readOptions: Map[String, String] = Map.empty): DataFrame = {

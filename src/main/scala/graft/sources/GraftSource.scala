@@ -24,17 +24,21 @@ import graft.io.{DataFilter, GraftTable, SkipOp}
 final class GraftSource
     extends RelationProvider
     with SchemaRelationProvider
+    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft source requires a path"))
 
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     GraftRelation(
       sqlContext,
-      parameters.getOrElse("path",
-        throw new IllegalArgumentException("graft source requires a path")),
+      pathOf(parameters),
       parameters.get("versionAsOf").map(_.toLong))
 
   override def createRelation(
@@ -42,6 +46,29 @@ final class GraftSource
       parameters: Map[String, String],
       schema: StructType): BaseRelation =
     createRelation(sqlContext, parameters) // schema comes from the log
+
+  // ---- spark.readStream.format("graft") (see GraftStreamSource) ----
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters)
+    (shortName(),
+      GraftTable(sqlContext.sparkSession, path).snapshot().schema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new org.apache.spark.sql.graft.GraftStreamSource(
+      sqlContext,
+      pathOf(parameters),
+      parameters.get("startingVersion").map(_.toLong))
 }
 
 final case class GraftRelation(
