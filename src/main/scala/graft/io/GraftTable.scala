@@ -147,9 +147,45 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     // delete() returns false for already-gone files (prior vacuum)
     doomed.filter(rel => fs.delete(new Path(path, rel), false))
   }
+
+  /** Wall-clock-retention vacuum — Delta's `VACUUM ... RETAIN n HOURS`:
+    * physically delete files that were logically removed from the live
+    * set by a commit older than `retainMillis` ago. Files of the current
+    * snapshot are never touched (the live version cannot be vacuumed),
+    * and a retention below [[GraftTable.MinRetentionMillis]] is refused
+    * unless `enforceRetention = false` — the grace window is what keeps
+    * a concurrent reader of a just-replaced snapshot from losing its
+    * files mid-query. Returns the deleted relative paths.
+    */
+  def vacuumOlderThan(
+      retainMillis: Long,
+      nowMs: Long = System.currentTimeMillis(),
+      enforceRetention: Boolean = true): Seq[String] = {
+    require(retainMillis >= 0, "retention must be non-negative")
+    require(!enforceRetention || retainMillis >= GraftTable.MinRetentionMillis,
+      s"retention ${retainMillis}ms is below the ${GraftTable.MinRetentionMillis}ms " +
+        "safety floor (concurrent readers of recent snapshots would lose " +
+        "files mid-query); pass enforceRetention = false to override")
+    val cutoff = nowMs - retainMillis
+    val live: Set[String] = snapshot().files.map(_.path).toSet
+    // tombstone age = timestamp of the commit that removed the file
+    val removedAt = scala.collection.mutable.LinkedHashMap[String, Long]()
+    log.versions().map(log.readCommit).foreach { c =>
+      c.remove.foreach(r => removedAt(r.path) = c.timestampMs)
+      c.add.foreach(a => removedAt.remove(a.path)) // re-added later => live path
+    }
+    val fs = log.fs
+    removedAt.iterator
+      .collect { case (rel, ts) if ts < cutoff && !live(rel) => rel }
+      .filter(rel => fs.delete(new Path(path, rel), false))
+      .toSeq
+  }
 }
 
 object GraftTable {
+  /** Default vacuum retention floor (7 days, Delta's default). */
+  val MinRetentionMillis: Long = 7L * 24 * 60 * 60 * 1000
+
   def apply(spark: SparkSession, path: String): GraftTable =
     new GraftTable(spark, path)
 

@@ -24,7 +24,14 @@ final case class OutputContext(
     assetKey: AssetKey,
     metadata: Map[String, String] = Map.empty,
     partitionDimensions: Seq[PartitionDimension] = Nil,
-    columns: Option[Seq[String]] = None)
+    columns: Option[Seq[String]] = None,
+    /** The orchestrator declared this asset partitioned. A partitioned
+      * output with no resolved partition dimensions is a configuration
+      * error (the write would silently land unpartitioned) — mirrors the
+      * reference's missing-`partition_expr` ValueError
+      * (dbiomanager_fixed.py:51-58).
+      */
+    hasAssetPartitions: Boolean = false)
 
 /** The reference's extension point, Spark-natively: a handler converts a
   * user object to/from DataFrame at the IO boundary
@@ -99,6 +106,12 @@ final class GraftIOManager(
     */
   def handleOutput[T](ctx: OutputContext, obj: T)(
       implicit h: TypeHandler[T]): Long = {
+    if (ctx.hasAssetPartitions && ctx.partitionDimensions.isEmpty)
+      throw new IllegalArgumentException(
+        s"Asset '${ctx.assetKey.parts.mkString("/")}' has partitions, but no " +
+          "partition dimensions were resolved, so the partition column is " +
+          "unknown — declare it (the reference's partition_expr metadata) " +
+          "instead of silently writing unpartitioned")
     val slice = resolveSlice(ctx)
     val df0 = h.toDf(spark, obj)
     val df = slice.columns match {
@@ -136,8 +149,12 @@ final class GraftIOManager(
         case "overwrite" => SchemaMode.Overwrite
         case other => throw new IllegalArgumentException(s"unknown schema_mode '$other'")
       },
+      // per-output writer-properties override (reference allows per-write
+      // writer_properties, io_manager.py:183-186)
+      compression = ctx.metadata.getOrElse("compression", "zstd"),
       metadata = ctx.metadata.filterNot { case (k, _) =>
-        Set("mode", "schema", "schema_mode", "root_name", "merge_predicate")(k)
+        Set("mode", "schema", "schema_mode", "root_name", "merge_predicate",
+          "compression")(k)
       }))
   }
 

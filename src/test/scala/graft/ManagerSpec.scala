@@ -95,6 +95,34 @@ class ManagerSpec extends SparkSpec {
     assert(pruned.columns.toSeq == Seq("a"))
   }
 
+  test("partitioned asset without partition dimensions is rejected") {
+    val m = mgr(tmpDir("mgrpe"))
+    val e = intercept[IllegalArgumentException] {
+      m.handleOutput(
+        OutputContext(AssetKey(Seq("t_parts")), hasAssetPartitions = true), abDf)
+    }
+    assert(e.getMessage.contains("has partitions"))
+    // with dimensions resolved, the same context writes fine
+    val dims = Seq(StaticDimension("a", Seq("1", "2", "3")))
+    m.handleOutput(OutputContext(AssetKey(Seq("t_parts")),
+      hasAssetPartitions = true, partitionDimensions = dims), abDf)
+    assert(GraftTable(spark, m.pathFor(
+      m.resolveSlice(OutputContext(AssetKey(Seq("t_parts")))))).toDf().count() == 3)
+  }
+
+  test("per-output compression override reaches the parquet writer") {
+    val root = tmpDir("mgrc")
+    val m = mgr(root)
+    m.handleOutput(OutputContext(AssetKey(Seq("t_snappy")),
+      metadata = Map("compression" -> "snappy")), abDf)
+    val t = GraftTable(spark, s"$root/public/t_snappy")
+    val files = t.snapshot().files.map(_.path)
+    assert(files.nonEmpty && files.forall(_.contains("snappy")),
+      s"expected snappy-codec files, got $files")
+    // and the override is not leaked into commit metadata
+    assert(!t.history().head.metadata.contains("compression"))
+  }
+
   test("merge mode through manager with per-output predicate override") {
     val root = tmpDir("mgrg")
     val m = new GraftIOManager(spark, root,

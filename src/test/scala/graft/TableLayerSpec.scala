@@ -198,6 +198,30 @@ class TableLayerSpec extends SparkSpec {
     assert(t.vacuum(retainVersions = 2).isEmpty)
   }
 
+  test("age-based vacuum: retention guard, live version untouchable, old tombstones deleted") {
+    val p = tmpDir("vaca")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, Seq((7L, 8L)).toDF("a", "b"), p,
+      WriteOptions(mode = WriteMode.Overwrite)) // v0's files become tombstones
+    val t = GraftTable(spark, p)
+
+    // retention below the 7-day floor is refused unless overridden
+    intercept[IllegalArgumentException] { t.vacuumOlderThan(1000L) }
+
+    // nothing old enough yet: tombstones are younger than the cutoff
+    assert(t.vacuumOlderThan(60000L, enforceRetention = false).isEmpty)
+
+    // pretend a week passed: v0 tombstones now vacuum; live files survive
+    val future = System.currentTimeMillis() + GraftTable.MinRetentionMillis + 60000
+    val deleted = t.vacuumOlderThan(GraftTable.MinRetentionMillis, nowMs = future)
+    assert(deleted.nonEmpty)
+    assert(t.toDf().count() == 1) // live version intact
+    intercept[Exception] { t.toDf(Some(0L)).count() } // v0 files gone
+    // idempotent: nothing left to delete, live files never touched
+    assert(t.vacuumOlderThan(0L, nowMs = future, enforceRetention = false).isEmpty)
+    assert(t.toDf().count() == 1)
+  }
+
   private def target = Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("k", "v")
   private def source = Seq((2L, "s2"), (4L, "s4")).toDF("k", "v")
   private def cfg(mt: MergeType) = MergeConfig(mt, "s.k = t.k")
