@@ -51,12 +51,17 @@ object Bucketing {
     } yield (k, n.toInt)
   }
 
-  /** Bucket id of a literal value (must match the write-side hash —
-    * evaluated through Spark itself so the Murmur3 semantics are
-    * identical by construction).
+  /** Bucket id of a literal value (must match the write-side hash). The
+    * `pmod(murmur3(v), n)` expression is evaluated directly on the driver
+    * — identical semantics to the write-side `hash()` column (same
+    * Murmur3Hash expression, seed 42), without launching a Spark job per
+    * point lookup.
     */
-  def bucketOf(spark: SparkSession, value: Any, n: Int): Int =
-    spark.range(1).select(pmod(hash(lit(value)), lit(n))).first().getInt(0)
+  def bucketOf(spark: SparkSession, value: Any, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    Pmod(Murmur3Hash(Seq(Literal(value)), 42), Literal(n))
+      .eval(null).asInstanceOf[Int]
+  }
 
   /** Equality point-lookup reading only the matching bucket's files. */
   def lookup(table: GraftTable, value: Any): DataFrame = {

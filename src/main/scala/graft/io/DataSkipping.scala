@@ -31,7 +31,7 @@ final case class DataFilter(column: String, op: SkipOp, value: Any) {
   }
 }
 
-private[io] object DataSkipping {
+private[graft] object DataSkipping {
 
   private def micros(ts: Timestamp): BigDecimal =
     BigDecimal(ts.getTime / 1000L) * 1000000L +

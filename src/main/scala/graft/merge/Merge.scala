@@ -3,7 +3,7 @@ package graft.merge
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+import graft.io.{DataFilter, DataSkipping, GraftTable, GraftWriter, SkipOp, WriteMode, WriteOptions}
 import graft.log.{AddFile, RemoveFile}
 
 /** The reference's four merge strategies
@@ -101,10 +101,32 @@ object MergeExecutor {
         WriteOptions(mode = WriteMode.ErrorIfExists, partitionBy = partitionBy))
     }
     val table = GraftTable(spark, path)
-    val snap = table.snapshot()
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val numSource = src.count() // also materializes the cache
+      // a concurrent commit invalidates the derived removal set; re-derive
+      // against the fresh snapshot and retry (bounded)
+      var attempt = 0
+      while (true) {
+        try return mergeOnce(spark, table, src, numSource, path, config)
+        catch {
+          case _: java.util.ConcurrentModificationException if attempt < 3 =>
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally src.unpersist()
+  }
+
+  private def mergeOnce(
+      spark: SparkSession,
+      table: GraftTable,
+      src: DataFrame,
+      numSource: Long,
+      path: String,
+      config: MergeConfig): MergeStats = {
+    val snap = table.snapshot()
+    locally {
       val cols = snap.schema.map(_.name)
       val cond = expr(config.predicate)
       val sa = config.sourceAlias
@@ -112,8 +134,8 @@ object MergeExecutor {
 
       // 1. Candidate files: prune whole partitions when the scope
       // predicate resolves against partition columns alone (non-aligned
-      // predicates fall back to all files, scoped per-row below).
-      val candidates: Seq[AddFile] = config.partitionFilter match {
+      // predicates fall back to all files, scoped per-row below)...
+      val partitionPruned: Seq[AddFile] = config.partitionFilter match {
         case Some(p) if snap.partitionColumns.nonEmpty =>
           try {
             val keep = GraftWriter.matchingFiles(
@@ -124,6 +146,28 @@ object MergeExecutor {
           }
         case _ => snap.files
       }
+      // ...then skip files whose footer min/max proves they cannot hold a
+      // source key (plain equi-merges only): a pruned file provably
+      // contains no match, so it is untouched for update/upsert and
+      // cannot suppress a dedup insert — safe to exclude. RDU deletes
+      // unmatched rows everywhere, so no stat pruning there. This is what
+      // keeps the discovery scan O(overlapping files) on a 100 TB table
+      // with a narrow CDC batch.
+      val candidates: Seq[AddFile] =
+        if (config.mergeType == MergeType.ReplaceDeleteUnmatched) partitionPruned
+        else equiKeyOf(config) match {
+          case Some((srcCol, tgtCol)) if src.columns.contains(srcCol) =>
+            val mm = src.agg(min(col(srcCol)), max(col(srcCol))).first()
+            if (mm.isNullAt(0)) partitionPruned
+            else {
+              val filters = Seq(
+                DataFilter(tgtCol, SkipOp.Ge, mm.get(0)),
+                DataFilter(tgtCol, SkipOp.Le, mm.get(1)))
+              partitionPruned.filter(f =>
+                filters.forall(DataSkipping.mayMatch(f, snap.schema, _)))
+            }
+          case _ => partitionPruned
+        }
       val candDf = table.dfForFiles(snap, candidates)
       // row-level scope (exact even when the filter isn't partition-aligned);
       // filter sits directly on the scan so pruning/pushdown still fire
@@ -182,7 +226,21 @@ object MergeExecutor {
           Map("operation" -> s"MERGE:${config.mergeType.name}"))
       val numOut = table.snapshot().files.map(_.numRecords).sum
       MergeStats(v, numSource, numOut)
-    } finally src.unpersist()
+    }
+  }
+
+  /** `(sourceKey, targetKey)` of a plain equi-merge predicate
+    * `s.K = t.C` / `t.C = s.K`; None for anything richer.
+    */
+  private[merge] def equiKeyOf(config: MergeConfig): Option[(String, String)] = {
+    val re = """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+    config.predicate match {
+      case re(a1, c1, a2, c2) =>
+        if (a1 == config.sourceAlias && a2 == config.targetAlias) Some((c1, c2))
+        else if (a1 == config.targetAlias && a2 == config.sourceAlias) Some((c2, c1))
+        else None
+      case _ => None
+    }
   }
 
   /** The pure-relational core: merge `source` into `target` and return the
