@@ -243,6 +243,47 @@ object GraftWriter {
       remove = toCompact.map(f => RemoveFile(f.path)))
   }
 
+  /** Cluster the table's rows by `cols` — Delta's `OPTIMIZE ZORDER BY`
+    * analog on Spark's range partitioner: rows are range-repartitioned
+    * and sorted within files on the clustering columns, so each
+    * rewritten file covers a near-disjoint min/max interval. After
+    * clustering, the footer-stats skipping that comes free with every
+    * write ([[graft.io.GraftTable.scanPruned]]) turns a point or range
+    * query on the clustered columns into an O(matching-files) read —
+    * the 100 TB access path for a selective non-partition predicate.
+    * One commit swaps all files; readers and time travel are unaffected.
+    */
+  def optimizeCluster(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      maxRecordsPerFile: Long = 4 * 1024 * 1024): Long = {
+    require(cols.nonEmpty, "clustering requires at least one column")
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new CommitLog(path, conf)
+    val fs = new Path(path).getFileSystem(conf)
+    val snap = log.snapshot()
+    val table = new GraftTable(spark, path)
+    val totalRows = snap.files.map(_.numRecords).sum
+    val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
+    val clustered = table.toDf()
+      .repartitionByRange(nOut, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    val added = stageAndPromote(
+      spark, fs, conf, clustered, path, snap.partitionColumns, "zstd")
+    log.commit(
+      operation = "OPTIMIZE",
+      mode = "cluster",
+      schemaDdl = snap.schema.toDDL,
+      partitionColumns = snap.partitionColumns,
+      metadata = Map("cluster_by" -> cols.mkString(",")),
+      operationMetrics = Map(
+        "num_clustered_files" -> snap.files.size.toLong,
+        "num_added_files" -> added.size.toLong),
+      add = added,
+      remove = snap.files.map(f => RemoveFile(f.path)))
+  }
+
   /** Copy-on-write commit: stage `df` as new data files and commit them
     * together with an explicit removal list — the file-granular rewrite
     * primitive behind [[graft.merge.MergeExecutor]] (only the files a

@@ -198,6 +198,29 @@ class TableLayerSpec extends SparkSpec {
     assert(t.vacuum(retainVersions = 2).isEmpty)
   }
 
+  test("optimizeCluster makes data skipping effective on the clustered column") {
+    val p = tmpDir("zord")
+    // shuffled keys: every file's [min,max] spans ~the whole domain,
+    // so a point filter can skip nothing
+    val shuffled = spark.range(0, 4000)
+      .select((col("id") * 2654435761L % 4000).as("k"), col("id").as("v"))
+      .repartition(8)
+    GraftWriter.write(spark, shuffled, p, WriteOptions(mode = WriteMode.Overwrite))
+    val t = GraftTable(spark, p)
+    val filter = Seq(DataFilter("k", SkipOp.Eq, 1234L))
+    val before = t.filesAfterPruning(filter)
+    assert(before == t.snapshot().files.size, "pre-clustering: nothing skippable")
+
+    GraftWriter.optimizeCluster(spark, p, Seq("k"), maxRecordsPerFile = 500)
+    val after = t.filesAfterPruning(filter)
+    assert(t.snapshot().files.size >= 8)
+    assert(after == 1, s"post-clustering a point query must read 1 file, got $after")
+    // contents unchanged
+    assert(t.toDf().agg(sum("v")).first().getLong(0) == (0L until 4000L).sum)
+    // time travel to the pre-clustering version still works
+    assert(t.toDf(Some(0L)).count() == 4000)
+  }
+
   test("age-based vacuum: retention guard, live version untouchable, old tombstones deleted") {
     val p = tmpDir("vaca")
     GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
