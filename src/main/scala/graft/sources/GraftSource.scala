@@ -68,7 +68,8 @@ final class GraftSource
     new org.apache.spark.sql.graft.GraftStreamSource(
       sqlContext,
       pathOf(parameters),
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong),
+      parameters.get("maxCommitsPerTrigger").map(_.toLong))
 }
 
 final case class GraftRelation(

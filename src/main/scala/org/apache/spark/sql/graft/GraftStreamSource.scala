@@ -2,6 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.types.StructType
@@ -21,7 +22,11 @@ import org.apache.spark.sql.types.StructType
   *     rewrites can re-add rows;
   *   - the read schema is pinned at stream start (schema evolution mid
   *     stream requires a restart);
-  *   - `option("startingVersion", v)` begins at commit v instead of 0.
+  *   - `option("startingVersion", v)` begins at commit v instead of 0;
+  *   - `option("maxCommitsPerTrigger", n)` caps each micro-batch at n
+  *     commits (Delta's maxFilesPerTrigger analog), driven through
+  *     [[SupportsAdmissionControl]] so `Trigger.AvailableNow` drains a
+  *     long catch-up log in bounded batches instead of one giant one.
   *
   * Lives under org.apache.spark.sql because the micro-batch DataFrame
   * must be created with `internalCreateDataFrame(..., isStreaming=true)`
@@ -31,7 +36,11 @@ import org.apache.spark.sql.types.StructType
 class GraftStreamSource(
     sqlContext: SQLContext,
     path: String,
-    startingVersion: Option[Long]) extends Source {
+    startingVersion: Option[Long],
+    maxCommitsPerTrigger: Option[Long] = None)
+    extends Source
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
   private def log =
@@ -39,12 +48,43 @@ class GraftStreamSource(
 
   override val schema: StructType = log.snapshot().schema
 
+  /** End version frozen by prepareForTriggerAvailableNow. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxCommitsPerTrigger
+      .map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = log.latestVersion()
+
   override def getOffset: Option[Offset] = log.latestVersion().map(LongOffset(_))
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest = (log.latestVersion(), availableNowCap) match {
+      case (Some(l), Some(cap)) => Some(math.min(l, cap))
+      case (l, _)               => l
+    }
+    latest match {
+      case None => null
+      case Some(l) =>
+        val start = Option(startOffset)
+          .map(versionOf)
+          .orElse(startingVersion.map(_ - 1))
+          .getOrElse(-1L)
+        val end = limit match {
+          case m: ReadMaxFiles => math.min(l, start + m.maxFiles())
+          case _               => l
+        }
+        if (end < 0) null else LongOffset(math.max(end, start))
+    }
+  }
+
+  private def versionOf(o: OffsetV2): Long = o match {
+    case l: LongOffset       => l.offset
     case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.toLong
+    case other               => other.json.toLong
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

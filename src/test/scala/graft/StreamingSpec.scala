@@ -218,5 +218,17 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination()
     assert(GraftTable(spark, dst2).toDf()
       .collect().map(_.getLong(0)).toSet == Set(3L, 4L, 5L))
+
+    // maxCommitsPerTrigger: the 5-commit catch-up proceeds in bounded
+    // batches (AvailableNow drains them all; each sink commit = 1 batch)
+    val dst3 = tmpDir("graft_rs") + "/dst3"
+    val limited = spark.readStream.format("graft")
+      .option("maxCommitsPerTrigger", 2).load(src)
+    val q3 = Streams.toGraftTable(limited, dst3, tmpDir("graft_rs_ckpt3"))
+    q3.awaitTermination()
+    val t3 = GraftTable(spark, dst3)
+    assert(t3.toDf().count() == 5)
+    val batches = t3.history().count(_.metadata.contains("streaming_batch_id"))
+    assert(batches >= 3, s"expected >=3 bounded micro-batches, got $batches")
   }
 }
