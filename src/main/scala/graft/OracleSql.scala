@@ -572,6 +572,34 @@ object OracleSql {
                 CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
                 count(*) AS n
          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    // L2 normalize (float unit vector), projected to exact e6 per element
+    "embedding_normalize" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+                            sqrt(${dot("embedding", "embedding")}) AS nrm
+                     FROM embeddings),
+          u AS (SELECT vec_id,
+                       CASE WHEN nrm > 0
+                            THEN [(x::DOUBLE / nrm)::FLOAT for x in embedding]
+                            ELSE embedding END AS unit
+                FROM n)
+          SELECT vec_id, CAST(i AS BIGINT) AS ord,
+                 CAST(floor(unit[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS unit_e6
+          FROM u, UNNEST(range(1, len(unit) + 1)) AS t(i)""",
+
+    // symmetric per-vector int8 quantization: q = floor(x*127/scale + 0.5)
+    "embedding_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+                           list_max([abs(x::DOUBLE) for x in embedding]) AS scale
+                    FROM embeddings),
+          q AS (SELECT vec_id,
+                       CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_e6,
+                       CASE WHEN scale > 0
+                            THEN [CAST(floor(x::DOUBLE * 127 / scale + 0.5) AS BIGINT) for x in embedding]
+                            ELSE [CAST(0 AS BIGINT) for x in embedding] END AS qs
+                FROM s)
+          SELECT vec_id, scale_e6, CAST(i AS BIGINT) AS ord, qs[i] AS q
+          FROM q, UNNEST(range(1, len(qs) + 1)) AS t(i)"""
   )
 }

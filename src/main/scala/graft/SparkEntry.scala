@@ -513,6 +513,22 @@ object SparkEntry {
         col("sum_e6"), col("n"))
   }
 
+  /** Unit-normalization projected to exact e6 fixed point per element
+    * (the float API result itself is what a pipeline would store).
+    */
+  private def qEmbedNormalize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.normalize(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("ord"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("unit_e6"))
+
+  private def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("scale_e6"),
+        posexplode(col("q8")).as(Seq("pos", "q0")))
+      .select(col("vec_id"), col("scale_e6"),
+        (col("pos") + 1).cast("long").as("ord"), col("q0").cast("long").as("q"))
+
   private def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .groupBy(col("label").cast("long").as("label"))
@@ -574,7 +590,9 @@ object SparkEntry {
     "multimodal_project" -> (qMultimodalProject _),
     "binary_meta" -> (qBinaryMeta _),
     "embedding_stats" -> (qEmbeddingStats _),
-    "embedding_centroid_sums" -> (qCentroidSums _)
+    "embedding_centroid_sums" -> (qCentroidSums _),
+    "embedding_normalize" -> (qEmbedNormalize _),
+    "embedding_quantize_int8" -> (qEmbedQuantize _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,
@@ -595,7 +613,8 @@ object SparkEntry {
     "text_fingerprint", "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",
-    "embedding_centroid_sums")
+    "embedding_centroid_sums", "embedding_normalize",
+    "embedding_quantize_int8")
 
   // ---------- DuckDB oracle SQL ----------
 

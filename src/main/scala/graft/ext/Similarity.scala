@@ -198,6 +198,48 @@ object Similarity {
       .select("id_a", "id_b", "sim_e6")
   }
 
+  /** Unit-normalize the embedding column (L2): the standard prep before
+    * cosine retrieval (dot of unit vectors = cosine). Pure per-row
+    * codegen'd arithmetic — no shuffle; the norm is the exact sequential
+    * double fold, so results are bit-reproducible cross-engine.
+    * Zero vectors pass through unchanged.
+    */
+  def normalize(
+      corpus: DataFrame,
+      vecCol: String = "embedding",
+      outCol: String = "unit"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val n = norm(col(vecCol))
+    corpus.withColumn(outCol,
+      when(n > 0,
+        transform(col(vecCol), x => (x.cast("double") / n).cast("float")))
+        .otherwise(col(vecCol)))
+  }
+
+  /** Symmetric per-vector int8 quantization: scale = max |x|, q[i] =
+    * floor(x·127/scale + 0.5) ∈ [-127, 127] — the usual storage/compute
+    * shrink for retrieval corpora (4× smaller than float32). floor(+0.5)
+    * instead of round() keeps half-way cases engine-independent. Returns
+    * the quantized array plus `scale_e6` for dequantization. Per-row
+    * only — no shuffle.
+    */
+  def quantizeInt8(
+      corpus: DataFrame,
+      vecCol: String = "embedding",
+      outCol: String = "q8"): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    corpus
+      .withColumn("__scale", scale)
+      .withColumn(outCol,
+        when(col("__scale") > 0,
+          transform(col(vecCol), x =>
+            floor(x.cast("double") * 127 / col("__scale") + 0.5).cast("int")))
+          .otherwise(transform(col(vecCol), _ => lit(0))))
+      .withColumn("scale_e6",
+        floor(col("__scale") * 1e6 + 0.5).cast("long")) // engine-independent half
+      .drop("__scale")
+  }
+
   /** IVF top-k: probe only the query's own cell. Trades recall for a
     * |cell|/|corpus| reduction in comparisons.
     */
