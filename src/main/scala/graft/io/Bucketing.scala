@@ -42,14 +42,18 @@ object Bucketing {
       metadata = opts.metadata ++ Map(KeyMeta -> key, CountMeta -> n.toString)))
   }
 
-  /** The table's bucket spec (key column, bucket count), if bucketed. */
-  def spec(table: GraftTable): Option[(String, Int)] = {
-    val c = table.snapshot().commits.last
-    for {
-      k <- c.metadata.get(KeyMeta)
-      n <- c.metadata.get(CountMeta)
-    } yield (k, n.toInt)
-  }
+  /** The table's bucket spec (key column, bucket count), if bucketed —
+    * newest commit carrying the spec wins, so intervening commits
+    * without bucket metadata (OPTIMIZE, coordinated promotes) don't
+    * hide it.
+    */
+  def spec(table: GraftTable): Option[(String, Int)] =
+    table.history().iterator.map { c =>
+      for {
+        k <- c.metadata.get(KeyMeta)
+        n <- c.metadata.get(CountMeta)
+      } yield (k, n.toInt)
+    }.collectFirst { case Some(s) => s }
 
   /** Bucket id of a literal value (must match the write-side hash). The
     * `pmod(murmur3(v), n)` expression is evaluated directly on the driver

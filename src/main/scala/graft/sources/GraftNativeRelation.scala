@@ -33,9 +33,14 @@ object GraftNativeRelation {
   /** Native logical plan for the table at `path` (declared column order
     * and types, like `GraftTable.toDf`).
     */
-  def plan(spark: SparkSession, path: String, versionAsOf: Option[Long]): LogicalPlan = {
+  /** Native logical plan, or None when substitution cannot represent the
+    * table (no live files — partition dirs can't be inferred from an
+    * empty file index; the V1 relation handles that case correctly).
+    */
+  def plan(spark: SparkSession, path: String, versionAsOf: Option[Long]): Option[LogicalPlan] = {
     val table = graft.io.GraftTable(spark, path)
     val snap = table.snapshot(versionAsOf)
+    if (snap.files.isEmpty) return None
     val partCols = snap.partitionColumns.toSet
     val dataSchema = StructType(snap.schema.filterNot(f => partCols(f.name)))
     val files = snap.files.map(f => new Path(path, f.path))
@@ -45,34 +50,37 @@ object GraftNativeRelation {
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
-      bucketSpec = bucketSpecOf(snap),
+      bucketSpec = bucketSpecOf(table, snap),
       fileFormat = new ParquetFileFormat,
       options = Map("basePath" -> path))(spark)
     val lr = LogicalRelation(relation)
     val byName = lr.output.map(a => a.name -> a).toMap
-    // pin declared column order + partition column types
+    // pin declared column order + partition column types; bail out (None)
+    // if the inferred relation is missing a declared column — the V1
+    // fallback stays correct
+    if (!snap.schema.forall(f => byName.contains(f.name))) return None
     val projections: Seq[NamedExpression] = snap.schema.map { f =>
       val attr = byName(f.name)
       if (attr.dataType == f.dataType) attr
       else Alias(Cast(attr, f.dataType), f.name)()
     }
-    Project(projections, lr)
+    Some(Project(projections, lr))
   }
 
   /** The table's bucket layout as a Spark BucketSpec — only when every
     * live file carries a parseable `_NNNNN` bucket suffix (older tables
-    * written before suffixing fall back to a plain scan).
+    * written before suffixing fall back to a plain scan). The spec is
+    * searched newest-first through history, so intervening commits
+    * without bucket metadata (e.g. OPTIMIZE) don't hide it.
     */
-  private def bucketSpecOf(snap: graft.log.Snapshot): Option[BucketSpec] = {
-    val meta = snap.commits.last.metadata
+  private def bucketSpecOf(
+      table: graft.io.GraftTable, snap: graft.log.Snapshot): Option[BucketSpec] =
     for {
-      key <- meta.get("bucket_column")
-      n <- meta.get("bucket_count").map(_.toInt)
-      if snap.files.nonEmpty && snap.files.forall(f =>
+      (key, n) <- graft.io.Bucketing.spec(table)
+      if snap.files.forall(f =>
         bucketIdFromName(f.path) ==
           f.partitionValues.get(graft.io.Bucketing.BucketCol).map(_.toInt))
     } yield BucketSpec(n, Seq(key), Nil)
-  }
 
   /** Mirror of Spark's `BucketingUtils.getBucketId` name parse. */
   private[sources] def bucketIdFromName(relPath: String): Option[Int] = {
@@ -93,10 +101,13 @@ object GraftNativeRelation {
 class GraftRelationSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case lr @ LogicalRelation(g: GraftRelation, out, _, _, _) =>
-      val native = GraftNativeRelation.plan(spark, g.path, g.versionAsOf)
-      val byName = native.output.map(a => a.name -> a).toMap
-      Project(
-        out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
-        native)
+      GraftNativeRelation.plan(spark, g.path, g.versionAsOf) match {
+        case Some(native) =>
+          val byName = native.output.map(a => a.name -> a).toMap
+          Project(
+            out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
+            native)
+        case None => lr // empty/unrepresentable table: V1 path is correct
+      }
   }
 }

@@ -67,6 +67,25 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("bucket spec and bucketed scan survive OPTIMIZE compaction") {
+    val p = tmpDir("bkopt")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    // two bucketed appends => multiple files per bucket, then compact
+    Bucketing.write(spark, orders.filter(col("o_orderkey") % 2 === 0), p, "o_orderkey", 4)
+    Bucketing.write(spark, orders.filter(col("o_orderkey") % 2 === 1), p, "o_orderkey", 4,
+      WriteOptions(mode = WriteMode.Append))
+    GraftWriter.optimize(spark, p)
+    val t = GraftTable(spark, p)
+    // the OPTIMIZE commit carries no bucket metadata, but history search finds it
+    assert(Bucketing.spec(t).contains(("o_orderkey", 4)))
+    assert(Bucketing.lookup(t, 42L).count() == 1)
+    // compacted files still carry parseable bucket ids => native scan keeps BucketSpec
+    val plan = spark.read.format("graft").load(p)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: "), s"expected a bucket-aware scan:\n$plan")
+  }
+
   test("mismatched bucket counts are rejected") {
     val pa = tmpDir("bka")
     val pb = tmpDir("bkb")

@@ -54,6 +54,15 @@ class SourceSpec extends SparkSpec {
     assert(df.as[Long].collect().sorted.toSeq == (10L until 100L).map(_ * 2))
   }
 
+  test("format(graft) reads empty tables through the V1 fallback") {
+    val p = tmpDir("srce")
+    GraftWriter.write(spark, spark.range(0).select(col("id").as("k")), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val r = spark.read.format("graft").load(p)
+    assert(r.count() == 0)
+    assert(r.schema.fieldNames.toSeq == Seq("k"))
+  }
+
   test("source handles unpushable filters as residuals") {
     val p = tmpDir("srcr")
     GraftWriter.write(spark,
