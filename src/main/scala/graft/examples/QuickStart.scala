@@ -222,6 +222,36 @@ object QuickStart {
     val rewritten = hof.queryExecution.optimizedPlan.toString.contains("graft_dot")
     println(s"[16] optimizer rewrite applied=$rewritten " +
       s"norm2(vec 0)=${hof.first().getDouble(1)}")
+
+    // 17. range-clustering compaction: point queries skip to one file
+    val zt = s"$out/clustered"
+    GraftWriter.write(spark,
+      spark.range(0, 4000).select((col("id") * 2654435761L % 4000).as("k"),
+        col("id").as("v")).repartition(8),
+      zt, WriteOptions(mode = WriteMode.Overwrite))
+    val ztable = GraftTable(spark, zt)
+    val zfilt = Seq(DataFilter("k", SkipOp.Eq, 1234L))
+    val zBefore = ztable.filesAfterPruning(zfilt)
+    GraftWriter.optimizeCluster(spark, zt, Seq("k"), maxRecordsPerFile = 500)
+    println(s"[17] optimizeCluster: point query reads " +
+      s"${ztable.filesAfterPruning(zfilt)} of ${ztable.snapshot().files.size} files " +
+      s"(was $zBefore of 8)")
+
+    // 18. streaming READ of a graft table: tail the commit log
+    val streamed = spark.readStream.format("graft")
+      .option("maxCommitsPerTrigger", 2).load(bo)
+    val echo = s"$out/stream_echo"
+    val echoQ = graft.streaming.Streams.toGraftTable(
+      streamed, echo, s"$out/stream_echo_ckpt")
+    echoQ.awaitTermination()
+    println(s"[18] readStream(graft) -> sink: rows=" +
+      s"${GraftTable(spark, echo).toDf().count()} " +
+      s"(source rows=${GraftTable(spark, bo).toDf().count()})")
+
+    // 19. commit-log checkpoint: replay reads 1 checkpoint + suffix
+    val log = new graft.log.CommitLog(table, spark.sessionState.newHadoopConf())
+    println(s"[19] log versions=${log.versions().size}, " +
+      s"checkpoints at=${log.checkpointVersions().mkString(",")}")
     spark.stop()
   }
 }

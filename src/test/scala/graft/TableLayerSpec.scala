@@ -395,6 +395,31 @@ class TableLayerSpec extends SparkSpec {
     assert(GraftTable(spark, p).toDf(Some(102L)).count() == 103)
   }
 
+  test("concurrent GraftWriter appends all land (full write path under contention)") {
+    val p = tmpDir("cw")
+    GraftWriter.write(spark, Seq((0L, 0L)).toDF("a", "b"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val threads = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    val failures = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+    (1 to threads).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try GraftWriter.write(spark, Seq((i.toLong, i.toLong)).toDF("a", "b"), p,
+            WriteOptions(mode = WriteMode.Append))
+          catch { case t: Throwable => failures.add(t) }
+          finally done.countDown()
+      })
+    }
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, s"writes failed: $failures")
+    val t = GraftTable(spark, p)
+    assert(t.toDf().count() == threads + 1)
+    assert(t.version() == threads.toLong) // one commit per writer
+  }
+
   test("concurrent committers never silently lose a commit") {
     import graft.log.{AddFile, CommitLog}
     val p = tmpDir("cc")
