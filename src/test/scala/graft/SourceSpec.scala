@@ -54,6 +54,24 @@ class SourceSpec extends SparkSpec {
     assert(df.as[Long].collect().sorted.toSeq == (10L until 100L).map(_ * 2))
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING graft") {
+    val p = tmpDir("srcsql")
+    GraftWriter.write(spark, spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") % 5).as("g")), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    spark.sql(s"CREATE TABLE graft_ddl USING graft OPTIONS (path '$p')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_ddl").first().getLong(0) == 50)
+      val agg = spark.sql(
+        "SELECT g, count(*) AS n FROM graft_ddl GROUP BY g ORDER BY g")
+      assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        (0L until 5L).map(g => (g, 10L)))
+      // the catalog table also goes through the native substitution
+      val physical = spark.table("graft_ddl").queryExecution.executedPlan.toString
+      assert(physical.contains("FileScan parquet"), s"plan:\n$physical")
+    } finally spark.sql("DROP TABLE graft_ddl")
+  }
+
   test("format(graft) reads empty tables through the V1 fallback") {
     val p = tmpDir("srce")
     GraftWriter.write(spark, spark.range(0).select(col("id").as("k")), p,
