@@ -58,7 +58,13 @@ final case class WriteOptions(
       * gets O(1) files instead of (#tasks × #partitions) — the
       * anti-small-files move that matters at 100 TB.
       */
-    clusterByPartition: Boolean = true)
+    clusterByPartition: Boolean = true,
+    /** Cap rows per output file (Spark's maxRecordsPerFile); 0 = no cap.
+      * The anti-HUGE-files bound: with clusterByPartition a partition's
+      * data lands in one task, and this splits that task's output into
+      * scan-parallelizable files.
+      */
+    maxRecordsPerFile: Long = 0L)
 
 /** Transactional writer over [[graft.log.CommitLog]].
   *
@@ -136,7 +142,8 @@ object GraftWriter {
         effectiveDf.repartition(partitionCols.map(col): _*)
       else effectiveDf
     val added =
-      stageAndPromote(spark, fs, conf, writeDf, path, partitionCols, opts.compression)
+      stageAndPromote(spark, fs, conf, writeDf, path, partitionCols,
+        opts.compression, opts.maxRecordsPerFile)
 
     // Commit with bounded retry: on a concurrent-commit conflict the
     // staged files stay valid — only the log actions (removals, evolved
@@ -338,13 +345,16 @@ object GraftWriter {
       writeDf: DataFrame,
       path: String,
       partitionCols: Seq[String],
-      compression: String): Seq[AddFile] = {
+      compression: String,
+      maxRecordsPerFile: Long = 0L): Seq[AddFile] = {
     val stage = new Path(path, s"_staging-${UUID.randomUUID()}")
     val tsConfKey = "spark.sql.parquet.outputTimestampType"
     val prevTsConf = spark.conf.getOption(tsConfKey)
     try {
       spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
       var w = writeDf.write.option("compression", compression)
+      if (maxRecordsPerFile > 0)
+        w = w.option("maxRecordsPerFile", maxRecordsPerFile)
       if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
       w.parquet(stage.toString)
       promoteStaged(fs, conf, stage, new Path(path))

@@ -43,6 +43,12 @@ final case class MergeConfig(
       * (reference: config.py `error_on_type_mismatch`, default true).
       */
     errorOnTypeMismatch: Boolean = true,
+    /** Delta parity: error when one target row matches more than one
+      * source row in an update strategy (default false keeps the
+      * documented emit-one-row-per-match semantics; enabling costs one
+      * extra aggregation over the matched pairs).
+      */
+    failOnMultipleMatches: Boolean = false,
     metadata: Map[String, String] = Map.empty)
 
 final case class MergeStats(
@@ -265,6 +271,23 @@ object MergeExecutor {
 
     def t = target.alias(ta)
     def s = source.alias(sa)
+
+    if (config.failOnMultipleMatches &&
+        config.mergeType != MergeType.DeduplicateInsert) {
+      val tid = "__graft_tid"
+      val multi = target.withColumn(tid, monotonically_increasing_id())
+        .alias(ta)
+        .join(s, cond, "inner")
+        .groupBy(col(tid))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .limit(1)
+        .count()
+      require(multi == 0,
+        s"merge ${config.mergeType.name}: a target row matches multiple " +
+          "source rows (Delta semantics); deduplicate the source on the " +
+          "merge key or unset failOnMultipleMatches")
+    }
     // NOT EXISTS via anti joins (null-safe matched detection via marker lit)
     def updated: DataFrame =
       t.join(s.withColumn(marker, lit(true)), cond, "left")

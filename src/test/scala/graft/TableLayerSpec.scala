@@ -285,6 +285,32 @@ class TableLayerSpec extends SparkSpec {
     assert(contents(p) == Set((2L, "s2")))
   }
 
+  test("maxRecordsPerFile splits a clustered partition's output into bounded files") {
+    val p = tmpDir("mrpf")
+    GraftWriter.write(spark,
+      spark.range(0, 1000).select(col("id").as("a"), lit("x").as("pt")),
+      p, WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pt"),
+        maxRecordsPerFile = 250))
+    val files = GraftTable(spark, p).snapshot().files
+    assert(files.size == 4, s"expected 4 capped files, got ${files.size}")
+    assert(files.forall(_.numRecords <= 250))
+  }
+
+  test("failOnMultipleMatches rejects ambiguous updates (Delta parity)") {
+    val p = tmpDir("mfm")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    val dupSource = Seq((2L, "s2a"), (2L, "s2b")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeExecutor.merge(spark, dupSource, p,
+        cfg(MergeType.Upsert).copy(failOnMultipleMatches = true))
+    }
+    assert(e.getMessage.contains("multiple"))
+    // unique-match source still merges fine with the flag on
+    MergeExecutor.merge(spark, source, p,
+      cfg(MergeType.Upsert).copy(failOnMultipleMatches = true))
+    assert(contents(p) == Set((1L, "t1"), (2L, "s2"), (3L, "t3"), (4L, "s4")))
+  }
+
   test("merge rejects type mismatches unless disabled") {
     val p = tmpDir("mtm")
     GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
