@@ -134,16 +134,22 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val vecsum = udaf(new graft.functions.VecSumE6())
+    val spark = corpus.sparkSession
     var cents = centroidsK(corpus, numCentroids, idCol, vecCol)
     for (_ <- 1 to iters) {
       val assigned = assignCells(corpus, cents, idCol, vecCol)
-      cents = assigned
+      val next = assigned
         .groupBy(col("cell").as("c_id"))
         .agg(vecsum(col(vecCol)).as("agg"))
         .select(col("c_id"),
           transform(col("agg.sums"),
             s => (s.cast("double") / lit(1e6) / col("agg.n")).cast("float"))
             .as("c_vec"))
+      // localize the k centroid rows (tiny by construction): each Lloyd
+      // step otherwise stacks a full assignment pass into the lineage,
+      // which every downstream assignCells would replay per use
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
   }
