@@ -197,6 +197,35 @@ final class CommitLog(
       commits)
   }
 
+  /** Delete log entries that are both superseded by a checkpoint and
+    * older than `retainMillis` — Delta's log-retention cleanup, which is
+    * what bounds `_graft_log/` growth when a streaming sink commits per
+    * micro-batch. The newest checkpoint older than the cutoff becomes
+    * the replay boundary: it and everything after it are kept; commits
+    * and checkpoints below it are deleted (time travel below the
+    * boundary becomes unavailable — the standard retention tradeoff).
+    * Returns the deleted file names.
+    */
+  def cleanOldLogs(
+      retainMillis: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    require(retainMillis >= 0, "retention must be non-negative")
+    val cutoffTs = nowMs - retainMillis
+    val vs = versions()
+    val boundary = checkpointVersions()
+      .filter(v => vs.contains(v))
+      .filter(v => readCommit(v).timestampMs < cutoffTs)
+      .lastOption
+    boundary match {
+      case None => Nil
+      case Some(b) =>
+        val doomed =
+          vs.filter(_ < b).map(versionFile) ++
+            checkpointVersions().filter(_ < b).map(checkpointFile)
+        doomed.filter(p => fs.delete(p, false)).map(_.getName)
+    }
+  }
+
   /** Write the checkpoint for `v` (idempotent — content is a pure
     * function of the log at `v`; overwrite is safe).
     */

@@ -421,6 +421,31 @@ class TableLayerSpec extends SparkSpec {
     assert(GraftTable(spark, p).toDf(Some(102L)).count() == 103)
   }
 
+  test("log-retention cleanup keeps the checkpoint boundary readable") {
+    import graft.log.CommitLog
+    val p = tmpDir("logret")
+    (0 until 25).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, i.toLong)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val log = new CommitLog(p, spark.sessionState.newHadoopConf())
+    assert(log.checkpointVersions() == Seq(10L, 20L))
+    // nothing old enough yet
+    assert(log.cleanOldLogs(60000L).isEmpty)
+    // a month from now everything up to the newest checkpoint (v20) goes
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    val deleted = log.cleanOldLogs(1000L, nowMs = future)
+    assert(deleted.nonEmpty)
+    assert(log.versions() == (20L to 24L))
+    assert(log.checkpointVersions() == Seq(20L))
+    // full contents still reconstruct through ckpt-20 + suffix
+    assert(GraftTable(spark, p).toDf().count() == 25)
+    assert(GraftTable(spark, p).toDf(Some(22L)).count() == 23)
+    intercept[Exception] { GraftTable(spark, p).toDf(Some(5L)) }
+    // idempotent
+    assert(log.cleanOldLogs(1000L, nowMs = future).isEmpty)
+  }
+
   test("concurrent GraftWriter appends all land (full write path under contention)") {
     val p = tmpDir("cw")
     GraftWriter.write(spark, Seq((0L, 0L)).toDF("a", "b"), p,
