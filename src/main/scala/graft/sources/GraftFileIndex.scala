@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.{DataFilter, DataSkipping, SkipOp}
+import graft.log.{AddFile, Snapshot}
+
+/** FileIndex over commit-log metadata: the snapshot's add actions already
+  * carry every path, size, mtime, partition value, and per-column
+  * min/max, so planning a scan costs ZERO filesystem calls — no
+  * directory listing, no per-file stat (InMemoryFileIndex stats each
+  * file up front; on an object store with millions of files that is the
+  * dominant planning cost — this is Delta's TahoeFileIndex role).
+  *
+  * `listFiles` also does two prunes driver-side:
+  *   - partition pruning: catalyst partition filters evaluated against
+  *     the typed partition values from the log;
+  *   - data skipping: comparison filters against footer min/max stats
+  *     drop whole files (the commit-log skipping of
+  *     [[graft.io.GraftTable.scanPruned]], now automatic for every SQL /
+  *     DataFrame read through `format("graft")`). Unsupported filter
+  *     shapes simply skip nothing — Spark re-applies all filters above
+  *     the scan.
+  */
+final class GraftFileIndex(
+    spark: SparkSession,
+    tablePath: String,
+    snap: Snapshot) extends FileIndex {
+
+  override val partitionSchema: StructType =
+    StructType(snap.partitionColumns.map(c =>
+      snap.schema.find(_.name == c).getOrElse(
+        throw new IllegalStateException(s"partition column $c missing from schema"))))
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+
+  private val zone = spark.sessionState.conf.sessionLocalTimeZone
+
+  /** Typed partition value row per distinct partition-dir value map. */
+  private lazy val dirs: Seq[(InternalRow, Seq[AddFile])] =
+    snap.files.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+      val row = InternalRow.fromSeq(partitionSchema.map { f =>
+        pv.get(f.name) match {
+          case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+          case Some(s) => Cast(Literal(s), f.dataType, Some(zone)).eval(null)
+        }
+      })
+      (row, files)
+    }
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val selected =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) dirs
+      else {
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name)
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        }
+        val pred = Predicate.create(bound)
+        pred.initialize(0)
+        dirs.filter { case (row, _) => pred.eval(row) }
+      }
+    val skips = dataFilters.flatMap(toSkip)
+    selected.map { case (row, files) =>
+      val kept =
+        if (skips.isEmpty) files
+        else files.filter(f => skips.forall(DataSkipping.mayMatch(f, snap.schema, _)))
+      PartitionDirectory(row, kept.map(status).toArray)
+    }
+  }
+
+  /** Catalyst comparison filters -> data-skipping shapes (conservative:
+    * anything unrecognized skips nothing).
+    */
+  private def toSkip(e: Expression): Seq[DataFilter] = {
+    def value(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case other => other
+    }
+    def mk(a: Attribute, op: SkipOp, v: Any): Seq[DataFilter] =
+      if (v == null) Nil else Seq(DataFilter(a.name, op, value(v)))
+    e match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Eq, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Eq, v)
+      case LessThan(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Lt, v)
+      case LessThan(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Gt, v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Le, v)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Ge, v)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Gt, v)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Lt, v)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Ge, v)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Le, v)
+      case And(l, r) => toSkip(l) ++ toSkip(r)
+      case _ => Nil
+    }
+  }
+
+  private def status(f: AddFile): FileStatus =
+    new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024,
+      f.modificationTime, new Path(tablePath, f.path))
+
+  override def inputFiles: Array[String] =
+    snap.files.map(f => new Path(tablePath, f.path).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = snap.files.map(_.sizeBytes).sum
+
+  override def toString: String =
+    s"GraftFileIndex[$tablePath v${snap.version}, ${snap.files.size} files]"
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.catalog.BucketSpec
 import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
@@ -31,21 +31,17 @@ import org.apache.spark.sql.types.StructType
 object GraftNativeRelation {
 
   /** Native logical plan for the table at `path` (declared column order
-    * and types, like `GraftTable.toDf`).
-    */
-  /** Native logical plan, or None when substitution cannot represent the
-    * table (no live files — partition dirs can't be inferred from an
-    * empty file index; the V1 relation handles that case correctly).
+    * and types, like `GraftTable.toDf`), or None if the relation cannot
+    * represent the declared schema (the V1 relation stays correct).
     */
   def plan(spark: SparkSession, path: String, versionAsOf: Option[Long]): Option[LogicalPlan] = {
     val table = graft.io.GraftTable(spark, path)
     val snap = table.snapshot(versionAsOf)
-    if (snap.files.isEmpty) return None
     val partCols = snap.partitionColumns.toSet
     val dataSchema = StructType(snap.schema.filterNot(f => partCols(f.name)))
-    val files = snap.files.map(f => new Path(path, f.path))
-    val index = new InMemoryFileIndex(
-      spark, files, Map("basePath" -> path), Some(snap.schema))
+    // commit-log-backed index: zero FS listing, driver-side partition
+    // pruning, footer-stats data skipping
+    val index = new GraftFileIndex(spark, path, snap)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,

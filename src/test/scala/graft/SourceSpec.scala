@@ -72,13 +72,31 @@ class SourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_ddl")
   }
 
-  test("format(graft) reads empty tables through the V1 fallback") {
+  test("format(graft) reads empty tables correctly") {
     val p = tmpDir("srce")
     GraftWriter.write(spark, spark.range(0).select(col("id").as("k")), p,
       WriteOptions(mode = WriteMode.Overwrite))
     val r = spark.read.format("graft").load(p)
     assert(r.count() == 0)
     assert(r.schema.fieldNames.toSeq == Seq("k"))
+  }
+
+  test("commit-log file index: zero-listing scan with stats skipping in the SQL path") {
+    val p = tmpDir("srcskip")
+    // 8 range-clustered files => disjoint k intervals in footer stats
+    GraftWriter.write(spark, spark.range(0, 4000)
+      .select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(8, col("k")), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val df = spark.read.format("graft").load(p).filter(col("k") === 1234L)
+    assert(df.collect().map(_.getLong(1)).toSeq == Seq(1234L))
+    // the GraftFileIndex handed only stat-overlapping files to the scan
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+    assert(scan.metrics("numFiles").value == 1L,
+      s"expected stats skipping to 1 file, read ${scan.metrics("numFiles").value}")
   }
 
   test("source handles unpushable filters as residuals") {
