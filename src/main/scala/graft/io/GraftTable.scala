@@ -45,27 +45,35 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   }
 
   /** Advanced: read a specific file subset of a snapshot (used by the
-    * streaming source and bucketing internals).
+    * streaming source and bucketing internals). Plans over the
+    * commit-log FileIndex — zero filesystem listing, with partition
+    * pruning and footer-stats skipping driven from log metadata (see
+    * [[graft.sources.GraftFileIndex]]); falls back to a plain parquet
+    * read if the native plan cannot represent the schema.
     */
   def dfForFiles(
       snap: Snapshot,
       files: Seq[AddFile],
       readOptions: Map[String, String] = Map.empty): DataFrame = {
     val schema = snap.schema
-    if (files.isEmpty) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema)
-    }
-    val partCols = snap.partitionColumns.toSet
-    val dataSchema = StructType(schema.filterNot(f => partCols(f.name)))
-    val abs = files.map(f => new Path(path, f.path).toString)
-    val raw = spark.read
-      .schema(dataSchema)
-      .options(readOptions)
-      .option("basePath", path)
-      .parquet(abs: _*)
-    // pin column order + partition column types to the declared schema
-    raw.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val sub = snap.copy(files = files)
+    graft.sources.GraftNativeRelation
+      .planFor(spark, path, sub, bucketSpec = None, readOptions = readOptions)
+      .map(p => org.apache.spark.sql.graft.GraftInternal.dfFromPlan(spark, p))
+      .getOrElse {
+        if (files.isEmpty)
+          return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        val partCols = snap.partitionColumns.toSet
+        val dataSchema = StructType(schema.filterNot(f => partCols(f.name)))
+        val abs = files.map(f => new Path(path, f.path).toString)
+        val raw = spark.read
+          .schema(dataSchema)
+          .options(readOptions)
+          .option("basePath", path)
+          .parquet(abs: _*)
+        // pin column order + partition column types to the declared schema
+        raw.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
   }
 
   /** Sliced scan: partition predicate (read-side range semantics) +

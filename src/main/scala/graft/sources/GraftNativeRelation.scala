@@ -37,6 +37,19 @@ object GraftNativeRelation {
   def plan(spark: SparkSession, path: String, versionAsOf: Option[Long]): Option[LogicalPlan] = {
     val table = graft.io.GraftTable(spark, path)
     val snap = table.snapshot(versionAsOf)
+    planFor(spark, path, snap, bucketSpecOf(table, snap))
+  }
+
+  /** Plan over an explicit snapshot (or file-subset view of one) —
+    * shared by the `format("graft")` substitution and the programmatic
+    * `GraftTable.toDf`/`dfForFiles` path.
+    */
+  def planFor(
+      spark: SparkSession,
+      path: String,
+      snap: graft.log.Snapshot,
+      bucketSpec: Option[BucketSpec] = None,
+      readOptions: Map[String, String] = Map.empty): Option[LogicalPlan] = {
     val partCols = snap.partitionColumns.toSet
     val dataSchema = StructType(snap.schema.filterNot(f => partCols(f.name)))
     // commit-log-backed index: zero FS listing, driver-side partition
@@ -46,9 +59,9 @@ object GraftNativeRelation {
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
-      bucketSpec = bucketSpecOf(table, snap),
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat,
-      options = Map("basePath" -> path))(spark)
+      options = readOptions + ("basePath" -> path))(spark)
     val lr = LogicalRelation(relation)
     val byName = lr.output.map(a => a.name -> a).toMap
     // pin declared column order + partition column types; bail out (None)
