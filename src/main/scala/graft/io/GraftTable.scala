@@ -41,7 +41,10 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     */
   def toDf(versionAsOf: Option[Long], readOptions: Map[String, String]): DataFrame = {
     val snap = snapshot(versionAsOf)
-    dfForFiles(snap, snap.files, readOptions)
+    // full-snapshot reads of bucketed tables report HashPartitioning, so
+    // downstream joins/aggs on the bucket key skip their exchange
+    dfForFiles(snap, snap.files, readOptions,
+      graft.sources.GraftNativeRelation.bucketSpecOf(this, snap))
   }
 
   /** Advanced: read a specific file subset of a snapshot (used by the
@@ -54,11 +57,12 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def dfForFiles(
       snap: Snapshot,
       files: Seq[AddFile],
-      readOptions: Map[String, String] = Map.empty): DataFrame = {
+      readOptions: Map[String, String] = Map.empty,
+      bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None): DataFrame = {
     val schema = snap.schema
     val sub = snap.copy(files = files)
     graft.sources.GraftNativeRelation
-      .planFor(spark, path, sub, bucketSpec = None, readOptions = readOptions)
+      .planFor(spark, path, sub, bucketSpec = bucketSpec, readOptions = readOptions)
       .map(p => org.apache.spark.sql.graft.GraftInternal.dfFromPlan(spark, p))
       .getOrElse {
         if (files.isEmpty)

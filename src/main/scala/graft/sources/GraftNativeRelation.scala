@@ -82,7 +82,7 @@ object GraftNativeRelation {
     * searched newest-first through history, so intervening commits
     * without bucket metadata (e.g. OPTIMIZE) don't hide it.
     */
-  private def bucketSpecOf(
+  private[graft] def bucketSpecOf(
       table: graft.io.GraftTable, snap: graft.log.Snapshot): Option[BucketSpec] =
     for {
       (key, n) <- graft.io.Bucketing.spec(table)
