@@ -141,6 +141,36 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def history(): Seq[graft.log.Commit] =
     log.versions().map(log.readCommit).reverse
 
+  /** Deep clean: physically delete data files under the table root that
+    * no surviving log entry references (their remove tombstones may have
+    * been dropped by `CommitLog.cleanOldLogs`) and whose modification
+    * time is older than `retainMillis` — the directory-listing posture of
+    * Delta's VACUUM, as the complement to the log-driven
+    * [[vacuumOlderThan]]. Internal dirs (`_graft_log`, `_staging-*`,
+    * `_branches`) are never touched.
+    */
+  def vacuumOrphans(
+      retainMillis: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val cutoff = nowMs - retainMillis
+    val referenced: Set[String] =
+      log.versions().flatMap(v => log.readCommit(v).add.map(_.path)).toSet
+    val fs = log.fs
+    val rootAbs = fs.makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(new Path(path), true)
+    val doomed = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      val abs = st.getPath.toUri.getPath
+      val rel = abs.stripPrefix(rootAbs).stripPrefix("/")
+      val internal = rel.startsWith("_") || rel.contains("/_") ||
+        rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!internal && rel.endsWith(".parquet") && !referenced(rel) &&
+          st.getModificationTime < cutoff) doomed += rel
+    }
+    doomed.toSeq.filter(rel => fs.delete(new Path(path, rel), false))
+  }
+
   /** Physically delete data files not live in any of the newest
     * `retainVersions` snapshots (they were logically removed earlier).
     * Time travel remains possible only within the retained window —

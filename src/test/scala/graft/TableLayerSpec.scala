@@ -421,6 +421,35 @@ class TableLayerSpec extends SparkSpec {
     assert(GraftTable(spark, p).toDf(Some(102L)).count() == 103)
   }
 
+  test("null partition values round-trip (hive default partition)") {
+    val p = tmpDir("nullpart")
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
+      .toDF("k", "pt")
+    GraftWriter.write(spark, df, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pt")))
+    val t = GraftTable(spark, p)
+    assert(t.toDf().count() == 3)
+    assert(t.toDf().filter(col("pt").isNull).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.read.format("graft").load(p)
+      .filter(col("pt") === "a").count() == 2)
+  }
+
+  test("vacuumOrphans deletes unreferenced files only") {
+    val p = tmpDir("orph")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    // drop an unreferenced parquet straggler into the table dir
+    val stray = new java.io.File(p, "stray-leftover.parquet")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    val t = GraftTable(spark, p)
+    // too young: kept
+    assert(t.vacuumOrphans(60000L).isEmpty)
+    val future = System.currentTimeMillis() + 60000
+    val deleted = t.vacuumOrphans(1000L, nowMs = future)
+    assert(deleted == Seq("stray-leftover.parquet"))
+    assert(!stray.exists())
+    assert(t.toDf().count() == 3) // live data untouched
+  }
+
   test("log-retention cleanup keeps the checkpoint boundary readable") {
     import graft.log.CommitLog
     val p = tmpDir("logret")
