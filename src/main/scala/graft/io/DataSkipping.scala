@@ -16,18 +16,29 @@ object SkipOp {
   case object Le extends SkipOp
   case object Gt extends SkipOp
   case object Ge extends SkipOp
+  /** value ignored; prunes via per-file null counts. */
+  case object IsNull extends SkipOp
+  /** value ignored; prunes all-null files via nullCount == numRecords. */
+  case object IsNotNull extends SkipOp
+  /** value is a Seq of candidates; prunes when none lies in [min, max]. */
+  case object In extends SkipOp
 }
 
 /** A simple `column op literal` filter usable for file pruning. Value
-  * types: Int/Long/Double/String/java.sql.Timestamp.
+  * types: Int/Long/Double/String/java.sql.Timestamp (Seq thereof for In;
+  * ignored for IsNull/IsNotNull).
   */
-final case class DataFilter(column: String, op: SkipOp, value: Any) {
+final case class DataFilter(column: String, op: SkipOp, value: Any = null) {
   def toColumn: Column = op match {
     case SkipOp.Eq => col(column) === lit(value)
     case SkipOp.Lt => col(column) < lit(value)
     case SkipOp.Le => col(column) <= lit(value)
     case SkipOp.Gt => col(column) > lit(value)
     case SkipOp.Ge => col(column) >= lit(value)
+    case SkipOp.IsNull => col(column).isNull
+    case SkipOp.IsNotNull => col(column).isNotNull
+    case SkipOp.In =>
+      col(column).isin(value.asInstanceOf[Seq[Any]]: _*)
   }
 }
 
@@ -64,28 +75,50 @@ private[graft] object DataSkipping {
     val dtOpt = schema.find(_.name == f.column).map(_.dataType)
     (statOpt, dtOpt) match {
       case (Some(st), Some(dt)) =>
-        val (minV, maxV) = (
-          st.min.flatMap(parseStat(_, dt)),
-          st.max.flatMap(parseStat(_, dt)))
-        if (minV.isEmpty || maxV.isEmpty) return true
-        // timestamp filter values arrive as Timestamp; stats as micros
-        val fv = f.value
-        def cmpNum(a: Any, b: Any): Option[Int] =
-          for { x <- num(a); y <- num(b) } yield x.compare(y)
-        def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-          case (x: String, y: String) => Some(x.compareTo(y))
-          case _ => cmpNum(a, b)
+        f.op match {
+          case SkipOp.IsNull =>
+            // a file with zero nulls in the column cannot match
+            st.nullCount > 0
+          case SkipOp.IsNotNull =>
+            // an all-null file cannot match
+            file.numRecords <= 0 || st.nullCount < file.numRecords
+          case _ =>
+            val (minV, maxV) = (
+              st.min.flatMap(parseStat(_, dt)),
+              st.max.flatMap(parseStat(_, dt)))
+            if (minV.isEmpty || maxV.isEmpty) return true
+            // timestamp filter values arrive as Timestamp; stats as micros
+            def cmpNum(a: Any, b: Any): Option[Int] =
+              for { x <- num(a); y <- num(b) } yield x.compare(y)
+            def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+              case (x: String, y: String) => Some(x.compareTo(y))
+              case _ => cmpNum(a, b)
+            }
+            def inRange(v: Any): Boolean =
+              (for {
+                cMin <- cmp(minV.get, v)
+                cMax <- cmp(maxV.get, v)
+              } yield cMin <= 0 && cMax >= 0).getOrElse(true)
+            f.op match {
+              case SkipOp.In => f.value match {
+                case vs: Seq[_] => vs.isEmpty || vs.exists(inRange)
+                case _ => true
+              }
+              case _ =>
+                val fv = f.value
+                (for {
+                  cMin <- cmp(minV.get, fv) // min ? value
+                  cMax <- cmp(maxV.get, fv) // max ? value
+                } yield f.op match {
+                  case SkipOp.Eq => cMin <= 0 && cMax >= 0
+                  case SkipOp.Lt => cMin < 0
+                  case SkipOp.Le => cMin <= 0
+                  case SkipOp.Gt => cMax > 0
+                  case SkipOp.Ge => cMax >= 0
+                  case _ => true
+                }).getOrElse(true)
+            }
         }
-        (for {
-          cMin <- cmp(minV.get, fv) // min ? value
-          cMax <- cmp(maxV.get, fv) // max ? value
-        } yield f.op match {
-          case SkipOp.Eq => cMin <= 0 && cMax >= 0
-          case SkipOp.Lt => cMin < 0
-          case SkipOp.Le => cMin <= 0
-          case SkipOp.Gt => cMax > 0
-          case SkipOp.Ge => cMax >= 0
-        }).getOrElse(true)
       case _ => true
     }
   }

@@ -100,6 +100,16 @@ final class GraftFileIndex(
       case GreaterThan(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Lt, v)
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Ge, v)
       case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Le, v)
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a: AttributeReference) =>
+        Seq(DataFilter(a.name, SkipOp.IsNull))
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
+        Seq(DataFilter(a.name, SkipOp.IsNotNull))
+      case org.apache.spark.sql.catalyst.expressions.In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        val lits = vs.collect { case Literal(v, _) if v != null => value(v) }
+        Seq(DataFilter(a.name, SkipOp.In, lits))
+      case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, vs) =>
+        Seq(DataFilter(a.name, SkipOp.In, vs.toSeq.filter(_ != null).map(value)))
       case And(l, r) => toSkip(l) ++ toSkip(r)
       case _ => Nil
     }

@@ -47,9 +47,14 @@ object GraftNativeRelation {
   def planFor(
       spark: SparkSession,
       path: String,
-      snap: graft.log.Snapshot,
+      snap0: graft.log.Snapshot,
       bucketSpec: Option[BucketSpec] = None,
       readOptions: Map[String, String] = Map.empty): Option[LogicalPlan] = {
+    // read as nullable regardless of the declared schema — files cannot
+    // be trusted to honor NOT NULL (Spark's own file sources do the
+    // same; a non-nullable read schema lets the optimizer fold
+    // `col IS NULL` to false and silently drop rows)
+    val snap = snap0.copy(schema = nullableDeep(snap0.schema).asInstanceOf[StructType])
     val partCols = snap.partitionColumns.toSet
     val dataSchema = StructType(snap.schema.filterNot(f => partCols(f.name)))
     // commit-log-backed index: zero FS listing, driver-side partition
@@ -75,6 +80,21 @@ object GraftNativeRelation {
     }
     Some(Project(projections, lr))
   }
+
+  /** Everything-nullable view of a type (StructType.asNullable is
+    * package-private).
+    */
+  private def nullableDeep(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case s: StructType =>
+        StructType(s.map(f => f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = nullableDeep(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = nullableDeep(m.keyType),
+          valueType = nullableDeep(m.valueType), valueContainsNull = true)
+      case other => other
+    }
 
   /** The table's bucket layout as a Spark BucketSpec — only when every
     * live file carries a parseable `_NNNNN` bucket suffix (older tables

@@ -40,6 +40,37 @@ class DataSkippingSpec extends SparkSpec {
     assert(t.scanPruned(vf).count() == 4)
   }
 
+  test("null-count and IN skipping: IsNull/IsNotNull/In prune by stats") {
+    val p = tmpDir("skipnull")
+    // file A: no nulls; file B: all nulls in s
+    GraftWriter.write(spark,
+      spark.range(0, 100).select(col("id").as("k"), lit("x").as("s")).coalesce(1),
+      p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark,
+      spark.range(100, 200).select(col("id").as("k"),
+        lit(null).cast("string").as("s")).coalesce(1),
+      p, WriteOptions(mode = WriteMode.Append))
+    val t = GraftTable(spark, p)
+    assert(t.snapshot().files.size == 2)
+    // IsNull keeps only the all-null file; IsNotNull only the non-null one
+    assert(t.filesAfterPruning(Seq(DataFilter("s", SkipOp.IsNull))) == 1)
+    assert(t.filesAfterPruning(Seq(DataFilter("s", SkipOp.IsNotNull))) == 1)
+    assert(t.scanPruned(Seq(DataFilter("s", SkipOp.IsNull))).count() == 100)
+    assert(t.scanPruned(Seq(DataFilter("s", SkipOp.IsNotNull))).count() == 100)
+    // In prunes files whose [min,max] contains none of the candidates
+    assert(t.filesAfterPruning(Seq(DataFilter("k", SkipOp.In, Seq(5L, 7L)))) == 1)
+    assert(t.scanPruned(Seq(DataFilter("k", SkipOp.In, Seq(5L, 150L)))).count() == 2)
+    // and the same shapes prune through the SQL scan path (IsNotNull is
+    // injected by Spark for any filter; In arrives from isin)
+    val viaSql = spark.read.format("graft").load(p)
+      .filter(col("s").isNotNull)
+    val scan = viaSql.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    viaSql.collect()
+    assert(scan.metrics("numFiles").value == 1L)
+  }
+
   test("timestamp columns are data-skippable (micros output)") {
     val p = tmpDir("skipts")
     val df = (0 until 96).map(h =>
