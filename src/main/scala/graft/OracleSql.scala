@@ -530,6 +530,16 @@ object OracleSql {
           shd AS (SELECT doc_id, $SHINGLES AS sh FROM d)
           SELECT doc_id, list_min([md5(x) for x in sh]) AS fingerprint FROM shd""",
 
+    // repetition ratio: distinct/total 3-word shingles, permille
+    "text_repetition" ->
+      s"""WITH d AS ($DOCS_TOKS),
+          shd AS (SELECT doc_id, $SHINGLES AS sh FROM d)
+          SELECT doc_id,
+                 CAST(len(sh) AS BIGINT) AS n_shingles,
+                 CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+                 CAST(floor(1000 * len(list_distinct(sh)) / len(sh)) AS BIGINT) AS distinct_permille
+          FROM shd""",
+
     "knn_brute_topk" -> knnBruteSql,
 
     "knn_ivf_topk" -> knnIvfSql,

@@ -460,6 +460,9 @@ object SparkEntry {
   private def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(t(spark, dir, "documents"))
 
+  private def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(t(spark, dir, "documents"))
+
   private def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 32), 5)
@@ -583,6 +586,7 @@ object SparkEntry {
     "text_quality_score" -> (qQuality _),
     "text_bpeish_count" -> (qBpeish _),
     "text_fingerprint" -> (qFingerprint _),
+    "text_repetition" -> (qRepetition _),
     "knn_brute_topk" -> (qKnnBrute _),
     "knn_ivf_topk" -> (qKnnIvf _),
     "knn_ivf_kmeans" -> (qKnnIvfKmeans _),
@@ -610,7 +614,8 @@ object SparkEntry {
     "simhash_signature", "simhash_band_pairs", "ngram_jaccard_pairs",
     "text_token_stats",
     "text_lang_id", "text_quality_score", "text_bpeish_count",
-    "text_fingerprint", "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
+    "text_fingerprint", "text_repetition",
+    "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",
     "embedding_centroid_sums", "embedding_normalize",

@@ -352,4 +352,19 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(min(md5(col("s"))).as("fingerprint"))
   }
+
+  /** Repetition ratio: distinct 3-word shingles over total shingles, in
+    * permille — low values flag boilerplate/looping text (the standard
+    * repetition filter in corpus-quality pipelines). Pure per-row
+    * expression work; no shuffle.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val sh = shingles(tokens(col("text")), 3)
+    docs.select(
+      col("doc_id"),
+      size(sh).cast("long").as("n_shingles"),
+      size(array_distinct(sh)).cast("long").as("n_distinct"),
+      floor(lit(1000) * size(array_distinct(sh)) / size(sh))
+        .cast("long").as("distinct_permille"))
+  }
 }

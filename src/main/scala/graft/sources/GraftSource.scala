@@ -92,13 +92,18 @@ final case class GraftRelation(
     case LessThanOrEqual(a, v)    => Seq(DataFilter(a, SkipOp.Le, v))
     case GreaterThan(a, v)        => Seq(DataFilter(a, SkipOp.Gt, v))
     case GreaterThanOrEqual(a, v) => Seq(DataFilter(a, SkipOp.Ge, v))
+    case IsNull(a)                => Seq(DataFilter(a, SkipOp.IsNull))
+    case IsNotNull(a)             => Seq(DataFilter(a, SkipOp.IsNotNull))
+    case In(a, vs) if vs.forall(_ != null) =>
+      Seq(DataFilter(a, SkipOp.In, vs.toSeq))
     case And(l, r)                => toSkip(l) ++ toSkip(r)
-    case _                        => Nil // Or/In/IsNull/...: residual only
+    case _                        => Nil // Or/StartsWith/...: residual only
   }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val skips = filters.toSeq.flatMap(toSkip)
-      .filter(d => d.value != null && !d.value.isInstanceOf[Array[_]])
+      .filter(d => d.op == SkipOp.IsNull || d.op == SkipOp.IsNotNull ||
+        (d.value != null && !d.value.isInstanceOf[Array[_]]))
     val pruned: DataFrame = table.scanPruned(skips, versionAsOf)
     val projected =
       if (requiredColumns.isEmpty) pruned
