@@ -386,6 +386,20 @@ object OracleSql {
           SELECT s.* FROM s
           WHERE EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)""",
 
+    // multi-clause conditional merge: matched & key%3=0 -> take source row;
+    // other matched -> delete; unmatched source & key%8=0 -> insert
+    "merge_clauses" ->
+      s"""$mergeCte
+          SELECT s.* FROM t JOIN s ON s.o_orderkey = t.o_orderkey
+          WHERE s.o_orderkey % 3 = 0
+          UNION ALL
+          SELECT t.* FROM t
+          WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+          UNION ALL
+          SELECT s.* FROM s
+          WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)
+            AND s.o_orderkey % 8 = 0""",
+
     // upsert confined to the o_orderstatus='O' scope: only in-scope target
     // rows update; inserts are source rows unmatched within the scope;
     // out-of-scope rows pass through untouched

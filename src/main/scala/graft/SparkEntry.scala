@@ -355,6 +355,27 @@ object SparkEntry {
     GraftTable(spark, p).toDf()
   }
 
+  /** Multi-clause conditional merge: matched keys divisible by 3 take
+    * the source row, other matched keys are deleted, and unmatched
+    * source keys divisible by 8 insert — the Delta WHEN-clause surface
+    * over the same COW execution.
+    */
+  private def qMergeClauses(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders").select(mergeCols.map(col): _*)
+    val target = orders.filter(col("o_orderkey") % 4 =!= 0)
+    val source = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("o_orderstatus", lit("M"))
+    val p = tmp("graft_merge_clauses")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    MergeClausesExecutor.merge(spark, source, p, "s.o_orderkey = t.o_orderkey",
+      matched = Seq(
+        UpdateAll(Some(expr("s.o_orderkey % 3 = 0"))),
+        Delete()),
+      notMatched = Seq(InsertAll(Some(expr("s.o_orderkey % 8 = 0")))))
+    GraftTable(spark, p).toDf()
+  }
+
   // ---------- table layer (write -> slice-read round trips) ----------
 
   private def qTableRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -570,6 +591,7 @@ object SparkEntry {
     "merge_upsert" -> (mergeQuery(MergeType.Upsert) _),
     "merge_replace_delete_unmatched" -> (mergeQuery(MergeType.ReplaceDeleteUnmatched) _),
     "merge_partition_scoped" -> (qMergePartitionScoped _),
+    "merge_clauses" -> (qMergeClauses _),
     "table_roundtrip" -> (qTableRoundtrip _),
     "table_replace_where" -> (qReplaceWhere _),
     "table_time_travel" -> (qTimeTravel _),

@@ -1,0 +1,188 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{GraftTable, GraftWriter}
+import graft.log.{AddFile, RemoveFile}
+
+/** Delta-style conditional merge clauses. Clause order is significant:
+  * for each row the FIRST clause whose condition holds applies
+  * (conditions may reference both aliases, e.g. `s.v > t.v`).
+  */
+sealed trait MatchedClause { def condition: Option[Column] }
+/** matched → replace every target column with the source's. */
+final case class UpdateAll(condition: Option[Column] = None) extends MatchedClause
+/** matched → set the given columns (expressions over both aliases); the
+  * rest keep their target values.
+  */
+final case class UpdateSet(
+    set: Map[String, Column],
+    condition: Option[Column] = None) extends MatchedClause
+/** matched → drop the target row. */
+final case class Delete(condition: Option[Column] = None) extends MatchedClause
+
+sealed trait NotMatchedClause { def condition: Option[Column] }
+/** unmatched source → insert all of its columns. */
+final case class InsertAll(condition: Option[Column] = None) extends NotMatchedClause
+/** unmatched source → insert the given values; unlisted columns null. */
+final case class InsertValues(
+    values: Map[String, Column],
+    condition: Option[Column] = None) extends NotMatchedClause
+
+/** General conditional merge — the `WHEN MATCHED [AND c] THEN UPDATE/
+  * DELETE / WHEN NOT MATCHED THEN INSERT / WHEN NOT MATCHED BY SOURCE`
+  * surface Delta exposes, built on the same file-granular copy-on-write
+  * execution as [[MergeExecutor]] (the reference's four fixed strategies
+  * are special cases). Pure-relational row logic: one left join, clause
+  * dispatch as ordered `when` chains — fully codegen'd, no UDFs.
+  */
+object MergeClausesExecutor {
+
+  /** Merge `source` into the table at `path`.
+    *
+    * @param matched clauses for target rows with a source match
+    * @param notMatched clauses for source rows with no target match
+    * @param notMatchedBySource clauses for target rows with no source
+    *        match (forces a rewrite of every candidate file, like
+    *        replace_delete_unmatched)
+    */
+  def merge(
+      spark: SparkSession,
+      source: DataFrame,
+      path: String,
+      predicate: String,
+      matched: Seq[MatchedClause] = Nil,
+      notMatched: Seq[NotMatchedClause] = Nil,
+      notMatchedBySource: Seq[MatchedClause] = Nil,
+      sourceAlias: String = "s",
+      targetAlias: String = "t"): MergeStats = {
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "merge requires at least one clause")
+    val table = GraftTable(spark, path)
+    val snap = table.snapshot()
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val numSource = src.count()
+      val cond = expr(predicate)
+      val cols = snap.schema.map(_.name)
+
+      val candidates = snap.files
+      val candDf = table.dfForFiles(snap, candidates)
+      val fileCol = "__graft_file"
+      val withFile = candDf.withColumn(fileCol, input_file_name())
+
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val rootAbs = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+        .toUri.getPath.stripSuffix("/")
+      def collectFiles(d: DataFrame): Seq[AddFile] = {
+        val rels = d.select(fileCol).distinct().collect().map { r =>
+          new java.net.URI(r.getString(0)).getPath
+            .stripPrefix(rootAbs).stripPrefix("/")
+        }.toSet
+        candidates.filter(f => rels(f.path))
+      }
+
+      // by-source clauses touch every row; otherwise only files with matches
+      val touched: Seq[AddFile] =
+        if (notMatchedBySource.nonEmpty) candidates
+        else if (matched.isEmpty) Nil // insert-only: pure append
+        else collectFiles(
+          withFile.alias(targetAlias).join(src.alias(sourceAlias), cond, "left_semi"))
+
+      val affDf = table.dfForFiles(snap, touched)
+      val rewritten = rewriteRows(
+        affDf, src, cond, cols, matched, notMatchedBySource, sourceAlias, targetAlias)
+      val inserts = insertRows(
+        // anti join must see ALL candidate rows, not just touched files
+        candDf, src, cond, snap, notMatched, sourceAlias, targetAlias)
+      val newData = rewritten.unionByName(inserts)
+
+      val v = GraftWriter.writeCow(spark, newData, path, snap,
+        touched.map(f => RemoveFile(f.path)),
+        operation = "MERGE",
+        metadata = Map("operation" -> "MERGE:clauses"))
+      val numOut = table.snapshot().files.map(_.numRecords).sum
+      MergeStats(v, numSource, numOut)
+    } finally src.unpersist()
+  }
+
+  /** Target-side rewrite: ordered clause dispatch per row. */
+  private def rewriteRows(
+      target: DataFrame,
+      source: DataFrame,
+      cond: Column,
+      cols: Seq[String],
+      matched: Seq[MatchedClause],
+      bySource: Seq[MatchedClause],
+      sa: String,
+      ta: String): DataFrame = {
+    val marker = "__graft_matched"
+    val joined = target.alias(ta)
+      .join(source.withColumn(marker, lit(true)).alias(sa), cond, "left")
+    val isMatched = coalesce(col(s"$sa.$marker"), lit(false))
+
+    def clauseGuard(c: MatchedClause, matchedSide: Boolean): Column = {
+      val side = if (matchedSide) isMatched else !isMatched
+      c.condition.map(side && _).getOrElse(side)
+    }
+    // all (guard, clause) pairs in dispatch order
+    val dispatch: Seq[(Column, MatchedClause)] =
+      matched.map(c => (clauseGuard(c, matchedSide = true), c)) ++
+        bySource.map(c => (clauseGuard(c, matchedSide = false), c))
+
+    def colValue(c: MatchedClause, name: String): Column = c match {
+      case _: UpdateAll     => col(s"$sa.$name")
+      case UpdateSet(set, _) => set.getOrElse(name, col(s"$ta.$name"))
+      case _: Delete        => col(s"$ta.$name") // filtered by keep below
+    }
+    def outCol(name: String): Column =
+      dispatch.foldRight(col(s"$ta.$name")) { case ((g, c), rest) =>
+        when(g, colValue(c, name)).otherwise(rest)
+      }.as(name)
+    val keep: Column =
+      dispatch.foldRight(lit(true)) { case ((g, c), rest) =>
+        when(g, lit(!c.isInstanceOf[Delete])).otherwise(rest)
+      }
+
+    joined
+      .withColumn("__graft_keep", keep)
+      .filter(col("__graft_keep"))
+      .select(cols.map(outCol): _*)
+  }
+
+  /** Insert side: first applicable not-matched clause per unmatched
+    * source row; rows with no applicable clause are dropped.
+    */
+  private def insertRows(
+      target: DataFrame,
+      source: DataFrame,
+      cond: Column,
+      snap: graft.log.Snapshot,
+      notMatched: Seq[NotMatchedClause],
+      sa: String,
+      ta: String): DataFrame = {
+    val cols = snap.schema.map(_.name)
+    val unmatched = source.alias(sa).join(target.alias(ta), cond, "left_anti")
+    if (notMatched.isEmpty)
+      return unmatched.limit(0).select(cols.map(n =>
+        lit(null).cast(snap.schema(n).dataType).as(n)): _*)
+    def guard(c: NotMatchedClause): Column = c.condition.getOrElse(lit(true))
+    val applicable = notMatched.foldRight(lit(false)) { case (c, rest) =>
+      when(guard(c), lit(true)).otherwise(rest)
+    }
+    def colValue(c: NotMatchedClause, name: String): Column = c match {
+      case _: InsertAll => col(name)
+      case InsertValues(values, _) =>
+        values.getOrElse(name, lit(null)).cast(snap.schema(name).dataType)
+    }
+    def outCol(name: String): Column =
+      notMatched.foldRight(lit(null).cast(snap.schema(name).dataType): Column) {
+        case (c, rest) => when(guard(c), colValue(c, name)).otherwise(rest)
+      }.as(name)
+    unmatched
+      .filter(applicable)
+      .select(cols.map(outCol): _*)
+  }
+}

@@ -311,6 +311,46 @@ class TableLayerSpec extends SparkSpec {
     assert(contents(p) == Set((1L, "t1"), (2L, "s2"), (3L, "t3"), (4L, "s4")))
   }
 
+  test("multi-clause merge: conditional update, delete, guarded insert") {
+    val p = tmpDir("mcl")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    val src = Seq((1L, "s1"), (2L, "s2"), (4L, "s4"), (5L, "s5")).toDF("k", "v")
+    MergeClausesExecutor.merge(spark, src, p, "s.k = t.k",
+      matched = Seq(
+        Delete(Some(expr("s.v = 's2'"))), // first applicable clause wins
+        UpdateAll()),
+      notMatched = Seq(
+        InsertValues(Map("k" -> col("s.k"), "v" -> lit("ins")),
+          Some(expr("s.k = 4")))))
+    // k=1 updated, k=2 deleted, k=3 untouched, k=4 inserted, k=5 dropped
+    assert(contents(p) == Set((1L, "s1"), (3L, "t3"), (4L, "ins")))
+  }
+
+  test("multi-clause merge: not-matched-by-source clauses") {
+    val p = tmpDir("mclb")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    val src = Seq((2L, "s2")).toDF("k", "v")
+    MergeClausesExecutor.merge(spark, src, p, "s.k = t.k",
+      matched = Seq(UpdateAll()),
+      notMatchedBySource = Seq(
+        UpdateSet(Map("v" -> concat(col("t.v"), lit("!"))), Some(expr("t.k = 1"))),
+        Delete()))
+    // k=1 annotated, k=2 updated from source, k=3 deleted (by-source)
+    assert(contents(p) == Set((1L, "t1!"), (2L, "s2")))
+  }
+
+  test("multi-clause insert-only merge is a pure append") {
+    val p = tmpDir("mcli")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    val before = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+    MergeClausesExecutor.merge(spark, Seq((9L, "s9")).toDF("k", "v"), p,
+      "s.k = t.k", notMatched = Seq(InsertAll()))
+    val t = GraftTable(spark, p)
+    assert(contents(p) == Set((1L, "t1"), (2L, "t2"), (3L, "t3"), (9L, "s9")))
+    assert(t.history().head.operationMetrics("num_removed_files") == 0L)
+    assert(before.subsetOf(t.snapshot().files.map(_.path).toSet))
+  }
+
   test("merge rejects type mismatches unless disabled") {
     val p = tmpDir("mtm")
     GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
