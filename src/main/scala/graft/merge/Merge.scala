@@ -161,19 +161,8 @@ object MergeExecutor {
       // with a narrow CDC batch.
       val candidates: Seq[AddFile] =
         if (config.mergeType == MergeType.ReplaceDeleteUnmatched) partitionPruned
-        else equiKeyOf(config) match {
-          case Some((srcCol, tgtCol)) if src.columns.contains(srcCol) =>
-            val mm = src.agg(min(col(srcCol)), max(col(srcCol))).first()
-            if (mm.isNullAt(0)) partitionPruned
-            else {
-              val filters = Seq(
-                DataFilter(tgtCol, SkipOp.Ge, mm.get(0)),
-                DataFilter(tgtCol, SkipOp.Le, mm.get(1)))
-              partitionPruned.filter(f =>
-                filters.forall(DataSkipping.mayMatch(f, snap.schema, _)))
-            }
-          case _ => partitionPruned
-        }
+        else pruneByStats(partitionPruned, snap, src, config.predicate,
+          config.sourceAlias, config.targetAlias)
       val candDf = table.dfForFiles(snap, candidates)
       // row-level scope (exact even when the filter isn't partition-aligned);
       // filter sits directly on the scan so pruning/pushdown still fire
@@ -238,16 +227,44 @@ object MergeExecutor {
   /** `(sourceKey, targetKey)` of a plain equi-merge predicate
     * `s.K = t.C` / `t.C = s.K`; None for anything richer.
     */
-  private[merge] def equiKeyOf(config: MergeConfig): Option[(String, String)] = {
+  private[merge] def equiKeyOf(config: MergeConfig): Option[(String, String)] =
+    equiKey(config.predicate, config.sourceAlias, config.targetAlias)
+
+  private[merge] def equiKey(
+      predicate: String, sa: String, ta: String): Option[(String, String)] = {
     val re = """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
-    config.predicate match {
+    predicate match {
       case re(a1, c1, a2, c2) =>
-        if (a1 == config.sourceAlias && a2 == config.targetAlias) Some((c1, c2))
-        else if (a1 == config.targetAlias && a2 == config.sourceAlias) Some((c2, c1))
+        if (a1 == sa && a2 == ta) Some((c1, c2))
+        else if (a1 == ta && a2 == sa) Some((c2, c1))
         else None
       case _ => None
     }
   }
+
+  /** Footer-stats candidate pruning for an equi-merge: drop files whose
+    * [min,max] on the target key provably misses every source key.
+    */
+  private[merge] def pruneByStats(
+      candidates: Seq[AddFile],
+      snap: graft.log.Snapshot,
+      src: DataFrame,
+      predicate: String,
+      sa: String,
+      ta: String): Seq[AddFile] =
+    equiKey(predicate, sa, ta) match {
+      case Some((srcCol, tgtCol)) if src.columns.contains(srcCol) =>
+        val mm = src.agg(min(col(srcCol)), max(col(srcCol))).first()
+        if (mm.isNullAt(0)) candidates
+        else {
+          val filters = Seq(
+            DataFilter(tgtCol, SkipOp.Ge, mm.get(0)),
+            DataFilter(tgtCol, SkipOp.Le, mm.get(1)))
+          candidates.filter(f =>
+            filters.forall(DataSkipping.mayMatch(f, snap.schema, _)))
+        }
+      case _ => candidates
+    }
 
   /** The pure-relational core: merge `source` into `target` and return the
     * new target contents. Public so it can be used (and oracle-checked) as

@@ -67,7 +67,13 @@ object MergeClausesExecutor {
       val cond = expr(predicate)
       val cols = snap.schema.map(_.name)
 
-      val candidates = snap.files
+      // stats pruning is only sound when every row-effect needs a match:
+      // by-source clauses touch unmatched rows, and the insert anti-join
+      // is unaffected (a pruned file provably holds no source key)
+      val candidates =
+        if (notMatchedBySource.nonEmpty) snap.files
+        else MergeExecutor.pruneByStats(
+          snap.files, snap, src, predicate, sourceAlias, targetAlias)
       val candDf = table.dfForFiles(snap, candidates)
       val fileCol = "__graft_file"
       val withFile = candDf.withColumn(fileCol, input_file_name())
