@@ -60,4 +60,36 @@ class MergeAlgebraSpec extends SparkSpec {
         s"replace_delete (case $i)")
     }
   }
+
+  test("clause formulations reproduce the four strategies (5 random pairs, on-disk)") {
+    import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+    (1 to 5).foreach { i =>
+      val t0 = randomTable(30)
+      val s0 = randomTable(30)
+      def strat(mt: MergeType): Set[(Long, Long)] = {
+        val p = tmpDir(s"mceq$i") + s"/s_${mt.name}"
+        GraftWriter.write(spark, t0, p, WriteOptions(mode = WriteMode.Overwrite))
+        MergeExecutor.merge(spark, s0, p, cfg(mt))
+        rows(GraftTable(spark, p).toDf())
+      }
+      def clauses(
+          matched: Seq[MatchedClause],
+          notMatched: Seq[NotMatchedClause],
+          bySource: Seq[MatchedClause]): Set[(Long, Long)] = {
+        val p = tmpDir(s"mceqc$i") + "/t"
+        GraftWriter.write(spark, t0, p, WriteOptions(mode = WriteMode.Overwrite))
+        MergeClausesExecutor.merge(spark, s0, p, "s.k = t.k",
+          matched, notMatched, bySource)
+        rows(GraftTable(spark, p).toDf())
+      }
+      assert(strat(MergeType.Upsert) ==
+        clauses(Seq(UpdateAll()), Seq(InsertAll()), Nil), s"upsert equiv (case $i)")
+      assert(strat(MergeType.UpdateOnly) ==
+        clauses(Seq(UpdateAll()), Nil, Nil), s"update_only equiv (case $i)")
+      assert(strat(MergeType.DeduplicateInsert) ==
+        clauses(Nil, Seq(InsertAll()), Nil), s"dedup_insert equiv (case $i)")
+      assert(strat(MergeType.ReplaceDeleteUnmatched) ==
+        clauses(Seq(UpdateAll()), Nil, Seq(Delete())), s"rdu equiv (case $i)")
+    }
+  }
 }
