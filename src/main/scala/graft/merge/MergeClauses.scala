@@ -56,14 +56,47 @@ object MergeClausesExecutor {
       notMatched: Seq[NotMatchedClause] = Nil,
       notMatchedBySource: Seq[MatchedClause] = Nil,
       sourceAlias: String = "s",
-      targetAlias: String = "t"): MergeStats = {
+      targetAlias: String = "t",
+      partitionBy: Seq[String] = Nil): MergeStats = {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "merge requires at least one clause")
+    if (!GraftTable.exists(spark, path)) {
+      GraftWriter.write(spark, source.limit(0), path,
+        graft.io.WriteOptions(mode = graft.io.WriteMode.ErrorIfExists,
+          partitionBy = partitionBy))
+    }
     val table = GraftTable(spark, path)
-    val snap = table.snapshot()
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val numSource = src.count()
+      // re-derive against a fresh snapshot on commit conflicts (bounded)
+      var attempt = 0
+      while (true) {
+        try return mergeOnce(spark, table, src, numSource, path, predicate,
+          matched, notMatched, notMatchedBySource, sourceAlias, targetAlias)
+        catch {
+          case _: java.util.ConcurrentModificationException if attempt < 3 =>
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally src.unpersist()
+  }
+
+  private def mergeOnce(
+      spark: SparkSession,
+      table: GraftTable,
+      src: DataFrame,
+      numSource: Long,
+      path: String,
+      predicate: String,
+      matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedClause],
+      notMatchedBySource: Seq[MatchedClause],
+      sourceAlias: String,
+      targetAlias: String): MergeStats = {
+    val snap = table.snapshot()
+    locally {
       val cond = expr(predicate)
       val cols = snap.schema.map(_.name)
 
@@ -111,7 +144,7 @@ object MergeClausesExecutor {
         metadata = Map("operation" -> "MERGE:clauses"))
       val numOut = table.snapshot().files.map(_.numRecords).sum
       MergeStats(v, numSource, numOut)
-    } finally src.unpersist()
+    }
   }
 
   /** Target-side rewrite: ordered clause dispatch per row. */

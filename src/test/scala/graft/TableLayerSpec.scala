@@ -339,6 +339,13 @@ class TableLayerSpec extends SparkSpec {
     assert(contents(p) == Set((1L, "t1!"), (2L, "s2")))
   }
 
+  test("multi-clause merge auto-creates a missing target") {
+    val p = tmpDir("mclc") + "/t"
+    MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
+      notMatched = Seq(InsertAll()))
+    assert(contents(p) == Set((2L, "s2"), (4L, "s4")))
+  }
+
   test("multi-clause insert-only merge is a pure append") {
     val p = tmpDir("mcli")
     GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
