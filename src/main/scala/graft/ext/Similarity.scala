@@ -226,24 +226,21 @@ object Similarity {
     * floor(x·127/scale + 0.5) ∈ [-127, 127] — the usual storage/compute
     * shrink for retrieval corpora (4× smaller than float32). floor(+0.5)
     * instead of round() keeps half-way cases engine-independent. Returns
-    * the quantized array plus `scale_e6` for dequantization. Per-row
-    * only — no shuffle.
+    * the quantized array plus `scale_e6` for dequantization. One codegen
+    * pass per row ([[graft.functions.QuantizeInt8]]) — the declarative
+    * HOF formulation re-evaluates the scale per element (O(d²)/row).
     */
   def quantizeInt8(
       corpus: DataFrame,
       vecCol: String = "embedding",
       outCol: String = "q8"): DataFrame = {
-    val scale = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
-      .withColumn("__scale", scale)
-      .withColumn(outCol,
-        when(col("__scale") > 0,
-          transform(col(vecCol), x =>
-            floor(x.cast("double") * 127 / col("__scale") + 0.5).cast("int")))
-          .otherwise(transform(col(vecCol), _ => lit(0))))
-      .withColumn("scale_e6",
-        floor(col("__scale") * 1e6 + 0.5).cast("long")) // engine-independent half
-      .drop("__scale")
+      .withColumn("__qz",
+        call_function(graft.functions.GraftFunctions.QuantizeName, col(vecCol)))
+      .withColumn(outCol, col("__qz.q8"))
+      .withColumn("scale_e6", col("__qz.scale_e6"))
+      .drop("__qz")
   }
 
   /** IVF top-k: probe only the query's own cell. Trades recall for a

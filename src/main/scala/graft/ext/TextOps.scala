@@ -355,16 +355,23 @@ object TextAnalysis {
 
   /** Repetition ratio: distinct 3-word shingles over total shingles, in
     * permille — low values flag boilerplate/looping text (the standard
-    * repetition filter in corpus-quality pipelines). Pure per-row
-    * expression work; no shuffle.
+    * repetition filter in corpus-quality pipelines). Explode + two-phase
+    * count/count-distinct groupBy: the per-row array formulation
+    * recomputes the shingle array once per use site (CollapseProject),
+    * while here each shingle materializes exactly once and the shuffle
+    * carries narrow (doc_id, shingle) rows with map-side combine.
     */
   def repetition(docs: DataFrame): DataFrame = {
     val sh = shingles(tokens(col("text")), 3)
-    docs.select(
-      col("doc_id"),
-      size(sh).cast("long").as("n_shingles"),
-      size(array_distinct(sh)).cast("long").as("n_distinct"),
-      floor(lit(1000) * size(array_distinct(sh)) / size(sh))
-        .cast("long").as("distinct_permille"))
+    TextOps.spread(docs)
+      .select(col("doc_id"), explode(sh).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("s")).as("n_distinct"))
+      .select(col("doc_id"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        floor(lit(1000) * col("n_distinct") / col("n_shingles"))
+          .cast("long").as("distinct_permille"))
   }
 }

@@ -91,8 +91,16 @@ case class DotProductFP64(left: Expression, right: Expression)
 object GraftFunctions {
   val DotName = "graft_dot"
   val SortedIntersectName = "graft_sorted_intersect_count"
+  val QuantizeName = "graft_quantize_int8"
 
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      QuantizeName,
+      { args: Seq[Expression] =>
+        require(args.length == 1, s"$QuantizeName expects 1 argument")
+        QuantizeInt8(args(0))
+      },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName,
       { args: Seq[Expression] =>
