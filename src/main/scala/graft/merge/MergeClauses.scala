@@ -33,9 +33,11 @@ final case class InsertValues(
 /** General conditional merge — the `WHEN MATCHED [AND c] THEN UPDATE/
   * DELETE / WHEN NOT MATCHED THEN INSERT / WHEN NOT MATCHED BY SOURCE`
   * surface Delta exposes, built on the same file-granular copy-on-write
-  * execution as [[MergeExecutor]] (the reference's four fixed strategies
-  * are special cases). Pure-relational row logic: one left join, clause
-  * dispatch as ordered `when` chains — fully codegen'd, no UDFs.
+  * execution as [[MergeExecutor]]. The reference's four fixed strategies
+  * (dagster_delta/handler.py:70-120, config.py:190-196) are special
+  * cases — see MergeAlgebraSpec's equivalence property. Pure-relational
+  * row logic: one left join, clause dispatch as ordered `when` chains —
+  * fully codegen'd, no UDFs.
   */
 object MergeClausesExecutor {
 
