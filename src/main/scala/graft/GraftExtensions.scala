@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductFP64, DotProductRewrite, GraftFunctions, SortedIntersectCount}
+import graft.functions.{DotProductFP64, DotProductRewrite, GraftFunctions, QuantizeInt8, SortedIntersectCount}
 
 /** Session extension registering graft's native expressions, for use via
   * `--conf spark.sql.extensions=graft.GraftExtensions` — the deployment
@@ -36,6 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"${GraftFunctions.SortedIntersectName} expects 2 arguments")
         SortedIntersectCount(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.QuantizeName),
+      new ExpressionInfo(classOf[QuantizeInt8].getName,
+        GraftFunctions.QuantizeName),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"${GraftFunctions.QuantizeName} expects 1 argument")
+        QuantizeInt8(args(0))
       }))
   }
 }

@@ -12,6 +12,11 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS n")
       .first().getInt(0)
     assert(n == 2)
+    val qz = spark.sql(
+      """SELECT graft_quantize_int8(array(cast(0.5 as float), cast(-1.0 as float))) AS q"""
+    ).first().getStruct(0)
+    assert(qz.getSeq[Int](0) == Seq(64, -127)) // floor(0.5*127/1 + 0.5)=64
+    assert(qz.getLong(1) == 1000000L)
   }
 
   test("optimizer rule rewrites the HOF dot-product fold to DotProductFP64") {
