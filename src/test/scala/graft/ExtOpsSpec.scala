@@ -110,6 +110,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"kmeans-IVF nprobe=4 recall $recall below floor")
   }
 
+  test("int8 quantization bounds reconstruction error by half a step") {
+    val q = Similarity.quantizeInt8(embs).select("embedding", "q8", "scale_e6").collect()
+    q.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val qs = r.getSeq[Int](1)
+      val scale = r.getLong(2).toDouble / 1e6
+      assert(qs.forall(x => x >= -127 && x <= 127))
+      if (scale > 0) {
+        val step = scale / 127
+        v.zip(qs).foreach { case (x, qi) =>
+          val dequant = qi * step
+          assert(math.abs(dequant - x) <= step / 2 + 1e-6,
+            s"reconstruction error beyond half a step: x=$x q=$qi scale=$scale")
+        }
+      }
+    }
+  }
+
   test("multimodal resize/frame-sample stubs: shape contracts hold") {
     val media = Multimodal.fromDocuments(docs)
     val resized = Multimodal.resizeStub(media, 8, 8).collect()

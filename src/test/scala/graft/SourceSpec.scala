@@ -99,6 +99,26 @@ class SourceSpec extends SparkSpec {
       s"expected stats skipping to 1 file, read ${scan.metrics("numFiles").value}")
   }
 
+  test("file index prunes multi-dimensional hive partitions in the SQL path") {
+    val p = tmpDir("srcpart")
+    val df = spark.range(0, 120).select(
+      col("id").as("k"),
+      (col("id") % 3).cast("string").as("pa"),
+      (col("id") % 2).cast("long").as("pb"))
+    GraftWriter.write(spark, df, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pa", "pb")))
+    val t = GraftTable(spark, p)
+    assert(t.snapshot().files.size == 6) // 3 x 2 partitions
+    val q = spark.read.format("graft").load(p)
+      .filter(col("pa") === "1" && col("pb") === 0L)
+    assert(q.collect().length == 20) // executes q's own plan instance
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metrics("numFiles").value == 1L,
+      s"partition pruning should reach 1 of 6 files, plan:\n$scan")
+  }
+
   test("source handles unpushable filters as residuals") {
     val p = tmpDir("srcr")
     GraftWriter.write(spark,
