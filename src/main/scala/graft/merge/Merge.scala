@@ -271,6 +271,11 @@ object MergeExecutor {
     * a standalone transformation without a table on disk.
     */
   def apply(target: DataFrame, source: DataFrame, config: MergeConfig): DataFrame = {
+    val missing = target.columns.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"merge ${config.mergeType.name}: source is missing target columns " +
+        s"${missing.mkString(", ")} (every strategy writes full rows; add " +
+        "the columns or use MergeClausesExecutor with UPDATE SET)")
     if (config.errorOnTypeMismatch) {
       val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
       source.schema.foreach { f =>

@@ -100,6 +100,29 @@ object MergeClausesExecutor {
     val snap = table.snapshot()
     locally {
       val cond = expr(predicate)
+      // fail fast on clause typos instead of silently keeping target values
+      val colSet = snap.schema.map(_.name).toSet
+      def checkAll(kind: String): Unit = {
+        val missing = snap.schema.map(_.name).filterNot(src.columns.contains)
+        require(missing.isEmpty,
+          s"$kind requires the source to carry every target column; " +
+            s"missing ${missing.mkString(", ")}")
+      }
+      (matched ++ notMatchedBySource).foreach {
+        case UpdateSet(set, _) =>
+          val unknown = set.keys.filterNot(colSet)
+          require(unknown.isEmpty,
+            s"UPDATE SET names unknown target columns: ${unknown.mkString(", ")}")
+        case _: UpdateAll => checkAll("UPDATE ALL")
+        case _ => ()
+      }
+      notMatched.foreach {
+        case InsertValues(values, _) =>
+          val unknown = values.keys.filterNot(colSet)
+          require(unknown.isEmpty,
+            s"INSERT VALUES names unknown target columns: ${unknown.mkString(", ")}")
+        case _: InsertAll => checkAll("INSERT ALL")
+      }
       val cols = snap.schema.map(_.name)
 
       // stats pruning is only sound when every row-effect needs a match:

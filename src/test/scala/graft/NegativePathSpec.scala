@@ -13,6 +13,32 @@ class NegativePathSpec extends SparkSpec {
 
   private def abDf = Seq((1L, 4L)).toDF("a", "b")
 
+  test("merge with source missing target columns errors clearly") {
+    import graft.merge._
+    val p = tmpDir("nmc")
+    GraftWriter.write(spark, Seq((1L, "x", 9L)).toDF("k", "v", "w"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val e = intercept[IllegalArgumentException] {
+      MergeExecutor.merge(spark, Seq((1L, "y")).toDF("k", "v"), p,
+        MergeConfig(MergeType.Upsert, "s.k = t.k"))
+    }
+    assert(e.getMessage.contains("missing target columns"))
+    assert(GraftTable(spark, p).toDf().count() == 1) // table untouched
+  }
+
+  test("clause merge rejects typo'd column names before writing") {
+    import graft.merge._
+    val p = tmpDir("nmt")
+    GraftWriter.write(spark, Seq((1L, "x")).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val e = intercept[IllegalArgumentException] {
+      MergeClausesExecutor.merge(spark, Seq((1L, "y")).toDF("k", "v"), p,
+        "s.k = t.k", matched = Seq(UpdateSet(Map("vv" -> lit("boom")))))
+    }
+    assert(e.getMessage.contains("unknown target columns"))
+    assert(GraftTable(spark, p).version() == 0) // no commit happened
+  }
+
   test("reading a non-table path fails with a clear message") {
     val p = tmpDir("nt")
     val e = intercept[IllegalArgumentException] {
