@@ -140,6 +140,36 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream equi-join bounded to a time interval:
+    * right-side events within `± within` of the left event's time.
+    * Both sides carry watermarks and the join condition bounds event
+    * time, so each side's buffered state is dropped once the watermark
+    * passes the interval — the state-bounded shape stream-stream joins
+    * require at scale (an unbounded-time join would buffer both streams
+    * forever). Output columns are the left row plus the right side's
+    * `valueCols` prefixed `r_`.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      valueCols: Seq[String],
+      tsCol: String = "ts",
+      within: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right
+      .withColumnsRenamed(
+        (valueCols :+ key :+ tsCol).map(c => c -> s"r_$c").toMap)
+      .withWatermark(s"r_$tsCol", watermark)
+      .alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.r_$key") &&
+        col(s"r.r_$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $within") &&
+        col(s"r.r_$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
+      .drop(s"r_$key")
+  }
+
   /** Stream into a graft table with exactly-once micro-batch commits:
     * each batch appends under a recorded `streaming_batch_id`; on restart
     * a replayed batch is skipped if the log already holds its id — the

@@ -179,6 +179,33 @@ class StreamingSpec extends SparkSpec {
     assert(GraftTable(spark, path).toDf().count() == 6)
   }
 
+  test("stream-stream interval join matches pairs within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    clicks.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "click_a"),
+      (ts("2024-01-01 12:00:00"), 2L, "click_b"))
+    views.addData(
+      (ts("2024-01-01 10:10:00"), 1L, "view_in_window"),
+      (ts("2024-01-01 11:00:00"), 1L, "view_too_late"),
+      (ts("2024-01-01 12:05:00"), 2L, "view_in_window2"),
+      (ts("2024-01-01 12:05:00"), 9L, "view_wrong_key"))
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("ts", "user_id", "event_type"),
+      views.toDF().toDF("ts", "user_id", "event_type"),
+      key = "user_id", valueCols = Seq("event_type"))
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("ivj")
+      .select("event_type", "r_event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("click_a", "view_in_window"),
+      ("click_b", "view_in_window2")))
+  }
+
   test("readStream.format(graft) round-trips sink -> source exactly once") {
     import graft.io.{GraftWriter, WriteMode, WriteOptions}
     val src = tmpDir("graft_rs") + "/src"
