@@ -544,6 +544,17 @@ object OracleSql {
           shd AS (SELECT doc_id, $SHINGLES AS sh FROM d)
           SELECT doc_id, list_min([md5(x) for x in sh]) AS fingerprint FROM shd""",
 
+    "text_source_stats" ->
+      s"""WITH d AS (SELECT source, len($TOKS) AS n_tok,
+                            length(text) AS n_chars
+                     FROM documents)
+          SELECT source,
+                 count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 CAST(floor(1000 * sum(n_tok) / count(*)) AS BIGINT) AS mean_tokens_permille
+          FROM d GROUP BY source""",
+
     // repetition ratio: distinct/total 3-word shingles, permille
     "text_repetition" ->
       s"""WITH d AS ($DOCS_TOKS),

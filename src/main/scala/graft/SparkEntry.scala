@@ -484,6 +484,9 @@ object SparkEntry {
   private def qRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(t(spark, dir, "documents"))
 
+  private def qSourceStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceStats(t(spark, dir, "documents"))
+
   private def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 32), 5)
@@ -609,6 +612,7 @@ object SparkEntry {
     "text_bpeish_count" -> (qBpeish _),
     "text_fingerprint" -> (qFingerprint _),
     "text_repetition" -> (qRepetition _),
+    "text_source_stats" -> (qSourceStats _),
     "knn_brute_topk" -> (qKnnBrute _),
     "knn_ivf_topk" -> (qKnnIvf _),
     "knn_ivf_kmeans" -> (qKnnIvfKmeans _),
@@ -636,7 +640,7 @@ object SparkEntry {
     "simhash_signature", "simhash_band_pairs", "ngram_jaccard_pairs",
     "text_token_stats",
     "text_lang_id", "text_quality_score", "text_bpeish_count",
-    "text_fingerprint", "text_repetition",
+    "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",

@@ -353,6 +353,24 @@ object TextAnalysis {
       .agg(min(md5(col("s"))).as("fingerprint"))
   }
 
+  /** Per-source corpus stats — the domain-level view a pipeline uses for
+    * contamination checks and sampling budgets: document count, total
+    * tokens (exact), mean document length in permille precision. One
+    * partial-aggregated groupBy on `source`.
+    */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        floor(lit(1000) * sum(col("n_tok")) / count(lit(1)))
+          .cast("long").as("mean_tokens_permille"))
+
   /** Repetition ratio: distinct 3-word shingles over total shingles, in
     * permille — low values flag boilerplate/looping text (the standard
     * repetition filter in corpus-quality pipelines). Explode + two-phase
