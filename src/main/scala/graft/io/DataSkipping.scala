@@ -77,11 +77,14 @@ private[graft] object DataSkipping {
       case (Some(st), Some(dt)) =>
         f.op match {
           case SkipOp.IsNull =>
-            // a file with zero nulls in the column cannot match
-            st.nullCount > 0
+            // a file with a KNOWN zero null count cannot match; a negative
+            // count means the footer never recorded one (foreign writer,
+            // stats-truncated file) — may match
+            st.nullCount != 0
           case SkipOp.IsNotNull =>
-            // an all-null file cannot match
-            file.numRecords <= 0 || st.nullCount < file.numRecords
+            // an all-null file (known count) cannot match
+            file.numRecords <= 0 || st.nullCount < 0 ||
+              st.nullCount < file.numRecords
           case _ =>
             val (minV, maxV) = (
               st.min.flatMap(parseStat(_, dt)),
@@ -90,8 +93,14 @@ private[graft] object DataSkipping {
             // timestamp filter values arrive as Timestamp; stats as micros
             def cmpNum(a: Any, b: Any): Option[Int] =
               for { x <- num(a); y <- num(b) } yield x.compare(y)
+            // strings: parquet footer min/max are ordered by unsigned
+            // UTF-8 bytes (Spark's UTF8String order), which disagrees with
+            // java.lang.String UTF-16 order once supplementary characters
+            // (emoji) mix with U+E000..U+FFFF — compare in byte order
             def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-              case (x: String, y: String) => Some(x.compareTo(y))
+              case (x: String, y: String) =>
+                Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+                  .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
               case _ => cmpNum(a, b)
             }
             def inRange(v: Any): Boolean =

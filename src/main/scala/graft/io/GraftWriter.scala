@@ -439,8 +439,14 @@ object GraftWriter {
       val footer = r.getFooter
       val blocks = footer.getBlocks
       var rows = 0L
-      // (min, max, nulls, usable) accumulated across row groups
+      // (min, max, nulls, usable) accumulated across row groups; nulls
+      // drops to the -1 "unknown" sentinel as soon as any row group lacks
+      // a recorded null count (parquet getNumNulls returns -1 when unset —
+      // summing it blindly would fabricate a count and mis-prune IS NULL)
       val acc = scala.collection.mutable.LinkedHashMap[String, (Any, Any, Long, Boolean)]()
+      def addNulls(cur: Long, s: org.apache.parquet.column.statistics.Statistics[_]): Long =
+        if (cur < 0 || s == null || !s.isNumNullsSet || s.getNumNulls < 0) -1L
+        else cur + s.getNumNulls
       blocks.forEach { b =>
         rows += b.getRowCount
         b.getColumns.forEach { c =>
@@ -450,18 +456,33 @@ object GraftWriter {
             val usable = s != null && !s.isEmpty && s.hasNonNullValue
             val cur = acc.getOrElse(name, (null, null, 0L, true))
             if (!usable || !cur._4) {
-              acc(name) = (null, null, cur._3 + (if (s != null) s.getNumNulls else 0L), false)
+              acc(name) = (null, null, addNulls(cur._3, s), false)
             } else {
               val mn = s.genericGetMin
               val mx = s.genericGetMax
+              // Binary: unsigned byte order (the order parquet stats use);
+              // Binary.compareTo is signed-byte lexicographic in parquet-mr
+              // and would mis-pick the min/max across row groups for
+              // high-bit UTF-8 strings
+              def unsignedLt(x: Binary, y: Binary): Boolean = {
+                val a = x.getBytesUnsafe; val b = y.getBytesUnsafe
+                val n = math.min(a.length, b.length)
+                var i = 0
+                while (i < n) {
+                  val c = (a(i) & 0xff) - (b(i) & 0xff)
+                  if (c != 0) return c < 0
+                  i += 1
+                }
+                a.length < b.length
+              }
               def lt(a: Any, b: Any): Boolean = (a, b) match {
-                case (x: Binary, y: Binary) => x.compareTo(y) < 0
+                case (x: Binary, y: Binary) => unsignedLt(x, y)
                 case (x: Comparable[_], y) =>
                   x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
               }
               val nmn = if (cur._1 == null || lt(mn, cur._1)) mn else cur._1
               val nmx = if (cur._2 == null || lt(cur._2, mx)) mx else cur._2
-              acc(name) = (nmn, nmx, cur._3 + s.getNumNulls, true)
+              acc(name) = (nmn, nmx, addNulls(cur._3, s), true)
             }
           }
         }

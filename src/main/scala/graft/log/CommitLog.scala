@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.StructType
 final case class FileColStat(
     min: Option[String],
     max: Option[String],
+    /** -1 = unknown (footer never recorded a count); never prune on it. */
     nullCount: Long)
 
 /** One data file added to the table. `path` is relative to the table root

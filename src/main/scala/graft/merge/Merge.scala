@@ -208,8 +208,11 @@ object MergeExecutor {
           // in-scope rows is equivalent to merging the full scope (and
           // the anti-join inserts of upsert are likewise unchanged)
           val merged = apply(affScoped, src, config)
+          // null-safe complement: rows where the scope filter evaluates to
+          // NULL are out of scope and must be carried over, not dropped
+          // (`!p` would be NULL for them and filter both ways)
           val withKept = config.partitionFilter match {
-            case Some(p) => merged.unionByName(affDf.filter(!p))
+            case Some(p) => merged.unionByName(affDf.filter(!coalesce(p, lit(false))))
             case None    => merged
           }
           (withKept, touched.map(f => RemoveFile(f.path)))

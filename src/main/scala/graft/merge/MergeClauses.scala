@@ -116,6 +116,26 @@ object MergeClausesExecutor {
         case _: UpdateAll => checkAll("UPDATE ALL")
         case _ => ()
       }
+      // Delta contract: WHEN NOT MATCHED BY SOURCE permits only UPDATE SET /
+      // DELETE, and its expressions may not reference the source (every
+      // source column is NULL there — UPDATE ALL would null the whole row).
+      def refsSource(c: Column): Boolean =
+        org.apache.spark.sql.graft.GraftInternal.referencedNameParts(c)
+          .exists(np => np.lengthCompare(1) > 0 && np.head == sourceAlias)
+      notMatchedBySource.foreach {
+        case _: UpdateAll =>
+          throw new IllegalArgumentException(
+            "WHEN NOT MATCHED BY SOURCE only supports UPDATE SET and DELETE " +
+              "(source columns are all NULL for those rows)")
+        case c =>
+          val exprs = (c match {
+            case UpdateSet(set, cond) => set.values.toSeq ++ cond
+            case other                => other.condition.toSeq
+          })
+          require(!exprs.exists(refsSource),
+            "WHEN NOT MATCHED BY SOURCE clauses may not reference source " +
+              s"columns ('$sourceAlias.*' is NULL for those rows)")
+      }
       notMatched.foreach {
         case InsertValues(values, _) =>
           val unknown = values.keys.filterNot(colSet)

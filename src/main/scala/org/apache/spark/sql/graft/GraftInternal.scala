@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 object GraftInternal {
   def dfFromPlan(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Multipart names of every unresolved attribute referenced by a
+    * Column, read off the ColumnNode tree (the catalyst expression is
+    * built lazily in Spark 4, so pre-analysis validation must walk the
+    * node tree, not the expression).
+    */
+  def referencedNameParts(c: org.apache.spark.sql.Column): Seq[Seq[String]] =
+    c.node.collect {
+      case a: org.apache.spark.sql.internal.UnresolvedAttribute => a.nameParts
+    }
 }

@@ -91,7 +91,19 @@ class GraftStreamSource(
     val from = start.map(versionOf(_) + 1).getOrElse(startingVersion.getOrElse(0L))
     val to = versionOf(end)
     val snap = log.snapshot(Some(to))
-    val versions = log.versions().filter(v => v >= from && v <= to)
+    val surviving = log.versions()
+    // Fail loudly (like Delta) instead of silently skipping commits that
+    // log retention already cleaned: a checkpoint older than the oldest
+    // surviving commit would otherwise lose those commits' rows.
+    surviving.headOption.foreach { oldest =>
+      if (from < oldest && from <= to)
+        throw new IllegalStateException(
+          s"GraftStreamSource at $path: versions [$from, ${oldest - 1}] were " +
+            "removed by log retention (cleanOldLogs); the stream checkpoint " +
+            "predates the retained log. Restart with a fresh checkpoint or " +
+            s"startingVersion >= $oldest.")
+    }
+    val versions = surviving.filter(v => v >= from && v <= to)
     val added = versions.flatMap(v => log.readCommit(v).add)
     val table = graft.io.GraftTable(spark, path)
     val batch = table.dfForFiles(snap, added)

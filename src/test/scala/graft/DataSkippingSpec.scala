@@ -71,6 +71,35 @@ class DataSkippingSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value == 1L)
   }
 
+  test("string stats compare in UTF-8 byte order (emoji vs private-use)") {
+    val p = tmpDir("skiputf8")
+    // UTF-16 order puts U+E000 ABOVE the emoji (surrogates start 0xD83D);
+    // UTF-8 byte order (what parquet footer stats use) reverses that.
+    // A UTF-16 comparison would see the probe above the file max and
+    // wrongly prune the file that holds the matching row.
+    GraftWriter.write(spark,
+      Seq("a", "", "😀").toDF("s").coalesce(1),
+      p, WriteOptions(mode = WriteMode.Overwrite))
+    val t = GraftTable(spark, p)
+    val f = Seq(DataFilter("s", SkipOp.Eq, ""))
+    assert(t.filesAfterPruning(f) == 1)
+    assert(t.scanPruned(f).count() == 1)
+  }
+
+  test("unknown null counts (-1 sentinel) never prune; known zero does") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import graft.log.{AddFile, FileColStat}
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val unknown = AddFile("f", Map.empty, 1L, 10L, 0L,
+      Map("s" -> FileColStat(Some("a"), Some("b"), -1L)))
+    assert(DataSkipping.mayMatch(unknown, schema, DataFilter("s", SkipOp.IsNull)))
+    assert(DataSkipping.mayMatch(unknown, schema, DataFilter("s", SkipOp.IsNotNull)))
+    val zero = unknown.copy(stats = Map("s" -> FileColStat(Some("a"), Some("b"), 0L)))
+    assert(!DataSkipping.mayMatch(zero, schema, DataFilter("s", SkipOp.IsNull)))
+    val allNull = unknown.copy(stats = Map("s" -> FileColStat(None, None, 10L)))
+    assert(!DataSkipping.mayMatch(allNull, schema, DataFilter("s", SkipOp.IsNotNull)))
+  }
+
   test("timestamp columns are data-skippable (micros output)") {
     val p = tmpDir("skipts")
     val df = (0 until 96).map(h =>

@@ -258,4 +258,30 @@ class StreamingSpec extends SparkSpec {
     val batches = t3.history().count(_.metadata.contains("streaming_batch_id"))
     assert(batches >= 3, s"expected >=3 bounded micro-batches, got $batches")
   }
+
+  test("stream source fails loudly when retention cleaned checkpointed commits") {
+    import graft.io.{GraftWriter, WriteMode, WriteOptions}
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val src = tmpDir("graft_ret") + "/src"
+    // 25 commits -> checkpoints at v10 and v20; clean everything below v20
+    (0 until 25).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), src,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val log = new graft.log.CommitLog(src, spark.sessionState.newHadoopConf())
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    assert(log.cleanOldLogs(1000L, nowMs = future).nonEmpty)
+    assert(log.versions().head == 20L)
+
+    val source = new org.apache.spark.sql.graft.GraftStreamSource(
+      spark.sqlContext, src, startingVersion = None)
+    // a checkpoint that predates the retained log must throw, not skip
+    val ex = intercept[IllegalStateException] {
+      source.getBatch(Some(LongOffset(4L)), LongOffset(24L))
+    }
+    assert(ex.getMessage.contains("log retention"))
+    // a checkpoint inside the retained window still builds its batch
+    val ok = source.getBatch(Some(LongOffset(19L)), LongOffset(24L))
+    assert(ok.isStreaming && ok.schema.fieldNames.sameElements(Array("k", "v")))
+  }
 }

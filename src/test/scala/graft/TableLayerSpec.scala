@@ -409,6 +409,42 @@ class TableLayerSpec extends SparkSpec {
     assert(outOfScopePaths.subsetOf(after))
   }
 
+  test("merge scope filter is null-safe: NULL-scope rows in touched files survive") {
+    val p = tmpDir("mnullscope")
+    // one physical file holding an in-scope row (k=2), an out-of-scope row
+    // (k=5), and a row where the scope predicate evaluates to NULL (k=null).
+    // The NULL row is out of scope and must be carried over, not dropped.
+    val tgt = Seq((Option(2L), "t2"), (Option(5L), "t5"), (Option.empty[Long], "tn"))
+      .toDF("k", "v")
+    GraftWriter.write(spark, tgt.coalesce(1), p, WriteOptions(mode = WriteMode.Overwrite))
+    MergeExecutor.merge(spark, Seq((2L, "s2")).toDF("k", "v"), p,
+      MergeConfig(MergeType.Upsert, "s.k = t.k",
+        partitionFilter = Some(col("k") <= 2)))
+    val rows = GraftTable(spark, p).toDf().collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    assert(rows == Set((Some(2L), "s2"), (Some(5L), "t5"), (None, "tn")))
+  }
+
+  test("not-matched-by-source permits only UPDATE SET / DELETE over target columns") {
+    val p = tmpDir("mcbsneg")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    // UPDATE ALL would null every column (source side is all-NULL there)
+    intercept[IllegalArgumentException] {
+      MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
+        notMatchedBySource = Seq(UpdateAll()))
+    }
+    // source references in by-source SET expressions are NULL too
+    intercept[IllegalArgumentException] {
+      MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
+        notMatchedBySource = Seq(UpdateSet(Map("v" -> col("s.v")))))
+    }
+    // the legal shape still works: target-only SET
+    MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
+      matched = Seq(UpdateAll()),
+      notMatchedBySource = Seq(UpdateSet(Map("v" -> lit("stale")))))
+    assert(contents(p) == Set((1L, "stale"), (2L, "s2"), (3L, "stale")))
+  }
+
   test("merge copy-on-write touches only files containing matches") {
     val p = tmpDir("mcowf")
     // three appends => three physical files, one key each
