@@ -96,10 +96,28 @@ object Similarity {
     centroids(corpus, stride, idCol, vecCol)
   }
 
-  /** Cell assignment: the `nprobe` nearest centroids per vector
-    * (broadcast pass); `nprobe = 1` is the storage assignment, higher
-    * values are the query-side multi-probe that trades compute for
-    * recall.
+  /** Sequential-fold L2 norm on the driver — bit-identical to
+    * `sqrt(dot(v, v))` through [[graft.functions.DotProductFP64]] (same
+    * left-to-right double fold), so centroid norms can be baked into the
+    * plan as literals without changing a single output bit.
+    */
+  private def foldNorm(v: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Cell assignment: the `nprobe` nearest centroids per vector.
+    *
+    * The centroid set is tiny by contract (k is fixed, independent of
+    * corpus size — see [[centroidsK]]), so it is localized once and baked
+    * into the plan as a literal array. Assignment is then a pure per-row
+    * projection: transform over the centroid literal → sort → slice →
+    * explode. NO crossJoin, NO window, NO shuffle — on a 1000-executor
+    * cluster the corpus-wide assignment pass stays narrow, where the
+    * previous crossJoin+row_number shape shuffled n·k scored rows.
+    * `nprobe = 1` is the storage assignment; higher values are the
+    * query-side multi-probe that trades compute for recall.
     */
   def assignCells(
       corpus: DataFrame,
@@ -108,15 +126,32 @@ object Similarity {
       vecCol: String = "embedding",
       nprobe: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val scored = TextOps.spread(corpus)
+    val centRows = cents
+      .select(col("c_id").cast("long"), col("c_vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    if (centRows.isEmpty)
+      return corpus.select(col(idCol), col(vecCol)).limit(0)
+        .withColumn("cell", lit(0L))
+    val centArr = array(centRows.map { case (id, vec) =>
+      struct(lit(id).as("c_id"), typedLit(vec).as("c_vec"),
+        lit(foldNorm(vec)).as("c_norm"))
+    }.toIndexedSeq: _*)
+    // same arithmetic as simE6 (dot / (norm_q · norm_c) · 1e6, rounded):
+    // norm_c comes from the literal, norm_q is re-evaluated per centroid
+    // exactly as the crossJoin shape did — identical doubles in, identical
+    // longs out, so downstream hashes are unchanged
+    val qNorm = norm(col(vecCol))
+    val scored = transform(centArr, c =>
+      struct((-round(dot(col(vecCol), c("c_vec")) / (qNorm * c("c_norm")) * 1e6)
+        .cast("long")).as("nsim"),
+        c("c_id").as("c_id")))
+    // ascending struct sort = sim desc, c_id asc — the old tie-break
+    TextOps.spread(corpus)
       .select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cents))
-      .withColumn("c_sim", simE6(col(vecCol), col("c_vec")))
-    val w = Window.partitionBy(idCol).orderBy(col("c_sim").desc, col("c_id"))
-    scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col(idCol), col(vecCol), col("c_id").as("cell"))
+      .withColumn("__probe", explode(slice(sort_array(scored), 1, nprobe)))
+      .select(col(idCol), col(vecCol), col("__probe.c_id").as("cell"))
   }
 
   /** Lloyd (k-means) refinement of the coarse IVF centroids: assign to
