@@ -635,6 +635,89 @@ object OracleSql {
                             ELSE [CAST(0 AS BIGINT) for x in embedding] END AS qs
                 FROM s)
           SELECT vec_id, scale_e6, CAST(i AS BIGINT) AS ord, qs[i] AS q
-          FROM q, UNNEST(range(1, len(qs) + 1)) AS t(i)"""
+          FROM q, UNNEST(range(1, len(qs) + 1)) AS t(i)""",
+
+    // transitive closure of the MinHash candidate pairs; component =
+    // min reachable doc id (the unique fixpoint min-label propagation
+    // converges to, so the iterative Spark plan and the recursive CTE
+    // agree exactly)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE cand AS ($minhashSql),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                    UNION SELECT doc_b, doc_a FROM cand),
+          reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.r)
+          SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v""",
+
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE cand AS ($minhashSql),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                    UNION SELECT doc_b, doc_a FROM cand),
+          reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.r),
+          comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> component)""",
+
+    // exact integer second moments (hugeint partials, like Spark's
+    // decimal(38,0)); var/corr are numerator/denominator pairs
+    "q24_exact_moments" ->
+      """WITH m AS (SELECT l_returnflag,
+                           CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+                           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+                    FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+                CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS BIGINT) AS var_q_num,
+                CAST(count(*) * sum(d * d) - sum(d) * sum(d) AS BIGINT) AS var_d_num,
+                CAST(count(*) * sum(q * d) - sum(q) * sum(d) AS BIGINT) AS cov_qd_num,
+                CAST(count(*) * (count(*) - 1) AS BIGINT) AS var_den
+         FROM m GROUP BY 1""",
+
+    "q25_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CAST(ntile(4) OVER win AS BIGINT) AS ntile4,
+                CAST(dense_rank() OVER win AS BIGINT) AS drank,
+                CAST(floor(percent_rank() OVER win * 1000000 + 0.5) AS BIGINT) AS pr_e6,
+                CAST(floor(cume_dist() OVER win * 1000000 + 0.5) AS BIGINT) AS cd_e6,
+                first_value(o_orderkey) OVER win AS first_key,
+                nth_value(o_orderkey, 3) OVER win AS third_key
+         FROM orders WHERE o_custkey % 50 = 0
+         WINDOW win AS (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice, o_orderkey)""",
+
+    "text_pii_scrub" -> {
+      val em = graft.ext.TextAnalysis.EmailRe
+      val ip = graft.ext.TextAnalysis.Ipv4Re
+      val ph = graft.ext.TextAnalysis.PhoneRe
+      s"""WITH r AS (SELECT doc_id, text,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '$em', '<EMAIL>', 'g'),
+                   '$ip', '<IP>', 'g'),
+                   '$ph', '<PHONE>', 'g') AS red
+          FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+                 md5(red) AS redacted_md5,
+                 CAST(length(red) AS BIGINT) AS redacted_len
+          FROM r"""
+    },
+
+    "sample_hash" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
+               % 1000 < 100""",
+
+    "sample_stratified" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
+               % 1000 <
+               CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 100
+                    WHEN 'P' THEN 1000 ELSE 0 END"""
   )
 }

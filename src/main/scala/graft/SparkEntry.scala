@@ -563,6 +563,78 @@ object SparkEntry {
         min(size(col("embedding"))).cast("long").as("min_dim"),
         max(size(col("embedding"))).cast("long").as("max_dim"))
 
+  /** Transitive near-dup clusters over the MinHash candidate pairs. */
+  private def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.components(Dedup.minhashPairs(t(spark, dir, "documents")))
+
+  /** One canonical survivor per cluster + all unpaired docs. */
+  private def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.canonical(t(spark, dir, "documents"),
+      Dedup.minhashPairs(t(spark, dir, "documents")))
+      .select("doc_id", "lang", "source", "n_chars")
+
+  /** Exact distributed second moments: variance / covariance numerators
+    * as pure integer arithmetic (decimal(38,0) partial sums), so the
+    * result is bit-exact in any engine — no floating-point accumulation
+    * order to disagree on. var = num/den and corr = cov_num /
+    * sqrt(vq_num·vd_num) are left to the consumer; the moments are the
+    * distributed part. Quantity in whole units, discount in percent —
+    * both integers in the data.
+    */
+  private def qExactMoments(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = t(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      floor(col("l_quantity") + 0.5).cast(dec).as("q"),
+      floor(col("l_discount") * 100 + 0.5).cast(dec).as("d"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
+        sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("d")).as("sqd"))
+      .select(col("l_returnflag"), col("n"),
+        (col("n").cast(dec) * col("sqq") - col("sq") * col("sq"))
+          .cast("long").as("var_q_num"),
+        (col("n").cast(dec) * col("sdd") - col("sd") * col("sd"))
+          .cast("long").as("var_d_num"),
+        (col("n").cast(dec) * col("sqd") - col("sq") * col("sd"))
+          .cast("long").as("cov_qd_num"),
+        (col("n") * (col("n") - 1)).cast("long").as("var_den"))
+  }
+
+  /** Ranking/distribution window suite: ntile, dense_rank, percent_rank,
+    * cume_dist, first/nth value under a deterministic (price, key)
+    * order. The ratio functions are integer-ratio exact, fixed-pointed
+    * at e6.
+    */
+  private def qWindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("ntile4"),
+        dense_rank().over(w).cast("long").as("drank"),
+        floor(percent_rank().over(w) * 1e6 + 0.5).cast("long").as("pr_e6"),
+        floor(cume_dist().over(w) * 1e6 + 0.5).cast("long").as("cd_e6"),
+        first_value(col("o_orderkey")).over(w).as("first_key"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+  }
+
+  private def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiScrub(t(spark, dir, "documents"))
+
+  /** ~10% reproducible sample keyed on the order id. */
+  private def qSampleHash(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(t(spark, dir, "orders"), "o_orderkey", 100)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  /** Per-status rates: keep half of F, a tenth of O, all of P. */
+  private def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(t(spark, dir, "orders"),
+      "o_orderkey", "o_orderstatus", Map("F" -> 500, "O" -> 100, "P" -> 1000))
+      .select("o_orderkey", "o_orderstatus")
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -622,7 +694,14 @@ object SparkEntry {
     "embedding_stats" -> (qEmbeddingStats _),
     "embedding_centroid_sums" -> (qCentroidSums _),
     "embedding_normalize" -> (qEmbedNormalize _),
-    "embedding_quantize_int8" -> (qEmbedQuantize _)
+    "embedding_quantize_int8" -> (qEmbedQuantize _),
+    "dedup_clusters" -> (qDedupClusters _),
+    "dedup_survivors" -> (qDedupSurvivors _),
+    "q24_exact_moments" -> (qExactMoments _),
+    "q25_window_suite" -> (qWindowSuite _),
+    "text_pii_scrub" -> (qPiiScrub _),
+    "sample_hash" -> (qSampleHash _),
+    "sample_stratified" -> (qSampleStratified _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,
@@ -645,7 +724,9 @@ object SparkEntry {
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",
     "embedding_centroid_sums", "embedding_normalize",
-    "embedding_quantize_int8")
+    "embedding_quantize_int8",
+    "dedup_clusters", "q24_exact_moments", "q25_window_suite",
+    "text_pii_scrub", "sample_hash")
 
   // ---------- DuckDB oracle SQL ----------
 

@@ -147,6 +147,125 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-duplicate candidate pairs: every doc
+    * in a transitively-connected dup cluster is labeled with the
+    * cluster's smallest doc id (`component`). Distributed min-label
+    * propagation: per round, one keyed join of labels across the
+    * symmetrized edge list + one partial-aggregated min — shuffles key on
+    * vertex ids only, never all-pairs, and the vertex set is confined to
+    * docs that appear in a pair (a vanishing fraction of the corpus).
+    * Rounds needed = cluster diameter; near-dup clusters are
+    * shallow (long chains mean the similarity threshold, not the data,
+    * is wrong), and `maxIters` bounds the worst case. Labels are
+    * localized every round via persist so lineage stays flat; the
+    * convergence check is a metadata-scale count.
+    */
+  def components(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIters: Int = 20,
+      localEdgeThreshold: Long = 5000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    try {
+      // The edge set (pairs only among near-dups) is a vanishing fraction
+      // of the corpus; when it fits driver memory, union-find locally —
+      // O(E α(E)) with zero extra Spark rounds. The distributed loop
+      // below is the path for corpora whose dup graph alone exceeds the
+      // driver (its per-round shuffles key on vertex ids, never
+      // all-pairs), and both paths converge to the same min-label
+      // fixpoint.
+      if (edges.count() <= localEdgeThreshold) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.select("src", "dst").collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min root wins => labels are cluster minima
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val rows = parent.keys.toSeq.sorted.map(v =>
+          org.apache.spark.sql.Row(v, find(v)))
+        import org.apache.spark.sql.types._
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          StructType(Seq(StructField("doc_id", LongType, nullable = false),
+            StructField("component", LongType, nullable = false))))
+      }
+      var labels = edges.select(col("src").as("doc_id"))
+        .distinct()
+        .withColumn("component", col("doc_id"))
+        .persist(MEMORY_AND_DISK)
+      var it = 0
+      var converged = false
+      // labels only ever decrease, so the (exact, overflow-safe) label sum
+      // is strictly monotone until the fixpoint — equal sums ⇔ converged,
+      // one cheap agg instead of a join-compare per round
+      def labelSum(df: DataFrame): java.math.BigDecimal = df
+        .agg(sum(col("component").cast("decimal(38,0)"))).first().getDecimal(0)
+      var prevSum = labelSum(labels)
+      while (!converged && it < maxIters) {
+        val viaNeighbor = edges
+          .join(labels.select(col("doc_id").as("dst"),
+            col("component").as("n_comp")), "dst")
+          .select(col("src").as("doc_id"), col("n_comp").as("component"))
+        val minned = labels.union(viaNeighbor)
+          .groupBy("doc_id")
+          .agg(min("component").as("component"))
+        // pointer jump (component := component's own label): collapses
+        // chains exponentially, so rounds = O(log diameter) instead of
+        // O(diameter) — a label is always a vertex id, so the self-join
+        // key always resolves
+        val next = minned
+          .join(minned.select(col("doc_id").as("c2"),
+            col("component").as("c2l")),
+            col("component") === col("c2"), "left")
+          .select(col("doc_id"),
+            coalesce(col("c2l"), col("component")).as("component"))
+          .persist(MEMORY_AND_DISK)
+        val s = labelSum(next)
+        labels.unpersist()
+        labels = next
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        it += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** Keep one canonical doc per near-dup cluster (the smallest id — the
+    * standard "first seen wins" policy) plus every unpaired doc: the
+    * cluster members that are NOT their component's label are dropped
+    * with one anti-join keyed on the id.
+    */
+  def canonical(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = components(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash signature as a '0'/'1' string. Per-token bits come
     * from the token's md5; each bit of the signature is the sign of the
     * per-bit vote over distinct tokens.
@@ -391,5 +510,39 @@ object TextAnalysis {
         col("n_distinct").cast("long").as("n_distinct"),
         floor(lit(1000) * col("n_distinct") / col("n_shingles"))
           .cast("long").as("distinct_permille"))
+  }
+
+  /** PII patterns kept to the regex subset Java and RE2 agree on (no
+    * lookaround, ASCII word boundaries) so counts and redactions are
+    * engine-reproducible.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before release: per-doc counts of emails / IPv4s /
+    * phone numbers and the text with each occurrence replaced by a typed
+    * placeholder. Pure per-row codegen'd regex work, no shuffle; the
+    * redacted text is emitted as an md5 + length so downstream audits
+    * compare content without shipping it.
+    */
+  def piiScrub(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(redacted).as("redacted_md5"),
+      length(redacted).cast("long").as("redacted_len"))
   }
 }

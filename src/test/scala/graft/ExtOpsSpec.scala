@@ -146,4 +146,102 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.filter(col("pred_lang") === "unk" && col("hits") > 0).count() == 0)
     assert(out.filter(col("pred_lang") =!= "unk" && col("hits") === 0).count() == 0)
   }
+
+  test("connected components label every cluster with its min id transitively") {
+    // chain 1-2-3 (via separate pairs), island 7-9, singleton pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      20L -> 20L, 21L -> 20L)
+    // local union-find path
+    val local = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expect)
+    // distributed min-label path (threshold 0 forces it); same fixpoint
+    val dist = Dedup.components(pairs, localEdgeThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
+  }
+
+  test("canonical dedup keeps one survivor per cluster plus unpaired docs") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "b"), (9L, "b"), (50L, "x"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.canonical(d, pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L, 50L))
+  }
+
+  test("components agrees with minhash pairs on the real corpus (cluster closure)") {
+    val pairs = Dedup.minhashPairs(docs)
+    val comp = Dedup.components(pairs)
+    // every doc in a pair got a label <= its own id, and both endpoints
+    // of every pair share a label
+    val labeled = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labeled.forall { case (v, l) => l <= v })
+    val viol = pairs.collect().filter(r =>
+      labeled(r.getLong(0)) != labeled(r.getLong(1)))
+    assert(viol.isEmpty, s"pairs split across components: ${viol.take(3).mkString}")
+  }
+
+  test("pii scrub counts and redacts emails, ips, phone numbers") {
+    val d = Seq(
+      (1L, "reach me at jo.doe+x@example.org or 10.0.0.1 tomorrow"),
+      (2L, "call 555-867-5309 or 555 867 5309 x2"),
+      (3L, "plain text, no pii at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1 && out(1L).getLong(2) == 1 && out(1L).getLong(3) == 0)
+    assert(out(2L).getLong(3) == 2)
+    assert(out(3L).getLong(1) == 0 && out(3L).getLong(2) == 0 && out(3L).getLong(3) == 0)
+    // redaction really replaced the matches: md5 equals the hand-redacted text
+    val expect1 = "reach me at <EMAIL> or <IP> tomorrow"
+    assert(out(1L).getString(4) ==
+      java.security.MessageDigest.getInstance("MD5").digest(expect1.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(out(3L).getLong(5) == "plain text, no pii at all".length.toLong)
+  }
+
+  test("hash sampling is deterministic, monotone in rate, and key-stable") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val s100a = Sampling.hashSample(o, "o_orderkey", 100).select("o_orderkey")
+      .as[Long].collect().toSet
+    val s100b = Sampling.hashSample(o, "o_orderkey", 100).select("o_orderkey")
+      .as[Long].collect().toSet
+    assert(s100a == s100b) // reproducible
+    val s300 = Sampling.hashSample(o, "o_orderkey", 300).select("o_orderkey")
+      .as[Long].collect().toSet
+    assert(s100a.subsetOf(s300)) // widening the rate only adds rows
+    val n = o.count().toDouble
+    assert(math.abs(s300.size / n - 0.3) < 0.05) // roughly the asked rate
+    // rates 0 and 1000 are the empty and full samples
+    assert(Sampling.hashSample(o, "o_orderkey", 0).count() == 0)
+    assert(Sampling.hashSample(o, "o_orderkey", 1000).count() == o.count())
+  }
+
+  test("stratified sampling applies per-stratum rates; absent strata drop") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val out = Sampling.stratifiedHashSample(o, "o_orderkey", "o_orderstatus",
+      Map("F" -> 1000, "O" -> 0))
+    val byStatus = out.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("O", 0L) == 0L)
+    assert(byStatus("F") == o.filter(col("o_orderstatus") === "F").count())
+    assert(!byStatus.contains("P")) // not in the rate map -> dropped
+  }
+
+  test("exact moments reproduce Spark's var_samp and covar_samp") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val m = SparkEntry.queries("q24_exact_moments")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = li.select(col("l_returnflag"),
+        floor(col("l_quantity") + 0.5).as("q"),
+        floor(col("l_discount") * 100 + 0.5).as("d"))
+      .groupBy("l_returnflag")
+      .agg(var_samp(col("q")).as("vq"), covar_samp(col("q"), col("d")).as("cqd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((flag, row) <- m) {
+      val den = row.getLong(5).toDouble
+      assert(math.abs(row.getLong(2) / den - ref(flag)._1) < 1e-6, s"var($flag)")
+      assert(math.abs(row.getLong(4) / den - ref(flag)._2) < 1e-6, s"covar($flag)")
+    }
+  }
 }
