@@ -718,6 +718,24 @@ object OracleSql {
          WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
                % 1000 <
                CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 100
-                    WHEN 'P' THEN 1000 ELSE 0 END"""
+                    WHEN 'P' THEN 1000 ELSE 0 END""",
+
+    // a restore after a corrupting overwrite reads back the v0 content
+    "table_restore" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+
+    // net row diff of the upsert: delete+insert pair per touched key
+    "table_changes" ->
+      """WITH s0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                     FROM orders),
+          s1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                             ELSE o_totalprice END AS o_totalprice
+                 FROM orders),
+          i AS (SELECT *, 'insert' AS _change_type
+                FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s0)),
+          d AS (SELECT *, 'delete' AS _change_type
+                FROM (SELECT * FROM s0 EXCEPT ALL SELECT * FROM s1))
+          SELECT * FROM i UNION ALL SELECT * FROM d"""
   )
 }

@@ -635,6 +635,36 @@ object SparkEntry {
       "o_orderkey", "o_orderstatus", Map("F" -> 500, "O" -> 100, "P" -> 1000))
       .select("o_orderkey", "o_orderstatus")
 
+  /** RESTORE undoes a corrupting overwrite; the read is the v0 content. */
+  private def qTableRestore(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_restore")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, o.limit(7).withColumn("o_totalprice", lit(-1.0)),
+      p, WriteOptions(mode = WriteMode.Overwrite))
+    val tb = GraftTable(spark, p)
+    tb.restore(0L)
+    tb.toDf()
+  }
+
+  /** CDF between the initial load and an upsert that bumps every
+    * 7th order's price: the diff is the delete+insert pair per
+    * touched key, computed from churned files only.
+    */
+  private def qTableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_cdf")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite))
+    val src = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10)
+    MergeExecutor.merge(spark, src, p,
+      MergeConfig(MergeType.Upsert, "s.o_orderkey = t.o_orderkey"))
+    val tb = GraftTable(spark, p)
+    tb.tableChanges(0L, tb.version())
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -701,7 +731,9 @@ object SparkEntry {
     "q25_window_suite" -> (qWindowSuite _),
     "text_pii_scrub" -> (qPiiScrub _),
     "sample_hash" -> (qSampleHash _),
-    "sample_stratified" -> (qSampleStratified _)
+    "sample_stratified" -> (qSampleStratified _),
+    "table_restore" -> (qTableRestore _),
+    "table_changes" -> (qTableChanges _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,

@@ -141,6 +141,70 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def history(): Seq[graft.log.Commit] =
     log.versions().map(log.readCommit).reverse
 
+  /** RESTORE the table to an earlier version as a NEW commit (Delta's
+    * `RESTORE TABLE ... TO VERSION AS OF`): the target snapshot's file
+    * set, schema and partitioning become current again. Metadata-only —
+    * no data file is read or rewritten, so undoing a bad write on a
+    * 100 TB table is O(#churned files) of log work. History is
+    * preserved (the bad versions stay time-travelable until vacuum
+    * ages their files out). Refuses when vacuum already deleted any
+    * target file. Returns the new version.
+    */
+  def restore(toVersion: Long): Long = {
+    val cur = snapshot()
+    val tgt = snapshot(Some(toVersion))
+    val curPaths = cur.files.map(_.path).toSet
+    val tgtPaths = tgt.files.map(_.path).toSet
+    val missing = tgt.files.filterNot(f => log.fs.exists(new Path(path, f.path)))
+    require(missing.isEmpty,
+      s"cannot restore $path to v$toVersion: ${missing.size} of its files " +
+        s"were vacuumed (e.g. ${missing.take(3).map(_.path).mkString(", ")})")
+    val reAdded = tgt.files.filterNot(f => curPaths(f.path))
+    val dropped = cur.files.filterNot(f => tgtPaths(f.path))
+    log.commit(
+      operation = "RESTORE",
+      mode = "metadata",
+      schemaDdl = tgt.schema.toDDL,
+      partitionColumns = tgt.partitionColumns,
+      metadata = Map("restored_version" -> toVersion.toString),
+      operationMetrics = Map(
+        "num_restored_files" -> reAdded.size.toLong,
+        "num_removed_files" -> dropped.size.toLong),
+      add = reAdded,
+      remove = dropped.map(f => graft.log.RemoveFile(f.path)))
+  }
+
+  /** Net row-level changes between two versions — the change-data-feed
+    * read (`_change_type` ∈ insert/delete; an update surfaces as its
+    * delete+insert pair, exactly a CDF without preimage tracking).
+    * Computed from the CHURNED FILES ONLY: multiset difference
+    * (EXCEPT ALL) between rows of files added since `fromVersion` and
+    * rows of files removed since then. Rows carried over by
+    * copy-on-write rewrites appear identically on both sides and cancel,
+    * and files live in both versions are never read — cost scales with
+    * the churn, not the table (a one-partition backfill diff on a
+    * 100 TB table reads one partition's worth of files).
+    */
+  def tableChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val fromSnap = snapshot(Some(fromVersion))
+    val toSnap = snapshot(Some(toVersion))
+    val fromPaths = fromSnap.files.map(_.path).toSet
+    val toPaths = toSnap.files.map(_.path).toSet
+    val addedRows = dfForFiles(toSnap, toSnap.files.filterNot(f => fromPaths(f.path)))
+    // align old rows to the current schema (evolution-added columns read
+    // as nulls, dropped columns are projected away)
+    val removed0 = dfForFiles(fromSnap, fromSnap.files.filterNot(f => toPaths(f.path)))
+    val removedRows = toSnap.schema.foldLeft(removed0) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(toSnap.schema.map(f => col(f.name)): _*)
+    addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
+  }
+
   /** Deep clean: physically delete data files under the table root that
     * no surviving log entry references (their remove tombstones may have
     * been dropped by `CommitLog.cleanOldLogs`) and whose modification

@@ -409,6 +409,52 @@ class TableLayerSpec extends SparkSpec {
     assert(outOfScopePaths.subsetOf(after))
   }
 
+  test("restore rolls back content, schema and partitioning as a new commit") {
+    val p = tmpDir("restore")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    val v0Files = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+    // corrupt: overwrite with different schema + extra column
+    GraftWriter.write(spark,
+      Seq((9L, 9L)).toDF("a", "b").withColumn("c", lit("x")), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        schemaMode = Some(SchemaMode.Overwrite)))
+    val t = GraftTable(spark, p)
+    val v = t.restore(0L)
+    assert(v == 2L) // restore is a NEW commit, history preserved
+    assert(t.toDf().orderBy("a").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 4L), (2L, 5L), (3L, 6L)))
+    assert(t.snapshot().schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(t.snapshot().files.map(_.path).toSet == v0Files) // same physical files
+    assert(t.toDf(Some(1L)).columns.contains("c")) // bad version still travelable
+    val c = t.history().head
+    assert(c.operation == "RESTORE" && c.metadata("restored_version") == "0")
+    // restore refuses when the target's files were vacuumed away
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    t.vacuum(retainVersions = 1)
+    intercept[IllegalArgumentException] { t.restore(1L) }
+  }
+
+  test("tableChanges reads churn only and nets out carried-over rows") {
+    val p = tmpDir("cdf")
+    // three single-key files so the COW merge touches exactly one
+    Seq(1L, 2L, 3L).foreach { k =>
+      GraftWriter.write(spark, Seq((k, s"v$k", k * 10L)).toDF("k", "v", "x"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    MergeExecutor.merge(spark, Seq((2L, "UPDATED", 20L)).toDF("k", "v", "x"), p,
+      MergeConfig(MergeType.Upsert, "s.k = t.k"))
+    val t = GraftTable(spark, p)
+    val ch = t.tableChanges(2L, t.version()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(ch == Set((2L, "v2", "delete"), (2L, "UPDATED", "insert")))
+    // append-only range: pure inserts
+    val ins = t.tableChanges(0L, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(ins == Set((2L, "insert"), (3L, "insert")))
+    // no-op range: empty
+    assert(t.tableChanges(t.version(), t.version()).count() == 0)
+  }
+
   test("merge scope filter is null-safe: NULL-scope rows in touched files survive") {
     val p = tmpDir("mnullscope")
     // one physical file holding an in-scope row (k=2), an out-of-scope row
