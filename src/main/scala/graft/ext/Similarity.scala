@@ -42,6 +42,25 @@ object Similarity {
   def simE6(a: Column, b: Column): Column =
     round(cosine(a, b) * 1e6).cast("long")
 
+  /** Top-k selection from (q_id, n_id, sim_e6) scored rows through the
+    * bounded [[graft.functions.TopKBySim]] aggregator: partial buffers
+    * are capped at k, so map-side combine collapses every upstream
+    * partition to ≤ k candidates per query BEFORE the exchange — the
+    * shuffle carries O(queries · k · partitions) rows. The window
+    * `row_number()` formulation this replaces shuffled and sorted ALL
+    * n·q scored rows, which is the part of a brute-force kNN that
+    * actually dies at 100 TB. Order (sim desc, id asc) matches the
+    * window tie-break exactly, so results are identical.
+    */
+  private def topKRows(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKBySim(k))
+    scored.groupBy("q_id")
+      .agg(topk(col("sim_e6"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.n_id").as("n_id"),
+        (col("pos") + 1).as("rank"), col("s.sim_e6").as("sim_e6"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector, brute force.
     * `queries` must be small enough to broadcast.
     */
@@ -60,11 +79,7 @@ object Similarity {
       .crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim_e6", simE6(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim_e6").desc, col("n_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "sim_e6")
+    topKRows(scored, k)
   }
 
   /** Deterministic coarse centroids: every `stride`-th vector by id.
@@ -210,11 +225,7 @@ object Similarity {
       .join(c, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim_e6", simE6(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim_e6").desc, col("n_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "sim_e6")
+    topKRows(scored, k)
   }
 
   /** Embedding-cosine near-duplicate candidate pairs, blocked by IVF

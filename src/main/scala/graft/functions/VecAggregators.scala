@@ -53,3 +53,41 @@ final class VecSumE6 extends Aggregator[Array[Float], VecAgg, VecAgg] {
   override def bufferEncoder: Encoder[VecAgg] = Encoders.product[VecAgg]
   override def outputEncoder: Encoder[VecAgg] = Encoders.product[VecAgg]
 }
+
+/** One scored candidate: similarity (e6 fixed point) + neighbor id. */
+final case class Scored(sim_e6: Long, n_id: Long)
+
+/** Bounded top-k by (sim desc, id asc) as a typed Aggregator: the
+  * partial buffer never exceeds k entries, so map-side combine reduces
+  * each upstream partition to ≤ k rows BEFORE the exchange — a top-k
+  * over n·q scored pairs shuffles O(q · k · partitions) rows, where the
+  * window row_number() formulation shuffles (and sorts) all n·q. That
+  * is the difference between a kNN that survives 100 TB and one that
+  * dies in the exchange. Determinism: total order (sim desc, id asc),
+  * insertion-order independent.
+  */
+final class TopKBySim(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  require(k > 0, "k must be positive")
+
+  // (sim desc, id asc) — the same order the window formulation used
+  private def lt(a: Scored, b: Scored): Boolean =
+    a.sim_e6 > b.sim_e6 || (a.sim_e6 == b.sim_e6 && a.n_id < b.n_id)
+
+  private def trim(s: Seq[Scored]): Seq[Scored] =
+    s.sortWith(lt).take(k)
+
+  override def zero: Seq[Scored] = Vector.empty
+
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    // cheap admission check keeps the common no-op path allocation-free
+    if (b.length >= k && !lt(a, b.last)) b else trim(b :+ a)
+
+  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
+    if (x.isEmpty) y else if (y.isEmpty) x else trim(x ++ y)
+
+  override def finish(r: Seq[Scored]): Seq[Scored] = trim(r)
+
+  override def bufferEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
+}
