@@ -252,6 +252,45 @@ object QuickStart {
     val log = new graft.log.CommitLog(table, spark.sessionState.newHadoopConf())
     println(s"[19] log versions=${log.versions().size}, " +
       s"checkpoints at=${log.checkpointVersions().mkString(",")}")
+
+    // 20. RESTORE: undo a corrupting overwrite (metadata-only commit)
+    val rt = s"$out/restoreme"
+    GraftWriter.write(spark, spark.range(0, 100).toDF("n"), rt,
+      WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, spark.range(0, 1).toDF("n"), rt,
+      WriteOptions(mode = WriteMode.Overwrite)) // oops
+    val rtab = GraftTable(spark, rt)
+    rtab.restore(0L)
+    println(s"[20] restore: v${rtab.version()} reads ${rtab.toDf().count()} rows " +
+      "(bad v1 still time-travelable: " + rtab.toDf(Some(1L)).count() + " row)")
+
+    // 21. change data feed between versions (churned files only)
+    val ch = rtab.tableChanges(1L, 2L)
+      .groupBy("_change_type").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"[21] tableChanges(v1->v2): $ch")
+
+    // 22. near-dup pipeline: pairs -> clusters -> canonical survivors
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.ext.Dedup.minhashPairs(docs)
+    val comp = graft.ext.Dedup.components(pairs)
+    val kept = graft.ext.Dedup.canonical(docs, pairs)
+    println(s"[22] near-dup: ${pairs.count()} candidate pairs, " +
+      s"${comp.select("component").distinct().count()} clusters, " +
+      s"${docs.count() - kept.count()} docs dropped by canonical dedup")
+
+    // 23. deterministic hash sampling: stable across runs and tables
+    val ordersTbl = spark.read.parquet(s"$sfDir/orders.parquet")
+    val s1 = graft.ext.Sampling.hashSample(ordersTbl, "o_orderkey", 100).count()
+    val s2 = graft.ext.Sampling.hashSample(ordersTbl, "o_orderkey", 100).count()
+    println(s"[23] hash sample 100 permille: $s1 rows (rerun: $s2 — identical)")
+
+    // 24. PII scrub over crafted text
+    import spark.implicits._
+    val pii = graft.ext.TextAnalysis.piiScrub(
+      Seq((1L, "mail a@b.org from 10.0.0.1")).toDF("doc_id", "text")).first()
+    println(s"[24] pii scrub: emails=${pii.getLong(1)} ips=${pii.getLong(2)} " +
+      s"redacted_len=${pii.getLong(5)}")
     spark.stop()
   }
 }
