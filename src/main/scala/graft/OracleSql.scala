@@ -724,6 +724,16 @@ object OracleSql {
     "table_restore" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 
+    "table_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE NOT (o_totalprice > 150000.0)""",
+
+    "table_update" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders""",
+
     // net row diff of the upsert: delete+insert pair per touched key
     "table_changes" ->
       """WITH s0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -648,6 +648,31 @@ object SparkEntry {
     tb.toDf()
   }
 
+  /** Row-level DELETE: drop expensive orders, read back the rest. */
+  private def qTableDelete(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_del")
+    GraftWriter.write(spark, o, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    GraftTable(spark, p).toDf()
+  }
+
+  /** Row-level UPDATE confined to one partition (times-two is exact in
+    * binary floating point, so the oracle compares bit-for-bit).
+    */
+  private def qTableUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_upd")
+    GraftWriter.write(spark, o, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    Dml.update(spark, p, col("o_orderstatus") === "P",
+      Map("o_totalprice" -> col("o_totalprice") * 2))
+    GraftTable(spark, p).toDf()
+  }
+
   /** CDF between the initial load and an upsert that bumps every
     * 7th order's price: the diff is the delete+insert pair per
     * touched key, computed from churned files only.
@@ -733,7 +758,9 @@ object SparkEntry {
     "sample_hash" -> (qSampleHash _),
     "sample_stratified" -> (qSampleStratified _),
     "table_restore" -> (qTableRestore _),
-    "table_changes" -> (qTableChanges _)
+    "table_changes" -> (qTableChanges _),
+    "table_delete" -> (qTableDelete _),
+    "table_update" -> (qTableUpdate _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,

@@ -1,0 +1,111 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{GraftTable, GraftWriter}
+import graft.log.{AddFile, RemoveFile}
+
+/** Row-level DELETE / UPDATE commands (the `DeltaTable.delete/update`
+  * surface) executed as file-granular copy-on-write:
+  *
+  *  1. one pruned scan finds the files that actually hold a matching
+  *     row (the condition is pushed into the scan, so partition pruning
+  *     and footer-stats skipping confine it; `input_file_name()` is
+  *     projected directly over the scan);
+  *  2. only those files are rewritten — non-matching rows are carried
+  *     over verbatim, everything else in the table is untouched.
+  *
+  * On a 100 TB table a point DELETE therefore costs one
+  * metadata-pruned discovery scan plus a rewrite of O(matching files),
+  * never a table rewrite. NULL condition rows are out of scope on both
+  * sides (SQL semantics: WHERE NULL neither deletes nor updates).
+  */
+object Dml {
+
+  final case class DmlStats(version: Long, numAffectedFiles: Long)
+
+  /** Delete rows satisfying `condition`. */
+  def delete(spark: SparkSession, path: String, condition: Column): DmlStats =
+    rewrite(spark, path, condition, "DELETE", keepMatched = None)
+
+  /** Update rows satisfying `condition`: listed columns get their new
+    * expression (evaluated over the old row), the rest keep their
+    * values. Unknown column names error before any write.
+    */
+  def update(
+      spark: SparkSession,
+      path: String,
+      condition: Column,
+      set: Map[String, Column]): DmlStats =
+    rewrite(spark, path, condition, "UPDATE", keepMatched = Some(set))
+
+  private def rewrite(
+      spark: SparkSession,
+      path: String,
+      condition: Column,
+      op: String,
+      keepMatched: Option[Map[String, Column]]): DmlStats = {
+    val table = GraftTable(spark, path)
+    var attempt = 0
+    while (true) {
+      try return rewriteOnce(spark, table, path, condition, op, keepMatched)
+      catch {
+        case _: java.util.ConcurrentModificationException if attempt < 3 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def rewriteOnce(
+      spark: SparkSession,
+      table: GraftTable,
+      path: String,
+      condition: Column,
+      op: String,
+      keepMatched: Option[Map[String, Column]]): DmlStats = {
+    val snap = table.snapshot()
+    val cols = snap.schema.map(_.name)
+    keepMatched.foreach { set =>
+      val unknown = set.keys.filterNot(cols.contains)
+      require(unknown.isEmpty,
+        s"UPDATE SET names unknown columns: ${unknown.mkString(", ")}")
+    }
+
+    // 1. discovery: which files hold a matching row? (filter BEFORE the
+    // nondeterministic input_file_name projection so pushdown fires)
+    val fileCol = "__graft_file"
+    val candDf = table.dfForFiles(snap, snap.files)
+    val matchedFiles = candDf.filter(condition)
+      .withColumn(fileCol, input_file_name())
+      .select(fileCol).distinct().collect()
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val rootAbs = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      .toUri.getPath.stripSuffix("/")
+    val rels = matchedFiles.map { r =>
+      new java.net.URI(r.getString(0)).getPath
+        .stripPrefix(rootAbs).stripPrefix("/")
+    }.toSet
+    val touched: Seq[AddFile] = snap.files.filter(f => rels(f.path))
+    if (touched.isEmpty) return DmlStats(snap.version, 0L)
+
+    // 2. rewrite only the touched files
+    val aff = table.dfForFiles(snap, touched)
+    val matched = coalesce(condition, lit(false)) // WHERE NULL = no-op
+    val newData = keepMatched match {
+      case None => aff.filter(!matched) // DELETE
+      case Some(set) => aff.select(cols.map { c =>
+        set.get(c)
+          .map(v => when(matched, v).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+    val v = GraftWriter.writeCow(spark, newData, path, snap,
+      touched.map(f => RemoveFile(f.path)),
+      operation = op,
+      metadata = Map("operation" -> op))
+    DmlStats(v, touched.size.toLong)
+  }
+}

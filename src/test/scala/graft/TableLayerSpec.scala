@@ -455,6 +455,44 @@ class TableLayerSpec extends SparkSpec {
     assert(t.tableChanges(t.version(), t.version()).count() == 0)
   }
 
+  test("DELETE and UPDATE rewrite only files containing matches") {
+    val p = tmpDir("dml")
+    // three single-key physical files
+    Seq(1L, 2L, 3L).foreach { k =>
+      GraftWriter.write(spark, Seq((k, s"v$k")).toDF("k", "v"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val before = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+
+    val del = Dml.delete(spark, p, col("k") === 2L)
+    assert(del.numAffectedFiles == 1L)
+    assert(contents(p) == Set((1L, "v1"), (3L, "v3")))
+    val afterDel = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+    assert((before intersect afterDel).size == 2, "untouched files survive verbatim")
+
+    val upd = Dml.update(spark, p, col("k") === 3L, Map("v" -> lit("UPDATED")))
+    assert(upd.numAffectedFiles == 1L)
+    assert(contents(p) == Set((1L, "v1"), (3L, "UPDATED")))
+
+    // no matches: metadata no-op, no new commit files
+    val v = GraftTable(spark, p).version()
+    val noop = Dml.delete(spark, p, col("k") === 99L)
+    assert(noop.numAffectedFiles == 0L && GraftTable(spark, p).version() == v)
+
+    // NULL condition rows are out of scope for both commands
+    GraftWriter.write(spark,
+      Seq((Option.empty[Long], "vnull")).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Append))
+    Dml.delete(spark, p, col("k") > 0L)
+    val left = GraftTable(spark, p).toDf().select("v").as[String].collect().toSet
+    assert(left == Set("vnull"))
+
+    // unknown SET column errors before any write
+    intercept[IllegalArgumentException] {
+      Dml.update(spark, p, lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
   test("merge scope filter is null-safe: NULL-scope rows in touched files survive") {
     val p = tmpDir("mnullscope")
     // one physical file holding an in-scope row (k=2), an out-of-scope row
