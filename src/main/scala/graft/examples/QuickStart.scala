@@ -274,7 +274,7 @@ object QuickStart {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val pairs = graft.ext.Dedup.minhashPairs(docs)
     val comp = graft.ext.Dedup.components(pairs)
-    val kept = graft.ext.Dedup.canonical(docs, pairs)
+    val kept = graft.ext.Dedup.canonicalFromComponents(docs, comp)
     println(s"[22] near-dup: ${pairs.count()} candidate pairs, " +
       s"${comp.select("component").distinct().count()} clusters, " +
       s"${docs.count() - kept.count()} docs dropped by canonical dedup")

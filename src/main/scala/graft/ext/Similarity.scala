@@ -54,7 +54,13 @@ object Similarity {
     */
   private def topKRows(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKBySim(k))
-    scored.groupBy("q_id")
+    scored
+      // a corrupt embedding (null / null element / dim mismatch) yields a
+      // NULL sim; it can never be a meaningful neighbor, so drop it before
+      // the non-nullable aggregator input (the old window form sorted such
+      // rows last, which amounted to the same thing)
+      .filter(col("sim_e6").isNotNull && col("n_id").isNotNull)
+      .groupBy("q_id")
       .agg(topk(col("sim_e6"), col("n_id")).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("q_id"), col("s.n_id").as("n_id"),

@@ -247,7 +247,13 @@ object Dedup {
         prevSum = s
         it += 1
       }
-      labels
+      // flatten the loop lineage and release the CacheManager entry: a
+      // localCheckpoint is materialized (eager) and its backing RDD is
+      // reclaimed by the ContextCleaner once unreferenced, unlike
+      // persist(), which would leak one cached DataFrame per call
+      val out = labels.localCheckpoint(eager = true)
+      labels.unpersist()
+      out
     } finally edges.unpersist()
   }
 
@@ -259,8 +265,18 @@ object Dedup {
   def canonical(
       docs: DataFrame,
       pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    canonicalFromComponents(docs, components(pairs), idCol)
+
+  /** [[canonical]] over precomputed [[components]] labels — use this
+    * when the caller also needs the cluster labels, so the component
+    * computation runs once.
+    */
+  def canonicalFromComponents(
+      docs: DataFrame,
+      comp: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val losers = components(pairs)
+    val losers = comp
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")

@@ -47,15 +47,9 @@ object Dml {
       op: String,
       keepMatched: Option[Map[String, Column]]): DmlStats = {
     val table = GraftTable(spark, path)
-    var attempt = 0
-    while (true) {
-      try return rewriteOnce(spark, table, path, condition, op, keepMatched)
-      catch {
-        case _: java.util.ConcurrentModificationException if attempt < 3 =>
-          attempt += 1
-      }
+    Cow.retryOnConflict() {
+      rewriteOnce(spark, table, path, condition, op, keepMatched)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   private def rewriteOnce(
@@ -77,18 +71,8 @@ object Dml {
     // nondeterministic input_file_name projection so pushdown fires)
     val fileCol = "__graft_file"
     val candDf = table.dfForFiles(snap, snap.files)
-    val matchedFiles = candDf.filter(condition)
-      .withColumn(fileCol, input_file_name())
-      .select(fileCol).distinct().collect()
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val rootAbs = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-      .toUri.getPath.stripSuffix("/")
-    val rels = matchedFiles.map { r =>
-      new java.net.URI(r.getString(0)).getPath
-        .stripPrefix(rootAbs).stripPrefix("/")
-    }.toSet
-    val touched: Seq[AddFile] = snap.files.filter(f => rels(f.path))
+    val touched: Seq[AddFile] = Cow.touchedFiles(spark, path, snap.files,
+      candDf.filter(condition).withColumn(fileCol, input_file_name()), fileCol)
     if (touched.isEmpty) return DmlStats(snap.version, 0L)
 
     // 2. rewrite only the touched files

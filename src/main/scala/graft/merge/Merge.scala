@@ -112,15 +112,9 @@ object MergeExecutor {
       val numSource = src.count() // also materializes the cache
       // a concurrent commit invalidates the derived removal set; re-derive
       // against the fresh snapshot and retry (bounded)
-      var attempt = 0
-      while (true) {
-        try return mergeOnce(spark, table, src, numSource, path, config)
-        catch {
-          case _: java.util.ConcurrentModificationException if attempt < 3 =>
-            attempt += 1
-        }
+      Cow.retryOnConflict() {
+        mergeOnce(spark, table, src, numSource, path, config)
       }
-      throw new IllegalStateException("unreachable")
     } finally src.unpersist()
   }
 
@@ -170,17 +164,8 @@ object MergeExecutor {
       val fileCol = "__graft_file"
       val scopedWithFile = scoped.withColumn(fileCol, input_file_name())
 
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      val rootAbs = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-        .toUri.getPath.stripSuffix("/")
-      def collectFiles(d: DataFrame): Seq[AddFile] = {
-        val rels = d.select(fileCol).distinct().collect().map { r =>
-          new java.net.URI(r.getString(0)).getPath
-            .stripPrefix(rootAbs).stripPrefix("/")
-        }.toSet
-        candidates.filter(f => rels(f.path))
-      }
+      def collectFiles(d: DataFrame): Seq[AddFile] =
+        Cow.touchedFiles(spark, path, candidates, d, fileCol)
 
       // 2. Touched files (metadata-scale driver collect, like Delta's).
       val touched: Seq[AddFile] = config.mergeType match {

@@ -72,16 +72,10 @@ object MergeClausesExecutor {
     try {
       val numSource = src.count()
       // re-derive against a fresh snapshot on commit conflicts (bounded)
-      var attempt = 0
-      while (true) {
-        try return mergeOnce(spark, table, src, numSource, path, predicate,
+      Cow.retryOnConflict() {
+        mergeOnce(spark, table, src, numSource, path, predicate,
           matched, notMatched, notMatchedBySource, sourceAlias, targetAlias)
-        catch {
-          case _: java.util.ConcurrentModificationException if attempt < 3 =>
-            attempt += 1
-        }
       }
-      throw new IllegalStateException("unreachable")
     } finally src.unpersist()
   }
 
@@ -119,9 +113,18 @@ object MergeClausesExecutor {
       // Delta contract: WHEN NOT MATCHED BY SOURCE permits only UPDATE SET /
       // DELETE, and its expressions may not reference the source (every
       // source column is NULL there — UPDATE ALL would null the whole row).
+      // A reference is source-side when it is alias-qualified with the
+      // source alias OR an unqualified name that is not a target column
+      // (it would silently resolve against the source side of the join).
+      val colSetCi = colSet.map(_.toLowerCase(java.util.Locale.ROOT))
       def refsSource(c: Column): Boolean =
-        org.apache.spark.sql.graft.GraftInternal.referencedNameParts(c)
-          .exists(np => np.lengthCompare(1) > 0 && np.head == sourceAlias)
+        org.apache.spark.sql.graft.GraftInternal
+          .referencedNameParts(spark, c)
+          .exists { np =>
+            (np.lengthCompare(1) > 0 && np.head == sourceAlias) ||
+              (np.lengthCompare(1) == 0 &&
+                !colSetCi(np.head.toLowerCase(java.util.Locale.ROOT)))
+          }
       notMatchedBySource.foreach {
         case _: UpdateAll =>
           throw new IllegalArgumentException(
@@ -133,7 +136,7 @@ object MergeClausesExecutor {
             case other                => other.condition.toSeq
           })
           require(!exprs.exists(refsSource),
-            "WHEN NOT MATCHED BY SOURCE clauses may not reference source " +
+            "WHEN NOT MATCHED BY SOURCE clauses may only reference target " +
               s"columns ('$sourceAlias.*' is NULL for those rows)")
       }
       notMatched.foreach {
@@ -156,17 +159,8 @@ object MergeClausesExecutor {
       val fileCol = "__graft_file"
       val withFile = candDf.withColumn(fileCol, input_file_name())
 
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      val rootAbs = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-        .toUri.getPath.stripSuffix("/")
-      def collectFiles(d: DataFrame): Seq[AddFile] = {
-        val rels = d.select(fileCol).distinct().collect().map { r =>
-          new java.net.URI(r.getString(0)).getPath
-            .stripPrefix(rootAbs).stripPrefix("/")
-        }.toSet
-        candidates.filter(f => rels(f.path))
-      }
+      def collectFiles(d: DataFrame): Seq[AddFile] =
+        Cow.touchedFiles(spark, path, candidates, d, fileCol)
 
       // by-source clauses touch every row; otherwise only files with matches
       val touched: Seq[AddFile] =

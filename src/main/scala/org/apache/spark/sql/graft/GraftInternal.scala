@@ -17,10 +17,23 @@ object GraftInternal {
   /** Multipart names of every unresolved attribute referenced by a
     * Column, read off the ColumnNode tree (the catalyst expression is
     * built lazily in Spark 4, so pre-analysis validation must walk the
-    * node tree, not the expression).
+    * node tree, not the expression). SQL-string nodes (`expr("s.v")`)
+    * are parsed so their references are visible too.
     */
-  def referencedNameParts(c: org.apache.spark.sql.Column): Seq[Seq[String]] =
-    c.node.collect {
-      case a: org.apache.spark.sql.internal.UnresolvedAttribute => a.nameParts
+  def referencedNameParts(
+      spark: SparkSession, c: org.apache.spark.sql.Column): Seq[Seq[String]] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    c.node.foreach {
+      case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
+        buf += a.nameParts
+      case s: org.apache.spark.sql.internal.SqlExpression =>
+        spark.sessionState.sqlParser.parseExpression(s.expression).foreach {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            buf += ua.nameParts
+          case _ => ()
+        }
+      case _ => ()
     }
+    buf.toSeq
+  }
 }

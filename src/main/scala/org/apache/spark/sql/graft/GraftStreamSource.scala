@@ -92,23 +92,32 @@ class GraftStreamSource(
     val to = versionOf(end)
     val snap = log.snapshot(Some(to))
     val surviving = log.versions()
-    // Fail loudly (like Delta) instead of silently skipping commits that
-    // log retention already cleaned: a checkpoint older than the oldest
-    // surviving commit would otherwise lose those commits' rows.
-    surviving.headOption.foreach { oldest =>
-      if (from < oldest && from <= to)
-        throw new IllegalStateException(
-          s"GraftStreamSource at $path: versions [$from, ${oldest - 1}] were " +
-            "removed by log retention (cleanOldLogs); the stream checkpoint " +
-            "predates the retained log. Restart with a fresh checkpoint or " +
-            s"startingVersion >= $oldest.")
+    val table = graft.io.GraftTable(spark, path)
+    def asStream(batch: DataFrame): DataFrame =
+      spark.internalCreateDataFrame(
+        batch.queryExecution.toRdd, batch.schema, isStreaming = true)
+    val gap = surviving.headOption.exists(oldest => from < oldest && from <= to)
+    if (gap && start.isEmpty && startingVersion.isEmpty) {
+      // brand-new stream on a retention-cleaned log: the checkpointed
+      // snapshot fully represents the cleaned commits, so serve it as
+      // the initial batch (Delta's initial-snapshot semantics)
+      return asStream(table.dfForFiles(snap, snap.files))
+    }
+    if (gap) {
+      // Fail loudly (like Delta) instead of silently skipping commits
+      // that log retention already cleaned: a checkpoint or explicit
+      // startingVersion below the oldest surviving commit would
+      // otherwise lose those commits' rows.
+      val oldest = surviving.head
+      throw new IllegalStateException(
+        s"GraftStreamSource at $path: versions [$from, ${oldest - 1}] were " +
+          "removed by log retention (cleanOldLogs); the stream checkpoint " +
+          "or startingVersion predates the retained log. Restart with a " +
+          s"fresh checkpoint or startingVersion >= $oldest.")
     }
     val versions = surviving.filter(v => v >= from && v <= to)
     val added = versions.flatMap(v => log.readCommit(v).add)
-    val table = graft.io.GraftTable(spark, path)
-    val batch = table.dfForFiles(snap, added)
-    spark.internalCreateDataFrame(
-      batch.queryExecution.toRdd, batch.schema, isStreaming = true)
+    asStream(table.dfForFiles(snap, added))
   }
 
   override def commit(end: Offset): Unit = ()

@@ -280,6 +280,17 @@ class StreamingSpec extends SparkSpec {
       source.getBatch(Some(LongOffset(4L)), LongOffset(24L))
     }
     assert(ex.getMessage.contains("log retention"))
+    // an explicit startingVersion below the boundary throws too
+    val explicit = new org.apache.spark.sql.graft.GraftStreamSource(
+      spark.sqlContext, src, startingVersion = Some(3L))
+    intercept[IllegalStateException] {
+      explicit.getBatch(None, LongOffset(24L))
+    }
+    // a BRAND-NEW stream (no checkpoint, no startingVersion) serves the
+    // initial snapshot instead — the checkpointed snapshot fully
+    // represents the cleaned commits
+    val fresh = source.getBatch(None, LongOffset(24L))
+    assert(fresh.isStreaming && fresh.schema.fieldNames.sameElements(Array("k", "v")))
     // a checkpoint inside the retained window still builds its batch
     val ok = source.getBatch(Some(LongOffset(19L)), LongOffset(24L))
     assert(ok.isStreaming && ok.schema.fieldNames.sameElements(Array("k", "v")))

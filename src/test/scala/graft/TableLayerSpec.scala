@@ -517,10 +517,19 @@ class TableLayerSpec extends SparkSpec {
       MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
         notMatchedBySource = Seq(UpdateAll()))
     }
-    // source references in by-source SET expressions are NULL too
+    // source references in by-source SET expressions are NULL too —
+    // whether built from col(), expr(), or an unqualified source-only name
     intercept[IllegalArgumentException] {
       MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
         notMatchedBySource = Seq(UpdateSet(Map("v" -> col("s.v")))))
+    }
+    intercept[IllegalArgumentException] {
+      MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
+        notMatchedBySource = Seq(UpdateSet(Map("v" -> expr("concat(s.v, '!')")))))
+    }
+    intercept[IllegalArgumentException] {
+      MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
+        notMatchedBySource = Seq(UpdateSet(Map("v" -> col("not_a_target_col")))))
     }
     // the legal shape still works: target-only SET
     MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
