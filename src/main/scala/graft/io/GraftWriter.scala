@@ -136,6 +136,8 @@ object GraftWriter {
       case _ => (Nil, df)
     }
 
+    enforceConstraints(df, log.tableProperties())
+
     // Physical write to staging, then rename into place.
     val writeDf =
       if (partitionCols.nonEmpty && opts.clusterByPartition)
@@ -199,6 +201,74 @@ object GraftWriter {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  private def constraintsOf(props: Map[String, String]): Map[String, String] = {
+    val prefix = graft.log.CommitLog.constraintKey("")
+    props.collect { case (k, sql) if k.startsWith(prefix) =>
+      k.stripPrefix(prefix) -> sql
+    }
+  }
+
+  /** CHECK-constraint enforcement (SQL semantics: a row violates only
+    * when the expression is FALSE; NULL passes). One aggregate pass over
+    * the incoming data, all constraints at once, run only when the table
+    * has constraints — the error names every violated constraint.
+    */
+  private def enforceConstraints(df: DataFrame, props: Map[String, String]): Unit = {
+    val checks = constraintsOf(props).toSeq
+    if (checks.isEmpty) return
+    val flags = checks.map { case (name, sql) =>
+      max(when(coalesce(!expr(sql), lit(false)), 1).otherwise(0)).as(s"c_$name")
+    }
+    val row = df.agg(flags.head, flags.tail: _*).first()
+    val violated = checks.zipWithIndex.collect {
+      case ((name, sql), i) if !row.isNullAt(i) && row.getInt(i) == 1 => s"$name ($sql)"
+    }
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint${if (violated.size > 1) "s" else ""} violated: " +
+          violated.mkString("; "))
+  }
+
+  /** Add a named CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`):
+    * verifies the EXISTING data satisfies it, then records it as a table
+    * property in a metadata-only commit. Every subsequent write — append,
+    * overwrite, merge, DML — enforces it on the incoming rows.
+    */
+  def addCheckConstraint(
+      spark: SparkSession, path: String, name: String, sqlExpr: String): Long = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid constraint name '$name'")
+    val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+    val snap = log.snapshot()
+    val table = new GraftTable(spark, path)
+    val bad = table.toDf()
+      .filter(coalesce(!expr(sqlExpr), lit(false))).limit(1).count()
+    require(bad == 0,
+      s"cannot add CHECK constraint $name: existing rows violate ($sqlExpr)")
+    log.commit(
+      operation = "ADD CONSTRAINT", mode = "metadata",
+      schemaDdl = snap.schema.toDDL, partitionColumns = snap.partitionColumns,
+      metadata = Map(CommitLog.constraintKey(name) -> sqlExpr),
+      operationMetrics = Map.empty, add = Nil, remove = Nil)
+  }
+
+  /** Drop a named CHECK constraint (empty property value = drop). */
+  def dropCheckConstraint(spark: SparkSession, path: String, name: String): Long = {
+    val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+    val snap = log.snapshot()
+    require(constraintsOf(log.tableProperties()).contains(name),
+      s"no CHECK constraint named $name on $path")
+    log.commit(
+      operation = "DROP CONSTRAINT", mode = "metadata",
+      schemaDdl = snap.schema.toDDL, partitionColumns = snap.partitionColumns,
+      metadata = Map(CommitLog.constraintKey(name) -> ""),
+      operationMetrics = Map.empty, add = Nil, remove = Nil)
+  }
+
+  /** Active CHECK constraints by name. */
+  def checkConstraints(spark: SparkSession, path: String): Map[String, String] =
+    constraintsOf(new CommitLog(path, spark.sessionState.newHadoopConf())
+      .tableProperties())
 
   /** Compact small files (Delta `OPTIMIZE`): rewrite every partition
     * holding more than one file into ~`maxRecordsPerFile`-row files, in
@@ -312,6 +382,7 @@ object GraftWriter {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
+    enforceConstraints(df, log.tableProperties())
     val writeDf =
       if (snap.partitionColumns.nonEmpty)
         df.repartition(snap.partitionColumns.map(col): _*)

@@ -239,9 +239,24 @@ final class CommitLog(
     finally out.close()
   }
 
+  /** Active table properties (reserved `graft.constraint.*` etc.): the
+    * reserved keys of the LATEST commit's metadata. Every commit carries
+    * them forward (see [[commit]]), so they survive checkpoint-based
+    * replay and log retention without any checkpoint format change.
+    */
+  def tableProperties(): Map[String, String] =
+    latestVersion()
+      .map(v => readCommit(v).metadata
+        .filter { case (k, _) => k.startsWith(CommitLog.ReservedPrefix) })
+      .getOrElse(Map.empty)
+
   /** Atomically publish the next commit. Returns the committed version.
     * Fails if `expectedVersion` was taken (optimistic concurrency; the
     * caller retries after re-reading the snapshot).
+    *
+    * Reserved `graft.`-prefixed metadata keys are table PROPERTIES:
+    * previous values are carried into every new commit automatically;
+    * a caller-supplied empty value drops the property.
     */
   def commit(
       operation: String,
@@ -254,8 +269,11 @@ final class CommitLog(
       remove: Seq[RemoveFile]): Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     val v = latestVersion().map(_ + 1).getOrElse(0L)
+    val mergedMeta = (tableProperties() ++ metadata).filterNot { case (k, value) =>
+      k.startsWith(CommitLog.ReservedPrefix) && value.isEmpty // "" = drop property
+    }
     val c = Commit(v, System.currentTimeMillis(), operation, mode, schemaDdl,
-      partitionColumns, metadata, operationMetrics, add, remove)
+      partitionColumns, mergedMeta, operationMetrics, add, remove)
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(Serialization.write(c).getBytes("UTF-8"))
@@ -298,4 +316,14 @@ final class CommitLog(
           s"concurrent commit at version $v for $tablePath (${e.getMessage})")
     }
   }
+}
+
+object CommitLog {
+  /** Metadata keys under this prefix are table properties: carried
+    * forward into every commit, dropped by committing an empty value.
+    */
+  val ReservedPrefix = "graft."
+
+  /** Key for a named CHECK constraint (value = its SQL expression). */
+  def constraintKey(name: String): String = s"${ReservedPrefix}constraint.$name"
 }

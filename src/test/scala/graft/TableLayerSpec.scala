@@ -455,6 +455,41 @@ class TableLayerSpec extends SparkSpec {
     assert(t.tableChanges(t.version(), t.version()).count() == 0)
   }
 
+  test("CHECK constraints: add validates, writes enforce, drop lifts, carry across commits") {
+    val p = tmpDir("constraints")
+    GraftWriter.write(spark, Seq((Option(1L), Option(10L))).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.addCheckConstraint(spark, p, "v_positive", "v > 0")
+    // adding a constraint existing data violates is refused
+    intercept[IllegalArgumentException] {
+      GraftWriter.addCheckConstraint(spark, p, "v_big", "v > 100")
+    }
+    // violating append refused, error names the constraint
+    val ex = intercept[IllegalArgumentException] {
+      GraftWriter.write(spark, Seq((Option(2L), Option(-5L))).toDF("k", "v"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    assert(ex.getMessage.contains("v_positive"))
+    // valid append passes; the property survives unrelated commits
+    GraftWriter.write(spark, Seq((Option(2L), Option(5L))).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Append))
+    GraftWriter.optimize(spark, p)
+    assert(GraftWriter.checkConstraints(spark, p) == Map("v_positive" -> "v > 0"))
+    // NULL passes (SQL CHECK semantics)
+    GraftWriter.write(spark, Seq((Option(3L), Option.empty[Long])).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Append))
+    // copy-on-write paths (DML/merge) enforce too
+    intercept[IllegalArgumentException] {
+      Dml.update(spark, p, col("k") === 1L, Map("v" -> lit(-1L)))
+    }
+    // drop lifts enforcement
+    GraftWriter.dropCheckConstraint(spark, p, "v_positive")
+    GraftWriter.write(spark, Seq((Option(4L), Option(-4L))).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Append))
+    assert(GraftWriter.checkConstraints(spark, p).isEmpty)
+    assert(GraftTable(spark, p).toDf().count() == 4)
+  }
+
   test("DELETE and UPDATE rewrite only files containing matches") {
     val p = tmpDir("dml")
     // three single-key physical files
