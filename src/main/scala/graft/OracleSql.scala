@@ -708,6 +708,25 @@ object OracleSql {
           FROM r"""
     },
 
+    // decontam: probe = src0, corpus = everything else; overlap of each
+    // probe doc's distinct 3-gram shingles with the corpus shingle set
+    "text_decontam" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents
+                     WHERE source <> 'src0'),
+          shd AS (SELECT doc_id, $SHINGLES AS sh FROM d),
+          tr AS (SELECT DISTINCT unnest(sh) AS s FROM shd),
+          pd AS (SELECT doc_id, $TOKS AS toks FROM documents
+                 WHERE source = 'src0'),
+          psh AS (SELECT doc_id, list_distinct($SHINGLES) AS sh FROM pd),
+          pex AS (SELECT doc_id, unnest(sh) AS s FROM psh),
+          hits AS (SELECT doc_id, count(*) AS n_hit
+                   FROM pex JOIN tr USING (s) GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.sh) AS BIGINT) AS n_shingles,
+                 CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                 CAST(floor(1000.0 * coalesce(h.n_hit, 0) / len(t.sh)) AS BIGINT)
+                   AS contam_permille
+          FROM psh t LEFT JOIN hits h USING (doc_id)""",
+
     "sample_hash" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT

@@ -624,6 +624,14 @@ object SparkEntry {
   private def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.piiScrub(t(spark, dir, "documents"))
 
+  /** Decontamination: src0 is the "eval set", the rest is "train". */
+  private def qDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    Dedup.contamination(
+      d.filter(col("source") =!= "src0"),
+      d.filter(col("source") === "src0"))
+  }
+
   /** ~10% reproducible sample keyed on the order id. */
   private def qSampleHash(spark: SparkSession, dir: String): DataFrame =
     Sampling.hashSample(t(spark, dir, "orders"), "o_orderkey", 100)
@@ -755,6 +763,7 @@ object SparkEntry {
     "q24_exact_moments" -> (qExactMoments _),
     "q25_window_suite" -> (qWindowSuite _),
     "text_pii_scrub" -> (qPiiScrub _),
+    "text_decontam" -> (qDecontam _),
     "sample_hash" -> (qSampleHash _),
     "sample_stratified" -> (qSampleStratified _),
     "table_restore" -> (qTableRestore _),
@@ -785,7 +794,7 @@ object SparkEntry {
     "embedding_centroid_sums", "embedding_normalize",
     "embedding_quantize_int8",
     "dedup_clusters", "q24_exact_moments", "q25_window_suite",
-    "text_pii_scrub", "sample_hash")
+    "text_pii_scrub", "text_decontam", "sample_hash")
 
   // ---------- DuckDB oracle SQL ----------
 

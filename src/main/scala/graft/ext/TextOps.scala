@@ -257,6 +257,40 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Train/eval contamination report (the decontamination pass every
+    * benchmark-respecting pipeline runs): for each probe (eval) doc, how
+    * many of its distinct n-gram shingles appear ANYWHERE in the corpus
+    * (train side), and the overlap in permille. Plan shape at 100 TB:
+    * corpus shingles collapse to a distinct set (partial-agg shuffle
+    * keyed on the shingle), probes left-semi join that set on the same
+    * key — never doc×doc, cost linear in total shingle volume. Raise `n`
+    * (8-13 is the usual decontam range) to tighten the match.
+    */
+  def contamination(
+      corpus: DataFrame,
+      probe: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = array_distinct(shingles(tokens(col(textCol)), n))
+    val corpusShingles = TextOps.spread(corpus)
+      .select(explode(sh).as("s"))
+      .distinct()
+    val probeShingles = probe.select(col(idCol), sh.as("psh"))
+    val hits = probeShingles
+      .select(col(idCol), explode(col("psh")).as("s"))
+      .join(corpusShingles, Seq("s"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hit"))
+    probeShingles
+      .select(col(idCol), size(col("psh")).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+        floor(lit(1000.0) * coalesce(col("n_hit"), lit(0L)) / col("n_shingles"))
+          .cast("long").as("contam_permille"))
+  }
+
   /** Keep one canonical doc per near-dup cluster (the smallest id — the
     * standard "first seen wins" policy) plus every unpaired doc: the
     * cluster members that are NOT their component's label are dropped

@@ -182,6 +182,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(viol.isEmpty, s"pairs split across components: ${viol.take(3).mkString}")
   }
 
+  test("contamination reports per-probe shingle overlap with the corpus") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "a b c d"),   // both shingles contaminated
+      (11L, "x y z"),     // clean
+      (12L, "c d e f")    // one of two shingles contaminated
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, probe).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((2L, 2L, 1000L)))
+    assert(out(11L) == ((1L, 0L, 0L)))
+    assert(out(12L) == ((2L, 1L, 500L)))
+  }
+
   test("pii scrub counts and redacts emails, ips, phone numbers") {
     val d = Seq(
       (1L, "reach me at jo.doe+x@example.org or 10.0.0.1 tomorrow"),
