@@ -171,7 +171,8 @@ final class GraftTable(val spark: SparkSession, val path: String) {
         "num_restored_files" -> reAdded.size.toLong,
         "num_removed_files" -> dropped.size.toLong),
       add = reAdded,
-      remove = dropped.map(f => graft.log.RemoveFile(f.path)))
+      remove = dropped.map(f => graft.log.RemoveFile(f.path)),
+      expectedVersion = Some(cur.version)) // diff derived from cur
   }
 
   /** Net row-level changes between two versions — the change-data-feed

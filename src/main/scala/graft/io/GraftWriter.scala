@@ -151,12 +151,24 @@ object GraftWriter {
     // staged files stay valid — only the log actions (removals, evolved
     // schema) are re-derived against the fresh snapshot. Last writer
     // wins, like Delta's conflict resolution for non-overlapping txns.
+    // Removal sets are DERIVED from a snapshot, so overwrite-family
+    // commits are compare-and-swapped on that snapshot's version — a
+    // commit slipping in between forces re-derivation instead of being
+    // silently dropped. Blind appends commute: no CAS, no spurious retry.
+    val casModes: Set[WriteMode] =
+      Set(WriteMode.Overwrite, WriteMode.CreateOrReplace)
     var attempt = 0
     while (true) {
+      // -1 = "expect an empty log" (a concurrent CREATE must conflict too)
+      var expected: Option[Long] =
+        if (casModes(opts.mode)) Some(snapOpt.map(_.version).getOrElse(-1L))
+        else None
       val (schemaDdl, removals2) =
         if (attempt == 0) (newSchema.toDDL, removals)
         else {
           val fresh = if (log.tableExists()) Some(log.snapshot()) else None
+          if (casModes(opts.mode))
+            expected = Some(fresh.map(_.version).getOrElse(-1L))
           fresh.foreach { s =>
             require(s.partitionColumns == partitionCols,
               s"concurrent writer changed partitioning to ${s.partitionColumns}")
@@ -193,7 +205,8 @@ object GraftWriter {
           metadata = opts.metadata,
           operationMetrics = metrics,
           add = added,
-          remove = removals2)
+          remove = removals2,
+          expectedVersion = expected)
       } catch {
         case _: java.util.ConcurrentModificationException if attempt < 5 =>
           attempt += 1
@@ -283,7 +296,13 @@ object GraftWriter {
   def optimize(
       spark: SparkSession,
       path: String,
-      maxRecordsPerFile: Long = 4 * 1024 * 1024): Long = {
+      maxRecordsPerFile: Long = 4 * 1024 * 1024): Long =
+    retryDerived { optimizeOnce(spark, path, maxRecordsPerFile) }
+
+  private def optimizeOnce(
+      spark: SparkSession,
+      path: String,
+      maxRecordsPerFile: Long): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
@@ -317,7 +336,24 @@ object GraftWriter {
         "num_compacted_files" -> toCompact.size.toLong,
         "num_added_files" -> added.size.toLong),
       add = added,
-      remove = toCompact.map(f => RemoveFile(f.path)))
+      remove = toCompact.map(f => RemoveFile(f.path)),
+      expectedVersion = Some(snap.version))
+  }
+
+  /** Bounded retry for maintenance commands whose removal sets derive
+    * from a snapshot: a concurrent commit CASes them out and the command
+    * re-derives from scratch.
+    */
+  private def retryDerived(f: => Long): Long = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case _: java.util.ConcurrentModificationException if attempt < 3 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Cluster the table's rows by `cols` — Delta's `OPTIMIZE ZORDER BY`
@@ -336,6 +372,14 @@ object GraftWriter {
       cols: Seq[String],
       maxRecordsPerFile: Long = 4 * 1024 * 1024): Long = {
     require(cols.nonEmpty, "clustering requires at least one column")
+    retryDerived { optimizeClusterOnce(spark, path, cols, maxRecordsPerFile) }
+  }
+
+  private def optimizeClusterOnce(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      maxRecordsPerFile: Long): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
@@ -358,7 +402,8 @@ object GraftWriter {
         "num_clustered_files" -> snap.files.size.toLong,
         "num_added_files" -> added.size.toLong),
       add = added,
-      remove = snap.files.map(f => RemoveFile(f.path)))
+      remove = snap.files.map(f => RemoveFile(f.path)),
+      expectedVersion = Some(snap.version))
   }
 
   /** Copy-on-write commit: stage `df` as new data files and commit them
@@ -400,7 +445,11 @@ object GraftWriter {
         "num_removed_files" -> removals.size.toLong,
         "num_output_rows" -> added.map(_.numRecords).sum),
       add = added,
-      remove = removals)
+      remove = removals,
+      // CAS on the snapshot the rewrite was derived from: a concurrent
+      // commit conflicts (the merge/DML retry re-derives) instead of
+      // having its changes silently clobbered by stale carried-over rows
+      expectedVersion = Some(snap.version))
   }
 
   /** Write `df` under a staging dir, then promote the parquet files into

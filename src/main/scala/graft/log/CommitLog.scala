@@ -257,6 +257,14 @@ final class CommitLog(
     * Reserved `graft.`-prefixed metadata keys are table PROPERTIES:
     * previous values are carried into every new commit automatically;
     * a caller-supplied empty value drops the property.
+    *
+    * `expectedVersion` is the compare-and-swap guard for commits whose
+    * ACTIONS were derived from a snapshot (copy-on-write rewrites,
+    * overwrite/replaceWhere removal sets, restore): the commit lands at
+    * exactly `expectedVersion + 1` and fails with
+    * ConcurrentModificationException if any commit slipped in between —
+    * without it, a stale-snapshot rewrite would silently drop the
+    * concurrent commit's changes (blind appends commute and pass None).
     */
   def commit(
       operation: String,
@@ -266,9 +274,17 @@ final class CommitLog(
       metadata: Map[String, String],
       operationMetrics: Map[String, Long],
       add: Seq[AddFile],
-      remove: Seq[RemoveFile]): Long = {
+      remove: Seq[RemoveFile],
+      expectedVersion: Option[Long] = None): Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
-    val v = latestVersion().map(_ + 1).getOrElse(0L)
+    val latest = latestVersion()
+    expectedVersion.foreach { exp =>
+      if (latest.exists(_ != exp))
+        throw new java.util.ConcurrentModificationException(
+          s"expected version $exp but log is at ${latest.get} for $tablePath")
+    }
+    val v = expectedVersion.map(_ + 1)
+      .orElse(latest.map(_ + 1)).getOrElse(0L)
     val mergedMeta = (tableProperties() ++ metadata).filterNot { case (k, value) =>
       k.startsWith(CommitLog.ReservedPrefix) && value.isEmpty // "" = drop property
     }

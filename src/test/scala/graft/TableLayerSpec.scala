@@ -455,6 +455,23 @@ class TableLayerSpec extends SparkSpec {
     assert(t.tableChanges(t.version(), t.version()).count() == 0)
   }
 
+  test("stale-snapshot commits are compare-and-swapped, not silently applied") {
+    val p = tmpDir("cas")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite)) // v0
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Append))    // v1
+    val log = new graft.log.CommitLog(p, spark.sessionState.newHadoopConf())
+    val ddl = GraftTable(spark, p).snapshot().schema.toDDL
+    // a commit derived from v0 must conflict now that v1 exists
+    intercept[java.util.ConcurrentModificationException] {
+      log.commit("X", "cow", ddl, Nil, Map.empty, Map.empty, Nil, Nil,
+        expectedVersion = Some(0L))
+    }
+    // the matching expectation lands at exactly expected+1
+    val v = log.commit("X", "metadata", ddl, Nil, Map.empty, Map.empty, Nil, Nil,
+      expectedVersion = Some(1L))
+    assert(v == 2L)
+  }
+
   test("CHECK constraints: add validates, writes enforce, drop lifts, carry across commits") {
     val p = tmpDir("constraints")
     GraftWriter.write(spark, Seq((Option(1L), Option(10L))).toDF("k", "v"), p,
