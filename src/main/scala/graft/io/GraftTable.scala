@@ -141,6 +141,32 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def history(): Seq[graft.log.Commit] =
     log.versions().map(log.readCommit).reverse
 
+  /** History as a DataFrame (Delta `DESCRIBE HISTORY`): one row per
+    * commit, newest first.
+    */
+  def historyDf(): DataFrame = {
+    import spark.implicits._
+    history().map(c => (c.version, c.timestampMs, c.operation, c.mode,
+      c.add.size.toLong, c.remove.size.toLong,
+      c.operationMetrics.getOrElse("num_output_rows", -1L)))
+      .toDF("version", "timestamp_ms", "operation", "mode",
+        "num_added_files", "num_removed_files", "num_output_rows")
+  }
+
+  /** One-row table summary (Delta `DESCRIBE DETAIL`). */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot()
+    val props = log.tableProperties()
+    Seq((
+      "graft", path, snap.version, snap.files.size.toLong,
+      snap.files.map(_.sizeBytes).sum, snap.files.map(_.numRecords).sum,
+      snap.partitionColumns.mkString(","), snap.schema.toDDL,
+      props.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";")))
+      .toDF("format", "location", "version", "num_files", "size_bytes",
+        "num_records", "partition_columns", "schema_ddl", "properties")
+  }
+
   /** RESTORE the table to an earlier version as a NEW commit (Delta's
     * `RESTORE TABLE ... TO VERSION AS OF`): the target snapshot's file
     * set, schema and partitioning become current again. Metadata-only —
@@ -267,7 +293,11 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def vacuumOlderThan(
       retainMillis: Long,
       nowMs: Long = System.currentTimeMillis(),
-      enforceRetention: Boolean = true): Seq[String] = {
+      enforceRetention: Boolean = true,
+      /** Report what WOULD be deleted without touching anything
+        * (Delta's `VACUUM ... DRY RUN`).
+        */
+      dryRun: Boolean = false): Seq[String] = {
     require(retainMillis >= 0, "retention must be non-negative")
     require(!enforceRetention || retainMillis >= GraftTable.MinRetentionMillis,
       s"retention ${retainMillis}ms is below the ${GraftTable.MinRetentionMillis}ms " +
@@ -282,10 +312,11 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       c.add.foreach(a => removedAt.remove(a.path)) // re-added later => live path
     }
     val fs = log.fs
-    removedAt.iterator
+    val doomed = removedAt.iterator
       .collect { case (rel, ts) if ts < cutoff && !live(rel) => rel }
-      .filter(rel => fs.delete(new Path(path, rel), false))
       .toSeq
+    if (dryRun) doomed.filter(rel => fs.exists(new Path(path, rel)))
+    else doomed.filter(rel => fs.delete(new Path(path, rel), false))
   }
 }
 

@@ -236,8 +236,12 @@ class TableLayerSpec extends SparkSpec {
 
     // pretend a week passed: v0 tombstones now vacuum; live files survive
     val future = System.currentTimeMillis() + GraftTable.MinRetentionMillis + 60000
+    // dry run reports the doomed set without deleting anything
+    val wouldDelete = t.vacuumOlderThan(GraftTable.MinRetentionMillis,
+      nowMs = future, dryRun = true)
+    assert(wouldDelete.nonEmpty && t.toDf(Some(0L)).count() == 3)
     val deleted = t.vacuumOlderThan(GraftTable.MinRetentionMillis, nowMs = future)
-    assert(deleted.nonEmpty)
+    assert(deleted.toSet == wouldDelete.toSet)
     assert(t.toDf().count() == 1) // live version intact
     intercept[Exception] { t.toDf(Some(0L)).count() } // v0 files gone
     // idempotent: nothing left to delete, live files never touched
@@ -453,6 +457,23 @@ class TableLayerSpec extends SparkSpec {
     assert(ins == Set((2L, "insert"), (3L, "insert")))
     // no-op range: empty
     assert(t.tableChanges(t.version(), t.version()).count() == 0)
+  }
+
+  test("describe detail and history dataframes summarize the table") {
+    val p = tmpDir("detail")
+    GraftWriter.write(spark, abDf, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("a")))
+    GraftWriter.addCheckConstraint(spark, p, "b_pos", "b > 0")
+    val t = GraftTable(spark, p)
+    val d = t.detail().first()
+    assert(d.getAs[String]("format") == "graft")
+    assert(d.getAs[Long]("version") == 1L)
+    assert(d.getAs[Long]("num_records") == 3L)
+    assert(d.getAs[String]("partition_columns") == "a")
+    assert(d.getAs[String]("properties").contains("b_pos=b > 0"))
+    val h = t.historyDf().collect()
+    assert(h.length == 2 && h.head.getAs[Long]("version") == 1L)
+    assert(h.last.getAs[String]("operation") == "WRITE")
   }
 
   test("stale-snapshot commits are compare-and-swapped, not silently applied") {
