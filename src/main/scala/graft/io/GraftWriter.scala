@@ -406,6 +406,90 @@ object GraftWriter {
       expectedVersion = Some(snap.version))
   }
 
+  /** Morton (Z-order) key over up to 4 numeric/timestamp columns: each
+    * value is quantile-normalized to a 16-bit rank (equi-depth cuts from
+    * approxQuantile, so skewed columns still use their full bit range),
+    * then the ranks' bits are interleaved with shift/mask arithmetic —
+    * plain codegen'd column ops, no UDF. Locality: rows close in ANY
+    * clustered dimension land close in key order.
+    */
+  private def mortonKey(df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"Z-order needs 2-4 columns, got ${cols.size}")
+    val bitsPer = 16
+    val buckets = 1 << bitsPer
+    val stride = cols.size
+    val ranked: Seq[Column] = cols.map { c =>
+      // equi-depth cut points (255 interior cuts -> 256 coarse buckets,
+      // refined to 16 bits by uniform interpolation inside the bucket)
+      val probes = (1 until 256).map(_ / 256.0).toArray
+      val cuts = df.stat.approxQuantile(c, probes, 0.001).distinct.sorted
+      val v = col(c).cast("double")
+      // binary-search-free bucket assignment: count of cuts <= v, as a
+      // sum of codegen'd comparisons over the literal cut array
+      val coarse = cuts.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(v > lit(cut), 1).otherwise(0)
+      }
+      // refine within the coarse bucket uniformly (best effort)
+      val lo = element_at(typedLit(Double.MinValue +: cuts), coarse + 1)
+      val hi = element_at(typedLit(cuts :+ Double.MaxValue), coarse + 1)
+      val frac = when(hi > lo, (v - lo) / (hi - lo)).otherwise(lit(0.0))
+      val fine = least(greatest(floor(frac * 256).cast("int"), lit(0)), lit(255))
+      (coarse * 256 + fine).cast("long") % buckets
+    }
+    // interleave: bit b of column i goes to position b*stride + i
+    val parts = ranked.zipWithIndex.map { case (r, i) =>
+      (0 until bitsPer).map { b =>
+        shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * stride + i)
+      }.reduce(_.bitwiseOR(_))
+    }
+    parts.reduce(_.bitwiseOR(_))
+  }
+
+  /** True multi-dimensional Z-order clustering (Delta `OPTIMIZE ZORDER BY`
+    * with real bit interleaving): rows are ordered by the Morton key of
+    * the clustering columns, so footer min/max stats prune selective
+    * predicates on ANY of the columns — where [[optimizeCluster]]'s
+    * hierarchical (lexicographic) sort only prunes prefixes: a predicate
+    * on the second column alone reads every file there. One commit swaps
+    * all files; readers and time travel are unaffected.
+    */
+  def optimizeZOrder(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      maxRecordsPerFile: Long = 4 * 1024 * 1024): Long =
+    retryDerived {
+      val conf = spark.sessionState.newHadoopConf()
+      val log = new CommitLog(path, conf)
+      val fs = new Path(path).getFileSystem(conf)
+      val snap = log.snapshot()
+      val table = new GraftTable(spark, path)
+      val totalRows = snap.files.map(_.numRecords).sum
+      val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
+      val df = table.toDf()
+      val zCol = "__graft_z"
+      val clustered = df
+        .withColumn(zCol, mortonKey(df, cols))
+        .repartitionByRange(nOut, col(zCol))
+        .sortWithinPartitions(col(zCol))
+        .drop(zCol)
+      val added = stageAndPromote(
+        spark, fs, conf, clustered, path, snap.partitionColumns, "zstd")
+      log.commit(
+        operation = "OPTIMIZE",
+        mode = "zorder",
+        schemaDdl = snap.schema.toDDL,
+        partitionColumns = snap.partitionColumns,
+        metadata = Map("zorder_by" -> cols.mkString(",")),
+        operationMetrics = Map(
+          "num_clustered_files" -> snap.files.size.toLong,
+          "num_added_files" -> added.size.toLong),
+        add = added,
+        remove = snap.files.map(f => RemoveFile(f.path)),
+        expectedVersion = Some(snap.version))
+    }
+
   /** Copy-on-write commit: stage `df` as new data files and commit them
     * together with an explicit removal list — the file-granular rewrite
     * primitive behind [[graft.merge.MergeExecutor]] (only the files a

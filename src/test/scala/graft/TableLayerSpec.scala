@@ -221,6 +221,30 @@ class TableLayerSpec extends SparkSpec {
     assert(t.toDf(Some(0L)).count() == 4000)
   }
 
+  test("z-order clustering prunes selective predicates on ANY clustered column") {
+    val p = tmpDir("zord")
+    val df = spark.range(0, 65536).select(
+      col("id").as("k1"),
+      ((col("id") * 2654435761L) % 65536).as("k2"), // decorrelated from k1
+      col("id").as("v"))
+    GraftWriter.write(spark, df.repartition(16), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.optimizeZOrder(spark, p, Seq("k1", "k2"),
+      maxRecordsPerFile = 4096)
+    val t = GraftTable(spark, p)
+    val nFiles = t.snapshot().files.size
+    assert(nFiles >= 12, s"expected ~16 clustered files, got $nFiles")
+    // contents unchanged
+    assert(t.toDf().count() == 65536)
+    assert(t.toDf().agg(sum("v")).first().getLong(0) == 65535L * 65536 / 2)
+    def filesFor(c: String) = t.filesAfterPruning(Seq(
+      DataFilter(c, SkipOp.Ge, 30000L), DataFilter(c, SkipOp.Lt, 30100L)))
+    // a narrow range on EITHER dimension alone reads a minority of files —
+    // the hierarchical (k1, k2) sort would read every file for k2 alone
+    assert(filesFor("k1") <= nFiles / 2, s"k1 pruning weak: ${filesFor("k1")}/$nFiles")
+    assert(filesFor("k2") <= nFiles / 2, s"k2 pruning weak: ${filesFor("k2")}/$nFiles")
+  }
+
   test("age-based vacuum: retention guard, live version untouchable, old tombstones deleted") {
     val p = tmpDir("vaca")
     GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
