@@ -57,8 +57,10 @@ object Similarity {
     scored
       // a corrupt embedding (null / null element / dim mismatch) yields a
       // NULL sim; it can never be a meaningful neighbor, so drop it before
-      // the non-nullable aggregator input (the old window form sorted such
-      // rows last, which amounted to the same thing)
+      // the non-nullable aggregator input. Consequence: a query whose
+      // candidates are ALL corrupt is absent from the result (the old
+      // window form emitted it with null-sim placeholder rows) — absence
+      // is the contract here, not padding
       .filter(col("sim_e6").isNotNull && col("n_id").isNotNull)
       .groupBy("q_id")
       .agg(topk(col("sim_e6"), col("n_id")).as("top"))

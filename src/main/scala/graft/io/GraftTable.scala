@@ -176,7 +176,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     * ages their files out). Refuses when vacuum already deleted any
     * target file. Returns the new version.
     */
-  def restore(toVersion: Long): Long = {
+  def restore(toVersion: Long): Long = GraftWriter.retryDerived {
     val cur = snapshot()
     val tgt = snapshot(Some(toVersion))
     val curPaths = cur.files.map(_.path).toSet

@@ -136,8 +136,6 @@ object GraftWriter {
       case _ => (Nil, df)
     }
 
-    enforceConstraints(df, log.tableProperties())
-
     // Physical write to staging, then rename into place.
     val writeDf =
       if (partitionCols.nonEmpty && opts.clusterByPartition)
@@ -146,6 +144,8 @@ object GraftWriter {
     val added =
       stageAndPromote(spark, fs, conf, writeDf, path, partitionCols,
         opts.compression, opts.maxRecordsPerFile)
+    enforceOnWritten(spark, fs, path, newSchema, partitionCols, added,
+      log.tableProperties())
 
     // Commit with bounded retry: on a concurrent-commit conflict the
     // staged files stay valid — only the log actions (removals, evolved
@@ -222,10 +222,40 @@ object GraftWriter {
     }
   }
 
-  /** CHECK-constraint enforcement (SQL semantics: a row violates only
-    * when the expression is FALSE; NULL passes). One aggregate pass over
-    * the incoming data, all constraints at once, run only when the table
-    * has constraints — the error names every violated constraint.
+  /** CHECK-constraint enforcement over the rows ACTUALLY WRITTEN: reads
+    * the just-promoted files back (one columnar scan, all constraints in
+    * one aggregate pass, only when the table has constraints) and, on
+    * violation, deletes them before throwing — so a non-deterministic
+    * input (e.g. a rand() column) cannot pass a pre-write validation and
+    * then write different, violating rows, and the write's lineage is
+    * never executed twice.
+    */
+  private def enforceOnWritten(
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      schema: StructType,
+      partitionCols: Seq[String],
+      added: Seq[AddFile],
+      props: Map[String, String]): Unit = {
+    if (added.isEmpty || constraintsOf(props).isEmpty) return
+    val dataSchema = StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+    val abs = added.map(f => new Path(path, f.path).toString)
+    val written = spark.read
+      .schema(dataSchema)
+      .option("basePath", path)
+      .parquet(abs: _*)
+      .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    try enforceConstraints(written, props)
+    catch {
+      case t: Throwable =>
+        added.foreach(f => fs.delete(new Path(path, f.path), false))
+        throw t
+    }
+  }
+
+  /** SQL semantics: a row violates only when the expression is FALSE;
+    * NULL passes. The error names every violated constraint.
     */
   private def enforceConstraints(df: DataFrame, props: Map[String, String]): Unit = {
     val checks = constraintsOf(props).toSeq
@@ -252,17 +282,23 @@ object GraftWriter {
       spark: SparkSession, path: String, name: String, sqlExpr: String): Long = {
     require(name.matches("[A-Za-z0-9_-]+"), s"invalid constraint name '$name'")
     val log = new CommitLog(path, spark.sessionState.newHadoopConf())
-    val snap = log.snapshot()
     val table = new GraftTable(spark, path)
-    val bad = table.toDf()
-      .filter(coalesce(!expr(sqlExpr), lit(false))).limit(1).count()
-    require(bad == 0,
-      s"cannot add CHECK constraint $name: existing rows violate ($sqlExpr)")
-    log.commit(
-      operation = "ADD CONSTRAINT", mode = "metadata",
-      schemaDdl = snap.schema.toDDL, partitionColumns = snap.partitionColumns,
-      metadata = Map(CommitLog.constraintKey(name) -> sqlExpr),
-      operationMetrics = Map.empty, add = Nil, remove = Nil)
+    // CAS on the validated snapshot + re-validate on conflict: a write
+    // landing between validation and commit must not leave the table
+    // with an active constraint its data already violates
+    retryDerived {
+      val snap = log.snapshot()
+      val bad = table.dfForFiles(snap, snap.files)
+        .filter(coalesce(!expr(sqlExpr), lit(false))).limit(1).count()
+      require(bad == 0,
+        s"cannot add CHECK constraint $name: existing rows violate ($sqlExpr)")
+      log.commit(
+        operation = "ADD CONSTRAINT", mode = "metadata",
+        schemaDdl = snap.schema.toDDL, partitionColumns = snap.partitionColumns,
+        metadata = Map(CommitLog.constraintKey(name) -> sqlExpr),
+        operationMetrics = Map.empty, add = Nil, remove = Nil,
+        expectedVersion = Some(snap.version))
+    }
   }
 
   /** Drop a named CHECK constraint (empty property value = drop). */
@@ -344,7 +380,7 @@ object GraftWriter {
     * from a snapshot: a concurrent commit CASes them out and the command
     * re-derives from scratch.
     */
-  private def retryDerived(f: => Long): Long = {
+  private[io] def retryDerived(f: => Long): Long = {
     var attempt = 0
     while (true) {
       try return f
@@ -419,11 +455,18 @@ object GraftWriter {
     val bitsPer = 16
     val buckets = 1 << bitsPer
     val stride = cols.size
-    val ranked: Seq[Column] = cols.map { c =>
-      // equi-depth cut points (255 interior cuts -> 256 coarse buckets,
-      // refined to 16 bits by uniform interpolation inside the bucket)
-      val probes = (1 until 256).map(_ / 256.0).toArray
-      val cuts = df.stat.approxQuantile(c, probes, 0.001).distinct.sorted
+    // equi-depth cut points (255 interior cuts -> 256 coarse buckets,
+    // refined to 16 bits by uniform interpolation inside the bucket).
+    // One multi-column quantile job (not one scan per column); columns
+    // are pre-cast to double so timestamps/dates work too. The rank
+    // subtree appears once per interleaved bit, but whole-stage codegen
+    // CSE evaluates it once per row.
+    val probes = (1 until 256).map(_ / 256.0).toArray
+    val allCuts = df
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(cols.toArray, probes, 0.001)
+    val ranked: Seq[Column] = cols.zip(allCuts).map { case (c, rawCuts) =>
+      val cuts = rawCuts.distinct.sorted
       val v = col(c).cast("double")
       // binary-search-free bucket assignment: count of cuts <= v, as a
       // sum of codegen'd comparisons over the literal cut array
@@ -511,13 +554,14 @@ object GraftWriter {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
-    enforceConstraints(df, log.tableProperties())
     val writeDf =
       if (snap.partitionColumns.nonEmpty)
         df.repartition(snap.partitionColumns.map(col): _*)
       else df
     val added =
       stageAndPromote(spark, fs, conf, writeDf, path, snap.partitionColumns, compression)
+    enforceOnWritten(spark, fs, path, snap.schema, snap.partitionColumns, added,
+      log.tableProperties())
     log.commit(
       operation = operation,
       mode = "cow",

@@ -114,16 +114,20 @@ object MergeClausesExecutor {
       // DELETE, and its expressions may not reference the source (every
       // source column is NULL there — UPDATE ALL would null the whole row).
       // A reference is source-side when it is alias-qualified with the
-      // source alias OR an unqualified name that is not a target column
-      // (it would silently resolve against the source side of the join).
-      val colSetCi = colSet.map(_.toLowerCase(java.util.Locale.ROOT))
+      // source alias (case-insensitively — Spark's resolver is), or an
+      // unqualified name of a source-only column (it would silently
+      // resolve against the source side of the join; names in neither
+      // side are left for the analyzer — they may be literal functions
+      // like current_timestamp or lambda variables).
+      def ci(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val colSetCi = colSet.map(ci)
+      val srcOnlyCi = src.columns.map(ci).toSet -- colSetCi
       def refsSource(c: Column): Boolean =
         org.apache.spark.sql.graft.GraftInternal
           .referencedNameParts(spark, c)
           .exists { np =>
-            (np.lengthCompare(1) > 0 && np.head == sourceAlias) ||
-              (np.lengthCompare(1) == 0 &&
-                !colSetCi(np.head.toLowerCase(java.util.Locale.ROOT)))
+            (np.lengthCompare(1) > 0 && ci(np.head) == ci(sourceAlias)) ||
+              (np.lengthCompare(1) == 0 && srcOnlyCi(ci(np.head)))
           }
       notMatchedBySource.foreach {
         case _: UpdateAll =>

@@ -69,10 +69,18 @@ class GraftStreamSource(
     latest match {
       case None => null
       case Some(l) =>
-        val start = Option(startOffset)
+        val start0 = Option(startOffset)
           .map(versionOf)
           .orElse(startingVersion.map(_ - 1))
           .getOrElse(-1L)
+        // a BRAND-NEW stream on a retention-cleaned log starts at the
+        // oldest surviving commit (its batch serves the initial
+        // snapshot), so admission control never proposes an end version
+        // whose commit no longer exists
+        val start =
+          if (Option(startOffset).isEmpty && startingVersion.isEmpty)
+            math.max(start0, log.versions().headOption.getOrElse(0L) - 1)
+          else start0
         val end = limit match {
           case m: ReadMaxFiles => math.min(l, start + m.maxFiles())
           case _               => l
@@ -90,20 +98,11 @@ class GraftStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf(_) + 1).getOrElse(startingVersion.getOrElse(0L))
     val to = versionOf(end)
-    val snap = log.snapshot(Some(to))
+    // gap handling BEFORE building the snapshot — snapshot(Some(to))
+    // itself rejects retention-cleaned versions with a confusing error
     val surviving = log.versions()
-    val table = graft.io.GraftTable(spark, path)
-    def asStream(batch: DataFrame): DataFrame =
-      spark.internalCreateDataFrame(
-        batch.queryExecution.toRdd, batch.schema, isStreaming = true)
     val gap = surviving.headOption.exists(oldest => from < oldest && from <= to)
-    if (gap && start.isEmpty && startingVersion.isEmpty) {
-      // brand-new stream on a retention-cleaned log: the checkpointed
-      // snapshot fully represents the cleaned commits, so serve it as
-      // the initial batch (Delta's initial-snapshot semantics)
-      return asStream(table.dfForFiles(snap, snap.files))
-    }
-    if (gap) {
+    if (gap && (start.isDefined || startingVersion.isDefined)) {
       // Fail loudly (like Delta) instead of silently skipping commits
       // that log retention already cleaned: a checkpoint or explicit
       // startingVersion below the oldest surviving commit would
@@ -114,6 +113,18 @@ class GraftStreamSource(
           "removed by log retention (cleanOldLogs); the stream checkpoint " +
           "or startingVersion predates the retained log. Restart with a " +
           s"fresh checkpoint or startingVersion >= $oldest.")
+    }
+    val snapV = if (surviving.contains(to)) to else surviving.head
+    val snap = log.snapshot(Some(snapV))
+    val table = graft.io.GraftTable(spark, path)
+    def asStream(batch: DataFrame): DataFrame =
+      spark.internalCreateDataFrame(
+        batch.queryExecution.toRdd, batch.schema, isStreaming = true)
+    if (gap) {
+      // brand-new stream on a retention-cleaned log: the checkpointed
+      // snapshot fully represents the cleaned commits, so serve it as
+      // the initial batch (Delta's initial-snapshot semantics)
+      return asStream(table.dfForFiles(snap, snap.files))
     }
     val versions = surviving.filter(v => v >= from && v <= to)
     val added = versions.flatMap(v => log.readCommit(v).add)

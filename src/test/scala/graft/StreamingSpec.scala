@@ -294,5 +294,15 @@ class StreamingSpec extends SparkSpec {
     // a checkpoint inside the retained window still builds its batch
     val ok = source.getBatch(Some(LongOffset(19L)), LongOffset(24L))
     assert(ok.isStreaming && ok.schema.fieldNames.sameElements(Array("k", "v")))
+    // fresh stream WITH admission control: the first proposed end version
+    // is clamped into the retained window, not a cleaned commit
+    val limited = new org.apache.spark.sql.graft.GraftStreamSource(
+      spark.sqlContext, src, startingVersion = None,
+      maxCommitsPerTrigger = Some(2L))
+    val off = limited.latestOffset(null, limited.getDefaultReadLimit)
+      .asInstanceOf[LongOffset]
+    assert(off.offset >= 20L, s"admission proposed cleaned version ${off.offset}")
+    val first = limited.getBatch(None, off)
+    assert(first.isStreaming)
   }
 }

@@ -624,9 +624,16 @@ class TableLayerSpec extends SparkSpec {
       MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
         notMatchedBySource = Seq(UpdateSet(Map("v" -> expr("concat(s.v, '!')")))))
     }
+    // alias case-insensitively (Spark's resolver is)
     intercept[IllegalArgumentException] {
       MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
-        notMatchedBySource = Seq(UpdateSet(Map("v" -> col("not_a_target_col")))))
+        notMatchedBySource = Seq(UpdateSet(Map("v" -> col("S.v")))))
+    }
+    // unqualified source-only column names resolve against the source
+    intercept[IllegalArgumentException] {
+      MergeClausesExecutor.merge(spark, source.withColumn("src_only", lit("x")),
+        p, "s.k = t.k",
+        notMatchedBySource = Seq(UpdateSet(Map("v" -> col("src_only")))))
     }
     // the legal shape still works: target-only SET
     MergeClausesExecutor.merge(spark, source, p, "s.k = t.k",
