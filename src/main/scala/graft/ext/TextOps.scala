@@ -276,18 +276,18 @@ object Dedup {
     val corpusShingles = TextOps.spread(corpus)
       .select(explode(sh).as("s"))
       .distinct()
-    val probeShingles = probe.select(col(idCol), sh.as("psh"))
-    val hits = probeShingles
-      .select(col(idCol), explode(col("psh")).as("s"))
-      .join(corpusShingles, Seq("s"), "left_semi")
+    // one probe pass: LEFT join the (distinct) corpus set with a marker,
+    // then total + hit counts fall out of a single aggregation — the
+    // probe's shingles are distinct per doc and the corpus side is
+    // distinct, so the join cannot duplicate rows
+    probe.select(col(idCol), explode(sh).as("s"))
+      .join(corpusShingles.withColumn("__hit", lit(1)), Seq("s"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_hit"))
-    probeShingles
-      .select(col(idCol), size(col("psh")).cast("long").as("n_shingles"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
-        floor(lit(1000.0) * coalesce(col("n_hit"), lit(0L)) / col("n_shingles"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+      .select(col(idCol),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("n_hit").cast("long").as("n_hit"),
+        floor(lit(1000.0) * col("n_hit") / col("n_shingles"))
           .cast("long").as("contam_permille"))
   }
 
