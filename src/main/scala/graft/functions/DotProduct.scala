@@ -94,26 +94,24 @@ object GraftFunctions {
   val QuantizeName = "graft_quantize_int8"
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      QuantizeName,
-      { args: Seq[Expression] =>
-        require(args.length == 1, s"$QuantizeName expects 1 argument")
-        QuantizeInt8(args(0))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName,
-      { args: Seq[Expression] =>
-        require(args.length == 2, s"$DotName expects 2 arguments")
-        DotProductFP64(args(0), args(1))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      SortedIntersectName,
-      { args: Seq[Expression] =>
-        require(args.length == 2, s"$SortedIntersectName expects 2 arguments")
-        SortedIntersectCount(args(0), args(1))
-      },
-      "built-in")
+    val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registering an existing name makes Spark WARN-spam
+    // every operator entry point (one line per query per function)
+    def registerOnce(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    registerOnce(QuantizeName) { args =>
+      require(args.length == 1, s"$QuantizeName expects 1 argument")
+      QuantizeInt8(args(0))
+    }
+    registerOnce(DotName) { args =>
+      require(args.length == 2, s"$DotName expects 2 arguments")
+      DotProductFP64(args(0), args(1))
+    }
+    registerOnce(SortedIntersectName) { args =>
+      require(args.length == 2, s"$SortedIntersectName expects 2 arguments")
+      SortedIntersectCount(args(0), args(1))
+    }
   }
 }
