@@ -104,6 +104,12 @@ object OracleSql {
   private val centStride =
     "(SELECT GREATEST(1, CAST(ceil(count(*) / 32.0) AS BIGINT)) FROM embeddings)"
 
+  /** Auto-k centroid stride (mirrors cosineDupPairs' default policy:
+    * k = max(32, ceil(sqrt(n))), stride = ceil(n/k)). */
+  private val autoCentStride =
+    """(SELECT GREATEST(1, CAST(ceil(count(*) /
+       GREATEST(32.0, ceil(sqrt(count(*))))) AS BIGINT)) FROM embeddings)"""
+
   /** Oracle for IVF over k-means-refined centroids: replays the 2 Lloyd
     * iterations exactly — assignment by rounded cosine argmax, new
     * centroids as fixed-point elementwise means cast to float.
@@ -572,16 +578,19 @@ object OracleSql {
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
 
     "cosine_dup_pairs" ->
-      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $autoCentStride = 0),
           scored AS (SELECT e.vec_id, e.embedding, c_id,
                             ${simE6("e.embedding", "c_vec")} AS c_sim
                      FROM embeddings e, cent),
           assign AS (SELECT vec_id, embedding, c_id AS cell FROM
                        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
-                        FROM scored) WHERE rn = 1)
+                        FROM scored) WHERE rn = 1),
+          guarded AS (SELECT vec_id, embedding, cell FROM
+                        (SELECT *, count(*) OVER (PARTITION BY cell) AS cn FROM assign)
+                      WHERE cn <= 4096)
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  ${simE6("a.embedding", "b.embedding")} AS sim_e6
-          FROM assign a JOIN assign b USING(cell)
+          FROM guarded a JOIN guarded b USING(cell)
           WHERE a.vec_id < b.vec_id
             AND ${simE6("a.embedding", "b.embedding")} >= 450000""",
 

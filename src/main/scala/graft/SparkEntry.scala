@@ -494,8 +494,15 @@ object SparkEntry {
         col("sim_e6"))
   }
 
+  /** Row count for the centroid stride from parquet footers — a driver
+    * metadata read instead of the count(*) job centroidsK would schedule.
+    */
+  private def embRows(spark: SparkSession, dir: String): Option[Long] =
+    Some(graft.io.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet"))
+
   private def qKnnIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5)
+    Similarity.ivfTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
+      rowCountHint = embRows(spark, dir))
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("sim_e6"))
 
@@ -506,14 +513,16 @@ object SparkEntry {
   private def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopKWith(emb,
-      Similarity.kmeansCentroids(emb, numCentroids = 32, iters = 2),
+      Similarity.kmeansCentroids(emb, numCentroids = 32, iters = 2,
+        rowCountHint = embRows(spark, dir)),
       col("vec_id") < 32, 5)
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("sim_e6"))
   }
 
   private def qCosineDupPairs(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineDupPairs(t(spark, dir, "embeddings"), 450000L)
+    Similarity.cosineDupPairs(t(spark, dir, "embeddings"), 450000L,
+      rowCountHint = embRows(spark, dir))
 
   private def qMultimodalProject(spark: SparkSession, dir: String): DataFrame =
     Multimodal.project(t(spark, dir, "documents"), t(spark, dir, "embeddings"))

@@ -112,9 +112,14 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
     require(k > 0, "centroid count must be positive")
-    val n = corpus.count()
+    // the stride needs the corpus size before the query can be built; a
+    // caller-supplied hint (or a footer-metadata count via
+    // [[graft.io.ParquetMeta.rowCount]]) removes the extra count job the
+    // fallback schedules per IVF query
+    val n = rowCountHint.getOrElse(corpus.count())
     val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
     centroids(corpus, stride, idCol, vecCol)
   }
@@ -190,10 +195,11 @@ object Similarity {
       numCentroids: Int,
       iters: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
     val vecsum = udaf(new graft.functions.VecSumE6())
     val spark = corpus.sparkSession
-    var cents = centroidsK(corpus, numCentroids, idCol, vecCol)
+    var cents = centroidsK(corpus, numCentroids, idCol, vecCol, rowCountHint)
     for (_ <- 1 to iters) {
       val assigned = assignCells(corpus, cents, idCol, vecCol)
       val next = assigned
@@ -240,15 +246,38 @@ object Similarity {
     * cell: vectors in the same coarse cell whose cosine exceeds the
     * threshold. The all-pairs compare is confined to cells (like LSH
     * bands for text) — the shuffle keys on `cell`, never all-pairs.
+    *
+    * Scale posture (the two knobs that keep this off the O(n²) cliff):
+    *   - `numCentroids = 0` (default) scales the cell count with the
+    *     corpus: k = max(32, ⌈√n⌉), so the assignment pass (O(n·k)) and
+    *     the within-cell compare (O(Σ cell²) ≈ n²/k) balance at O(n^1.5)
+    *     total FLOPs instead of the fixed-k n²/32. Callers wanting finer
+    *     blocking pass an explicit k.
+    *   - `maxCell` hard-bounds degenerate corpora: a cell hotter than
+    *     `maxCell` is dropped before the self-join (same posture as
+    *     [[TextOps.simhashPairs]]'s hot-bucket guard — a cell that hot
+    *     means the centroid set is uninformative for this corpus; raise
+    *     `numCentroids` rather than brute-forcing the cell). Worst-case
+    *     work is therefore ≤ #cells · maxCell² no matter the data.
     */
   def cosineDupPairs(
       corpus: DataFrame,
       minSimE6: Long,
-      numCentroids: Int = 32,
+      numCentroids: Int = 0,
+      maxCell: Int = 4096,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    require(maxCell > 0, "maxCell must be positive")
+    val n = rowCountHint.getOrElse(corpus.count())
+    val k =
+      if (numCentroids > 0) numCentroids
+      else math.max(32, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cells = assignCells(corpus,
-      centroidsK(corpus, numCentroids, idCol, vecCol), idCol, vecCol)
+      centroidsK(corpus, k, idCol, vecCol, Some(n)), idCol, vecCol)
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("__cn") <= maxCell)
+      .drop("__cn")
     val a = cells.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cell"))
     val b = cells.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cell"))
     a.join(b, Seq("cell"))
@@ -306,7 +335,9 @@ object Similarity {
       k: Int,
       numCentroids: Int = 32,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    ivfTopKWith(corpus, centroidsK(corpus, numCentroids, idCol, vecCol),
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame =
+    ivfTopKWith(corpus,
+      centroidsK(corpus, numCentroids, idCol, vecCol, rowCountHint),
       queryPred, k, idCol, vecCol)
 }

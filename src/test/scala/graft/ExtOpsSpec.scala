@@ -258,4 +258,37 @@ class ExtOpsSpec extends SparkSpec {
       assert(math.abs(row.getLong(4) / den - ref(flag)._2) < 1e-6, s"covar($flag)")
     }
   }
+
+  test("cosineDupPairs hot-cell guard bounds a degenerate all-identical corpus") {
+    // worst case for cell blocking: every vector is identical, so all 200
+    // land in one cell and the ungated compare would be all-pairs. With
+    // maxCell below the cell size the cell is dropped (bounded work, zero
+    // pairs); with the default guard above it, all C(200,2) pairs emit.
+    val degenerate = spark.range(200).select(col("id").as("vec_id"),
+      typedLit(Array.fill(4)(1.0f)).as("embedding"))
+    assert(Similarity.cosineDupPairs(degenerate, 0L, maxCell = 16).count() == 0)
+    assert(Similarity.cosineDupPairs(degenerate, 999000L).count() == 200L * 199 / 2)
+  }
+
+  test("cosineDupPairs auto-k equals explicit k=32 below the 32-centroid floor") {
+    // n=500 at sf0.001..0.01 keeps auto-k at the floor, so the default
+    // policy must be bit-identical to the old fixed k=32 (oracle safety)
+    val auto = Similarity.cosineDupPairs(embs, 450000L).collect().toSet
+    val fixed = Similarity.cosineDupPairs(embs, 450000L, numCentroids = 32)
+      .collect().toSet
+    assert(auto == fixed)
+  }
+
+  test("centroidsK row-count hint yields identical centroids, no count job") {
+    // ParquetMeta reads footers only (pure hadoop-fs + parquet-mr on the
+    // driver — it cannot launch a Spark job by construction) and must
+    // agree exactly with a full count
+    val metaN = graft.io.ParquetMeta.rowCount(spark, s"$sf/embeddings.parquet")
+    assert(metaN == embs.count())
+    val withHint = Similarity.centroidsK(embs, 32, rowCountHint = Some(metaN))
+      .select("c_id").collect().map(_.getLong(0)).sorted.toSeq
+    val without = Similarity.centroidsK(embs, 32)
+      .select("c_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(withHint == without)
+  }
 }
