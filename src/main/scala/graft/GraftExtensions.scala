@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // BucketSpec-reported partitioning for co-bucketed joins)
     ext.injectResolutionRule(session =>
       new graft.sources.GraftRelationSubstitution(session))
+    // SQL over graft.`/path` targets: the parser rewrite claims the
+    // two-part identifier before ResolveSQLOnFile rejects it; the
+    // resolution rule then routes DML (DELETE FROM / UPDATE / MERGE
+    // INTO / INSERT) to the COW Dml/Merge engines and substitutes the
+    // native columnar plan for plain reads
+    ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
+    ext.injectResolutionRule(session => new graft.plans.GraftSqlDml(session))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProductFP64].getName, GraftFunctions.DotName),

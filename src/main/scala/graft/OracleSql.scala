@@ -762,6 +762,37 @@ object OracleSql {
                      ELSE o_totalprice END AS o_totalprice
          FROM orders""",
 
+    "sql_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 50000.0)""",
+
+    "sql_update" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0
+                     THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0
+                     THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         FROM orders""",
+
+    // end state of the MERGE: conditional update, clause-ordered delete,
+    // insert of negated keys
+    "sql_merge_into" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+          s AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 5 AS o_totalprice
+                FROM t WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT -o_orderkey AS o_orderkey, o_orderstatus, o_totalprice
+                FROM t WHERE o_orderkey % 17 = 0),
+          kept AS (SELECT t.o_orderkey, t.o_orderstatus,
+                          CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                               ELSE t.o_totalprice END AS o_totalprice
+                   FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+                   WHERE s.o_orderkey IS NULL OR s.o_totalprice > 100000.0),
+          ins AS (SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+                  FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+                  WHERE t.o_orderkey IS NULL)
+          SELECT * FROM kept UNION ALL SELECT * FROM ins""",
+
     // net row diff of the upsert: delete+insert pair per touched key
     "table_changes" ->
       """WITH s0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -707,6 +707,60 @@ object SparkEntry {
     tb.tableChanges(0L, tb.version())
   }
 
+  /** SQL DML surface: `DELETE FROM graft.`path`` routed through the
+    * injected parser/rule to the same file-granular COW engine as the
+    * programmatic API; the read-back is SQL too (native columnar plan).
+    */
+  private def qSqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_sqldel")
+    GraftWriter.write(spark, o, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    spark.sql(
+      s"DELETE FROM graft.`$p` WHERE o_orderstatus = 'O' AND o_totalprice < 50000.0")
+    spark.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.`$p`")
+  }
+
+  /** SQL UPDATE with a multi-column SET (times-two stays exact in binary
+    * floating point, so the oracle compares bit-for-bit).
+    */
+  private def qSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_sqlupd")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite))
+    spark.sql(
+      s"""UPDATE graft.`$p` SET o_totalprice = o_totalprice * 2, o_orderstatus = 'X'
+          WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""")
+    spark.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.`$p`")
+  }
+
+  /** SQL MERGE INTO exercising conditional update, clause-ordered
+    * delete, and insert of brand-new (negated) keys. `+ 5` on a
+    * 2-decimal double is exact, so updated prices compare bit-for-bit.
+    */
+  private def qSqlMergeInto(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_sqlmerge")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite))
+    o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5)
+      .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+      .createOrReplaceTempView("sql_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$p` AS t USING sql_merge_src AS s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_totalprice > 100000.0
+            THEN UPDATE SET o_totalprice = s.o_totalprice
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.`$p`")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -778,7 +832,10 @@ object SparkEntry {
     "table_restore" -> (qTableRestore _),
     "table_changes" -> (qTableChanges _),
     "table_delete" -> (qTableDelete _),
-    "table_update" -> (qTableUpdate _)
+    "table_update" -> (qTableUpdate _),
+    "sql_delete" -> (qSqlDelete _),
+    "sql_update" -> (qSqlUpdate _),
+    "sql_merge_into" -> (qSqlMergeInto _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,

@@ -1,0 +1,242 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement,
+  InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias,
+  UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.GraftInternal
+import org.apache.spark.sql.types.LongType
+
+import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+import graft.merge.{Delete => DeleteClause, Dml, InsertAll, InsertValues,
+  MatchedClause, MergeClausesExecutor, NotMatchedClause, UpdateAll, UpdateSet}
+
+/** SQL DML statements over graft tables — `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` / `INSERT INTO` routed to the programmatic [[graft.merge.Dml]]
+  * and [[graft.merge.MergeClausesExecutor]] engines (file-granular
+  * copy-on-write; a point DELETE on a 100 TB table rewrites only the
+  * files that hold a matching row).
+  *
+  * Tables are addressed Delta-style by path: `graft.`/path/to/table``.
+  * Spark's own parser already produces `DeleteFromTable` / `UpdateTable` /
+  * `MergeIntoTable` logical plans for these statements; the injected
+  * resolution rule ([[GraftSqlDml]], installed by
+  * [[graft.GraftExtensions]]) recognizes graft targets while they are
+  * still unresolved and swaps in an executable command — no custom
+  * parser, the exact interception point `SparkSessionExtensions` exists
+  * for. Capability mirrored from the reference's merge/overwrite surface
+  * (dagster_delta/handler.py:70-225) exposed the way Delta SQL users
+  * drive it.
+  */
+object GraftSqlTarget {
+
+  /** Extracts (table path, optional SQL alias) from a DML target over
+    * the parse-time placeholder [[UnresolvedGraftRelation]] (installed
+    * by [[GraftSqlParser]] before Spark's `ResolveSQLOnFile` can claim
+    * the two-part identifier).
+    */
+  def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
+    case SubqueryAlias(id, child) =>
+      unapply(child).map { case (p, _) => (p, Some(id.name)) }
+    case UnresolvedGraftRelation(path) => Some((path, None))
+    case _ => None
+  }
+}
+
+/** `DELETE FROM graft.`path`` [WHERE cond]` → [[Dml.delete]]. */
+final case class GraftDeleteCommand(path: String, cond: Column)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Dml.delete(spark, path, cond).numAffectedFiles))
+}
+
+/** `UPDATE graft.`path` SET ... [WHERE cond]` → [[Dml.update]]. */
+final case class GraftUpdateCommand(
+    path: String,
+    set: Seq[(String, Column)],
+    cond: Column) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Dml.update(spark, path, cond, set.toMap).numAffectedFiles))
+}
+
+/** `MERGE INTO graft.`path`` → [[MergeClausesExecutor.merge]].
+  *
+  * The source plan is kept unresolved (a plain field, not a child, so
+  * the analyzer leaves it alone) and analyzed at execution time — MERGE
+  * sources are commonly temp views or subqueries that resolve fine in a
+  * fresh pass.
+  */
+final case class GraftMergeCommand(
+    path: String,
+    predicate: String,
+    source: LogicalPlan,
+    sourceAlias: String,
+    targetAlias: String,
+    matched: Seq[MatchedClause],
+    notMatched: Seq[NotMatchedClause],
+    notMatchedBySource: Seq[MatchedClause]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_source_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftInternal.dfFromPlan(spark, source)
+    val st = MergeClausesExecutor.merge(spark, src, path, predicate,
+      matched, notMatched, notMatchedBySource,
+      sourceAlias = sourceAlias, targetAlias = targetAlias)
+    Seq(Row(st.version, st.numSourceRows))
+  }
+}
+
+/** `INSERT INTO / INSERT OVERWRITE graft.`path`` → [[GraftWriter.write]]
+  * (append or overwrite; SQL inserts are positional unless BY NAME).
+  * Static `PARTITION (k=v)` values become literal columns, mirroring
+  * Spark's own semantics.
+  */
+final case class GraftInsertCommand(
+    path: String,
+    query: LogicalPlan,
+    staticParts: Seq[(String, String)],
+    userCols: Seq[String],
+    overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(GraftTable.exists(spark, path),
+      s"INSERT target is not a graft table: $path")
+    val snap = GraftTable(spark, path).snapshot()
+    val schema = snap.schema
+    val df0 = GraftInternal.dfFromPlan(spark, query)
+    val staticNames = staticParts.map(_._1)
+    // columns the query must supply, in table order
+    val fill: Seq[String] =
+      if (userCols.nonEmpty) userCols
+      else schema.map(_.name).filterNot(n =>
+        staticNames.exists(_.equalsIgnoreCase(n)))
+    val positioned =
+      if (byName) df0
+      else {
+        require(df0.columns.length == fill.length,
+          s"INSERT supplies ${df0.columns.length} columns; " +
+            s"expected ${fill.length} (${fill.mkString(", ")})")
+        df0.toDF(fill: _*)
+      }
+    val full = staticParts.foldLeft(positioned) { case (d, (k, v)) =>
+      d.withColumn(k, lit(v).cast(schema(k).dataType))
+    }
+    // table column order + insert-coercion casts
+    val aligned = full.select(schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val mode = if (overwrite) WriteMode.Overwrite else WriteMode.Append
+    val v = GraftWriter.write(spark, aligned, path, WriteOptions(mode = mode))
+    Seq(Row(v))
+  }
+}
+
+/** Resolution rule converting Spark-parsed DML plans over graft path
+  * targets into the runnable commands above. Non-graft targets pass
+  * through untouched.
+  */
+class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
+  import GraftInternal.column
+
+  /** DELETE/UPDATE conditions reference the lone target table, so an
+    * alias qualifier (`x.col` after `FROM graft.`p` AS x`) is stripped —
+    * the Dml engine filters the bare table DataFrame.
+    */
+  private def noAlias(e: Expression, aliases: Seq[String]): Expression =
+    e.transform {
+      case a: UnresolvedAttribute
+          if a.nameParts.length > 1 &&
+            aliases.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  private def keyName(key: Expression, aliases: Seq[String]): String =
+    key match {
+      case u: UnresolvedAttribute =>
+        val parts =
+          if (u.nameParts.length > 1 &&
+            aliases.exists(_.equalsIgnoreCase(u.nameParts.head)))
+            u.nameParts.tail
+          else u.nameParts
+        parts.mkString(".")
+      case other => other.sql
+    }
+
+  private def assignMap(
+      assigns: Seq[Assignment], targetAliases: Seq[String]): Map[String, Column] =
+    assigns.map(a => keyName(a.key, targetAliases) -> column(a.value)).toMap
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case DeleteFromTable(GraftSqlTarget(path, alias), cond) =>
+        GraftDeleteCommand(path,
+          Option(cond).map(e => column(noAlias(e, alias.toSeq)))
+            .getOrElse(lit(true)))
+
+      case UpdateTable(GraftSqlTarget(path, alias), assigns, cond) =>
+        val al = alias.toSeq
+        val set = assigns.map(a =>
+          keyName(a.key, al) -> column(noAlias(a.value, al)))
+        GraftUpdateCommand(path, set,
+          cond.map(e => column(noAlias(e, al))).getOrElse(lit(true)))
+
+      case m: MergeIntoTable =>
+        m.targetTable match {
+          case GraftSqlTarget(path, alias) =>
+            val ta = alias.getOrElse("t")
+            val taSeq = alias.toSeq
+            // keep the source's own alias node so s.col references resolve
+            val sa = m.sourceTable match {
+              case SubqueryAlias(id, _) => id.name
+              case _                    => "s"
+            }
+            def mc(a: MergeAction): MatchedClause = a match {
+              case UpdateStarAction(c) => UpdateAll(c.map(column))
+              case UpdateAction(c, assigns, _) =>
+                UpdateSet(assignMap(assigns, taSeq), c.map(column))
+              case DeleteAction(c) => DeleteClause(c.map(column))
+              case other => throw new IllegalArgumentException(
+                s"unsupported MERGE matched action: $other")
+            }
+            def nmc(a: MergeAction): NotMatchedClause = a match {
+              case InsertStarAction(c) => InsertAll(c.map(column))
+              case InsertAction(c, assigns) =>
+                InsertValues(assignMap(assigns, taSeq), c.map(column))
+              case other => throw new IllegalArgumentException(
+                s"unsupported MERGE not-matched action: $other")
+            }
+            GraftMergeCommand(path, m.mergeCondition.sql, m.sourceTable, sa, ta,
+              m.matchedActions.map(mc), m.notMatchedActions.map(nmc),
+              m.notMatchedBySourceActions.map(mc))
+          case _ => m
+        }
+
+      case InsertIntoStatement(
+          GraftSqlTarget(path, _), partSpec, userCols, query, overwrite, _, byName) =>
+        val static = partSpec.toSeq.collect { case (k, Some(v)) => (k, v) }
+        GraftInsertCommand(path, query, static, userCols, overwrite, byName)
+
+      // plain read context (`SELECT ... FROM graft.`path``): substitute
+      // the native columnar plan (codegen parquet scan over the
+      // commit-log file index; V1 row-based relation as the fallback
+      // for tables the native plan can't represent)
+      case u: UnresolvedGraftRelation =>
+        graft.sources.GraftNativeRelation.plan(spark, u.path, None).getOrElse {
+          org.apache.spark.sql.execution.datasources.LogicalRelation(
+            graft.sources.GraftRelation(
+              spark.sqlContext, u.path, None))
+        }
+    }
+}

@@ -14,6 +14,14 @@ object GraftInternal {
   def dfFromPlan(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
+  /** Wrap an already-parsed catalyst expression as a user-facing Column
+    * (the inverse of the ColumnNode conversion). Used by the SQL DML
+    * interception rule to hand parser output to the programmatic
+    * Dml/Merge APIs unchanged.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** Multipart names of every unresolved attribute referenced by a
     * Column, read off the ColumnNode tree (the catalyst expression is
     * built lazily in Spark 4, so pre-analysis validation must walk the

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+
+/** SQL DML statements (`DELETE FROM` / `UPDATE` / `MERGE INTO` /
+  * `INSERT`) over `graft.`/path`` targets, routed by the injected
+  * resolution rule to the COW engines.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def freshTable(prefix: String): String = {
+    import spark.implicits._
+    val p = tmpDir(prefix)
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0),
+      (4L, "c", 40.0), (5L, "b", 50.0)).toDF("id", "cat", "v")
+    GraftWriter.write(spark, df, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("cat")))
+    p
+  }
+
+  test("DELETE FROM graft.`path` WHERE cond") {
+    val p = freshTable("sqldel")
+    spark.sql(s"DELETE FROM graft.`$p` WHERE v > 25.0")
+    val left = GraftTable(spark, p).toDf().select("id").collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(1L, 2L))
+  }
+
+  test("DELETE with alias qualifier and no WHERE") {
+    val p = freshTable("sqldel2")
+    spark.sql(s"DELETE FROM graft.`$p` AS x WHERE x.cat = 'b'")
+    assert(GraftTable(spark, p).toDf().filter(col("cat") === "b").count() == 0)
+    spark.sql(s"DELETE FROM graft.`$p`")
+    assert(GraftTable(spark, p).toDf().count() == 0)
+  }
+
+  test("UPDATE graft.`path` SET ... WHERE cond") {
+    val p = freshTable("sqlupd")
+    spark.sql(s"UPDATE graft.`$p` SET v = v * 2, cat = 'z' WHERE id <= 2")
+    val rows = GraftTable(spark, p).toDf()
+      .select("id", "cat", "v").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows(0) == ((1L, "z", 20.0)))
+    assert(rows(1) == ((2L, "z", 40.0)))
+    assert(rows(2) == ((3L, "a", 30.0)))
+  }
+
+  test("MERGE INTO with update/delete/insert clauses") {
+    import spark.implicits._
+    val p = freshTable("sqlmerge")
+    Seq((1L, "a", 100.0), (3L, "a", -1.0), (6L, "d", 60.0))
+      .toDF("id", "cat", "v").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$p` AS t USING merge_src AS s
+          ON t.id = s.id
+          WHEN MATCHED AND s.v < 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT *""")
+    val rows = GraftTable(spark, p).toDf()
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 100.0), (2L, 20.0), (4L, 40.0), (5L, 50.0), (6L, 60.0)))
+  }
+
+  test("MERGE INTO with NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    val p = freshTable("sqlmerge2")
+    Seq((1L, "a", 11.0)).toDF("id", "cat", "v").createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO graft.`$p` AS t USING merge_src2 AS s
+          ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE AND t.v >= 40.0 THEN DELETE""")
+    val rows = GraftTable(spark, p).toDf()
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("INSERT INTO and INSERT OVERWRITE") {
+    val p = freshTable("sqlins")
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (6, 'd', 60.0), (7, 'd', 70.0)")
+    assert(GraftTable(spark, p).toDf().count() == 7)
+    // positional coercion: ints coerce to the table's long/double
+    spark.sql(s"INSERT OVERWRITE graft.`$p` VALUES (9, 'x', 90)")
+    val rows = GraftTable(spark, p).toDf()
+      .select("id", "cat", "v").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((9L, "x", 90.0)))
+  }
+
+  test("INSERT INTO with static partition value") {
+    val p = freshTable("sqlins2")
+    spark.sql(s"INSERT INTO graft.`$p` PARTITION (cat='q') VALUES (8, 80.0)")
+    val r = GraftTable(spark, p).toDf().filter(col("cat") === "q")
+      .select("id", "v").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 8L && r(0).getDouble(1) == 80.0)
+  }
+
+  test("SELECT ... FROM graft.`path` reads the native columnar plan") {
+    val p = freshTable("sqlsel")
+    val rows = spark.sql(
+      s"SELECT cat, count(*) AS n FROM graft.`$p` GROUP BY cat ORDER BY cat")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    // the substituted plan is the native parquet scan, not the V1 RDD path
+    val physical = spark.sql(s"SELECT id FROM graft.`$p`")
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("FileScan parquet"), physical)
+  }
+
+  test("SQL read joins against a temp view") {
+    import spark.implicits._
+    val p = freshTable("sqljoin")
+    Seq(("a", "alpha"), ("b", "beta")).toDF("cat", "label")
+      .createOrReplaceTempView("cat_names")
+    val rows = spark.sql(
+      s"""SELECT n.label, sum(g.v) AS sv FROM graft.`$p` g
+          JOIN cat_names n ON g.cat = n.cat GROUP BY n.label ORDER BY n.label""")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("alpha", 40.0), ("beta", 70.0)))
+  }
+
+  test("non-graft DML is left to Spark (still errors as before)") {
+    intercept[Exception] {
+      spark.sql("DELETE FROM nonexistent_tbl WHERE 1=1")
+    }
+  }
+}
