@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // native columnar plan for plain reads
     ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
     ext.injectResolutionRule(session => new graft.plans.GraftSqlDml(session))
+    // graft catalog tables (spark.sql.catalog.<name>=graft.catalog.
+    // GraftCatalog): reads become the native columnar plan, SQL writes
+    // and CTAS route to GraftWriter. Must run AFTER GraftSqlDml in each
+    // pass so DML targets are intercepted before the read substitution
+    // rewrites them.
+    ext.injectResolutionRule(session => new graft.catalog.GraftCatalogRule(session))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProductFP64].getName, GraftFunctions.DotName),

@@ -762,6 +762,12 @@ object OracleSql {
                      ELSE o_totalprice END AS o_totalprice
          FROM orders""",
 
+    "sql_catalog_bucket_join" ->
+      s"""SELECT o_custkey, count(*) AS n_items,
+            CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_cents
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1""",
+
     "sql_delete" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 50000.0)""",

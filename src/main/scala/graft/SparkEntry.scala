@@ -761,6 +761,30 @@ object SparkEntry {
     spark.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.`$p`")
   }
 
+  /** q20's bucket join driven entirely through catalog SQL: named graft
+    * tables under `root/<schema>/<table>`, co-bucketed layout surfaced
+    * as a BucketSpec, so the join plans with zero Exchange on either
+    * side (asserted in CatalogSpec; here the oracle checks the result).
+    */
+  private def qSqlCatalogBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmp("graft_cat")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", root)
+    new java.io.File(s"$root/sales").mkdirs()
+    Bucketing.write(spark,
+      t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+      s"$root/sales/orders_b", "o_orderkey", 8)
+    Bucketing.write(spark,
+      t(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      s"$root/sales/lineitem_b", "l_orderkey", 8)
+    spark.sql(
+      """SELECT o_custkey, count(*) AS n_items,
+            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+         FROM graft_cat.sales.orders_b o
+         JOIN graft_cat.sales.lineitem_b l ON o.o_orderkey = l.l_orderkey
+         GROUP BY o_custkey""")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -835,7 +859,8 @@ object SparkEntry {
     "table_update" -> (qTableUpdate _),
     "sql_delete" -> (qSqlDelete _),
     "sql_update" -> (qSqlUpdate _),
-    "sql_merge_into" -> (qSqlMergeInto _)
+    "sql_merge_into" -> (qSqlMergeInto _),
+    "sql_catalog_bucket_join" -> (qSqlCatalogBucketJoin _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,

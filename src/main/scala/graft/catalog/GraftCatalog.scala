@@ -1,0 +1,199 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+
+/** Catalog-visible face of a graft table. Deliberately carries NO
+  * read/write capabilities: the injected resolution rule
+  * ([[GraftCatalogRule]]) substitutes the native columnar plan (or a
+  * COW write command) before capability checks run, so every catalog
+  * read shares the commit-log FileIndex / bucket-spec machinery of the
+  * path API. If the rule is missing, analysis fails loudly instead of
+  * scanning wrong.
+  */
+final case class GraftCatalogTable(
+    catalogName: String,
+    ident: Identifier,
+    path: String,
+    tableSchema: StructType,
+    partitionCols: Seq[String],
+    props: Map[String, String]) extends Table {
+  override def name: String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+  override def schema: StructType = tableSchema
+  override def partitioning: Array[Transform] =
+    partitionCols.map(Expressions.identity).toArray
+  override def properties: util.Map[String, String] =
+    (props + (TableCatalog.PROP_LOCATION -> path)).asJava
+  override def capabilities: util.Set[TableCapability] =
+    util.Collections.emptySet()
+}
+
+/** DSv2 catalog over the IOManager's `rootUri/<schema>/<table>` layout
+  * (reference: dagster_delta io_manager.py:276-280 derives table
+  * locations the same way). Register with:
+  *
+  * {{{
+  * spark.sql.catalog.graft_cat       = graft.catalog.GraftCatalog
+  * spark.sql.catalog.graft_cat.root  = /data/warehouse
+  * }}}
+  *
+  * after which `SELECT ... FROM graft_cat.schema.tbl`, `INSERT`,
+  * `CREATE TABLE ... `, `DROP TABLE`, `SHOW TABLES`, and the DML
+  * statements all resolve through the graft commit log. Namespaces are
+  * directories; a table is any directory with a `_graft_log`.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootUri: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootUri = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' requires spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def pathFor(ident: Identifier): String =
+    (rootUri +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  /** Table location for an identifier — the CTAS command needs it before
+    * the table exists.
+    */
+  def pathForIdent(ident: Identifier): String = pathFor(ident)
+
+  private def pathFor(namespace: Array[String]): String =
+    (rootUri +: namespace.toSeq).mkString("/")
+
+  private def fs = new Path(rootUri)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_graft_log"))
+
+  // ---------- tables ----------
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathFor(ident)
+    if (!GraftTable.exists(spark, path)) throw new NoSuchTableException(ident)
+    val table = GraftTable(spark, path)
+    val snap = table.snapshot()
+    GraftCatalogTable(catalogName, ident, path, snap.schema,
+      snap.partitionColumns, table.log.tableProperties())
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path(pathFor(namespace))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = pathFor(ident)
+    if (GraftTable.exists(spark, path)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got $other")
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    GraftWriter.write(spark, empty, path,
+      WriteOptions(mode = WriteMode.ErrorIfExists, partitionBy = partCols,
+        metadata = properties.asScala.toMap))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft catalog tables is not supported; use the " +
+        "schema-evolution write modes instead")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(pathFor(ident))
+    if (!fs.exists(p) || !isTableDir(p)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(pathFor(oldIdent))
+    val to = new Path(pathFor(newIdent))
+    if (!fs.exists(from) || !isTableDir(from))
+      throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // ---------- namespaces ----------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(rootUri)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName))
+      .toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val dir = new Path(pathFor(namespace))
+      if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && !isTableDir(s.getPath))
+        .map(s => namespace :+ s.getPath.getName)
+        .toArray
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val dir = new Path(pathFor(namespace))
+    if (!fs.exists(dir) || isTableDir(dir))
+      throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val dir = new Path(pathFor(namespace))
+    if (fs.exists(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = new Path(pathFor(namespace))
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(dir, true)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  AppendData, CreateTableAsSelect, LogicalPlan, OverwriteByExpression,
+  OverwritePartitionsDynamic, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.GraftInternal
+import org.apache.spark.sql.types.LongType
+
+import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+import graft.sources.{GraftNativeRelation, GraftRelation}
+
+/** Executes a SQL write (`INSERT INTO` / `INSERT OVERWRITE` / CTAS)
+  * against a graft catalog table through [[GraftWriter]] — the same
+  * commit-log/CAS path as the programmatic API. The query plan is a
+  * plain field (not a child), analyzed at run time.
+  */
+final case class GraftCatalogWriteCommand(
+    path: String,
+    query: LogicalPlan,
+    mode: WriteMode,
+    replaceWhere: Option[Column],
+    partitionBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df0 = GraftInternal.dfFromPlan(spark, query)
+    // align to the table schema by name when the table already exists
+    // (the analyzer has already positionally matched + cast the query)
+    val df =
+      if (GraftTable.exists(spark, path)) {
+        val schema = GraftTable(spark, path).snapshot().schema
+        df0.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      } else df0
+    val v = GraftWriter.write(spark, df, path,
+      WriteOptions(mode = mode, replaceWhere = replaceWhere,
+        partitionBy = partitionBy))
+    Seq(Row(v))
+  }
+}
+
+/** Resolution rule completing the catalog integration:
+  *
+  *  - reads: `DataSourceV2Relation` over a [[GraftCatalogTable]] becomes
+  *    the native columnar plan (commit-log FileIndex, bucket-spec
+  *    partitioning — a co-bucketed catalog join plans with zero
+  *    Exchange), rebound to the v2 output attribute ids;
+  *  - writes: `AppendData` / `OverwriteByExpression` /
+  *    `OverwritePartitionsDynamic` become [[GraftCatalogWriteCommand]]
+  *    once Spark has aligned the query columns (`outputResolved`);
+  *  - CTAS: `CREATE TABLE ... AS SELECT` becomes a create+write in one
+  *    commit (graft tables have no staging catalog — the commit log IS
+  *    the atomic publish).
+  */
+class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Rebind `native`'s output to the attribute ids expected by `out`. */
+  private def rebind(out: Seq[Attribute], native: LogicalPlan): LogicalPlan = {
+    val byName = native.output.map(a => a.name -> a).toMap
+    Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), native)
+  }
+
+  private def nativePlan(path: String): LogicalPlan =
+    GraftNativeRelation.plan(spark, path, None).getOrElse(
+      LogicalRelation(GraftRelation(spark.sqlContext, path, None)))
+
+  /** Overwrite deleteExpr → replaceWhere Column: resolved attribute refs
+    * are rebuilt name-based so the predicate re-resolves against the
+    * writer's own scan.
+    */
+  private def unresolve(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftInternal.column(e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    })
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case a @ AppendData(r: DataSourceV2Relation, query, _, _, _, _)
+          if r.table.isInstanceOf[GraftCatalogTable] && a.outputResolved =>
+        GraftCatalogWriteCommand(r.table.asInstanceOf[GraftCatalogTable].path,
+          query, WriteMode.Append, None, Nil)
+
+      case o @ OverwriteByExpression(r: DataSourceV2Relation, deleteExpr, query, _, _, _, _)
+          if r.table.isInstanceOf[GraftCatalogTable] && o.outputResolved =>
+        val rw = deleteExpr match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(true, _) => None
+          case other => Some(unresolve(other))
+        }
+        GraftCatalogWriteCommand(r.table.asInstanceOf[GraftCatalogTable].path,
+          query, WriteMode.Overwrite, rw, Nil)
+
+      case o @ OverwritePartitionsDynamic(r: DataSourceV2Relation, query, _, _, _)
+          if r.table.isInstanceOf[GraftCatalogTable] && o.outputResolved =>
+        // dynamic partition overwrite ≈ replaceWhere over the incoming
+        // partition values; graft's writer computes removals from the
+        // written files' partition values, so a full overwrite of just
+        // the touched partitions needs the predicate. Fall back to
+        // append semantics being wrong — so reject loudly instead.
+        throw new UnsupportedOperationException(
+          "INSERT OVERWRITE with dynamic partition overwrite is not " +
+            "supported on graft tables; use INSERT OVERWRITE ... WHERE " +
+            "(replaceWhere) or static PARTITION values")
+
+      case ctas @ CreateTableAsSelect(
+          ResolvedIdentifier(c: GraftCatalog, ident), parts, query, _, _, ignoreIfExists, _) =>
+        val partCols = parts.map {
+          case t if t.name == "identity" && t.references.length == 1 =>
+            t.references.head.fieldNames.mkString(".")
+          case other => throw new UnsupportedOperationException(
+            s"graft tables support identity partitioning only, got $other")
+        }
+        val mode =
+          if (ignoreIfExists) WriteMode.Ignore else WriteMode.ErrorIfExists
+        GraftCatalogWriteCommand(pathOf(c, ident), query, mode, None, partCols)
+
+      case dsv2 @ DataSourceV2Relation(t: GraftCatalogTable, out, _, _, _, _) =>
+        rebind(out, nativePlan(t.path))
+    }
+
+  private def pathOf(c: GraftCatalog, ident: Identifier): String =
+    c.asInstanceOf[GraftCatalog].pathForIdent(ident)
+}

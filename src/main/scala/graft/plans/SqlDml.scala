@@ -45,6 +45,13 @@ object GraftSqlTarget {
     case SubqueryAlias(id, child) =>
       unapply(child).map { case (p, _) => (p, Some(id.name)) }
     case UnresolvedGraftRelation(path) => Some((path, None))
+    // catalog-resolved target (ResolveRelations wraps it in a
+    // SubqueryAlias carrying the identifier, so the alias is usually
+    // supplied by the case above)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.catalog.GraftCatalogTable] =>
+      Some((r.table.asInstanceOf[graft.catalog.GraftCatalogTable].path,
+        r.identifier.map(_.name)))
     case _ => None
   }
 }
@@ -152,7 +159,10 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** DELETE/UPDATE conditions reference the lone target table, so an
     * alias qualifier (`x.col` after `FROM graft.`p` AS x`) is stripped —
-    * the Dml engine filters the bare table DataFrame.
+    * the Dml engine filters the bare table DataFrame. Catalog targets
+    * may already be resolved (attribute refs carry foreign expr ids);
+    * those are rebuilt name-based so they re-resolve against the
+    * writer's own scan.
     */
   private def noAlias(e: Expression, aliases: Seq[String]): Expression =
     e.transform {
@@ -160,6 +170,18 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
           if a.nameParts.length > 1 &&
             aliases.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
         UnresolvedAttribute(a.nameParts.tail)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        UnresolvedAttribute(Seq(a.name))
+    }
+
+  /** MERGE expressions keep their alias qualification (both sides join
+    * under the SQL aliases); resolved refs are re-qualified by their
+    * innermost qualifier part.
+    */
+  private def requalify(e: Expression): Expression =
+    e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        UnresolvedAttribute(a.qualifier.takeRight(1) :+ a.name)
     }
 
   private def keyName(key: Expression, aliases: Seq[String]): String =
@@ -171,12 +193,15 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             u.nameParts.tail
           else u.nameParts
         parts.mkString(".")
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
       case other => other.sql
     }
 
   private def assignMap(
       assigns: Seq[Assignment], targetAliases: Seq[String]): Map[String, Column] =
-    assigns.map(a => keyName(a.key, targetAliases) -> column(a.value)).toMap
+    assigns.map(a =>
+      keyName(a.key, targetAliases) -> column(requalify(a.value))).toMap
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
@@ -202,22 +227,24 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
               case SubqueryAlias(id, _) => id.name
               case _                    => "s"
             }
+            def cond(c: Option[Expression]): Option[Column] =
+              c.map(e => column(requalify(e)))
             def mc(a: MergeAction): MatchedClause = a match {
-              case UpdateStarAction(c) => UpdateAll(c.map(column))
+              case UpdateStarAction(c) => UpdateAll(cond(c))
               case UpdateAction(c, assigns, _) =>
-                UpdateSet(assignMap(assigns, taSeq), c.map(column))
-              case DeleteAction(c) => DeleteClause(c.map(column))
+                UpdateSet(assignMap(assigns, taSeq), cond(c))
+              case DeleteAction(c) => DeleteClause(cond(c))
               case other => throw new IllegalArgumentException(
                 s"unsupported MERGE matched action: $other")
             }
             def nmc(a: MergeAction): NotMatchedClause = a match {
-              case InsertStarAction(c) => InsertAll(c.map(column))
+              case InsertStarAction(c) => InsertAll(cond(c))
               case InsertAction(c, assigns) =>
-                InsertValues(assignMap(assigns, taSeq), c.map(column))
+                InsertValues(assignMap(assigns, taSeq), cond(c))
               case other => throw new IllegalArgumentException(
                 s"unsupported MERGE not-matched action: $other")
             }
-            GraftMergeCommand(path, m.mergeCondition.sql, m.sourceTable, sa, ta,
+            GraftMergeCommand(path, requalify(m.mergeCondition).sql, m.sourceTable, sa, ta,
               m.matchedActions.map(mc), m.notMatchedActions.map(nmc),
               m.notMatchedBySourceActions.map(mc))
           case _ => m

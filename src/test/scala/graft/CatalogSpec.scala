@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Bucketing, GraftTable, GraftWriter, WriteMode, WriteOptions}
+
+/** DSv2 catalog: named graft tables under `rootUri/<schema>/<table>`,
+  * SQL reads through the native columnar plan, SQL writes/DML through
+  * the COW engines.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = tmpDir("graft_cat_root")
+    spark.conf.set("spark.sql.catalog.gcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.root", r)
+    r
+  }
+
+  private def seed(ns: String, tbl: String): String = {
+    import spark.implicits._
+    val p = s"$root/$ns/$tbl"
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "cat", "v")
+    GraftWriter.write(spark, df, p, WriteOptions(mode = WriteMode.Overwrite))
+    p
+  }
+
+  test("SELECT over a catalog-named table uses the native plan") {
+    seed("ns1", "t1")
+    val rows = spark.sql("SELECT id, v FROM gcat.ns1.t1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    val physical = spark.sql("SELECT id FROM gcat.ns1.t1")
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("FileScan parquet"), physical)
+  }
+
+  test("CREATE TABLE / INSERT / DROP TABLE / SHOW TABLES") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS gcat.ns2")
+    spark.sql(
+      "CREATE TABLE gcat.ns2.fresh (id BIGINT, cat STRING, v DOUBLE) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gcat.ns2.fresh VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    assert(spark.sql("SELECT count(*) FROM gcat.ns2.fresh").head().getLong(0) == 2L)
+    // partitioned layout came from the DDL
+    assert(GraftTable(spark, s"$root/ns2/fresh").snapshot()
+      .partitionColumns == Seq("cat"))
+    val tables = spark.sql("SHOW TABLES IN gcat.ns2")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(tables.contains("fresh"))
+    spark.sql("DROP TABLE gcat.ns2.fresh")
+    assert(!GraftTable.exists(spark, s"$root/ns2/fresh"))
+  }
+
+  test("INSERT OVERWRITE replaces table content") {
+    seed("ns3", "t3")
+    spark.sql("INSERT OVERWRITE gcat.ns3.t3 VALUES (9, 'z', 99.0)")
+    val rows = spark.sql("SELECT id, cat, v FROM gcat.ns3.t3").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 9L)
+    // overwrite is a new commit, v0 still time-travels
+    assert(GraftTable(spark, s"$root/ns3/t3").toDf(Some(0L)).count() == 3)
+  }
+
+  test("CTAS creates and loads in one statement") {
+    seed("ns4", "src")
+    spark.sql(
+      "CREATE TABLE gcat.ns4.doubled AS SELECT id, v * 2 AS v2 FROM gcat.ns4.src")
+    val rows = spark.sql("SELECT id, v2 FROM gcat.ns4.doubled ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 20.0), (2L, 40.0), (3L, 60.0)))
+  }
+
+  test("DELETE / UPDATE / MERGE INTO on catalog tables") {
+    import spark.implicits._
+    seed("ns5", "t5")
+    spark.sql("DELETE FROM gcat.ns5.t5 WHERE cat = 'b'")
+    assert(spark.sql("SELECT count(*) FROM gcat.ns5.t5").head().getLong(0) == 2L)
+    spark.sql("UPDATE gcat.ns5.t5 SET v = v + 1 WHERE id = 1")
+    assert(spark.sql("SELECT v FROM gcat.ns5.t5 WHERE id = 1").head().getDouble(0) == 11.0)
+    Seq((3L, "a", -1.0), (7L, "c", 70.0)).toDF("id", "cat", "v")
+      .createOrReplaceTempView("cat_merge_src")
+    spark.sql(
+      """MERGE INTO gcat.ns5.t5 AS t USING cat_merge_src AS s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT id, v FROM gcat.ns5.t5 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 11.0), (3L, -1.0), (7L, 70.0)))
+  }
+
+  test("co-bucketed catalog join plans with zero Exchange") {
+    import spark.implicits._
+    val ns = "ns6"
+    new java.io.File(s"$root/$ns").mkdirs()
+    val left = (1L to 200L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 200L).map(i => (i, i * 2)).toDF("k", "rv")
+    Bucketing.write(spark, left, s"$root/$ns/bl", "k", 4)
+    Bucketing.write(spark, right, s"$root/$ns/br", "k", 4)
+    // tiny inputs would (rightly) broadcast; disable it so the test sees
+    // the co-bucketed shuffle-free SortMergeJoin the layout guarantees
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        s"SELECT l.k, l.lv, r.rv FROM gcat.$ns.bl l JOIN gcat.$ns.br r ON l.k = r.k")
+      assert(joined.count() == 200L)
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"), physical)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("missing table errors cleanly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.ns1.never_made").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")
+      || e.getMessage.toLowerCase.contains("cannot be found"), e.getMessage)
+  }
+}
