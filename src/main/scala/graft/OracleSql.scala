@@ -799,6 +799,16 @@ object OracleSql {
                   WHERE t.o_orderkey IS NULL)
           SELECT * FROM kept UNION ALL SELECT * FROM ins""",
 
+    // CDF-enabled update: exact pre/postimage pairs
+    "table_changes_updates" ->
+      """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderstatus = 'P')
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'update_preimage' AS _change_type FROM m
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                 'update_postimage' AS _change_type FROM m""",
+
     // net row diff of the upsert: delete+insert pair per touched key
     "table_changes" ->
       """WITH s0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

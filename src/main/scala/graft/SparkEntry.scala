@@ -707,6 +707,23 @@ object SparkEntry {
     tb.tableChanges(0L, tb.version())
   }
 
+  /** Change-data feed with preimage tracking: on a CDF-enabled table
+    * (`graft.cdf=true`) an UPDATE's changes surface as exact
+    * `update_preimage`/`update_postimage` pairs (not the delete+insert
+    * fallback). Times-two is exact in binary floating point.
+    */
+  private def qTableChangesUpdates(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_cdfupd")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite,
+      metadata = Map(Cdc.PropKey -> "true")))
+    Dml.update(spark, p, col("o_orderstatus") === "P",
+      Map("o_totalprice" -> col("o_totalprice") * 2))
+    val tb = GraftTable(spark, p)
+    tb.tableChanges(0L, tb.version())
+  }
+
   /** SQL DML surface: `DELETE FROM graft.`path`` routed through the
     * injected parser/rule to the same file-granular COW engine as the
     * programmatic API; the read-back is SQL too (native columnar plan).
@@ -860,7 +877,8 @@ object SparkEntry {
     "sql_delete" -> (qSqlDelete _),
     "sql_update" -> (qSqlUpdate _),
     "sql_merge_into" -> (qSqlMergeInto _),
-    "sql_catalog_bucket_join" -> (qSqlCatalogBucketJoin _)
+    "sql_catalog_bucket_join" -> (qSqlCatalogBucketJoin _),
+    "table_changes_updates" -> (qTableChangesUpdates _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,

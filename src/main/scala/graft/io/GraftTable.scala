@@ -215,6 +215,52 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def tableChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    cdcChanges(fromVersion, toVersion).getOrElse(
+      diffChanges(fromVersion, toVersion))
+  }
+
+  /** Exact per-commit change feed — available when every commit in the
+    * range either wrote change files (CDF-enabled DML/merge), was a pure
+    * append (its added files ARE its inserts), or touched metadata only.
+    * Updates surface as `update_preimage`/`update_postimage` pairs.
+    * Ranges containing overwrites/compactions/restores (or pre-CDF DML)
+    * fall back to the net file diff below.
+    */
+  private def cdcChanges(fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    val commits = ((fromVersion + 1) to toVersion).map(v => log.readCommit(v))
+    def metadataOnly(c: graft.log.Commit) =
+      c.add.isEmpty && c.remove.isEmpty && c.cdc.isEmpty
+    def pureAppend(c: graft.log.Commit) =
+      c.cdc.isEmpty && c.remove.isEmpty && c.add.nonEmpty
+    val covered = commits.nonEmpty && commits.exists(_.cdc.nonEmpty) &&
+      commits.forall(c => c.cdc.nonEmpty || pureAppend(c) || metadataOnly(c))
+    if (!covered) return None
+    val toSnap = snapshot(Some(toVersion))
+    val cc = Cdc.ChangeCol
+    def align(df: DataFrame): DataFrame = {
+      val filled = toSnap.schema.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      filled.select(toSnap.schema.map(f => col(f.name)) :+ col(cc): _*)
+    }
+    val parts = commits.flatMap { c =>
+      if (c.cdc.nonEmpty)
+        Some(align(spark.read.parquet(
+          c.cdc.map(f => new Path(path, f.path).toString): _*)))
+      else if (pureAppend(c))
+        Some(align(dfForFiles(snapshot(Some(c.version)), c.add)
+          .withColumn(cc, lit("insert"))))
+      else None
+    }
+    Some(parts.reduce(_ unionByName _))
+  }
+
+  /** Net row diff between two versions, from the CHURNED FILES ONLY —
+    * the fallback feed (insert/delete; an update is its delete+insert
+    * pair).
+    */
+  private def diffChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     val fromSnap = snapshot(Some(fromVersion))
     val toSnap = snapshot(Some(toVersion))
     val fromPaths = fromSnap.files.map(_.path).toSet

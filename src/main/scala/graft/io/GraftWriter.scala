@@ -550,7 +550,8 @@ object GraftWriter {
       removals: Seq[RemoveFile],
       operation: String,
       metadata: Map[String, String],
-      compression: String = "zstd"): Long = {
+      compression: String = "zstd",
+      cdc: Seq[AddFile] = Nil): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
@@ -577,7 +578,8 @@ object GraftWriter {
       // CAS on the snapshot the rewrite was derived from: a concurrent
       // commit conflicts (the merge/DML retry re-derives) instead of
       // having its changes silently clobbered by stale carried-over rows
-      expectedVersion = Some(snap.version))
+      expectedVersion = Some(snap.version),
+      cdc = cdc)
   }
 
   /** Write `df` under a staging dir, then promote the parquet files into

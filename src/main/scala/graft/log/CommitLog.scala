@@ -50,7 +50,13 @@ final case class Commit(
     metadata: Map[String, String],
     operationMetrics: Map[String, Long],
     add: Seq[AddFile],
-    remove: Seq[RemoveFile])
+    remove: Seq[RemoveFile],
+    /** Change-data files under `_cdc/` for this commit (row-level
+      * pre/postimages written by CDF-enabled DML/merge). Never part of
+      * the live file set — only [[graft.io.GraftTable.tableChanges]]
+      * reads them. Absent in pre-CDF commits (json4s default).
+      */
+    cdc: Seq[AddFile] = Nil)
 
 /** Materialized view of the log at a version. `commits` is the replay
   * suffix (everything after the checkpoint the snapshot was built from,
@@ -275,7 +281,8 @@ final class CommitLog(
       operationMetrics: Map[String, Long],
       add: Seq[AddFile],
       remove: Seq[RemoveFile],
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      cdc: Seq[AddFile] = Nil): Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     val latest = latestVersion()
     expectedVersion.foreach { exp =>
@@ -289,7 +296,7 @@ final class CommitLog(
       k.startsWith(CommitLog.ReservedPrefix) && value.isEmpty // "" = drop property
     }
     val c = Commit(v, System.currentTimeMillis(), operation, mode, schemaDdl,
-      partitionColumns, mergedMeta, operationMetrics, add, remove)
+      partitionColumns, mergedMeta, operationMetrics, add, remove, cdc)
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(Serialization.write(c).getBytes("UTF-8"))

@@ -86,10 +86,29 @@ object Dml {
           .getOrElse(col(c))
       }: _*)
     }
+    // change-data feed (opt-in `graft.cdf`): record the matched rows as
+    // pre/postimages — one extra pass over the TOUCHED files only
+    val cdcFiles: Seq[graft.log.AddFile] =
+      if (!graft.io.Cdc.enabled(table.log.tableProperties())) Nil
+      else {
+        val hit = aff.filter(matched)
+        val changes = keepMatched match {
+          case None =>
+            hit.withColumn(graft.io.Cdc.ChangeCol, lit("delete"))
+          case Some(set) =>
+            hit.withColumn(graft.io.Cdc.ChangeCol, lit("update_preimage"))
+              .unionByName(
+                hit.select(cols.map(c =>
+                  set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+                  .withColumn(graft.io.Cdc.ChangeCol, lit("update_postimage")))
+        }
+        graft.io.Cdc.writeChangeFiles(spark, path, changes)
+      }
     val v = GraftWriter.writeCow(spark, newData, path, snap,
       touched.map(f => RemoveFile(f.path)),
       operation = op,
-      metadata = Map("operation" -> op))
+      metadata = Map("operation" -> op),
+      cdc = cdcFiles)
     DmlStats(v, touched.size.toLong)
   }
 }

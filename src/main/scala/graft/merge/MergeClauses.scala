@@ -181,10 +181,24 @@ object MergeClausesExecutor {
         candDf, src, cond, snap, notMatched, sourceAlias, targetAlias)
       val newData = rewritten.unionByName(inserts)
 
+      // change-data feed (opt-in `graft.cdf`): row-level pre/postimages
+      // for the touched files plus the inserted rows — change volume
+      // scales with the clauses' hits, never the table
+      val cdcFiles: Seq[AddFile] =
+        if (!graft.io.Cdc.enabled(table.log.tableProperties())) Nil
+        else {
+          val changes = changeRows(affDf, src, cond, cols,
+            matched, notMatchedBySource, sourceAlias, targetAlias)
+            .unionByName(inserts.withColumn(
+              graft.io.Cdc.ChangeCol, lit("insert")))
+          graft.io.Cdc.writeChangeFiles(spark, path, changes)
+        }
+
       val v = GraftWriter.writeCow(spark, newData, path, snap,
         touched.map(f => RemoveFile(f.path)),
         operation = "MERGE",
-        metadata = Map("operation" -> "MERGE:clauses"))
+        metadata = Map("operation" -> "MERGE:clauses"),
+        cdc = cdcFiles)
       val numOut = table.snapshot().files.map(_.numRecords).sum
       MergeStats(v, numSource, numOut)
     }
@@ -232,6 +246,58 @@ object MergeClausesExecutor {
       .withColumn("__graft_keep", keep)
       .filter(col("__graft_keep"))
       .select(cols.map(outCol): _*)
+  }
+
+  /** Change rows for the CDF: per touched-file row, the first applicable
+    * clause decides its change kind — `update` emits the old image
+    * (`update_preimage`) and the new image (`update_postimage`),
+    * `delete` emits the old image. Mirrors [[rewriteRows]]' dispatch
+    * exactly (same join, same ordered guards) so the images are
+    * bit-identical to what the rewrite wrote.
+    */
+  private def changeRows(
+      target: DataFrame,
+      source: DataFrame,
+      cond: Column,
+      cols: Seq[String],
+      matched: Seq[MatchedClause],
+      bySource: Seq[MatchedClause],
+      sa: String,
+      ta: String): DataFrame = {
+    val marker = "__graft_matched"
+    val joined = target.alias(ta)
+      .join(source.withColumn(marker, lit(true)).alias(sa), cond, "left")
+    val isMatched = coalesce(col(s"$sa.$marker"), lit(false))
+    def clauseGuard(c: MatchedClause, matchedSide: Boolean): Column = {
+      val side = if (matchedSide) isMatched else !isMatched
+      c.condition.map(side && _).getOrElse(side)
+    }
+    val dispatch: Seq[(Column, MatchedClause)] =
+      matched.map(c => (clauseGuard(c, matchedSide = true), c)) ++
+        bySource.map(c => (clauseGuard(c, matchedSide = false), c))
+    def colValue(c: MatchedClause, name: String): Column = c match {
+      case _: UpdateAll      => col(s"$sa.$name")
+      case UpdateSet(set, _) => set.getOrElse(name, col(s"$ta.$name"))
+      case _: Delete         => col(s"$ta.$name")
+    }
+    def outCol(name: String): Column =
+      dispatch.foldRight(col(s"$ta.$name")) { case ((g, c), rest) =>
+        when(g, colValue(c, name)).otherwise(rest)
+      }.as(name)
+    val kind: Column =
+      dispatch.foldRight(lit(null).cast("string")) { case ((g, c), rest) =>
+        when(g, lit(if (c.isInstanceOf[Delete]) "delete" else "update"))
+          .otherwise(rest)
+      }
+    val tagged = joined.withColumn("__graft_kind", kind)
+    val oldCols = cols.map(c => col(s"$ta.$c").as(c))
+    val cc = graft.io.Cdc.ChangeCol
+    val updates = tagged.filter(col("__graft_kind") === "update")
+    updates.select(oldCols :+ lit("update_preimage").as(cc): _*)
+      .unionByName(updates.select(
+        cols.map(outCol) :+ lit("update_postimage").as(cc): _*))
+      .unionByName(tagged.filter(col("__graft_kind") === "delete")
+        .select(oldCols :+ lit("delete").as(cc): _*))
   }
 
   /** Insert side: first applicable not-matched clause per unmatched

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Cdc, GraftTable, GraftWriter, WriteMode, WriteOptions}
+import graft.merge._
+
+/** Change-data feed with preimage tracking (`graft.cdf=true`). */
+class CdcSpec extends SparkSpec {
+
+  private def freshTable(prefix: String, cdf: Boolean): String = {
+    import spark.implicits._
+    val p = tmpDir(prefix)
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+      .toDF("id", "cat", "v")
+    val meta = if (cdf) Map(Cdc.PropKey -> "true") else Map.empty[String, String]
+    GraftWriter.write(spark, df, p,
+      WriteOptions(mode = WriteMode.Overwrite, metadata = meta))
+    p
+  }
+
+  private def changes(p: String, from: Long): Map[String, Seq[(Long, Double)]] = {
+    val tb = GraftTable(spark, p)
+    tb.tableChanges(from, tb.version())
+      .select("id", "v", Cdc.ChangeCol).collect()
+      .map(r => (r.getString(2), (r.getLong(0), r.getDouble(1))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq.sortBy(_._1) }
+  }
+
+  test("UPDATE emits update_preimage/update_postimage pairs") {
+    val p = freshTable("cdcu", cdf = true)
+    Dml.update(spark, p, col("cat") === "a", Map("v" -> (col("v") * 2)))
+    val ch = changes(p, 0L)
+    assert(ch("update_preimage") == Seq((1L, 10.0), (3L, 30.0)))
+    assert(ch("update_postimage") == Seq((1L, 20.0), (3L, 60.0)))
+    assert(!ch.contains("insert") && !ch.contains("delete"))
+  }
+
+  test("DELETE emits delete rows with old values") {
+    val p = freshTable("cdcd", cdf = true)
+    Dml.delete(spark, p, col("v") > 25.0)
+    val ch = changes(p, 0L)
+    assert(ch("delete") == Seq((3L, 30.0), (4L, 40.0)))
+    assert(ch.size == 1)
+  }
+
+  test("merge clauses emit update pre/post, delete, and insert types") {
+    import spark.implicits._
+    val p = freshTable("cdcm", cdf = true)
+    val src = Seq((1L, "a", 100.0), (2L, "b", -1.0), (9L, "z", 90.0))
+      .toDF("id", "cat", "v")
+    MergeClausesExecutor.merge(spark, src, p, "s.id = t.id",
+      matched = Seq(
+        Delete(Some(expr("s.v < 0"))),
+        UpdateSet(Map("v" -> expr("s.v")))),
+      notMatched = Seq(InsertAll()))
+    val ch = changes(p, 0L)
+    assert(ch("update_preimage") == Seq((1L, 10.0)))
+    assert(ch("update_postimage") == Seq((1L, 100.0)))
+    assert(ch("delete") == Seq((2L, 20.0)))
+    assert(ch("insert") == Seq((9L, 90.0)))
+  }
+
+  test("appends in a CDF range surface as inserts") {
+    import spark.implicits._
+    val p = freshTable("cdca", cdf = true)
+    GraftWriter.write(spark,
+      Seq((5L, "d", 50.0)).toDF("id", "cat", "v"), p,
+      WriteOptions(mode = WriteMode.Append))
+    Dml.delete(spark, p, col("id") === 2L)
+    val ch = changes(p, 0L)
+    assert(ch("insert") == Seq((5L, 50.0)))
+    assert(ch("delete") == Seq((2L, 20.0)))
+  }
+
+  test("non-CDF table keeps the delete+insert fallback") {
+    val p = freshTable("cdcf", cdf = false)
+    Dml.update(spark, p, col("id") === 1L, Map("v" -> lit(11.0)))
+    val ch = changes(p, 0L)
+    assert(ch("insert") == Seq((1L, 11.0)))
+    assert(ch("delete") == Seq((1L, 10.0)))
+    assert(!ch.contains("update_preimage"))
+  }
+
+  test("range containing an overwrite falls back to the net diff") {
+    import spark.implicits._
+    val p = freshTable("cdco", cdf = true)
+    Dml.update(spark, p, col("id") === 1L, Map("v" -> lit(99.0)))
+    GraftWriter.write(spark,
+      Seq((7L, "x", 70.0)).toDF("id", "cat", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val ch = changes(p, 0L)
+    // net effect of v0..v3: everything replaced by the single new row
+    assert(ch("insert") == Seq((7L, 70.0)))
+    assert(!ch.contains("update_preimage"))
+  }
+
+  test("cdc files live under _cdc and are invisible to scans and vacuum") {
+    val p = freshTable("cdcv", cdf = true)
+    Dml.delete(spark, p, col("id") === 1L)
+    val tb = GraftTable(spark, p)
+    assert(tb.toDf().count() == 3)
+    val cdcDir = new java.io.File(p, "_cdc")
+    assert(cdcDir.exists && cdcDir.listFiles().nonEmpty)
+    tb.vacuum(1)
+    tb.vacuumOrphans(0L, nowMs = System.currentTimeMillis() + 1000000)
+    // change files survive both vacuums; the feed still reads
+    assert(changes(p, 0L)("delete") == Seq((1L, 10.0)))
+  }
+}
