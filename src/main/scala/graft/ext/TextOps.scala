@@ -168,10 +168,16 @@ object Dedup {
       localEdgeThreshold: Long = 5000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = pairs.sparkSession
+    // symmetrize in ONE scan (explode both directions per pair) — a
+    // two-branch union would evaluate the whole upstream pairs plan
+    // twice (at 100 TB that's a second full corpus-hash pass), since
+    // the persist below only caches the post-union result
     val edges = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(MEMORY_AND_DISK)
     try {
