@@ -28,7 +28,9 @@ final case class GraftCatalogTable(
     path: String,
     tableSchema: StructType,
     partitionCols: Seq[String],
-    props: Map[String, String]) extends Table {
+    props: Map[String, String],
+    /** Pinned snapshot for `VERSION AS OF` / `TIMESTAMP AS OF` reads. */
+    versionAsOf: Option[Long] = None) extends Table {
   override def name: String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
   override def schema: StructType = tableSchema
@@ -96,6 +98,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val snap = table.snapshot()
     GraftCatalogTable(catalogName, ident, path, snap.schema,
       snap.partitionColumns, table.log.tableProperties())
+  }
+
+  /** `SELECT ... VERSION AS OF v`: pin the snapshot (schema included —
+    * time travel across a schema evolution reads the OLD shape).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathFor(ident)
+    if (!GraftTable.exists(spark, path)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft time travel takes a numeric version, got '$version'")
+      }
+    val table = GraftTable(spark, path)
+    val snap = table.snapshot(Some(v))
+    GraftCatalogTable(catalogName, ident, path, snap.schema,
+      snap.partitionColumns, table.log.tableProperties(), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` (Spark hands micros): latest commit at or
+    * before the timestamp.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathFor(ident)
+    if (!GraftTable.exists(spark, path)) throw new NoSuchTableException(ident)
+    val v = GraftTable(spark, path).versionAtTimestamp(timestampMicros / 1000L)
+    loadTable(ident, v.toString)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

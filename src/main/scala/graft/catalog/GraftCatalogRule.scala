@@ -69,9 +69,9 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), native)
   }
 
-  private def nativePlan(path: String): LogicalPlan =
-    GraftNativeRelation.plan(spark, path, None).getOrElse(
-      LogicalRelation(GraftRelation(spark.sqlContext, path, None)))
+  private def nativePlan(path: String, versionAsOf: Option[Long]): LogicalPlan =
+    GraftNativeRelation.plan(spark, path, versionAsOf).getOrElse(
+      LogicalRelation(GraftRelation(spark.sqlContext, path, versionAsOf)))
 
   /** Overwrite deleteExpr → replaceWhere Column: resolved attribute refs
     * are rebuilt name-based so the predicate re-resolves against the
@@ -124,7 +124,7 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftCatalogWriteCommand(pathOf(c, ident), query, mode, None, partCols)
 
       case dsv2 @ DataSourceV2Relation(t: GraftCatalogTable, out, _, _, _, _) =>
-        rebind(out, nativePlan(t.path))
+        rebind(out, nativePlan(t.path, t.versionAsOf))
     }
 
   private def pathOf(c: GraftCatalog, ident: Identifier): String =

@@ -25,6 +25,17 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def snapshot(versionAsOf: Option[Long] = None): Snapshot =
     log.snapshot(versionAsOf)
 
+  /** Latest version committed at or before `tsMillis` — the
+    * `TIMESTAMP AS OF` lookup (commit timestamps are the log's own
+    * wall clock, like Delta).
+    */
+  def versionAtTimestamp(tsMillis: Long): Long =
+    log.versions().map(log.readCommit)
+      .filter(_.timestampMs <= tsMillis)
+      .lastOption.map(_.version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit at or before timestamp $tsMillis ms for $path"))
+
   /** Full-table DataFrame at a version. Files are enumerated from the log
     * (never by directory listing — object-store-listing-free, like Delta),
     * partition columns are recovered from hive-style paths via `basePath`,

@@ -33,6 +33,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // `table` is a plain field, so the tree walk won't reach it
       case i: InsertIntoStatement =>
         i.copy(table = substituteRel(i.table))
+      // RelationTimeTravel holds its relation the same way
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        tt.copy(relation = substituteRel(tt.relation))
       case u: UnresolvedRelation if isGraftPath(u) =>
         UnresolvedGraftRelation(u.multipartIdentifier(1))
     }
@@ -47,12 +50,51 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     u.multipartIdentifier.length == 2 &&
       u.multipartIdentifier.head.equalsIgnoreCase("graft")
 
+  // --- maintenance statements Spark's grammar doesn't know ---
+  // target: graft.`/path` or a dotted catalog name
+  private val T = """(?:graft\s*\.\s*`([^`]+)`|((?:\w+\.)*\w+))"""
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + T +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + T +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+  private val HistoryRe =
+    ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+
+  private def target(path: String, name: String): Either[String, Seq[String]] =
+    if (path != null) Left(path) else Right(name.split('.').toSeq)
+
+  /** The utility statements ([[GraftVacuumCommand]] etc.); None when the
+    * text is not one of them — then the whole statement goes to Spark's
+    * parser untouched.
+    */
+  private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case VacuumRe(p, n, hours, dry) =>
+        Some(GraftVacuumCommand(target(p, n),
+          Option(hours).map(_.toLong), dryRun = dry != null))
+      case OptimizeRe(p, n, zcols) =>
+        Some(GraftOptimizeCommand(target(p, n),
+          Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
+      case HistoryRe(p, n) => Some(GraftDescribeHistoryCommand(target(p, n)))
+      case DetailRe(p, n) => Some(GraftDescribeDetailCommand(target(p, n)))
+      case RestoreRe(p, n, v) => Some(GraftRestoreCommand(target(p, n), v.toLong))
+      case _ => None
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    substitute(delegate.parsePlan(sqlText))
+    maintenancePlan(sqlText).getOrElse(substitute(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(
       sqlText: String, context: ParameterContext): LogicalPlan =
-    substitute(delegate.parsePlanWithParameters(sqlText, context))
+    maintenancePlan(sqlText).getOrElse(
+      substitute(delegate.parsePlanWithParameters(sqlText, context)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     substitute(delegate.parseQuery(sqlText))

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.io.{GraftTable, GraftWriter}
+
+/** Table-maintenance SQL statements (the Delta utility surface):
+  *
+  * {{{
+  * VACUUM <table> [RETAIN n HOURS] [DRY RUN]
+  * OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]
+  * DESCRIBE HISTORY <table>
+  * DESCRIBE DETAIL <table>
+  * RESTORE [TABLE] <table> TO VERSION AS OF v
+  * }}}
+  *
+  * `<table>` is either a path (`graft.`/p``) or a catalog name
+  * (`cat.ns.tbl` over a [[graft.catalog.GraftCatalog]]). Spark's
+  * grammar has no such statements, so [[GraftSqlParser]] recognizes
+  * them with anchored patterns before delegating everything else.
+  * Catalog names resolve to paths at execution time through the
+  * session's CatalogManager.
+  */
+object GraftMaintenance {
+
+  /** DML/maintenance target: a literal path or a catalog identifier. */
+  def resolvePath(spark: SparkSession, target: Either[String, Seq[String]]): String =
+    target match {
+      case Left(path) => path
+      case Right(parts) =>
+        require(parts.length >= 2,
+          s"catalog table name needs at least catalog.table: ${parts.mkString(".")}")
+        spark.sessionState.catalogManager.catalog(parts.head) match {
+          case g: graft.catalog.GraftCatalog =>
+            g.pathForIdent(Identifier.of(parts.tail.init.toArray, parts.last))
+          case other => throw new IllegalArgumentException(
+            s"'${parts.head}' is not a graft catalog (got $other)")
+        }
+    }
+}
+
+final case class GraftVacuumCommand(
+    target: Either[String, Seq[String]],
+    retainHours: Option[Long],
+    dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    val retainMs = retainHours
+      .map(_ * 3600L * 1000L)
+      .getOrElse(GraftTable.MinRetentionMillis)
+    // the safety floor stays on unless explicitly disabled (Delta's
+    // retentionDurationCheck.enabled pattern)
+    val enforce = spark.conf
+      .getOption("spark.graft.vacuum.retentionCheck").forall(_.toBoolean)
+    GraftTable(spark, path)
+      .vacuumOlderThan(retainMs, dryRun = dryRun, enforceRetention = enforce)
+      .map(Row(_))
+  }
+}
+
+final case class GraftOptimizeCommand(
+    target: Either[String, Seq[String]],
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    val v =
+      if (zorderBy.isEmpty) GraftWriter.optimize(spark, path)
+      else GraftWriter.optimizeZOrder(spark, path, zorderBy)
+    Seq(Row(v))
+  }
+}
+
+final case class GraftDescribeHistoryCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("num_added_files", LongType, nullable = false)(),
+    AttributeReference("num_removed_files", LongType, nullable = false)(),
+    AttributeReference("num_output_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    GraftTable(spark, path).history().map(c => Row(
+      c.version, c.timestampMs, c.operation, c.mode,
+      c.add.size.toLong, c.remove.size.toLong,
+      c.operationMetrics.getOrElse("num_output_rows", -1L)))
+  }
+}
+
+final case class GraftDescribeDetailCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_records", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("schema_ddl", StringType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    val t = GraftTable(spark, path)
+    val snap = t.snapshot()
+    val props = t.log.tableProperties()
+    Seq(Row("graft", path, snap.version, snap.files.size.toLong,
+      snap.files.map(_.sizeBytes).sum, snap.files.map(_.numRecords).sum,
+      snap.partitionColumns.mkString(","), snap.schema.toDDL,
+      props.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";")))
+  }
+}
+
+final case class GraftRestoreCommand(
+    target: Either[String, Seq[String]],
+    toVersion: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    Seq(Row(GraftTable(spark, path).restore(toVersion)))
+  }
+}

@@ -255,15 +255,43 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         val static = partSpec.toSeq.collect { case (k, Some(v)) => (k, v) }
         GraftInsertCommand(path, query, static, userCols, overwrite, byName)
 
+      // SQL time travel on a path table: `... FROM graft.`p` VERSION AS
+      // OF 3` / `TIMESTAMP AS OF '...'` (timestamps hit the latest
+      // commit at or before the instant, like Delta)
+      case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: UnresolvedGraftRelation, tsOpt, verOpt) =>
+        val v: Long = verOpt match {
+          case Some(ver) =>
+            try ver.toLong
+            catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"graft time travel takes a numeric version, got '$ver'")
+            }
+          case None =>
+            val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+              tsOpt.getOrElse(throw new IllegalArgumentException(
+                "time travel needs VERSION AS OF or TIMESTAMP AS OF")),
+              org.apache.spark.sql.types.TimestampType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone))
+              .eval() match {
+              case l: java.lang.Long => l.longValue()
+              case other => throw new IllegalArgumentException(
+                s"cannot evaluate TIMESTAMP AS OF expression: $other")
+            }
+            graft.io.GraftTable(spark, u.path).versionAtTimestamp(micros / 1000L)
+        }
+        readPlan(u.path, Some(v))
+
       // plain read context (`SELECT ... FROM graft.`path``): substitute
       // the native columnar plan (codegen parquet scan over the
       // commit-log file index; V1 row-based relation as the fallback
       // for tables the native plan can't represent)
-      case u: UnresolvedGraftRelation =>
-        graft.sources.GraftNativeRelation.plan(spark, u.path, None).getOrElse {
-          org.apache.spark.sql.execution.datasources.LogicalRelation(
-            graft.sources.GraftRelation(
-              spark.sqlContext, u.path, None))
-        }
+      case u: UnresolvedGraftRelation => readPlan(u.path, None)
+    }
+
+  private def readPlan(path: String, versionAsOf: Option[Long]): LogicalPlan =
+    graft.sources.GraftNativeRelation.plan(spark, path, versionAsOf).getOrElse {
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        graft.sources.GraftRelation(spark.sqlContext, path, versionAsOf))
     }
 }

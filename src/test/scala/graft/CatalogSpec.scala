@@ -110,6 +110,21 @@ class CatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("VERSION AS OF and maintenance statements on catalog names") {
+    seed("ns7", "t7")
+    spark.sql("INSERT OVERWRITE gcat.ns7.t7 VALUES (9, 'z', 99.0)")
+    assert(spark.sql("SELECT count(*) FROM gcat.ns7.t7").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM gcat.ns7.t7 VERSION AS OF 0")
+      .head().getLong(0) == 3L)
+    val hist = spark.sql("DESCRIBE HISTORY gcat.ns7.t7").collect()
+    assert(hist.length == 2)
+    val detail = spark.sql("DESCRIBE DETAIL gcat.ns7.t7").head()
+    assert(detail.getAs[String]("location") == s"$root/ns7/t7")
+    val v = spark.sql("RESTORE gcat.ns7.t7 TO VERSION AS OF 0").head().getLong(0)
+    assert(v == 2L)
+    assert(spark.sql("SELECT count(*) FROM gcat.ns7.t7").head().getLong(0) == 3L)
+  }
+
   test("missing table errors cleanly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gcat.ns1.never_made").collect()

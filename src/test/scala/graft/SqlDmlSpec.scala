@@ -120,6 +120,52 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("alpha", 40.0), ("beta", 70.0)))
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time travel in SQL") {
+    val p = freshTable("sqltt")
+    val tsAfterV0 = System.currentTimeMillis()
+    Thread.sleep(10) // keep the delete commit's timestamp strictly later
+    spark.sql(s"DELETE FROM graft.`$p` WHERE id <= 3")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p` VERSION AS OF 0")
+      .head().getLong(0) == 5L)
+    val ts = new java.sql.Timestamp(tsAfterV0).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$p` TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 5L)
+  }
+
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL / OPTIMIZE / VACUUM / RESTORE") {
+    val p = freshTable("sqlmaint")
+    spark.sql(s"DELETE FROM graft.`$p` WHERE id = 1")
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$p`").collect()
+    assert(hist.length == 2 && hist(0).getAs[String]("operation") == "DELETE")
+    val detail = spark.sql(s"DESCRIBE DETAIL graft.`$p`").head()
+    assert(detail.getAs[String]("format") == "graft" &&
+      detail.getAs[Long]("num_records") == 4L)
+    // a second file in partition cat=a makes OPTIMIZE non-trivial
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (6, 'a', 60.0)") // v2
+    val v3 = spark.sql(s"OPTIMIZE graft.`$p`").head().getLong(0)
+    assert(v3 == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5L)
+    spark.conf.set("spark.graft.vacuum.retentionCheck", "false")
+    try {
+      val dry = spark.sql(s"VACUUM graft.`$p` RETAIN 0 HOURS DRY RUN").collect()
+      assert(dry.nonEmpty) // pre-compaction files are vacuumable
+      spark.sql(s"VACUUM graft.`$p` RETAIN 0 HOURS")
+    } finally spark.conf.unset("spark.graft.vacuum.retentionCheck")
+    // restore-to-current after vacuum: checks the statement round-trips
+    val v4 = spark.sql(s"RESTORE graft.`$p` TO VERSION AS OF 3").head().getLong(0)
+    assert(v4 == 4L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5L)
+  }
+
+  test("OPTIMIZE ZORDER BY clusters files for skipping") {
+    val p = freshTable("sqlzorder")
+    val v = spark.sql(s"OPTIMIZE graft.`$p` ZORDER BY (id, v)").head().getLong(0)
+    assert(v == 1L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5L)
+  }
+
   test("non-graft DML is left to Spark (still errors as before)") {
     intercept[Exception] {
       spark.sql("DELETE FROM nonexistent_tbl WHERE 1=1")
