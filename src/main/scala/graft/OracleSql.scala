@@ -437,6 +437,13 @@ object OracleSql {
          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0""",
 
+    "table_dynamic_overwrite" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus <> 'F'
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0""",
+
     "table_time_travel" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
 
@@ -808,6 +815,19 @@ object OracleSql {
           UNION ALL
           SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
                  'update_postimage' AS _change_type FROM m""",
+
+    "table_changes_merge" ->
+      """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey % 7 = 0)
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'update_preimage' AS _change_type FROM m
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice + 10 AS o_totalprice,
+                 'update_postimage' AS _change_type FROM m
+          UNION ALL
+          SELECT -o_orderkey AS o_orderkey, o_orderstatus, o_totalprice,
+                 'insert' AS _change_type
+          FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey > 0""",
 
     // net row diff of the upsert: delete+insert pair per touched key
     "table_changes" ->

@@ -724,6 +724,53 @@ object SparkEntry {
     tb.tableChanges(0L, tb.version())
   }
 
+  /** Change-data feed through a fixed-strategy merge (upsert): on a
+    * CDF-enabled table the matched rows surface as exact
+    * `update_preimage`/`update_postimage` pairs and the unmatched
+    * source rows as `insert`s. `+ 10` on a 2-decimal double is exact.
+    */
+  private def qTableChangesMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_cdfmerge")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite,
+      metadata = Map(Cdc.PropKey -> "true")))
+    val src = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10)
+      .unionByName(o.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") > 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+    MergeExecutor.merge(spark, src, p,
+      MergeConfig(MergeType.Upsert, "s.o_orderkey = t.o_orderkey"))
+    val tb = GraftTable(spark, p)
+    tb.tableChanges(0L, tb.version())
+  }
+
+  /** Dynamic partition overwrite via `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`: the incoming rows land only in
+    * the 'F' partition, so only that partition's files are replaced —
+    * the removal set is derived from the written files' partition
+    * values, pure commit-log metadata (no data scan of the table).
+    */
+  private def qDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_dpo")
+    GraftWriter.write(spark, o, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0)
+      .createOrReplaceTempView("dpo_src")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try spark.sql(s"INSERT OVERWRITE graft.`$p` SELECT * FROM dpo_src")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    spark.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.`$p`")
+  }
+
   /** SQL DML surface: `DELETE FROM graft.`path`` routed through the
     * injected parser/rule to the same file-granular COW engine as the
     * programmatic API; the read-back is SQL too (native columnar plan).
@@ -878,7 +925,9 @@ object SparkEntry {
     "sql_update" -> (qSqlUpdate _),
     "sql_merge_into" -> (qSqlMergeInto _),
     "sql_catalog_bucket_join" -> (qSqlCatalogBucketJoin _),
-    "table_changes_updates" -> (qTableChangesUpdates _)
+    "table_changes_updates" -> (qTableChangesUpdates _),
+    "table_changes_merge" -> (qTableChangesMerge _),
+    "table_dynamic_overwrite" -> (qDynamicOverwrite _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,

@@ -158,10 +158,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft catalog tables is not supported; use the " +
-        "schema-evolution write modes instead")
+  /** `ALTER TABLE`: ADD COLUMN (top-level, nullable, appended — the same
+    * shape the schema-evolution write mode produces, so old files read
+    * the new column as null) and SET/UNSET TBLPROPERTIES on reserved
+    * `graft.*` keys (e.g. `graft.cdf`, `graft.constraint.*` — the keys
+    * the commit log carries forward; anything else would silently vanish
+    * on the next commit, so it is rejected loudly). Both are
+    * metadata-only commits, CAS-guarded against concurrent writers.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathFor(ident)
+    if (!GraftTable.exists(spark, path)) throw new NoSuchTableException(ident)
+    var addCols = Seq.empty[(String, org.apache.spark.sql.types.DataType, Option[String])]
+    var meta = Map.empty[String, String]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft ALTER TABLE supports top-level columns only, got " +
+            add.fieldNames.mkString("."))
+        require(add.isNullable,
+          "added columns must be nullable (existing rows have no value)")
+        require(add.position == null,
+          "graft ALTER TABLE appends columns; FIRST/AFTER is not supported")
+        addCols :+= ((add.fieldNames.head, add.dataType, Option(add.comment)))
+      case sp: TableChange.SetProperty =>
+        require(sp.value.nonEmpty,
+          s"empty value would drop property '${sp.property}'; use UNSET")
+        meta += sp.property -> sp.value
+      case rp: TableChange.RemoveProperty =>
+        meta += rp.property -> "" // empty value = drop (commit-log contract)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE does not support $other; use the " +
+          "schema-evolution write modes for anything richer")
+    }
+    graft.io.Alter.alter(spark, path, addCols, meta)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathFor(ident))

@@ -28,7 +28,8 @@ final case class GraftCatalogWriteCommand(
     query: LogicalPlan,
     mode: WriteMode,
     replaceWhere: Option[Column],
-    partitionBy: Seq[String]) extends LeafRunnableCommand {
+    partitionBy: Seq[String],
+    dynamicOverwrite: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     org.apache.spark.sql.catalyst.expressions
       .AttributeReference("version", LongType, nullable = false)())
@@ -43,7 +44,8 @@ final case class GraftCatalogWriteCommand(
       } else df0
     val v = GraftWriter.write(spark, df, path,
       WriteOptions(mode = mode, replaceWhere = replaceWhere,
-        partitionBy = partitionBy))
+        partitionBy = partitionBy,
+        dynamicPartitionOverwrite = dynamicOverwrite))
     Seq(Row(v))
   }
 }
@@ -101,15 +103,12 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
       case o @ OverwritePartitionsDynamic(r: DataSourceV2Relation, query, _, _, _)
           if r.table.isInstanceOf[GraftCatalogTable] && o.outputResolved =>
-        // dynamic partition overwrite ≈ replaceWhere over the incoming
-        // partition values; graft's writer computes removals from the
-        // written files' partition values, so a full overwrite of just
-        // the touched partitions needs the predicate. Fall back to
-        // append semantics being wrong — so reject loudly instead.
-        throw new UnsupportedOperationException(
-          "INSERT OVERWRITE with dynamic partition overwrite is not " +
-            "supported on graft tables; use INSERT OVERWRITE ... WHERE " +
-            "(replaceWhere) or static PARTITION values")
+        // dynamic partition overwrite: the writer derives the removal set
+        // from the written files' partition values (commit-log metadata
+        // only) — exactly the partitions the incoming rows land in are
+        // replaced, everything else is untouched
+        GraftCatalogWriteCommand(r.table.asInstanceOf[GraftCatalogTable].path,
+          query, WriteMode.Overwrite, None, Nil, dynamicOverwrite = true)
 
       case ctas @ CreateTableAsSelect(
           ResolvedIdentifier(c: GraftCatalog, ident), parts, query, _, _, ignoreIfExists, _) =>
@@ -122,6 +121,18 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val mode =
           if (ignoreIfExists) WriteMode.Ignore else WriteMode.ErrorIfExists
         GraftCatalogWriteCommand(pathOf(c, ident), query, mode, None, partCols)
+
+      // readStream.table("cat.ns.t"): route to the V1 admission-controlled
+      // stream source (startingVersion/maxCommitsPerTrigger options pass
+      // through), same engine as readStream.format("graft").load(path)
+      case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if s.table.isInstanceOf[GraftCatalogTable] =>
+        val t = s.table.asInstanceOf[GraftCatalogTable]
+        val opts = {
+          import scala.jdk.CollectionConverters._
+          s.extraOptions.asCaseSensitiveMap().asScala.toMap + ("path" -> t.path)
+        }
+        rebind(s.output, GraftInternal.streamingRelationFor(spark, opts))
 
       case dsv2 @ DataSourceV2Relation(t: GraftCatalogTable, out, _, _, _, _) =>
         rebind(out, nativePlan(t.path, t.versionAsOf))

@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import graft.log.CommitLog
+
+/** Shared ALTER TABLE core — one metadata-only commit applying column
+  * adds and/or table-property changes, CAS-guarded against concurrent
+  * writers. Used by both the DSv2 catalog (`ALTER TABLE cat.ns.tbl ...`)
+  * and the SQL path route (`ALTER TABLE graft.`/path`` ...`).
+  *
+  * Columns append at the end, nullable — the same shape the
+  * schema-evolution write mode produces, so files written before the
+  * ALTER read the new column as null with no rewrite (the property that
+  * keeps ALTER TABLE metadata-only on a 100 TB table).
+  *
+  * Properties use the commit log's carry-forward contract: only
+  * reserved `graft.*` keys persist across commits (e.g. `graft.cdf`,
+  * `graft.constraint.*`); anything else would silently vanish on the
+  * next commit and is rejected loudly. An empty value drops the key.
+  */
+object Alter {
+
+  def alter(
+      spark: SparkSession,
+      path: String,
+      addCols: Seq[(String, DataType, Option[String])] = Nil,
+      props: Map[String, String] = Map.empty): Long = {
+    require(GraftTable.exists(spark, path), s"not a graft table: $path")
+    val table = GraftTable(spark, path)
+    val snap = table.snapshot()
+    var schema = snap.schema
+    addCols.foreach { case (name, dt, comment) =>
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists")
+      val f = StructField(name, dt, nullable = true)
+      schema = StructType(schema.fields :+
+        comment.map(f.withComment).getOrElse(f))
+    }
+    props.keys.foreach { k =>
+      require(k.startsWith(CommitLog.ReservedPrefix),
+        s"only ${CommitLog.ReservedPrefix}* table properties persist " +
+          s"across commits; got '$k'")
+    }
+    table.log.commit(
+      operation = "ALTER TABLE",
+      mode = "metadata",
+      schemaDdl = schema.toDDL,
+      partitionColumns = snap.partitionColumns,
+      metadata = props,
+      operationMetrics = Map.empty,
+      add = Nil,
+      remove = Nil,
+      expectedVersion = Some(snap.version))
+  }
+}

@@ -54,6 +54,16 @@ final case class WriteOptions(
     compression: String = "zstd",
     /** Verify incoming rows satisfy `replaceWhere` (Delta enforces this). */
     enforceReplaceWhere: Boolean = true,
+    /** Dynamic partition overwrite (Spark's
+      * `partitionOverwriteMode=dynamic` / Hive `INSERT OVERWRITE`
+      * semantics): replace exactly the partitions the incoming rows land
+      * in, leave every other partition untouched. Only valid with
+      * `Overwrite` and no `replaceWhere`. The removal set is derived from
+      * the written files' partition values — pure commit-log metadata, no
+      * extra data scan, so a 3-partition refresh of a 100k-partition
+      * table removes 3 partitions' files and nothing else.
+      */
+    dynamicPartitionOverwrite: Boolean = false,
     /** Shuffle rows to their partition before writing so each partition
       * gets O(1) files instead of (#tasks × #partitions) — the
       * anti-small-files move that matters at 100 TB.
@@ -117,8 +127,19 @@ object GraftWriter {
       case _ => df.schema // fresh table or create_or_replace
     }
 
+    if (opts.dynamicPartitionOverwrite) {
+      require(opts.mode == WriteMode.Overwrite,
+        s"dynamicPartitionOverwrite requires Overwrite mode, got ${opts.mode.name}")
+      require(opts.replaceWhere.isEmpty,
+        "dynamicPartitionOverwrite and replaceWhere are mutually exclusive")
+    }
+
     // replaceWhere: constrain + compute removals from partition values.
+    // (Dynamic partition overwrite derives removals AFTER the physical
+    // write, from the added files' partition values — see below.)
     val (removals, effectiveDf) = (opts.mode, opts.replaceWhere) match {
+      case (WriteMode.Overwrite, None) if opts.dynamicPartitionOverwrite =>
+        (Nil, df)
       case (WriteMode.Overwrite, Some(pred)) =>
         if (opts.enforceReplaceWhere) {
           val violating = df.filter(!pred).limit(1).count()
@@ -147,6 +168,19 @@ object GraftWriter {
     enforceOnWritten(spark, fs, path, newSchema, partitionCols, added,
       log.tableProperties())
 
+    // Dynamic partition overwrite: drop exactly the live files in the
+    // partitions the new files landed in (metadata-only set intersection;
+    // an unpartitioned table degenerates to a full overwrite, matching
+    // Spark's own semantics).
+    def dynamicRemovals(liveFiles: Seq[AddFile]): Seq[RemoveFile] = {
+      val touched = added.map(_.partitionValues).toSet
+      liveFiles.filter(f => touched(f.partitionValues)).map(f => RemoveFile(f.path))
+    }
+    val removals0 =
+      if (opts.dynamicPartitionOverwrite)
+        snapOpt.map(s => dynamicRemovals(s.files)).getOrElse(Nil)
+      else removals
+
     // Commit with bounded retry: on a concurrent-commit conflict the
     // staged files stay valid — only the log actions (removals, evolved
     // schema) are re-derived against the fresh snapshot. Last writer
@@ -164,7 +198,7 @@ object GraftWriter {
         if (casModes(opts.mode)) Some(snapOpt.map(_.version).getOrElse(-1L))
         else None
       val (schemaDdl, removals2) =
-        if (attempt == 0) (newSchema.toDDL, removals)
+        if (attempt == 0) (newSchema.toDDL, removals0)
         else {
           val fresh = if (log.tableExists()) Some(log.snapshot()) else None
           if (casModes(opts.mode))
@@ -183,6 +217,9 @@ object GraftWriter {
             case _ => df.schema
           }
           val rm = (opts.mode, opts.replaceWhere, fresh) match {
+            case (WriteMode.Overwrite, None, Some(s))
+                if opts.dynamicPartitionOverwrite =>
+              dynamicRemovals(s.files)
             case (WriteMode.Overwrite, Some(pred), Some(s)) =>
               matchingFiles(spark, s.files, s.schema, s.partitionColumns, pred)
                 .map(RemoveFile)

@@ -203,10 +203,51 @@ object MergeExecutor {
           (withKept, touched.map(f => RemoveFile(f.path)))
       }
 
+      // change-data feed (opt-in `graft.cdf`): row-level pre/postimages
+      // mirroring each strategy's relational semantics, computed over the
+      // touched files only — change volume scales with the merge's hits,
+      // never the table. DeduplicateInsert commits as a pure append, and
+      // the CDF reader synthesizes its inserts from the add actions.
+      val cdcFiles: Seq[AddFile] =
+        if (config.mergeType == MergeType.DeduplicateInsert ||
+            !graft.io.Cdc.enabled(table.log.tableProperties())) Nil
+        else {
+          val affDf = table.dfForFiles(snap, touched)
+          val affScoped = config.partitionFilter.map(affDf.filter).getOrElse(affDf)
+          val marker = "__graft_matched"
+          val joined = affScoped.alias(ta)
+            .join(src.withColumn(marker, lit(true)).alias(sa), cond, "left")
+          val isMatched = coalesce(col(s"$sa.$marker"), lit(false))
+          val cc = graft.io.Cdc.ChangeCol
+          val oldCols = cols.map(c => col(s"$ta.$c").as(c))
+          val srcCols = cols.map(c => col(s"$sa.$c").as(c))
+          val pairs = joined.filter(isMatched)
+          val updates = pairs.select(oldCols :+ lit("update_preimage").as(cc): _*)
+            .unionByName(pairs.select(srcCols :+ lit("update_postimage").as(cc): _*))
+          val changes = config.mergeType match {
+            case MergeType.UpdateOnly => updates
+            case MergeType.Upsert =>
+              // anti join against the touched rows is exact: every match
+              // lives in a touched file (same argument as the rewrite)
+              val inserts = src.alias(sa)
+                .join(affScoped.alias(ta), cond, "left_anti")
+                .select(cols.map(col): _*)
+              updates.unionByName(inserts.withColumn(cc, lit("insert")))
+            case MergeType.ReplaceDeleteUnmatched =>
+              updates.unionByName(
+                joined.filter(!isMatched)
+                  .select(oldCols :+ lit("delete").as(cc): _*))
+            case MergeType.DeduplicateInsert =>
+              throw new IllegalStateException("unreachable: dedup insert is append-only")
+          }
+          graft.io.Cdc.writeChangeFiles(spark, path, changes)
+        }
+
       val v = GraftWriter.writeCow(spark, newData, path, snap, removals,
         operation = "MERGE",
         metadata = config.metadata ++
-          Map("operation" -> s"MERGE:${config.mergeType.name}"))
+          Map("operation" -> s"MERGE:${config.mergeType.name}"),
+        cdc = cdcFiles)
       val numOut = table.snapshot().files.map(_.numRecords).sum
       MergeStats(v, numSource, numOut)
     }

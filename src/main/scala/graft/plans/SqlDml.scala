@@ -108,6 +108,13 @@ final case class GraftMergeCommand(
   * (append or overwrite; SQL inserts are positional unless BY NAME).
   * Static `PARTITION (k=v)` values become literal columns, mirroring
   * Spark's own semantics.
+  *
+  * Overwrite scope follows Spark/Hive partition-overwrite semantics on a
+  * partitioned table: static `PARTITION (k=v)` values confine the
+  * overwrite to the matching partitions (replaceWhere), and with
+  * `spark.sql.sources.partitionOverwriteMode=dynamic` only the
+  * partitions the incoming rows land in are replaced. An unpartitioned
+  * table (or static mode with no PARTITION clause) is a full overwrite.
   */
 final case class GraftInsertCommand(
     path: String,
@@ -144,10 +151,44 @@ final case class GraftInsertCommand(
     // table column order + insert-coercion casts
     val aligned = full.select(schema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    val mode = if (overwrite) WriteMode.Overwrite else WriteMode.Append
-    val v = GraftWriter.write(spark, aligned, path, WriteOptions(mode = mode))
+    val partCols = snap.partitionColumns
+    staticNames.foreach { k =>
+      require(partCols.exists(_.equalsIgnoreCase(k)),
+        s"PARTITION ($k=...) names a non-partition column " +
+          s"(table is partitioned by ${partCols.mkString(", ")})")
+    }
+    val dynamicConf = spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      .equalsIgnoreCase("dynamic")
+    val (mode, replaceWhere, dynamic) =
+      if (!overwrite) (WriteMode.Append, None, false)
+      else if (partCols.isEmpty) (WriteMode.Overwrite, None, false)
+      else if (dynamicConf) (WriteMode.Overwrite, None, true)
+      else if (staticParts.nonEmpty) {
+        val pred = staticParts.map { case (k, v) =>
+          col(k) === lit(v).cast(schema(k).dataType)
+        }.reduce(_ && _)
+        (WriteMode.Overwrite, Some(pred), false)
+      } else (WriteMode.Overwrite, None, false)
+    val v = GraftWriter.write(spark, aligned, path,
+      WriteOptions(mode = mode, replaceWhere = replaceWhere,
+        dynamicPartitionOverwrite = dynamic))
     Seq(Row(v))
   }
+}
+
+/** `ALTER TABLE graft.`path`` — ADD COLUMNS / SET TBLPROPERTIES /
+  * UNSET TBLPROPERTIES routed to [[graft.io.Alter]] (one metadata-only
+  * CAS commit; same engine as the catalog route).
+  */
+final case class GraftAlterCommand(
+    path: String,
+    addCols: Seq[(String, org.apache.spark.sql.types.DataType, Option[String])],
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.io.Alter.alter(spark, path, addCols, props)))
 }
 
 /** Resolution rule converting Spark-parsed DML plans over graft path
@@ -282,12 +323,59 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         readPlan(u.path, Some(v))
 
+      // ALTER TABLE on path targets (the Delta-style `ALTER TABLE
+      // graft.`/path`` surface); UnresolvedTable keeps the raw two-part
+      // identifier, so these are claimed before the session catalog
+      // rejects the 'graft' namespace
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+        graftTablePath(a.table) match {
+          case Some(p) =>
+            val cols = a.columnsToAdd.map { c =>
+              require(c.path.isEmpty,
+                "graft ALTER TABLE supports top-level columns only")
+              require(c.nullable,
+                "added columns must be nullable (existing rows have no value)")
+              require(c.position.isEmpty,
+                "graft ALTER TABLE appends columns; FIRST/AFTER is not supported")
+              require(c.default.isEmpty,
+                "graft ALTER TABLE does not support DEFAULT values")
+              (c.colName, c.dataType, c.comment)
+            }
+            GraftAlterCommand(p, cols, Map.empty)
+          case None => a
+        }
+      case s: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
+        graftTablePath(s.table) match {
+          case Some(p) =>
+            s.properties.foreach { case (k, v) =>
+              require(v.nonEmpty, s"empty value would drop property '$k'; use UNSET")
+            }
+            GraftAlterCommand(p, Nil, s.properties)
+          case None => s
+        }
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties =>
+        graftTablePath(u.table) match {
+          case Some(p) => GraftAlterCommand(p, Nil, u.propertyKeys.map(_ -> "").toMap)
+          case None    => u
+        }
+
       // plain read context (`SELECT ... FROM graft.`path``): substitute
       // the native columnar plan (codegen parquet scan over the
       // commit-log file index; V1 row-based relation as the fallback
       // for tables the native plan can't represent)
       case u: UnresolvedGraftRelation => readPlan(u.path, None)
     }
+
+  /** Path of an ALTER TABLE target addressed as `graft.`/path`` (an
+    * UnresolvedTable still carrying the raw two-part identifier).
+    */
+  private def graftTablePath(t: LogicalPlan): Option[String] = t match {
+    case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if ut.multipartIdentifier.length == 2 &&
+          ut.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some(ut.multipartIdentifier(1))
+    case _ => None
+  }
 
   private def readPlan(path: String, versionAsOf: Option[Long]): LogicalPlan =
     graft.sources.GraftNativeRelation.plan(spark, path, versionAsOf).getOrElse {

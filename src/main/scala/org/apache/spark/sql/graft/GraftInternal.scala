@@ -22,6 +22,21 @@ object GraftInternal {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** V1 streaming relation over the graft stream source — what
+    * `spark.readStream.format("graft").load(path)` builds internally.
+    * Lets the catalog rule route `readStream.table("cat.ns.t")` to the
+    * same admission-controlled source (the V1 streaming classes are
+    * package-private to sql, hence this shim's placement).
+    */
+  def streamingRelationFor(
+      spark: SparkSession, options: Map[String, String]): LogicalPlan = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      spark.asInstanceOf[ClassicSession],
+      className = "graft",
+      options = options)
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(ds)
+  }
+
   /** Multipart names of every unresolved attribute referenced by a
     * Column, read off the ColumnNode tree (the catalyst expression is
     * built lazily in Spark 4, so pre-analysis validation must walk the

@@ -61,6 +61,27 @@ class CatalogSpec extends SparkSpec {
     assert(GraftTable(spark, s"$root/ns3/t3").toDf(Some(0L)).count() == 3)
   }
 
+  test("dynamic partition overwrite through the catalog") {
+    import spark.implicits._
+    val p = s"$root/ns8/part"
+    new java.io.File(s"$root/ns8").mkdirs()
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "cat", "v"),
+      p, WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("cat")))
+    val before = GraftTable(spark, p).snapshot().files
+      .filter(_.partitionValues("cat") == "b").map(_.path).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    try spark.sql("INSERT OVERWRITE gcat.ns8.part VALUES (7, 'a', 70.0)")
+    finally spark.conf.unset(key)
+    val rows = spark.sql("SELECT id, cat, v FROM gcat.ns8.part ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((2L, "b", 20.0), (7L, "a", 70.0)))
+    val after = GraftTable(spark, p).snapshot().files
+      .filter(_.partitionValues("cat") == "b").map(_.path).toSet
+    assert(after == before)
+  }
+
   test("CTAS creates and loads in one statement") {
     seed("ns4", "src")
     spark.sql(
@@ -123,6 +144,43 @@ class CatalogSpec extends SparkSpec {
     val v = spark.sql("RESTORE gcat.ns7.t7 TO VERSION AS OF 0").head().getLong(0)
     assert(v == 2L)
     assert(spark.sql("SELECT count(*) FROM gcat.ns7.t7").head().getLong(0) == 3L)
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the schema; old files read nulls") {
+    seed("ns9", "evolve")
+    spark.sql("ALTER TABLE gcat.ns9.evolve ADD COLUMNS (note STRING)")
+    val rows = spark.sql("SELECT id, note FROM gcat.ns9.evolve ORDER BY id").collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(1)))
+    spark.sql("INSERT INTO gcat.ns9.evolve VALUES (9, 'z', 90.0, 'tagged')")
+    val tagged = spark.sql(
+      "SELECT note FROM gcat.ns9.evolve WHERE id = 9").head().getString(0)
+    assert(tagged == "tagged")
+    // duplicate column and non-nullable positions are rejected loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ns9.evolve ADD COLUMNS (note STRING)")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES drives table properties") {
+    seed("ns10", "props")
+    spark.sql(
+      "ALTER TABLE gcat.ns10.props SET TBLPROPERTIES ('graft.cdf'='true')")
+    val p = s"$root/ns10/props"
+    assert(graft.io.Cdc.enabled(GraftTable(spark, p).log.tableProperties()))
+    // CDF now records preimages for DML through the same catalog name
+    spark.sql("UPDATE gcat.ns10.props SET v = v * 2 WHERE id = 1")
+    val tb = GraftTable(spark, p)
+    val kinds = tb.tableChanges(1L, tb.version())
+      .select(graft.io.Cdc.ChangeCol).collect().map(_.getString(0)).toSet
+    assert(kinds == Set("update_preimage", "update_postimage"))
+    spark.sql("ALTER TABLE gcat.ns10.props UNSET TBLPROPERTIES ('graft.cdf')")
+    assert(!graft.io.Cdc.enabled(GraftTable(spark, p).log.tableProperties()))
+    // non-reserved keys would silently vanish on the next commit — rejected
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ns10.props SET TBLPROPERTIES ('team'='data')")
+    }
+    assert(e.getMessage.contains("graft."), e.getMessage)
   }
 
   test("missing table errors cleanly") {

@@ -62,6 +62,44 @@ class CdcSpec extends SparkSpec {
     assert(ch("insert") == Seq((9L, 90.0)))
   }
 
+  test("fixed-strategy upsert emits update pre/post and insert types") {
+    import spark.implicits._
+    val p = freshTable("cdcfu", cdf = true)
+    val src = Seq((1L, "a", 100.0), (9L, "z", 90.0)).toDF("id", "cat", "v")
+    MergeExecutor.merge(spark, src, p,
+      MergeConfig(MergeType.Upsert, "s.id = t.id"))
+    val ch = changes(p, 0L)
+    assert(ch("update_preimage") == Seq((1L, 10.0)))
+    assert(ch("update_postimage") == Seq((1L, 100.0)))
+    assert(ch("insert") == Seq((9L, 90.0)))
+    assert(!ch.contains("delete"))
+  }
+
+  test("fixed-strategy replace_delete_unmatched emits updates and deletes") {
+    import spark.implicits._
+    val p = freshTable("cdcfr", cdf = true)
+    val src = Seq((1L, "a", 100.0), (2L, "b", 200.0)).toDF("id", "cat", "v")
+    MergeExecutor.merge(spark, src, p,
+      MergeConfig(MergeType.ReplaceDeleteUnmatched, "s.id = t.id"))
+    val ch = changes(p, 0L)
+    assert(ch("update_preimage") == Seq((1L, 10.0), (2L, 20.0)))
+    assert(ch("update_postimage") == Seq((1L, 100.0), (2L, 200.0)))
+    assert(ch("delete") == Seq((3L, 30.0), (4L, 40.0)))
+    assert(!ch.contains("insert"))
+  }
+
+  test("fixed-strategy deduplicate_insert stays pure-append (synthesized inserts)") {
+    import spark.implicits._
+    val p = freshTable("cdcfd", cdf = true)
+    val src = Seq((1L, "a", 999.0), (9L, "z", 90.0)).toDF("id", "cat", "v")
+    MergeExecutor.merge(spark, src, p,
+      MergeConfig(MergeType.DeduplicateInsert, "s.id = t.id"))
+    val ch = changes(p, 0L)
+    // only the genuinely-new row inserts; the matched key is suppressed
+    assert(ch("insert") == Seq((9L, 90.0)))
+    assert(ch.size == 1)
+  }
+
   test("appends in a CDF range surface as inserts") {
     import spark.implicits._
     val p = freshTable("cdca", cdf = true)

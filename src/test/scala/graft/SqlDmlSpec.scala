@@ -96,6 +96,64 @@ class SqlDmlSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getLong(0) == 8L && r(0).getDouble(1) == 80.0)
   }
 
+  test("INSERT OVERWRITE with static PARTITION value replaces only that partition") {
+    val p = freshTable("sqlinsp")
+    spark.sql(s"INSERT OVERWRITE graft.`$p` PARTITION (cat='a') VALUES (7, 70.0)")
+    val rows = GraftTable(spark, p).toDf()
+      .select("id", "cat", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    // cat='a' rows (ids 1, 3) replaced by the single new row; b/c untouched
+    assert(rows.toSeq == Seq(
+      (2L, "b", 20.0), (4L, "c", 40.0), (5L, "b", 50.0), (7L, "a", 70.0)))
+  }
+
+  test("INSERT OVERWRITE under partitionOverwriteMode=dynamic replaces only touched partitions") {
+    val p = freshTable("sqldyn")
+    val before = GraftTable(spark, p).snapshot().files
+      .filter(_.partitionValues("cat") != "b").map(_.path).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    try spark.sql(s"INSERT OVERWRITE graft.`$p` VALUES (9, 'b', 90.0)")
+    finally spark.conf.unset(key)
+    val rows = GraftTable(spark, p).toDf()
+      .select("id", "cat", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "a", 10.0), (3L, "a", 30.0), (4L, "c", 40.0), (9L, "b", 90.0)))
+    // untouched partitions kept their physical files
+    val after = GraftTable(spark, p).snapshot().files
+      .filter(_.partitionValues("cat") != "b").map(_.path).toSet
+    assert(after == before)
+  }
+
+  test("INSERT OVERWRITE PARTITION on a non-partition column is rejected") {
+    val p = freshTable("sqlinsbad")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE graft.`$p` PARTITION (v=1.0) VALUES (7, 'a')")
+    }
+    assert(e.getMessage.contains("non-partition column"), e.getMessage)
+  }
+
+  test("ALTER TABLE graft.`path` ADD COLUMNS / SET / UNSET TBLPROPERTIES") {
+    val p = freshTable("sqlalter")
+    spark.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (note STRING)")
+    val rows = spark.sql(s"SELECT id, note FROM graft.`$p`").collect()
+    assert(rows.length == 5 && rows.forall(_.isNullAt(1)))
+    spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('graft.cdf'='true')")
+    assert(graft.io.Cdc.enabled(GraftTable(spark, p).log.tableProperties()))
+    spark.sql(s"ALTER TABLE graft.`$p` UNSET TBLPROPERTIES ('graft.cdf')")
+    assert(!graft.io.Cdc.enabled(GraftTable(spark, p).log.tableProperties()))
+    // non-persistable keys and duplicate columns are rejected loudly
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('team'='data')")
+    }
+    assert(e.getMessage.contains("graft."), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (note STRING)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("already exists"), e2.getMessage)
+  }
+
   test("SELECT ... FROM graft.`path` reads the native columnar plan") {
     val p = freshTable("sqlsel")
     val rows = spark.sql(

@@ -259,6 +259,37 @@ class StreamingSpec extends SparkSpec {
     assert(batches >= 3, s"expected >=3 bounded micro-batches, got $batches")
   }
 
+  test("readStream.table streams a catalog-named graft table") {
+    import graft.io.{GraftWriter, WriteMode, WriteOptions}
+    val root = tmpDir("graft_scat_root")
+    spark.conf.set("spark.sql.catalog.scat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.scat.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val p = s"$root/ns/events"
+    (1 to 3).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val q = spark.readStream.table("scat.ns.events")
+      .writeStream.format("memory").queryName("cat_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("cat_stream").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // reader options flow through to the same V1 source
+    val q2 = spark.readStream.option("startingVersion", 2)
+      .table("scat.ns.events")
+      .writeStream.format("memory").queryName("cat_stream2")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table("cat_stream2").collect()
+      .map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("stream source fails loudly when retention cleaned checkpointed commits") {
     import graft.io.{GraftWriter, WriteMode, WriteOptions}
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset

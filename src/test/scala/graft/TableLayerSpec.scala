@@ -90,6 +90,50 @@ class TableLayerSpec extends SparkSpec {
     assert(back == Seq(("blue", "b1", 2L), ("red", "r2", 9L)))
   }
 
+  test("dynamic partition overwrite replaces only the partitions written") {
+    val p = tmpDir("dpo")
+    val df = Seq(("red", "r1", 1L), ("blue", "b1", 2L), ("green", "g1", 3L))
+      .toDF("color", "a", "b")
+    GraftWriter.write(spark, df, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("color")))
+    val beforeBlue = GraftTable(spark, p).snapshot().files
+      .filter(_.partitionValues("color") == "blue").map(_.path).toSet
+    assert(beforeBlue.nonEmpty)
+    GraftWriter.write(spark,
+      Seq(("red", "r2", 9L), ("green", "g2", 8L)).toDF("color", "a", "b"), p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("color"),
+        dynamicPartitionOverwrite = true))
+    val t = GraftTable(spark, p)
+    val back = t.toDf().orderBy("color")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(back == Seq(("blue", "b1", 2L), ("green", "g2", 8L), ("red", "r2", 9L)))
+    // the untouched partition kept its physical files (no rewrite)
+    val afterBlue = t.snapshot().files
+      .filter(_.partitionValues("color") == "blue").map(_.path).toSet
+    assert(afterBlue == beforeBlue)
+    // replaceWhere and dynamic overwrite are mutually exclusive
+    intercept[IllegalArgumentException] {
+      GraftWriter.write(spark, df, p,
+        WriteOptions(mode = WriteMode.Overwrite,
+          replaceWhere = Some(col("color") === "red"),
+          dynamicPartitionOverwrite = true))
+    }
+    // non-overwrite modes reject the flag
+    intercept[IllegalArgumentException] {
+      GraftWriter.write(spark, df, p,
+        WriteOptions(mode = WriteMode.Append, dynamicPartitionOverwrite = true))
+    }
+  }
+
+  test("dynamic partition overwrite on an unpartitioned table is a full overwrite") {
+    val p = tmpDir("dpo_unpart")
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, Seq((7L, 7L)).toDF("a", "b"), p,
+      WriteOptions(mode = WriteMode.Overwrite, dynamicPartitionOverwrite = true))
+    val rows = GraftTable(spark, p).toDf().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((7L, 7L)))
+  }
+
   test("time travel: version 0 reads pre-append state (resource contract)") {
     val p = tmpDir("tt")
     GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
