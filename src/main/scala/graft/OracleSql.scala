@@ -743,6 +743,28 @@ object OracleSql {
                    AS contam_permille
           FROM psh t LEFT JOIN hits h USING (doc_id)""",
 
+    "text_chunks" ->
+      """SELECT doc_id,
+                s // 100 AS chunk_id,
+                substring(text, CAST(s + 1 AS INTEGER), 120) AS chunk,
+                CAST(length(substring(text, CAST(s + 1 AS INTEGER), 120)) AS BIGINT) AS chunk_len
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(0, greatest(length(text) - 1, 0), 100)) AS s
+               FROM documents)""",
+
+    "seq_pack" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                     % 16 AS shard,
+                   CAST(len($TOKS) AS BIGINT) AS n_tokens
+            FROM documents)
+          SELECT doc_id, shard, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 512 AS BIGINT) AS seq_id
+          FROM d""",
+
     "sample_hash" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT

@@ -724,6 +724,19 @@ object SparkEntry {
     tb.tableChanges(0L, tb.version())
   }
 
+  /** Fixed-window chunking (120 chars, 20 overlap): pure narrow explode,
+    * one row per (doc, window) — the shaping pass before tokenization.
+    */
+  private def qTextChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunking.chunk(t(spark, dir, "documents"), 120, 20)
+
+  /** Contiguous sequence packing at a 512-token budget over 16 md5
+    * shards: deterministic (shard, doc) order, prefix-sum binning —
+    * the shard-local window is the whole shuffle.
+    */
+  private def qSeqPack(spark: SparkSession, dir: String): DataFrame =
+    Chunking.packSequences(t(spark, dir, "documents"), 512, 16)
+
   /** Change-data feed through a fixed-strategy merge (upsert): on a
     * CDF-enabled table the matched rows surface as exact
     * `update_preimage`/`update_postimage` pairs and the unmatched
@@ -927,7 +940,9 @@ object SparkEntry {
     "sql_catalog_bucket_join" -> (qSqlCatalogBucketJoin _),
     "table_changes_updates" -> (qTableChangesUpdates _),
     "table_changes_merge" -> (qTableChangesMerge _),
-    "table_dynamic_overwrite" -> (qDynamicOverwrite _)
+    "table_dynamic_overwrite" -> (qDynamicOverwrite _),
+    "text_chunks" -> (qTextChunks _),
+    "seq_pack" -> (qSeqPack _)
   )
 
   /** Read-only headline queries for Bench (excludes temp-table writers,
@@ -952,7 +967,8 @@ object SparkEntry {
     "embedding_centroid_sums", "embedding_normalize",
     "embedding_quantize_int8",
     "dedup_clusters", "q24_exact_moments", "q25_window_suite",
-    "text_pii_scrub", "text_decontam", "sample_hash")
+    "text_pii_scrub", "text_decontam", "sample_hash",
+    "text_chunks", "seq_pack")
 
   // ---------- DuckDB oracle SQL ----------
 

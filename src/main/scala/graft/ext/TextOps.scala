@@ -602,3 +602,73 @@ object TextAnalysis {
       length(redacted).cast("long").as("redacted_len"))
   }
 }
+
+/** Corpus shaping between a cleaned dataset and a training run:
+  * fixed-window chunking and token-budget sequence packing
+  * (SURVEY §2.8 north-star surface).
+  */
+object Chunking {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Fixed-size character windows with `overlap` carried between
+    * consecutive windows; one output row per (doc, window), `chunk_id`
+    * numbered from 0, last window may be short, and an empty document
+    * still yields its single empty chunk so no doc silently disappears.
+    *
+    * Scale: a pure narrow explode — no shuffle, no state; at 100 TB it
+    * runs entirely map-side and pipelines into the next stage.
+    */
+  def chunk(
+      docs: DataFrame,
+      chunkLen: Int,
+      overlap: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkLen > 0, "chunkLen must be positive")
+    require(overlap >= 0 && overlap < chunkLen,
+      s"overlap must be in [0, chunkLen); got $overlap for chunkLen $chunkLen")
+    val step = chunkLen - overlap
+    val txt = coalesce(col(textCol), lit(""))
+    val starts = sequence(lit(0), greatest(length(txt) - 1, lit(0)), lit(step))
+    docs.select(col(idCol), txt.as("__graft_text"),
+        posexplode(starts).as(Seq("pos", "start")))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("__graft_text").substr(col("start") + 1, lit(chunkLen)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
+  /** Contiguous sequence packing: documents are concatenated in
+    * deterministic (shard, id) order and split into training sequences
+    * of at most `budget` whitespace tokens — `seq_id` is the running
+    * token count's bin. A document longer than the budget spans
+    * sequences (chunk first if that matters).
+    *
+    * Scale: the order-dependent prefix sum is confined to
+    * `numShards` hash shards ([[Sampling.hashBucket]] — md5, engine
+    * and partitioning independent), so the sort+window shuffles
+    * shard-local slices instead of imposing one global total order;
+    * shards pack (and later read) independently and in parallel.
+    */
+  def packSequences(
+      docs: DataFrame,
+      budget: Int,
+      numShards: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val base = docs.select(
+      col(idCol),
+      Sampling.hashBucket(col(idCol), numShards).as("shard"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col(idCol), col("shard"), col("n_tokens"),
+        floor(col("tok_before") / budget).cast("long").as("seq_id"))
+  }
+}

@@ -242,6 +242,54 @@ class ExtOpsSpec extends SparkSpec {
     assert(!byStatus.contains("P")) // not in the rate map -> dropped
   }
 
+  test("chunking covers every character once per window; overlap carried") {
+    val d = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val ch = Chunking.chunk(d, 4, 1)
+    val rows = ch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    // step 3: windows at 0,3,6,9 for the 10-char doc
+    assert(rows.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq("abcd", "defg", "ghij", "j"))
+    // consecutive windows share `overlap` characters
+    assert(rows.filter(_._1 == 1L).map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, b) => a.takeRight(1) == b.take(1)
+      case _         => true
+    })
+    // empty doc still yields its single empty chunk
+    assert(rows.filter(_._1 == 2L).map(_._3).toSeq == Seq(""))
+    // short doc: one short window
+    assert(rows.filter(_._1 == 3L).map(_._3).toSeq == Seq("xy"))
+    // reconstruction: dropping each window's overlap prefix (after the
+    // first) concatenates back to the original text
+    val rebuilt = rows.filter(_._1 == 1L).map(_._3).zipWithIndex
+      .map { case (c, i) => if (i == 0) c else c.drop(1) }.mkString
+    assert(rebuilt == "abcdefghij")
+    intercept[IllegalArgumentException] { Chunking.chunk(d, 4, 4) }
+  }
+
+  test("sequence packing respects the token budget and shard locality") {
+    val d = (1L to 40L).map(i => (i, Seq.fill(7)("tok").mkString(" ")))
+      .toDF("doc_id", "text") // 7 tokens per doc
+    val packed = Chunking.packSequences(d, 21, 4) // 3 docs per sequence
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 40 && rows.forall(_._3 == 7L))
+    // within every (shard, seq) the token sum never exceeds the budget
+    // once a single doc fits (7 <= 21); seq ids are dense from 0
+    rows.groupBy(r => (r._2, r._4)).foreach { case ((_, _), grp) =>
+      assert(grp.map(_._3).sum <= 21L)
+    }
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      val seqs = grp.map(_._4).distinct.sorted
+      assert(seqs.toList == (0L until seqs.length).toList)
+    }
+    // deterministic: same input -> identical assignment
+    val again = Chunking.packSequences(d, 21, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(rows.forall(r => again(r._1) == r._4))
+  }
+
   test("exact moments reproduce Spark's var_samp and covar_samp") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val m = SparkEntry.queries("q24_exact_moments")(spark, sf).collect()
