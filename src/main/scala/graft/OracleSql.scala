@@ -851,6 +851,24 @@ object OracleSql {
                  'insert' AS _change_type
           FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey > 0""",
 
+    "table_changes_mixed" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+               upd AS (SELECT o_orderkey, o_orderstatus,
+                              CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                                   ELSE o_totalprice END AS o_totalprice FROM base)
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'update_preimage' AS _change_type
+          FROM base WHERE o_orderstatus = 'P'
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                 'update_postimage' FROM base WHERE o_orderstatus = 'P'
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete' FROM upd
+          WHERE o_orderkey % 5 <> 0 OR o_orderstatus = 'P'
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert' FROM base
+          WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'P'""",
+
     // net row diff of the upsert: delete+insert pair per touched key
     "table_changes" ->
       """WITH s0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -724,6 +724,25 @@ object SparkEntry {
     tb.tableChanges(0L, tb.version())
   }
 
+  /** Mixed CDF range: an update commit (exact pre/postimages) followed
+    * by a full overwrite — the feed keeps per-commit granularity, with
+    * the overwrite contributing its own net diff (EXCEPT ALL over its
+    * churned files; rows identical on both sides cancel).
+    */
+  private def qTableChangesMixed(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_cdfmix")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite,
+      metadata = Map(Cdc.PropKey -> "true")))
+    Dml.update(spark, p, col("o_orderstatus") === "P",
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    GraftWriter.write(spark, o.filter(col("o_orderkey") % 5 === 0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val tb = GraftTable(spark, p)
+    tb.tableChanges(0L, tb.version())
+  }
+
   /** Fixed-window chunking (120 chars, 20 overlap): pure narrow explode,
     * one row per (doc, window) — the shaping pass before tokenization.
     */
@@ -940,6 +959,7 @@ object SparkEntry {
     "sql_catalog_bucket_join" -> (qSqlCatalogBucketJoin _),
     "table_changes_updates" -> (qTableChangesUpdates _),
     "table_changes_merge" -> (qTableChangesMerge _),
+    "table_changes_mixed" -> (qTableChangesMixed _),
     "table_dynamic_overwrite" -> (qDynamicOverwrite _),
     "text_chunks" -> (qTextChunks _),
     "seq_pack" -> (qSeqPack _)

@@ -230,12 +230,18 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       diffChanges(fromVersion, toVersion))
   }
 
-  /** Exact per-commit change feed — available when every commit in the
-    * range either wrote change files (CDF-enabled DML/merge), was a pure
-    * append (its added files ARE its inserts), or touched metadata only.
-    * Updates surface as `update_preimage`/`update_postimage` pairs.
-    * Ranges containing overwrites/compactions/restores (or pre-CDF DML)
-    * fall back to the net file diff below.
+  /** Exact per-commit change feed — available once any commit in the
+    * range wrote change files (i.e. the table runs with `graft.cdf`).
+    * Per commit: change files when present (updates surface as
+    * `update_preimage`/`update_postimage` pairs); a pure append's added
+    * files ARE its inserts; and an overwrite-family commit
+    * (overwrite / replaceWhere / dynamic overwrite / OPTIMIZE /
+    * RESTORE / pre-CDF DML) contributes its own net row diff — EXCEPT
+    * ALL over that commit's churned files only, so carried-over rows
+    * cancel (a compaction contributes nothing) and cost scales with the
+    * commit's churn, never the table. Ranges with no change files at
+    * all fall back to the single whole-range diff below (one EXCEPT ALL
+    * instead of one per commit).
     */
   private def cdcChanges(fromVersion: Long, toVersion: Long): Option[DataFrame] = {
     val commits = ((fromVersion + 1) to toVersion).map(v => log.readCommit(v))
@@ -243,11 +249,17 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       c.add.isEmpty && c.remove.isEmpty && c.cdc.isEmpty
     def pureAppend(c: graft.log.Commit) =
       c.cdc.isEmpty && c.remove.isEmpty && c.add.nonEmpty
-    val covered = commits.nonEmpty && commits.exists(_.cdc.nonEmpty) &&
-      commits.forall(c => c.cdc.nonEmpty || pureAppend(c) || metadataOnly(c))
+    val covered = commits.nonEmpty && commits.exists(_.cdc.nonEmpty)
     if (!covered) return None
     val toSnap = snapshot(Some(toVersion))
     val cc = Cdc.ChangeCol
+    def alignData(df: DataFrame): DataFrame = {
+      val filled = toSnap.schema.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      filled.select(toSnap.schema.map(f => col(f.name)): _*)
+    }
     def align(df: DataFrame): DataFrame = {
       val filled = toSnap.schema.foldLeft(df) { (d, f) =>
         if (d.columns.contains(f.name)) d
@@ -262,9 +274,20 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       else if (pureAppend(c))
         Some(align(dfForFiles(snapshot(Some(c.version)), c.add)
           .withColumn(cc, lit("insert"))))
-      else None
+      else if (metadataOnly(c)) None
+      else {
+        // overwrite-family: per-commit net diff over its churned files
+        val prev = snapshot(Some(c.version - 1))
+        val prevByPath = prev.files.map(f => f.path -> f).toMap
+        val removedFiles = c.remove.flatMap(r => prevByPath.get(r.path))
+        val added = alignData(dfForFiles(snapshot(Some(c.version)), c.add))
+        val removed = alignData(dfForFiles(prev, removedFiles))
+        Some(added.exceptAll(removed).withColumn(cc, lit("insert"))
+          .unionByName(
+            removed.exceptAll(added).withColumn(cc, lit("delete"))))
+      }
     }
-    Some(parts.reduce(_ unionByName _))
+    if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
 
   /** Net row diff between two versions, from the CHURNED FILES ONLY —

@@ -121,7 +121,7 @@ class CdcSpec extends SparkSpec {
     assert(!ch.contains("update_preimage"))
   }
 
-  test("range containing an overwrite falls back to the net diff") {
+  test("range containing an overwrite keeps per-commit granularity") {
     import spark.implicits._
     val p = freshTable("cdco", cdf = true)
     Dml.update(spark, p, col("id") === 1L, Map("v" -> lit(99.0)))
@@ -129,9 +129,22 @@ class CdcSpec extends SparkSpec {
       Seq((7L, "x", 70.0)).toDF("id", "cat", "v"), p,
       WriteOptions(mode = WriteMode.Overwrite))
     val ch = changes(p, 0L)
-    // net effect of v0..v3: everything replaced by the single new row
+    // the update commit keeps its pre/postimages; the overwrite commit
+    // contributes its own net diff (all four rows deleted, one inserted)
+    assert(ch("update_preimage") == Seq((1L, 10.0)))
+    assert(ch("update_postimage") == Seq((1L, 99.0)))
     assert(ch("insert") == Seq((7L, 70.0)))
-    assert(!ch.contains("update_preimage"))
+    assert(ch("delete") == Seq((1L, 99.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+  }
+
+  test("compaction in a CDF range contributes no phantom changes") {
+    val p = freshTable("cdcc", cdf = true)
+    Dml.delete(spark, p, col("id") === 2L)
+    GraftWriter.optimize(spark, p)
+    val ch = changes(p, 0L)
+    // OPTIMIZE rewrites files but moves no rows: EXCEPT ALL cancels
+    assert(ch("delete") == Seq((2L, 20.0)))
+    assert(ch.size == 1)
   }
 
   test("cdc files live under _cdc and are invisible to scans and vacuum") {
