@@ -197,6 +197,32 @@ object Streams {
       }
       .start()
 
+  /** [[toGraftTable]] addressed by catalog name (`"cat.ns.tbl"`): the
+    * table path resolves through the GraftCatalog's `root` conf — the
+    * streaming-write complement of `readStream.table`. (Spark's own
+    * `writeStream.toTable` requires a DSv2 STREAMING_WRITE
+    * implementation; this helper reaches the same exactly-once sink
+    * through the catalog's addressing scheme instead.)
+    */
+  def toCatalogTable(
+      stream: DataFrame,
+      name: String,
+      checkpoint: String,
+      partitionBy: Seq[String] = Nil): StreamingQuery = {
+    val parts = name.split('.')
+    require(parts.length >= 2,
+      s"expected catalog.namespace.table, got '$name'")
+    val spark = stream.sparkSession
+    val catKey = s"spark.sql.catalog.${parts.head}"
+    require(spark.conf.getOption(catKey)
+        .contains(classOf[graft.catalog.GraftCatalog].getName),
+      s"'${parts.head}' is not a graft catalog ($catKey)")
+    val root = spark.conf.getOption(s"$catKey.root").getOrElse(
+      throw new IllegalArgumentException(s"$catKey.root is not set"))
+    toGraftTable(stream, (root +: parts.tail.toSeq).mkString("/"),
+      checkpoint, partitionBy)
+  }
+
   /** Stream a per-window aggregate into window-partitioned graft
     * partitions: every micro-batch overwrites exactly the partitions of
     * the windows it updates (foreachBatch + replaceWhere) — the

@@ -288,6 +288,17 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination()
     assert(spark.table("cat_stream2").collect()
       .map(_.getLong(0)).toSet == Set(3L))
+    // round trip: catalog source -> catalog sink, exactly once
+    val q3 = Streams.toCatalogTable(
+      spark.readStream.table("scat.ns.events"), "scat.ns.copy",
+      tmpDir("graft_scat_ckpt"))
+    q3.awaitTermination()
+    assert(spark.sql("SELECT k FROM scat.ns.copy").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Streams.toCatalogTable(spark.readStream.table("scat.ns.events"),
+        "nocat.ns.t", tmpDir("ck"))
+    }
   }
 
   test("stream source fails loudly when retention cleaned checkpointed commits") {
