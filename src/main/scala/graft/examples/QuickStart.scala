@@ -291,6 +291,29 @@ object QuickStart {
       Seq((1L, "mail a@b.org from 10.0.0.1")).toDF("doc_id", "text")).first()
     println(s"[24] pii scrub: emails=${pii.getLong(1)} ips=${pii.getLong(2)} " +
       s"redacted_len=${pii.getLong(5)}")
+
+    // 25. chunking + sequence packing: corpus -> training sequences
+    val chunks = graft.ext.Chunking.chunk(docs, 120, 20)
+    val packed = graft.ext.Chunking.packSequences(docs, 512, 16)
+    println(s"[25] chunking: ${docs.count()} docs -> ${chunks.count()} windows; " +
+      s"packing: ${packed.select("shard", "seq_id").distinct().count()} " +
+      "sequences at 512-token budget")
+
+    // 26. dynamic partition overwrite + SQL ALTER TABLE on a path target
+    val dpo = s"$out/dpo"
+    GraftWriter.write(spark,
+      Seq(("red", 1L), ("blue", 2L)).toDF("color", "n"), dpo,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("color")))
+    GraftWriter.write(spark, Seq(("red", 9L)).toDF("color", "n"), dpo,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("color"),
+        dynamicPartitionOverwrite = true))
+    spark.sql(s"ALTER TABLE graft.`$dpo` ADD COLUMNS (note STRING)")
+    spark.sql(s"ALTER TABLE graft.`$dpo` SET TBLPROPERTIES ('graft.cdf'='true')")
+    val dpoRows = spark.sql(
+      s"SELECT color, n, note FROM graft.`$dpo` ORDER BY color").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[26] dynamic overwrite kept blue, replaced red: $dpoRows; " +
+      s"cdf=${graft.io.Cdc.enabled(GraftTable(spark, dpo).log.tableProperties())}")
     spark.stop()
   }
 }
