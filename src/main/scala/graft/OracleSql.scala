@@ -387,6 +387,25 @@ object OracleSql {
           SELECT s.* FROM s
           WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)""",
 
+    "merge_schema_evolution" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey % 4 <> 0),
+              s AS (SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+                           o_totalprice + 1 AS o_totalprice,
+                           'n' || CAST(o_orderkey AS VARCHAR) AS o_note
+                    FROM orders WHERE o_orderkey % 2 = 0),
+              u AS (SELECT t.o_orderkey,
+                     CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+                     CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+                     CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+                     CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_note
+                          ELSE CAST(NULL AS VARCHAR) END AS o_note
+                    FROM t LEFT JOIN s ON s.o_orderkey = t.o_orderkey)
+          SELECT * FROM u
+          UNION ALL
+          SELECT s.* FROM s
+          WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)""",
+
     "merge_replace_delete_unmatched" ->
       s"""$mergeCte
           SELECT s.* FROM s

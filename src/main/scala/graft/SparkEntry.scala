@@ -335,6 +335,26 @@ object SparkEntry {
     GraftTable(spark, p).toDf()
   }
 
+  /** Merge schema evolution (Delta autoMerge): the source carries a
+    * column the target lacks; the upsert appends it to the table schema
+    * in the same commit — unmatched target rows read null, matched and
+    * inserted rows take the source values, untouched files stay as-is.
+    */
+  private def qMergeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders").select(mergeCols.map(col): _*)
+    val target = orders.filter(col("o_orderkey") % 4 =!= 0)
+    val source = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("o_orderstatus", lit("M"))
+      .withColumn("o_note", concat(lit("n"), col("o_orderkey").cast("string")))
+    val p = tmp("graft_merge_sevo")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    MergeExecutor.merge(spark, source, p,
+      MergeConfig(MergeType.Upsert, "s.o_orderkey = t.o_orderkey",
+        schemaEvolution = true))
+    GraftTable(spark, p).toDf()
+  }
+
   /** Partition-scoped upsert through the copy-on-write path: the target is
     * hive-partitioned on o_orderstatus and the merge is confined to the
     * 'O' partition — out-of-scope partitions keep their physical files
@@ -912,6 +932,7 @@ object SparkEntry {
     "merge_upsert" -> (mergeQuery(MergeType.Upsert) _),
     "merge_replace_delete_unmatched" -> (mergeQuery(MergeType.ReplaceDeleteUnmatched) _),
     "merge_partition_scoped" -> (qMergePartitionScoped _),
+    "merge_schema_evolution" -> (qMergeSchemaEvolution _),
     "merge_clauses" -> (qMergeClauses _),
     "table_roundtrip" -> (qTableRoundtrip _),
     "table_replace_where" -> (qReplaceWhere _),

@@ -588,22 +588,27 @@ object GraftWriter {
       operation: String,
       metadata: Map[String, String],
       compression: String = "zstd",
-      cdc: Seq[AddFile] = Nil): Long = {
+      cdc: Seq[AddFile] = Nil,
+      /** Evolved schema for the commit (merge schema evolution): the
+        * rewrite's columns, a superset of the snapshot's.
+        */
+      schemaOverride: Option[StructType] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
+    val schema = schemaOverride.getOrElse(snap.schema)
     val writeDf =
       if (snap.partitionColumns.nonEmpty)
         df.repartition(snap.partitionColumns.map(col): _*)
       else df
     val added =
       stageAndPromote(spark, fs, conf, writeDf, path, snap.partitionColumns, compression)
-    enforceOnWritten(spark, fs, path, snap.schema, snap.partitionColumns, added,
+    enforceOnWritten(spark, fs, path, schema, snap.partitionColumns, added,
       log.tableProperties())
     log.commit(
       operation = operation,
       mode = "cow",
-      schemaDdl = snap.schema.toDDL,
+      schemaDdl = schema.toDDL,
       partitionColumns = snap.partitionColumns,
       metadata = metadata,
       operationMetrics = Map(

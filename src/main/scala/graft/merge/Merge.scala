@@ -49,6 +49,14 @@ final case class MergeConfig(
       * extra aggregation over the matched pairs).
       */
     failOnMultipleMatches: Boolean = false,
+    /** Delta's merge `autoMerge`: source columns absent from the target
+      * are appended to the table schema (nullable) in the same commit —
+      * untouched files read them as null, carried-over and unmatched
+      * rows get null, matched/inserted rows take the source values.
+      * Off by default: extra source columns are ignored, like the write
+      * path without a schemaMode.
+      */
+    schemaEvolution: Boolean = false,
     metadata: Map[String, String] = Map.empty)
 
 final case class MergeStats(
@@ -127,7 +135,19 @@ object MergeExecutor {
       config: MergeConfig): MergeStats = {
     val snap = table.snapshot()
     locally {
-      val cols = snap.schema.map(_.name)
+      // schema evolution: the commit's schema is the union; every target
+      // DataFrame below is padded with the new columns as nulls so the
+      // strategies and CDC see one uniform shape
+      val mergedSchema =
+        if (config.schemaEvolution)
+          GraftWriter.mergeSchemas(snap.schema, src.schema)
+        else snap.schema
+      def evolve(df: DataFrame): DataFrame =
+        mergedSchema.foldLeft(df) { (d, f) =>
+          if (d.columns.contains(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+      val cols = mergedSchema.map(_.name)
       val cond = expr(config.predicate)
       val sa = config.sourceAlias
       val ta = config.targetAlias
@@ -187,7 +207,7 @@ object MergeExecutor {
             .select(cols.map(col): _*)
           (inserts, Nil)
         case _ =>
-          val affDf = table.dfForFiles(snap, touched)
+          val affDf = evolve(table.dfForFiles(snap, touched))
           val affScoped = config.partitionFilter.map(affDf.filter).getOrElse(affDf)
           // matches exist only in touched files, so merging the touched
           // in-scope rows is equivalent to merging the full scope (and
@@ -212,7 +232,7 @@ object MergeExecutor {
         if (config.mergeType == MergeType.DeduplicateInsert ||
             !graft.io.Cdc.enabled(table.log.tableProperties())) Nil
         else {
-          val affDf = table.dfForFiles(snap, touched)
+          val affDf = evolve(table.dfForFiles(snap, touched))
           val affScoped = config.partitionFilter.map(affDf.filter).getOrElse(affDf)
           val marker = "__graft_matched"
           val joined = affScoped.alias(ta)
@@ -247,7 +267,9 @@ object MergeExecutor {
         operation = "MERGE",
         metadata = config.metadata ++
           Map("operation" -> s"MERGE:${config.mergeType.name}"),
-        cdc = cdcFiles)
+        cdc = cdcFiles,
+        schemaOverride =
+          if (config.schemaEvolution) Some(mergedSchema) else None)
       val numOut = table.snapshot().files.map(_.numRecords).sum
       MergeStats(v, numSource, numOut)
     }
@@ -299,7 +321,15 @@ object MergeExecutor {
     * new target contents. Public so it can be used (and oracle-checked) as
     * a standalone transformation without a table on disk.
     */
-  def apply(target: DataFrame, source: DataFrame, config: MergeConfig): DataFrame = {
+  def apply(target0: DataFrame, source: DataFrame, config: MergeConfig): DataFrame = {
+    // schema evolution: pad the target with source-only columns (null)
+    // so the strategies project one uniform shape; without the flag the
+    // extra source columns are simply ignored
+    val target =
+      if (!config.schemaEvolution) target0
+      else source.schema.filterNot(f => target0.columns.contains(f.name))
+        .foldLeft(target0)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
     val missing = target.columns.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"merge ${config.mergeType.name}: source is missing target columns " +

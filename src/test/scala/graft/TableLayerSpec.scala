@@ -144,6 +144,31 @@ class TableLayerSpec extends SparkSpec {
     assert(t.toDf(versionAsOf = Some(0L)).count() == 3)
   }
 
+  test("merge schema evolution appends source-only columns") {
+    val p = tmpDir("msevo")
+    val target = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    val source = Seq((2L, 200.0, "x2"), (9L, 90.0, "x9")).toDF("id", "v", "tag")
+    // without the flag the extra source column is ignored
+    MergeExecutor.merge(spark, source, p,
+      MergeConfig(MergeType.Upsert, "s.id = t.id"))
+    assert(!GraftTable(spark, p).snapshot().schema.fieldNames.contains("tag"))
+    // with it, the schema evolves in the same commit
+    MergeExecutor.merge(spark, source, p,
+      MergeConfig(MergeType.Upsert, "s.id = t.id", schemaEvolution = true))
+    val back = GraftTable(spark, p).toDf()
+      .select("id", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (1L, 10.0, null), (2L, 200.0, "x2"), (3L, 30.0, null), (9L, 90.0, "x9")))
+    // second evolved merge is idempotent on the schema
+    MergeExecutor.merge(spark, source, p,
+      MergeConfig(MergeType.Upsert, "s.id = t.id", schemaEvolution = true))
+    assert(GraftTable(spark, p).snapshot().schema.fieldNames.toSeq
+      == Seq("id", "v", "tag"))
+  }
+
   test("schema evolution: merge appends new nullable column") {
     val p = tmpDir("se")
     GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
