@@ -59,7 +59,12 @@ object MergeClausesExecutor {
       notMatchedBySource: Seq[MatchedClause] = Nil,
       sourceAlias: String = "s",
       targetAlias: String = "t",
-      partitionBy: Seq[String] = Nil): MergeStats = {
+      partitionBy: Seq[String] = Nil,
+      /** Delta's `MERGE WITH SCHEMA EVOLUTION`: source-only columns are
+        * appended to the table schema (nullable) in the same commit;
+        * UPDATE SET / INSERT VALUES may then name them.
+        */
+      schemaEvolution: Boolean = false): MergeStats = {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "merge requires at least one clause")
     if (!GraftTable.exists(spark, path)) {
@@ -74,7 +79,8 @@ object MergeClausesExecutor {
       // re-derive against a fresh snapshot on commit conflicts (bounded)
       Cow.retryOnConflict() {
         mergeOnce(spark, table, src, numSource, path, predicate,
-          matched, notMatched, notMatchedBySource, sourceAlias, targetAlias)
+          matched, notMatched, notMatchedBySource, sourceAlias, targetAlias,
+          schemaEvolution)
       }
     } finally src.unpersist()
   }
@@ -90,12 +96,23 @@ object MergeClausesExecutor {
       notMatched: Seq[NotMatchedClause],
       notMatchedBySource: Seq[MatchedClause],
       sourceAlias: String,
-      targetAlias: String): MergeStats = {
+      targetAlias: String,
+      schemaEvolution: Boolean): MergeStats = {
     val snap = table.snapshot()
     locally {
       val cond = expr(predicate)
+      // schema evolution: the commit's schema is the union; target-side
+      // DataFrames are padded with the new columns as nulls below
+      val mergedSchema =
+        if (schemaEvolution) GraftWriter.mergeSchemas(snap.schema, src.schema)
+        else snap.schema
+      def evolve(df: DataFrame): DataFrame =
+        mergedSchema.foldLeft(df) { (d, f) =>
+          if (d.columns.contains(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType))
+        }
       // fail fast on clause typos instead of silently keeping target values
-      val colSet = snap.schema.map(_.name).toSet
+      val colSet = mergedSchema.map(_.name).toSet
       def checkAll(kind: String): Unit = {
         val missing = snap.schema.map(_.name).filterNot(src.columns.contains)
         require(missing.isEmpty,
@@ -150,7 +167,7 @@ object MergeClausesExecutor {
             s"INSERT VALUES names unknown target columns: ${unknown.mkString(", ")}")
         case _: InsertAll => checkAll("INSERT ALL")
       }
-      val cols = snap.schema.map(_.name)
+      val cols = mergedSchema.map(_.name)
 
       // stats pruning is only sound when every row-effect needs a match:
       // by-source clauses touch unmatched rows, and the insert anti-join
@@ -159,7 +176,7 @@ object MergeClausesExecutor {
         if (notMatchedBySource.nonEmpty) snap.files
         else MergeExecutor.pruneByStats(
           snap.files, snap, src, predicate, sourceAlias, targetAlias)
-      val candDf = table.dfForFiles(snap, candidates)
+      val candDf = evolve(table.dfForFiles(snap, candidates))
       val fileCol = "__graft_file"
       val withFile = candDf.withColumn(fileCol, input_file_name())
 
@@ -173,12 +190,12 @@ object MergeClausesExecutor {
         else collectFiles(
           withFile.alias(targetAlias).join(src.alias(sourceAlias), cond, "left_semi"))
 
-      val affDf = table.dfForFiles(snap, touched)
+      val affDf = evolve(table.dfForFiles(snap, touched))
       val rewritten = rewriteRows(
         affDf, src, cond, cols, matched, notMatchedBySource, sourceAlias, targetAlias)
       val inserts = insertRows(
         // anti join must see ALL candidate rows, not just touched files
-        candDf, src, cond, snap, notMatched, sourceAlias, targetAlias)
+        candDf, src, cond, mergedSchema, notMatched, sourceAlias, targetAlias)
       val newData = rewritten.unionByName(inserts)
 
       // change-data feed (opt-in `graft.cdf`): row-level pre/postimages
@@ -198,7 +215,8 @@ object MergeClausesExecutor {
         touched.map(f => RemoveFile(f.path)),
         operation = "MERGE",
         metadata = Map("operation" -> "MERGE:clauses"),
-        cdc = cdcFiles)
+        cdc = cdcFiles,
+        schemaOverride = if (schemaEvolution) Some(mergedSchema) else None)
       val numOut = table.snapshot().files.map(_.numRecords).sum
       MergeStats(v, numSource, numOut)
     }
@@ -307,15 +325,15 @@ object MergeClausesExecutor {
       target: DataFrame,
       source: DataFrame,
       cond: Column,
-      snap: graft.log.Snapshot,
+      schema: org.apache.spark.sql.types.StructType,
       notMatched: Seq[NotMatchedClause],
       sa: String,
       ta: String): DataFrame = {
-    val cols = snap.schema.map(_.name)
+    val cols = schema.map(_.name)
     val unmatched = source.alias(sa).join(target.alias(ta), cond, "left_anti")
     if (notMatched.isEmpty)
       return unmatched.limit(0).select(cols.map(n =>
-        lit(null).cast(snap.schema(n).dataType).as(n)): _*)
+        lit(null).cast(schema(n).dataType).as(n)): _*)
     def guard(c: NotMatchedClause): Column = c.condition.getOrElse(lit(true))
     val applicable = notMatched.foldRight(lit(false)) { case (c, rest) =>
       when(guard(c), lit(true)).otherwise(rest)
@@ -323,10 +341,10 @@ object MergeClausesExecutor {
     def colValue(c: NotMatchedClause, name: String): Column = c match {
       case _: InsertAll => col(name)
       case InsertValues(values, _) =>
-        values.getOrElse(name, lit(null)).cast(snap.schema(name).dataType)
+        values.getOrElse(name, lit(null)).cast(schema(name).dataType)
     }
     def outCol(name: String): Column =
-      notMatched.foldRight(lit(null).cast(snap.schema(name).dataType): Column) {
+      notMatched.foldRight(lit(null).cast(schema(name).dataType): Column) {
         case (c, rest) => when(guard(c), colValue(c, name)).otherwise(rest)
       }.as(name)
     unmatched

@@ -91,7 +91,9 @@ final case class GraftMergeCommand(
     targetAlias: String,
     matched: Seq[MatchedClause],
     notMatched: Seq[NotMatchedClause],
-    notMatchedBySource: Seq[MatchedClause]) extends LeafRunnableCommand {
+    notMatchedBySource: Seq[MatchedClause],
+    /** `MERGE WITH SCHEMA EVOLUTION INTO ...` */
+    schemaEvolution: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("num_source_rows", LongType, nullable = false)())
@@ -99,7 +101,8 @@ final case class GraftMergeCommand(
     val src = GraftInternal.dfFromPlan(spark, source)
     val st = MergeClausesExecutor.merge(spark, src, path, predicate,
       matched, notMatched, notMatchedBySource,
-      sourceAlias = sourceAlias, targetAlias = targetAlias)
+      sourceAlias = sourceAlias, targetAlias = targetAlias,
+      schemaEvolution = schemaEvolution)
     Seq(Row(st.version, st.numSourceRows))
   }
 }
@@ -287,7 +290,8 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             GraftMergeCommand(path, requalify(m.mergeCondition).sql, m.sourceTable, sa, ta,
               m.matchedActions.map(mc), m.notMatchedActions.map(nmc),
-              m.notMatchedBySourceActions.map(mc))
+              m.notMatchedBySourceActions.map(mc),
+              schemaEvolution = m.withSchemaEvolution)
           case _ => m
         }
 

@@ -77,6 +77,33 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION appends source-only columns") {
+    import spark.implicits._
+    val p = freshTable("sqlmse")
+    Seq((1L, "a", 100.0, "t1"), (9L, "z", 90.0, "t9"))
+      .toDF("id", "cat", "v", "tag").createOrReplaceTempView("mse_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$p` AS t USING mse_src AS s
+          ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+          WHEN NOT MATCHED THEN INSERT *""")
+    val rows = GraftTable(spark, p).toDf()
+      .select("id", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 100.0, "t1"), (2L, 20.0, null), (3L, 30.0, null),
+      (4L, 40.0, null), (5L, 50.0, null), (9L, 90.0, "t9")))
+    // without the keyword, naming the unknown column fails fast
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$p` AS t USING mse_src AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET nope = s.tag""")
+    }
+    assert(e.getMessage.toLowerCase.contains("unknown"), e.getMessage)
+  }
+
   test("INSERT INTO and INSERT OVERWRITE") {
     val p = freshTable("sqlins")
     spark.sql(s"INSERT INTO graft.`$p` VALUES (6, 'd', 60.0), (7, 'd', 70.0)")
