@@ -28,6 +28,16 @@ object Alter {
       addCols: Seq[(String, DataType, Option[String])] = Nil,
       props: Map[String, String] = Map.empty): Long = {
     require(GraftTable.exists(spark, path), s"not a graft table: $path")
+    // a concurrent commit invalidates the snapshot the new schema DDL
+    // was derived from — re-derive and retry (bounded)
+    GraftWriter.retryDerived { alterOnce(spark, path, addCols, props) }
+  }
+
+  private def alterOnce(
+      spark: SparkSession,
+      path: String,
+      addCols: Seq[(String, DataType, Option[String])],
+      props: Map[String, String]): Long = {
     val table = GraftTable(spark, path)
     val snap = table.snapshot()
     var schema = snap.schema

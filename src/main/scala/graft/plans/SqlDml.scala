@@ -194,6 +194,32 @@ final case class GraftAlterCommand(
     Seq(Row(graft.io.Alter.alter(spark, path, addCols, props)))
 }
 
+/** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` → the graft CHECK
+  * constraint machinery (existing data validated, then recorded as a
+  * carried-forward `graft.constraint.<name>` property enforced by every
+  * write).
+  */
+final case class GraftAddConstraintCommand(
+    path: String, name: String, sqlExpr: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftWriter.addCheckConstraint(spark, path, name, sqlExpr)))
+}
+
+/** `ALTER TABLE ... DROP CONSTRAINT [IF EXISTS] name`. */
+final case class GraftDropConstraintCommand(
+    path: String, name: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = GraftWriter.checkConstraints(spark, path).contains(name)
+    if (!exists && ifExists)
+      Seq(Row(GraftTable(spark, path).version()))
+    else Seq(Row(GraftWriter.dropCheckConstraint(spark, path, name)))
+  }
+}
+
 /** Resolution rule converting Spark-parsed DML plans over graft path
   * targets into the runnable commands above. Non-graft targets pass
   * through untouched.
@@ -362,6 +388,33 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some(p) => GraftAlterCommand(p, Nil, u.propertyKeys.map(_ -> "").toMap)
           case None    => u
         }
+      // ADD CONSTRAINT parses to AddCheckConstraint whose CHILD is a
+      // table READ; claim it before the read child is substituted with
+      // the native LogicalRelation (Spark's ResolveSessionCatalog
+      // assumes any LogicalRelation under it came from a catalog and
+      // dereferences catalogTable unconditionally)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        constraintTargetPath(a.child) match {
+          case Some(p) =>
+            GraftAddConstraintCommand(p,
+              a.checkConstraint.userProvidedName, a.checkConstraint.condition)
+          case None => a
+        }
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddConstraint =>
+        graftTablePath(a.table) match {
+          case Some(p) => a.tableConstraint match {
+            case c: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+              GraftAddConstraintCommand(p, c.userProvidedName, c.condition)
+            case other => throw new UnsupportedOperationException(
+              s"graft tables support CHECK constraints only, got ${other.getClass.getSimpleName}")
+          }
+          case None => a
+        }
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropConstraint =>
+        graftTablePath(d.table) match {
+          case Some(p) => GraftDropConstraintCommand(p, d.name, d.ifExists)
+          case None    => d
+        }
 
       // plain read context (`SELECT ... FROM graft.`path``): substitute
       // the native columnar plan (codegen parquet scan over the
@@ -370,14 +423,29 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UnresolvedGraftRelation => readPlan(u.path, None)
     }
 
-  /** Path of an ALTER TABLE target addressed as `graft.`/path`` (an
-    * UnresolvedTable still carrying the raw two-part identifier).
+  /** Graft path inside an ADD CONSTRAINT read child: the parse-time
+    * placeholder (path targets) or the catalog-resolved v2 relation.
+    */
+  private def constraintTargetPath(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case UnresolvedGraftRelation(p) => p
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[graft.catalog.GraftCatalogTable] =>
+        r.table.asInstanceOf[graft.catalog.GraftCatalogTable].path
+    }
+
+  /** Path of an ALTER TABLE target: `graft.`/path`` (an UnresolvedTable
+    * still carrying the raw two-part identifier) or a catalog-resolved
+    * graft table (ALTER on `cat.ns.tbl` names).
     */
   private def graftTablePath(t: LogicalPlan): Option[String] = t match {
     case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
         if ut.multipartIdentifier.length == 2 &&
           ut.multipartIdentifier.head.equalsIgnoreCase("graft") =>
       Some(ut.multipartIdentifier(1))
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable
+        if r.table.isInstanceOf[graft.catalog.GraftCatalogTable] =>
+      Some(r.table.asInstanceOf[graft.catalog.GraftCatalogTable].path)
     case _ => None
   }
 

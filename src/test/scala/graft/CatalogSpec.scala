@@ -183,6 +183,18 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("graft."), e.getMessage)
   }
 
+  test("ADD/DROP CONSTRAINT through catalog names") {
+    seed("ns11", "cons")
+    spark.sql("ALTER TABLE gcat.ns11.cons ADD CONSTRAINT pos CHECK (v > 0)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.ns11.cons VALUES (9, 'z', -5.0)")
+    }
+    assert(e.getMessage.contains("pos"), e.getMessage)
+    spark.sql("ALTER TABLE gcat.ns11.cons DROP CONSTRAINT pos")
+    spark.sql("INSERT INTO gcat.ns11.cons VALUES (9, 'z', -5.0)")
+    assert(spark.sql("SELECT count(*) FROM gcat.ns11.cons").head().getLong(0) == 4L)
+  }
+
   test("missing table errors cleanly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gcat.ns1.never_made").collect()

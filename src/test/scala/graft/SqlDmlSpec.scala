@@ -181,6 +181,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("already exists"), e2.getMessage)
   }
 
+  test("ALTER TABLE graft.`path` ADD/DROP CONSTRAINT ... CHECK") {
+    val p = freshTable("sqlcons")
+    spark.sql(s"ALTER TABLE graft.`$p` ADD CONSTRAINT positive CHECK (v > 0)")
+    // constraint enforced on subsequent writes
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$p` VALUES (6, 'd', -1.0)")
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+    // existing violating data rejects the constraint outright
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` ADD CONSTRAINT tiny CHECK (v < 15.0)")
+    }
+    assert(e2.getMessage.contains("existing rows violate"), e2.getMessage)
+    spark.sql(s"ALTER TABLE graft.`$p` DROP CONSTRAINT positive")
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (6, 'd', -1.0)") // now fine
+    assert(GraftTable(spark, p).toDf().count() == 6)
+    // IF EXISTS tolerates a missing name; plain DROP does not
+    spark.sql(s"ALTER TABLE graft.`$p` DROP CONSTRAINT IF EXISTS nope")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` DROP CONSTRAINT nope")
+    }
+  }
+
   test("SELECT ... FROM graft.`path` reads the native columnar plan") {
     val p = freshTable("sqlsel")
     val rows = spark.sql(
