@@ -220,6 +220,54 @@ final case class GraftDropConstraintCommand(
   }
 }
 
+/** `SHOW TBLPROPERTIES graft.`path`` [(key)] — the carried-forward
+  * `graft.*` table properties from the commit log. Reuses the parsed
+  * plan's output attributes so downstream operators keep resolving.
+  */
+final case class GraftShowPropertiesCommand(
+    path: String,
+    key: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = GraftTable(spark, path).log.tableProperties()
+    key match {
+      case Some(k) =>
+        val v = props.getOrElse(k,
+          s"Table graft.`$path` does not have property: $k")
+        if (output.length == 1) Seq(Row(v)) else Seq(Row(k, v))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** `DESCRIBE [EXTENDED] graft.`path``: columns, partitioning, and (with
+  * EXTENDED) location/provider detail from the commit-log snapshot.
+  */
+final case class GraftDescribeTableCommand(
+    path: String,
+    isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = GraftTable(spark, path).snapshot()
+    val cols = snap.schema.map(f =>
+      Row(f.name, f.dataType.simpleString, f.getComment().orNull))
+    val parts =
+      if (snap.partitionColumns.isEmpty) Nil
+      else Row("# Partition Information", "", "") +:
+        snap.partitionColumns.map(c =>
+          Row(c, snap.schema(c).dataType.simpleString, null))
+    val detail =
+      if (!isExtended) Nil
+      else Seq(
+        Row("", "", ""),
+        Row("# Detailed Table Information", "", ""),
+        Row("Location", path, ""),
+        Row("Provider", "graft", ""),
+        Row("Table Version", snap.version.toString, ""))
+    cols ++ parts ++ detail
+  }
+}
+
 /** Resolution rule converting Spark-parsed DML plans over graft path
   * targets into the runnable commands above. Non-graft targets pass
   * through untouched.
@@ -415,6 +463,16 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some(p) => GraftDropConstraintCommand(p, d.name, d.ifExists)
           case None    => d
         }
+      case s: org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties =>
+        graftTablePath(s.table) match {
+          case Some(p) => GraftShowPropertiesCommand(p, s.propertyKey, s.output)
+          case None    => s
+        }
+      case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
+        graftTablePath(d.relation) match {
+          case Some(p) => GraftDescribeTableCommand(p, d.isExtended, d.output)
+          case None    => d
+        }
 
       // plain read context (`SELECT ... FROM graft.`path``): substitute
       // the native columnar plan (codegen parquet scan over the
@@ -440,6 +498,10 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def graftTablePath(t: LogicalPlan): Option[String] = t match {
     case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if ut.multipartIdentifier.length == 2 &&
+          ut.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some(ut.multipartIdentifier(1))
+    case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
         if ut.multipartIdentifier.length == 2 &&
           ut.multipartIdentifier.head.equalsIgnoreCase("graft") =>
       Some(ut.multipartIdentifier(1))

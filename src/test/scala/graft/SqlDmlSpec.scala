@@ -204,6 +204,24 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("SHOW TBLPROPERTIES and DESCRIBE on graft.`path` targets") {
+    val p = freshTable("sqldesc")
+    spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('graft.cdf'='true')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$p`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("graft.cdf").contains("true"))
+    val one = spark.sql(s"SHOW TBLPROPERTIES graft.`$p` ('graft.cdf')").collect()
+    assert(one.length == 1 && one(0).toSeq.last == "true")
+    val desc = spark.sql(s"DESCRIBE graft.`$p`")
+      .collect().map(_.getString(0)).toSeq
+    // data columns plus the partition section (table partitioned by cat)
+    assert(desc.take(3) == Seq("id", "cat", "v"))
+    assert(desc.contains("# Partition Information") && desc.count(_ == "cat") == 2)
+    val ext = spark.sql(s"DESCRIBE EXTENDED graft.`$p`")
+      .collect().map(_.getString(0)).toSeq
+    assert(ext.contains("Location") && ext.contains("Provider"))
+  }
+
   test("SELECT ... FROM graft.`path` reads the native columnar plan") {
     val p = freshTable("sqlsel")
     val rows = spark.sql(
