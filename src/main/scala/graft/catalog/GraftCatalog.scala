@@ -14,13 +14,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
 
-/** Catalog-visible face of a graft table. Deliberately carries NO
+/** Catalog-visible face of a graft table. Deliberately carries NO batch
   * read/write capabilities: the injected resolution rule
   * ([[GraftCatalogRule]]) substitutes the native columnar plan (or a
   * COW write command) before capability checks run, so every catalog
   * read shares the commit-log FileIndex / bucket-spec machinery of the
   * path API. If the rule is missing, analysis fails loudly instead of
-  * scanning wrong.
+  * scanning wrong. The ONE capability it does declare is
+  * STREAMING_WRITE: `writeStream.toTable` resolves the write through
+  * the table itself (no analyzer hook exists there), backed by the
+  * exactly-once epoch protocol in
+  * [[org.apache.spark.sql.graft.GraftStreamingWriteShim]].
   */
 final case class GraftCatalogTable(
     catalogName: String,
@@ -30,7 +34,8 @@ final case class GraftCatalogTable(
     partitionCols: Seq[String],
     props: Map[String, String],
     /** Pinned snapshot for `VERSION AS OF` / `TIMESTAMP AS OF` reads. */
-    versionAsOf: Option[Long] = None) extends Table {
+    versionAsOf: Option[Long] = None) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name: String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
   override def schema: StructType = tableSchema
@@ -39,7 +44,35 @@ final case class GraftCatalogTable(
   override def properties: util.Map[String, String] =
     (props + (TableCatalog.PROP_LOCATION -> path)).asJava
   override def capabilities: util.Set[TableCapability] =
-    util.Collections.emptySet()
+    util.Collections.singleton(TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(partitionCols.isEmpty,
+      "streaming writes to partitioned graft tables go through " +
+        "graft.streaming.Streams.toCatalogTable (per-batch partition routing)")
+    val tTypes = tableSchema.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    info.schema.fields.foreach { f =>
+      val dt = tTypes.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"streaming write column ${f.name} is not in table $name"))
+      require(dt == f.dataType,
+        s"streaming write type mismatch on ${f.name}: table $dt vs ${f.dataType}")
+    }
+    require(info.schema.length == tableSchema.length,
+      s"streaming write must supply every column of $name")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            org.apache.spark.sql.graft.GraftStreamingWriteShim.create(
+              SparkSession.active, path, info.schema, info.queryId())
+        }
+    }
+  }
 }
 
 /** DSv2 catalog over the IOManager's `rootUri/<schema>/<table>` layout

@@ -658,6 +658,37 @@ object GraftWriter {
     }
   }
 
+  /** Promote a staging directory written by an external writer (the
+    * DSv2 streaming write) and append its files in one commit —
+    * footer stats, CHECK-constraint enforcement, and operation metrics
+    * identical to the batch append path.
+    */
+  private[graft] def commitPromoted(
+      spark: SparkSession,
+      path: String,
+      stage: Path,
+      operation: String,
+      metadata: Map[String, String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new CommitLog(path, conf)
+    val fs = new Path(path).getFileSystem(conf)
+    val snap = log.snapshot()
+    val added = promoteStaged(fs, conf, stage, new Path(path))
+    enforceOnWritten(spark, fs, path, snap.schema, snap.partitionColumns, added,
+      log.tableProperties())
+    log.commit(
+      operation = operation,
+      mode = "append",
+      schemaDdl = snap.schema.toDDL,
+      partitionColumns = snap.partitionColumns,
+      metadata = metadata,
+      operationMetrics = Map(
+        "num_added_files" -> added.size.toLong,
+        "num_output_rows" -> added.map(_.numRecords).sum),
+      add = added,
+      remove = Nil)
+  }
+
   /** Move staged parquet files into the table root, preserving partition
     * subdirectories; return their add actions (with footer row counts).
     */

@@ -268,6 +268,14 @@ final case class GraftDescribeTableCommand(
   }
 }
 
+/** `SHOW COLUMNS FROM graft.`path``. */
+final case class GraftShowColumnsCommand(
+    path: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTable(spark, path).snapshot().schema.map(f => Row(f.name))
+}
+
 /** Resolution rule converting Spark-parsed DML plans over graft path
   * targets into the runnable commands above. Non-graft targets pass
   * through untouched.
@@ -472,6 +480,11 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         graftTablePath(d.relation) match {
           case Some(p) => GraftDescribeTableCommand(p, d.isExtended, d.output)
           case None    => d
+        }
+      case s: org.apache.spark.sql.catalyst.plans.logical.ShowColumns =>
+        graftTablePath(s.child) match {
+          case Some(p) => GraftShowColumnsCommand(p, s.output)
+          case None    => s
         }
 
       // plain read context (`SELECT ... FROM graft.`path``): substitute

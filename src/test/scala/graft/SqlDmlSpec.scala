@@ -220,6 +220,9 @@ class SqlDmlSpec extends SparkSpec {
     val ext = spark.sql(s"DESCRIBE EXTENDED graft.`$p`")
       .collect().map(_.getString(0)).toSeq
     assert(ext.contains("Location") && ext.contains("Provider"))
+    val cols = spark.sql(s"SHOW COLUMNS FROM graft.`$p`")
+      .collect().map(_.getString(0)).toSeq
+    assert(cols == Seq("id", "cat", "v"))
   }
 
   test("SELECT ... FROM graft.`path` reads the native columnar plan") {

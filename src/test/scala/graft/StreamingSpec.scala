@@ -301,6 +301,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("writeStream.toTable appends exactly once via the DSv2 streaming write") {
+    import graft.io.{GraftWriter, WriteMode, WriteOptions}
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_wcat_root")
+    spark.conf.set("spark.sql.catalog.wcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wcat.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val p = s"$root/ns/sink"
+    GraftWriter.write(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.ErrorIfExists))
+    val ckpt = tmpDir("graft_wcat_ckpt")
+    val mem = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("wcat.ns.sink")
+      q.awaitTermination()
+    }
+    mem.addData((1L, "a"), (2L, "b"))
+    drain()
+    val t = GraftTable(spark, p)
+    assert(t.toDf().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // restart on the same checkpoint with nothing new: no duplicates
+    drain()
+    assert(t.toDf().count() == 2)
+    // more data flows through as a new epoch commit
+    mem.addData((3L, "c"))
+    drain()
+    assert(t.toDf().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // commits carry the exactly-once markers
+    val metas = t.history().flatMap(_.metadata.get("streaming_batch_id"))
+    assert(metas.nonEmpty)
+    // the result reads back through SQL and the native plan
+    assert(spark.sql("SELECT count(*) FROM wcat.ns.sink").head().getLong(0) == 3L)
+  }
+
   test("stream source fails loudly when retention cleaned checkpointed commits") {
     import graft.io.{GraftWriter, WriteMode, WriteOptions}
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
