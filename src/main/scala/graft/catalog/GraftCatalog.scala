@@ -49,9 +49,6 @@ final case class GraftCatalogTable(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(partitionCols.isEmpty,
-      "streaming writes to partitioned graft tables go through " +
-        "graft.streaming.Streams.toCatalogTable (per-batch partition routing)")
     val tTypes = tableSchema.map(f =>
       f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
     info.schema.fields.foreach { f =>
@@ -69,7 +66,8 @@ final case class GraftCatalogTable(
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             org.apache.spark.sql.graft.GraftStreamingWriteShim.create(
-              SparkSession.active, path, info.schema, info.queryId())
+              SparkSession.active, path, info.schema, info.queryId(),
+              partitionCols)
         }
     }
   }

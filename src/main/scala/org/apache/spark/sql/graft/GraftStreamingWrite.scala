@@ -7,12 +7,14 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
 /** DSv2 streaming write for graft catalog tables — what makes
@@ -21,14 +23,16 @@ import org.apache.spark.util.SerializableConfiguration
   * Executors write each epoch's rows as parquet files under
   * `<table>/_staging-stream-<queryId>/<epochId>/` through Spark's own
   * parquet `OutputWriter` (same codec and footer statistics as the
-  * batch writer); the driver-side epoch commit promotes the staged
-  * files into the table root and appends one commit-log entry stamped
-  * with `(streaming_query_id, streaming_batch_id)`. A replayed epoch
-  * (failure between task success and checkpoint advance) finds its
-  * batch id already recorded and discards the staged files instead of
-  * double-appending — the same exactly-once contract as the
-  * foreachBatch sink ([[graft.streaming.Streams.toGraftTable]]), on the
-  * V2 API. The per-epoch commit protocol lives in
+  * batch writer), routing rows of a partitioned table into hive-style
+  * `col=value/` subdirectories per row; the driver-side epoch commit
+  * promotes the staged files into the table root and appends one
+  * commit-log entry stamped with `(streaming_query_id,
+  * streaming_batch_id)`. A replayed epoch (failure between task
+  * success and checkpoint advance) finds its batch id already recorded
+  * and discards the staged files instead of double-appending — the
+  * same exactly-once contract as the foreachBatch sink
+  * ([[graft.streaming.Streams.toGraftTable]]), on the V2 API. The
+  * per-epoch commit protocol lives in
   * [[graft.streaming.StreamingEpochs]]; this file holds only the parts
   * that need sql-private access (ParquetFileFormat.prepareWrite,
   * OutputWriterFactory, SerializableConfiguration).
@@ -38,7 +42,8 @@ object GraftStreamingWriteShim {
       spark: SparkSession,
       tablePath: String,
       schema: StructType,
-      queryId: String): StreamingWrite = {
+      queryId: String,
+      partitionCols: Seq[String]): StreamingWrite = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     // prepareWrite mutates the job conf (write support, schema); the
     // serialized conf must be captured AFTER it
@@ -46,7 +51,8 @@ object GraftStreamingWriteShim {
       spark.asInstanceOf[ClassicSession], job,
       Map("compression" -> "zstd"), schema)
     val serConf = new SerializableConfiguration(job.getConfiguration)
-    new GraftStreamingWrite(tablePath, schema, queryId, factory, serConf)
+    new GraftStreamingWrite(tablePath, schema, queryId, partitionCols,
+      spark.sessionState.conf.sessionLocalTimeZone, factory, serConf)
   }
 }
 
@@ -54,6 +60,8 @@ final class GraftStreamingWrite(
     tablePath: String,
     schema: StructType,
     queryId: String,
+    partitionCols: Seq[String],
+    timeZone: String,
     factory: OutputWriterFactory,
     serConf: SerializableConfiguration) extends StreamingWrite {
 
@@ -61,7 +69,8 @@ final class GraftStreamingWrite(
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamWriterFactory(stageRoot, schema, factory, serConf)
+    new GraftStreamWriterFactory(
+      stageRoot, schema, partitionCols, timeZone, factory, serConf)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     graft.streaming.StreamingEpochs.commit(
@@ -75,57 +84,92 @@ final class GraftStreamingWrite(
 private final class GraftStreamWriterFactory(
     stageRoot: String,
     schema: StructType,
+    partitionCols: Seq[String],
+    timeZone: String,
     owf: OutputWriterFactory,
     serConf: SerializableConfiguration) extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftStreamDataWriter(
-      s"$stageRoot/$epochId", schema, owf, serConf, partitionId, taskId, epochId)
+    new GraftStreamDataWriter(s"$stageRoot/$epochId", schema, partitionCols,
+      timeZone, owf, serConf, partitionId, taskId, epochId)
 }
 
-/** Per-task writer: opens the parquet file lazily (an empty partition
-  * leaves no file behind) and reports the written path in its commit
-  * message.
+/** Per-task writer: one lazily-opened parquet writer per hive partition
+  * fragment seen in this task's rows (an empty partition leaves no file
+  * behind). Partition values render through Spark's cast-to-string +
+  * path escaping, so directory names match the batch writer's layout
+  * bit for bit.
   */
 private final class GraftStreamDataWriter(
     dir: String,
     schema: StructType,
+    partitionCols: Seq[String],
+    timeZone: String,
     owf: OutputWriterFactory,
     serConf: SerializableConfiguration,
     partitionId: Int,
     taskId: Long,
     epochId: Long) extends DataWriter[InternalRow] {
 
-  private var writer: OutputWriter = _
-  private var filePath: String = _
+  private val writers = scala.collection.mutable.HashMap[String, OutputWriter]()
+  private val paths = scala.collection.mutable.ArrayBuffer[String]()
 
-  private def ensureOpen(): Unit = if (writer == null) {
+  // cast-to-string projections for the partition columns (Spark's own
+  // rendering semantics for dates/timestamps/decimals)
+  private val partRender: Seq[(String, Cast)] = partitionCols.map { c =>
+    val i = schema.fieldIndex(c)
+    val f = schema(i)
+    (c, Cast(BoundReference(i, f.dataType, f.nullable), StringType, Some(timeZone)))
+  }
+
+  private def fragmentOf(row: InternalRow): String =
+    partRender.map { case (name, cast) =>
+      val s = cast.eval(row)
+      val rendered =
+        if (s == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(s.toString)
+      s"$name=$rendered"
+    }.mkString("/")
+
+  private def taskCtx(): TaskAttemptContextImpl = {
     val conf = new Configuration(serConf.value)
     val attempt = new TaskAttemptID(
       new TaskID(new JobID("graftstream", (epochId % Int.MaxValue).toInt),
         TaskType.MAP, partitionId),
       (taskId % Int.MaxValue).toInt)
-    val ctx = new TaskAttemptContextImpl(conf, attempt)
-    val ext = owf.getFileExtension(ctx)
-    filePath = f"$dir/part-$partitionId%05d-$taskId$ext"
-    writer = owf.newInstance(filePath, schema, ctx)
+    new TaskAttemptContextImpl(conf, attempt)
   }
 
-  override def write(row: InternalRow): Unit = { ensureOpen(); writer.write(row) }
+  private def writerFor(row: InternalRow): OutputWriter = {
+    val frag = fragmentOf(row)
+    writers.getOrElseUpdate(frag, {
+      val ctx = taskCtx()
+      val sub = if (frag.isEmpty) dir else s"$dir/$frag"
+      val fp = f"$sub/part-$partitionId%05d-$taskId${owf.getFileExtension(ctx)}"
+      paths += fp
+      owf.newInstance(fp, schema, ctx)
+    })
+  }
+
+  override def write(row: InternalRow): Unit = writerFor(row).write(row)
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    GraftStreamCommitMessage(Option(filePath))
+    writers.values.foreach(_.close())
+    writers.clear()
+    GraftStreamCommitMessage(paths.toSeq)
   }
 
-  override def abort(): Unit = if (writer != null) {
-    writer.close()
-    val p = new Path(filePath)
-    p.getFileSystem(serConf.value).delete(p, false)
+  override def abort(): Unit = {
+    writers.values.foreach(_.close())
+    writers.clear()
+    paths.foreach { fp =>
+      val p = new Path(fp)
+      p.getFileSystem(serConf.value).delete(p, false)
+    }
   }
 
   override def close(): Unit = ()
 }
 
-final case class GraftStreamCommitMessage(path: Option[String])
+final case class GraftStreamCommitMessage(paths: Seq[String])
   extends WriterCommitMessage

@@ -339,6 +339,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM wcat.ns.sink").head().getLong(0) == 3L)
   }
 
+  test("writeStream.toTable routes rows into hive partitions") {
+    import graft.io.{GraftWriter, WriteMode, WriteOptions}
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_wpart_root")
+    spark.conf.set("spark.sql.catalog.wpcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wpcat.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val p = s"$root/ns/psink"
+    GraftWriter.write(spark,
+      Seq.empty[(Long, String)].toDF("k", "cat"), p,
+      WriteOptions(mode = WriteMode.ErrorIfExists, partitionBy = Seq("cat")))
+    val ckpt = tmpDir("graft_wpart_ckpt")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"), (3L, "a"))
+    val q = mem.toDF().toDF("k", "cat").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("wpcat.ns.psink")
+    q.awaitTermination()
+    val t = GraftTable(spark, p)
+    val rows = t.toDf().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "a")))
+    // commit metadata carries real partition values per file
+    val partVals = t.snapshot().files.map(_.partitionValues("cat")).toSet
+    assert(partVals == Set("a", "b"))
+    // partition filter prunes to the matching files only
+    assert(t.filesAfterPruning(Seq(graft.io.DataFilter("cat", graft.io.SkipOp.Eq, "b"))) == 1)
+  }
+
   test("stream source fails loudly when retention cleaned checkpointed commits") {
     import graft.io.{GraftWriter, WriteMode, WriteOptions}
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
