@@ -211,6 +211,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "added columns must be nullable (existing rows have no value)")
         require(add.position == null,
           "graft ALTER TABLE appends columns; FIRST/AFTER is not supported")
+        require(add.defaultValue == null,
+          "graft ALTER TABLE does not support DEFAULT values " +
+            "(existing rows would silently read null, not the default)")
         addCols :+= ((add.fieldNames.head, add.dataType, Option(add.comment)))
       case sp: TableChange.SetProperty =>
         require(sp.value.nonEmpty,

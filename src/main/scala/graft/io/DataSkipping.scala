@@ -66,11 +66,65 @@ private[graft] object DataSkipping {
     case _ => None
   }
 
-  /** True unless the file's [min, max] interval PROVES the filter cannot
-    * match (missing/unusable stats always keep the file; the residual
-    * filter guarantees correctness either way).
+  /** True unless the file PROVABLY cannot match the filter. Partition
+    * columns compare against the file's exact partition value (they are
+    * not stored in the data files, so footer stats never cover them);
+    * data columns compare against the footer [min, max] interval.
+    * Missing/unusable information always keeps the file — the residual
+    * filter guarantees correctness either way.
     */
-  def mayMatch(file: AddFile, schema: StructType, f: DataFilter): Boolean = {
+  def mayMatch(file: AddFile, schema: StructType, f: DataFilter): Boolean =
+    file.partitionValues.get(f.column) match {
+      case Some(pv) =>
+        partitionMayMatch(pv, schema.find(_.name == f.column).map(_.dataType), f)
+      case None => statMayMatch(file, schema, f)
+    }
+
+  /** Exact single-value semantics for a partition column: every row of
+    * the file carries `pv`.
+    */
+  private def partitionMayMatch(
+      pv: String, dtOpt: Option[DataType], f: DataFilter): Boolean = {
+    val isNullPv = pv == "__HIVE_DEFAULT_PARTITION__" // hive null sentinel
+    f.op match {
+      case SkipOp.IsNull    => isNullPv
+      case SkipOp.IsNotNull => !isNullPv
+      case _ if isNullPv    => false // comparisons never match null
+      case _ =>
+        // reuse the stat parser; values it cannot parse (e.g. timestamp
+        // partition dirs render as formatted strings, not micros) keep
+        // the file conservatively
+        val parsed = dtOpt.flatMap(dt =>
+          scala.util.Try(parseStat(pv, dt)).toOption.flatten)
+        if (parsed.isEmpty) true
+        else {
+          def compareTo(x: Any): Option[Int] = (parsed.get, x) match {
+            case (a: String, b: String) =>
+              Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+            case (a, b) => for { p <- num(a); q <- num(b) } yield p.compare(q)
+          }
+          f.op match {
+            case SkipOp.In => f.value match {
+              case vs: Seq[_] => vs.isEmpty || vs.exists(v => compareTo(v).contains(0))
+              case _          => true
+            }
+            case op => compareTo(f.value).map { c =>
+              op match {
+                case SkipOp.Eq => c == 0
+                case SkipOp.Lt => c < 0
+                case SkipOp.Le => c <= 0
+                case SkipOp.Gt => c > 0
+                case SkipOp.Ge => c >= 0
+                case _         => true
+              }
+            }.getOrElse(true)
+          }
+        }
+    }
+  }
+
+  private def statMayMatch(file: AddFile, schema: StructType, f: DataFilter): Boolean = {
     val statOpt = file.stats.get(f.column)
     val dtOpt = schema.find(_.name == f.column).map(_.dataType)
     (statOpt, dtOpt) match {

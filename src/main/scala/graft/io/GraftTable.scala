@@ -253,20 +253,11 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     if (!covered) return None
     val toSnap = snapshot(Some(toVersion))
     val cc = Cdc.ChangeCol
-    def alignData(df: DataFrame): DataFrame = {
-      val filled = toSnap.schema.foldLeft(df) { (d, f) =>
-        if (d.columns.contains(f.name)) d
-        else d.withColumn(f.name, lit(null).cast(f.dataType))
-      }
-      filled.select(toSnap.schema.map(f => col(f.name)): _*)
-    }
-    def align(df: DataFrame): DataFrame = {
-      val filled = toSnap.schema.foldLeft(df) { (d, f) =>
-        if (d.columns.contains(f.name)) d
-        else d.withColumn(f.name, lit(null).cast(f.dataType))
-      }
-      filled.select(toSnap.schema.map(f => col(f.name)) :+ col(cc): _*)
-    }
+    def alignData(df: DataFrame): DataFrame =
+      Schemas.conformTo(df, toSnap.schema)
+    def align(df: DataFrame): DataFrame =
+      Schemas.padTo(df, toSnap.schema)
+        .select(toSnap.schema.map(f => col(f.name)) :+ col(cc): _*)
     val parts = commits.flatMap { c =>
       if (c.cdc.nonEmpty)
         Some(align(spark.read.parquet(

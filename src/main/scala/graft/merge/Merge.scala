@@ -143,10 +143,7 @@ object MergeExecutor {
           GraftWriter.mergeSchemas(snap.schema, src.schema)
         else snap.schema
       def evolve(df: DataFrame): DataFrame =
-        mergedSchema.foldLeft(df) { (d, f) =>
-          if (d.columns.contains(f.name)) d
-          else d.withColumn(f.name, lit(null).cast(f.dataType))
-        }
+        graft.io.Schemas.padTo(df, mergedSchema)
       val cols = mergedSchema.map(_.name)
       val cond = expr(config.predicate)
       val sa = config.sourceAlias
@@ -199,7 +196,12 @@ object MergeExecutor {
       }
 
       // 3. Rewrite only the touched files; carry over their out-of-scope
-      // rows; remove only them.
+      // rows; remove only them. The touched-file frame is shared with
+      // the CDC block below (lazy: the append-only strategy never
+      // builds it).
+      lazy val affDf = evolve(table.dfForFiles(snap, touched))
+      lazy val affScoped =
+        config.partitionFilter.map(affDf.filter).getOrElse(affDf)
       val (newData, removals) = config.mergeType match {
         case MergeType.DeduplicateInsert =>
           val inserts = src.alias(sa)
@@ -207,8 +209,6 @@ object MergeExecutor {
             .select(cols.map(col): _*)
           (inserts, Nil)
         case _ =>
-          val affDf = evolve(table.dfForFiles(snap, touched))
-          val affScoped = config.partitionFilter.map(affDf.filter).getOrElse(affDf)
           // matches exist only in touched files, so merging the touched
           // in-scope rows is equivalent to merging the full scope (and
           // the anti-join inserts of upsert are likewise unchanged)
@@ -232,8 +232,6 @@ object MergeExecutor {
         if (config.mergeType == MergeType.DeduplicateInsert ||
             !graft.io.Cdc.enabled(table.log.tableProperties())) Nil
         else {
-          val affDf = evolve(table.dfForFiles(snap, touched))
-          val affScoped = config.partitionFilter.map(affDf.filter).getOrElse(affDf)
           val marker = "__graft_matched"
           val joined = affScoped.alias(ta)
             .join(src.withColumn(marker, lit(true)).alias(sa), cond, "left")
@@ -327,9 +325,7 @@ object MergeExecutor {
     // extra source columns are simply ignored
     val target =
       if (!config.schemaEvolution) target0
-      else source.schema.filterNot(f => target0.columns.contains(f.name))
-        .foldLeft(target0)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      else graft.io.Schemas.padTo(target0, source.schema)
     val missing = target.columns.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"merge ${config.mergeType.name}: source is missing target columns " +

@@ -107,10 +107,7 @@ object MergeClausesExecutor {
         if (schemaEvolution) GraftWriter.mergeSchemas(snap.schema, src.schema)
         else snap.schema
       def evolve(df: DataFrame): DataFrame =
-        mergedSchema.foldLeft(df) { (d, f) =>
-          if (d.columns.contains(f.name)) d
-          else d.withColumn(f.name, lit(null).cast(f.dataType))
-        }
+        graft.io.Schemas.padTo(df, mergedSchema)
       // fail fast on clause typos instead of silently keeping target values
       val colSet = mergedSchema.map(_.name).toSet
       def checkAll(kind: String): Unit = {

@@ -163,16 +163,21 @@ final case class GraftInsertCommand(
     val dynamicConf = spark.conf
       .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
       .equalsIgnoreCase("dynamic")
+    // a FULLY static PARTITION spec overwrites its partition regardless
+    // of the conf (Spark: dynamic mode applies only when the spec has
+    // dynamic columns) — so an empty source still clears the partition
+    val fullyStatic = partCols.nonEmpty && partCols.forall(pc =>
+      staticNames.exists(_.equalsIgnoreCase(pc)))
+    def staticPred = staticParts.map { case (k, v) =>
+      col(k) === lit(v).cast(schema(k).dataType)
+    }.reduce(_ && _)
     val (mode, replaceWhere, dynamic) =
       if (!overwrite) (WriteMode.Append, None, false)
       else if (partCols.isEmpty) (WriteMode.Overwrite, None, false)
+      else if (fullyStatic) (WriteMode.Overwrite, Some(staticPred), false)
       else if (dynamicConf) (WriteMode.Overwrite, None, true)
-      else if (staticParts.nonEmpty) {
-        val pred = staticParts.map { case (k, v) =>
-          col(k) === lit(v).cast(schema(k).dataType)
-        }.reduce(_ && _)
-        (WriteMode.Overwrite, Some(pred), false)
-      } else (WriteMode.Overwrite, None, false)
+      else if (staticParts.nonEmpty) (WriteMode.Overwrite, Some(staticPred), false)
+      else (WriteMode.Overwrite, None, false)
     val v = GraftWriter.write(spark, aligned, path,
       WriteOptions(mode = mode, replaceWhere = replaceWhere,
         dynamicPartitionOverwrite = dynamic))

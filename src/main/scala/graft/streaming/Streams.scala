@@ -210,8 +210,9 @@ object Streams {
       checkpoint: String,
       partitionBy: Seq[String] = Nil): StreamingQuery = {
     val parts = name.split('.')
-    require(parts.length >= 2,
-      s"expected catalog.namespace.table, got '$name'")
+    require(parts.length >= 3,
+      s"expected catalog.namespace.table, got '$name' — a 2-part name " +
+        "would write outside the catalog's namespace layout")
     val spark = stream.sparkSession
     val catKey = s"spark.sql.catalog.${parts.head}"
     require(spark.conf.getOption(catKey)

@@ -8,7 +8,7 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -22,17 +22,19 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Executors write each epoch's rows as parquet files under
   * `<table>/_staging-stream-<queryId>/<epochId>/` through Spark's own
-  * parquet `OutputWriter` (same codec and footer statistics as the
-  * batch writer), routing rows of a partitioned table into hive-style
-  * `col=value/` subdirectories per row; the driver-side epoch commit
-  * promotes the staged files into the table root and appends one
-  * commit-log entry stamped with `(streaming_query_id,
-  * streaming_batch_id)`. A replayed epoch (failure between task
-  * success and checkpoint advance) finds its batch id already recorded
-  * and discards the staged files instead of double-appending — the
-  * same exactly-once contract as the foreachBatch sink
-  * ([[graft.streaming.Streams.toGraftTable]]), on the V2 API. The
-  * per-epoch commit protocol lives in
+  * parquet `OutputWriter` (same codec, TIMESTAMP_MICROS encoding, and
+  * footer statistics as the batch writer), routing rows of a
+  * partitioned table into hive-style `col=value/` subdirectories per
+  * row with the partition columns projected OUT of the file data —
+  * byte-for-byte the batch writer's layout. The driver-side epoch
+  * commit promotes ONLY the files named in the tasks' commit messages
+  * (a zombie task attempt's orphan file is discarded, not committed)
+  * and appends one commit-log entry stamped with
+  * `(streaming_query_id, streaming_batch_id)`. A replayed epoch finds
+  * its batch id already recorded and discards the staged files instead
+  * of double-appending — the same exactly-once contract as the
+  * foreachBatch sink ([[graft.streaming.Streams.toGraftTable]]), on
+  * the V2 API. The per-epoch commit protocol lives in
   * [[graft.streaming.StreamingEpochs]]; this file holds only the parts
   * that need sql-private access (ParquetFileFormat.prepareWrite,
   * OutputWriterFactory, SerializableConfiguration).
@@ -44,21 +46,32 @@ object GraftStreamingWriteShim {
       schema: StructType,
       queryId: String,
       partitionCols: Seq[String]): StreamingWrite = {
+    // partition columns live in directory names only, like the batch
+    // writer's partitionBy
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      partitionCols.exists(_.equalsIgnoreCase(f.name))))
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     // prepareWrite mutates the job conf (write support, schema); the
     // serialized conf must be captured AFTER it
     val factory = new ParquetFileFormat().prepareWrite(
       spark.asInstanceOf[ClassicSession], job,
-      Map("compression" -> "zstd"), schema)
+      Map("compression" -> "zstd"), dataSchema)
+    // INT96 (the session default) carries no usable footer statistics;
+    // match the batch writer's MICROS override so streamed timestamp
+    // columns stay data-skippable
+    job.getConfiguration.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val serConf = new SerializableConfiguration(job.getConfiguration)
-    new GraftStreamingWrite(tablePath, schema, queryId, partitionCols,
-      spark.sessionState.conf.sessionLocalTimeZone, factory, serConf)
+    new GraftStreamingWrite(tablePath, schema, dataSchema, queryId,
+      partitionCols, spark.sessionState.conf.sessionLocalTimeZone,
+      factory, serConf)
   }
 }
 
 final class GraftStreamingWrite(
     tablePath: String,
     schema: StructType,
+    dataSchema: StructType,
     queryId: String,
     partitionCols: Seq[String],
     timeZone: String,
@@ -67,14 +80,28 @@ final class GraftStreamingWrite(
 
   private def stageRoot = s"$tablePath/_staging-stream-$queryId"
 
+  /** Last batch id this instance committed — epochs after the first
+    * skip the commit-log scan entirely (one instance serves one query
+    * run; the scan only pays on the run's first commit, where a replay
+    * after restart must be detected).
+    */
+  @volatile private var lastCommittedCache: Option[Long] = None
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamWriterFactory(
-      stageRoot, schema, partitionCols, timeZone, factory, serConf)
+      stageRoot, schema, dataSchema, partitionCols, timeZone, factory, serConf)
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val written = messages.toSeq.flatMap {
+      case m: GraftStreamCommitMessage => m.paths
+      case _                           => Nil
+    }
     graft.streaming.StreamingEpochs.commit(
-      SparkSession.active, tablePath, s"$stageRoot/$epochId", queryId, epochId)
+      SparkSession.active, tablePath, s"$stageRoot/$epochId", written,
+      queryId, epochId, lastCommittedCache)
+    lastCommittedCache = Some(epochId)
+  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     graft.streaming.StreamingEpochs.abort(
@@ -84,25 +111,27 @@ final class GraftStreamingWrite(
 private final class GraftStreamWriterFactory(
     stageRoot: String,
     schema: StructType,
+    dataSchema: StructType,
     partitionCols: Seq[String],
     timeZone: String,
     owf: OutputWriterFactory,
     serConf: SerializableConfiguration) extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftStreamDataWriter(s"$stageRoot/$epochId", schema, partitionCols,
-      timeZone, owf, serConf, partitionId, taskId, epochId)
+    new GraftStreamDataWriter(s"$stageRoot/$epochId", schema, dataSchema,
+      partitionCols, timeZone, owf, serConf, partitionId, taskId, epochId)
 }
 
 /** Per-task writer: one lazily-opened parquet writer per hive partition
   * fragment seen in this task's rows (an empty partition leaves no file
   * behind). Partition values render through Spark's cast-to-string +
-  * path escaping, so directory names match the batch writer's layout
-  * bit for bit.
+  * path escaping, and the data file carries only the non-partition
+  * columns, so the layout matches the batch writer's bit for bit.
   */
 private final class GraftStreamDataWriter(
     dir: String,
     schema: StructType,
+    dataSchema: StructType,
     partitionCols: Seq[String],
     timeZone: String,
     owf: OutputWriterFactory,
@@ -121,6 +150,13 @@ private final class GraftStreamDataWriter(
     val f = schema(i)
     (c, Cast(BoundReference(i, f.dataType, f.nullable), StringType, Some(timeZone)))
   }
+
+  // project the partition columns out of the written rows
+  private val dataProjection: UnsafeProjection = UnsafeProjection.create(
+    dataSchema.fields.map { f =>
+      val i = schema.fieldIndex(f.name)
+      BoundReference(i, f.dataType, f.nullable)
+    }.toSeq)
 
   private def fragmentOf(row: InternalRow): String =
     partRender.map { case (name, cast) =>
@@ -147,11 +183,12 @@ private final class GraftStreamDataWriter(
       val sub = if (frag.isEmpty) dir else s"$dir/$frag"
       val fp = f"$sub/part-$partitionId%05d-$taskId${owf.getFileExtension(ctx)}"
       paths += fp
-      owf.newInstance(fp, schema, ctx)
+      owf.newInstance(fp, dataSchema, ctx)
     })
   }
 
-  override def write(row: InternalRow): Unit = writerFor(row).write(row)
+  override def write(row: InternalRow): Unit =
+    writerFor(row).write(dataProjection(row))
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())

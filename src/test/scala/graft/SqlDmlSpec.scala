@@ -153,6 +153,19 @@ class SqlDmlSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("fully static PARTITION overwrite clears the partition even in dynamic mode") {
+    val p = freshTable("sqldynstat")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    // empty source: static semantics still empty the named partition
+    try spark.sql(
+      s"INSERT OVERWRITE graft.`$p` PARTITION (cat='a') SELECT id, v FROM graft.`$p` WHERE false")
+    finally spark.conf.unset(key)
+    val cats = GraftTable(spark, p).toDf()
+      .select("cat").collect().map(_.getString(0)).toSet
+    assert(cats == Set("b", "c"))
+  }
+
   test("INSERT OVERWRITE PARTITION on a non-partition column is rejected") {
     val p = freshTable("sqlinsbad")
     val e = intercept[Exception] {

@@ -366,6 +366,39 @@ class StreamingSpec extends SparkSpec {
     assert(partVals == Set("a", "b"))
     // partition filter prunes to the matching files only
     assert(t.filesAfterPruning(Seq(graft.io.DataFilter("cat", graft.io.SkipOp.Eq, "b"))) == 1)
+    // streamed files match the batch layout: partition column lives in
+    // the directory name, not the file data
+    val streamedFile = t.snapshot().files.head
+    val raw = spark.read.parquet(
+      new java.io.File(p, streamedFile.path).toString)
+    assert(!raw.columns.contains("cat"), raw.columns.mkString(","))
+  }
+
+  test("epoch commit promotes only task-reported files (zombie attempts discarded)") {
+    import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+    val p = tmpDir("graft_zombie") + "/t"
+    GraftWriter.write(spark, Seq((1L, "seed")).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val stage = s"$p/_staging-stream-q1/0"
+    // two staged files: one committed by its task, one zombie orphan
+    Seq((2L, "good")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$stage/good")
+    Seq((99L, "zombie")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$stage/orphan")
+    def parquetIn(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles().toSeq
+        .map(_.toString).filter(_.endsWith(".parquet"))
+    val goodFile = parquetIn(s"$stage/good").head
+    graft.streaming.StreamingEpochs.commit(
+      spark, p, stage, Seq(goodFile), "q1", 0L)
+    val rows = GraftTable(spark, p).toDf()
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L)) // the orphan's row never landed
+    assert(!new java.io.File(s"$p/_staging-stream-q1/0").exists())
+    // replay of the same epoch is a no-op
+    graft.streaming.StreamingEpochs.commit(
+      spark, p, stage, Seq(goodFile), "q1", 0L)
+    assert(GraftTable(spark, p).toDf().count() == 2)
   }
 
   test("stream source fails loudly when retention cleaned checkpointed commits") {
