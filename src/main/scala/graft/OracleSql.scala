@@ -463,6 +463,9 @@ object OracleSql {
          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0""",
 
+    "table_convert" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+
     "table_time_travel" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
 

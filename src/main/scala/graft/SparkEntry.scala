@@ -763,6 +763,18 @@ object SparkEntry {
     tb.tableChanges(0L, tb.version())
   }
 
+  /** In-place adoption: a plain partitioned parquet directory becomes a
+    * graft table via one metadata-only commit (footer stats captured,
+    * no data moved), then reads back through the commit-log plan.
+    */
+  private def qTableConvert(spark: SparkSession, dir: String): DataFrame = {
+    val p = tmp("graft_convert") + "/t"
+    t(spark, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.partitionBy("o_orderstatus").parquet(p)
+    spark.sql(s"CONVERT TO GRAFT parquet.`$p`")
+    spark.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.`$p`")
+  }
+
   /** Fixed-window chunking (120 chars, 20 overlap): pure narrow explode,
     * one row per (doc, window) — the shaping pass before tokenization.
     */
@@ -982,6 +994,7 @@ object SparkEntry {
     "table_changes_merge" -> (qTableChangesMerge _),
     "table_changes_mixed" -> (qTableChangesMixed _),
     "table_dynamic_overwrite" -> (qDynamicOverwrite _),
+    "table_convert" -> (qTableConvert _),
     "text_chunks" -> (qTextChunks _),
     "seq_pack" -> (qSeqPack _)
   )

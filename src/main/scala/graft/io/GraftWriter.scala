@@ -658,6 +658,73 @@ object GraftWriter {
     }
   }
 
+  /** In-place adoption of an existing parquet directory (Delta's
+    * `CONVERT TO DELTA`): commit every data file, with footer
+    * statistics, as version 0 of a graft table — METADATA ONLY, no
+    * data is rewritten or moved, which is what makes converting a
+    * 100 TB layout a driver-side operation. Schema and typed partition
+    * columns come from Spark's own parquet/hive-dir inference; the
+    * original files keep serving reads through the commit-log
+    * FileIndex afterwards (time travel starts at the conversion).
+    *
+    * `expectedPartitions`, when given (SQL `PARTITIONED BY`), must
+    * match the directory-derived partition columns — a mismatch means
+    * the caller misunderstands the layout, so fail loudly.
+    */
+  def convertParquet(
+      spark: SparkSession,
+      path: String,
+      expectedPartitions: Seq[String] = Nil): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new CommitLog(path, conf)
+    require(!log.tableExists(), s"already a graft table: $path")
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"no such directory: $path")
+    // schema incl. typed partition columns via Spark's own inference
+    val schema = spark.read.parquet(path).schema
+    val files = listRec(fs, root)
+      .filter(_.getName.endsWith(".parquet"))
+      .filterNot { p =>
+        relativize(root, p).split('/')
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      }
+    require(files.nonEmpty, s"no parquet files under $path")
+    def partKeys(rel: String): Seq[String] =
+      rel.split('/').dropRight(1).toSeq
+        .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    val partCols = partKeys(relativize(root, files.head))
+    files.foreach { f =>
+      val rel = relativize(root, f)
+      require(partKeys(rel) == partCols,
+        s"inconsistent partition layout: $rel vs ${partCols.mkString("/")}")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c missing from inferred schema"))
+    if (expectedPartitions.nonEmpty)
+      require(expectedPartitions == partCols,
+        s"PARTITIONED BY (${expectedPartitions.mkString(", ")}) does not " +
+          s"match the directory layout (${partCols.mkString(", ")})")
+    val adds = files.map { f =>
+      val rel = relativize(root, f)
+      val st = fs.getFileStatus(f)
+      val (rows, stats) = footerInfo(conf, f)
+      AddFile(rel, partitionValuesOf(rel), st.getLen,
+        rows, st.getModificationTime, stats)
+    }
+    log.commit(
+      operation = "CONVERT",
+      mode = "metadata",
+      schemaDdl = schema.toDDL,
+      partitionColumns = partCols,
+      metadata = Map.empty,
+      operationMetrics = Map(
+        "num_added_files" -> adds.size.toLong,
+        "num_output_rows" -> adds.map(_.numRecords).sum),
+      add = adds,
+      remove = Nil)
+  }
+
   /** Promote a staging directory written by an external writer (the
     * DSv2 streaming write) and append its files in one commit —
     * footer stats, CHECK-constraint enforcement, and operation metrics

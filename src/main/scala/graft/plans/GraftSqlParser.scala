@@ -66,6 +66,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val ConvertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
 
   private def target(path: String, name: String): Either[String, Seq[String]] =
     if (path != null) Left(path) else Right(name.split('.').toSeq)
@@ -85,6 +88,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case HistoryRe(p, n) => Some(GraftDescribeHistoryCommand(target(p, n)))
       case DetailRe(p, n) => Some(GraftDescribeDetailCommand(target(p, n)))
       case RestoreRe(p, n, v) => Some(GraftRestoreCommand(target(p, n), v.toLong))
+      case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
+        Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case _ => None
     }
 

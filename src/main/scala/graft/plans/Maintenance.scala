@@ -131,3 +131,16 @@ final case class GraftRestoreCommand(
     Seq(Row(GraftTable(spark, path).restore(toVersion)))
   }
 }
+
+/** `CONVERT TO GRAFT parquet.`/path`` [PARTITIONED BY (a, b)]` —
+  * in-place, metadata-only adoption of an existing parquet layout
+  * ([[GraftWriter.convertParquet]]).
+  */
+final case class GraftConvertCommand(
+    path: String,
+    partitionBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftWriter.convertParquet(spark, path, partitionBy)))
+}

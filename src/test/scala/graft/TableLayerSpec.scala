@@ -90,6 +90,38 @@ class TableLayerSpec extends SparkSpec {
     assert(back == Seq(("blue", "b1", 2L), ("red", "r2", 9L)))
   }
 
+  test("CONVERT TO GRAFT adopts an existing parquet layout in place") {
+    val p = tmpDir("convert") + "/plain"
+    Seq(("red", 1L, 10.0), ("blue", 2L, 20.0), ("red", 3L, 30.0))
+      .toDF("color", "id", "v")
+      .write.partitionBy("color").parquet(p)
+    val v = spark.sql(s"CONVERT TO GRAFT parquet.`$p` PARTITIONED BY (color)")
+      .head().getLong(0)
+    assert(v == 0L)
+    val t = GraftTable(spark, p)
+    val snap = t.snapshot()
+    assert(snap.partitionColumns == Seq("color"))
+    assert(snap.files.forall(_.partitionValues.contains("color")))
+    // rows read back through the commit log, typed partition col included
+    val rows = t.toDf().select("id", "color", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "red", 10.0), (2L, "blue", 20.0), (3L, "red", 30.0)))
+    // footer stats were captured: id = 2 prunes to the blue file(s)
+    assert(t.filesAfterPruning(Seq(DataFilter("id", SkipOp.Eq, 2L)))
+      < snap.files.size)
+    // the table behaves like any graft table from here on
+    GraftWriter.write(spark, Seq(("green", 4L, 40.0)).toDF("color", "id", "v"),
+      p, WriteOptions(mode = WriteMode.Append))
+    assert(t.toDf().count() == 4)
+    assert(t.toDf(versionAsOf = Some(0L)).count() == 3)
+    // converting twice, or with the wrong layout, errors loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT parquet.`$p`")
+    }
+    assert(e.getMessage.contains("already a graft table"), e.getMessage)
+  }
+
   test("dynamic partition overwrite replaces only the partitions written") {
     val p = tmpDir("dpo")
     val df = Seq(("red", "r1", 1L), ("blue", "b1", 2L), ("green", "g1", 3L))
