@@ -281,6 +281,24 @@ final case class GraftShowColumnsCommand(
     GraftTable(spark, path).snapshot().schema.map(f => Row(f.name))
 }
 
+/** `SHOW PARTITIONS graft.`path`` — the live partitions, straight from
+  * the commit-log file metadata (no directory listing).
+  */
+final case class GraftShowPartitionsCommand(
+    path: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = GraftTable(spark, path).snapshot()
+    require(snap.partitionColumns.nonEmpty,
+      s"table graft.`$path` is not partitioned")
+    snap.files
+      .map(f => snap.partitionColumns
+        .map(c => s"$c=${f.partitionValues.getOrElse(c, "")}").mkString("/"))
+      .distinct.sorted
+      .map(Row(_))
+  }
+}
+
 /** Resolution rule converting Spark-parsed DML plans over graft path
   * targets into the runnable commands above. Non-graft targets pass
   * through untouched.
@@ -489,6 +507,12 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case s: org.apache.spark.sql.catalyst.plans.logical.ShowColumns =>
         graftTablePath(s.child) match {
           case Some(p) => GraftShowColumnsCommand(p, s.output)
+          case None    => s
+        }
+      case s: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions
+          if s.pattern.isEmpty =>
+        graftTablePath(s.table) match {
+          case Some(p) => GraftShowPartitionsCommand(p, s.output)
           case None    => s
         }
 

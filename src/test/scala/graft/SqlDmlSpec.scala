@@ -236,6 +236,9 @@ class SqlDmlSpec extends SparkSpec {
     val cols = spark.sql(s"SHOW COLUMNS FROM graft.`$p`")
       .collect().map(_.getString(0)).toSeq
     assert(cols == Seq("id", "cat", "v"))
+    val parts = spark.sql(s"SHOW PARTITIONS graft.`$p`")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("cat=a", "cat=b", "cat=c"))
   }
 
   test("SELECT ... FROM graft.`path` reads the native columnar plan") {
