@@ -201,6 +201,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val path = pathFor(ident)
     if (!GraftTable.exists(spark, path)) throw new NoSuchTableException(ident)
     var addCols = Seq.empty[(String, org.apache.spark.sql.types.DataType, Option[String])]
+    var dropCols = Seq.empty[String]
     var meta = Map.empty[String, String]
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -215,6 +216,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "graft ALTER TABLE does not support DEFAULT values " +
             "(existing rows would silently read null, not the default)")
         addCols :+= ((add.fieldNames.head, add.dataType, Option(add.comment)))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"graft ALTER TABLE supports top-level columns only, got " +
+            del.fieldNames.mkString("."))
+        val name = del.fieldNames.head
+        val exists = GraftTable(spark, path).snapshot()
+          .schema.fieldNames.exists(_.equalsIgnoreCase(name))
+        if (exists || del.ifExists == null || !del.ifExists)
+          dropCols :+= name // missing + no IF EXISTS: Alter errors loudly
       case sp: TableChange.SetProperty =>
         require(sp.value.nonEmpty,
           s"empty value would drop property '${sp.property}'; use UNSET")
@@ -225,7 +235,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft ALTER TABLE does not support $other; use the " +
           "schema-evolution write modes for anything richer")
     }
-    graft.io.Alter.alter(spark, path, addCols, meta)
+    if (addCols.nonEmpty || meta.nonEmpty || dropCols.nonEmpty)
+      graft.io.Alter.alter(spark, path, addCols, meta, dropCols)
     loadTable(ident)
   }
 

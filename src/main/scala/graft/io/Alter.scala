@@ -26,18 +26,20 @@ object Alter {
       spark: SparkSession,
       path: String,
       addCols: Seq[(String, DataType, Option[String])] = Nil,
-      props: Map[String, String] = Map.empty): Long = {
+      props: Map[String, String] = Map.empty,
+      dropCols: Seq[String] = Nil): Long = {
     require(GraftTable.exists(spark, path), s"not a graft table: $path")
     // a concurrent commit invalidates the snapshot the new schema DDL
     // was derived from — re-derive and retry (bounded)
-    GraftWriter.retryDerived { alterOnce(spark, path, addCols, props) }
+    GraftWriter.retryDerived { alterOnce(spark, path, addCols, props, dropCols) }
   }
 
   private def alterOnce(
       spark: SparkSession,
       path: String,
       addCols: Seq[(String, DataType, Option[String])],
-      props: Map[String, String]): Long = {
+      props: Map[String, String],
+      dropCols: Seq[String]): Long = {
     val table = GraftTable(spark, path)
     val snap = table.snapshot()
     var schema = snap.schema
@@ -47,6 +49,26 @@ object Alter {
       val f = StructField(name, dt, nullable = true)
       schema = StructType(schema.fields :+
         comment.map(f.withComment).getOrElse(f))
+    }
+    // DROP COLUMN is metadata-only too: reads are name-based, so data
+    // files keeping the column simply stop projecting it
+    dropCols.foreach { name =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"no such column: $name")
+      require(!snap.partitionColumns.exists(_.equalsIgnoreCase(name)),
+        s"cannot drop partition column $name")
+      val constraints = table.log.tableProperties().collect {
+        case (k, sql) if k.startsWith(CommitLog.constraintKey("")) &&
+            sql.toLowerCase(java.util.Locale.ROOT)
+              .matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name.toLowerCase(java.util.Locale.ROOT))}\\b.*") =>
+          k.stripPrefix(CommitLog.constraintKey(""))
+      }
+      require(constraints.isEmpty,
+        s"cannot drop $name: referenced by CHECK constraint" +
+          s"${if (constraints.size > 1) "s" else ""} ${constraints.mkString(", ")}")
+      schema = StructType(
+        schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+      require(schema.nonEmpty, "cannot drop the last column")
     }
     props.keys.foreach { k =>
       require(k.startsWith(CommitLog.ReservedPrefix),

@@ -192,11 +192,21 @@ final case class GraftInsertCommand(
 final case class GraftAlterCommand(
     path: String,
     addCols: Seq[(String, org.apache.spark.sql.types.DataType, Option[String])],
-    props: Map[String, String]) extends LeafRunnableCommand {
+    props: Map[String, String],
+    dropCols: Seq[String] = Nil,
+    dropIfExists: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.io.Alter.alter(spark, path, addCols, props)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val existing = graft.io.GraftTable(spark, path).snapshot()
+      .schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val drops =
+      if (!dropIfExists) dropCols
+      else dropCols.filter(c => existing(c.toLowerCase(java.util.Locale.ROOT)))
+    if (addCols.isEmpty && props.isEmpty && drops.isEmpty)
+      Seq(Row(graft.io.GraftTable(spark, path).version())) // IF EXISTS no-op
+    else Seq(Row(graft.io.Alter.alter(spark, path, addCols, props, drops)))
+  }
 }
 
 /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` → the graft CHECK
@@ -452,6 +462,18 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             GraftAlterCommand(p, cols, Map.empty)
           case None => a
+        }
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+        graftTablePath(d.table) match {
+          case Some(p) =>
+            val names = d.columnsToDrop.map { fn =>
+              require(fn.name.length == 1,
+                "graft ALTER TABLE drops top-level columns only")
+              fn.name.head
+            }
+            GraftAlterCommand(p, Nil, Map.empty,
+              dropCols = names, dropIfExists = d.ifExists)
+          case None => d
         }
       case s: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
         graftTablePath(s.table) match {

@@ -183,6 +183,30 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("graft."), e.getMessage)
   }
 
+  test("DROP COLUMN through catalog names") {
+    seed("ns12", "dropc")
+    spark.sql("ALTER TABLE gcat.ns12.dropc DROP COLUMN v")
+    assert(GraftTable(spark, s"$root/ns12/dropc").snapshot()
+      .schema.fieldNames.toSeq == Seq("id", "cat"))
+    assert(spark.sql("SELECT * FROM gcat.ns12.dropc").columns.toSeq
+      == Seq("id", "cat"))
+  }
+
+  test("concurrent ALTER TABLE commits all land via CAS retry") {
+    seed("ns13", "race")
+    val p = s"$root/ns13/race"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val adds = (0 until 4).map { i =>
+      Future(graft.io.Alter.alter(spark, p,
+        addCols = Seq((s"extra_$i", org.apache.spark.sql.types.StringType, None))))
+    }
+    Await.result(Future.sequence(adds), 2.minutes)
+    val names = GraftTable(spark, p).snapshot().schema.fieldNames.toSet
+    assert((0 until 4).forall(i => names(s"extra_$i")), names.mkString(","))
+  }
+
   test("ADD/DROP CONSTRAINT through catalog names") {
     seed("ns11", "cons")
     spark.sql("ALTER TABLE gcat.ns11.cons ADD CONSTRAINT pos CHECK (v > 0)")

@@ -217,6 +217,29 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE graft.`path` DROP COLUMN is metadata-only") {
+    val p = freshTable("sqldrop")
+    spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN v")
+    assert(GraftTable(spark, p).snapshot().schema.fieldNames.toSeq
+      == Seq("id", "cat"))
+    // rows read back without the dropped column; files were not rewritten
+    val rows = spark.sql(s"SELECT id FROM graft.`$p` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L, 3L, 4L, 5L))
+    // IF EXISTS tolerates a missing name; partition columns are protected
+    spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN IF EXISTS nope")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN cat")
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // a column referenced by a CHECK constraint cannot be dropped
+    spark.sql(s"ALTER TABLE graft.`$p` ADD CONSTRAINT haveid CHECK (id > 0)")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN id")
+    }
+    assert(e2.getMessage.contains("haveid"), e2.getMessage)
+  }
+
   test("SHOW TBLPROPERTIES and DESCRIBE on graft.`path` targets") {
     val p = freshTable("sqldesc")
     spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('graft.cdf'='true')")
