@@ -34,7 +34,15 @@ object Bench {
     // so the first timed query doesn't absorb one-time startup cost
     spark.read.parquet(s"$sfDir/region.parquet").limit(1)
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.benchQueries.map { name =>
+    // local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a
+    // subset; the driver never sets it, so round benches are unaffected
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val headline = only match {
+      case Some(sel) => SparkEntry.benchQueries.filter(sel.contains)
+      case None => SparkEntry.benchQueries
+    }
+    val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

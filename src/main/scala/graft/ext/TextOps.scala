@@ -170,8 +170,15 @@ object Dedup {
     val spark = pairs.sparkSession
     // symmetrize in ONE scan (explode both directions per pair) — a
     // two-branch union would evaluate the whole upstream pairs plan
-    // twice (at 100 TB that's a second full corpus-hash pass), since
-    // the persist below only caches the post-union result
+    // twice (at 100 TB that's a second full corpus-hash pass).
+    // localCheckpoint (eager) rather than persist: the upstream here is
+    // the full LSH candidate pipeline, the most expensive plan in the
+    // suite, and a persist is only a cache HINT — under memory pressure
+    // blocks evict and the count() below plus the collect()/loop after
+    // it each silently re-run the whole pipeline. The checkpoint
+    // materializes exactly once, truncates lineage so nothing CAN
+    // recompute it, and its blocks spill to local disk instead of
+    // evicting; the ContextCleaner reclaims them once unreferenced.
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
@@ -179,8 +186,8 @@ object Dedup {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .persist(MEMORY_AND_DISK)
-    try {
+      .localCheckpoint(eager = true)
+    locally {
       // The edge set (pairs only among near-dups) is a vanishing fraction
       // of the corpus; when it fits driver memory, union-find locally —
       // O(E α(E)) with zero extra Spark rounds. The distributed loop
@@ -260,7 +267,7 @@ object Dedup {
       val out = labels.localCheckpoint(eager = true)
       labels.unpersist()
       out
-    } finally edges.unpersist()
+    }
   }
 
   /** Train/eval contamination report (the decontamination pass every
