@@ -49,7 +49,22 @@ final case class GraftCatalogTable(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    val tTypes = tableSchema.map(f =>
+    // A bucketed table's `__bucket` column is DERIVED, never supplied:
+    // the stream writer recomputes pmod(hash(key), n) per row so
+    // streamed files land in the exact batch layout (`__bucket=N/` dir +
+    // `_NNNNN` file suffix at promote) and the table keeps reporting a
+    // BucketSpec — otherwise one streamed epoch would silently forfeit
+    // exchange-free co-bucketed joins until a re-bucketing OPTIMIZE.
+    val bucket = graft.io.Bucketing.spec(
+      graft.io.GraftTable(SparkSession.active, path))
+    val bucketCol = graft.io.Bucketing.BucketCol
+    require(bucket.isEmpty ||
+        !info.schema.fieldNames.exists(_.equalsIgnoreCase(bucketCol)),
+      s"$bucketCol is derived from the bucket key on write; do not supply it")
+    val expectedCols =
+      if (bucket.isEmpty) tableSchema.fields.toSeq
+      else tableSchema.fields.toSeq.filterNot(_.name.equalsIgnoreCase(bucketCol))
+    val tTypes = expectedCols.map(f =>
       f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
     info.schema.fields.foreach { f =>
       val dt = tTypes.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT),
@@ -58,7 +73,7 @@ final case class GraftCatalogTable(
       require(dt == f.dataType,
         s"streaming write type mismatch on ${f.name}: table $dt vs ${f.dataType}")
     }
-    require(info.schema.length == tableSchema.length,
+    require(info.schema.length == expectedCols.length,
       s"streaming write must supply every column of $name")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
@@ -67,7 +82,7 @@ final case class GraftCatalogTable(
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             org.apache.spark.sql.graft.GraftStreamingWriteShim.create(
               SparkSession.active, path, info.schema, info.queryId(),
-              partitionCols)
+              partitionCols, bucket)
         }
     }
   }

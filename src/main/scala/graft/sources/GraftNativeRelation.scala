@@ -112,7 +112,7 @@ object GraftNativeRelation {
     } yield BucketSpec(n, Seq(key), Nil)
 
   /** Mirror of Spark's `BucketingUtils.getBucketId` name parse. */
-  private[sources] def bucketIdFromName(relPath: String): Option[Int] = {
+  private[graft] def bucketIdFromName(relPath: String): Option[Int] = {
     val name = relPath.split('/').last
     val m = """.*_(\d+)(?:\..*)?$""".r
     name match {

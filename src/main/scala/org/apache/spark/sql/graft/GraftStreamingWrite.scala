@@ -8,7 +8,7 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal, Murmur3Hash, Pmod, UnsafeProjection}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -45,7 +45,8 @@ object GraftStreamingWriteShim {
       tablePath: String,
       schema: StructType,
       queryId: String,
-      partitionCols: Seq[String]): StreamingWrite = {
+      partitionCols: Seq[String],
+      bucket: Option[(String, Int)] = None): StreamingWrite = {
     // partition columns live in directory names only, like the batch
     // writer's partitionBy
     val dataSchema = StructType(schema.fields.filterNot(f =>
@@ -63,7 +64,7 @@ object GraftStreamingWriteShim {
       "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val serConf = new SerializableConfiguration(job.getConfiguration)
     new GraftStreamingWrite(tablePath, schema, dataSchema, queryId,
-      partitionCols, spark.sessionState.conf.sessionLocalTimeZone,
+      partitionCols, bucket, spark.sessionState.conf.sessionLocalTimeZone,
       factory, serConf)
   }
 }
@@ -74,6 +75,7 @@ final class GraftStreamingWrite(
     dataSchema: StructType,
     queryId: String,
     partitionCols: Seq[String],
+    bucket: Option[(String, Int)],
     timeZone: String,
     factory: OutputWriterFactory,
     serConf: SerializableConfiguration) extends StreamingWrite {
@@ -90,7 +92,8 @@ final class GraftStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamWriterFactory(
-      stageRoot, schema, dataSchema, partitionCols, timeZone, factory, serConf)
+      stageRoot, schema, dataSchema, partitionCols, bucket, timeZone,
+      factory, serConf)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val written = messages.toSeq.flatMap {
@@ -113,13 +116,15 @@ private final class GraftStreamWriterFactory(
     schema: StructType,
     dataSchema: StructType,
     partitionCols: Seq[String],
+    bucket: Option[(String, Int)],
     timeZone: String,
     owf: OutputWriterFactory,
     serConf: SerializableConfiguration) extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new GraftStreamDataWriter(s"$stageRoot/$epochId", schema, dataSchema,
-      partitionCols, timeZone, owf, serConf, partitionId, taskId, epochId)
+      partitionCols, bucket, timeZone, owf, serConf, partitionId, taskId,
+      epochId)
 }
 
 /** Per-task writer: one lazily-opened parquet writer per hive partition
@@ -133,6 +138,7 @@ private final class GraftStreamDataWriter(
     schema: StructType,
     dataSchema: StructType,
     partitionCols: Seq[String],
+    bucket: Option[(String, Int)],
     timeZone: String,
     owf: OutputWriterFactory,
     serConf: SerializableConfiguration,
@@ -143,13 +149,35 @@ private final class GraftStreamDataWriter(
   private val writers = scala.collection.mutable.HashMap[String, OutputWriter]()
   private val paths = scala.collection.mutable.ArrayBuffer[String]()
 
-  // cast-to-string projections for the partition columns (Spark's own
-  // rendering semantics for dates/timestamps/decimals)
-  private val partRender: Seq[(String, Cast)] = partitionCols.map { c =>
-    val i = schema.fieldIndex(c)
-    val f = schema(i)
-    (c, Cast(BoundReference(i, f.dataType, f.nullable), StringType, Some(timeZone)))
-  }
+  // per-partition-column renderers, in partitionCols (= directory
+  // nesting) order. The derived `__bucket` column is recomputed from the
+  // bucket key with the SAME expression as the batch side
+  // (Bucketing.write's `pmod(hash(key), n)` — Murmur3, seed 42), so
+  // streamed rows land in the batch bucket layout bit for bit; everything
+  // else renders through Spark's cast-to-string semantics
+  // (dates/timestamps/decimals) + hive path escaping.
+  private val partRender: Seq[(String, InternalRow => String)] =
+    partitionCols.map { c =>
+      bucket match {
+        case Some((key, n)) if c.equalsIgnoreCase(graft.io.Bucketing.BucketCol) =>
+          val i = schema.fieldIndex(key)
+          val f = schema(i)
+          val e = Pmod(
+            Murmur3Hash(Seq(BoundReference(i, f.dataType, f.nullable)), 42),
+            Literal(n))
+          (c, (row: InternalRow) => e.eval(row).asInstanceOf[Int].toString)
+        case _ =>
+          val i = schema.fieldIndex(c)
+          val f = schema(i)
+          val cast =
+            Cast(BoundReference(i, f.dataType, f.nullable), StringType, Some(timeZone))
+          (c, (row: InternalRow) => {
+            val s = cast.eval(row)
+            if (s == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(s.toString)
+          })
+      }
+    }
 
   // project the partition columns out of the written rows
   private val dataProjection: UnsafeProjection = UnsafeProjection.create(
@@ -159,13 +187,8 @@ private final class GraftStreamDataWriter(
     }.toSeq)
 
   private def fragmentOf(row: InternalRow): String =
-    partRender.map { case (name, cast) =>
-      val s = cast.eval(row)
-      val rendered =
-        if (s == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-        else ExternalCatalogUtils.escapePathName(s.toString)
-      s"$name=$rendered"
-    }.mkString("/")
+    partRender.map { case (name, render) => s"$name=${render(row)}" }
+      .mkString("/")
 
   private def taskCtx(): TaskAttemptContextImpl = {
     val conf = new Configuration(serConf.value)
