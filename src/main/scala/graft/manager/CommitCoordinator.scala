@@ -4,7 +4,6 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.io.{GraftWriter, WriteOptions}
 
 /** Branch-isolated transactional write coordination — the Spark-native
   * mirror of the reference's lakeFS flow (branch per write -> write ->
@@ -61,42 +60,116 @@ final class RetryingCoordinator(
 
 /** Branch-per-write against a plain filesystem: seed a branch at
   * `<table>/../_branches/<uuid>/<table-name>` from the current main
-  * snapshot (lakeFS branches start from main's contents — on real lakeFS
-  * this is an O(1) metadata operation; on a plain FS it is a physical
-  * copy, so this coordinator is for gate/audit workflows, not the 100 TB
-  * hot path), run the write on the branch, gate on a user predicate over
-  * the branch result, then replay the branch contents onto the main
-  * table in one commit. Seeding makes Append/merge writes correct: the
-  * branch holds the full logical table, so the Overwrite promotion
-  * preserves pre-existing main data instead of replacing the table with
-  * just the new batch.
+  * snapshot, run the write on the branch, gate on a user predicate over
+  * the branch result, then promote the branch's NET actions onto main in
+  * one CAS commit.
+  *
+  * Like lakeFS (reference: lakefs_io/
+  * deltalake_polars_lakefs_type_handler.py:114-148), both seed and
+  * promote are O(metadata) — no data file is ever copied:
+  *
+  *  - '''Seed''' writes ONE branch commit-log entry whose AddFiles point
+  *    at main's live data files by absolute path (the commit-log file
+  *    index resolves absolute entries as-is, so branch reads serve
+  *    main's bytes directly — a Delta shallow-clone).
+  *  - The coordinated '''write''' runs against the branch: appends land
+  *    as branch-local files; COW rewrites logically drop borrowed main
+  *    files from the branch log (never physically — main is untouched
+  *    throughout).
+  *  - '''Promote''' computes the net diff vs the seed: branch-local
+  *    files are renamed (O(1) each, no byte copy) into the main root and
+  *    become adds; seeded main files no longer live on the branch become
+  *    removes; one commit applies both, CAS-pinned to the seed version
+  *    so a concurrent main commit fails the promotion with
+  *    ConcurrentModificationException ([[RetryingCoordinator]] then
+  *    re-runs the whole branch lifecycle from the fresh snapshot — the
+  *    reference's retry contract, handler.py:33-61).
+  *
+  * The gate sees the full logical table (seed ∪ branch writes), so
+  * Append/merge coordination validates the table a reader would see
+  * after promotion, not just the new batch.
   */
 final class BranchingCoordinator(
     gate: DataFrame => Boolean = _ => true) extends CommitCoordinator {
+  import org.apache.hadoop.fs.Path
+
   def coordinate(spark: SparkSession, path: String)(write: String => Long): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val branch = new org.apache.hadoop.fs.Path(
+    val p = new Path(path)
+    val branch = new Path(
       p.getParent, s"_branches/${java.util.UUID.randomUUID()}/${p.getName}")
     val conf = spark.sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)
+    /** Normalized absolute (scheme-less) path of `rel` under `root`. */
+    def abs(root: String, rel: String): String =
+      fs.makeQualified(new Path(root, rel)).toUri.getPath
     try {
       val mainLog = new graft.log.CommitLog(path, conf)
-      if (mainLog.tableExists()) {
-        val snap = mainLog.snapshot()
-        GraftWriter.write(spark, graft.io.GraftTable(spark, path).toDf(), branch.toString,
-          WriteOptions(mode = graft.io.WriteMode.Overwrite,
-            partitionBy = snap.partitionColumns,
-            metadata = Map("branched_from" -> path,
-              "branched_at_version" -> snap.version.toString)))
-      }
+      val branchLog = new graft.log.CommitLog(branch.toString, conf)
+      // ---- seed: one metadata commit referencing main's files ----
+      val seed: Option[graft.log.Snapshot] =
+        if (!mainLog.tableExists()) None
+        else {
+          val snap = mainLog.snapshot()
+          branchLog.commit(
+            operation = "BRANCH SEED",
+            mode = "branch",
+            schemaDdl = snap.schema.toDDL,
+            partitionColumns = snap.partitionColumns,
+            // main's table properties (CDF flag, CHECK constraints, ...)
+            // ride along so branch writes enforce the same contracts
+            metadata = mainLog.tableProperties() ++
+              Map("branched_from" -> path,
+                "branched_at_version" -> snap.version.toString),
+            operationMetrics = Map(
+              "num_referenced_files" -> snap.files.size.toLong),
+            add = snap.files.map(f => f.copy(path = abs(path, f.path))),
+            remove = Nil)
+          Some(snap)
+        }
       write(branch.toString) // the coordinated write, on the seeded branch
       val branchDf = graft.io.GraftTable(spark, branch.toString).toDf()
       if (!gate(branchDf))
         throw new IllegalStateException(s"branch gate rejected write for $path")
-      // promote: replay branch contents onto main in a single commit
-      GraftWriter.write(spark, branchDf, path,
-        WriteOptions(mode = graft.io.WriteMode.Overwrite,
-          metadata = Map("promoted_from" -> branch.toString)))
+      // ---- promote: net actions onto main, CAS-pinned to the seed ----
+      val bSnap = branchLog.snapshot()
+      // seeded entries are the absolute ones (GraftWriter only ever adds
+      // branch-relative paths); everything else is a branch-local file
+      val (borrowed, fresh) =
+        bSnap.files.partition(f => new Path(f.path).isAbsolute)
+      val borrowedAbs = borrowed.map(f => abs(path, f.path)).toSet
+      val removes = seed.toSeq.flatMap(_.files)
+        .filterNot(f => borrowedAbs(abs(path, f.path)))
+        .map(f => graft.log.RemoveFile(f.path))
+      val adds = fresh.map { f =>
+        val src = new Path(branch, f.path)
+        var rel = f.path
+        var dst = new Path(p, rel)
+        if (fs.exists(dst)) { // name collision with an existing main file
+          val segs = rel.split('/')
+          rel = (segs.dropRight(1) :+
+            s"${java.util.UUID.randomUUID()}-${segs.last}").mkString("/")
+          dst = new Path(p, rel)
+        }
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"promote rename $src -> $dst failed")
+        f.copy(path = rel)
+      }
+      mainLog.commit(
+        operation = "BRANCH PROMOTE",
+        mode = "branch",
+        schemaDdl = bSnap.schema.toDDL,
+        partitionColumns = bSnap.partitionColumns,
+        metadata = Map("promoted_from" -> branch.toString),
+        operationMetrics = Map(
+          "num_added_files" -> adds.size.toLong,
+          "num_removed_files" -> removes.size.toLong,
+          "num_output_rows" -> adds.map(_.numRecords).sum),
+        add = adds,
+        remove = removes,
+        // a commit that slipped in since the seed invalidates the net
+        // diff — fail the CAS and let RetryingCoordinator re-branch
+        expectedVersion = seed.map(_.version))
     } finally {
       fs.delete(branch.getParent, true) // drop the branch
     }

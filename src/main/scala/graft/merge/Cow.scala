@@ -41,10 +41,18 @@ private[merge] object Cow {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val rootAbs = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
       .toUri.getPath.stripSuffix("/")
-    val rels = df.select(fileCol).distinct().collect().map { r =>
+    val seen = df.select(fileCol).distinct().collect().map { r =>
       new java.net.URI(r.getString(0)).getPath
-        .stripPrefix(rootAbs).stripPrefix("/")
     }.toSet
-    candidates.filter(f => rels(f.path))
+    // a candidate path is table-relative normally, but ABSOLUTE for a
+    // branch-seeded reference to another table's file (see
+    // BranchingCoordinator's metadata-only seeding) — resolve both forms
+    // to absolute before matching, or COW on a seeded branch silently
+    // touches nothing
+    candidates.filter { f =>
+      val abs = if (new org.apache.hadoop.fs.Path(f.path).isAbsolute) f.path
+        else s"$rootAbs/${f.path}"
+      seen(abs)
+    }
   }
 }

@@ -72,6 +72,78 @@ class CoordinatorSpec extends SparkSpec {
       "pre-existing main rows must survive a coordinated Append")
   }
 
+  test("branch seeding is metadata-only: zero data files copied") {
+    val p = tmpDir("branchmeta") + "/tbl"
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    val mainFilesBefore = GraftTable(spark, p).snapshot().files.map(_.path)
+    val branchesDir = new java.io.File(new java.io.File(p).getParent, "_branches")
+    var branchParquets = -1
+    var branchRows = -1L
+    val coord = new BranchingCoordinator(gate = { df =>
+      // while the branch is alive: it serves the FULL logical table...
+      branchRows = df.count()
+      // ...but physically holds ONLY the newly appended batch — main's
+      // files are referenced by absolute path, never copied
+      def parquetsUnder(d: java.io.File): Int =
+        if (!d.exists()) 0
+        else d.listFiles().map(f =>
+          if (f.isDirectory) parquetsUnder(f)
+          else if (f.getName.endsWith(".parquet") && !f.getPath.contains("_graft_log")) 1
+          else 0).sum
+      branchParquets = parquetsUnder(branchesDir)
+      true
+    })
+    coord.coordinate(spark, p)(path =>
+      GraftWriter.write(spark, Seq((3L, 6L)).toDF("a", "b"), path,
+        WriteOptions(mode = WriteMode.Append)))
+    assert(branchRows == 3, "branch must serve seed ∪ appended rows")
+    assert(branchParquets == 1,
+      s"seed must copy zero data files (found $branchParquets parquet in the branch)")
+    // promote moved the appended file in and kept every seeded main file
+    val after = GraftTable(spark, p)
+    assert(after.toDf().count() == 3)
+    val mainFilesAfter = after.snapshot().files.map(_.path)
+    assert(mainFilesBefore.forall(mainFilesAfter.contains),
+      "seeded main files must survive promotion untouched")
+    assert(mainFilesAfter.forall(!new org.apache.hadoop.fs.Path(_).isAbsolute),
+      "promotion must never leak absolute branch references into main")
+  }
+
+  test("coordinated COW delete promotes removes without touching main bytes") {
+    val p = tmpDir("branchdel") + "/tbl"
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    val fileBefore = GraftTable(spark, p).snapshot().files.head.path
+    val coord = new BranchingCoordinator()
+    coord.coordinate(spark, p) { path =>
+      graft.merge.Dml.delete(spark, path,
+        org.apache.spark.sql.functions.col("a") === 1L)
+      GraftTable(spark, path).version()
+    }
+    val t = GraftTable(spark, p)
+    assert(t.toDf().collect().map(_.getLong(0)).toSet == Set(2L))
+    // the original main parquet still exists physically (time travel)
+    assert(new java.io.File(p, fileBefore).exists())
+    assert(t.toDf(Some(0L)).count() == 2)
+  }
+
+  test("promotion CAS-fails when main advanced since the seed") {
+    val p = tmpDir("branchcas") + "/tbl"
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    val coord = new BranchingCoordinator()
+    intercept[java.util.ConcurrentModificationException] {
+      coord.coordinate(spark, p) { path =>
+        // a foreign commit slips into MAIN while the branch write runs
+        GraftWriter.write(spark, Seq((7L, 7L)).toDF("a", "b"), p,
+          WriteOptions(mode = WriteMode.Append))
+        GraftWriter.write(spark, Seq((3L, 6L)).toDF("a", "b"), path,
+          WriteOptions(mode = WriteMode.Append))
+      }
+    }
+    // main kept the foreign commit; the branch batch never landed
+    assert(GraftTable(spark, p).toDf().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 7L))
+  }
+
   test("branching coordinator rejects writes that fail the gate, leaving main untouched") {
     val p = tmpDir("branchr") + "/tbl"
     GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
