@@ -466,6 +466,9 @@ object OracleSql {
     "table_convert" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 
+    "table_rename" ->
+      "SELECT o_orderkey, o_totalprice AS price FROM orders",
+
     "table_time_travel" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
 

@@ -440,6 +440,23 @@ object SparkEntry {
     GraftTable(spark, p).toDf()
   }
 
+  /** ALTER TABLE RENAME COLUMN is metadata-only (ColumnMapping): files
+    * written BEFORE the rename keep the physical name and still serve
+    * the renamed logical column; files written AFTER carry the physical
+    * name too, so both generations read uniformly.
+    */
+  private def qTableRename(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val p = tmp("graft_ren")
+    GraftWriter.write(spark, o.filter(col("o_orderkey") % 2 === 0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    Alter.alter(spark, p, renameCols = Seq(("o_totalprice", "price")))
+    GraftWriter.write(spark,
+      o.filter(col("o_orderkey") % 2 === 1).withColumnRenamed("o_totalprice", "price"),
+      p, WriteOptions(mode = WriteMode.Append))
+    GraftTable(spark, p).toDf()
+  }
+
   private def qSliceTimeWindow(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"),
@@ -995,6 +1012,7 @@ object SparkEntry {
     "table_changes_mixed" -> (qTableChangesMixed _),
     "table_dynamic_overwrite" -> (qDynamicOverwrite _),
     "table_convert" -> (qTableConvert _),
+    "table_rename" -> (qTableRename _),
     "text_chunks" -> (qTextChunks _),
     "seq_pack" -> (qSeqPack _)
   )

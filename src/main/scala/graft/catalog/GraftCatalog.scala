@@ -217,6 +217,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!GraftTable.exists(spark, path)) throw new NoSuchTableException(ident)
     var addCols = Seq.empty[(String, org.apache.spark.sql.types.DataType, Option[String])]
     var dropCols = Seq.empty[String]
+    var renameCols = Seq.empty[(String, String)]
     var meta = Map.empty[String, String]
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -240,6 +241,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .schema.fieldNames.exists(_.equalsIgnoreCase(name))
         if (exists || del.ifExists == null || !del.ifExists)
           dropCols :+= name // missing + no IF EXISTS: Alter errors loudly
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"graft ALTER TABLE supports top-level columns only, got " +
+            ren.fieldNames.mkString("."))
+        renameCols :+= ((ren.fieldNames.head, ren.newName))
       case sp: TableChange.SetProperty =>
         require(sp.value.nonEmpty,
           s"empty value would drop property '${sp.property}'; use UNSET")
@@ -250,8 +256,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft ALTER TABLE does not support $other; use the " +
           "schema-evolution write modes for anything richer")
     }
-    if (addCols.nonEmpty || meta.nonEmpty || dropCols.nonEmpty)
-      graft.io.Alter.alter(spark, path, addCols, meta, dropCols)
+    if (addCols.nonEmpty || meta.nonEmpty || dropCols.nonEmpty ||
+        renameCols.nonEmpty)
+      graft.io.Alter.alter(spark, path, addCols, meta, dropCols, renameCols)
     loadTable(ident)
   }
 

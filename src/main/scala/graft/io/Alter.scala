@@ -27,11 +27,14 @@ object Alter {
       path: String,
       addCols: Seq[(String, DataType, Option[String])] = Nil,
       props: Map[String, String] = Map.empty,
-      dropCols: Seq[String] = Nil): Long = {
+      dropCols: Seq[String] = Nil,
+      renameCols: Seq[(String, String)] = Nil): Long = {
     require(GraftTable.exists(spark, path), s"not a graft table: $path")
     // a concurrent commit invalidates the snapshot the new schema DDL
     // was derived from — re-derive and retry (bounded)
-    GraftWriter.retryDerived { alterOnce(spark, path, addCols, props, dropCols) }
+    GraftWriter.retryDerived {
+      alterOnce(spark, path, addCols, props, dropCols, renameCols)
+    }
   }
 
   private def alterOnce(
@@ -39,10 +42,37 @@ object Alter {
       path: String,
       addCols: Seq[(String, DataType, Option[String])],
       props: Map[String, String],
-      dropCols: Seq[String]): Long = {
+      dropCols: Seq[String],
+      renameCols: Seq[(String, String)]): Long = {
     val table = GraftTable(spark, path)
     val snap = table.snapshot()
     var schema = snap.schema
+    var mapProps = Map.empty[String, String]
+    // RENAME COLUMN is metadata-only via the column mapping
+    // ([[ColumnMapping]]): files keep the column's physical (creation)
+    // name forever; the commit just renames the schema field and records
+    // `graft.colmap.<new> = <physical>` so reads project it back
+    renameCols.foreach { case (from, to) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(from)),
+        s"no such column: $from")
+      require(!from.equalsIgnoreCase(to) &&
+          !schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column $to already exists")
+      require(!snap.partitionColumns.exists(_.equalsIgnoreCase(from)),
+        s"cannot rename partition column $from (directory layout is physical)")
+      require(!Bucketing.spec(table).exists(_._1.equalsIgnoreCase(from)),
+        s"cannot rename bucket key $from (bucket layout is keyed by name)")
+      requireNoConstraintOn(table, from, "rename")
+      val mapping = ColumnMapping.fromProps(
+        table.log.tableProperties() ++ mapProps)
+      val physical = ColumnMapping.physicalName(mapping, from)
+      schema = StructType(schema.fields.map { f =>
+        if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f
+      })
+      mapProps += ColumnMapping.key(from) -> "" // drop any old mapping
+      mapProps +=
+        ColumnMapping.key(to) -> (if (physical == to) "" else physical)
+    }
     addCols.foreach { case (name, dt, comment) =>
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column $name already exists")
@@ -57,15 +87,7 @@ object Alter {
         s"no such column: $name")
       require(!snap.partitionColumns.exists(_.equalsIgnoreCase(name)),
         s"cannot drop partition column $name")
-      val constraints = table.log.tableProperties().collect {
-        case (k, sql) if k.startsWith(CommitLog.constraintKey("")) &&
-            sql.toLowerCase(java.util.Locale.ROOT)
-              .matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name.toLowerCase(java.util.Locale.ROOT))}\\b.*") =>
-          k.stripPrefix(CommitLog.constraintKey(""))
-      }
-      require(constraints.isEmpty,
-        s"cannot drop $name: referenced by CHECK constraint" +
-          s"${if (constraints.size > 1) "s" else ""} ${constraints.mkString(", ")}")
+      requireNoConstraintOn(table, name, "drop")
       schema = StructType(
         schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
       require(schema.nonEmpty, "cannot drop the last column")
@@ -80,10 +102,27 @@ object Alter {
       mode = "metadata",
       schemaDdl = schema.toDDL,
       partitionColumns = snap.partitionColumns,
-      metadata = props,
+      metadata = props ++ mapProps,
       operationMetrics = Map.empty,
       add = Nil,
       remove = Nil,
       expectedVersion = Some(snap.version))
+  }
+
+  /** Fail if a CHECK constraint's SQL references `name` — both dropping
+    * and renaming such a column would silently break enforcement (the
+    * recorded SQL text keeps the old name).
+    */
+  private def requireNoConstraintOn(
+      table: GraftTable, name: String, verb: String): Unit = {
+    val constraints = table.log.tableProperties().collect {
+      case (k, sql) if k.startsWith(CommitLog.constraintKey("")) &&
+          sql.toLowerCase(java.util.Locale.ROOT)
+            .matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name.toLowerCase(java.util.Locale.ROOT))}\\b.*") =>
+        k.stripPrefix(CommitLog.constraintKey(""))
+    }
+    require(constraints.isEmpty,
+      s"cannot $verb $name: referenced by CHECK constraint" +
+        s"${if (constraints.size > 1) "s" else ""} ${constraints.mkString(", ")}")
   }
 }

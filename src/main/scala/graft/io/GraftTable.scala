@@ -79,7 +79,11 @@ final class GraftTable(val spark: SparkSession, val path: String) {
         if (files.isEmpty)
           return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         val partCols = snap.partitionColumns.toSet
-        val dataSchema = StructType(schema.filterNot(f => partCols(f.name)))
+        // renamed columns: files carry physical names (ColumnMapping) —
+        // read physical, alias back to logical below
+        val mapping = ColumnMapping.fromSnapshot(snap)
+        val dataSchema = ColumnMapping.physicalSchema(
+          StructType(schema.filterNot(f => partCols(f.name))), mapping)
         val abs = files.map(f => new Path(path, f.path).toString)
         val raw = spark.read
           .schema(dataSchema)
@@ -87,7 +91,11 @@ final class GraftTable(val spark: SparkSession, val path: String) {
           .option("basePath", path)
           .parquet(abs: _*)
         // pin column order + partition column types to the declared schema
-        raw.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        raw.select(schema.map { f =>
+          val phys = if (partCols(f.name)) f.name
+            else ColumnMapping.physicalName(mapping, f.name)
+          col(phys).cast(f.dataType).as(f.name)
+        }: _*)
       }
   }
 
@@ -110,7 +118,8 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(versionAsOf)
     val kept = snap.files.filter(f =>
-      filters.forall(DataSkipping.mayMatch(f, snap.schema, _)))
+      physFilters(snap, filters).forall(
+        DataSkipping.mayMatch(f, physSchema(snap), _)))
     val df = dfForFiles(snap, kept)
     filters.map(_.toColumn).reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
@@ -118,8 +127,22 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   /** Number of files a filter set would read (for tests/diagnostics). */
   def filesAfterPruning(filters: Seq[DataFilter]): Int = {
     val snap = snapshot()
-    snap.files.count(f => filters.forall(DataSkipping.mayMatch(f, snap.schema, _)))
+    snap.files.count(f =>
+      physFilters(snap, filters).forall(
+        DataSkipping.mayMatch(f, physSchema(snap), _)))
   }
+
+  // stats in the log are keyed by PHYSICAL column names (ColumnMapping):
+  // translate caller-facing logical filters before consulting them
+  private def physFilters(
+      snap: Snapshot, filters: Seq[DataFilter]): Seq[DataFilter] = {
+    val m = ColumnMapping.fromSnapshot(snap)
+    if (m.isEmpty) filters
+    else filters.map(f => f.copy(column = ColumnMapping.physicalName(m, f.column)))
+  }
+
+  private def physSchema(snap: Snapshot): StructType =
+    ColumnMapping.physicalSchema(snap.schema, ColumnMapping.fromSnapshot(snap))
 
   /** Live-files ⋈ add-actions stats join + SUM — the reference's only
     * embedded relational computation (handler.py:490-516). Returns one row:

@@ -276,13 +276,21 @@ object GraftWriter {
       added: Seq[AddFile],
       props: Map[String, String]): Unit = {
     if (added.isEmpty || constraintsOf(props).isEmpty) return
-    val dataSchema = StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+    // written files carry physical column names (ColumnMapping) — read
+    // physical, alias back to logical so constraint SQL resolves
+    val mapping = ColumnMapping.fromProps(props)
+    val dataSchema = ColumnMapping.physicalSchema(
+      StructType(schema.filterNot(f => partitionCols.contains(f.name))), mapping)
     val abs = added.map(f => new Path(path, f.path).toString)
     val written = spark.read
       .schema(dataSchema)
       .option("basePath", path)
       .parquet(abs: _*)
-      .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      .select(schema.map { f =>
+        val phys = if (partitionCols.contains(f.name)) f.name
+          else ColumnMapping.physicalName(mapping, f.name)
+        col(phys).cast(f.dataType).as(f.name)
+      }: _*)
     try enforceConstraints(written, props)
     catch {
       case t: Throwable =>
@@ -394,7 +402,9 @@ object GraftWriter {
       if (snap.partitionColumns.nonEmpty)
         df.repartition(snap.partitionColumns.map(col): _*)
       else df.repartition(nOut)
-    var w = writeDf.write.option("compression", "zstd")
+    val physDf = ColumnMapping.toPhysical(writeDf,
+      ColumnMapping.fromProps(log.tableProperties()))
+    var w = physDf.write.option("compression", "zstd")
     if (snap.partitionColumns.nonEmpty) w = w.partitionBy(snap.partitionColumns: _*)
     w.parquet(stage.toString)
     val added = promoteStaged(fs, conf, stage, new Path(path))
@@ -644,7 +654,13 @@ object GraftWriter {
     val prevTsConf = spark.conf.getOption(tsConfKey)
     try {
       spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
-      var w = writeDf.write.option("compression", compression)
+      // renamed columns write under their PHYSICAL names (ColumnMapping
+      // invariant: every data file and its footer stats are keyed by
+      // the column's creation name, so reads and pushed filters resolve
+      // uniformly across pre- and post-rename files)
+      val physDf = ColumnMapping.toPhysical(writeDf,
+        ColumnMapping.fromProps(new CommitLog(path, conf).tableProperties()))
+      var w = physDf.write.option("compression", compression)
       if (maxRecordsPerFile > 0)
         w = w.option("maxRecordsPerFile", maxRecordsPerFile)
       if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)

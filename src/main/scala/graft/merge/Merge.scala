@@ -306,11 +306,15 @@ object MergeExecutor {
         val mm = src.agg(min(col(srcCol)), max(col(srcCol))).first()
         if (mm.isNullAt(0)) candidates
         else {
+          // stats are keyed by physical column names (ColumnMapping)
+          val m = graft.io.ColumnMapping.fromSnapshot(snap)
+          val physTgt = graft.io.ColumnMapping.physicalName(m, tgtCol)
           val filters = Seq(
-            DataFilter(tgtCol, SkipOp.Ge, mm.get(0)),
-            DataFilter(tgtCol, SkipOp.Le, mm.get(1)))
+            DataFilter(physTgt, SkipOp.Ge, mm.get(0)),
+            DataFilter(physTgt, SkipOp.Le, mm.get(1)))
+          val physSchema = graft.io.ColumnMapping.physicalSchema(snap.schema, m)
           candidates.filter(f =>
-            filters.forall(DataSkipping.mayMatch(f, snap.schema, _)))
+            filters.forall(DataSkipping.mayMatch(f, physSchema, _)))
         }
       case _ => candidates
     }

@@ -194,7 +194,8 @@ final case class GraftAlterCommand(
     addCols: Seq[(String, org.apache.spark.sql.types.DataType, Option[String])],
     props: Map[String, String],
     dropCols: Seq[String] = Nil,
-    dropIfExists: Boolean = false) extends LeafRunnableCommand {
+    dropIfExists: Boolean = false,
+    renameCols: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -203,9 +204,10 @@ final case class GraftAlterCommand(
     val drops =
       if (!dropIfExists) dropCols
       else dropCols.filter(c => existing(c.toLowerCase(java.util.Locale.ROOT)))
-    if (addCols.isEmpty && props.isEmpty && drops.isEmpty)
+    if (addCols.isEmpty && props.isEmpty && drops.isEmpty && renameCols.isEmpty)
       Seq(Row(graft.io.GraftTable(spark, path).version())) // IF EXISTS no-op
-    else Seq(Row(graft.io.Alter.alter(spark, path, addCols, props, drops)))
+    else Seq(Row(graft.io.Alter.alter(
+      spark, path, addCols, props, drops, renameCols)))
   }
 }
 
@@ -474,6 +476,15 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftAlterCommand(p, Nil, Map.empty,
               dropCols = names, dropIfExists = d.ifExists)
           case None => d
+        }
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        graftTablePath(r.table) match {
+          case Some(p) =>
+            require(r.column.name.length == 1,
+              "graft ALTER TABLE renames top-level columns only")
+            GraftAlterCommand(p, Nil, Map.empty,
+              renameCols = Seq((r.column.name.head, r.newName)))
+          case None => r
         }
       case s: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
         graftTablePath(s.table) match {

@@ -74,10 +74,20 @@ final class GraftFileIndex(
     selected.map { case (row, files) =>
       val kept =
         if (skips.isEmpty) files
-        else files.filter(f => skips.forall(DataSkipping.mayMatch(f, snap.schema, _)))
+        else files.filter(f => skips.forall(DataSkipping.mayMatch(f, physSchema, _)))
       PartitionDirectory(row, kept.map(status).toArray)
     }
   }
+
+  /** Pushed-down filters reference the scan's output attributes, which
+    * carry PHYSICAL column names for renamed columns (the native plan
+    * scans the physical schema and aliases back — see
+    * [[GraftNativeRelation.planFor]]); footer stats in the log are keyed
+    * the same way, so skipping resolves types against the physical view.
+    */
+  private lazy val physSchema: StructType =
+    graft.io.ColumnMapping.physicalSchema(
+      snap.schema, graft.io.ColumnMapping.fromSnapshot(snap))
 
   /** Catalyst comparison filters -> data-skipping shapes (conservative:
     * anything unrecognized skips nothing).

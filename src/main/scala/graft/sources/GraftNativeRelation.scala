@@ -56,7 +56,15 @@ object GraftNativeRelation {
     // `col IS NULL` to false and silently drop rows)
     val snap = snap0.copy(schema = nullableDeep(snap0.schema).asInstanceOf[StructType])
     val partCols = snap.partitionColumns.toSet
-    val dataSchema = StructType(snap.schema.filterNot(f => partCols(f.name)))
+    // renamed columns: files carry PHYSICAL names (see
+    // graft.io.ColumnMapping) — scan with the physical schema and alias
+    // back to the logical names in the pinning Project below. Catalyst
+    // substitutes the aliases when pushing filters/pruning into the
+    // scan, so pushed predicates reference physical attrs, matching the
+    // footer-stats keys in the commit log.
+    val mapping = graft.io.ColumnMapping.fromSnapshot(snap0)
+    val dataSchema = graft.io.ColumnMapping.physicalSchema(
+      StructType(snap.schema.filterNot(f => partCols(f.name))), mapping)
     // commit-log-backed index: zero FS listing, driver-side partition
     // pruning, footer-stats data skipping
     val index = new GraftFileIndex(spark, path, snap)
@@ -72,10 +80,14 @@ object GraftNativeRelation {
     // pin declared column order + partition column types; bail out (None)
     // if the inferred relation is missing a declared column — the V1
     // fallback stays correct
-    if (!snap.schema.forall(f => byName.contains(f.name))) return None
+    def physOf(f: org.apache.spark.sql.types.StructField): String =
+      if (partCols(f.name)) f.name
+      else graft.io.ColumnMapping.physicalName(mapping, f.name)
+    if (!snap.schema.forall(f => byName.contains(physOf(f)))) return None
     val projections: Seq[NamedExpression] = snap.schema.map { f =>
-      val attr = byName(f.name)
-      if (attr.dataType == f.dataType) attr
+      val attr = byName(physOf(f))
+      if (attr.dataType == f.dataType && attr.name == f.name) attr
+      else if (attr.dataType == f.dataType) Alias(attr, f.name)()
       else Alias(Cast(attr, f.dataType), f.name)()
     }
     Some(Project(projections, lr))

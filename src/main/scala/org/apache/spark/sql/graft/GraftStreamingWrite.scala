@@ -49,8 +49,16 @@ object GraftStreamingWriteShim {
       bucket: Option[(String, Int)] = None): StreamingWrite = {
     // partition columns live in directory names only, like the batch
     // writer's partitionBy
-    val dataSchema = StructType(schema.fields.filterNot(f =>
+    val logicalDataSchema = StructType(schema.fields.filterNot(f =>
       partitionCols.exists(_.equalsIgnoreCase(f.name))))
+    // renamed columns write under their physical names, like the batch
+    // writer (graft.io.ColumnMapping invariant); field ORDER matches the
+    // logical schema, so the row projection below indexes by position
+    val dataSchema = graft.io.ColumnMapping.physicalSchema(
+      logicalDataSchema,
+      graft.io.ColumnMapping.fromProps(
+        new graft.log.CommitLog(
+          tablePath, spark.sessionState.newHadoopConf()).tableProperties()))
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     // prepareWrite mutates the job conf (write support, schema); the
     // serialized conf must be captured AFTER it
@@ -179,9 +187,13 @@ private final class GraftStreamDataWriter(
       }
     }
 
-  // project the partition columns out of the written rows
+  // project the partition columns out of the written rows. dataSchema
+  // may carry PHYSICAL names for renamed columns, so index the incoming
+  // (logical-named) rows positionally: dataSchema field i IS the i-th
+  // non-partition field of the logical schema (same construction order)
   private val dataProjection: UnsafeProjection = UnsafeProjection.create(
-    dataSchema.fields.map { f =>
+    schema.fields.filterNot(f =>
+      partitionCols.exists(_.equalsIgnoreCase(f.name))).map { f =>
       val i = schema.fieldIndex(f.name)
       BoundReference(i, f.dataType, f.nullable)
     }.toSeq)

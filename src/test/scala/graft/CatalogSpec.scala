@@ -192,6 +192,38 @@ class CatalogSpec extends SparkSpec {
       == Seq("id", "cat"))
   }
 
+  test("RENAME COLUMN through catalog names") {
+    seed("ns14", "renc")
+    spark.sql("ALTER TABLE gcat.ns14.renc RENAME COLUMN v TO amount")
+    assert(spark.sql("SELECT * FROM gcat.ns14.renc").columns.toSeq
+      == Seq("id", "cat", "amount"))
+    assert(spark.sql("SELECT sum(amount) FROM gcat.ns14.renc").head().getDouble(0)
+      == 60.0)
+    // post-rename inserts land under the physical name and read back
+    spark.sql("INSERT INTO gcat.ns14.renc VALUES (4, 'd', 40.0)")
+    assert(spark.sql("SELECT amount FROM gcat.ns14.renc WHERE id = 4")
+      .head().getDouble(0) == 40.0)
+  }
+
+  test("concurrent RENAME COLUMN race: CAS retries land both renames") {
+    seed("ns15", "renrace")
+    val p = s"$root/ns15/renrace"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // rename two DIFFERENT columns concurrently: both must land (one
+    // CAS-retries over the other), with mappings intact
+    val renames = Seq(("id", "doc_id"), ("v", "amount")).map { case (f, t) =>
+      Future(graft.io.Alter.alter(spark, p, renameCols = Seq((f, t))))
+    }
+    Await.result(Future.sequence(renames), 2.minutes)
+    assert(GraftTable(spark, p).snapshot().schema.fieldNames.toSet
+      == Set("doc_id", "cat", "amount"))
+    val rows = spark.sql(s"SELECT doc_id, amount FROM gcat.ns15.renrace ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
   test("concurrent ALTER TABLE commits all land via CAS retry") {
     seed("ns13", "race")
     val p = s"$root/ns13/race"

@@ -240,6 +240,76 @@ class SqlDmlSpec extends SparkSpec {
     assert(e2.getMessage.contains("haveid"), e2.getMessage)
   }
 
+  test("ALTER TABLE graft.`path` RENAME COLUMN is metadata-only") {
+    val p = freshTable("sqlren")
+    val filesBefore = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN v TO amount")
+    // schema renamed; data files untouched (they keep the physical name)
+    assert(GraftTable(spark, p).snapshot().schema.fieldNames.toSeq
+      == Seq("id", "cat", "amount"))
+    assert(GraftTable(spark, p).snapshot().files.map(_.path).toSet == filesBefore)
+    // old files read back under the NEW name
+    val rows = spark.sql(s"SELECT id, amount FROM graft.`$p` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)))
+    // filters on the new name still push down and return the right rows
+    assert(spark.sql(s"SELECT id FROM graft.`$p` WHERE amount > 25.0")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+    // writes AFTER the rename (logical name in, physical name in files):
+    // both file generations serve the same logical column
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (6, 'd', 60.0)")
+    assert(spark.sql(s"SELECT sum(amount) FROM graft.`$p`").head().getDouble(0)
+      == 210.0)
+    // DML through the renamed column
+    spark.sql(s"UPDATE graft.`$p` SET amount = 99.0 WHERE id = 1")
+    assert(spark.sql(s"SELECT amount FROM graft.`$p` WHERE id = 1")
+      .head().getDouble(0) == 99.0)
+    // time travel to a pre-rename version sees the OLD name
+    assert(spark.sql(s"SELECT * FROM graft.`$p` VERSION AS OF 0").columns.toSeq
+      == Seq("id", "cat", "v"))
+    // rename chains resolve to the original physical name
+    spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN amount TO price")
+    assert(spark.sql(s"SELECT sum(price) FROM graft.`$p`").head().getDouble(0)
+      == 299.0)
+    // guards: partition columns, existing names, constraint references
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN cat TO category")
+    }
+    assert(e1.getMessage.contains("partition column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN id TO price")
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    spark.sql(s"ALTER TABLE graft.`$p` ADD CONSTRAINT pricey CHECK (price >= 0)")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN price TO cost")
+    }
+    assert(e3.getMessage.contains("pricey"), e3.getMessage)
+    // the constraint still enforces against the renamed column's data
+    val e4 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$p` VALUES (7, 'e', -1.0)")
+    }
+    assert(e4.getMessage.contains("pricey"), e4.getMessage)
+  }
+
+  test("data skipping stays sharp across a rename (stats keyed physically)") {
+    import spark.implicits._
+    val p = tmpDir("sqlrenskip")
+    // two files with disjoint ranges of k
+    GraftWriter.write(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "k").coalesce(1), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, Seq((3L, 100.0), (4L, 200.0)).toDF("id", "k").coalesce(1), p,
+      WriteOptions(mode = WriteMode.Append))
+    spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN k TO score")
+    val t = GraftTable(spark, p)
+    // pruning by the NEW logical name consults the physically-keyed stats
+    assert(t.filesAfterPruning(Seq(graft.io.DataFilter(
+      "score", graft.io.SkipOp.Gt, 50.0))) == 1)
+    assert(t.scanPruned(Seq(graft.io.DataFilter(
+      "score", graft.io.SkipOp.Gt, 50.0))).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(3L, 4L))
+  }
+
   test("SHOW TBLPROPERTIES and DESCRIBE on graft.`path` targets") {
     val p = freshTable("sqldesc")
     spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('graft.cdf'='true')")
