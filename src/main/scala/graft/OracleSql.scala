@@ -317,8 +317,14 @@ object OracleSql {
             ${cents("o_totalprice")} AS total_cents
           FROM orders""",
 
-    // q18_approx_distinct: HLL sketches are engine-specific -- no oracle
-    // (driver records a rows-only check); exact twin is q10_distinct_agg.
+    // HLL sketches are engine-specific, so the oracle checks the
+    // accuracy contract: Spark emits per-group within-tolerance booleans
+    // (|approx - exact| <= 5% of exact), the twin emits literal trues.
+    "q18_approx_distinct" ->
+      """SELECT l_returnflag,
+                true AS parts_within_tol,
+                true AS orders_within_tol
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q22_pivot" -> {
       val types = Seq("click", "view", "purchase", "signup", "error")
