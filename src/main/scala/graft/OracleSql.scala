@@ -583,6 +583,73 @@ object OracleSql {
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
          FROM documents""",
 
+    // corpus-self-trained bigram LM perplexity proxy; the per-doc fold
+    // runs over a list sorted by the exact INTEGER (c1, c2) pair so the
+    // double summation order matches Spark's sorted aggregate() fold
+    "text_lm_score" ->
+      s"""WITH d AS ($DOCS_TOKS),
+          d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+          bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                       FROM d2)),
+          b2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          n AS (SELECT CAST(sum(c2) AS BIGINT) AS n_total FROM b2),
+          j AS (SELECT bg.doc_id, b2.c2 FROM bg JOIN b2 USING (w1, w2)),
+          l AS (SELECT doc_id, list_sort(list(c2)) AS cs
+                FROM j GROUP BY doc_id)
+          SELECT doc_id,
+                 CAST(len(cs) AS BIGINT) AS n_bigrams,
+                 CAST(floor((list_sum([ln(x::DOUBLE) for x in cs]) / len(cs)
+                        - ln(n_total::DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                   AS avg_logprob_micro
+          FROM l, n""",
+
+    // fixed-token-window "paragraphs", md5-keyed global frequency, per-doc
+    // duplicated-window fraction (window size 10 tokens, matching
+    // TextAnalysis.paragraphDedup's default)
+    "paragraph_dedup" ->
+      s"""WITH d AS ($DOCS_TOKS),
+          p AS (SELECT doc_id,
+                       md5(array_to_string(toks[(i*10+1):(i*10+10)], ' ')) AS h
+                FROM (SELECT doc_id, toks,
+                             unnest(range(0, greatest(CAST(ceil(len(toks) / 10.0) AS BIGINT), 1))) AS i
+                      FROM d)),
+          f AS (SELECT h, count(*) AS freq FROM p GROUP BY 1)
+          SELECT doc_id,
+                 count(*) AS n_paragraphs,
+                 CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paragraphs,
+                 CAST(floor(1000 * sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS dup_permille
+          FROM p JOIN f USING (h)
+          GROUP BY doc_id""",
+
+    // deterministic synthetic URLs from (source, doc_id); registrable
+    // domain is public-suffix-aware (same embedded PSL subset as
+    // graft.ext.UrlOps); blocklisted domains drop
+    "url_filter" -> {
+      val psl = graft.ext.UrlOps.MultiPartSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (
+            SELECT doc_id,
+                   'https://' ||
+                   (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+                   source || '.' ||
+                   (['com', 'co.uk', 'org', 'com.au'])[CAST(doc_id % 4 + 1 AS INT)] ||
+                   '/doc/' || doc_id::VARCHAR AS url
+            FROM documents),
+          h AS (SELECT doc_id, url,
+                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+                FROM u),
+          d AS (SELECT doc_id, url, host, string_split(host, '.') AS ls FROM h),
+          r AS (SELECT doc_id, url, host,
+                       CASE WHEN len(ls) <= 2 THEN host
+                            WHEN list_contains([$psl], ls[-2] || '.' || ls[-1])
+                              THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                            ELSE ls[-2] || '.' || ls[-1] END AS domain
+                FROM d)
+          SELECT doc_id, url, host, domain FROM r
+          WHERE domain NOT IN ('src1.com', 'src4.com.au', 'src7.co.uk', 'src10.org')"""
+    },
+
     "text_fingerprint" ->
       s"""WITH d AS ($DOCS_TOKS),
           shd AS (SELECT doc_id, $SHINGLES AS sh FROM d)

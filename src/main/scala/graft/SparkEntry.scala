@@ -522,6 +522,35 @@ object SparkEntry {
         col("n_stopwords").cast("long").as("n_stopwords"),
         col("n_punct").cast("long").as("n_punct"), col("stop_permille"))
 
+  private def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(t(spark, dir, "documents"))
+
+  private def qParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.paragraphDedup(t(spark, dir, "documents"))
+
+  /** URL/domain blocklist filter. The synthetic corpus carries no URLs,
+    * so the query synthesizes one per document deterministically from
+    * (source, doc_id) — mixing plain and multi-part-suffix TLDs and an
+    * occasional `www.` — then drops documents whose registrable domain
+    * is blocklisted. The DuckDB twin builds the identical URLs.
+    */
+  private def qUrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val suffixes = Seq("com", "co.uk", "org", "com.au")
+    val url = concat(
+      lit("https://"),
+      when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+      col("source"), lit("."),
+      element_at(typedLit(suffixes), (col("doc_id") % 4 + 1).cast("int")),
+      lit("/doc/"), col("doc_id").cast("string"))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+    val blocklist = Seq("src1.com", "src4.com.au", "src7.co.uk", "src10.org")
+      .toDF("domain")
+    UrlOps.filterByBlocklist(docs, "url", blocklist)
+      .select(col("doc_id"), col("url"), col("host"), col("domain"))
+  }
+
   private def qBpeish(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeishCount(t(spark, dir, "documents"))
       .select(col("doc_id"), col("n_bpeish").cast("long").as("n_bpeish"))
@@ -988,6 +1017,9 @@ object SparkEntry {
     "text_token_stats" -> (qTokenStats _),
     "text_lang_id" -> (qLangId _),
     "text_quality_score" -> (qQuality _),
+    "text_lm_score" -> (qLmScore _),
+    "paragraph_dedup" -> (qParagraphDedup _),
+    "url_filter" -> (qUrlFilter _),
     "text_bpeish_count" -> (qBpeish _),
     "text_fingerprint" -> (qFingerprint _),
     "text_repetition" -> (qRepetition _),
@@ -1042,7 +1074,8 @@ object SparkEntry {
     "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
     "simhash_signature", "simhash_band_pairs", "ngram_jaccard_pairs",
     "text_token_stats",
-    "text_lang_id", "text_quality_score", "text_bpeish_count",
+    "text_lang_id", "text_quality_score", "text_lm_score",
+    "paragraph_dedup", "url_filter", "text_bpeish_count",
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
     "cosine_dup_pairs",

@@ -517,6 +517,106 @@ object TextAnalysis {
       floor(lit(1000) * nStop / nTok).cast("long").as("stop_permille"))
   }
 
+  /** N-gram LM quality score: a log-frequency perplexity proxy from a
+    * bigram model trained on the corpus ITSELF (the standard
+    * quality-filter trick when no external LM is available — fluent text
+    * repeats the corpus's common transitions; gibberish bigrams are
+    * singletons). Per doc: `avg over bigrams of ln(c(w1 w2) / N)` with
+    * `N` = total corpus bigram count — the UNCONDITIONAL frequency, not
+    * the conditional `c2/c1` MLE, which degenerates to P=1 on a
+    * self-trained model for any unique sequence and would score
+    * gibberish as perfectly fluent. Emitted in micro-nats
+    * (engine-independent `floor(x*1e6 + 0.5)` fixed point).
+    *
+    * Plan shape at 100 TB: bigram explode is narrow; model counts are
+    * ONE partial-agg shuffle keyed on the bigram; scoring joins shuffle
+    * keyed on bigram then doc_id — all linear, the vocabulary is never
+    * collected or broadcast (the lone scalar N arrives by broadcast).
+    * The per-doc fold runs over a list sorted by the exact INTEGER
+    * count, so the double summation order is engine-deterministic.
+    */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigramCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val total = bigramCounts.agg(sum(col("c2")).as("n_total"))
+    bigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("c2"))).as("cs"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_bigrams"),
+        floor((expr("aggregate(cs, 0D, (acc, x) -> acc + ln(x))")
+            / size(col("cs")) - log(col("n_total").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("long")
+          .as("avg_logprob_micro"))
+  }
+
+  /** Documents exploded into fixed-token-window "paragraphs" (the
+    * corpus has no structural newlines, so windows stand in for
+    * paragraphs exactly like [[Chunking.chunk]]'s char windows — on
+    * real data swap in a `split(text, "\n\n")` explode). Narrow: no
+    * shuffle, pipelines into whatever consumes it. A paragraph relation
+    * composes directly with the doc-level dedup stack —
+    * `Dedup.minhashPairs(paragraphs(...).withColumnRenamed(...))` gives
+    * near-dup paragraph pairs.
+    */
+  def paragraphs(
+      docs: DataFrame,
+      parTokens: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(parTokens > 0, "parTokens must be positive")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("nw",
+        ceil(size(col("toks")).cast("double") / parTokens).cast("int"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), greatest(col("nw") - 1, lit(0))),
+        i => concat_ws(" ",
+          slice(col("toks"), i * parTokens + 1, lit(parTokens)))))
+        .as(Seq("par_idx", "paragraph")))
+  }
+
+  /** Paragraph-level exact dedup (the C4/RefinedWeb-style span dedup):
+    * per document, the fraction of its fixed-token-window paragraphs
+    * whose content hash appears more than once ANYWHERE in the corpus.
+    * Plan at 100 TB: narrow paragraph explode → md5 so the shuffle key
+    * is 32 bytes regardless of paragraph length → ONE partial-agg
+    * shuffle keyed on the hash for global frequencies → join back keyed
+    * the same → per-doc regroup. Linear, no broadcast of anything
+    * corpus-sized.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      parTokens: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pars = paragraphs(docs, parTokens, idCol, textCol)
+      .select(col("doc_id"), md5(col("paragraph")).as("h"))
+    val freq = pars.groupBy("h").agg(count(lit(1)).as("freq"))
+    pars.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("freq") > 1, 1L).otherwise(0L)).as("n_dup_paragraphs"))
+      .select(col("doc_id"), col("n_paragraphs"), col("n_dup_paragraphs"),
+        floor(lit(1000) * col("n_dup_paragraphs") / col("n_paragraphs"))
+          .cast("long").as("dup_permille"))
+  }
+
   /** BPE-ish token count: letter runs, digit runs, single symbols. */
   def bpeishCount(docs: DataFrame): DataFrame =
     docs.select(

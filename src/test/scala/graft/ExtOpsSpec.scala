@@ -327,6 +327,69 @@ class ExtOpsSpec extends SparkSpec {
     assert(auto == fixed)
   }
 
+  test("bigram LM score ranks fluent repetition above gibberish") {
+    import spark.implicits._
+    // "the cat sat" repeated => every bigram transition is common;
+    // the gibberish doc's bigrams are singletons => far lower avg logprob
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "zq wv xj kp qn mz"),
+      (4L, "one")).toDF("doc_id", "text") // single token: no bigrams
+    val scored = TextAnalysis.lmScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!scored.contains(4L)) // <2 tokens: excluded
+    assert(scored(1L)._1 == 8 && scored(2L)._1 == 5 && scored(3L)._1 == 5)
+    // repetitive doc scores strictly higher (closer to 0) than gibberish
+    assert(scored(1L)._2 > scored(3L)._2)
+    assert(scored(2L)._2 > scored(3L)._2)
+    // scores are log-probabilities: never positive
+    assert(scored.values.forall(_._2 <= 0))
+    // deterministic across runs (sorted fold)
+    val again = TextAnalysis.lmScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == scored)
+  }
+
+  test("paragraph dedup flags shared windows across documents") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$shared unique one two three four five six seven eight"),
+      (2L, s"$shared other words here that do not repeat at all"),
+      (3L, "entirely different content with no shared windows anywhere ok"))
+      .toDF("doc_id", "text")
+    val d = TextAnalysis.paragraphDedup(docs, parTokens = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // docs 1 and 2 share their first 10-token window; doc 3 shares none
+    assert(d(1L) == ((2L, 1L, 500L)), d.toString)
+    assert(d(2L) == ((2L, 1L, 500L)), d.toString)
+    assert(d(3L)._2 == 0L && d(3L)._3 == 0L)
+    // paragraphs compose with the near-dup stack: the paragraph relation
+    // has one row per (doc, window)
+    assert(TextAnalysis.paragraphs(docs, 10).count() == 5)
+  }
+
+  test("url filter extracts hosts, psl-aware domains, and drops blocklisted") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://news.bbc.co.uk/story/1"),     // multi-part suffix
+      (2L, "http://www.example.com/a?b=c"),
+      (3L, "https://blocked.org/x"),
+      (4L, "https://sub.deep.blocked.org/y"),     // subdomain of blocked
+      (5L, "https://keep.net:8080/z"),            // port excluded from host
+      (6L, "not a url at all"))
+      .toDF("doc_id", "url")
+    val kept = UrlOps.filterByBlocklist(rows, "url", Seq("blocked.org").toDF("domain"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("host"), r.getAs[String]("domain"))).toMap
+    assert(!kept.contains(3L) && !kept.contains(4L))
+    assert(kept(1L) == (("news.bbc.co.uk", "bbc.co.uk")))
+    assert(kept(2L) == (("www.example.com", "example.com")))
+    assert(kept(5L) == (("keep.net", "keep.net")))
+    assert(kept(6L) == (("", ""))) // non-URLs pass through, unannotated
+  }
+
   test("centroidsK row-count hint yields identical centroids, no count job") {
     // ParquetMeta reads footers only (pure hadoop-fs + parquet-mr on the
     // driver — it cannot launch a Spark job by construction) and must
