@@ -285,6 +285,72 @@ final case class GraftDescribeTableCommand(
   }
 }
 
+/** `SHOW CREATE TABLE graft.`path`` — executable DDL reconstructed from
+  * the commit-log snapshot: columns (with comments), partitioning, and
+  * the carried-forward table properties. `graft.colmap.*` entries are
+  * omitted — they record the PHYSICAL names of renamed columns in THIS
+  * table's existing files; a fresh table created from the DDL writes
+  * its files under the logical names and must not inherit them.
+  */
+final case class GraftShowCreateTableCommand(
+    path: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = GraftTable(spark, path)
+    val snap = table.snapshot()
+    val props = table.log.tableProperties()
+      .filterNot(_._1.startsWith(graft.io.ColumnMapping.Prefix))
+    def q(s: String) = s"`${s.replace("`", "``")}`"
+    val cols = snap.schema.map { f =>
+      val comment = f.getComment()
+        .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
+      s"  ${q(f.name)} ${f.dataType.sql}$comment"
+    }.mkString(",\n")
+    val parts =
+      if (snap.partitionColumns.isEmpty) ""
+      else snap.partitionColumns.map(q).mkString("\nPARTITIONED BY (", ", ", ")")
+    val tblProps =
+      if (props.isEmpty) ""
+      else props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    Seq(Row(s"CREATE TABLE graft.${q(path)} (\n$cols)\nUSING graft$parts$tblProps\n"))
+  }
+}
+
+/** `CREATE TABLE graft.`path` (cols) [PARTITIONED BY ...]
+  * [TBLPROPERTIES ...]` — a v0 schema-only commit at the path (no data
+  * files), the target of SHOW CREATE TABLE round-trips and the
+  * path-table analog of the catalog route's CREATE TABLE.
+  */
+final case class GraftCreateTableCommand(
+    path: String,
+    tableSchema: org.apache.spark.sql.types.StructType,
+    partitionCols: Seq[String],
+    props: Map[String, String],
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (GraftTable.exists(spark, path)) {
+      if (ifNotExists) return Seq(Row(GraftTable(spark, path).version()))
+      throw new IllegalStateException(s"graft table already exists at $path")
+    }
+    props.keys.foreach { k =>
+      require(k.startsWith(graft.log.CommitLog.ReservedPrefix),
+        s"only ${graft.log.CommitLog.ReservedPrefix}* table properties " +
+          s"persist across commits; got '$k'")
+    }
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), tableSchema)
+    Seq(Row(GraftWriter.write(spark, empty, path,
+      graft.io.WriteOptions(
+        mode = graft.io.WriteMode.ErrorIfExists,
+        partitionBy = partitionCols,
+        metadata = props))))
+  }
+}
+
 /** `SHOW COLUMNS FROM graft.`path``. */
 final case class GraftShowColumnsCommand(
     path: String,
@@ -547,6 +613,31 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         graftTablePath(s.table) match {
           case Some(p) => GraftShowPartitionsCommand(p, s.output)
           case None    => s
+        }
+      case s: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
+        graftTablePath(s.child) match {
+          case Some(p) => GraftShowCreateTableCommand(p, s.output)
+          case None    => s
+        }
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable =>
+        graftTablePath(c.name) match {
+          case Some(p) =>
+            val partCols = c.partitioning.map {
+              case t if t.name == "identity" && t.references.length == 1 =>
+                t.references.head.fieldNames.mkString(".")
+              case other => throw new UnsupportedOperationException(
+                s"graft path tables support identity partitioning only, got $other")
+            }
+            val props = c.tableSpec match {
+              case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+                u.properties
+              case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
+                t.properties
+              case _ => Map.empty[String, String]
+            }
+            GraftCreateTableCommand(
+              p, c.tableSchema, partCols, props, c.ignoreIfExists)
+          case None => c
         }
 
       // plain read context (`SELECT ... FROM graft.`path``): substitute
