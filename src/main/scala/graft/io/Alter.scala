@@ -76,6 +76,28 @@ object Alter {
     addCols.foreach { case (name, dt, comment) =>
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column $name already exists")
+      val allProps = table.log.tableProperties() ++ mapProps
+      val mapping = ColumnMapping.fromProps(allProps)
+      val lower = name.toLowerCase(java.util.Locale.ROOT)
+      // data files are keyed by PHYSICAL name: a new column whose name
+      // matches a live column's physical name (e.g. ADD COLUMN a after
+      // RENAME a->b) would create two physical-'a' fields and make the
+      // table unreadable — mirror Delta's physical-name uniqueness rule
+      val livePhys = schema.fieldNames.map(f =>
+        ColumnMapping.physicalName(mapping, f).toLowerCase(java.util.Locale.ROOT)).toSet
+      require(!livePhys.contains(lower),
+        s"column $name collides with the physical name of an existing " +
+          "column (data files are keyed by physical name)")
+      // a DROPPED column's physical name still lives in old data files:
+      // map the re-added column to a fresh physical identity so it reads
+      // as null from pre-drop files instead of resurrecting dead data
+      val dropped = ColumnMapping.droppedPhysicals(allProps)
+      if (dropped.contains(lower)) {
+        var n = 1
+        while (livePhys.contains(s"${lower}_$n") ||
+            dropped.contains(s"${lower}_$n")) n += 1
+        mapProps += ColumnMapping.key(name) -> s"${name}_$n"
+      }
       val f = StructField(name, dt, nullable = true)
       schema = StructType(schema.fields :+
         comment.map(f.withComment).getOrElse(f))
@@ -88,6 +110,14 @@ object Alter {
       require(!snap.partitionColumns.exists(_.equalsIgnoreCase(name)),
         s"cannot drop partition column $name")
       requireNoConstraintOn(table, name, "drop")
+      // the mapping dies with the column (a later ADD of the same name
+      // must NOT inherit it), and the orphaned physical name is
+      // tombstoned so re-adds get a fresh physical identity
+      val mapping = ColumnMapping.fromProps(
+        table.log.tableProperties() ++ mapProps)
+      val physical = ColumnMapping.physicalName(mapping, name)
+      mapProps += ColumnMapping.key(name) -> ""
+      mapProps += ColumnMapping.dropKey(physical) -> "1"
       schema = StructType(
         schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
       require(schema.nonEmpty, "cannot drop the last column")

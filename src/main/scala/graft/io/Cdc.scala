@@ -34,15 +34,24 @@ object Cdc {
   /** Write `changes` (data columns + `_change_type`) as this commit's
     * change files and return their actions. Paths are relative to the
     * table root, like add actions.
+    *
+    * Change files are staged under PHYSICAL column names (like data
+    * files — [[ColumnMapping.toPhysical]]): files written before and
+    * after a RENAME COLUMN then carry the SAME names, so one
+    * mapping-aware projection at read time covers every generation of a
+    * `tableChanges` range.
     */
   def writeChangeFiles(
       spark: SparkSession,
       path: String,
       changes: DataFrame,
       compression: String = "zstd"): Seq[AddFile] = {
+    val mapping = ColumnMapping.fromProps(
+      new CommitLog(path, spark.sessionState.newHadoopConf()).tableProperties())
     val sub = s"$Dir/${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
     val dest = new Path(path, sub)
-    changes.write.option("compression", compression).parquet(dest.toString)
+    ColumnMapping.toPhysical(changes, mapping)
+      .write.option("compression", compression).parquet(dest.toString)
     val conf = spark.sessionState.newHadoopConf()
     val fs = dest.getFileSystem(conf)
     fs.listStatus(dest).toSeq

@@ -35,6 +35,28 @@ object ColumnMapping {
 
   def key(logical: String): String = Prefix + logical.toLowerCase(Locale.ROOT)
 
+  /** `graft.coldrop.<physical-lowercased>` = "1": tombstone for a
+    * physical column name that historical data files still carry after
+    * its logical column was dropped. ADD COLUMN consults these so a
+    * re-added column of the same name gets a FRESH physical identity —
+    * otherwise pre-drop files would resurrect the dropped column's data
+    * under the new column (silent wrong data, garbage if the type
+    * changed).
+    */
+  val DropPrefix: String = CommitLog.ReservedPrefix + "coldrop."
+
+  def dropKey(physical: String): String =
+    DropPrefix + physical.toLowerCase(Locale.ROOT)
+
+  /** Lowercased physical names of dropped columns still present in
+    * historical files.
+    */
+  def droppedPhysicals(props: Map[String, String]): Set[String] =
+    props.collect {
+      case (k, v) if k.startsWith(DropPrefix) && v.nonEmpty =>
+        k.stripPrefix(DropPrefix)
+    }.toSet
+
   /** logical(lowercased) → physical, from carried-forward properties. */
   def fromProps(props: Map[String, String]): Map[String, String] =
     props.collect {

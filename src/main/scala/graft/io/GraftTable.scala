@@ -281,12 +281,28 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     def align(df: DataFrame): DataFrame =
       Schemas.padTo(df, toSnap.schema)
         .select(toSnap.schema.map(f => col(f.name)) :+ col(cc): _*)
+    // change files carry PHYSICAL column names (like data files) —
+    // project them back to the target snapshot's logical names; columns
+    // of since-dropped fields are discarded (align pads/selects the rest)
+    val mapping = ColumnMapping.fromSnapshot(toSnap)
+    val physToLogical = toSnap.schema.map(f =>
+      ColumnMapping.physicalName(mapping, f.name)
+        .toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
+    def logicalize(df: DataFrame): DataFrame =
+      df.select(df.columns.toIndexedSeq.flatMap { c =>
+        if (c == cc) Some(col(c))
+        else physToLogical.get(c.toLowerCase(java.util.Locale.ROOT))
+          .map(l => col(c).as(l))
+      }: _*)
     val parts = commits.flatMap { c =>
       if (c.cdc.nonEmpty)
-        Some(align(spark.read.parquet(
-          c.cdc.map(f => new Path(path, f.path).toString): _*)))
+        Some(align(logicalize(spark.read.parquet(
+          c.cdc.map(f => new Path(path, f.path).toString): _*))))
       else if (pureAppend(c))
-        Some(align(dfForFiles(snapshot(Some(c.version)), c.add)
+        // read through the TARGET snapshot: files of any generation carry
+        // physical names, so toSnap's mapping projects them to the range's
+        // output (logical) names even across renames
+        Some(align(dfForFiles(toSnap, c.add)
           .withColumn(cc, lit("insert"))))
       else if (metadataOnly(c)) None
       else {
@@ -294,8 +310,8 @@ final class GraftTable(val spark: SparkSession, val path: String) {
         val prev = snapshot(Some(c.version - 1))
         val prevByPath = prev.files.map(f => f.path -> f).toMap
         val removedFiles = c.remove.flatMap(r => prevByPath.get(r.path))
-        val added = alignData(dfForFiles(snapshot(Some(c.version)), c.add))
-        val removed = alignData(dfForFiles(prev, removedFiles))
+        val added = alignData(dfForFiles(toSnap, c.add))
+        val removed = alignData(dfForFiles(toSnap, removedFiles))
         Some(added.exceptAll(removed).withColumn(cc, lit("insert"))
           .unionByName(
             removed.exceptAll(added).withColumn(cc, lit("delete"))))
@@ -314,13 +330,11 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val fromPaths = fromSnap.files.map(_.path).toSet
     val toPaths = toSnap.files.map(_.path).toSet
     val addedRows = dfForFiles(toSnap, toSnap.files.filterNot(f => fromPaths(f.path)))
-    // align old rows to the current schema (evolution-added columns read
-    // as nulls, dropped columns are projected away)
-    val removed0 = dfForFiles(fromSnap, fromSnap.files.filterNot(f => toPaths(f.path)))
-    val removedRows = toSnap.schema.foldLeft(removed0) { (df, f) =>
-      if (df.columns.contains(f.name)) df
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(toSnap.schema.map(f => col(f.name)): _*)
+    // read old files through the TARGET snapshot too: data files carry
+    // physical names, so toSnap's mapping serves them under the current
+    // logical names even across renames; evolution-added columns read as
+    // nulls, dropped columns are projected away
+    val removedRows = dfForFiles(toSnap, fromSnap.files.filterNot(f => toPaths(f.path)))
     addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
       .unionByName(
         removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))

@@ -140,36 +140,50 @@ final class BranchingCoordinator(
       val removes = seed.toSeq.flatMap(_.files)
         .filterNot(f => borrowedAbs(abs(path, f.path)))
         .map(f => graft.log.RemoveFile(f.path))
-      val adds = fresh.map { f =>
-        val src = new Path(branch, f.path)
-        var rel = f.path
-        var dst = new Path(p, rel)
-        if (fs.exists(dst)) { // name collision with an existing main file
-          val segs = rel.split('/')
-          rel = (segs.dropRight(1) :+
-            s"${java.util.UUID.randomUUID()}-${segs.last}").mkString("/")
-          dst = new Path(p, rel)
+      // files renamed into main before the CAS commit are orphans if the
+      // commit (or a later rename) throws — track and delete them before
+      // re-raising, so each RetryingCoordinator attempt starts clean
+      // instead of leaking a batch of unreferenced files under main
+      val moved = scala.collection.mutable.ArrayBuffer[Path]()
+      try {
+        val adds = fresh.map { f =>
+          val src = new Path(branch, f.path)
+          var rel = f.path
+          var dst = new Path(p, rel)
+          if (fs.exists(dst)) { // name collision with an existing main file
+            val segs = rel.split('/')
+            rel = (segs.dropRight(1) :+
+              s"${java.util.UUID.randomUUID()}-${segs.last}").mkString("/")
+            dst = new Path(p, rel)
+          }
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"promote rename $src -> $dst failed")
+          moved += dst
+          f.copy(path = rel)
         }
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"promote rename $src -> $dst failed")
-        f.copy(path = rel)
+        mainLog.commit(
+          operation = "BRANCH PROMOTE",
+          mode = "branch",
+          schemaDdl = bSnap.schema.toDDL,
+          partitionColumns = bSnap.partitionColumns,
+          metadata = Map("promoted_from" -> branch.toString),
+          operationMetrics = Map(
+            "num_added_files" -> adds.size.toLong,
+            "num_removed_files" -> removes.size.toLong,
+            "num_output_rows" -> adds.map(_.numRecords).sum),
+          add = adds,
+          remove = removes,
+          // a commit that slipped in since the seed invalidates the net
+          // diff — fail the CAS and let RetryingCoordinator re-branch
+          expectedVersion = seed.map(_.version))
+      } catch {
+        case NonFatal(e) =>
+          moved.foreach { d =>
+            try fs.delete(d, false) catch { case NonFatal(_) => () }
+          }
+          throw e
       }
-      mainLog.commit(
-        operation = "BRANCH PROMOTE",
-        mode = "branch",
-        schemaDdl = bSnap.schema.toDDL,
-        partitionColumns = bSnap.partitionColumns,
-        metadata = Map("promoted_from" -> branch.toString),
-        operationMetrics = Map(
-          "num_added_files" -> adds.size.toLong,
-          "num_removed_files" -> removes.size.toLong,
-          "num_output_rows" -> adds.map(_.numRecords).sum),
-        add = adds,
-        remove = removes,
-        // a commit that slipped in since the seed invalidates the net
-        // diff — fail the CAS and let RetryingCoordinator re-branch
-        expectedVersion = seed.map(_.version))
     } finally {
       fs.delete(branch.getParent, true) // drop the branch
     }

@@ -147,6 +147,31 @@ class CdcSpec extends SparkSpec {
     assert(ch.size == 1)
   }
 
+  test("tableChanges range spanning a RENAME COLUMN serves renamed values") {
+    val p = freshTable("cdcren", cdf = true)                            // v0
+    Dml.update(spark, p, col("id") === 1L, Map("v" -> lit(11.0)))       // v1
+    spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN v TO amount")      // v2
+    Dml.update(spark, p, col("id") === 2L, Map("amount" -> lit(22.0)))  // v3
+    val tb = GraftTable(spark, p)
+    // pre-rename change files carry the physical name 'v'; the feed must
+    // surface their values under the current logical name, not nulls
+    val rows = tb.tableChanges(0, tb.version())
+      .select("id", "amount", Cdc.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows == Set(
+      (1L, 10.0, "update_preimage"), (1L, 11.0, "update_postimage"),
+      (2L, 20.0, "update_preimage"), (2L, 22.0, "update_postimage")))
+    // the non-CDF fallback diff path maps generations the same way
+    val p2 = freshTable("cdcren2", cdf = false)
+    Dml.update(spark, p2, col("id") === 1L, Map("v" -> lit(11.0)))
+    spark.sql(s"ALTER TABLE graft.`$p2` RENAME COLUMN v TO amount")
+    val tb2 = GraftTable(spark, p2)
+    val diff = tb2.tableChanges(0, tb2.version())
+      .select("id", "amount", Cdc.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(diff == Set((1L, 10.0, "delete"), (1L, 11.0, "insert")))
+  }
+
   test("cdc files live under _cdc and are invisible to scans and vacuum") {
     val p = freshTable("cdcv", cdf = true)
     Dml.delete(spark, p, col("id") === 1L)

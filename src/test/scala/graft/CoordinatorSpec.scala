@@ -144,6 +144,36 @@ class CoordinatorSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L, 2L, 7L))
   }
 
+  test("failed promotion rolls back already-renamed files (no orphans under main)") {
+    val p = tmpDir("branchorphan") + "/tbl"
+    GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
+    def dataFiles(): Set[String] = {
+      val root = new java.io.File(p)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(f => root.toPath.relativize(f.toPath).toString)
+        .filter(r => r.endsWith(".parquet") &&
+          !r.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+        .toSet
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      new BranchingCoordinator().coordinate(spark, p) { path =>
+        // foreign commit on MAIN invalidates the CAS after the branch
+        // files have already been renamed into the main root
+        GraftWriter.write(spark, Seq((7L, 7L)).toDF("a", "b"), p,
+          WriteOptions(mode = WriteMode.Append))
+        GraftWriter.write(spark, Seq((3L, 6L)).toDF("a", "b"), path,
+          WriteOptions(mode = WriteMode.Append))
+      }
+    }
+    // every physical file under main is referenced by some log entry —
+    // the promoted-then-rolled-back batch left nothing behind
+    val referenced = GraftTable(spark, p).log.versions()
+      .flatMap(v => GraftTable(spark, p).log.readCommit(v).add.map(_.path))
+      .toSet
+    assert(dataFiles().subsetOf(referenced))
+  }
+
   test("branching coordinator rejects writes that fail the gate, leaving main untouched") {
     val p = tmpDir("branchr") + "/tbl"
     GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))

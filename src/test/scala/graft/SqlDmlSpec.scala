@@ -292,6 +292,40 @@ class SqlDmlSpec extends SparkSpec {
     assert(e4.getMessage.contains("pricey"), e4.getMessage)
   }
 
+  test("rename/drop/re-add column never resurrects dropped data (colmap hygiene)") {
+    val p = freshTable("sqlcolmap")
+    spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN v TO amount")
+    // a new column named after a live column's PHYSICAL name would put
+    // two physical-'v' fields in the data files — rejected
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (v DOUBLE)")
+    }
+    assert(e.getMessage.contains("physical"), e.getMessage)
+    spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN amount")
+    // re-adding the renamed name must NOT inherit the stale colmap entry:
+    // pre-drop files (physical 'v') read as null under the new column
+    spark.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (amount DOUBLE)")
+    assert(spark.sql(s"SELECT amount FROM graft.`$p`").collect()
+      .forall(_.isNullAt(0)))
+    // the re-added column is fully writable/readable
+    spark.sql(s"UPDATE graft.`$p` SET amount = 1.5 WHERE id = 1")
+    assert(spark.sql(s"SELECT amount FROM graft.`$p` WHERE id = 1")
+      .head().getDouble(0) == 1.5)
+    assert(spark.sql(s"SELECT amount FROM graft.`$p` WHERE id = 2")
+      .head().isNullAt(0))
+    // plain drop→re-add (no rename involved): the dropped column's
+    // physical name is tombstoned, so the re-add maps to a fresh physical
+    // identity and old file generations read as null — even when the
+    // re-added type differs
+    spark.sql(s"ALTER TABLE graft.`$p` DROP COLUMN amount")
+    spark.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (amount STRING)")
+    assert(spark.sql(s"SELECT amount FROM graft.`$p`").collect()
+      .forall(_.isNullAt(0)))
+    spark.sql(s"UPDATE graft.`$p` SET amount = 'x' WHERE id = 3")
+    assert(spark.sql(s"SELECT amount FROM graft.`$p` WHERE id = 3")
+      .head().getString(0) == "x")
+  }
+
   test("data skipping stays sharp across a rename (stats keyed physically)") {
     import spark.implicits._
     val p = tmpDir("sqlrenskip")
