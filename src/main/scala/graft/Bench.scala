@@ -52,12 +52,22 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      (name, times(times.length / 2), times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    // Contamination guard: back-to-back medians share machine-load
+    // spikes (r7's 26s dedup_clusters ghost, r8's 19.9s text_repetition
+    // that re-measured 0.71s). A median more than 3x the same run's min
+    // is load, not code — the min was the same binary on the same data
+    // seconds apart. Flag those so regressions can be discounted.
+    val noisy = results.collect {
+      case (k, med, mn) if mn > 0 && med / mn > 3.0 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"median"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_queries":$mins,"noisy":$noisy,"sf":"$sfDir","runs":$runs,"agg":"median"}""")
     spark.stop()
   }
 }

@@ -34,11 +34,12 @@ object OracleSql {
   private def simE6(a: String, b: String) =
     s"CAST(round((${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) * 1000000) AS BIGINT)"
 
-  /** Shared MinHash CTE chain (16 perms, 4 rows/band) ending in a
-    * `bands` relation — reused by the LSH pair query and the LSH-first
-    * Jaccard verify.
+  /** Shared MinHash CTE chain (16 perms, 4 rows/band) over `docsToks`
+    * (a `SELECT doc_id, ... AS toks` source), ending in a `bands`
+    * relation — reused by the LSH pair query, the LSH-first Jaccard
+    * verify, and the capped-pairs fixture.
     */
-  private val minhashCtes: String = {
+  private def minhashCtesFrom(docsToks: String): String = {
     val perms = 16
     val rowsPerBand = 4
     val P = graft.ext.TextOps.MersennePrime31
@@ -52,7 +53,7 @@ object OracleSql {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_id, md5($key) AS band_key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""d AS ($DOCS_TOKS),
+    s"""d AS ($docsToks),
         shd AS (SELECT doc_id, $SHINGLES AS sh FROM d),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM shd),
         hh AS (SELECT doc_id,
@@ -62,6 +63,8 @@ object OracleSql {
         bands AS ($bands)"""
   }
 
+  private val minhashCtes: String = minhashCtesFrom(DOCS_TOKS)
+
   private val minhashPairsSelect =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM bands a JOIN bands b
@@ -69,6 +72,33 @@ object OracleSql {
         AND a.doc_id < b.doc_id"""
 
   private val minhashSql: String = s"WITH $minhashCtes $minhashPairsSelect"
+
+  /** Boilerplate text shared by every 5th document in the hot-band-cap
+    * fixture — kept in lockstep with `SparkEntry.qMinhashCappedPairs`,
+    * which references this constant.
+    */
+  val CappedBoilerplate: String =
+    "the quick brown fox jumps over the lazy dog again and again today"
+
+  /** Capped LSH pairs over the duplicate-heavy fixture: bands with more
+    * than 50 member docs are dropped before the pair join, modeling
+    * `Dedup.minhashPairs(maxDocsPerBand = 50)` exactly.
+    */
+  private val minhashCappedSql: String = {
+    val fixture = "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN '" +
+      CappedBoilerplate + "' ELSE text END AS text FROM documents"
+    s"""WITH ${minhashCtesFrom(s"SELECT doc_id, $TOKS AS toks FROM ($fixture)")},
+        freq AS (SELECT band_id, band_key, count(*) AS c
+                 FROM bands GROUP BY band_id, band_key),
+        kept AS (SELECT b.doc_id, b.band_id, b.band_key
+                 FROM bands b JOIN freq f
+                   ON b.band_id = f.band_id AND b.band_key = f.band_key
+                 WHERE f.c <= 50)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id"""
+  }
 
   private val simhashSql: String = {
     val bits = (0 until 64).map { b =>
@@ -505,6 +535,8 @@ object OracleSql {
          WHERE rn = 1""",
 
     "minhash_lsh_pairs" -> minhashSql,
+
+    "minhash_capped_pairs" -> minhashCappedSql,
 
     "simhash_signature" -> simhashSql,
 

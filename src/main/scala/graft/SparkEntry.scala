@@ -247,21 +247,33 @@ object SparkEntry {
     * within tolerance of the exact count. The exact counterpart is
     * q10_distinct_agg.
     */
-  private def q18ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-        countDistinct(col("l_partkey")).as("ep"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-        countDistinct(col("l_orderkey")).as("eo"))
-      // the sketch itself is engine-specific, so the oracle-checkable
-      // contract is the ACCURACY BOUND: each group's HLL++ estimate lands
-      // within 5% (2.5 sigma at rsd 0.02; deterministic for fixed input)
-      // of the exact count — DuckDB's twin emits literal `true`s
+  private def q18ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_partkey", "l_orderkey")
+    // Mixing countDistinct on TWO different columns into one agg plans a
+    // 4-way Expand (every fact row replicated ×4) — a ~9x regression at
+    // sf0.1 and a scale-killer at 100 TB. Instead: per key column, one
+    // two-phase pass — map-side partial dedup of (flag, key), then a
+    // 6-row agg computing BOTH the exact count and the HLL sketch.
+    // Feeding the sketch deduped rows is sound because HLL register
+    // updates are idempotent in the value: the estimate is bit-identical
+    // to the one over the raw multiset.
+    def pass(key: String, ap: String, ep: String) =
+      li.select(col("l_returnflag"), col(key)).distinct()
+        .groupBy("l_returnflag").agg(
+          approx_count_distinct(col(key), 0.02).as(ap),
+          count(lit(1)).as(ep))
+    // the sketch itself is engine-specific, so the oracle-checkable
+    // contract is the ACCURACY BOUND: each group's HLL++ estimate lands
+    // within 5% (2.5 sigma at rsd 0.02; deterministic for fixed input)
+    // of the exact count — DuckDB's twin emits literal `true`s. The
+    // join is over 3-row aggregates (broadcast, no shuffle).
+    pass("l_partkey", "ap", "ep")
+      .join(pass("l_orderkey", "ao", "eo"), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         (abs(col("ap") - col("ep")) <= col("ep") * 0.05).as("parts_within_tol"),
         (abs(col("ao") - col("eo")) <= col("eo") * 0.05).as("orders_within_tol"))
+  }
 
   /** Bucketed equi-join through real co-located graft tables: the
     * bucket-wise union-of-joins plan must equal the plain join (the
@@ -493,6 +505,20 @@ object SparkEntry {
 
   private def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(spark, dir, "documents"))
+
+  /** Hot-band cap under a degenerate corpus: every 5th doc becomes the
+    * same boilerplate text, so its 4 LSH bands each collect ~n/5 docs —
+    * far past the cap — and are dropped, while organic near-dup pairs
+    * keep pairing through their untouched bands. The DuckDB twin models
+    * the cap exactly (band frequency filter), so this hash-checks the
+    * guard's semantics, not just its pruning.
+    */
+  private def qMinhashCappedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = t(spark, dir, "documents").withColumn("text",
+      when(col("doc_id") % 5 === 0, lit(OracleSql.CappedBoilerplate))
+        .otherwise(col("text")))
+    Dedup.minhashPairs(fixture, maxDocsPerBand = 50)
+  }
 
   private def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(spark, dir, "documents"))
@@ -1011,6 +1037,7 @@ object SparkEntry {
     "dedup_exact" -> (qDedupExact _),
     "dedup_latest" -> (qDedupLatest _),
     "minhash_lsh_pairs" -> (qMinhashPairs _),
+    "minhash_capped_pairs" -> (qMinhashCappedPairs _),
     "simhash_signature" -> (qSimhash _),
     "simhash_band_pairs" -> (qSimhashPairs _),
     "ngram_jaccard_pairs" -> (qNgramJaccard _),

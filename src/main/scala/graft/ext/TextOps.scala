@@ -133,14 +133,37 @@ object Dedup {
   }
 
   /** Near-duplicate candidate pairs: docs sharing any LSH band. The only
-    * shuffle is the self-equi-join on (band_id, band_key); Catalyst plans
-    * it as a hash join keyed on the band, so cost is Σ bucket² — linear
-    * for non-degenerate corpora.
+    * wide shuffle is the self-equi-join on (band_id, band_key); Catalyst
+    * plans it as a hash join keyed on the band, so cost is Σ bucket² —
+    * linear once degenerate bands are capped (below).
     */
-  def minhashPairs(docs: DataFrame, perms: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val b = minhashBands(docs, perms, rowsPerBand)
-    val a = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-    val c = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+  def minhashPairs(
+      docs: DataFrame,
+      perms: Int = 16,
+      rowsPerBand: Int = 4,
+      maxDocsPerBand: Int = 500): DataFrame = {
+    // Materialize the band relation ONCE (eager localCheckpoint): the
+    // self-join references it twice, and without materialization each
+    // side re-runs the whole shingle→md5→permute→min pipeline — a second
+    // full corpus-hash pass at 100 TB (same fix as components()).
+    val b = minhashBands(docs, perms, rowsPerBand).localCheckpoint(eager = true)
+    // Hot-band guard: a degenerate band key (boilerplate pages at web
+    // scale) turns the band self-join quadratic in that bucket. Bands
+    // with more than `maxDocsPerBand` members are dropped wholesale —
+    // they carry near-zero LSH signal, and docs that truly match still
+    // pair through their other, informative bands. The hot list holds
+    // degenerate keys only, so it is tiny: materialize it and anti-join
+    // by broadcast — one partial-aggregated count plus a narrow join,
+    // no extra wide shuffle, and worst-case join work is bounded by
+    // O(#bands · maxDocsPerBand²) regardless of corpus degeneracy.
+    val hot = b.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxDocsPerBand)
+      .select("band_id", "band_key")
+      .localCheckpoint(eager = true)
+    val kept = b.join(broadcast(hot), Seq("band_id", "band_key"), "left_anti")
+    val a = kept.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val c = kept.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
     a.join(c, Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -387,18 +410,27 @@ object Dedup {
     val sigs = simhash(docs, idCol, textCol)
     val chunks = array((0 until 4).map(b =>
       substring(col("simhash"), b * 16 + 1, 16)): _*)
+    // Materialize the banded relation ONCE — the self-join below
+    // references it twice, and each side would otherwise re-run the full
+    // simhash pipeline (explode + md5 + lane-packed agg) over the corpus.
+    val banded = sigs
+      .select(col(idCol), col("simhash"),
+        posexplode(chunks).as(Seq("band_id", "chunk")))
+      .localCheckpoint(eager = true)
     // Degenerate-bucket guard: a chunk value shared by b docs yields
     // O(b²) candidates; buckets above `maxBucket` are dropped (hot
     // buckets carry near-zero LSH signal — they mean the chunk is
     // uninformative for this corpus). This bounds worst-case work to
-    // O(#buckets · maxBucket²) regardless of corpus degeneracy.
-    val bands = sigs
-      .select(col(idCol), col("simhash"),
-        posexplode(chunks).as(Seq("band_id", "chunk")))
-      .withColumn("__bn", count(lit(1)).over(
-        Window.partitionBy("band_id", "chunk")))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // O(#buckets · maxBucket²) regardless of corpus degeneracy. The hot
+    // list is tiny (degenerate chunks only): materialize + broadcast
+    // anti-join instead of a window count, so the guard adds no wide
+    // shuffle over band rows.
+    val hot = banded.groupBy("band_id", "chunk")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket)
+      .select("band_id", "chunk")
+      .localCheckpoint(eager = true)
+    val bands = banded.join(broadcast(hot), Seq("band_id", "chunk"), "left_anti")
     val a = bands.select(col("band_id"), col("chunk"),
       col(idCol).as("doc_a"), col("simhash").as("sa"))
     val b = bands.select(col("band_id"), col("chunk"),

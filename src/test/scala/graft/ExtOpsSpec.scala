@@ -39,6 +39,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(exactDups.subsetOf(pairs))
   }
 
+  test("hot-band cap prunes degenerate bands but keeps organically-banded pairs") {
+    import spark.implicits._
+    // 60 boilerplate clones (every band degenerate) + one organic
+    // near-dup pair + one unrelated doc
+    val boiler = "spam spam spam spam spam spam spam spam spam spam"
+    val organic = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2000L, "one two three four five six seven eight nine ten"))
+    val d = ((0L until 60L).map(i => (i, boiler)) ++ organic)
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashPairs(d, maxDocsPerBand = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashPairs(d, maxDocsPerBand = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dropping bands can only remove candidates, never invent them
+    assert(capped.subsetOf(uncapped))
+    // the 60-doc boilerplate bands (60 > 50) are gone: the cap pruned
+    // all 60*59/2 quadratic pairs
+    assert(uncapped.size == 60 * 59 / 2 + 1)
+    assert(!capped.exists { case (a, b) => a < 60L && b < 60L })
+    // pairs whose bands stayed under the cap survive untouched
+    assert(capped == Set((1000L, 1001L)))
+  }
+
   test("simhash: identical docs agree; signature is 64 bits") {
     val s = Dedup.simhash(docs)
     assert(s.filter(length(col("simhash")) =!= 64).count() == 0)
