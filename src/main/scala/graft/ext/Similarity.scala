@@ -326,8 +326,12 @@ object Similarity {
       .drop("__qz")
   }
 
-  /** IVF top-k: probe only the query's own cell. Trades recall for a
-    * |cell|/|corpus| reduction in comparisons.
+  /** IVF top-k: each query probes its `nprobe` nearest cells. nprobe=1
+    * trades recall for a |cell|/|corpus| reduction in comparisons;
+    * higher values recover the boundary-vector misses (a query sitting
+    * between two cells whose true neighbor landed on the other side)
+    * at nprobe× the candidate volume — still confined to cells, never
+    * all-pairs.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -336,8 +340,9 @@ object Similarity {
       numCentroids: Int = 32,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      rowCountHint: Option[Long] = None): DataFrame =
+      rowCountHint: Option[Long] = None,
+      nprobe: Int = 1): DataFrame =
     ivfTopKWith(corpus,
       centroidsK(corpus, numCentroids, idCol, vecCol, rowCountHint),
-      queryPred, k, idCol, vecCol)
+      queryPred, k, idCol, vecCol, nprobe)
 }

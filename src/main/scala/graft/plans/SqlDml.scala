@@ -294,13 +294,20 @@ final case class GraftDescribeTableCommand(
   */
 final case class GraftShowCreateTableCommand(
     path: String,
-    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute],
+    /** Rendered table name: `graft.`path`` for path targets, the full
+      * `cat.ns.tbl` for catalog targets — so the emitted DDL executes
+      * against the same route it was read from.
+      */
+    displayName: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val table = GraftTable(spark, path)
     val snap = table.snapshot()
     val props = table.log.tableProperties()
       .filterNot(_._1.startsWith(graft.io.ColumnMapping.Prefix))
+      .filterNot(_._1.startsWith(graft.io.ColumnMapping.DropPrefix))
     def q(s: String) = s"`${s.replace("`", "``")}`"
+    val name = displayName.getOrElse(s"graft.${q(path)}")
     val cols = snap.schema.map { f =>
       val comment = f.getComment()
         .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
@@ -314,7 +321,7 @@ final case class GraftShowCreateTableCommand(
       else props.toSeq.sortBy(_._1)
         .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
         .mkString("\nTBLPROPERTIES (", ", ", ")")
-    Seq(Row(s"CREATE TABLE graft.${q(path)} (\n$cols)\nUSING graft$parts$tblProps\n"))
+    Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft$parts$tblProps\n"))
   }
 }
 
@@ -616,9 +623,31 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case s: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
         graftTablePath(s.child) match {
-          case Some(p) => GraftShowCreateTableCommand(p, s.output)
-          case None    => s
+          case Some(p) =>
+            val display = s.child match {
+              case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+                Some((r.catalog.name +: r.identifier.namespace :+ r.identifier.name)
+                  .map(part => s"`${part.replace("`", "``")}`").mkString("."))
+              case _ => None
+            }
+            GraftShowCreateTableCommand(p, s.output, display)
+          case None => s
         }
+      // ResolveSessionCatalog runs BEFORE extended resolution rules and
+      // converts `CREATE TABLE graft.`/p`` (...) USING graft` into the
+      // V1 logical ("graft" is not a registered catalog, so it reads as
+      // a session-catalog database) — intercept the converted form;
+      // without this the post-hoc V1 command calls
+      // GraftSource.createRelation with no path option and fails
+      case c: org.apache.spark.sql.execution.datasources.CreateTable
+          if c.tableDesc.identifier.database.exists(_.equalsIgnoreCase("graft")) &&
+            c.query.isEmpty =>
+        GraftCreateTableCommand(
+          c.tableDesc.identifier.table,
+          c.tableDesc.schema,
+          c.tableDesc.partitionColumnNames,
+          c.tableDesc.properties,
+          c.mode == org.apache.spark.sql.SaveMode.Ignore)
       case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable =>
         graftTablePath(c.name) match {
           case Some(p) =>

@@ -251,6 +251,22 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gcat.ns11.cons").head().getLong(0) == 4L)
   }
 
+  test("SHOW CREATE TABLE on catalog names renders executable DDL") {
+    seed("ns9", "show_src")
+    spark.sql("ALTER TABLE gcat.ns9.show_src SET TBLPROPERTIES ('graft.cdf'='true')")
+    val ddl = spark.sql("SHOW CREATE TABLE gcat.ns9.show_src").head().getString(0)
+    assert(ddl.startsWith("CREATE TABLE `gcat`.`ns9`.`show_src`"), ddl)
+    assert(ddl.contains("'graft.cdf' = 'true'"), ddl)
+    // executes against the catalog route and reproduces the shape
+    spark.sql(ddl.replace("`show_src`", "`show_clone`"))
+    val src = GraftTable(spark, s"$root/ns9/show_src").snapshot()
+    val clone = GraftTable(spark, s"$root/ns9/show_clone").snapshot()
+    assert(clone.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(GraftTable(spark, s"$root/ns9/show_clone").log.tableProperties()
+      .get("graft.cdf").contains("true"))
+  }
+
   test("missing table errors cleanly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gcat.ns1.never_made").collect()

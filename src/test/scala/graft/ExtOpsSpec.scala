@@ -82,6 +82,12 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall > 0.1, s"IVF recall $recall suspiciously low")
     // IVF similarity values must agree with brute force where pairs overlap
     assert(ivf.nonEmpty)
+    // the ivfTopK entry point's nprobe fan-out can only add candidates:
+    // recall at nprobe=2 dominates the single-probe default
+    val ivf2 = Similarity.ivfTopK(embs, col("vec_id") < 8, 5, nprobe = 2)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = (brute intersect ivf2).size.toDouble / brute.size
+    assert(recall2 >= recall, s"nprobe=2 recall $recall2 < nprobe=1 $recall")
   }
 
   test("multimodal decode stub: deterministic, bounded dims, real payload length") {

@@ -292,6 +292,32 @@ class SqlDmlSpec extends SparkSpec {
     assert(e4.getMessage.contains("pricey"), e4.getMessage)
   }
 
+  test("SHOW CREATE TABLE emits executable round-trippable DDL") {
+    val p = freshTable("sqlshowcr")
+    spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('graft.cdf'='true')")
+    spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN v TO amount")
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$p`").head().getString(0)
+    assert(ddl.contains("PARTITIONED BY (`cat`)"), ddl)
+    assert(ddl.contains("'graft.cdf' = 'true'"), ddl)
+    // renamed columns surface under their LOGICAL name, and the colmap
+    // (physical names of THIS table's files) must not be inherited
+    assert(ddl.contains("`amount`"), ddl)
+    assert(!ddl.contains("colmap"), ddl)
+    // the DDL executes as-is against a fresh path and reproduces the
+    // table shape
+    val p2 = tmpDir("sqlshowcr2")
+    spark.sql(ddl.replace(s"graft.`$p`", s"graft.`$p2`"))
+    val (t1, t2) = (GraftTable(spark, p).snapshot(), GraftTable(spark, p2).snapshot())
+    assert(t2.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      t1.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(t2.partitionColumns == t1.partitionColumns)
+    assert(GraftTable(spark, p2).log.tableProperties()
+      .get("graft.cdf").contains("true"))
+    // and the clone's own SHOW CREATE TABLE is identical modulo path
+    val ddl2 = spark.sql(s"SHOW CREATE TABLE graft.`$p2`").head().getString(0)
+    assert(ddl2 == ddl.replace(s"graft.`$p`", s"graft.`$p2`"))
+  }
+
   test("rename/drop/re-add column never resurrects dropped data (colmap hygiene)") {
     val p = freshTable("sqlcolmap")
     spark.sql(s"ALTER TABLE graft.`$p` RENAME COLUMN v TO amount")
