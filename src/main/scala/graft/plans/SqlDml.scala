@@ -358,6 +358,37 @@ final case class GraftCreateTableCommand(
   }
 }
 
+/** `CREATE TABLE graft.`path`` [PARTITIONED BY ...] [TBLPROPERTIES ...]
+  * AS SELECT ...` — the path-route CTAS: create and populate in one v0
+  * commit (catalog names go through DSv2 CTAS in GraftCatalogRule).
+  */
+final case class GraftCreateTableAsSelectCommand(
+    path: String,
+    query: LogicalPlan,
+    partitionCols: Seq[String],
+    props: Map[String, String],
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (GraftTable.exists(spark, path)) {
+      if (ifNotExists) return Seq(Row(GraftTable(spark, path).version()))
+      throw new IllegalStateException(s"graft table already exists at $path")
+    }
+    props.keys.foreach { k =>
+      require(k.startsWith(graft.log.CommitLog.ReservedPrefix),
+        s"only ${graft.log.CommitLog.ReservedPrefix}* table properties " +
+          s"persist across commits; got '$k'")
+    }
+    Seq(Row(GraftWriter.write(spark,
+      GraftInternal.dfFromPlan(spark, query), path,
+      graft.io.WriteOptions(
+        mode = graft.io.WriteMode.ErrorIfExists,
+        partitionBy = partitionCols,
+        metadata = props))))
+  }
+}
+
 /** `SHOW COLUMNS FROM graft.`path``. */
 final case class GraftShowColumnsCommand(
     path: String,
@@ -641,13 +672,22 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       // GraftSource.createRelation with no path option and fails
       case c: org.apache.spark.sql.execution.datasources.CreateTable
           if c.tableDesc.identifier.database.exists(_.equalsIgnoreCase("graft")) &&
-            c.query.isEmpty =>
-        GraftCreateTableCommand(
-          c.tableDesc.identifier.table,
-          c.tableDesc.schema,
-          c.tableDesc.partitionColumnNames,
-          c.tableDesc.properties,
-          c.mode == org.apache.spark.sql.SaveMode.Ignore)
+            c.query.forall(_.resolved) =>
+        c.query match {
+          case Some(q) =>
+            GraftCreateTableAsSelectCommand(
+              c.tableDesc.identifier.table, q,
+              c.tableDesc.partitionColumnNames,
+              c.tableDesc.properties,
+              c.mode == org.apache.spark.sql.SaveMode.Ignore)
+          case None =>
+            GraftCreateTableCommand(
+              c.tableDesc.identifier.table,
+              c.tableDesc.schema,
+              c.tableDesc.partitionColumnNames,
+              c.tableDesc.properties,
+              c.mode == org.apache.spark.sql.SaveMode.Ignore)
+        }
       case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable =>
         graftTablePath(c.name) match {
           case Some(p) =>

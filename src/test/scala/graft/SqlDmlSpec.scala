@@ -292,6 +292,25 @@ class SqlDmlSpec extends SparkSpec {
     assert(e4.getMessage.contains("pricey"), e4.getMessage)
   }
 
+  test("CREATE TABLE graft.`path` AS SELECT (path-route CTAS)") {
+    val p = freshTable("sqlctas")
+    val p2 = tmpDir("sqlctas2")
+    spark.sql(s"""CREATE TABLE graft.`$p2` USING graft PARTITIONED BY (cat)
+      TBLPROPERTIES ('graft.cdf'='true')
+      AS SELECT id, cat, v FROM graft.`$p` WHERE v > 15.0""")
+    val t = GraftTable(spark, p2)
+    assert(t.toDf().count() == 4) // v in {20,30,40,50}
+    assert(t.snapshot().partitionColumns == Seq("cat"))
+    assert(t.log.tableProperties().get("graft.cdf").contains("true"))
+    // existing target: IF NOT EXISTS is a no-op, plain CTAS errors
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$p2` USING graft " +
+      s"AS SELECT * FROM graft.`$p`")
+    assert(t.toDf().count() == 4)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$p2` USING graft AS SELECT * FROM graft.`$p`")
+    }
+  }
+
   test("SHOW CREATE TABLE emits executable round-trippable DDL") {
     val p = freshTable("sqlshowcr")
     spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('graft.cdf'='true')")
