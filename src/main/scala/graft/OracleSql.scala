@@ -144,6 +144,56 @@ object OracleSql {
     * iterations exactly — assignment by rounded cosine argmax, new
     * centroids as fixed-point elementwise means cast to float.
     */
+  /** PQ twins: stride-seeded codebooks (16 sub-centroids), m=16 subspaces
+    * of 4 elements over the dim-64 embeddings. Distances use the dot
+    * expansion ‖x‖² − 2⟨x,c⟩ + ‖c‖² with the same sequential folds as
+    * the Spark side, micro-rounded, idx tie-break.
+    */
+  private val pqStride16 =
+    "(SELECT GREATEST(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) FROM embeddings)"
+
+  private def pqD2(x: String, c: String) =
+    s"CAST(round((${dot(x, x)} - 2*${dot(x, c)} + ${dot(c, c)}) * 1000000) AS BIGINT)"
+
+  private val pqCtes: String = {
+    val xs = "e.embedding[js.j*4+1:js.j*4+4]"
+    val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
+    s"""cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+                      embedding AS c_vec
+               FROM embeddings WHERE vec_id % $pqStride16 = 0),
+        js AS (SELECT unnest(range(0, 16)) AS j),
+        codes AS (SELECT vec_id, j, idx AS code FROM (
+          SELECT e.vec_id, js.j, c.idx,
+                 row_number() OVER (PARTITION BY e.vec_id, js.j
+                   ORDER BY ${pqD2(xs, cs)}, c.idx) AS rn
+          FROM embeddings e, js, cb c) WHERE rn = 1)"""
+  }
+
+  private val pqCodesSql: String =
+    s"""WITH $pqCtes
+        SELECT vec_id, list(code ORDER BY j) AS codes
+        FROM codes GROUP BY vec_id"""
+
+  private val knnPqAdcSql: String = {
+    val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
+    val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
+    s"""WITH $pqCtes,
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 32),
+        dtab AS (SELECT q.q_id, js.j, c.idx, ${pqD2(qx, cs)} AS d
+                 FROM q, js, cb c),
+        sc AS (SELECT d.q_id, co.vec_id AS n_id,
+                      CAST(sum(d.d) AS BIGINT) AS adist_e6
+               FROM codes co JOIN dtab d ON d.j = co.j AND d.idx = co.code
+               WHERE co.vec_id <> d.q_id
+               GROUP BY d.q_id, co.vec_id),
+        ranked AS (SELECT q_id, n_id, adist_e6,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist_e6, n_id) AS "rank"
+                   FROM sc)
+        SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
   private val knnIvfKmeansSql: String = {
     def assign(centCte: String, name: String) =
       s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
@@ -713,6 +763,10 @@ object OracleSql {
     "knn_ivf_topk" -> knnIvfSql,
 
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
+
+    "pq_codes" -> pqCodesSql,
+
+    "knn_pq_adc" -> knnPqAdcSql,
 
     "cosine_dup_pairs" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $autoCentStride = 0),

@@ -623,6 +623,23 @@ object SparkEntry {
         col("sim_e6"))
   }
 
+  /** PQ codes for the whole corpus (m=16 subspaces × 16 sub-centroids
+    * over dim 64); the DuckDB twin recomputes the stride codebooks and
+    * argmin per subspace exactly.
+    */
+  private def qPqCodes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(t(spark, dir, "embeddings"),
+      rowCountHint = embRows(spark, dir))
+      .select(col("vec_id"),
+        transform(col("codes"), c => c.cast("long")).as("codes"))
+
+  /** PQ ADC top-5: full-precision queries against codes-only corpus. */
+  private def qKnnPqAdc(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
+      rowCountHint = embRows(spark, dir))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("adist_e6"))
+
   private def qCosineDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(t(spark, dir, "embeddings"), 450000L,
       rowCountHint = embRows(spark, dir))
@@ -1054,6 +1071,8 @@ object SparkEntry {
     "knn_brute_topk" -> (qKnnBrute _),
     "knn_ivf_topk" -> (qKnnIvf _),
     "knn_ivf_kmeans" -> (qKnnIvfKmeans _),
+    "pq_codes" -> (qPqCodes _),
+    "knn_pq_adc" -> (qKnnPqAdc _),
     "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
     "binary_meta" -> (qBinaryMeta _),
@@ -1105,6 +1124,7 @@ object SparkEntry {
     "paragraph_dedup", "url_filter", "text_bpeish_count",
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
+    "pq_codes", "knn_pq_adc",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",
     "embedding_centroid_sums", "embedding_normalize",

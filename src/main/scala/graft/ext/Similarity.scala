@@ -326,6 +326,133 @@ object Similarity {
       .drop("__qz")
   }
 
+  // ---------- Product quantization (PQ) ----------
+
+  /** Sequential-fold self dot product on the driver — bit-identical to
+    * `dot(v, v)` through [[graft.functions.DotProductFP64]].
+    */
+  private def foldSelfDot(v: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Driver-side PQ codebooks: the `ksub` stride-seeded centroids (same
+    * deterministic seeding contract as [[centroidsK]] — production would
+    * k-means per subspace; the plan shape downstream is identical),
+    * sliced into `m` equal subspaces. Per subspace: (idx, subvector,
+    * self-dot) sorted by centroid id, idx = dense 0-based code. Size is
+    * ksub·dim·4 bytes regardless of corpus size, so the codebooks bake
+    * into the plan as literals — assignment and ADC scoring are pure
+    * per-row projections, no shuffle, no broadcast join.
+    */
+  private def pqCodebooks(
+      corpus: DataFrame,
+      m: Int,
+      ksub: Int,
+      idCol: String,
+      vecCol: String,
+      rowCountHint: Option[Long]): (Int, Array[Array[(Int, Array[Float], Double)]]) = {
+    require(m > 0 && ksub > 0, "m and ksub must be positive")
+    val cents = centroidsK(corpus, ksub, idCol, vecCol, rowCountHint)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "PQ codebooks need a non-empty corpus")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { j =>
+      cents.zipWithIndex.map { case ((_, v), idx) =>
+        val sub = v.slice(j * dsub, (j + 1) * dsub)
+        (idx, sub, foldSelfDot(sub))
+      }
+    }
+    (dsub, books)
+  }
+
+  /** Micro-rounded squared L2 distance between a subvector column and a
+    * literal codebook entry, via the dot expansion ‖x‖² − 2⟨x,c⟩ + ‖c‖²
+    * (all three terms are deterministic sequential folds, ‖c‖² a plan
+    * literal) — cross-engine reproducible like [[simE6]].
+    */
+  private def d2E6(xj: Column, xx: Column, sub: Array[Float], selfDot: Double): Column =
+    round((xx - lit(2.0) * dot(xj, typedLit(sub)) + lit(selfDot)) * 1e6).cast("long")
+
+  private def pqCodesExpr(
+      vecCol: String, dsub: Int, books: Array[Array[(Int, Array[Float], Double)]]): Column =
+    array(books.indices.map { j =>
+      val xj = slice(col(vecCol), j * dsub + 1, dsub)
+      val xx = dot(xj, xj)
+      // ascending struct sort = distance asc, idx asc (stable tie-break)
+      val scored = array(books(j).map { case (idx, sub, sd) =>
+        struct(d2E6(xj, xx, sub, sd).as("d"), lit(idx).as("idx"))
+      }.toIndexedSeq: _*)
+      element_at(sort_array(scored), 1).getField("idx")
+    }: _*)
+
+  /** Product-quantization encoding: each vector becomes `m` codebook
+    * indices (its nearest sub-centroid per subspace, squared-L2,
+    * micro-rounded with idx tie-break). The 100 TB shape: codebooks are
+    * plan literals, encoding is one narrow per-row pass — the corpus
+    * shrinks from dim·4 bytes to m codes per vector for ADC scoring.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      m: Int = 16,
+      ksub: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
+    TextOps.spread(corpus)
+      .select(col(idCol), pqCodesExpr(vecCol, dsub, books).as("codes"))
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): queries keep
+    * full precision and precompute a per-subspace distance table to
+    * every sub-centroid (a literal-arithmetic projection on the
+    * broadcast query side); corpus vectors are scored through their
+    * codes alone — m table lookups + adds per pair instead of a
+    * dim-length float loop, and the corpus never ships its vectors to
+    * the join. Ranking is (adist asc, n_id asc) through the bounded
+    * top-k aggregator, so the shuffle carries O(q·k·partitions) rows.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      m: Int = 16,
+      ksub: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
+    val codes = TextOps.spread(corpus)
+      .select(col(idCol).as("n_id"), pqCodesExpr(vecCol, dsub, books).as("codes"))
+    val qtab = array(books.indices.map { j =>
+      val xj = slice(col(vecCol), j * dsub + 1, dsub)
+      val xx = dot(xj, xj)
+      array(books(j).map { case (_, sub, sd) =>
+        d2E6(xj, xx, sub, sd)
+      }.toIndexedSeq: _*)
+    }: _*)
+    val q = broadcast(corpus.filter(queryPred)
+      .select(col(idCol).as("q_id"), qtab.as("qtab")))
+    val scored = codes
+      .crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adist_e6",
+        aggregate(
+          zip_with(col("qtab"), col("codes"), (t, c) => element_at(t, c + 1)),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("sim_e6", -col("adist_e6")) // top-k wants "larger is closer"
+    topKRows(scored, k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        (-col("sim_e6")).as("adist_e6"))
+  }
+
   /** IVF top-k: each query probes its `nprobe` nearest cells. nprobe=1
     * trades recall for a |cell|/|corpus| reduction in comparisons;
     * higher values recover the boundary-vector misses (a query sitting

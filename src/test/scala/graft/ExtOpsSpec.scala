@@ -90,6 +90,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall2 >= recall, s"nprobe=2 recall $recall2 < nprobe=1 $recall")
   }
 
+  test("PQ codes are bounded; ADC top-k meets a recall floor vs exact L2") {
+    val codes = Similarity.pqEncode(embs)
+    assert(codes.count() == embs.count())
+    assert(codes.filter(size(col("codes")) =!= 16).count() == 0)
+    assert(codes.filter(exists(col("codes"),
+      c => c < 0 || c >= 16)).count() == 0)
+    // deterministic across runs (stride codebooks, fixed tie-break)
+    val again = Similarity.pqEncode(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.collect().forall(r => again(r.getLong(0)) == r.getSeq[Int](1)))
+    // exact squared-L2 top-5 (ADC approximates L2, not cosine)
+    val pred = col("vec_id") < 16
+    val q = embs.filter(pred).select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val d2 = Similarity.dot(col("qv"), col("qv")) -
+      lit(2.0) * Similarity.dot(col("qv"), col("nv")) +
+      Similarity.dot(col("nv"), col("nv"))
+    val exact = embs.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      .crossJoin(q).filter(col("n_id") =!= col("q_id"))
+      .withColumn("d", round(d2 * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("d"), col("n_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(embs, pred, 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // near-uniform random embeddings + coarse stride codebooks are the
+    // worst case for PQ; the floor catches encoding/ADC regressions,
+    // not absolute ANN quality
+    assert(recall >= 0.15, s"PQ ADC recall $recall below floor")
+  }
+
   test("multimodal decode stub: deterministic, bounded dims, real payload length") {
     val feats = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
     val f = feats.collect()
