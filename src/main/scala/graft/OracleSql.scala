@@ -954,6 +954,50 @@ object OracleSql {
          WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
                % 1000 < 100""",
 
+    "split_assign" ->
+      """SELECT doc_id,
+                CASE WHEN b < 980 THEN 'train'
+                     WHEN b < 990 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                        % 1000 AS b
+               FROM documents)""",
+
+    // the skew-aware join must equal the PLAIN join bit-for-bit
+    "skew_join" ->
+      s"""SELECT o.o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(${cents("l.l_quantity")}) AS BIGINT) AS qty_cents
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderpriority""",
+
+    "frequent_ngrams" ->
+      s"""WITH d AS ($DOCS_TOKS),
+          shd AS (SELECT doc_id, $SHINGLES AS sh FROM d),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM shd)
+          SELECT s AS ngram, CAST(count(*) AS BIGINT) AS cnt
+          FROM ex GROUP BY s
+          ORDER BY cnt DESC, ngram LIMIT 20""",
+
+    "content_chunks" ->
+      s"""WITH d AS ($DOCS_TOKS),
+          ex AS (SELECT doc_id, t.i AS pos, toks[t.i] AS tok
+                 FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+          b AS (SELECT doc_id, pos, tok,
+                       CASE WHEN (('0x' || substring(md5(tok), 1, 15))::BIGINT
+                              & 2147483647) % 32 = 0 THEN 1 ELSE 0 END AS bd
+                FROM ex),
+          c AS (SELECT doc_id, pos, tok,
+                       COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS chunk_id
+                FROM b)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                 string_agg(tok, ' ' ORDER BY pos) AS chunk,
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM c GROUP BY doc_id, chunk_id""",
+
     "sample_stratified" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT

@@ -772,6 +772,33 @@ object SparkEntry {
       "o_orderkey", "o_orderstatus", Map("F" -> 500, "O" -> 100, "P" -> 1000))
       .select("o_orderkey", "o_orderstatus")
 
+  /** Deterministic 980/10/10 train/val/test assignment per document. */
+  private def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(t(spark, dir, "documents"), "doc_id")
+      .select("doc_id", "split")
+
+  /** Skew-aware fact⋈dim join (hot keys broadcast, cold keys shuffle);
+    * the oracle is the PLAIN join — results must be identical. The
+    * low threshold forces both branches to carry rows at sf scale.
+    */
+  private def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    Skew.skewJoin(li, o, Seq("o_orderkey"), hotThreshold = 5)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_quantity"))).as("qty_cents"))
+  }
+
+  /** Exact top-20 most frequent 3-grams (boilerplate detector). */
+  private def qFrequentNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.frequentNgrams(t(spark, dir, "documents"))
+
+  /** Content-defined (rolling-hash boundary) chunking. */
+  private def qContentChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunking.chunkByContent(t(spark, dir, "documents"))
+
   /** RESTORE undoes a corrupting overwrite; the read is the v0 content. */
   private def qTableRestore(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -1088,6 +1115,10 @@ object SparkEntry {
     "text_decontam" -> (qDecontam _),
     "sample_hash" -> (qSampleHash _),
     "sample_stratified" -> (qSampleStratified _),
+    "split_assign" -> (qSplitAssign _),
+    "skew_join" -> (qSkewJoin _),
+    "frequent_ngrams" -> (qFrequentNgrams _),
+    "content_chunks" -> (qContentChunks _),
     "table_restore" -> (qTableRestore _),
     "table_changes" -> (qTableChanges _),
     "table_delete" -> (qTableDelete _),
@@ -1131,7 +1162,8 @@ object SparkEntry {
     "embedding_quantize_int8",
     "dedup_clusters", "q24_exact_moments", "q25_window_suite",
     "text_pii_scrub", "text_decontam", "sample_hash",
-    "text_chunks", "seq_pack")
+    "text_chunks", "seq_pack",
+    "split_assign", "skew_join", "frequent_ngrams", "content_chunks")
 
   // ---------- DuckDB oracle SQL ----------
 

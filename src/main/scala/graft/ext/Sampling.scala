@@ -32,6 +32,31 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < permille)
   }
 
+  /** Deterministic train/val/test (or any) split assignment: each row
+    * gets the split whose cumulative permille range its key bucket
+    * falls in. Same key → same split, across runs, engines and tables —
+    * the property that keeps eval sets leak-free when the corpus is
+    * re-materialized. Pure narrow projection (a literal CASE chain).
+    * `splits` must sum to exactly 1000 so every row is assigned.
+    */
+  def splitAssign(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Int)] =
+        Seq("train" -> 980, "val" -> 10, "test" -> 10),
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"split permilles must sum to 1000, got ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0), "every split needs a positive share")
+    val bucket = hashBucket(col(keyCol))
+    val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val expr = splits.zip(cuts).foldRight(lit(null).cast("string"): Column) {
+      case (((name, _), cut), rest) =>
+        when(bucket < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn(outCol, expr)
+  }
+
   /** Per-stratum sampling rates (permille), e.g. downsample a dominant
     * source while keeping all of a rare one. Strata absent from `rates`
     * are dropped. Still a pure narrow filter: the rate lookup is a

@@ -47,4 +47,44 @@ object Skew {
       .distinct()
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_distinct"))
+
+  /** Skew-aware inner equi-join: identical results to
+    * `left.join(right, keys)`, planned so a handful of HOT keys cannot
+    * melt one reducer.
+    *
+    * AQE's skew-join handles a skewed SHUFFLE partition, but only at
+    * sort-merge-join time and only by splitting partitions — when one
+    * key holds 1% of a 100 TB fact table, the standard production fix
+    * is differentiated routing, done here explicitly:
+    *
+    *  1. One partial-aggregated count finds keys with more than
+    *     `hotThreshold` left rows — by construction a SHORT list (each
+    *     hot key exceeds the threshold), materialized driver-side.
+    *  2. COLD keys take the normal shuffle join — no behavior change.
+    *  3. HOT keys never shuffle: their left rows stay in place and the
+    *     right side's matching rows (a tiny slice: hot KEYS are few —
+    *     hot key ≠ big right side in the fact⋈dim shape this targets)
+    *     broadcast to them.
+    *
+    * The union is the exact inner join: every (l, r) pair appears in
+    * exactly one branch, decided by its key's hotness.
+    */
+  def skewJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      hotThreshold: Long = 1000000L): DataFrame = {
+    require(keys.nonEmpty, "skewJoin needs at least one key column")
+    val kc = keys.map(col)
+    val hot = left.groupBy(kc: _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(kc: _*)
+      .localCheckpoint(eager = true) // tiny by construction; computed once
+    val cold = left.join(broadcast(hot), keys, "left_anti")
+      .join(right, keys)
+    val hotRows = left.join(broadcast(hot), keys, "left_semi")
+      .join(broadcast(right.join(broadcast(hot), keys, "left_semi")), keys)
+    cold.unionByName(hotRows)
+  }
 }

@@ -505,6 +505,29 @@ object TextAnalysis {
       length(col("text")).as("n_chars_computed"))
   }
 
+  /** Exact global top-`k` most frequent word `n`-grams — the corpus
+    * boilerplate detector (feeds the hot-band story: the n-grams this
+    * surfaces are the ones that degenerate LSH bands). One
+    * partial-aggregated count shuffle (map-side combine collapses
+    * repeats before the exchange) followed by `orderBy(...).limit(k)`,
+    * which Spark plans as TakeOrderedAndProject: per-partition top-k
+    * merged on the driver, never a global sort of the n-gram space.
+    * Deterministic tie-break by n-gram text.
+    */
+  def frequentNgrams(
+      docs: DataFrame,
+      n: Int = 3,
+      k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(n > 0 && k > 0, "n and k must be positive")
+    spread(docs)
+      .select(explode(shingles(tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Tiny-dictionary language ID: vote by stopword hits per language,
     * deterministic tie-break by language code. (A real system would use
     * char n-gram profiles; the plan shape — per-row array ops, no
@@ -748,6 +771,42 @@ object TextAnalysis {
   */
 object Chunking {
   import org.apache.spark.sql.expressions.Window
+
+  /** Content-defined chunking (rolling-hash boundaries, the CDC analog
+    * of fixed windows): a token ENDS its chunk when its 31-bit md5 hash
+    * is ≡ 0 (mod `avgTokens`) — so chunk boundaries depend only on
+    * CONTENT, and an insertion near the head of a document re-chunks
+    * O(1) chunks instead of shifting every downstream window (the
+    * property that makes near-dup detection and incremental re-chunking
+    * stable at 100 TB). Expected chunk length is `avgTokens` tokens.
+    *
+    * Scale: one narrow explode + one window keyed on the doc id + one
+    * grouped re-assembly — shuffles carry (doc_id, pos, token) rows,
+    * never corpus×corpus.
+    */
+  def chunkByContent(
+      docs: DataFrame,
+      avgTokens: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(avgTokens > 0, "avgTokens must be positive")
+    val ex = TextOps.spread(docs)
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("bd",
+        when(TextOps.hash31(col("tok")) % avgTokens === 0, 1L).otherwise(0L))
+    // chunk id = boundaries strictly BEFORE this token (a boundary token
+    // is the last of its chunk)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ex.withColumn("chunk_id", coalesce(sum(col("bd")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("chunk"),
+        count(lit(1)).as("n_tokens"))
+  }
 
   /** Fixed-size character windows with `overlap` carried between
     * consecutive windows; one output row per (doc, window), `chunk_id`

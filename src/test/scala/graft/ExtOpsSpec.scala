@@ -125,6 +125,89 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"PQ ADC recall $recall below floor")
   }
 
+  test("skewJoin equals the plain join and broadcasts the hot branch") {
+    import spark.implicits._
+    // key 1 is hot (40 rows), keys 2..20 cold
+    val left = ((1 to 40).map(i => (1L, i.toLong)) ++
+      (2L to 20L).map(k => (k, k))).toDF("k", "lv")
+    val right = (1L to 25L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val skewed = Skew.skewJoin(left, right, Seq("k"), hotThreshold = 10)
+    val got = skewed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got == plain)
+    // the hot branch is a broadcast join (skewed rows never shuffle)
+    assert(skewed.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // degenerate thresholds: everything hot / nothing hot still correct
+    assert(Skew.skewJoin(left, right, Seq("k"), hotThreshold = 0)
+      .count() == plain.size)
+    assert(Skew.skewJoin(left, right, Seq("k"), hotThreshold = 1000000)
+      .count() == plain.size)
+  }
+
+  test("splitAssign covers every row, is deterministic, and respects shares") {
+    val s = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    assert(s.filter(col("split").isNull).count() == 0)
+    val bySplit = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(bySplit("train") / n > 0.7 && bySplit("train") / n < 0.9)
+    // same key -> same split on a different table keyed the same way
+    val again = Sampling.splitAssign(docs.select("doc_id"), "doc_id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s.collect().forall(r =>
+      again(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 500, "b" -> 400))
+    }
+  }
+
+  test("content-defined chunks reassemble to the token stream; boundaries are content-local") {
+    import spark.implicits._
+    val c = Chunking.chunkByContent(docs, avgTokens = 8)
+    // chunks of a doc concatenated in chunk_id order = the token stream
+    val rebuilt = c.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("whole"))
+    val orig = docs.select(col("doc_id"),
+      array_join(TextOps.tokens(col("text")), " ").as("norm"))
+    assert(rebuilt.join(orig, "doc_id")
+      .filter(col("whole") =!= col("norm")).count() == 0)
+    // content-defined: a PREFIX insertion only re-chunks the head — the
+    // suffix after the first boundary chunks identically (fixed windows
+    // would shift every boundary)
+    val d1 = Seq((1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"))
+      .toDF("doc_id", "text")
+    val d2 = Seq((1L, "zz yy aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"))
+      .toDF("doc_id", "text")
+    def tail(df: org.apache.spark.sql.DataFrame) = {
+      val ch = Chunking.chunkByContent(df, avgTokens = 4)
+        .collect().sortBy(_.getAs[Long]("chunk_id"))
+        .map(_.getAs[String]("chunk")).toSeq
+      ch.drop(1) // drop the (possibly different) head chunk
+    }
+    assert(tail(d1) == tail(d2))
+  }
+
+  test("frequentNgrams ranks by count with stable tie-break") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b c a b c"), // "a b c" x3 (overlapping shingles)
+      (2L, "x y z"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val top = TextAnalysis.frequentNgrams(d, n = 3, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top.head == ("a b c", 3L))
+    // the 2-count tier is tie-broken by ngram text ascending
+    assert(top.drop(1) == Seq(("b c a", 2L), ("c a b", 2L), ("x y z", 2L)))
+  }
+
   test("multimodal decode stub: deterministic, bounded dims, real payload length") {
     val feats = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
     val f = feats.collect()
