@@ -370,25 +370,18 @@ object Similarity {
     (dsub, books)
   }
 
-  /** Micro-rounded squared L2 distance between a subvector column and a
-    * literal codebook entry, via the dot expansion ‖x‖² − 2⟨x,c⟩ + ‖c‖²
-    * (all three terms are deterministic sequential folds, ‖c‖² a plan
-    * literal) — cross-engine reproducible like [[simE6]].
+  /** Codes column via the native [[graft.functions.PqEncode]] kernel:
+    * one codegen'd loop per row. The declarative equivalent (m·ksub
+    * [[dot]] calls in nested array/sort exprs) is value-identical but
+    * overflows whole-stage codegen's method budget and allocates m·ksub
+    * structs per row — ~3x slower at sf0.1 and worse at scale.
     */
-  private def d2E6(xj: Column, xx: Column, sub: Array[Float], selfDot: Double): Column =
-    round((xx - lit(2.0) * dot(xj, typedLit(sub)) + lit(selfDot)) * 1e6).cast("long")
-
   private def pqCodesExpr(
       vecCol: String, dsub: Int, books: Array[Array[(Int, Array[Float], Double)]]): Column =
-    array(books.indices.map { j =>
-      val xj = slice(col(vecCol), j * dsub + 1, dsub)
-      val xx = dot(xj, xj)
-      // ascending struct sort = distance asc, idx asc (stable tie-break)
-      val scored = array(books(j).map { case (idx, sub, sd) =>
-        struct(d2E6(xj, xx, sub, sd).as("d"), lit(idx).as("idx"))
-      }.toIndexedSeq: _*)
-      element_at(sort_array(scored), 1).getField("idx")
-    }: _*)
+    org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
+        books.map(_.map(_._2))))
 
   /** Product-quantization encoding: each vector becomes `m` codebook
     * indices (its nearest sub-centroid per subspace, squared-L2,
@@ -431,22 +424,20 @@ object Similarity {
     val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
     val codes = TextOps.spread(corpus)
       .select(col(idCol).as("n_id"), pqCodesExpr(vecCol, dsub, books).as("codes"))
-    val qtab = array(books.indices.map { j =>
-      val xj = slice(col(vecCol), j * dsub + 1, dsub)
-      val xx = dot(xj, xj)
-      array(books(j).map { case (_, sub, sd) =>
-        d2E6(xj, xx, sub, sd)
-      }.toIndexedSeq: _*)
-    }: _*)
+    val qtab = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqQueryTable(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
+        books.map(_.map(_._2))))
     val q = broadcast(corpus.filter(queryPred)
       .select(col(idCol).as("q_id"), qtab.as("qtab")))
+    val adc = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqAdcDistance(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
     val scored = codes
       .crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("adist_e6",
-        aggregate(
-          zip_with(col("qtab"), col("codes"), (t, c) => element_at(t, c + 1)),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("adist_e6", adc)
       .withColumn("sim_e6", -col("adist_e6")) // top-k wants "larger is closer"
     topKRows(scored, k)
       .select(col("q_id"), col("n_id"), col("rank"),
