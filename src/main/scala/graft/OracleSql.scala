@@ -980,6 +980,34 @@ object OracleSql {
           FROM ex GROUP BY s
           ORDER BY cnt DESC, ngram LIMIT 20""",
 
+    "text_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+          m AS (SELECT doc_id,
+                       len(toks) AS nw,
+                       CAST(floor(1000 * list_sum([len(t) for t in toks])
+                         / greatest(len(toks), 1)) AS BIGINT) AS mlp,
+                       len(list_filter(toks, t ->
+                         contains(t, '#') OR contains(t, '...'))) AS n_symbol,
+                       greatest(len(regexp_split_to_array(text, '\\n')), 1) AS n_lines,
+                       len(list_filter(regexp_split_to_array(text, '\\n'), l ->
+                         starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+                         AS n_bullet,
+                       len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                         AS n_alpha
+                FROM d)
+          SELECT doc_id,
+                 CAST(nw AS BIGINT) AS n_words,
+                 mlp AS mean_word_len_permille,
+                 (nw >= 10 AND nw <= 100000) AS words_ok,
+                 (mlp >= 3000 AND mlp <= 10000) AS mean_len_ok,
+                 (n_symbol * 10 <= nw) AS symbol_ok,
+                 (n_bullet * 10 <= n_lines * 9) AS bullet_ok,
+                 (n_alpha * 5 >= nw * 4) AS alpha_ok,
+                 ((nw >= 10 AND nw <= 100000) AND (mlp >= 3000 AND mlp <= 10000)
+                   AND (n_symbol * 10 <= nw) AND (n_bullet * 10 <= n_lines * 9)
+                   AND (n_alpha * 5 >= nw * 4)) AS keep
+          FROM m""",
+
     "content_chunks" ->
       s"""WITH d AS ($DOCS_TOKS),
           ex AS (SELECT doc_id, t.i AS pos, toks[t.i] AS tok

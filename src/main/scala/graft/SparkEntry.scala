@@ -795,6 +795,12 @@ object SparkEntry {
   private def qFrequentNgrams(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.frequentNgrams(t(spark, dir, "documents"))
 
+  /** Gopher-style quality rule booleans (minWords lowered to 10 so the
+    * synthetic short docs exercise both rule outcomes).
+    */
+  private def qGopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(t(spark, dir, "documents"), minWords = 10)
+
   /** Content-defined (rolling-hash boundary) chunking. */
   private def qContentChunks(spark: SparkSession, dir: String): DataFrame =
     Chunking.chunkByContent(t(spark, dir, "documents"))
@@ -1119,6 +1125,7 @@ object SparkEntry {
     "skew_join" -> (qSkewJoin _),
     "frequent_ngrams" -> (qFrequentNgrams _),
     "content_chunks" -> (qContentChunks _),
+    "text_gopher_rules" -> (qGopherRules _),
     "table_restore" -> (qTableRestore _),
     "table_changes" -> (qTableChanges _),
     "table_delete" -> (qTableDelete _),
@@ -1163,7 +1170,8 @@ object SparkEntry {
     "dedup_clusters", "q24_exact_moments", "q25_window_suite",
     "text_pii_scrub", "text_decontam", "sample_hash",
     "text_chunks", "seq_pack",
-    "split_assign", "skew_join", "frequent_ngrams", "content_chunks")
+    "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
+    "text_gopher_rules")
 
   // ---------- DuckDB oracle SQL ----------
 

@@ -132,6 +132,12 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           import scala.jdk.CollectionConverters._
           s.extraOptions.asCaseSensitiveMap().asScala.toMap + ("path" -> t.path)
         }
+        // the catalog identifier resolved to the TABLE schema; a change
+        // feed adds _change_type, which this plan's output cannot carry
+        require(!opts.get("readChangeFeed").exists(_.equalsIgnoreCase("true")),
+          "readChangeFeed streams are path-route only — use " +
+            "graft.streaming.Streams.readChangeFeed(spark, path) or " +
+            "spark.readStream.format(\"graft\").option(\"path\", ...)")
         rebind(s.output, GraftInternal.streamingRelationFor(spark, opts))
 
       case dsv2 @ DataSourceV2Relation(t: GraftCatalogTable, out, _, _, _, _) =>

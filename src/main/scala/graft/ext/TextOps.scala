@@ -572,6 +572,50 @@ object TextAnalysis {
       floor(lit(1000) * nStop / nTok).cast("long").as("stop_permille"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, public
+    * heuristics; exact thresholds are configurable knobs): per-document
+    * rule booleans plus the conjunction `keep`. All rules are per-row
+    * integer/array arithmetic — one narrow pass, no shuffle, pushable
+    * below any downstream join at 100 TB:
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] characters (permille fixed point)
+    *   - symbol ratio: '#' or '…'-like symbols ≤ 10% of tokens
+    *   - bullet ratio: ≤ 90% of lines start with a bullet
+    *   - alpha ratio: ≥ 80% of tokens contain a letter
+    */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val meanLenPermille =
+      floor(lit(1000) * aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        / greatest(nTok, lit(1))).cast("long")
+    val nSymbol = size(filter(toks, t =>
+      t.contains("#") || t.contains("...")))
+    val lines = split(col("text"), "\n")
+    val nLines = greatest(size(lines), lit(1))
+    val nBullet = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*")))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val wordsOk = nTok >= minWords && nTok <= maxWords
+    val meanLenOk = meanLenPermille >= 3000 && meanLenPermille <= 10000
+    val symbolOk = nSymbol * 10 <= nTok
+    val bulletOk = nBullet * 10 <= nLines * 9
+    val alphaOk = nAlpha * 5 >= nTok * 4
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_words"),
+      meanLenPermille.as("mean_word_len_permille"),
+      wordsOk.as("words_ok"),
+      meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"),
+      bulletOk.as("bullet_ok"),
+      alphaOk.as("alpha_ok"),
+      (wordsOk && meanLenOk && symbolOk && bulletOk && alphaOk).as("keep"))
+  }
+
   /** N-gram LM quality score: a log-frequency perplexity proxy from a
     * bigram model trained on the corpus ITSELF (the standard
     * quality-filter trick when no external LM is available — fluent text

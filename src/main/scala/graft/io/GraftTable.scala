@@ -268,24 +268,41 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     */
   private def cdcChanges(fromVersion: Long, toVersion: Long): Option[DataFrame] = {
     val commits = ((fromVersion + 1) to toVersion).map(v => log.readCommit(v))
+    val covered = commits.nonEmpty && commits.exists(_.cdc.nonEmpty)
+    if (!covered) return None
+    Some(changesForCommits(fromVersion + 1, toVersion, snapshot(Some(toVersion))))
+  }
+
+  /** Exact per-commit changes of commits `[fromCommit, toCommit]`,
+    * aligned to `alignTo`'s schema (its column mapping projects every
+    * file generation — data and change files carry PHYSICAL names — to
+    * the output's logical names). Each commit contributes: its change
+    * files when present; a pure append's added files as inserts; an
+    * overwrite-family commit's net EXCEPT-ALL diff over its churned
+    * files; nothing for metadata-only commits. Powers both the batch
+    * CDF range read and the streaming change feed. Returns an empty
+    * (schema-correct) frame when no commit contributed rows.
+    */
+  def changesForCommits(
+      fromCommit: Long, toCommit: Long, alignTo: Snapshot): DataFrame = {
+    val surviving = log.versions().toSet
+    val commits = (fromCommit to toCommit)
+      .filter(surviving).map(v => log.readCommit(v))
     def metadataOnly(c: graft.log.Commit) =
       c.add.isEmpty && c.remove.isEmpty && c.cdc.isEmpty
     def pureAppend(c: graft.log.Commit) =
       c.cdc.isEmpty && c.remove.isEmpty && c.add.nonEmpty
-    val covered = commits.nonEmpty && commits.exists(_.cdc.nonEmpty)
-    if (!covered) return None
-    val toSnap = snapshot(Some(toVersion))
     val cc = Cdc.ChangeCol
     def alignData(df: DataFrame): DataFrame =
-      Schemas.conformTo(df, toSnap.schema)
+      Schemas.conformTo(df, alignTo.schema)
     def align(df: DataFrame): DataFrame =
-      Schemas.padTo(df, toSnap.schema)
-        .select(toSnap.schema.map(f => col(f.name)) :+ col(cc): _*)
+      Schemas.padTo(df, alignTo.schema)
+        .select(alignTo.schema.map(f => col(f.name)) :+ col(cc): _*)
     // change files carry PHYSICAL column names (like data files) —
     // project them back to the target snapshot's logical names; columns
     // of since-dropped fields are discarded (align pads/selects the rest)
-    val mapping = ColumnMapping.fromSnapshot(toSnap)
-    val physToLogical = toSnap.schema.map(f =>
+    val mapping = ColumnMapping.fromSnapshot(alignTo)
+    val physToLogical = alignTo.schema.map(f =>
       ColumnMapping.physicalName(mapping, f.name)
         .toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
     def logicalize(df: DataFrame): DataFrame =
@@ -300,9 +317,9 @@ final class GraftTable(val spark: SparkSession, val path: String) {
           c.cdc.map(f => new Path(path, f.path).toString): _*))))
       else if (pureAppend(c))
         // read through the TARGET snapshot: files of any generation carry
-        // physical names, so toSnap's mapping projects them to the range's
+        // physical names, so alignTo's mapping projects them to the
         // output (logical) names even across renames
-        Some(align(dfForFiles(toSnap, c.add)
+        Some(align(dfForFiles(alignTo, c.add)
           .withColumn(cc, lit("insert"))))
       else if (metadataOnly(c)) None
       else {
@@ -310,14 +327,18 @@ final class GraftTable(val spark: SparkSession, val path: String) {
         val prev = snapshot(Some(c.version - 1))
         val prevByPath = prev.files.map(f => f.path -> f).toMap
         val removedFiles = c.remove.flatMap(r => prevByPath.get(r.path))
-        val added = alignData(dfForFiles(toSnap, c.add))
-        val removed = alignData(dfForFiles(toSnap, removedFiles))
+        val added = alignData(dfForFiles(alignTo, c.add))
+        val removed = alignData(dfForFiles(alignTo, removedFiles))
         Some(added.exceptAll(removed).withColumn(cc, lit("insert"))
           .unionByName(
             removed.exceptAll(added).withColumn(cc, lit("delete"))))
       }
     }
-    if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
+    parts.reduceOption(_ unionByName _).getOrElse {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(alignTo.schema.fields :+
+          StructField(cc, StringType, nullable = false)))
+    }
   }
 
   /** Net row diff between two versions, from the CHURNED FILES ONLY —

@@ -49,14 +49,20 @@ final class GraftSource
 
   // ---- spark.readStream.format("graft") (see GraftStreamSource) ----
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val path = pathOf(parameters)
+    val base = GraftTable(sqlContext.sparkSession, path).snapshot().schema
     (shortName(),
-      GraftTable(sqlContext.sparkSession, path).snapshot().schema)
+      if (cdfOf(parameters))
+        org.apache.spark.sql.graft.GraftStreamSource.cdfSchema(base)
+      else base)
   }
 
   override def createSource(
@@ -69,7 +75,8 @@ final class GraftSource
       sqlContext,
       pathOf(parameters),
       parameters.get("startingVersion").map(_.toLong),
-      parameters.get("maxCommitsPerTrigger").map(_.toLong))
+      parameters.get("maxCommitsPerTrigger").map(_.toLong),
+      readChangeFeed = cdfOf(parameters))
 }
 
 final case class GraftRelation(

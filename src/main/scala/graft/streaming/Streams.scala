@@ -86,6 +86,18 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(idCols :+ tsCol)
 
+  /** Row-level change-feed stream over a graft table (Delta's
+    * `readChangeFeed`): each micro-batch delivers its commits' exact
+    * change rows — table columns + `_change_type` ∈ insert / delete /
+    * update_preimage / update_postimage. Change files are served when
+    * the table runs `graft.cdf=true`; appends surface as inserts and
+    * overwrite commits as their net diff either way, so a downstream
+    * mirror stays consistent without rescanning the table.
+    */
+  def readChangeFeed(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.format("graft").option("path", path)
+      .option("readChangeFeed", "true").load()
+
   /** Custom stateful sessionization with `flatMapGroupsWithState` +
     * event-time timeout: completed sessions (gap exceeded inside a
     * batch) emit immediately; the open session per user is held in

@@ -37,7 +37,16 @@ class GraftStreamSource(
     sqlContext: SQLContext,
     path: String,
     startingVersion: Option[Long],
-    maxCommitsPerTrigger: Option[Long] = None)
+    maxCommitsPerTrigger: Option[Long] = None,
+    /** Emit row-level CHANGES (`_change_type` ∈ insert / delete /
+      * update_preimage / update_postimage) instead of appended rows —
+      * Delta's `readChangeFeed` stream. Each micro-batch serves its
+      * commits' exact per-commit change rows (change files when the
+      * table runs `graft.cdf=true`; appends as inserts; overwrite
+      * commits as their net diff), so a downstream can maintain a
+      * mirror without rescanning the table.
+      */
+    readChangeFeed: Boolean = false)
     extends Source
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -46,7 +55,9 @@ class GraftStreamSource(
   private def log =
     new graft.log.CommitLog(path, spark.sessionState.newHadoopConf())
 
-  override val schema: StructType = log.snapshot().schema
+  override val schema: StructType =
+    if (readChangeFeed) GraftStreamSource.cdfSchema(log.snapshot().schema)
+    else log.snapshot().schema
 
   /** End version frozen by prepareForTriggerAvailableNow. */
   @volatile private var availableNowCap: Option[Long] = None
@@ -123,9 +134,17 @@ class GraftStreamSource(
     if (gap) {
       // brand-new stream on a retention-cleaned log: the checkpointed
       // snapshot fully represents the cleaned commits, so serve it as
-      // the initial batch (Delta's initial-snapshot semantics)
-      return asStream(table.dfForFiles(snap, snap.files))
+      // the initial batch (Delta's initial-snapshot semantics); in CDF
+      // mode those rows are the mirror's starting inserts
+      val base = table.dfForFiles(snap, snap.files)
+      return asStream(
+        if (readChangeFeed)
+          base.withColumn(graft.io.Cdc.ChangeCol,
+            org.apache.spark.sql.functions.lit("insert"))
+        else base)
     }
+    if (readChangeFeed)
+      return asStream(table.changesForCommits(from, to, snap))
     val versions = surviving.filter(v => v >= from && v <= to)
     val added = versions.flatMap(v => log.readCommit(v).add)
     asStream(table.dfForFiles(snap, added))
@@ -136,4 +155,13 @@ class GraftStreamSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource[$path]"
+}
+
+object GraftStreamSource {
+  /** The change-feed read schema: table columns + `_change_type`. */
+  def cdfSchema(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        graft.io.Cdc.ChangeCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
 }

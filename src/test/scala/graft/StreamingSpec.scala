@@ -179,6 +179,46 @@ class StreamingSpec extends SparkSpec {
     assert(GraftTable(spark, path).toDf().count() == 6)
   }
 
+  test("readChangeFeed stream surfaces per-commit change rows") {
+    import graft.io.{GraftWriter, WriteMode, WriteOptions}
+    import graft.merge.Dml
+    val p = tmpDir("graft_cdf_stream") + "/t"
+    GraftWriter.write(spark,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))          // v0
+    Dml.update(spark, p, col("id") === 1L, Map("v" -> lit(11.0))) // v1
+    Dml.delete(spark, p, col("id") === 3L)                        // v2
+    val q = spark.readStream.format("graft").option("path", p)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdfs").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows() = spark.table("cdfs")
+      .select("id", "v", graft.io.Cdc.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows() == Set(
+      (1L, 10.0, "insert"), (2L, 20.0, "insert"), (3L, 30.0, "insert"),
+      (1L, 10.0, "update_preimage"), (1L, 11.0, "update_postimage"),
+      (3L, 30.0, "delete")))
+    // subsequent commits stream incrementally (no re-delivery)
+    val q2 = spark.readStream.format("graft").option("path", p)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdfs2").outputMode("append")
+      .start()
+    try {
+      q2.processAllAvailable()
+      Dml.update(spark, p, col("id") === 2L, Map("v" -> lit(22.0))) // v3
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val batch2 = spark.table("cdfs2")
+      .select("id", "v", graft.io.Cdc.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(batch2.contains((2L, 20.0, "update_preimage")))
+    assert(batch2.contains((2L, 22.0, "update_postimage")))
+    assert(batch2.count { case (id, _, t) => id == 2L && t.startsWith("update") } == 2)
+  }
+
   test("stream-stream interval join matches pairs within the window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
