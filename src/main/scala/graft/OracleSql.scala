@@ -65,13 +65,30 @@ object OracleSql {
 
   private val minhashCtes: String = minhashCtesFrom(DOCS_TOKS)
 
+  /** Extra CTEs + pair join over the band relation, modeling
+    * `Dedup.minhashPairs`'s DEFAULT hot-band cap (maxDocsPerBand=500)
+    * exactly: bands with more than 500 member docs are dropped before
+    * the self-join, in Spark AND here — so every oracle built on the
+    * pair feed (LSH pairs, Jaccard verify, clusters, survivors) stays
+    * semantics-identical at any corpus degeneracy, not just when no
+    * band happens to exceed the cap.
+    */
+  private val minhashKeptCtes =
+    """, mhfreq AS (SELECT band_id, band_key, count(*) AS c
+                    FROM bands GROUP BY band_id, band_key),
+        mhkept AS (SELECT b.doc_id, b.band_id, b.band_key
+                   FROM bands b JOIN mhfreq f
+                     ON b.band_id = f.band_id AND b.band_key = f.band_key
+                   WHERE f.c <= 500)"""
+
   private val minhashPairsSelect =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       FROM bands a JOIN bands b
+       FROM mhkept a JOIN mhkept b
          ON a.band_id = b.band_id AND a.band_key = b.band_key
         AND a.doc_id < b.doc_id"""
 
-  private val minhashSql: String = s"WITH $minhashCtes $minhashPairsSelect"
+  private val minhashSql: String =
+    s"WITH $minhashCtes$minhashKeptCtes $minhashPairsSelect"
 
   /** Boilerplate text shared by every 5th document in the hot-band-cap
     * fixture — kept in lockstep with `SparkEntry.qMinhashCappedPairs`,
@@ -614,7 +631,7 @@ object OracleSql {
     // LSH-first: MinHash band candidates, exactly verified on distinct
     // token sets (same contract as Dedup.ngramJaccardPairs)
     "ngram_jaccard_pairs" ->
-      s"""WITH $minhashCtes,
+      s"""WITH $minhashCtes$minhashKeptCtes,
           cand AS ($minhashPairsSelect),
           tk AS (SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
           p AS (SELECT c.doc_a, c.doc_b,

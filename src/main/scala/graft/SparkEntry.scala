@@ -258,11 +258,14 @@ object SparkEntry {
     // Feeding the sketch deduped rows is sound because HLL register
     // updates are idempotent in the value: the estimate is bit-identical
     // to the one over the raw multiset.
+    // count(col) not count(*): a NULL key would otherwise inflate the
+    // exact side while the HLL estimate ignores it (latent on TPC-H keys
+    // but the equivalence must hold for nullable keys)
     def pass(key: String, ap: String, ep: String) =
       li.select(col("l_returnflag"), col(key)).distinct()
         .groupBy("l_returnflag").agg(
           approx_count_distinct(col(key), 0.02).as(ap),
-          count(lit(1)).as(ep))
+          count(col(key)).as(ep))
     // the sketch itself is engine-specific, so the oracle-checkable
     // contract is the ACCURACY BOUND: each group's HLL++ estimate lands
     // within 5% (2.5 sigma at rsd 0.02; deterministic for fixed input)

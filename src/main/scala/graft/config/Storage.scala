@@ -139,6 +139,11 @@ final case class ClientOptions(
     (if (allowHttp) Map("fs.s3a.connection.ssl.enabled" -> "false") else Map.empty) ++
     proxyUrl.toSeq.flatMap { u =>
       val uri = new java.net.URI(u)
+      // a scheme-less "host:port" parses as URI(scheme=host, host=null) —
+      // a null host would reach Configuration.set and crash with an
+      // error that never mentions the proxy
+      require(uri.getHost != null,
+        s"proxyUrl '$u' has no host — include the scheme, e.g. http://proxy:3128")
       Seq("fs.s3a.proxy.host" -> uri.getHost) ++
         (if (uri.getPort > 0) Seq("fs.s3a.proxy.port" -> uri.getPort.toString)
          else Nil)

@@ -267,10 +267,12 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     * instead of one per commit).
     */
   private def cdcChanges(fromVersion: Long, toVersion: Long): Option[DataFrame] = {
-    val commits = ((fromVersion + 1) to toVersion).map(v => log.readCommit(v))
+    val surviving = log.versions().toSet
+    val commits = ((fromVersion + 1) to toVersion)
+      .filter(surviving).map(v => log.readCommit(v))
     val covered = commits.nonEmpty && commits.exists(_.cdc.nonEmpty)
     if (!covered) return None
-    Some(changesForCommits(fromVersion + 1, toVersion, snapshot(Some(toVersion))))
+    Some(changesOf(commits, surviving, snapshot(Some(toVersion))))
   }
 
   /** Exact per-commit changes of commits `[fromCommit, toCommit]`,
@@ -286,8 +288,18 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def changesForCommits(
       fromCommit: Long, toCommit: Long, alignTo: Snapshot): DataFrame = {
     val surviving = log.versions().toSet
-    val commits = (fromCommit to toCommit)
-      .filter(surviving).map(v => log.readCommit(v))
+    changesOf((fromCommit to toCommit).filter(surviving)
+      .map(v => log.readCommit(v)), surviving, alignTo)
+  }
+
+  /** Core of the change feed over pre-read commits (callers pass the
+    * commit objects so ranges are not read twice from the log — commit
+    * reads are the metadata hot path on object stores).
+    */
+  private def changesOf(
+      commits: Seq[graft.log.Commit],
+      surviving: Set[Long],
+      alignTo: Snapshot): DataFrame = {
     def metadataOnly(c: graft.log.Commit) =
       c.add.isEmpty && c.remove.isEmpty && c.cdc.isEmpty
     def pureAppend(c: graft.log.Commit) =
@@ -323,7 +335,15 @@ final class GraftTable(val spark: SparkSession, val path: String) {
           .withColumn(cc, lit("insert"))))
       else if (metadataOnly(c)) None
       else {
-        // overwrite-family: per-commit net diff over its churned files
+        // overwrite-family: per-commit net diff over its churned files —
+        // which needs the PREVIOUS snapshot; if log retention cleaned it
+        // the diff is genuinely uncomputable, so state the contract
+        // instead of surfacing snapshot()'s version-not-in-log error
+        require(c.version == 0 || surviving.contains(c.version - 1),
+          s"change feed for $path needs version ${c.version - 1} to diff " +
+            s"the overwrite commit ${c.version}, but log retention " +
+            "removed it; start the feed at a later version (streaming: " +
+            "restart with a fresh checkpoint)")
         val prev = snapshot(Some(c.version - 1))
         val prevByPath = prev.files.map(f => f.path -> f).toMap
         val removedFiles = c.remove.flatMap(r => prevByPath.get(r.path))

@@ -81,13 +81,12 @@ object TypeHandlers {
   def rowBatchesHandler(batchRows: Int = 10000): TypeHandler[RowBatches] =
     new TypeHandler[RowBatches] {
       def toDf(spark: SparkSession, obj: RowBatches): DataFrame = {
-        import scala.jdk.CollectionConverters._
-        val dfs = obj.batches.map(b =>
-          spark.createDataFrame(b.asJava, obj.schema))
-        if (!dfs.hasNext)
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), obj.schema)
-        else dfs.reduce(_ union _)
+        // the iterator's rows are already driver-resident: one
+        // createDataFrame, not a per-batch union chain (whose nested
+        // Union plan grows with batch count for zero benefit)
+        val all = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        obj.batches.foreach(_.foreach(all.add))
+        spark.createDataFrame(all, obj.schema)
       }
       def fromDf(df: DataFrame): RowBatches = {
         import scala.jdk.CollectionConverters._

@@ -672,6 +672,9 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       // GraftSource.createRelation with no path option and fails
       case c: org.apache.spark.sql.execution.datasources.CreateTable
           if c.tableDesc.identifier.database.exists(_.equalsIgnoreCase("graft")) &&
+            // only claim USING graft — `CREATE TABLE graft.`/p`` USING
+            // parquet` must NOT be hijacked into a graft table
+            c.tableDesc.provider.exists(_.equalsIgnoreCase("graft")) &&
             c.query.forall(_.resolved) =>
         c.query match {
           case Some(q) =>

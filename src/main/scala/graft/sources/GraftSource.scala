@@ -35,11 +35,18 @@ final class GraftSource
 
   override def createRelation(
       sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
+      parameters: Map[String, String]): BaseRelation = {
+    // a Delta user porting batch-CDF code would otherwise get the full
+    // table with no _change_type column — silent wrong data for a mirror
+    require(!cdfOf(parameters),
+      "batch change feeds read through the table API: " +
+        "GraftTable(spark, path).tableChanges(fromVersion, toVersion) " +
+        "(readChangeFeed is a readStream option)")
     GraftRelation(
       sqlContext,
       pathOf(parameters),
       parameters.get("versionAsOf").map(_.toLong))
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -309,6 +309,12 @@ class SqlDmlSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.`$p2` USING graft AS SELECT * FROM graft.`$p`")
     }
+    // a different USING provider is NOT hijacked into a graft table
+    val p3 = tmpDir("sqlctas3")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$p3` (a INT) USING parquet")
+    }
+    assert(!GraftTable.exists(spark, p3))
   }
 
   test("SHOW CREATE TABLE emits executable round-trippable DDL") {

@@ -115,6 +115,11 @@ class StorageConfigSpec extends AnyFunSuite {
     // portless proxy renders only the host
     assert(ClientOptions(proxyUrl = Some("http://p")).hadoopOptions ==
       Map("fs.s3a.proxy.host" -> "p"))
+    // scheme-less proxy specs fail loudly (URI parses them hostless)
+    val e = intercept[IllegalArgumentException] {
+      ClientOptions(proxyUrl = Some("proxy.internal:3128")).hadoopOptions
+    }
+    assert(e.getMessage.contains("scheme"), e.getMessage)
   }
 
   test("merge precedence: client options override storage on collision") {
