@@ -1025,6 +1025,30 @@ object OracleSql {
                    AND (n_alpha * 5 >= nw * 4)) AS keep
           FROM m""",
 
+    "text_bm25" ->
+      s"""WITH d AS ($DOCS_TOKS),
+          base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(dl) AS BIGINT) AS total_tokens FROM base),
+          qt AS (SELECT unnest(['spark', 'query', 'merge']) AS term),
+          dfs AS (SELECT t.term, CAST(count(*) AS BIGINT) AS df
+                  FROM base b, qt t
+                  WHERE list_contains(b.toks, t.term) GROUP BY t.term),
+          tf AS (SELECT b.doc_id, b.dl, t.term,
+                        CAST(len(list_filter(b.toks, x -> x = t.term)) AS BIGINT) AS tf
+                 FROM base b, qt t WHERE list_contains(b.toks, t.term)),
+          p AS (SELECT tf.doc_id,
+                       CAST(floor(
+                         ln((s.n_docs::DOUBLE - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                         * (tf.tf::DOUBLE * (1.2 + 1.0))
+                         / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75
+                             + 0.75 * tf.dl / (s.total_tokens::DOUBLE / s.n_docs)))
+                         * 1000000 + 0.5) AS BIGINT) AS score_term_e6
+                FROM tf JOIN dfs ON dfs.term = tf.term, stats s)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_match_terms,
+                 CAST(sum(score_term_e6) AS BIGINT) AS score_e6
+          FROM p GROUP BY doc_id""",
+
     "content_chunks" ->
       s"""WITH d AS ($DOCS_TOKS),
           ex AS (SELECT doc_id, t.i AS pos, toks[t.i] AS tok
@@ -1053,6 +1077,10 @@ object OracleSql {
     // a restore after a corrupting overwrite reads back the v0 content
     "table_restore" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+
+    "table_truncate" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey < 100""",
 
     "table_delete" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -804,9 +804,29 @@ object SparkEntry {
   private def qGopherRules(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherRules(t(spark, dir, "documents"), minWords = 10)
 
+  /** BM25 retrieval scores for a fixed 3-term query. */
+  private def qBm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(spark, dir, "documents"),
+      Seq("spark", "query", "merge"))
+
   /** Content-defined (rolling-hash boundary) chunking. */
   private def qContentChunks(spark: SparkSession, dir: String): DataFrame =
     Chunking.chunkByContent(t(spark, dir, "documents"))
+
+  /** TRUNCATE is metadata-only (old versions stay time-travelable);
+    * the re-INSERT sources from the pre-truncate version.
+    */
+  private def qTableTruncate(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_trunc")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite))
+    spark.sql(s"TRUNCATE TABLE graft.`$p`")
+    spark.sql(s"INSERT INTO graft.`$p` " +
+      s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
+      s"FROM graft.`$p` VERSION AS OF 0 WHERE o_orderkey < 100")
+    GraftTable(spark, p).toDf()
+  }
 
   /** RESTORE undoes a corrupting overwrite; the read is the v0 content. */
   private def qTableRestore(spark: SparkSession, dir: String): DataFrame = {
@@ -1129,7 +1149,9 @@ object SparkEntry {
     "frequent_ngrams" -> (qFrequentNgrams _),
     "content_chunks" -> (qContentChunks _),
     "text_gopher_rules" -> (qGopherRules _),
+    "text_bm25" -> (qBm25 _),
     "table_restore" -> (qTableRestore _),
+    "table_truncate" -> (qTableTruncate _),
     "table_changes" -> (qTableChanges _),
     "table_delete" -> (qTableDelete _),
     "table_update" -> (qTableUpdate _),
@@ -1174,7 +1196,7 @@ object SparkEntry {
     "text_pii_scrub", "text_decontam", "sample_hash",
     "text_chunks", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
-    "text_gopher_rules")
+    "text_gopher_rules", "text_bm25")
 
   // ---------- DuckDB oracle SQL ----------
 

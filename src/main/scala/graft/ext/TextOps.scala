@@ -572,6 +572,57 @@ object TextAnalysis {
       floor(lit(1000) * nStop / nTok).cast("long").as("stop_permille"))
   }
 
+  /** BM25 relevance of every document to a fixed query-term set (the
+    * Robertson/Spärck Jones formulation with Lucene's +1 idf smoothing).
+    * Only documents matching ≥1 term are emitted.
+    *
+    * Plan shape at 100 TB: one narrow explode of matched terms, one
+    * partial-aggregated (doc, term) count shuffle, broadcast joins for
+    * the tiny per-term df and 1-row corpus stats — never doc×doc and
+    * the vocabulary never leaves the executors.
+    *
+    * Exactness: each (doc, term) partial score is micro-rounded to e6
+    * fixed point BEFORE the per-doc sum, so the total is an exact
+    * bigint sum — order-free, hence engine-identical (summing raw
+    * doubles would depend on partial-agg order). Constants stay
+    * symbolic (`k1 + 1.0`, not `2.2`) so both engines fold the same
+    * IEEE operations.
+    */
+  def bm25(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.distinct
+    val termLits = array(terms.map(lit): _*)
+    val toks = tokens(col("text"))
+    val base = spread(docs).select(col("doc_id"), toks.as("toks"),
+      size(toks).cast("long").as("dl"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val dfs = base
+      .select(col("doc_id"),
+        explode(array_distinct(array_intersect(col("toks"), termLits))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => array_contains(termLits, t))).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5)
+      / (col("df") + 0.5) + 1.0)
+    val tfd = col("tf").cast("double")
+    val partial = idf * (tfd * (lit(k1) + lit(1.0))) /
+      (tfd + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_term_e6", floor(partial * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_match_terms"),
+        sum(col("score_term_e6")).as("score_e6"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, public
     * heuristics; exact thresholds are configurable knobs): per-document
     * rule booleans plus the conjunction `keep`. All rules are per-row

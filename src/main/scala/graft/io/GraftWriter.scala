@@ -427,6 +427,26 @@ object GraftWriter {
     * from a snapshot: a concurrent commit CASes them out and the command
     * re-derives from scratch.
     */
+  /** Remove every live file in ONE metadata-only commit (TRUNCATE): no
+    * data is read or rewritten, history stays time-travelable until
+    * vacuum ages the files out. Returns the new version.
+    */
+  def truncate(spark: SparkSession, path: String): Long = retryDerived {
+    val table = GraftTable(spark, path)
+    val snap = table.snapshot()
+    table.log.commit(
+      operation = "TRUNCATE",
+      mode = "metadata",
+      schemaDdl = snap.schema.toDDL,
+      partitionColumns = snap.partitionColumns,
+      metadata = Map.empty,
+      operationMetrics = Map(
+        "num_removed_files" -> snap.files.size.toLong),
+      add = Nil,
+      remove = snap.files.map(f => graft.log.RemoveFile(f.path)),
+      expectedVersion = Some(snap.version))
+  }
+
   private[io] def retryDerived(f: => Long): Long = {
     var attempt = 0
     while (true) {

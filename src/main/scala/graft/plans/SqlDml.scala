@@ -389,6 +389,18 @@ final case class GraftCreateTableAsSelectCommand(
   }
 }
 
+/** `TRUNCATE TABLE graft.`path`` (and catalog names): one metadata-only
+  * commit removing every live file — no data is read or rewritten, so
+  * truncating a 100 TB table is O(#files) of log work; history keeps
+  * the old versions time-travelable until vacuum.
+  */
+final case class GraftTruncateCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftWriter.truncate(spark, path)))
+}
+
 /** `SHOW COLUMNS FROM graft.`path``. */
 final case class GraftShowColumnsCommand(
     path: String,
@@ -651,6 +663,11 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         graftTablePath(s.table) match {
           case Some(p) => GraftShowPartitionsCommand(p, s.output)
           case None    => s
+        }
+      case tr: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+        graftTablePath(tr.table) match {
+          case Some(p) => GraftTruncateCommand(p)
+          case None    => tr
         }
       case s: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
         graftTablePath(s.child) match {

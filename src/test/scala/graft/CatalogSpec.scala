@@ -267,6 +267,14 @@ class CatalogSpec extends SparkSpec {
       .get("graft.cdf").contains("true"))
   }
 
+  test("TRUNCATE TABLE through catalog names") {
+    seed("ns10", "trunc")
+    spark.sql("TRUNCATE TABLE gcat.ns10.trunc")
+    assert(spark.sql("SELECT * FROM gcat.ns10.trunc").count() == 0)
+    spark.sql("INSERT INTO gcat.ns10.trunc VALUES (9, 'z', 90.0)")
+    assert(spark.sql("SELECT * FROM gcat.ns10.trunc").count() == 1)
+  }
+
   test("missing table errors cleanly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gcat.ns1.never_made").collect()

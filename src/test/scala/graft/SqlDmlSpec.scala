@@ -317,6 +317,23 @@ class SqlDmlSpec extends SparkSpec {
     assert(!GraftTable.exists(spark, p3))
   }
 
+  test("TRUNCATE TABLE is metadata-only and time travel survives it") {
+    val p = freshTable("sqltrunc")
+    val filesBefore = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+    spark.sql(s"TRUNCATE TABLE graft.`$p`")
+    val t = GraftTable(spark, p)
+    assert(t.toDf().count() == 0)
+    assert(t.snapshot().schema.fieldNames.toSeq == Seq("id", "cat", "v"))
+    // metadata-only: the data files still exist on disk (vacuum's job)
+    assert(filesBefore.forall(f =>
+      new java.io.File(p, f).exists()))
+    // and the pre-truncate version still reads
+    assert(spark.sql(s"SELECT * FROM graft.`$p` VERSION AS OF 0").count() == 5)
+    // table remains writable
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (9, 'z', 90.0)")
+    assert(t.toDf().count() == 1)
+  }
+
   test("SHOW CREATE TABLE emits executable round-trippable DDL") {
     val p = freshTable("sqlshowcr")
     spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('graft.cdf'='true')")
