@@ -314,6 +314,37 @@ object QuickStart {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     println(s"[26] dynamic overwrite kept blue, replaced red: $dpoRows; " +
       s"cdf=${graft.io.Cdc.enabled(GraftTable(spark, dpo).log.tableProperties())}")
+
+    // 27. product quantization: 16x smaller vectors, ADC top-k through
+    // codes alone
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pq = graft.ext.Similarity.pqTopK(embs, col("vec_id") < 4, 3)
+    println(s"[27] PQ ADC top-3 for 4 queries: ${pq.count()} neighbors; " +
+      s"codes/vec=${graft.ext.Similarity.pqEncode(embs).select(size(col("codes"))).head().getInt(0)}")
+
+    // 28. skew-aware join + BM25 + gopher quality rules
+    val sj = graft.ext.Skew.skewJoin(
+      docs.select(col("source").as("k"), col("doc_id")),
+      docs.groupBy(col("source").as("k")).count(), Seq("k"), hotThreshold = 10)
+    val bm = graft.ext.TextAnalysis.bm25(docs, Seq("spark", "query"))
+    val keep = graft.ext.TextAnalysis.gopherRules(docs, minWords = 10)
+      .filter(col("keep")).count()
+    println(s"[28] skew join rows=${sj.count()}; bm25 matched=${bm.count()} " +
+      s"docs; gopher keeps $keep/${docs.count()}")
+
+    // 29. readChangeFeed stream: the dpo table's commits as change rows
+    val cdfQ = graft.streaming.Streams.readChangeFeed(spark, dpo)
+      .writeStream.format("memory").queryName("qs_cdf").outputMode("append")
+      .start()
+    try cdfQ.processAllAvailable() finally cdfQ.stop()
+    val byType = spark.table("qs_cdf").groupBy("_change_type").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"[29] change-feed stream: $byType")
+
+    // 30. TRUNCATE is metadata-only; time travel still reads v0
+    spark.sql(s"TRUNCATE TABLE graft.`$dpo`")
+    println(s"[30] truncate: now=${GraftTable(spark, dpo).toDf().count()} rows, " +
+      s"v0 still reads ${spark.sql(s"SELECT * FROM graft.`$dpo` VERSION AS OF 0").count()}")
     spark.stop()
   }
 }
