@@ -35,18 +35,23 @@ final class GraftSource
 
   override def createRelation(
       sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
-    // a Delta user porting batch-CDF code would otherwise get the full
-    // table with no _change_type column — silent wrong data for a mirror
-    require(!cdfOf(parameters),
-      "batch change feeds read through the table API: " +
-        "GraftTable(spark, path).tableChanges(fromVersion, toVersion) " +
-        "(readChangeFeed is a readStream option)")
-    GraftRelation(
-      sqlContext,
-      pathOf(parameters),
-      parameters.get("versionAsOf").map(_.toLong))
-  }
+      parameters: Map[String, String]): BaseRelation =
+    if (cdfOf(parameters)) {
+      // Delta's batch-CDF surface: startingVersion (inclusive, required
+      // — serving "all changes ever" implicitly would turn a typo into
+      // a full-history scan) + optional endingVersion (inclusive)
+      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "readChangeFeed batch reads require option(\"startingVersion\", v) " +
+            "(inclusive; optional endingVersion defaults to latest)"))
+      GraftChangesRelation(
+        sqlContext, pathOf(parameters), from,
+        parameters.get("endingVersion").map(_.toLong))
+    } else
+      GraftRelation(
+        sqlContext,
+        pathOf(parameters),
+        parameters.get("versionAsOf").map(_.toLong))
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -84,6 +89,34 @@ final class GraftSource
       parameters.get("startingVersion").map(_.toLong),
       parameters.get("maxCommitsPerTrigger").map(_.toLong),
       readChangeFeed = cdfOf(parameters))
+}
+
+/** Batch change-feed relation (Delta's
+  * `read.option("readChangeFeed").option("startingVersion", ...)`):
+  * rows are the exact per-commit changes of commits
+  * `[fromVersion, endingVersion ?: latest]` — table columns +
+  * `_change_type` — via [[graft.io.GraftTable.changesForCommits]]
+  * (always per-commit granularity, cost scales with the range's churn).
+  */
+final case class GraftChangesRelation(
+    sqlContext: SQLContext,
+    path: String,
+    fromVersion: Long,
+    endingVersion: Option[Long])
+    extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+
+  private def table = GraftTable(sqlContext.sparkSession, path)
+  private def toVersion: Long = endingVersion.getOrElse(table.version())
+
+  override def schema: StructType =
+    org.apache.spark.sql.graft.GraftStreamSource.cdfSchema(
+      table.snapshot(Some(toVersion)).schema)
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val to = toVersion
+    table.changesForCommits(fromVersion, to, table.snapshot(Some(to))).rdd
+  }
 }
 
 final case class GraftRelation(

@@ -172,6 +172,32 @@ class CdcSpec extends SparkSpec {
     assert(diff == Set((1L, 10.0, "delete"), (1L, 11.0, "insert")))
   }
 
+  test("batch readChangeFeed reader serves per-commit changes") {
+    val p = freshTable("cdcbatch", cdf = true)                     // v0
+    Dml.update(spark, p, col("id") === 1L, Map("v" -> lit(11.0)))  // v1
+    Dml.delete(spark, p, col("id") === 4L)                         // v2
+    def feed(opts: (String, String)*) = {
+      val r = opts.foldLeft(spark.read.format("graft").option("path", p)
+        .option("readChangeFeed", "true")) { case (b, (k, v)) => b.option(k, v) }
+      r.load().select("id", "v", Cdc.ChangeCol).collect()
+        .map(x => (x.getLong(0), x.getDouble(1), x.getString(2))).toSet
+    }
+    assert(feed("startingVersion" -> "1") == Set(
+      (1L, 10.0, "update_preimage"), (1L, 11.0, "update_postimage"),
+      (4L, 40.0, "delete")))
+    // endingVersion bounds the range (inclusive)
+    assert(feed("startingVersion" -> "1", "endingVersion" -> "1") == Set(
+      (1L, 10.0, "update_preimage"), (1L, 11.0, "update_postimage")))
+    // startingVersion 0 includes the initial load as inserts
+    assert(feed("startingVersion" -> "0").count(_._3 == "insert") == 4)
+    // startingVersion is required — no implicit full-history scan
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("path", p)
+        .option("readChangeFeed", "true").load()
+    }
+    assert(e.getMessage.contains("startingVersion"), e.getMessage)
+  }
+
   test("cdc files live under _cdc and are invisible to scans and vacuum") {
     val p = freshTable("cdcv", cdf = true)
     Dml.delete(spark, p, col("id") === 1L)
