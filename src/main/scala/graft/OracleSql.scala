@@ -188,8 +188,8 @@ object OracleSql {
 
   private val pqCodesSql: String =
     s"""WITH $pqCtes
-        SELECT vec_id, list(code ORDER BY j) AS codes
-        FROM codes GROUP BY vec_id"""
+        SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(code AS BIGINT) AS code
+        FROM codes"""
 
   private val knnPqAdcSql: String = {
     val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
@@ -1001,7 +1001,7 @@ object OracleSql {
       s"""WITH d AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
           m AS (SELECT doc_id,
                        len(toks) AS nw,
-                       CAST(floor(1000 * list_sum([len(t) for t in toks])
+                       CAST(floor(1000 * coalesce(list_sum([len(t) for t in toks]), 0)
                          / greatest(len(toks), 1)) AS BIGINT) AS mlp,
                        len(list_filter(toks, t ->
                          contains(t, '#') OR contains(t, '...'))) AS n_symbol,
@@ -1131,6 +1131,17 @@ object OracleSql {
 
     // CDF-enabled update: exact pre/postimage pairs
     "table_changes_updates" ->
+      """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderstatus = 'P')
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'update_preimage' AS _change_type FROM m
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                 'update_postimage' AS _change_type FROM m""",
+
+    // batch CDF reader, startingVersion=1: only the update commit —
+    // identical pre/postimage shape to table_changes_updates
+    "read_change_feed_batch" ->
       """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                     FROM orders WHERE o_orderstatus = 'P')
           SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -628,13 +628,16 @@ object SparkEntry {
 
   /** PQ codes for the whole corpus (m=16 subspaces × 16 sub-centroids
     * over dim 64); the DuckDB twin recomputes the stride codebooks and
-    * argmin per subspace exactly.
+    * argmin per subspace exactly. Output is flattened to scalar
+    * (vec_id, j, code) rows — the driver's checker cannot sort
+    * array-typed columns, so queries must never emit arrays/structs.
     */
   private def qPqCodes(spark: SparkSession, dir: String): DataFrame =
     Similarity.pqEncode(t(spark, dir, "embeddings"),
       rowCountHint = embRows(spark, dir))
-      .select(col("vec_id"),
-        transform(col("codes"), c => c.cast("long")).as("codes"))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        col("code").cast("long").as("code"))
 
   /** PQ ADC top-5: full-precision queries against codes-only corpus. */
   private def qKnnPqAdc(spark: SparkSession, dir: String): DataFrame =
@@ -900,6 +903,27 @@ object SparkEntry {
     tb.tableChanges(0L, tb.version())
   }
 
+  /** Batch CDF through the DataFrame reader (Delta's
+    * `read.format(...).option("readChangeFeed", "true")` surface):
+    * `startingVersion=1` serves exactly the update commit's
+    * pre/postimage pairs and excludes the initial load's rows
+    * (startingVersion is inclusive, unlike `tableChanges`' exclusive
+    * fromVersion). Exercises `sources.GraftChangesRelation`.
+    */
+  private def qReadChangeFeedBatch(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_cdfbatch")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite,
+      metadata = Map(Cdc.PropKey -> "true")))
+    Dml.update(spark, p, col("o_orderstatus") === "P",
+      Map("o_totalprice" -> col("o_totalprice") * 2))
+    spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(p)
+  }
+
   /** Mixed CDF range: an update commit (exact pre/postimages) followed
     * by a full overwrite — the feed keeps per-commit granularity, with
     * the overwrite contributing its own net diff (EXCEPT ALL over its
@@ -1160,6 +1184,7 @@ object SparkEntry {
     "sql_merge_into" -> (qSqlMergeInto _),
     "sql_catalog_bucket_join" -> (qSqlCatalogBucketJoin _),
     "table_changes_updates" -> (qTableChangesUpdates _),
+    "read_change_feed_batch" -> (qReadChangeFeedBatch _),
     "table_changes_merge" -> (qTableChangesMerge _),
     "table_changes_mixed" -> (qTableChangesMixed _),
     "table_dynamic_overwrite" -> (qDynamicOverwrite _),

@@ -140,7 +140,15 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "spark.readStream.format(\"graft\").option(\"path\", ...)")
         rebind(s.output, GraftInternal.streamingRelationFor(spark, opts))
 
-      case dsv2 @ DataSourceV2Relation(t: GraftCatalogTable, out, _, _, _, _) =>
+      case dsv2 @ DataSourceV2Relation(t: GraftCatalogTable, out, _, _, opts, _) =>
+        // same contract as the streaming case above: a change feed adds
+        // _change_type, which this plan's table-schema output cannot
+        // carry — reject loudly rather than silently serving plain rows
+        require(!Option(opts.get("readChangeFeed")).exists(_.equalsIgnoreCase("true")),
+          "readChangeFeed batch reads are path-route only — use " +
+            "spark.read.format(\"graft\").option(\"readChangeFeed\", \"true\")" +
+            ".option(\"startingVersion\", v).load(path) or " +
+            "GraftTable.tableChanges")
         rebind(out, nativePlan(t.path, t.versionAsOf))
     }
 

@@ -638,18 +638,29 @@ object TextAnalysis {
       docs: DataFrame,
       minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {
+    // No higher-order functions here: aggregate/filter are
+    // CodegenFallback and would knock the whole stage out of
+    // whole-stage codegen on the corpus-wide path. Token-level counts
+    // are computed over the normalized text with token-boundary-aware
+    // regexes instead — a token is a maximal \S+ run of
+    // `lower(trim(text))` (exactly what `tokens` splits on), `\S*X\S*`
+    // consumes a whole token per match and cannot span whitespace, so
+    // regexp_count == "number of tokens containing X".
     val toks = tokens(col("text"))
+    val norm = lower(trim(col("text")))
     val nTok = size(toks)
+    // sum of token lengths == length of tokens concatenated with no sep
+    val sumLen = length(array_join(toks, "")).cast("long")
     val meanLenPermille =
-      floor(lit(1000) * aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        / greatest(nTok, lit(1))).cast("long")
-    val nSymbol = size(filter(toks, t =>
-      t.contains("#") || t.contains("...")))
+      floor(lit(1000) * sumLen / greatest(nTok, lit(1))).cast("long")
+    val nSymbol = regexp_count(norm, lit("""\S*(?:#|\.\.\.)\S*"""))
     val lines = split(col("text"), "\n")
     val nLines = greatest(size(lines), lit(1))
-    val nBullet = size(filter(lines, l =>
-      trim(l).startsWith("-") || trim(l).startsWith("*")))
-    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    // a line is a bullet iff after stripping SPACES (trim's charset) it
+    // starts with '-' or '*': anchored `^ *[-*]` under (?m) matches
+    // exactly once at each such line start
+    val nBullet = regexp_count(col("text"), lit("(?m)^ *[-*]"))
+    val nAlpha = regexp_count(norm, lit("""\S*[a-z]\S*"""))
     val wordsOk = nTok >= minWords && nTok <= maxWords
     val meanLenOk = meanLenPermille >= 3000 && meanLenPermille <= 10000
     val symbolOk = nSymbol * 10 <= nTok

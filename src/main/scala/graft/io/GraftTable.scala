@@ -284,12 +284,28 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     * files; nothing for metadata-only commits. Powers both the batch
     * CDF range read and the streaming change feed. Returns an empty
     * (schema-correct) frame when no commit contributed rows.
+    *
+    * Fails loudly (mirroring [[org.apache.spark.sql.graft.GraftStreamSource]]'s
+    * gap error and Delta's batch CDF) when log retention already cleaned
+    * part of the requested range — a change feed that silently skips
+    * commits would desynchronize every mirror built on it.
     */
   def changesForCommits(
       fromCommit: Long, toCommit: Long, alignTo: Snapshot): DataFrame = {
-    val surviving = log.versions().toSet
-    changesOf((fromCommit to toCommit).filter(surviving)
-      .map(v => log.readCommit(v)), surviving, alignTo)
+    val surviving = log.versions()
+    surviving.headOption
+      .filter(oldest => fromCommit < oldest && fromCommit <= toCommit)
+      .foreach { oldest =>
+        throw new IllegalStateException(
+          s"changesForCommits at $path: versions [$fromCommit, " +
+            s"${math.min(toCommit, oldest - 1)}] were removed by log " +
+            "retention (cleanOldLogs); the requested change range is no " +
+            s"longer fully available. Use startingVersion >= $oldest, or " +
+            "read a full snapshot instead.")
+      }
+    val set = surviving.toSet
+    changesOf((fromCommit to toCommit).filter(set)
+      .map(v => log.readCommit(v)), set, alignTo)
   }
 
   /** Core of the change feed over pre-read commits (callers pass the

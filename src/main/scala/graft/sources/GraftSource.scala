@@ -44,9 +44,13 @@ final class GraftSource
         throw new IllegalArgumentException(
           "readChangeFeed batch reads require option(\"startingVersion\", v) " +
             "(inclusive; optional endingVersion defaults to latest)"))
+      // resolve the ending version ONCE at relation construction — a
+      // commit landing between analysis and execution must not shift the
+      // scanned range/alignment snapshot away from the analyzed schema
       GraftChangesRelation(
         sqlContext, pathOf(parameters), from,
-        parameters.get("endingVersion").map(_.toLong))
+        parameters.get("endingVersion").map(_.toLong).getOrElse(
+          GraftTable(sqlContext.sparkSession, pathOf(parameters)).version()))
     } else
       GraftRelation(
         sqlContext,
@@ -102,21 +106,19 @@ final case class GraftChangesRelation(
     sqlContext: SQLContext,
     path: String,
     fromVersion: Long,
-    endingVersion: Option[Long])
+    toVersion: Long)
     extends BaseRelation
     with org.apache.spark.sql.sources.TableScan {
 
   private def table = GraftTable(sqlContext.sparkSession, path)
-  private def toVersion: Long = endingVersion.getOrElse(table.version())
 
   override def schema: StructType =
     org.apache.spark.sql.graft.GraftStreamSource.cdfSchema(
       table.snapshot(Some(toVersion)).schema)
 
-  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-    val to = toVersion
-    table.changesForCommits(fromVersion, to, table.snapshot(Some(to))).rdd
-  }
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    table.changesForCommits(
+      fromVersion, toVersion, table.snapshot(Some(toVersion))).rdd
 }
 
 final case class GraftRelation(

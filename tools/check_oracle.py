@@ -56,6 +56,16 @@ def main(out_dir, sf_dir):
     for name in names:
         got_rel = con.sql(
             f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        # The driver's pandas-based sorter crashes on array/struct columns
+        # (unhashable numpy.ndarray) — reject them here so the local gate
+        # can never pass a shape the driver gate would fail.
+        bad = [c for c, t in zip(got_rel.columns, got_rel.types)
+               if any(k in str(t).upper() for k in ("[]", "STRUCT", "MAP", "LIST"))]
+        if bad:
+            print(f"{name}: REJECT array/struct output columns {bad} "
+                  "(driver checker cannot sort these — flatten to scalars)")
+            failed.append(name)
+            continue
         got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
         if name not in oracles:
             print(f"{name}: NO-ORACLE rows={len(got)} (rows-only check)")
