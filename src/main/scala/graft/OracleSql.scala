@@ -1086,6 +1086,16 @@ object OracleSql {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE NOT (o_totalprice > 150000.0)""",
 
+    "table_delete_dv" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE NOT (o_totalprice > 150000.0)""",
+
+    "table_update_dv" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders""",
+
     "table_update" ->
       """SELECT o_orderkey, o_orderstatus,
                 CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2

@@ -855,6 +855,41 @@ object SparkEntry {
     GraftTable(spark, p).toDf()
   }
 
+  /** Merge-on-read DELETE (`graft.dv=true`): the matched rows' physical
+    * indexes land in per-file RoaringBitmap deletion vectors — no data
+    * file is rewritten — and every read anti-filters on
+    * `(_metadata.file_path, _metadata.row_index)`. Result must be
+    * byte-identical to the copy-on-write `table_delete`.
+    */
+  private def qTableDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_del_dv")
+    GraftWriter.write(spark, o, p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        partitionBy = Seq("o_orderstatus"),
+        metadata = Map(graft.io.DeletionVectors.PropKey -> "true")))
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    GraftTable(spark, p).toDf()
+  }
+
+  /** Merge-on-read UPDATE: preimage positions join the deletion vector,
+    * postimages append as new files (Delta's DV update shape). A
+    * row-subset condition so surviving files genuinely carry DVs.
+    */
+  private def qTableUpdateDv(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_upd_dv")
+    GraftWriter.write(spark, o, p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        partitionBy = Seq("o_orderstatus"),
+        metadata = Map(graft.io.DeletionVectors.PropKey -> "true")))
+    Dml.update(spark, p, col("o_orderkey") % 3 === 0,
+      Map("o_totalprice" -> col("o_totalprice") * 2))
+    GraftTable(spark, p).toDf()
+  }
+
   /** Row-level UPDATE confined to one partition (times-two is exact in
     * binary floating point, so the oracle compares bit-for-bit).
     */
@@ -1178,7 +1213,9 @@ object SparkEntry {
     "table_truncate" -> (qTableTruncate _),
     "table_changes" -> (qTableChanges _),
     "table_delete" -> (qTableDelete _),
+    "table_delete_dv" -> (qTableDeleteDv _),
     "table_update" -> (qTableUpdate _),
+    "table_update_dv" -> (qTableUpdateDv _),
     "sql_delete" -> (qSqlDelete _),
     "sql_update" -> (qSqlUpdate _),
     "sql_merge_into" -> (qSqlMergeInto _),

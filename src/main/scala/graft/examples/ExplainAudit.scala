@@ -48,6 +48,17 @@ object ExplainAudit {
     println("=== [D] knn dot product (expect WholeStageCodegen over graft_dot) ===")
     val knn = graft.SparkEntry.queries("knn_brute_topk")(spark, sfDir)
     knn.explain("formatted")
+
+    println("=== [E] deletion-vectored scan (expect PushedFilters intact + " +
+      "WholeStageCodegen over the DvDeleted anti-filter) ===")
+    graft.merge.Dml.delete(spark, p, col("l_quantity") > 45.0)
+    spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES ('graft.dv'='true')")
+    graft.merge.Dml.delete(spark, p, col("l_quantity") > 40.0)
+    val dvScan = GraftTable(spark, p).toDf()
+      .filter(col("l_orderkey") > 1000L)
+      .select("l_orderkey", "l_quantity")
+    dvScan.explain("formatted")
+
     spark.stop()
   }
 

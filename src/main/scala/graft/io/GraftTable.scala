@@ -69,11 +69,16 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       snap: Snapshot,
       files: Seq[AddFile],
       readOptions: Map[String, String] = Map.empty,
-      bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None): DataFrame = {
+      bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None,
+      /** Also project `__graft_file` / `__graft_row_index` (the physical
+        * row identity deletion-vector DML keys bitmaps on).
+        */
+      withRowMeta: Boolean = false): DataFrame = {
     val schema = snap.schema
     val sub = snap.copy(files = files)
     graft.sources.GraftNativeRelation
-      .planFor(spark, path, sub, bucketSpec = bucketSpec, readOptions = readOptions)
+      .planFor(spark, path, sub, bucketSpec = bucketSpec, readOptions = readOptions,
+        withRowMeta = withRowMeta)
       .map(p => org.apache.spark.sql.graft.GraftInternal.dfFromPlan(spark, p))
       .getOrElse {
         if (files.isEmpty)
@@ -85,17 +90,37 @@ final class GraftTable(val spark: SparkSession, val path: String) {
         val dataSchema = ColumnMapping.physicalSchema(
           StructType(schema.filterNot(f => partCols(f.name))), mapping)
         val abs = files.map(f => new Path(path, f.path).toString)
-        val raw = spark.read
+        val raw0 = spark.read
           .schema(dataSchema)
           .options(readOptions)
           .option("basePath", path)
           .parquet(abs: _*)
+        // deletion vectors: same anti-filter as the native plan
+        val raw = DeletionVectors.indexFor(
+            path, spark.sessionState.newHadoopConf(), files) match {
+          case Some(idx) =>
+            raw0.filter(!org.apache.spark.sql.graft.GraftInternal.column(
+              DvDeleted(idx,
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+                  Seq("_metadata", "file_path")),
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+                  Seq("_metadata", "row_index")))))
+          case None => raw0
+        }
         // pin column order + partition column types to the declared schema
-        raw.select(schema.map { f =>
+        val pinned = schema.map { f =>
           val phys = if (partCols(f.name)) f.name
             else ColumnMapping.physicalName(mapping, f.name)
           col(phys).cast(f.dataType).as(f.name)
-        }: _*)
+        }
+        val metaCols =
+          if (withRowMeta) Seq(
+            col("_metadata.file_path").as(
+              graft.sources.GraftNativeRelation.RowMetaFileCol),
+            col("_metadata.row_index").as(
+              graft.sources.GraftNativeRelation.RowMetaIndexCol))
+          else Nil
+        raw.select(pinned ++ metaCols: _*)
       }
   }
 
@@ -156,7 +181,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     // and stays correct when replay starts from a checkpoint
     val liveFiles = snap.files.map(_.path).toDF("path")
     val actions = snap.files
-      .map(a => (a.path, a.sizeBytes, a.numRecords))
+      .map(a => (a.path, a.sizeBytes, a.liveRecords))
       .toDF("path", "size_bytes", "num_records")
     liveFiles
       .join(actions, Seq("path"), "inner")
@@ -194,7 +219,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val props = log.tableProperties()
     Seq((
       "graft", path, snap.version, snap.files.size.toLong,
-      snap.files.map(_.sizeBytes).sum, snap.files.map(_.numRecords).sum,
+      snap.files.map(_.sizeBytes).sum, snap.files.map(_.liveRecords).sum,
       snap.partitionColumns.mkString(","), snap.schema.toDDL,
       props.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";")))
       .toDF("format", "location", "version", "num_files", "size_bytes",
@@ -213,13 +238,21 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def restore(toVersion: Long): Long = GraftWriter.retryDerived {
     val cur = snapshot()
     val tgt = snapshot(Some(toVersion))
-    val curPaths = cur.files.map(_.path).toSet
+    // file identity includes the deletion vector: a path whose DV
+    // changed since the target must be re-added with the OLD dv (add
+    // actions upsert by path), or the restore would keep post-target
+    // deletes applied
+    def ident(f: AddFile): (String, Option[graft.log.DvFile]) = (f.path, f.dv)
+    val curIds = cur.files.map(ident).toSet
     val tgtPaths = tgt.files.map(_.path).toSet
-    val missing = tgt.files.filterNot(f => log.fs.exists(new Path(path, f.path)))
+    val missing = tgt.files.filterNot { f =>
+      log.fs.exists(new Path(path, f.path)) &&
+        f.dv.forall(d => log.fs.exists(new Path(path, d.path)))
+    }
     require(missing.isEmpty,
       s"cannot restore $path to v$toVersion: ${missing.size} of its files " +
         s"were vacuumed (e.g. ${missing.take(3).map(_.path).mkString(", ")})")
-    val reAdded = tgt.files.filterNot(f => curPaths(f.path))
+    val reAdded = tgt.files.filterNot(f => curIds(ident(f)))
     val dropped = cur.files.filterNot(f => tgtPaths(f.path))
     log.commit(
       operation = "RESTORE",
@@ -384,14 +417,18 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   private def diffChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     val fromSnap = snapshot(Some(fromVersion))
     val toSnap = snapshot(Some(toVersion))
-    val fromPaths = fromSnap.files.map(_.path).toSet
-    val toPaths = toSnap.files.map(_.path).toSet
-    val addedRows = dfForFiles(toSnap, toSnap.files.filterNot(f => fromPaths(f.path)))
+    // file identity includes the deletion vector: a DV-only delete keeps
+    // the path but changes live rows, so it must appear on both sides of
+    // the diff (old state minus new state = the deleted rows)
+    def ident(f: AddFile): (String, Option[graft.log.DvFile]) = (f.path, f.dv)
+    val fromIds = fromSnap.files.map(ident).toSet
+    val toIds = toSnap.files.map(ident).toSet
+    val addedRows = dfForFiles(toSnap, toSnap.files.filterNot(f => fromIds(ident(f))))
     // read old files through the TARGET snapshot too: data files carry
     // physical names, so toSnap's mapping serves them under the current
     // logical names even across renames; evolution-added columns read as
     // nulls, dropped columns are projected away
-    val removedRows = dfForFiles(toSnap, fromSnap.files.filterNot(f => toPaths(f.path)))
+    val removedRows = dfForFiles(toSnap, fromSnap.files.filterNot(f => toIds(ident(f))))
     addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
       .unionByName(
         removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
@@ -437,10 +474,15 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     require(retainVersions >= 1, "must retain at least the latest version")
     val vs = log.versions()
     val retained = vs.takeRight(retainVersions)
-    val live: Set[String] =
-      retained.flatMap(v => log.snapshot(Some(v)).files.map(_.path)).toSet
+    val retainedFiles = retained.flatMap(v => log.snapshot(Some(v)).files)
+    val live: Set[String] = retainedFiles.map(_.path).toSet
+    // deletion-vector files are live iff a retained snapshot's add action
+    // still points at them (superseded DVs age out with their versions)
+    val liveDv: Set[String] = retainedFiles.flatMap(_.dv.map(_.path)).toSet
     val everAdded = vs.flatMap(v => log.readCommit(v).add.map(_.path)).distinct
-    val doomed = everAdded.filterNot(live)
+    val everDv = vs.flatMap(v =>
+      log.readCommit(v).add.flatMap(_.dv.map(_.path))).distinct
+    val doomed = everAdded.filterNot(live) ++ everDv.filterNot(liveDv)
     val fs = log.fs
     // delete() returns false for already-gone files (prior vacuum)
     doomed.filter(rel => fs.delete(new Path(path, rel), false))
@@ -469,16 +511,35 @@ final class GraftTable(val spark: SparkSession, val path: String) {
         "safety floor (concurrent readers of recent snapshots would lose " +
         "files mid-query); pass enforceRetention = false to override")
     val cutoff = nowMs - retainMillis
-    val live: Set[String] = snapshot().files.map(_.path).toSet
-    // tombstone age = timestamp of the commit that removed the file
+    val liveFiles = snapshot().files
+    val live: Set[String] = liveFiles.map(_.path).toSet
+    val liveDv: Set[String] = liveFiles.flatMap(_.dv.map(_.path)).toSet
+    // tombstone age = timestamp of the commit that removed the file; a
+    // deletion-vector file is tombstoned when its data file's add action
+    // is superseded by one pointing at a different (or no) DV, or when
+    // the data path is removed without a re-add in the same commit
     val removedAt = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val currentDv = scala.collection.mutable.LinkedHashMap[String, String]()
     log.versions().map(log.readCommit).foreach { c =>
-      c.remove.foreach(r => removedAt(r.path) = c.timestampMs)
-      c.add.foreach(a => removedAt.remove(a.path)) // re-added later => live path
+      c.remove.foreach { r =>
+        removedAt(r.path) = c.timestampMs
+        currentDv.remove(r.path).foreach(dv => removedAt(dv) = c.timestampMs)
+      }
+      c.add.foreach { a =>
+        removedAt.remove(a.path) // re-added later => live path
+        val newDv = a.dv.map(_.path)
+        val oldDv = currentDv.get(a.path)
+        if (oldDv != newDv)
+          oldDv.foreach(dv => removedAt(dv) = c.timestampMs)
+        newDv match {
+          case Some(d) => currentDv(a.path) = d; removedAt.remove(d)
+          case None => currentDv.remove(a.path)
+        }
+      }
     }
     val fs = log.fs
     val doomed = removedAt.iterator
-      .collect { case (rel, ts) if ts < cutoff && !live(rel) => rel }
+      .collect { case (rel, ts) if ts < cutoff && !live(rel) && !liveDv(rel) => rel }
       .toSeq
     if (dryRun) doomed.filter(rel => fs.exists(new Path(path, rel)))
     else doomed.filter(rel => fs.delete(new Path(path, rel), false))

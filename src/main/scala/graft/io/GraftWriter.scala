@@ -389,12 +389,17 @@ object GraftWriter {
     val fs = new Path(path).getFileSystem(conf)
     val snap = log.snapshot()
     val byPartition = snap.files.groupBy(_.partitionValues)
-    val toCompact = byPartition.filter(_._2.size > 1).values.flatten.toSeq
+    // a deletion-vectored file is compactable even alone in its
+    // partition: the rewrite materializes the anti-filter and PURGES the
+    // DV (Delta's `OPTIMIZE` on DV'd tables), restoring scan speed
+    val toCompact = byPartition
+      .filter(g => g._2.size > 1 || g._2.exists(_.dv.isDefined))
+      .values.flatten.toSeq
     if (toCompact.isEmpty) return snap.version
 
     val table = new GraftTable(spark, path)
     val df = table.dfForFiles(snap, toCompact)
-    val totalRows = toCompact.map(_.numRecords).sum
+    val totalRows = toCompact.map(_.liveRecords).sum
     val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
 
     val stage = new Path(path, s"_staging-${UUID.randomUUID()}")
@@ -622,7 +627,13 @@ object GraftWriter {
       /** Evolved schema for the commit (merge schema evolution): the
         * rewrite's columns, a superset of the snapshot's.
         */
-      schemaOverride: Option[StructType] = None): Long = {
+      schemaOverride: Option[StructType] = None,
+      /** Pre-built add actions committed alongside the staged files
+        * (deletion-vector repoints of existing files — see
+        * [[graft.merge.Dml]]); not subject to CHECK enforcement, which
+        * already validated their rows when they were first written.
+        */
+      extraAdds: Seq[AddFile] = Nil): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
@@ -645,7 +656,7 @@ object GraftWriter {
         "num_added_files" -> added.size.toLong,
         "num_removed_files" -> removals.size.toLong,
         "num_output_rows" -> added.map(_.numRecords).sum),
-      add = added,
+      add = added ++ extraAdds,
       remove = removals,
       // CAS on the snapshot the rewrite was derived from: a concurrent
       // commit conflicts (the merge/DML retry re-derives) instead of

@@ -17,9 +17,19 @@ final case class FileColStat(
     /** -1 = unknown (footer never recorded a count); never prune on it. */
     nullCount: Long)
 
+/** Deletion vector attached to a data file: `path` (relative to the
+  * table root, under `_dv/`) holds a serialized RoaringBitmap of the
+  * file's DELETED row indexes; `cardinality` is its bit count. A file
+  * with a DV serves `numRecords - cardinality` live rows — the
+  * merge-on-read alternative to copy-on-write that keeps a point
+  * DELETE on a 100 TB table from rewriting whole files.
+  */
+final case class DvFile(path: String, cardinality: Long)
+
 /** One data file added to the table. `path` is relative to the table root
   * (hive-style partition dirs included). Partition values are stringified,
-  * like Delta's add-action partitionValues.
+  * like Delta's add-action partitionValues. `numRecords` is the PHYSICAL
+  * row count — subtract `dv.cardinality` for live rows.
   */
 final case class AddFile(
     path: String,
@@ -27,7 +37,13 @@ final case class AddFile(
     sizeBytes: Long,
     numRecords: Long,
     modificationTime: Long,
-    stats: Map[String, FileColStat] = Map.empty)
+    stats: Map[String, FileColStat] = Map.empty,
+    /** Deletion vector; None = every physical row is live (absent in
+      * pre-DV logs — json4s default).
+      */
+    dv: Option[DvFile] = None) {
+  def liveRecords: Long = numRecords - dv.map(_.cardinality).getOrElse(0L)
+}
 
 /** Logical deletion of a previously added file. */
 final case class RemoveFile(path: String)

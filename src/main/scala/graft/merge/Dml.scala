@@ -66,6 +66,8 @@ object Dml {
       require(unknown.isEmpty,
         s"UPDATE SET names unknown columns: ${unknown.mkString(", ")}")
     }
+    if (graft.io.DeletionVectors.enabled(table.log.tableProperties()))
+      return dvRewriteOnce(spark, table, path, snap, condition, op, keepMatched)
 
     // 1. discovery: which files hold a matching row? (filter BEFORE the
     // nondeterministic input_file_name projection so pushdown fires)
@@ -109,6 +111,130 @@ object Dml {
       operation = op,
       metadata = Map("operation" -> op),
       cdc = cdcFiles)
+    DmlStats(v, touched.size.toLong)
+  }
+
+  /** Merge-on-read DELETE / UPDATE (opt-in `graft.dv=true`): instead of
+    * rewriting touched files, record the matched rows' physical indexes
+    * as per-file RoaringBitmaps ([[graft.io.DeletionVectors]]) and
+    * repoint each file's add action at the merged DV — a point DELETE
+    * costs one metadata-pruned scan plus O(deleted rows) of compressed
+    * bitmap, no data-file rewrite. An UPDATE additionally appends the
+    * transformed matched rows as new files (Delta's DV update shape).
+    * A file whose DV would cover every physical row is dropped outright.
+    *
+    * The bitmaps are aggregated EXECUTOR-side (one group per file) —
+    * only compressed bytes reach the driver, bounded by the touched
+    * file count, never the deleted row count.
+    */
+  private def dvRewriteOnce(
+      spark: SparkSession,
+      table: GraftTable,
+      path: String,
+      snap: graft.log.Snapshot,
+      condition: Column,
+      op: String,
+      keepMatched: Option[Map[String, Column]]): DmlStats = {
+    import spark.implicits._
+    import graft.io.DeletionVectors
+    val conf = spark.sessionState.newHadoopConf()
+    val cols = snap.schema.map(_.name)
+    val matched = coalesce(condition, lit(false)) // WHERE NULL = no-op
+    val fileCol = graft.sources.GraftNativeRelation.RowMetaFileCol
+    val idxCol = graft.sources.GraftNativeRelation.RowMetaIndexCol
+
+    // one pruned scan straight to per-file bitmaps: the condition pushes
+    // into the scan (footer-stats skipping prunes untouched files on the
+    // driver), and `_metadata` is deterministic, so — unlike the COW
+    // path's input_file_name() discovery — nothing blocks pushdown
+    val hits = table.dfForFiles(snap, snap.files, withRowMeta = true)
+      .filter(matched)
+    val bitmaps: Seq[(String, Array[Byte], Long)] = hits
+      .select(col(fileCol).as("f"), col(idxCol).cast("long").as("i"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bm = new org.roaringbitmap.RoaringBitmap()
+        it.foreach { case (_, i) =>
+          require(i >= 0 && i <= Int.MaxValue,
+            s"row index $i of $f exceeds the 32-bit DV bitmap range")
+          bm.add(i.toInt)
+        }
+        (f, DeletionVectors.serialize(bm), bm.getLongCardinality)
+      }
+      .collect().toSeq
+    if (bitmaps.isEmpty) return DmlStats(snap.version, 0L)
+
+    // absolute `_metadata.file_path` → the snapshot's add action
+    val byRel = snap.files.map(f => f.path -> f).toMap
+    def fileOf(abs: String): graft.log.AddFile =
+      byRel.keys.find(rel => abs.endsWith("/" + rel)).map(byRel)
+        .getOrElse(throw new IllegalStateException(
+          s"DV rewrite: $abs is not a live file of $path"))
+
+    // merge with any existing DV; a fully-deleted file is removed outright
+    val updated: Seq[(graft.log.AddFile, Option[graft.log.AddFile])] =
+      bitmaps.map { case (abs, bytes, _) =>
+        val old = fileOf(abs)
+        val bm = DeletionVectors.deserialize(bytes)
+        old.dv.foreach(d => bm.or(DeletionVectors.readDv(path, conf, d)))
+        val card = bm.getLongCardinality
+        require(card <= old.numRecords,
+          s"DV cardinality $card exceeds ${old.path}'s ${old.numRecords} rows")
+        if (card == old.numRecords) (old, None)
+        else (old, Some(old.copy(dv = Some(DeletionVectors.writeDv(path, conf, bm)))))
+      }
+    val touched = updated.map(_._1)
+
+    // change-data feed (opt-in `graft.cdf`): one extra pass over the
+    // TOUCHED files only, same shape as the COW path
+    val cdcFiles: Seq[graft.log.AddFile] =
+      if (!graft.io.Cdc.enabled(table.log.tableProperties())) Nil
+      else {
+        val hit = table.dfForFiles(snap, touched).filter(matched)
+        val changes = keepMatched match {
+          case None =>
+            hit.withColumn(graft.io.Cdc.ChangeCol, lit("delete"))
+          case Some(set) =>
+            hit.withColumn(graft.io.Cdc.ChangeCol, lit("update_preimage"))
+              .unionByName(
+                hit.select(cols.map(c =>
+                  set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+                  .withColumn(graft.io.Cdc.ChangeCol, lit("update_postimage")))
+        }
+        graft.io.Cdc.writeChangeFiles(spark, path, changes)
+      }
+
+    val removals = touched.map(f => RemoveFile(f.path))
+    val dvAdds = updated.flatMap(_._2)
+    val metrics = Map(
+      "num_affected_files" -> touched.size.toLong,
+      "num_deletion_vectors" -> dvAdds.size.toLong,
+      "num_deleted_rows" -> bitmaps.map(_._3).sum)
+    val v = keepMatched match {
+      case None => // DELETE: metadata-only commit, no data write at all
+        table.log.commit(
+          operation = op,
+          mode = "dv",
+          schemaDdl = snap.schema.toDDL,
+          partitionColumns = snap.partitionColumns,
+          metadata = Map("operation" -> op),
+          operationMetrics = metrics,
+          add = dvAdds,
+          remove = removals,
+          expectedVersion = Some(snap.version),
+          cdc = cdcFiles)
+      case Some(set) => // UPDATE: postimages append as new files
+        val postimages = table.dfForFiles(snap, touched).filter(matched)
+          .select(cols.map(c =>
+            set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        GraftWriter.writeCow(spark, postimages, path, snap,
+          removals,
+          operation = op,
+          metadata = Map("operation" -> op),
+          cdc = cdcFiles,
+          extraAdds = dvAdds)
+    }
     DmlStats(v, touched.size.toLong)
   }
 }

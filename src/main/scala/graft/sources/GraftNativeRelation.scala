@@ -3,9 +3,10 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.catalog.BucketSpec
-import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -49,7 +50,13 @@ object GraftNativeRelation {
       path: String,
       snap0: graft.log.Snapshot,
       bucketSpec: Option[BucketSpec] = None,
-      readOptions: Map[String, String] = Map.empty): Option[LogicalPlan] = {
+      readOptions: Map[String, String] = Map.empty,
+      /** Also project the physical row identity (`__graft_file` =
+        * `_metadata.file_path`, `__graft_row_index` =
+        * `_metadata.row_index`) — the handle deletion-vector DML keys
+        * its bitmaps on.
+        */
+      withRowMeta: Boolean = false): Option[LogicalPlan] = {
     // read as nullable regardless of the declared schema — files cannot
     // be trusted to honor NOT NULL (Spark's own file sources do the
     // same; a non-nullable read schema lets the optimizer fold
@@ -90,8 +97,33 @@ object GraftNativeRelation {
       else if (attr.dataType == f.dataType) Alias(attr, f.name)()
       else Alias(Cast(attr, f.dataType), f.name)()
     }
-    Some(Project(projections, lr))
+    // deletion vectors: anti-filter deleted physical rows BELOW the
+    // pinning Project, on the parquet metadata columns (resolved by the
+    // analyzer's AddMetadataColumns). Sits beside — not instead of —
+    // data-filter pushdown: predicates above the Project still reach the
+    // scan; this filter is post-scan by construction (row_index cannot
+    // prune files).
+    val filePath = UnresolvedAttribute(Seq("_metadata", "file_path"))
+    val rowIndex = UnresolvedAttribute(Seq("_metadata", "row_index"))
+    val filtered: LogicalPlan =
+      graft.io.DeletionVectors.indexFor(
+        path, spark.sessionState.newHadoopConf(), snap0.files) match {
+        case Some(idx) =>
+          Filter(Not(graft.io.DvDeleted(idx, filePath, rowIndex)), lr)
+        case None => lr
+      }
+    val allProjections =
+      if (withRowMeta)
+        projections ++ Seq(
+          Alias(filePath, RowMetaFileCol)(),
+          Alias(rowIndex, RowMetaIndexCol)())
+      else projections
+    Some(Project(allProjections, filtered))
   }
+
+  /** Column names of the `withRowMeta = true` projection. */
+  val RowMetaFileCol = "__graft_file"
+  val RowMetaIndexCol = "__graft_row_index"
 
   /** Everything-nullable view of a type (StructType.asNullable is
     * package-private).

@@ -146,7 +146,14 @@ class GraftStreamSource(
     if (readChangeFeed)
       return asStream(table.changesForCommits(from, to, snap))
     val versions = surviving.filter(v => v >= from && v <= to)
-    val added = versions.flatMap(v => log.readCommit(v).add)
+    // a same-commit remove+add of one path is a metadata rewrite of an
+    // existing file (deletion-vector DML repointing its DV), not new
+    // data — emitting it would replay the file's surviving rows
+    val added = versions.flatMap { v =>
+      val c = log.readCommit(v)
+      val rewritten = c.remove.map(_.path).toSet
+      c.add.filterNot(a => rewritten(a.path))
+    }
     asStream(table.dfForFiles(snap, added))
   }
 

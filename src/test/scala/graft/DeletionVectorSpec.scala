@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io._
+import graft.merge.Dml
+
+/** Merge-on-read deletion vectors: DV DELETE/UPDATE parity with
+  * copy-on-write, read-path composition (time travel, CDF, streaming
+  * identity), and maintenance interplay (OPTIMIZE purge, RESTORE,
+  * VACUUM liveness).
+  */
+class DeletionVectorSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def orders = spark.read.parquet(s"$sf/orders.parquet")
+    .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  private def writeDvTable(p: String, extraProps: Map[String, String] = Map.empty): Unit =
+    GraftWriter.write(spark, orders, p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        partitionBy = Seq("o_orderstatus"),
+        metadata = Map(DeletionVectors.PropKey -> "true") ++ extraProps))
+
+  test("DV delete: no data file rewritten, results match COW delete") {
+    val pDv = tmpDir("dv_del")
+    val pCow = tmpDir("cow_del")
+    writeDvTable(pDv)
+    GraftWriter.write(spark, orders, pCow,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+
+    val cond = col("o_totalprice") > 150000.0
+    val before = GraftTable(spark, pDv).snapshot()
+    val sDv = Dml.delete(spark, pDv, cond)
+    val sCow = Dml.delete(spark, pCow, cond)
+    assert(sDv.numAffectedFiles > 0)
+    assert(sDv.numAffectedFiles == sCow.numAffectedFiles)
+
+    val after = GraftTable(spark, pDv).snapshot()
+    // merge-on-read: every surviving physical file is the SAME file —
+    // only DV pointers changed (or fully-deleted files dropped)
+    val beforePaths = before.files.map(_.path).toSet
+    assert(after.files.forall(f => beforePaths(f.path)))
+    assert(after.files.exists(_.dv.isDefined))
+    assert(after.files.flatMap(_.dv).forall(_.cardinality > 0))
+
+    val got = GraftTable(spark, pDv).toDf()
+    val want = GraftTable(spark, pCow).toDf()
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // data-skipping pushdown still fires through the DV filter
+    assert(got.filter(col("o_totalprice") > 150000.0).count() == 0)
+  }
+
+  test("second delete on same files merges bitmaps; full-file delete drops the file") {
+    val p = tmpDir("dv_merge")
+    writeDvTable(p)
+    val t = GraftTable(spark, p)
+    val total = orders.count()
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    val card1 = t.snapshot().files.flatMap(_.dv).map(_.cardinality).sum
+    Dml.delete(spark, p, col("o_totalprice") > 100000.0) // superset condition
+    val snap2 = t.snapshot()
+    val card2 = snap2.files.flatMap(_.dv).map(_.cardinality).sum
+    assert(card2 > card1)
+    val expect = orders.filter(!(col("o_totalprice") > 100000.0)).count()
+    assert(t.toDf().count() == expect)
+    // rows already DV-deleted are not re-counted (bitmap union, not sum)
+    assert(card2 + snap2.files.map(_.liveRecords).sum
+      == snap2.files.map(_.numRecords).sum)
+    assert(snap2.files.map(_.liveRecords).sum == expect)
+
+    // delete everything remaining: files drop outright, no zombie adds
+    Dml.delete(spark, p, lit(true))
+    val snap3 = t.snapshot()
+    assert(snap3.files.isEmpty)
+    assert(t.toDf().count() == 0)
+    assert(total > expect) // sanity: the conditions were selective
+  }
+
+  test("DV update: postimages in new files, preimage positions deleted; matches COW update") {
+    val pDv = tmpDir("dv_upd")
+    val pCow = tmpDir("cow_upd")
+    writeDvTable(pDv)
+    GraftWriter.write(spark, orders, pCow,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    val set = Map("o_totalprice" -> (col("o_totalprice") * 2))
+    // row-subset condition (a partition-column condition would match
+    // whole files, which drop outright instead of growing a DV)
+    Dml.update(spark, pDv, col("o_orderkey") % 3 === 0, set)
+    Dml.update(spark, pCow, col("o_orderkey") % 3 === 0, set)
+    val got = GraftTable(spark, pDv).toDf()
+    val want = GraftTable(spark, pCow).toDf()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the DV table kept its original files (plus new postimage files)
+    val snap = GraftTable(spark, pDv).snapshot()
+    assert(snap.files.exists(_.dv.isDefined))
+  }
+
+  test("time travel reads pre-delete state; CDF surfaces DV deletes") {
+    val p = tmpDir("dv_tt")
+    writeDvTable(p)
+    val t = GraftTable(spark, p)
+    val v0 = t.version()
+    val full = t.toDf().count()
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    assert(t.toDf(Some(v0)).count() == full)
+    assert(t.toDf().count() < full)
+    // change feed: the DV commit contributes exactly the deleted rows
+    val changes = t.tableChanges(v0, t.version())
+    val deleted = changes.filter(col(Cdc.ChangeCol) === "delete")
+    assert(changes.count() == deleted.count())
+    val wantDeleted = orders.filter(col("o_totalprice") > 150000.0).count()
+    assert(deleted.count() == wantDeleted)
+  }
+
+  test("CDF-enabled table records exact delete change files under DV") {
+    val p = tmpDir("dv_cdf")
+    writeDvTable(p, Map(Cdc.PropKey -> "true"))
+    val t = GraftTable(spark, p)
+    val v0 = t.version()
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    val commit = t.log.readCommit(t.version())
+    assert(commit.cdc.nonEmpty) // exact change files, not the diff fallback
+    val changes = t.tableChanges(v0, t.version())
+    assert(changes.filter(col(Cdc.ChangeCol) === "delete").count()
+      == orders.filter(col("o_totalprice") > 150000.0).count())
+  }
+
+  test("OPTIMIZE purges deletion vectors; stats/detail report live rows") {
+    val p = tmpDir("dv_opt")
+    writeDvTable(p)
+    val t = GraftTable(spark, p)
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    val live = t.toDf().count()
+    assert(t.stats().first().getAs[Long]("num_records") == live)
+    assert(t.detail().first().getAs[Long]("num_records") == live)
+
+    GraftWriter.optimize(spark, p)
+    val snap = t.snapshot()
+    assert(snap.files.forall(_.dv.isEmpty)) // purged
+    assert(t.toDf().count() == live)
+    assert(snap.files.map(_.numRecords).sum == live) // physically gone
+  }
+
+  test("RESTORE across DV versions re-points old DVs; VACUUM keeps live DV files") {
+    val p = tmpDir("dv_rst")
+    writeDvTable(p)
+    val t = GraftTable(spark, p)
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    val v1 = t.version()
+    val count1 = t.toDf().count()
+    Dml.delete(spark, p, col("o_totalprice") > 100000.0)
+    assert(t.toDf().count() < count1)
+    t.restore(v1)
+    assert(t.toDf().count() == count1)
+
+    // vacuum(retain latest only): v2's superseded DV files become
+    // garbage, v1's restored DVs stay live and readable
+    val deleted = t.vacuum(1)
+    val liveDvs = t.snapshot().files.flatMap(_.dv.map(_.path)).toSet
+    assert(deleted.forall(rel => !liveDvs(rel)))
+    assert(t.toDf().count() == count1)
+
+    // wall-clock vacuum with zero retention tombstones nothing live either
+    val aged = t.vacuumOlderThan(0L, enforceRetention = false)
+    assert(aged.forall(rel => !liveDvs(rel)))
+    assert(t.toDf().count() == count1)
+  }
+
+  test("streaming source does not re-emit DV metadata rewrites") {
+    val p = tmpDir("dv_stream")
+    writeDvTable(p)
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    // the DV commit's add actions are all same-commit remove+add pairs —
+    // the source's new-data set for that commit must be empty
+    val t = GraftTable(spark, p)
+    val c = t.log.readCommit(t.version())
+    val rewritten = c.remove.map(_.path).toSet
+    assert(c.add.nonEmpty && c.add.forall(a => rewritten(a.path)))
+  }
+}
