@@ -191,6 +191,71 @@ object OracleSql {
         SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(code AS BIGINT) AS code
         FROM codes"""
 
+  /** K-means PQ twins: codebooks are represented per-(subspace, idx)
+    * SUBVECTOR throughout; two Lloyd iterations replayed exactly —
+    * assignment by micro-rounded squared-L2 argmin (idx tie-break),
+    * new sub-centroids as fixed-point elementwise means cast to float,
+    * empty codes keeping their previous sub-centroid.
+    */
+  private val pqKmeansCtes: String = {
+    def assign(cb: String, name: String) =
+      s"""$name AS (SELECT vec_id, j, idx AS code FROM (
+            SELECT es.vec_id, es.j, c.idx,
+                   row_number() OVER (PARTITION BY es.vec_id, es.j
+                     ORDER BY ${pqD2("es.sub", "c.sub")}, c.idx) AS rn
+            FROM es, $cb c WHERE c.j = es.j) WHERE rn = 1)"""
+    def recompute(codes: String, prev: String, name: String) =
+      s"""${name}_s AS (SELECT co.j, co.code, t.i,
+              CAST(sum(CAST(round(es2.sub[t.i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS n
+            FROM $codes co JOIN es es2 ON es2.vec_id = co.vec_id AND es2.j = co.j,
+                 UNNEST(range(1, 5)) AS t(i)
+            GROUP BY co.j, co.code, t.i),
+          ${name}_m AS (SELECT j, code AS idx,
+              list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS sub
+            FROM ${name}_s GROUP BY j, code),
+          $name AS (SELECT * FROM ${name}_m
+            UNION ALL
+            SELECT p.j, p.idx, p.sub FROM $prev p
+            WHERE NOT EXISTS (SELECT 1 FROM ${name}_m x
+                              WHERE x.j = p.j AND x.idx = p.idx))"""
+    s"""js AS (SELECT unnest(range(0, 16)) AS j),
+        es AS (SELECT e.vec_id, js.j, e.embedding[js.j*4+1:js.j*4+4] AS sub
+               FROM embeddings e, js),
+        cb0 AS (SELECT js.j, c.idx, c.c_vec[js.j*4+1:js.j*4+4] AS sub
+                FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+                             embedding AS c_vec
+                      FROM embeddings WHERE vec_id % $pqStride16 = 0) c, js),
+        ${assign("cb0", "k0")},
+        ${recompute("k0", "cb0", "cb1")},
+        ${assign("cb1", "k1")},
+        ${recompute("k1", "cb1", "cb2")},
+        ${assign("cb2", "codes_km")}"""
+  }
+
+  private val pqCodesKmeansSql: String =
+    s"""WITH $pqKmeansCtes
+        SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(code AS BIGINT) AS code
+        FROM codes_km"""
+
+  private val knnPqAdcKmeansSql: String =
+    s"""WITH $pqKmeansCtes,
+        q AS (SELECT e.vec_id AS q_id, js.j,
+                     e.embedding[js.j*4+1:js.j*4+4] AS sub
+              FROM embeddings e, js WHERE e.vec_id < 32),
+        dtab AS (SELECT q.q_id, q.j, c.idx, ${pqD2("q.sub", "c.sub")} AS d
+                 FROM q JOIN cb2 c ON c.j = q.j),
+        sc AS (SELECT d.q_id, co.vec_id AS n_id,
+                      CAST(sum(d.d) AS BIGINT) AS adist_e6
+               FROM codes_km co JOIN dtab d ON d.j = co.j AND d.idx = co.code
+               WHERE co.vec_id <> d.q_id
+               GROUP BY d.q_id, co.vec_id),
+        ranked AS (SELECT q_id, n_id, adist_e6,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist_e6, n_id) AS "rank"
+                   FROM sc)
+        SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
+
   private val knnPqAdcSql: String = {
     val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
     val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
@@ -782,6 +847,8 @@ object OracleSql {
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
 
     "pq_codes" -> pqCodesSql,
+    "pq_codes_kmeans" -> pqCodesKmeansSql,
+    "knn_pq_adc_kmeans" -> knnPqAdcKmeansSql,
 
     "knn_pq_adc" -> knnPqAdcSql,
 

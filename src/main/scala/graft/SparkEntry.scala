@@ -639,6 +639,24 @@ object SparkEntry {
       .select(col("vec_id"), col("j").cast("long").as("j"),
         col("code").cast("long").as("code"))
 
+  /** PQ codes through per-subspace k-means codebooks (2 Lloyd
+    * iterations over stride seeds; fixed-point means, so the oracle
+    * replays them exactly).
+    */
+  private def qPqCodesKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncodeKmeans(t(spark, dir, "embeddings"),
+      rowCountHint = embRows(spark, dir))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        col("code").cast("long").as("code"))
+
+  /** ADC top-5 through the k-means-refined codebooks. */
+  private def qKnnPqAdcKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopKKmeans(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
+      rowCountHint = embRows(spark, dir))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("adist_e6"))
+
   /** PQ ADC top-5: full-precision queries against codes-only corpus. */
   private def qKnnPqAdc(spark: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
@@ -1187,7 +1205,9 @@ object SparkEntry {
     "knn_ivf_topk" -> (qKnnIvf _),
     "knn_ivf_kmeans" -> (qKnnIvfKmeans _),
     "pq_codes" -> (qPqCodes _),
+    "pq_codes_kmeans" -> (qPqCodesKmeans _),
     "knn_pq_adc" -> (qKnnPqAdc _),
+    "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
     "binary_meta" -> (qBinaryMeta _),
@@ -1249,7 +1269,7 @@ object SparkEntry {
     "paragraph_dedup", "url_filter", "text_bpeish_count",
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
-    "pq_codes", "knn_pq_adc",
+    "pq_codes", "knn_pq_adc", "knn_pq_adc_kmeans",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",
     "embedding_centroid_sums", "embedding_normalize",

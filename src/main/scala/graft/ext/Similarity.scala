@@ -370,6 +370,129 @@ object Similarity {
     (dsub, books)
   }
 
+  /** Per-subspace Lloyd (k-means) refinement of the PQ codebooks:
+    * stride seeds as init, then per iteration ONE corpus pass encodes
+    * every vector through the current books (the native
+    * [[graft.functions.PqEncode]] kernel — all m subspaces in one
+    * projection), explodes to (subspace, code, subvector) and
+    * recomputes each sub-centroid as the fixed-point elementwise mean
+    * of its members ([[graft.functions.VecSumE6]]: sum of
+    * round(x·1e6) bigints / 1e6 / n, cast to float — deterministic and
+    * cross-engine reproducible, same arithmetic as [[kmeansCentroids]]).
+    * A code with no members keeps its previous sub-centroid.
+    *
+    * Scale: per iteration one narrow encode pass + one partial-agg
+    * shuffle keyed on (m·ksub) groups; the collected means are
+    * m·ksub·dsub floats (the codebook itself) — corpus vectors never
+    * reach the driver. Stride seeds bound the RECALL floor this lifts:
+    * id-order seeding ignores the data distribution, Lloyd adapts the
+    * cells to it.
+    */
+  private def pqCodebooksKmeans(
+      corpus: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      idCol: String,
+      vecCol: String,
+      rowCountHint: Option[Long]): (Int, Array[Array[(Int, Array[Float], Double)]]) = {
+    val (dsub, books0) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
+    var books = books0
+    val vecsum = udaf(new graft.functions.VecSumE6())
+    val base = TextOps.spread(corpus)
+    for (_ <- 1 to iters) {
+      val means = base
+        .select(col(vecCol).as("__v"), pqCodesExpr(vecCol, dsub, books).as("__codes"))
+        .select(col("__v"), posexplode(col("__codes")).as(Seq("j", "code")))
+        .select(col("j").cast("int").as("j"), col("code").cast("int").as("code"),
+          slice(col("__v"), col("j") * lit(dsub) + lit(1), lit(dsub)).as("sub"))
+        .groupBy("j", "code")
+        .agg(vecsum(col("sub")).as("agg"))
+        .select(col("j"), col("code"),
+          transform(col("agg.sums"), s =>
+            (s.cast("double") / lit(1e6) / col("agg.n")).cast("float")).as("sub"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+        .toMap
+      books = Array.tabulate(m)(j => books(j).map { case (idx, old, _) =>
+        val v = means.getOrElse((j, idx), old)
+        (idx, v, foldSelfDot(v))
+      })
+    }
+    (dsub, books)
+  }
+
+  /** PQ encoding through k-means-refined codebooks (see
+    * [[pqCodebooksKmeans]]); output shape identical to [[pqEncode]].
+    */
+  def pqEncodeKmeans(
+      corpus: DataFrame,
+      m: Int = 16,
+      ksub: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val (dsub, books) = pqCodebooksKmeans(corpus, m, ksub, iters, idCol, vecCol, rowCountHint)
+    TextOps.spread(corpus)
+      .select(col(idCol), pqCodesExpr(vecCol, dsub, books).as("codes"))
+  }
+
+  /** ADC top-k through k-means-refined codebooks; plan shape identical
+    * to [[pqTopK]] (codes-only corpus, broadcast query tables).
+    */
+  def pqTopKKmeans(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      m: Int = 16,
+      ksub: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val (dsub, books) = pqCodebooksKmeans(corpus, m, ksub, iters, idCol, vecCol, rowCountHint)
+    pqTopKWith(corpus, queryPred, k, dsub, books, idCol, vecCol)
+  }
+
+  /** Mean squared quantization distortion of a codebook set over the
+    * corpus (driver-side over a collected sample — diagnostics/tests
+    * only): Σ_j ‖x_sub − book_j[code]‖² averaged over vectors, using
+    * the same micro-rounded metric as encoding.
+    */
+  private[graft] def pqDistortion(
+      corpus: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      idCol: String,
+      vecCol: String): Double = {
+    val (dsub, books) =
+      if (iters == 0) pqCodebooks(corpus, m, ksub, idCol, vecCol, None)
+      else pqCodebooksKmeans(corpus, m, ksub, iters, idCol, vecCol, None)
+    val vecs = corpus.select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    var total = 0.0
+    vecs.foreach { v =>
+      var j = 0
+      while (j < m) {
+        val sub = v.slice(j * dsub, (j + 1) * dsub)
+        var best = Double.MaxValue
+        books(j).foreach { case (_, c, _) =>
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val t = sub(i).toDouble - c(i).toDouble; d += t * t; i += 1
+          }
+          if (d < best) best = d
+        }
+        total += best
+        j += 1
+      }
+    }
+    total / math.max(1, vecs.length)
+  }
+
   /** Codes column via the native [[graft.functions.PqEncode]] kernel:
     * one codegen'd loop per row. The declarative equivalent (m·ksub
     * [[dot]] calls in nested array/sort exprs) is value-identical but
@@ -422,6 +545,20 @@ object Similarity {
       rowCountHint: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
+    pqTopKWith(corpus, queryPred, k, dsub, books, idCol, vecCol)
+  }
+
+  /** ADC top-k against explicit codebooks (shared by the stride-seeded
+    * and k-means paths).
+    */
+  private def pqTopKWith(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      dsub: Int,
+      books: Array[Array[(Int, Array[Float], Double)]],
+      idCol: String,
+      vecCol: String): DataFrame = {
     val codes = TextOps.spread(corpus)
       .select(col(idCol).as("n_id"), pqCodesExpr(vecCol, dsub, books).as("codes"))
     val qtab = org.apache.spark.sql.graft.GraftInternal.column(

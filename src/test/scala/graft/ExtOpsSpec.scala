@@ -125,6 +125,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"PQ ADC recall $recall below floor")
   }
 
+  test("k-means PQ codebooks cut distortion vs stride seeds; ADC recall does not degrade") {
+    // Lloyd strictly reduces mean quantization distortion (each of the
+    // two steps — reassign, recenter — is non-increasing; on real data
+    // the drop from id-order stride seeds is large)
+    val d0 = Similarity.pqDistortion(embs, 16, 16, 0, "vec_id", "embedding")
+    val d2 = Similarity.pqDistortion(embs, 16, 16, 2, "vec_id", "embedding")
+    assert(d2 < d0, s"k-means distortion $d2 not below stride $d0")
+
+    // recall@5 vs exact squared-L2: refined codebooks must not lose
+    // neighbors relative to stride seeding (allow tiny tie noise)
+    val pred = col("vec_id") < 16
+    val q = embs.filter(pred).select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val d2e = Similarity.dot(col("qv"), col("qv")) -
+      lit(2.0) * Similarity.dot(col("qv"), col("nv")) +
+      Similarity.dot(col("nv"), col("nv"))
+    val exact = embs.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      .crossJoin(q).filter(col("n_id") =!= col("q_id"))
+      .withColumn("d", round(d2e * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("d"), col("n_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val stride = recallOf(Similarity.pqTopK(embs, pred, 5))
+    val kmeans = recallOf(Similarity.pqTopKKmeans(embs, pred, 5))
+    assert(kmeans >= stride - 0.05,
+      s"k-means ADC recall $kmeans degraded vs stride $stride")
+    info(f"distortion stride=$d0%.4f kmeans=$d2%.4f; recall stride=$stride%.3f kmeans=$kmeans%.3f")
+  }
+
   test("skewJoin equals the plain join and broadcasts the hot branch") {
     import spark.implicits._
     // key 1 is hot (40 rows), keys 2..20 cold
