@@ -132,24 +132,32 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           import scala.jdk.CollectionConverters._
           s.extraOptions.asCaseSensitiveMap().asScala.toMap + ("path" -> t.path)
         }
-        // the catalog identifier resolved to the TABLE schema; a change
-        // feed adds _change_type, which this plan's output cannot carry
-        require(!opts.get("readChangeFeed").exists(_.equalsIgnoreCase("true")),
-          "readChangeFeed streams are path-route only — use " +
-            "graft.streaming.Streams.readChangeFeed(spark, path) or " +
-            "spark.readStream.format(\"graft\").option(\"path\", ...)")
-        rebind(s.output, GraftInternal.streamingRelationFor(spark, opts))
+        val rel = GraftInternal.streamingRelationFor(spark, opts)
+        if (opts.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
+          // the catalog identifier resolved to the TABLE schema, but a
+          // change feed adds `_change_type` — swap in the V1 streaming
+          // relation with the CDF schema wholesale (readStream.table
+          // analyzes this relation as the plan ROOT, so nothing above
+          // holds the old attribute ids; Delta's DeltaAnalysis does the
+          // same relation swap for its CDC reads)
+          rel
+        else rebind(s.output, rel)
 
       case dsv2 @ DataSourceV2Relation(t: GraftCatalogTable, out, _, _, opts, _) =>
-        // same contract as the streaming case above: a change feed adds
-        // _change_type, which this plan's table-schema output cannot
-        // carry — reject loudly rather than silently serving plain rows
-        require(!Option(opts.get("readChangeFeed")).exists(_.equalsIgnoreCase("true")),
-          "readChangeFeed batch reads are path-route only — use " +
-            "spark.read.format(\"graft\").option(\"readChangeFeed\", \"true\")" +
-            ".option(\"startingVersion\", v).load(path) or " +
-            "GraftTable.tableChanges")
-        rebind(out, nativePlan(t.path, t.versionAsOf))
+        if (Option(opts.get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))) {
+          // batch CDF through the catalog name: same relation swap as the
+          // streaming case (the `_change_type` column cannot ride the
+          // table-schema output). startingVersion required, endingVersion
+          // resolved once here — identical contract to the path route.
+          val from = Option(opts.get("startingVersion")).map(_.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              "readChangeFeed batch reads require option(\"startingVersion\", v) " +
+                "(inclusive; optional endingVersion defaults to latest)"))
+          val to = Option(opts.get("endingVersion")).map(_.toLong).getOrElse(
+            GraftTable(spark, t.path).version())
+          LogicalRelation(
+            graft.sources.GraftChangesRelation(spark.sqlContext, t.path, from, to))
+        } else rebind(out, nativePlan(t.path, t.versionAsOf))
     }
 
   private def pathOf(c: GraftCatalog, ident: Identifier): String =

@@ -275,6 +275,45 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gcat.ns10.trunc").count() == 1)
   }
 
+  test("catalog-name readChangeFeed: batch reader and stream serve change rows") {
+    import graft.merge.Dml
+    val p = seed("ns11", "cdft")                                   // v0: 3 inserts
+    spark.sql("ALTER TABLE gcat.ns11.cdft SET TBLPROPERTIES ('graft.cdf'='true')") // v1: metadata
+    Dml.update(spark, p, col("id") === 1L, Map("v" -> lit(11.0)))  // v2
+    Dml.delete(spark, p, col("id") === 3L)                         // v3
+
+    // batch reader through the catalog name (same contract as the path
+    // route: startingVersion inclusive, endingVersion defaults latest)
+    val batch = spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", "2").table("gcat.ns11.cdft")
+      .select("id", "v", graft.io.Cdc.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(batch == Set(
+      (1L, 10.0, "update_preimage"), (1L, 11.0, "update_postimage"),
+      (3L, 30.0, "delete")))
+
+    // startingVersion stays required — no implicit full-history scan
+    val e = intercept[IllegalArgumentException] {
+      spark.read.option("readChangeFeed", "true").table("gcat.ns11.cdft")
+    }
+    assert(e.getMessage.contains("startingVersion"), e.getMessage)
+
+    // streaming through the catalog name mirrors the path route: initial
+    // load as inserts, then per-commit change rows
+    val q = spark.readStream.option("readChangeFeed", "true")
+      .table("gcat.ns11.cdft")
+      .writeStream.format("memory").queryName("catcdf")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("catcdf")
+      .select("id", "v", graft.io.Cdc.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(streamed == Set(
+      (1L, 10.0, "insert"), (2L, 20.0, "insert"), (3L, 30.0, "insert"),
+      (1L, 10.0, "update_preimage"), (1L, 11.0, "update_postimage"),
+      (3L, 30.0, "delete")))
+  }
+
   test("missing table errors cleanly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gcat.ns1.never_made").collect()
