@@ -191,7 +191,17 @@ object Streams {
       stream: DataFrame,
       path: String,
       checkpoint: String,
-      partitionBy: Seq[String] = Nil): StreamingQuery =
+      partitionBy: Seq[String] = Nil,
+      /** Post-commit auto-compaction (Delta's `autoCompact`): when any
+        * partition's live file count reaches this threshold, run
+        * [[GraftWriter.optimize]] after the epoch commit. 0 disables.
+        * This is the small-file guard for per-trigger commits — without
+        * it a long-running stream accumulates O(#epochs) files and scan
+        * planning degrades; with it the file count stays
+        * O(data / maxRecordsPerFile) while readers keep serving (old
+        * files stay until vacuum).
+        */
+      autoCompactMinFiles: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -204,6 +214,13 @@ object Streams {
             mode = WriteMode.Append,
             partitionBy = partitionBy,
             metadata = Map("streaming_batch_id" -> batchId.toString)))
+          if (autoCompactMinFiles > 0) {
+            val files = GraftTable(spark, path).snapshot().files
+            val worst = files.groupBy(_.partitionValues)
+              .valuesIterator.map(_.size).maxOption.getOrElse(0)
+            if (worst >= autoCompactMinFiles)
+              GraftWriter.optimize(spark, path)
+          }
         }
         ()
       }

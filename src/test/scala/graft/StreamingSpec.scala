@@ -179,6 +179,47 @@ class StreamingSpec extends SparkSpec {
     assert(GraftTable(spark, path).toDf().count() == 6)
   }
 
+  test("per-trigger small files: OPTIMIZE bin-packs them; autoCompact bounds them online") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.io.GraftWriter
+
+    // 4 single-batch streams = 4 append commits = >= 4 small files
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val path = tmpDir("graft_smallfiles") + "/t"
+    val ckpt = tmpDir("graft_smallfiles_ckpt")
+    (1 to 4).foreach { i =>
+      mem.addData((ts(s"2024-01-0$i 10:00:00"), i.toLong, "click"))
+      Streams.toGraftTable(mem.toDF().toDF("ts", "user_id", "event_type"),
+        path, ckpt).awaitTermination()
+    }
+    val t = GraftTable(spark, path)
+    val before = t.snapshot().files.size
+    assert(before >= 4, s"expected one file per epoch, got $before")
+
+    // offline compaction sweeps them into ~maxRecordsPerFile-row files
+    GraftWriter.optimize(spark, path)
+    assert(t.snapshot().files.size == 1)
+    assert(t.toDf().count() == 4)
+
+    // autoCompact: same stream shape, threshold 3 — the sink compacts
+    // inline once any partition accumulates 3 files, so the count never
+    // reaches the uncompacted 4
+    val mem2 = MemoryStream[(Timestamp, Long, String)]
+    val path2 = tmpDir("graft_autocompact") + "/t"
+    val ckpt2 = tmpDir("graft_autocompact_ckpt")
+    (1 to 4).foreach { i =>
+      mem2.addData((ts(s"2024-01-0$i 10:00:00"), i.toLong, "click"))
+      Streams.toGraftTable(mem2.toDF().toDF("ts", "user_id", "event_type"),
+        path2, ckpt2, autoCompactMinFiles = 3).awaitTermination()
+    }
+    val t2 = GraftTable(spark, path2)
+    assert(t2.snapshot().files.size < 4,
+      s"autoCompact never fired: ${t2.snapshot().files.size} files")
+    assert(t2.toDf().count() == 4)
+    // history shows OPTIMIZE commits interleaved with the appends
+    assert(t2.history().exists(_.operation == "OPTIMIZE"))
+  }
+
   test("readChangeFeed stream surfaces per-commit change rows") {
     import graft.io.{GraftWriter, WriteMode, WriteOptions}
     import graft.merge.Dml
