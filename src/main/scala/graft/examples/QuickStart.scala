@@ -345,6 +345,22 @@ object QuickStart {
     spark.sql(s"TRUNCATE TABLE graft.`$dpo`")
     println(s"[30] truncate: now=${GraftTable(spark, dpo).toDf().count()} rows, " +
       s"v0 still reads ${spark.sql(s"SELECT * FROM graft.`$dpo` VERSION AS OF 0").count()}")
+
+    // 31. deletion vectors: merge-on-read point deletes — no file
+    // rewrite, reads anti-filter on (file, row_index); OPTIMIZE purges
+    val dvp = s"$out/dv_orders"
+    GraftWriter.write(spark, orders.select("o_orderkey", "o_totalprice"), dvp,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.DeletionVectors.PropKey -> "true")))
+    val filesBefore = GraftTable(spark, dvp).snapshot().files.map(_.path).toSet
+    graft.merge.Dml.delete(spark, dvp, col("o_totalprice") > 150000.0)
+    val dvSnap = GraftTable(spark, dvp).snapshot()
+    val dvReused = dvSnap.files.forall(f => filesBefore(f.path))
+    val dvCard = dvSnap.files.flatMap(_.dv).map(_.cardinality).sum
+    GraftWriter.optimize(spark, dvp)
+    println(s"[31] deletion vectors: $dvCard rows deleted in-place " +
+      s"(files reused=$dvReused), live=${GraftTable(spark, dvp).toDf().count()}, " +
+      s"optimize purged=${GraftTable(spark, dvp).snapshot().files.forall(_.dv.isEmpty)}")
     spark.stop()
   }
 }
