@@ -657,9 +657,10 @@ object TextAnalysis {
     val lines = split(col("text"), "\n")
     val nLines = greatest(size(lines), lit(1))
     // a line is a bullet iff after stripping SPACES (trim's charset) it
-    // starts with '-' or '*': anchored `^ *[-*]` under (?m) matches
-    // exactly once at each such line start
-    val nBullet = regexp_count(col("text"), lit("(?m)^ *[-*]"))
+    // starts with '-' or '*'. Anchor on `(?:^|\n)`, NOT (?m)^ — Java's
+    // multiline ^ also fires after CR, NEL, LS and PS, line starts the
+    // oracle's split-on-'\n' line model would never see
+    val nBullet = regexp_count(col("text"), lit("(?:^|\n) *[-*]"))
     val nAlpha = regexp_count(norm, lit("""\S*[a-z]\S*"""))
     val wordsOk = nTok >= minWords && nTok <= maxWords
     val meanLenOk = meanLenPermille >= 3000 && meanLenPermille <= 10000

@@ -55,18 +55,8 @@ object DeletionVectors {
   }
 
   /** Read a DV file (relative path) from the table root. */
-  def readDv(tablePath: String, conf: Configuration, dv: DvFile): RoaringBitmap = {
-    val p = new Path(tablePath, dv.path)
-    val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    try {
-      val buf = new ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      deserialize(buf.toByteArray)
-    } finally in.close()
-  }
+  def readDv(tablePath: String, conf: Configuration, dv: DvFile): RoaringBitmap =
+    deserialize(readDvBytes(tablePath, conf, dv))
 
   /** Persist a bitmap as a new DV file; returns its action. Content is
     * immutable once written (a re-delete writes a NEW merged DV file and
@@ -84,6 +74,42 @@ object DeletionVectors {
     DvFile(rel, bm.getLongCardinality)
   }
 
+  /** Driver-side cache of DV file bytes keyed by (tableRoot, dvRelPath).
+    * DV files are content-immutable (a re-delete writes a NEW merged file
+    * and repoints the add action), so cached bytes never go stale; the
+    * cache is cleared wholesale when it exceeds a soft byte budget.
+    */
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Byte]]()
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val CacheBudget = 256L * 1024 * 1024
+
+  /** Raw serialized bitmap bytes of a DV file — the on-disk content IS
+    * the [[serialize]] form, so this is a straight read (cached).
+    */
+  def readDvBytes(tablePath: String, conf: Configuration, dv: DvFile): Array[Byte] = {
+    val key = (tablePath, dv.path)
+    val hit = bytesCache.get(key)
+    if (hit != null) return hit
+    val p = new Path(tablePath, dv.path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val buf = new ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    if (cachedBytes.addAndGet(bytes.length.toLong) > CacheBudget) {
+      bytesCache.clear()
+      cachedBytes.set(bytes.length.toLong)
+    }
+    bytesCache.put(key, bytes)
+    bytes
+  }
+
   /** Driver-side index for a scan's DV'd files: relative path → bitmap
     * bytes. Bitmaps stay serialized until an executor thread first
     * touches the file (lazy, per-thread cached), so shipping the index
@@ -94,7 +120,7 @@ object DeletionVectors {
     val dvd = files.filter(_.dv.isDefined)
     if (dvd.isEmpty) None
     else Some(new DvIndex(dvd.map { f =>
-      f.path -> serialize(readDv(tablePath, conf, f.dv.get))
+      f.path -> readDvBytes(tablePath, conf, f.dv.get)
     }.toMap))
   }
 }
@@ -108,7 +134,7 @@ object DeletionVectors {
 final class DvIndex(bytesByRelPath: Map[String, Array[Byte]]) extends Serializable {
 
   @transient private lazy val cache =
-    new ThreadLocal[(String, RoaringBitmap)]()
+    new ThreadLocal[(UTF8String, RoaringBitmap)]()
 
   private def lookup(absPath: String): RoaringBitmap = {
     val hit = bytesByRelPath.collectFirst {
@@ -118,12 +144,15 @@ final class DvIndex(bytesByRelPath: Map[String, Array[Byte]]) extends Serializab
     hit.getOrElse(DvIndex.Empty)
   }
 
-  /** Is physical row `rowIndex` of the file at `absPath` deleted? */
+  /** Is physical row `rowIndex` of the file at `absPath` deleted? The
+    * per-thread cache keys on a COPIED UTF8String and compares bytes —
+    * no String allocation on the per-row hot path (the scan may hand us
+    * a UTF8String over a reused buffer, hence the clone on store).
+    */
   def deleted(absPath: UTF8String, rowIndex: Long): Boolean = {
-    val p = absPath.toString
     var c = cache.get()
-    if (c == null || c._1 != p) {
-      c = (p, lookup(p))
+    if (c == null || !c._1.equals(absPath)) {
+      c = (absPath.clone(), lookup(absPath.toString))
       cache.set(c)
     }
     rowIndex <= Int.MaxValue && c._2.contains(rowIndex.toInt)

@@ -244,7 +244,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     // deletes applied
     def ident(f: AddFile): (String, Option[graft.log.DvFile]) = (f.path, f.dv)
     val curIds = cur.files.map(ident).toSet
-    val tgtPaths = tgt.files.map(_.path).toSet
+    val tgtIds = tgt.files.map(ident).toSet
     val missing = tgt.files.filterNot { f =>
       log.fs.exists(new Path(path, f.path)) &&
         f.dv.forall(d => log.fs.exists(new Path(path, d.path)))
@@ -252,8 +252,15 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     require(missing.isEmpty,
       s"cannot restore $path to v$toVersion: ${missing.size} of its files " +
         s"were vacuumed (e.g. ${missing.take(3).map(_.path).mkString(", ")})")
+    // symmetric identity: a path whose DV changed since the target is
+    // BOTH removed (with the current dv) and re-added (with the old dv)
+    // in this commit, so the change feed's EXCEPT-ALL diff yields
+    // exactly the resurrected/re-deleted rows and the streaming source's
+    // same-commit remove+add guard treats it as the metadata rewrite it
+    // is — an add with no matching remove would replay every live row of
+    // the file as a spurious insert
     val reAdded = tgt.files.filterNot(f => curIds(ident(f)))
-    val dropped = cur.files.filterNot(f => tgtPaths(f.path))
+    val dropped = cur.files.filterNot(f => tgtIds(ident(f)))
     log.commit(
       operation = "RESTORE",
       mode = "metadata",

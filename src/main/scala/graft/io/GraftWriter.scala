@@ -493,7 +493,7 @@ object GraftWriter {
     val fs = new Path(path).getFileSystem(conf)
     val snap = log.snapshot()
     val table = new GraftTable(spark, path)
-    val totalRows = snap.files.map(_.numRecords).sum
+    val totalRows = snap.files.map(_.liveRecords).sum
     val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
     val clustered = table.toDf()
       .repartitionByRange(nOut, cols.map(col): _*)
@@ -580,7 +580,7 @@ object GraftWriter {
       val fs = new Path(path).getFileSystem(conf)
       val snap = log.snapshot()
       val table = new GraftTable(spark, path)
-      val totalRows = snap.files.map(_.numRecords).sum
+      val totalRows = snap.files.map(_.liveRecords).sum
       val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
       val df = table.toDf()
       val zCol = "__graft_z"

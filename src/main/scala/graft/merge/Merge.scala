@@ -268,7 +268,7 @@ object MergeExecutor {
         cdc = cdcFiles,
         schemaOverride =
           if (config.schemaEvolution) Some(mergedSchema) else None)
-      val numOut = table.snapshot().files.map(_.numRecords).sum
+      val numOut = table.snapshot().files.map(_.liveRecords).sum
       MergeStats(v, numSource, numOut)
     }
   }

@@ -214,7 +214,7 @@ object MergeClausesExecutor {
         metadata = Map("operation" -> "MERGE:clauses"),
         cdc = cdcFiles,
         schemaOverride = if (schemaEvolution) Some(mergedSchema) else None)
-      val numOut = table.snapshot().files.map(_.numRecords).sum
+      val numOut = table.snapshot().files.map(_.liveRecords).sum
       MergeStats(v, numSource, numOut)
     }
   }

@@ -115,7 +115,7 @@ final case class GraftDescribeDetailCommand(
     val snap = t.snapshot()
     val props = t.log.tableProperties()
     Seq(Row("graft", path, snap.version, snap.files.size.toLong,
-      snap.files.map(_.sizeBytes).sum, snap.files.map(_.numRecords).sum,
+      snap.files.map(_.sizeBytes).sum, snap.files.map(_.liveRecords).sum,
       snap.partitionColumns.mkString(","), snap.schema.toDDL,
       props.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";")))
   }

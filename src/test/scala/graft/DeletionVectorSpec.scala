@@ -169,6 +169,35 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.toDf().count() == count1)
   }
 
+  test("RESTORE of a DV repoint emits matching remove+add; CDF yields resurrected rows only") {
+    val p = tmpDir("dv_rst_cdf")
+    writeDvTable(p)
+    val t = GraftTable(spark, p)
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    val v1 = t.version()
+    Dml.delete(spark, p, col("o_totalprice") > 100000.0)
+    val v2 = t.version()
+    t.restore(v1)
+    val v3 = t.version()
+
+    // every add in the restore commit has a matching same-path remove
+    // (DV repoints included) — an add-only repoint would make the
+    // streaming source and change feed replay the file's live rows
+    val c = t.log.readCommit(v3)
+    val removed = c.remove.map(_.path).toSet
+    assert(c.add.nonEmpty && c.add.forall(a => removed(a.path)))
+
+    // the change feed across the restore is exactly the rows the restore
+    // resurrected (deleted by v2, live again at v3) — as inserts
+    val changes = t.tableChanges(v2, v3)
+    val resurrected = orders.filter(
+      col("o_totalprice") > 100000.0 && !(col("o_totalprice") > 150000.0))
+    assert(changes.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(changes.count() == resurrected.count())
+    assert(changes.select("o_orderkey").exceptAll(
+      resurrected.select("o_orderkey")).count() == 0)
+  }
+
   test("streaming source does not re-emit DV metadata rewrites") {
     val p = tmpDir("dv_stream")
     writeDvTable(p)
