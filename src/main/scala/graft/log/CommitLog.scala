@@ -212,6 +212,12 @@ final class CommitLog(
       c.add.foreach(a => live(a.path) = a)
     }
     val last = commits.last
+    // feature gate: refuse to serve a snapshot this build would misread
+    // (e.g. a DV table read by a pre-DV build would resurrect deleted
+    // rows) — checked against the properties AT the replayed version, so
+    // time travel below a feature's introduction stays readable
+    Protocol.check(last.metadata, Protocol.ReaderFeaturesKey,
+      Protocol.SupportedReaderFeatures, "read", tablePath)
     Snapshot(
       last.version,
       StructType.fromDDL(last.schemaDdl),
@@ -308,9 +314,26 @@ final class CommitLog(
     }
     val v = expectedVersion.map(_ + 1)
       .orElse(latest.map(_ + 1)).getOrElse(0L)
-    val mergedMeta = (tableProperties() ++ metadata).filterNot { case (k, value) =>
+    val props = tableProperties()
+    // feature gate: refuse to modify a table whose invariants depend on
+    // features this build doesn't implement (e.g. compacting a DV'd file
+    // without understanding DVs would resurrect its deleted rows)
+    Protocol.check(props, Protocol.WriterFeaturesKey,
+      Protocol.SupportedWriterFeatures, "modify", tablePath)
+    val mergedMeta0 = (props ++ metadata).filterNot { case (k, value) =>
       k.startsWith(CommitLog.ReservedPrefix) && value.isEmpty // "" = drop property
     }
+    // auto-register the deletionVectors feature the first time a commit
+    // attaches a DV: from then on, pre-DV builds fail loudly instead of
+    // serving deleted rows (features are append-only — older versions of
+    // the table stay time-travelable because the check uses per-version
+    // metadata)
+    val mergedMeta =
+      if (!add.exists(_.dv.isDefined)) mergedMeta0
+      else Seq(Protocol.ReaderFeaturesKey, Protocol.WriterFeaturesKey)
+        .foldLeft(mergedMeta0) { (m, k) =>
+          m.updated(k, Protocol.render(Protocol.parse(m, k) + Protocol.DeletionVectors))
+        }
     val c = Commit(v, System.currentTimeMillis(), operation, mode, schemaDdl,
       partitionColumns, mergedMeta, operationMetrics, add, remove, cdc)
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
@@ -365,4 +388,58 @@ object CommitLog {
 
   /** Key for a named CHECK constraint (value = its SQL expression). */
   def constraintKey(name: String): String = s"${ReservedPrefix}constraint.$name"
+}
+
+/** Protocol feature gates (Delta's reader/writer table features).
+  *
+  * A table lists the features a client MUST understand to read
+  * (`graft.readerFeatures`) or modify (`graft.writerFeatures`) it, as
+  * comma-separated carried-forward properties. Enforcement is the whole
+  * point: a graft build that predates deletion vectors must FAIL on a
+  * DV table, not silently serve deleted rows — same for any future
+  * format feature. Tables written before this mechanism carry no
+  * feature properties and replay unchecked (vacuously compatible).
+  *
+  * Features are append-only per table (dropping one would strand
+  * readers pinned to older versions mid-history) and auto-registered by
+  * the writer the first time a commit uses the capability — see
+  * [[CommitLog.commit]] for deletion vectors.
+  */
+object Protocol {
+  val ReaderFeaturesKey: String = CommitLog.ReservedPrefix + "readerFeatures"
+  val WriterFeaturesKey: String = CommitLog.ReservedPrefix + "writerFeatures"
+
+  val DeletionVectors = "deletionVectors"
+
+  /** Everything this build can READ correctly. */
+  val SupportedReaderFeatures: Set[String] = Set(DeletionVectors)
+
+  /** Everything this build can WRITE without corrupting invariants a
+    * feature imposes (a writer that ignores DVs would e.g. compact a
+    * file and resurrect its deleted rows).
+    */
+  val SupportedWriterFeatures: Set[String] = Set(DeletionVectors)
+
+  def parse(metadata: Map[String, String], key: String): Set[String] =
+    metadata.get(key).toSet[String]
+      .flatMap(_.split(",").iterator.map(_.trim).filter(_.nonEmpty))
+
+  def render(features: Set[String]): String = features.toSeq.sorted.mkString(",")
+
+  /** Fail unless every feature the table demands for `verb` (via `key`)
+    * is in this build's `supported` set.
+    */
+  def check(
+      metadata: Map[String, String],
+      key: String,
+      supported: Set[String],
+      verb: String,
+      tablePath: String): Unit = {
+    val unknown = parse(metadata, key) -- supported
+    if (unknown.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot $verb graft table at $tablePath: it requires table " +
+          s"feature(s) ${unknown.toSeq.sorted.mkString(", ")} this build does " +
+          s"not support (supported: ${supported.toSeq.sorted.mkString(", ")})")
+  }
 }

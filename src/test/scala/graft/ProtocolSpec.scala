@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io._
+import graft.log.{CommitLog, Protocol}
+import graft.merge.Dml
+
+/** Reader/writer table-feature gates: DV usage auto-registers the
+  * feature, unknown required features fail loudly on read/modify, and
+  * pre-feature tables/versions replay unchecked.
+  */
+class ProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newLog(p: String) =
+    new CommitLog(p, spark.sessionState.newHadoopConf())
+
+  private def writeSmall(p: String, dv: Boolean): Unit = {
+    // one file: a partial delete must produce a DV, not a full-file drop
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1)
+    val meta = if (dv) Map(DeletionVectors.PropKey -> "true") else Map.empty[String, String]
+    GraftWriter.write(spark, df, p,
+      WriteOptions(mode = WriteMode.Overwrite, metadata = meta))
+  }
+
+  test("DV commit auto-registers deletionVectors reader+writer features") {
+    val p = tmpDir("proto_dv")
+    writeSmall(p, dv = true)
+    val log = newLog(p)
+    assert(Protocol.parse(log.tableProperties(), Protocol.ReaderFeaturesKey).isEmpty)
+    Dml.delete(spark, p, col("id") === 2L)
+    val props = log.tableProperties()
+    assert(Protocol.parse(props, Protocol.ReaderFeaturesKey) == Set(Protocol.DeletionVectors))
+    assert(Protocol.parse(props, Protocol.WriterFeaturesKey) == Set(Protocol.DeletionVectors))
+    // still readable and writable by this build (it supports DVs)
+    assert(GraftTable(spark, p).toDf().count() == 2)
+    GraftWriter.write(spark, Seq((4L, "d")).toDF("id", "s"), p,
+      WriteOptions(mode = WriteMode.Append))
+    assert(GraftTable(spark, p).toDf().count() == 3)
+    // features carried forward through the unrelated append
+    assert(Protocol.parse(newLog(p).tableProperties(),
+      Protocol.ReaderFeaturesKey) == Set(Protocol.DeletionVectors))
+  }
+
+  test("unknown required reader feature fails reads; writer-only feature fails modify but reads fine") {
+    val pR = tmpDir("proto_r")
+    writeSmall(pR, dv = false)
+    newLog(pR).commit(
+      operation = "SET FEATURES", mode = "metadata",
+      schemaDdl = newLog(pR).snapshot().schema.toDDL,
+      partitionColumns = Nil,
+      metadata = Map(Protocol.ReaderFeaturesKey -> "futureColumnarV9"),
+      operationMetrics = Map.empty, add = Nil, remove = Nil)
+    val eR = intercept[UnsupportedOperationException] {
+      GraftTable(spark, pR).toDf().count()
+    }
+    assert(eR.getMessage.contains("futureColumnarV9"))
+
+    val pW = tmpDir("proto_w")
+    writeSmall(pW, dv = false)
+    newLog(pW).commit(
+      operation = "SET FEATURES", mode = "metadata",
+      schemaDdl = newLog(pW).snapshot().schema.toDDL,
+      partitionColumns = Nil,
+      metadata = Map(Protocol.WriterFeaturesKey -> "futureWriterV9"),
+      operationMetrics = Map.empty, add = Nil, remove = Nil)
+    // reads fine — reader features are unconstrained
+    assert(GraftTable(spark, pW).toDf().count() == 3)
+    val eW = intercept[UnsupportedOperationException] {
+      GraftWriter.write(spark, Seq((9L, "z")).toDF("id", "s"), pW,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    assert(eW.getMessage.contains("futureWriterV9"))
+  }
+
+  test("time travel below a feature's introduction stays readable") {
+    val p = tmpDir("proto_tt")
+    writeSmall(p, dv = false)
+    val v0 = GraftTable(spark, p).version()
+    newLog(p).commit(
+      operation = "SET FEATURES", mode = "metadata",
+      schemaDdl = newLog(p).snapshot().schema.toDDL,
+      partitionColumns = Nil,
+      metadata = Map(Protocol.ReaderFeaturesKey -> "futureColumnarV9"),
+      operationMetrics = Map.empty, add = Nil, remove = Nil)
+    intercept[UnsupportedOperationException] {
+      GraftTable(spark, p).toDf().count()
+    }
+    // the pre-feature version replays with pre-feature metadata
+    assert(GraftTable(spark, p).toDf(Some(v0)).count() == 3)
+  }
+}
