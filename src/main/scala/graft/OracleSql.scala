@@ -1141,6 +1141,62 @@ object OracleSql {
                CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 100
                     WHEN 'P' THEN 1000 ELSE 0 END""",
 
+    // domain-mixture resampling: binding source = argmin n/w (kept
+    // whole); thresholds are exact integer rationals in millionths —
+    // mirrors Sampling.domainMix bit for bit
+    "domain_mix" ->
+      """WITH wt(wsource, w) AS (
+           SELECT * FROM (VALUES ('src1', 500), ('src2', 300), ('src3', 200))),
+         c AS (
+           SELECT d.source AS csource, any_value(wt.w) AS w,
+                  count(*) AS n
+           FROM documents d JOIN wt ON d.source = wt.wsource
+           GROUP BY d.source),
+         b AS (
+           SELECT n AS nb, w AS wb FROM c
+           ORDER BY n * 1.0 / w, csource LIMIT 1),
+         t AS (
+           SELECT c.csource,
+                  (2 * b.nb * c.w * 1000000 + b.wb * c.n)
+                    // (2 * b.wb * c.n) AS thr
+           FROM c, b)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN t ON d.source = t.csource
+         WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % 1000000 < t.thr""",
+
+    // line-level boilerplate removal over the same injected fixture as
+    // the Spark side: header/footer (500x) and per-lang promo (64-218x)
+    // cross minDupCount=5 and are dropped; original one-line texts (all
+    // unique at this sf) survive
+    "line_dedup" ->
+      """WITH fx AS (
+           SELECT doc_id,
+                  'Site Navigation Home About' || chr(10) || text || chr(10)
+                    || 'Subscribe now in ' || lang || chr(10)
+                    || '(c) example.com all rights reserved' AS text
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+                  generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                  unnest(string_split(text, chr(10))) AS line
+           FROM fx),
+         k AS (
+           SELECT doc_id, pos, line,
+                  md5(trim(line)) AS lk, trim(line) = '' AS blank
+           FROM l),
+         d AS (
+           SELECT lk FROM k WHERE NOT blank
+           GROUP BY lk HAVING count(*) >= 5)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN blank OR lk NOT IN (SELECT lk FROM d)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                COALESCE(string_agg(
+                  CASE WHEN blank OR lk NOT IN (SELECT lk FROM d) THEN line END,
+                  chr(10) ORDER BY pos), '') AS clean_text
+         FROM k GROUP BY doc_id""",
+
     // a restore after a corrupting overwrite reads back the v0 content
     "table_restore" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",

@@ -801,6 +801,30 @@ object SparkEntry {
     Sampling.splitAssign(t(spark, dir, "documents"), "doc_id")
       .select("doc_id", "split")
 
+  /** Resample three sources to a 500/300/200 mixture (others dropped);
+    * the scarcest-relative-to-weight source is kept whole.
+    */
+  private def qDomainMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.domainMix(t(spark, dir, "documents"), "doc_id", "source",
+      Map("src1" -> 500, "src2" -> 300, "src3" -> 200))
+      .select("doc_id", "source")
+
+  /** Line-level boilerplate removal over a deterministic multi-line
+    * fixture: every doc gains a shared header/footer (500×) and a
+    * per-language promo line (64–218×) around its original text (all
+    * unique) — the dedup must strip exactly the injected boilerplate.
+    */
+  private def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = t(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        lit("Site Navigation Home About"), lit("\n"),
+        col("text"), lit("\n"),
+        concat(lit("Subscribe now in "), col("lang")), lit("\n"),
+        lit("(c) example.com all rights reserved")).as("text"))
+    Dedup.lineDedup(fixture, minDupCount = 5)
+  }
+
   /** Skew-aware fact⋈dim join (hot keys broadcast, cold keys shuffle);
     * the oracle is the PLAIN join — results must be identical. The
     * low threshold forces both branches to carry rows at sf scale.
@@ -1224,6 +1248,8 @@ object SparkEntry {
     "sample_hash" -> (qSampleHash _),
     "sample_stratified" -> (qSampleStratified _),
     "split_assign" -> (qSplitAssign _),
+    "domain_mix" -> (qDomainMix _),
+    "line_dedup" -> (qLineDedup _),
     "skew_join" -> (qSkewJoin _),
     "frequent_ngrams" -> (qFrequentNgrams _),
     "content_chunks" -> (qContentChunks _),
@@ -1278,7 +1304,7 @@ object SparkEntry {
     "text_pii_scrub", "text_decontam", "sample_hash",
     "text_chunks", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
-    "text_gopher_rules", "text_bm25")
+    "text_gopher_rules", "text_bm25", "domain_mix", "line_dedup")
 
   // ---------- DuckDB oracle SQL ----------
 

@@ -75,4 +75,51 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < rate)
   }
+
+  /** Domain-mixture resampling: downsample domains so the KEPT corpus
+    * hits the target mixture `weights` (relative shares, e.g.
+    * web→500, books→300, code→200) with maximal data retention — the
+    * domain scarcest relative to its target weight is kept at 100% and
+    * every other domain is hash-downsampled to match. Domains absent
+    * from `weights` are dropped.
+    *
+    * Exact integer arithmetic end to end: the binding domain b
+    * minimizes n_s/w_s, and each domain's acceptance threshold (in
+    * millionths) is round(1e6 · (n_b·w_s)/(w_b·n_s)), computed as a
+    * rational — no float drift between engines or runs. The per-domain
+    * counts are one tiny partial-aggregated groupBy (#domains rows)
+    * collected like the k-means centroid literals; the data-path filter
+    * is a pure narrow literal CASE on the key hash — pushable,
+    * shuffle-free, reproducible bit-for-bit at any scale.
+    */
+  def domainMix(
+      df: DataFrame,
+      keyCol: String,
+      domainCol: String,
+      weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "every domain weight must be positive")
+    val counts: Map[String, Long] = df
+      .filter(col(domainCol).isin(weights.keys.toSeq: _*))
+      .groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.filter(lit(false))
+    // binding domain: smallest n/w keeps all its rows (double ratio for
+    // ordering only — ties broken by name; the thresholds below are
+    // exact rationals)
+    val (bDom, bW) = present.minBy { case (s, w) => (counts(s).toDouble / w, s) }
+    val bN = counts(bDom)
+    val thr: Seq[(String, Long)] = present.toSeq.map { case (s, w) =>
+      val n = counts(s)
+      // round(1e6 * (bN*w)/(bW*n)) = (2*bN*w*1e6 + bW*n) / (2*bW*n) in ints
+      val t = ((BigInt(bN) * w * 1000000L * 2 + BigInt(bW) * n) /
+        (BigInt(bW) * n * 2)).toLong
+      s -> t
+    }.sortBy(_._1)
+    val thrCol = thr.foldRight(lit(-1L): Column) { case ((s, t), rest) =>
+      when(col(domainCol) === s, lit(t)).otherwise(rest)
+    }
+    df.filter(hashBucket(col(keyCol), 1000000) < thrCol)
+  }
 }

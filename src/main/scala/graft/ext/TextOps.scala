@@ -485,6 +485,50 @@ object Dedup {
       .filter(col("jac_permille") >= minPermille)
       .select("doc_a", "doc_b", "inter", "uni", "jac_permille")
   }
+
+  /** Line-level dedup (CCNet/RefinedWeb boilerplate removal): drop every
+    * instance of a non-blank line whose corpus-wide occurrence count
+    * (keyed on the md5 of the space-trimmed line) reaches `minDupCount`
+    * — navigation bars, cookie banners, copyright footers — and
+    * reassemble each document from its surviving lines in order.
+    *
+    * Scale shape: explode to (doc, pos, line) rows — narrow; ONE wide
+    * shuffle for the line-frequency count (partial-aggregated, rows are
+    * 16-byte hashes); a shuffle join back on the hash; one groupBy(doc)
+    * to reassemble. No driver-side state, no collect — the duplicate
+    * set stays distributed (at web scale it is far too big to
+    * broadcast). Blank lines never count as boilerplate (they'd always
+    * cross the threshold and destroy paragraph structure).
+    *
+    * Returns (idCol, n_lines, n_kept, clean_text).
+    */
+  def lineDedup(
+      docs: DataFrame,
+      minDupCount: Long = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = TextOps.spread(docs)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("blank", trim(col("line")) === "")
+      .withColumn("lk", md5(trim(col("line"))))
+    val boiler = lines.filter(!col("blank"))
+      .groupBy("lk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minDupCount)
+      .select(col("lk"), lit(true).as("__boiler"))
+    lines.join(boiler, Seq("lk"), "left")
+      .withColumn("keep", col("blank") || col("__boiler").isNull)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls `when` leaves for dropped lines;
+        // array_sort orders the (pos, line) structs by position
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+  }
 }
 
 /** Text analysis: token/char statistics, heuristic language ID, quality

@@ -587,4 +587,42 @@ class ExtOpsSpec extends SparkSpec {
       .select("c_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(withHint == without)
   }
+
+  test("lineDedup strips corpus-frequent lines, keeps order and blanks") {
+    val fx = Seq(
+      (1L, "HEADER\nalpha one\n\nbeta two\nFOOTER"),
+      (2L, "HEADER\ngamma three\nFOOTER"),
+      (3L, "HEADER\ndelta four\nFOOTER"),
+      (4L, "HEADER\nalpha one\nFOOTER"), // dup content line: below threshold
+      (5L, "HEADER\nFOOTER")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(fx, minDupCount = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // HEADER/FOOTER appear 5x >= 3 -> dropped everywhere; "alpha one"
+    // appears 2x < 3 -> kept; blank line kept; order preserved
+    assert(out(1L) == ((5L, 3L, "alpha one\n\nbeta two")))
+    assert(out(2L) == ((3L, 1L, "gamma three")))
+    assert(out(4L) == ((3L, 1L, "alpha one")))
+    assert(out(5L) == ((2L, 0L, "")))
+  }
+
+  test("domainMix hits the target mixture with the binding domain kept whole") {
+    val d = docs.select(col("doc_id"), col("source"))
+    val mixed = Sampling.domainMix(d, "doc_id", "source",
+      Map("src1" -> 500, "src2" -> 300, "src3" -> 200))
+    val kept = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = d.filter(col("source").isin("src1", "src2", "src3"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only weighted domains survive
+    assert(mixed.select("source").distinct().count() <= 3)
+    // src1 is binding at equal input counts (largest weight): kept whole
+    assert(kept("src1") == orig("src1"))
+    // ratios roughly follow 5:3:2 (hash sampling at tiny n is noisy)
+    assert(kept("src2") < kept("src1") && kept("src3") < kept("src2"))
+    // deterministic: rerun selects the identical doc set
+    val again = Sampling.domainMix(d, "doc_id", "source",
+      Map("src1" -> 500, "src2" -> 300, "src3" -> 200))
+    assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
+  }
 }
