@@ -147,14 +147,19 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (Option(opts.get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))) {
           // batch CDF through the catalog name: same relation swap as the
           // streaming case (the `_change_type` column cannot ride the
-          // table-schema output). startingVersion required, endingVersion
-          // resolved once here — identical contract to the path route.
-          val from = Option(opts.get("startingVersion")).map(_.toLong).getOrElse(
-            throw new IllegalArgumentException(
+          // table-schema output). Options resolve through the shared
+          // GraftReadOptions contract (startingVersion/startingTimestamp
+          // required, ending* resolved once) — identical to the path route.
+          val optsMap = {
+            import scala.jdk.CollectionConverters._
+            opts.asCaseSensitiveMap().asScala.toMap
+          }
+          val from = graft.sources.GraftReadOptions.start(spark, t.path, optsMap)
+            .getOrElse(throw new IllegalArgumentException(
               "readChangeFeed batch reads require option(\"startingVersion\", v) " +
-                "(inclusive; optional endingVersion defaults to latest)"))
-          val to = Option(opts.get("endingVersion")).map(_.toLong).getOrElse(
-            GraftTable(spark, t.path).version())
+                "or option(\"startingTimestamp\", ts) " +
+                "(inclusive; optional endingVersion/endingTimestamp defaults to latest)"))
+          val to = graft.sources.GraftReadOptions.end(spark, t.path, optsMap)
           LogicalRelation(
             graft.sources.GraftChangesRelation(spark.sqlContext, t.path, from, to))
         } else rebind(out, nativePlan(t.path, t.versionAsOf))

@@ -36,6 +36,16 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       .getOrElse(throw new IllegalArgumentException(
         s"no commit at or before timestamp $tsMillis ms for $path"))
 
+  /** Earliest version committed at or after `tsMillis` — the
+    * change-feed/stream `startingTimestamp` lookup (Delta's semantics:
+    * start from the first commit the timestamp could have observed).
+    */
+  def versionAtOrAfterTimestamp(tsMillis: Long): Long =
+    log.versions().map(log.readCommit)
+      .find(_.timestampMs >= tsMillis).map(_.version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit at or after timestamp $tsMillis ms for $path"))
+
   /** Full-table DataFrame at a version. Files are enumerated from the log
     * (never by directory listing — object-store-listing-free, like Delta),
     * partition columns are recovered from hive-style paths via `basePath`,

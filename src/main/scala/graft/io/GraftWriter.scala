@@ -377,18 +377,34 @@ object GraftWriter {
   def optimize(
       spark: SparkSession,
       path: String,
-      maxRecordsPerFile: Long = 4 * 1024 * 1024): Long =
-    retryDerived { optimizeOnce(spark, path, maxRecordsPerFile) }
+      maxRecordsPerFile: Long = 4 * 1024 * 1024,
+      /** Partition-column predicate scoping the compaction (Delta's
+        * `OPTIMIZE ... WHERE`) — at 100 TB you compact the day that
+        * streamed in small files, never the whole table.
+        */
+      where: Option[Column] = None): Long =
+    retryDerived { optimizeOnce(spark, path, maxRecordsPerFile, where) }
 
   private def optimizeOnce(
       spark: SparkSession,
       path: String,
-      maxRecordsPerFile: Long): Long = {
+      maxRecordsPerFile: Long,
+      where: Option[Column]): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
     val snap = log.snapshot()
-    val byPartition = snap.files.groupBy(_.partitionValues)
+    val eligible = where match {
+      case None => snap.files
+      case Some(pred) =>
+        require(snap.partitionColumns.nonEmpty,
+          "OPTIMIZE ... WHERE requires a partitioned table " +
+            "(the predicate scopes by partition values)")
+        val keep = matchingFiles(
+          spark, snap.files, snap.schema, snap.partitionColumns, pred).toSet
+        snap.files.filter(f => keep(f.path))
+    }
+    val byPartition = eligible.groupBy(_.partitionValues)
     // a deletion-vectored file is compactable even alone in its
     // partition: the rewrite materializes the anti-filter and PURGES the
     // DV (Delta's `OPTIMIZE` on DV'd tables), restoring scan speed

@@ -58,7 +58,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + T +
-      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+      """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
   private val DetailRe =
@@ -82,9 +82,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case VacuumRe(p, n, hours, dry) =>
         Some(GraftVacuumCommand(target(p, n),
           Option(hours).map(_.toLong), dryRun = dry != null))
-      case OptimizeRe(p, n, zcols) =>
+      case OptimizeRe(p, n, wpred, zcols) =>
         Some(GraftOptimizeCommand(target(p, n),
-          Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
+          Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+          Option(wpred).map(_.trim).filter(_.nonEmpty)))
       case HistoryRe(p, n) => Some(GraftDescribeHistoryCommand(target(p, n)))
       case DetailRe(p, n) => Some(GraftDescribeDetailCommand(target(p, n)))
       case RestoreRe(p, n, v) => Some(GraftRestoreCommand(target(p, n), v.toLong))

@@ -66,13 +66,20 @@ final case class GraftVacuumCommand(
 
 final case class GraftOptimizeCommand(
     target: Either[String, Seq[String]],
-    zorderBy: Seq[String]) extends LeafRunnableCommand {
+    zorderBy: Seq[String],
+    /** Partition-scoped compaction (`OPTIMIZE t WHERE day = '...'`). */
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenance.resolvePath(spark, target)
+    require(where.isEmpty || zorderBy.isEmpty,
+      "OPTIMIZE ... WHERE does not compose with ZORDER BY " +
+        "(Z-ordering re-clusters the whole table)")
     val v =
-      if (zorderBy.isEmpty) GraftWriter.optimize(spark, path)
+      if (zorderBy.isEmpty)
+        GraftWriter.optimize(spark, path,
+          where = where.map(org.apache.spark.sql.functions.expr))
       else GraftWriter.optimizeZOrder(spark, path, zorderBy)
     Seq(Row(v))
   }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -33,29 +33,37 @@ final class GraftSource
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft source requires a path"))
 
+  private def startOf(
+      sqlContext: SQLContext, parameters: Map[String, String]): Option[Long] =
+    GraftReadOptions.start(
+      sqlContext.sparkSession, pathOf(parameters), parameters)
+
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     if (cdfOf(parameters)) {
-      // Delta's batch-CDF surface: startingVersion (inclusive, required
-      // — serving "all changes ever" implicitly would turn a typo into
-      // a full-history scan) + optional endingVersion (inclusive)
-      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(
+      // Delta's batch-CDF surface: startingVersion/startingTimestamp
+      // (inclusive, one required — serving "all changes ever" implicitly
+      // would turn a typo into a full-history scan) + optional
+      // endingVersion/endingTimestamp (inclusive)
+      val from = startOf(sqlContext, parameters).getOrElse(
         throw new IllegalArgumentException(
           "readChangeFeed batch reads require option(\"startingVersion\", v) " +
-            "(inclusive; optional endingVersion defaults to latest)"))
+            "or option(\"startingTimestamp\", ts) (inclusive; optional " +
+            "endingVersion/endingTimestamp defaults to latest)"))
       // resolve the ending version ONCE at relation construction — a
       // commit landing between analysis and execution must not shift the
       // scanned range/alignment snapshot away from the analyzed schema
       GraftChangesRelation(
         sqlContext, pathOf(parameters), from,
-        parameters.get("endingVersion").map(_.toLong).getOrElse(
-          GraftTable(sqlContext.sparkSession, pathOf(parameters)).version()))
+        GraftReadOptions.end(
+          sqlContext.sparkSession, pathOf(parameters), parameters))
     } else
       GraftRelation(
         sqlContext,
         pathOf(parameters),
-        parameters.get("versionAsOf").map(_.toLong))
+        GraftReadOptions.asOf(
+          sqlContext.sparkSession, pathOf(parameters), parameters))
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -90,7 +98,7 @@ final class GraftSource
     new org.apache.spark.sql.graft.GraftStreamSource(
       sqlContext,
       pathOf(parameters),
-      parameters.get("startingVersion").map(_.toLong),
+      startOf(sqlContext, parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toLong),
       readChangeFeed = cdfOf(parameters))
 }
@@ -158,5 +166,61 @@ final case class GraftRelation(
       if (requiredColumns.isEmpty) pruned
       else pruned.select(requiredColumns.head, requiredColumns.tail: _*)
     projected.rdd
+  }
+}
+
+/** Shared resolution of version/timestamp read options — one contract
+  * for the path route (`format("graft")`), the catalog route, and the
+  * streaming source:
+  *   - `versionAsOf` | `timestampAsOf` — plain time travel (at-or-before);
+  *   - `startingVersion` | `startingTimestamp` — CDF/stream start
+  *     (first commit AT OR AFTER the timestamp, Delta's semantics);
+  *   - `endingVersion` | `endingTimestamp` — CDF end (at-or-before;
+  *     defaults to the current latest version, resolved once).
+  * Timestamps parse as `yyyy-MM-dd[ HH:mm:ss[.S]]` in the SESSION
+  * timezone — the same clock `TIMESTAMP AS OF` resolves against.
+  */
+object GraftReadOptions {
+
+  def tsMillis(spark: SparkSession, s: String): Long = {
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val local = scala.util.Try(
+      java.time.LocalDateTime.parse(s.trim.replace(' ', 'T')))
+      .orElse(scala.util.Try(
+        java.time.LocalDate.parse(s.trim).atStartOfDay()))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse timestamp '$s' (expected yyyy-MM-dd[ HH:mm:ss[.S]])"))
+    local.atZone(zone).toInstant.toEpochMilli
+  }
+
+  private def oneOf(
+      opts: Map[String, String], vKey: String, tsKey: String): Unit =
+    require(opts.get(vKey).isEmpty || opts.get(tsKey).isEmpty,
+      s"set either $vKey or $tsKey, not both")
+
+  def asOf(
+      spark: SparkSession, path: String, opts: Map[String, String]): Option[Long] = {
+    oneOf(opts, "versionAsOf", "timestampAsOf")
+    opts.get("versionAsOf").map(_.toLong)
+      .orElse(opts.get("timestampAsOf").map(s =>
+        GraftTable(spark, path).versionAtTimestamp(tsMillis(spark, s))))
+  }
+
+  def start(
+      spark: SparkSession, path: String, opts: Map[String, String]): Option[Long] = {
+    oneOf(opts, "startingVersion", "startingTimestamp")
+    opts.get("startingVersion").map(_.toLong)
+      .orElse(opts.get("startingTimestamp").map(s =>
+        GraftTable(spark, path).versionAtOrAfterTimestamp(tsMillis(spark, s))))
+  }
+
+  def end(
+      spark: SparkSession, path: String, opts: Map[String, String]): Long = {
+    oneOf(opts, "endingVersion", "endingTimestamp")
+    opts.get("endingVersion").map(_.toLong)
+      .orElse(opts.get("endingTimestamp").map(s =>
+        GraftTable(spark, path).versionAtTimestamp(tsMillis(spark, s))))
+      .getOrElse(GraftTable(spark, path).version())
   }
 }

@@ -32,6 +32,40 @@ class SourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_src WHERE k < 10").first().getLong(0) == 10)
   }
 
+  test("timestampAsOf / startingTimestamp resolve against commit wall clocks") {
+    val p = tmpDir("src_ts")
+    GraftWriter.write(spark, Seq((1L, "a")).toDF("k", "s"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val t0 = GraftTable(spark, p).log.readCommit(0L).timestampMs
+    Thread.sleep(1100) // commit clocks are millisecond wall time
+    GraftWriter.write(spark, Seq((2L, "b")).toDF("k", "s"), p,
+      WriteOptions(mode = WriteMode.Append))
+
+    // a timestamp between the commits reads v0
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    def fmt(ms: Long): String = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(ms), zone)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val between = fmt(t0 + 500)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", between).load(p).count() == 1)
+
+    // CDF from the same timestamp starts at the FIRST commit at/after it
+    val changes = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", between).load(p)
+    assert(changes.select("k").as[Long].collect().toSeq == Seq(2L))
+
+    // both-options and unparseable timestamps fail loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", 0)
+        .option("timestampAsOf", between).load(p)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", "not-a-time").load(p)
+    }
+  }
+
   test("format(graft) reads are native columnar parquet scans (no RDD boundary)") {
     val p = tmpDir("srcn")
     GraftWriter.write(spark, spark.range(0, 100)

@@ -499,6 +499,27 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5L)
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    val p = freshTable("sqloptwhere")
+    // two small files in each of cat=a and cat=b
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (7, 'a', 70.0)")
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (8, 'b', 80.0)")
+    val t = io.GraftTable(spark, p)
+    def filesIn(cat: String): Seq[String] = t.snapshot().files
+      .filter(_.partitionValues.get("cat").contains(cat)).map(_.path)
+    val aBefore = filesIn("a")
+    val bBefore = filesIn("b")
+    assert(aBefore.size > 1 && bBefore.size > 1)
+    spark.sql(s"OPTIMIZE graft.`$p` WHERE cat = 'a'").head().getLong(0)
+    assert(filesIn("a").size == 1)
+    assert(filesIn("b").toSet == bBefore.toSet) // untouched
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 7L)
+    // WHERE + ZORDER BY is rejected; unpartitioned WHERE errors loudly
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`$p` WHERE cat = 'a' ZORDER BY (id)")
+    }
+  }
+
   test("OPTIMIZE ZORDER BY clusters files for skipping") {
     val p = freshTable("sqlzorder")
     val v = spark.sql(s"OPTIMIZE graft.`$p` ZORDER BY (id, v)").head().getLong(0)
