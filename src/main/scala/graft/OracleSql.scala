@@ -617,6 +617,13 @@ object OracleSql {
                 l_returnflag, l_quantity, l_shipdate
          FROM lineitem WHERE l_returnflag IN ('A', 'R')""",
 
+    // clone pinned at v0 (pre-append), then DELETE l_returnflag='N' on
+    // the clone only — output is the source's original rows minus 'N'
+    "table_clone" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                l_returnflag, l_quantity, l_shipdate
+         FROM lineitem WHERE l_returnflag <> 'N'""",
+
     "table_replace_where" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus <> 'F'

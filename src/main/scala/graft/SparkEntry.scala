@@ -424,6 +424,26 @@ object SparkEntry {
 
   // ---------- table layer (write -> slice-read round trips) ----------
 
+  /** Shallow clone: zero-copy clone at a pinned version, then diverge it
+    * with a COW delete — the clone serves v0-minus-deleted while the
+    * source (which got an extra append) is untouched.
+    */
+  private def qTableClone(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+    val src = tmp("graft_clone_src")
+    val dst = tmp("graft_clone_dst")
+    GraftWriter.write(spark, li, src,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("l_returnflag")))
+    // source moves on AFTER the clone point — the clone must not see this
+    GraftWriter.write(spark, li.limit(100), src,
+      WriteOptions(mode = WriteMode.Append))
+    graft.io.Clone.shallow(spark, src, dst, versionAsOf = Some(0L))
+    graft.merge.Dml.delete(spark, dst, col("l_returnflag") === "N")
+    GraftTable(spark, dst).toDf()
+  }
+
   private def qTableRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
@@ -1204,6 +1224,7 @@ object SparkEntry {
     "merge_schema_evolution" -> (qMergeSchemaEvolution _),
     "merge_clauses" -> (qMergeClauses _),
     "table_roundtrip" -> (qTableRoundtrip _),
+    "table_clone" -> (qTableClone _),
     "table_replace_where" -> (qReplaceWhere _),
     "table_time_travel" -> (qTimeTravel _),
     "table_schema_evolution" -> (qSchemaEvolution _),

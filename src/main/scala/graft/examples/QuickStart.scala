@@ -361,6 +361,22 @@ object QuickStart {
     println(s"[31] deletion vectors: $dvCard rows deleted in-place " +
       s"(files reused=$dvReused), live=${GraftTable(spark, dvp).toDf().count()}, " +
       s"optimize purged=${GraftTable(spark, dvp).snapshot().files.forall(_.dv.isEmpty)}")
+
+    // 32. shallow clone: zero-copy dev snapshot — no data files copied,
+    // clone-side DML diverges locally, the source never changes
+    val clp = s"$out/orders_clone"
+    spark.sql(s"CREATE TABLE graft.`$clp` SHALLOW CLONE graft.`$dvp`")
+    val cloneParquets = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(clp))
+    }
+    val srcBefore = GraftTable(spark, dvp).toDf().count()
+    graft.merge.Dml.delete(spark, clp, col("o_totalprice") > 100000.0)
+    println(s"[32] shallow clone: $cloneParquets data files copied, " +
+      s"clone=${GraftTable(spark, clp).toDf().count()} rows after local delete, " +
+      s"source still=${GraftTable(spark, dvp).toDf().count()} (was $srcBefore)")
     spark.stop()
   }
 }

@@ -499,7 +499,8 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val everAdded = vs.flatMap(v => log.readCommit(v).add.map(_.path)).distinct
     val everDv = vs.flatMap(v =>
       log.readCommit(v).add.flatMap(_.dv.map(_.path))).distinct
-    val doomed = everAdded.filterNot(live) ++ everDv.filterNot(liveDv)
+    val doomed = (everAdded.filterNot(live) ++ everDv.filterNot(liveDv))
+      .filterNot(GraftTable.isExternalRef)
     val fs = log.fs
     // delete() returns false for already-gone files (prior vacuum)
     doomed.filter(rel => fs.delete(new Path(path, rel), false))
@@ -557,7 +558,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val fs = log.fs
     val doomed = removedAt.iterator
       .collect { case (rel, ts) if ts < cutoff && !live(rel) && !liveDv(rel) => rel }
-      .toSeq
+      .toSeq.filterNot(GraftTable.isExternalRef)
     if (dryRun) doomed.filter(rel => fs.exists(new Path(path, rel)))
     else doomed.filter(rel => fs.delete(new Path(path, rel), false))
   }
@@ -566,6 +567,16 @@ final class GraftTable(val spark: SparkSession, val path: String) {
 object GraftTable {
   /** Default vacuum retention floor (7 days, Delta's default). */
   val MinRetentionMillis: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** An add/remove action path that points OUTSIDE the table root — a
+    * shallow clone's reference into its source table ([[Clone]]). Vacuum
+    * must never physically delete these: the bytes belong to the source
+    * (and possibly to other clones of it).
+    */
+  def isExternalRef(p: String): Boolean = {
+    val hp = new Path(p)
+    hp.isAbsolute || hp.toUri.getScheme != null
+  }
 
   def apply(spark: SparkSession, path: String): GraftTable =
     new GraftTable(spark, path)

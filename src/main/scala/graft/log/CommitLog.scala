@@ -273,10 +273,14 @@ final class CommitLog(
     * replay and log retention without any checkpoint format change.
     */
   def tableProperties(): Map[String, String] =
-    latestVersion()
-      .map(v => readCommit(v).metadata
-        .filter { case (k, _) => k.startsWith(CommitLog.ReservedPrefix) })
-      .getOrElse(Map.empty)
+    latestVersion().map(tablePropertiesAt).getOrElse(Map.empty)
+
+  /** Table properties as of a specific version (time-travel/clone view —
+    * properties are per-version metadata, carried forward by [[commit]]).
+    */
+  def tablePropertiesAt(version: Long): Map[String, String] =
+    readCommit(version).metadata
+      .filter { case (k, _) => k.startsWith(CommitLog.ReservedPrefix) }
 
   /** Atomically publish the next commit. Returns the committed version.
     * Fails if `expectedVersion` was taken (optimistic concurrency; the

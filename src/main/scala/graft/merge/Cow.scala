@@ -50,7 +50,10 @@ private[merge] object Cow {
     // to absolute before matching, or COW on a seeded branch silently
     // touches nothing
     candidates.filter { f =>
-      val abs = if (new org.apache.hadoop.fs.Path(f.path).isAbsolute) f.path
+      val hp = new org.apache.hadoop.fs.Path(f.path)
+      // strip any scheme/authority (a shallow clone's refs are
+      // FS-qualified, e.g. `file:/...`) — `seen` holds bare URI paths
+      val abs = if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toUri.getPath
         else s"$rootAbs/${f.path}"
       seen(abs)
     }

@@ -1,5 +1,7 @@
 package graft.merge
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -165,11 +167,21 @@ object Dml {
       .collect().toSeq
     if (bitmaps.isEmpty) return DmlStats(snap.version, 0L)
 
-    // absolute `_metadata.file_path` → the snapshot's add action
-    val byRel = snap.files.map(f => f.path -> f).toMap
+    // absolute `_metadata.file_path` → the snapshot's add action: key
+    // every action by its bare URI path (an action path is
+    // table-relative normally, but FS-qualified-absolute for a shallow
+    // clone's references into its source — see graft.io.Clone)
+    val rootAbs = new Path(path).getFileSystem(conf)
+      .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
+    val byAbs = snap.files.map { f =>
+      val hp = new Path(f.path)
+      val key = if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toUri.getPath
+        else s"$rootAbs/${f.path}"
+      key -> f
+    }.toMap
     def fileOf(abs: String): graft.log.AddFile =
-      byRel.keys.find(rel => abs.endsWith("/" + rel)).map(byRel)
-        .getOrElse(throw new IllegalStateException(
+      byAbs.getOrElse(new java.net.URI(abs).getPath,
+        throw new IllegalStateException(
           s"DV rewrite: $abs is not a live file of $path"))
 
     // merge with any existing DV; a fully-deleted file is removed outright

@@ -69,6 +69,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ConvertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + T +
+      """\s+SHALLOW\s+CLONE\s+""" + T +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
+      """\s*;?\s*$""").r
 
   private def target(path: String, name: String): Either[String, Seq[String]] =
     if (path != null) Left(path) else Right(name.split('.').toSeq)
@@ -91,6 +96,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case RestoreRe(p, n, v) => Some(GraftRestoreCommand(target(p, n), v.toLong))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
+      case CloneRe(ine, dp, dn, sp, sn, v, ts) =>
+        Some(GraftCloneCommand(target(dp, dn), target(sp, sn),
+          Option(v).map(_.toLong), Option(ts), ifNotExists = ine != null))
       case _ => None
     }
 

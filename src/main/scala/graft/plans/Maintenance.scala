@@ -151,3 +151,28 @@ final case class GraftConvertCommand(
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(GraftWriter.convertParquet(spark, path, partitionBy)))
 }
+
+/** `CREATE TABLE [IF NOT EXISTS] <dst> SHALLOW CLONE <src>
+  * [VERSION AS OF v | TIMESTAMP AS OF 'ts']` — zero-copy clone
+  * ([[graft.io.Clone.shallow]]). Both targets accept path or catalog
+  * form; a catalog-name destination lands in that catalog's warehouse
+  * layout, so the new table is immediately visible there.
+  */
+final case class GraftCloneCommand(
+    dst: Either[String, Seq[String]],
+    src: Either[String, Seq[String]],
+    versionAsOf: Option[Long],
+    timestampAsOf: Option[String],
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = GraftMaintenance.resolvePath(spark, src)
+    val dstPath = GraftMaintenance.resolvePath(spark, dst)
+    if (ifNotExists && GraftTable.exists(spark, dstPath)) return Seq(Row(0L))
+    val v = versionAsOf.orElse(timestampAsOf.map(ts =>
+      GraftTable(spark, srcPath).versionAtTimestamp(
+        graft.sources.GraftReadOptions.tsMillis(spark, ts))))
+    Seq(Row(graft.io.Clone.shallow(spark, srcPath, dstPath, v)))
+  }
+}
