@@ -377,6 +377,27 @@ object QuickStart {
     println(s"[32] shallow clone: $cloneParquets data files copied, " +
       s"clone=${GraftTable(spark, clp).toDf().count()} rows after local delete, " +
       s"source still=${GraftTable(spark, dvp).toDf().count()} (was $srcBefore)")
+
+    // 33. deep clone + RESTORE TO TIMESTAMP: a self-contained physical
+    // copy (executors move the bytes), then rewind it by wall clock
+    val dcp = s"$out/orders_deep_clone"
+    spark.sql(s"CREATE TABLE graft.`$dcp` DEEP CLONE graft.`$clp`")
+    val preDelRows = GraftTable(spark, dcp).toDf().count()
+    val v0At = java.time.Instant
+      .ofEpochMilli(GraftTable(spark, dcp).history()
+        .find(_.version == 0L).get.timestampMs)
+      .atZone(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone))
+      .toLocalDateTime.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    graft.merge.Dml.delete(spark, dcp, col("o_totalprice") > 50000.0)
+    val afterDel = GraftTable(spark, dcp).toDf().count()
+    spark.sql(s"RESTORE graft.`$dcp` TO TIMESTAMP AS OF '$v0At'")
+    val localRefs = GraftTable(spark, dcp).snapshot().files
+      .forall(f => !GraftTable.isExternalRef(f.path))
+    println(s"[33] deep clone: self-contained=$localRefs, " +
+      s"rows=${GraftTable(spark, dcp).toDf().count()} (was $preDelRows, " +
+      s"deleted down to $afterDel, rewound by RESTORE TIMESTAMP AS OF)")
     spark.stop()
   }
 }

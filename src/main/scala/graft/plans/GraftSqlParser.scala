@@ -65,13 +65,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
-      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+      """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')""" +
+      """\s*;?\s*$""").r
   private val ConvertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + T +
-      """\s+SHALLOW\s+CLONE\s+""" + T +
+      """\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+""" + T +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
       """\s*;?\s*$""").r
 
@@ -93,12 +94,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(wpred).map(_.trim).filter(_.nonEmpty)))
       case HistoryRe(p, n) => Some(GraftDescribeHistoryCommand(target(p, n)))
       case DetailRe(p, n) => Some(GraftDescribeDetailCommand(target(p, n)))
-      case RestoreRe(p, n, v) => Some(GraftRestoreCommand(target(p, n), v.toLong))
+      case RestoreRe(p, n, v, ts) => Some(GraftRestoreCommand(target(p, n),
+        Option(v).map(_.toLong), Option(ts)))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
-      case CloneRe(ine, dp, dn, sp, sn, v, ts) =>
+      case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>
         Some(GraftCloneCommand(target(dp, dn), target(sp, sn),
-          Option(v).map(_.toLong), Option(ts), ifNotExists = ine != null))
+          Option(v).map(_.toLong), Option(ts), ifNotExists = ine != null,
+          // Delta semantics: bare CLONE means deep
+          deep = kind == null || kind.trim.equalsIgnoreCase("DEEP")))
       case _ => None
     }
 

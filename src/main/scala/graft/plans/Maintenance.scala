@@ -128,14 +128,24 @@ final case class GraftDescribeDetailCommand(
   }
 }
 
+/** `RESTORE [TABLE] t TO VERSION AS OF v | TO TIMESTAMP AS OF 'ts'` —
+  * a timestamp resolves to the last version committed at-or-before it
+  * (same rule as `timestampAsOf` reads).
+  */
 final case class GraftRestoreCommand(
     target: Either[String, Seq[String]],
-    toVersion: Long) extends LeafRunnableCommand {
+    toVersion: Option[Long],
+    toTimestamp: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenance.resolvePath(spark, target)
-    Seq(Row(GraftTable(spark, path).restore(toVersion)))
+    val t = GraftTable(spark, path)
+    val v = toVersion.orElse(toTimestamp.map(ts =>
+      t.versionAtTimestamp(graft.sources.GraftReadOptions.tsMillis(spark, ts))))
+      .getOrElse(throw new IllegalArgumentException(
+        "RESTORE needs VERSION AS OF or TIMESTAMP AS OF"))
+    Seq(Row(t.restore(v)))
   }
 }
 
@@ -152,18 +162,20 @@ final case class GraftConvertCommand(
     Seq(Row(GraftWriter.convertParquet(spark, path, partitionBy)))
 }
 
-/** `CREATE TABLE [IF NOT EXISTS] <dst> SHALLOW CLONE <src>
-  * [VERSION AS OF v | TIMESTAMP AS OF 'ts']` — zero-copy clone
-  * ([[graft.io.Clone.shallow]]). Both targets accept path or catalog
-  * form; a catalog-name destination lands in that catalog's warehouse
-  * layout, so the new table is immediately visible there.
+/** `CREATE TABLE [IF NOT EXISTS] <dst> [SHALLOW|DEEP] CLONE <src>
+  * [VERSION AS OF v | TIMESTAMP AS OF 'ts']` — table clone
+  * ([[graft.io.Clone]]; bare CLONE = deep, Delta's default). Both
+  * targets accept path or catalog form; a catalog-name destination
+  * lands in that catalog's warehouse layout, so the new table is
+  * immediately visible there.
   */
 final case class GraftCloneCommand(
     dst: Either[String, Seq[String]],
     src: Either[String, Seq[String]],
     versionAsOf: Option[Long],
     timestampAsOf: Option[String],
-    ifNotExists: Boolean) extends LeafRunnableCommand {
+    ifNotExists: Boolean,
+    deep: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -173,6 +185,9 @@ final case class GraftCloneCommand(
     val v = versionAsOf.orElse(timestampAsOf.map(ts =>
       GraftTable(spark, srcPath).versionAtTimestamp(
         graft.sources.GraftReadOptions.tsMillis(spark, ts))))
-    Seq(Row(graft.io.Clone.shallow(spark, srcPath, dstPath, v)))
+    val made =
+      if (deep) graft.io.Clone.deep(spark, srcPath, dstPath, v)
+      else graft.io.Clone.shallow(spark, srcPath, dstPath, v)
+    Seq(Row(made))
   }
 }

@@ -37,6 +37,31 @@ object GraftInternal {
     org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(ds)
   }
 
+  /** Copy each `(srcUri, dstUri)` file pair on EXECUTORS (one task per
+    * slice of the list) and return total bytes copied. The driver never
+    * touches data bytes — a deep clone of a 100 TB table fans the copy
+    * out across the cluster. Placed here for `SerializableConfiguration`
+    * (private[spark]), which ships credentialed Hadoop conf to tasks.
+    */
+  def distributedCopy(
+      spark: SparkSession, pairs: Seq[(String, String)]): Long = {
+    if (pairs.isEmpty) return 0L
+    val sc = spark.sparkContext
+    val bc = sc.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+    val slices = math.min(pairs.size, math.max(1, sc.defaultParallelism))
+    sc.parallelize(pairs, slices).map { case (s, d) =>
+      val conf = bc.value.value
+      val sp = new org.apache.hadoop.fs.Path(s)
+      val dp = new org.apache.hadoop.fs.Path(d)
+      val dfs = dp.getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        sp.getFileSystem(conf), sp, dfs, dp,
+        /* deleteSource = */ false, /* overwrite = */ true, conf)
+      dfs.getFileStatus(dp).getLen
+    }.sum().toLong
+  }
+
   /** Multipart names of every unresolved attribute referenced by a
     * Column, read off the ColumnNode tree (the catalyst expression is
     * built lazily in Spark 4, so pre-analysis validation must walk the

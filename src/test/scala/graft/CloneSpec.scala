@@ -149,6 +149,61 @@ class CloneSpec extends SparkSpec {
     assert(GraftTable(spark, src).toDf().count() == liveSrc)
   }
 
+  test("deep clone is self-contained: source vacuum/drop cannot break it") {
+    val src = tmpDir("clone_deep_src")
+    val dst = tmpDir("clone_deep_dst")
+    GraftWriter.write(spark, orders, src,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus"),
+        metadata = Map(DeletionVectors.PropKey -> "true")))
+    // a DV in the source must be copied and honored by the clone
+    Dml.delete(spark, src, col("o_totalprice") > 150000.0)
+    val liveSrc = GraftTable(spark, src).toDf().count()
+    val srcSum = GraftTable(spark, src).toDf()
+      .agg(sum(col("o_totalprice"))).head().getDouble(0)
+
+    val v = Clone.deep(spark, src, dst)
+    assert(v == 0L)
+    // bytes really copied, refs all local
+    assert(parquetCount(dst) > 0)
+    val t = GraftTable(spark, dst)
+    assert(t.snapshot().files.forall(f => !GraftTable.isExternalRef(f.path) &&
+      f.dv.forall(d => !GraftTable.isExternalRef(d.path))))
+    assert(t.snapshot().files.exists(_.dv.isDefined))
+    assert(t.toDf().count() == liveSrc)
+    assert(t.toDf().agg(sum(col("o_totalprice"))).head().getDouble(0) == srcSum)
+
+    // nuke the source entirely — the deep clone must be unaffected
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(src))
+    assert(GraftTable(spark, dst).toDf().count() == liveSrc)
+    // partition pruning works on the copied layout
+    val f = GraftTable(spark, dst).toDf().filter(col("o_orderstatus") === "F")
+    assert(f.count() > 0)
+  }
+
+  test("deep clone of a shallow clone localizes the absolute references") {
+    val base = tmpDir("clone_deep2_base")
+    val shal = tmpDir("clone_deep2_shallow")
+    val deep = tmpDir("clone_deep2_deep")
+    GraftWriter.write(spark, orders, base,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    val n = GraftTable(spark, base).toDf().count()
+    Clone.shallow(spark, base, shal)
+    assert(GraftTable(spark, shal).snapshot().files
+      .forall(f => GraftTable.isExternalRef(f.path)))
+    spark.sql(s"CREATE TABLE graft.`$deep` DEEP CLONE graft.`$shal`")
+    val t = GraftTable(spark, deep)
+    assert(t.snapshot().files.forall(f => !GraftTable.isExternalRef(f.path)))
+    // rebuilt hive layout keeps partition pruning + values intact
+    assert(t.snapshot().files.forall(_.path.contains("o_orderstatus=")))
+    assert(t.toDf().count() == n)
+    assert(t.toDf().filter(col("o_orderstatus") === "O").count() ==
+      orders.filter(col("o_orderstatus") === "O").count())
+  }
+
   test("destination collision fails loudly; SQL route with VERSION AS OF works") {
     val src = tmpDir("clone_sql_src")
     val dst = tmpDir("clone_sql_dst")

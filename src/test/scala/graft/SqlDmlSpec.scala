@@ -497,6 +497,12 @@ class SqlDmlSpec extends SparkSpec {
     val v4 = spark.sql(s"RESTORE graft.`$p` TO VERSION AS OF 3").head().getLong(0)
     assert(v4 == 4L)
     assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5L)
+    // TIMESTAMP AS OF: far-future wall clock = latest version (at-or-before)
+    val v5 = spark.sql(
+      s"RESTORE graft.`$p` TO TIMESTAMP AS OF '2100-01-01 00:00:00'")
+      .head().getLong(0)
+    assert(v5 == 5L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5L)
   }
 
   test("OPTIMIZE WHERE compacts only the matching partitions") {
