@@ -8,13 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the `noop` sink (a plain
   * `count()` would let Catalyst prune the expensive projections).
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
-  * the per-query MEDIAN (the JSON carries a "runs" field so rounds are
-  * comparable): at this SF a query's first run is dominated by janino
-  * codegen compilation — a constant that doesn't grow with data — and a
-  * single sample under ±30% machine-load noise flagged two phantom
-  * regressions in earlier rounds. The median measures the steady-state
-  * data path, which is the number that scales.
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) in
+  * INTERLEAVED full-suite sweeps and reports the per-query MEDIAN (the
+  * JSON carries a "runs" field so rounds are comparable): at this SF a
+  * query's first run is dominated by janino codegen compilation — a
+  * constant that doesn't grow with data — and a single sample under
+  * ±30% machine-load noise flagged two phantom regressions in earlier
+  * rounds. The median measures the steady-state data path, which is the
+  * number that scales; sweeping time-separates a query's samples so
+  * sustained load can contaminate at most one of them.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,16 +44,33 @@ object Bench {
       case Some(sel) => SparkEntry.benchQueries.filter(sel.contains)
       case None => SparkEntry.benchQueries
     }
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to runs).map { _ =>
+    // INTERLEAVED sweeps: run 1 of every query, then run 2, then run 3 —
+    // not 3 back-to-back passes per query. Back-to-back samples sit inside
+    // the same machine-load window, so a sustained spike inflates median
+    // AND min together and evades the median/min guard below (BENCH_r10's
+    // 10-13s phantoms re-measured 0.3-1.3s). Sweeping separates a query's
+    // samples by the full suite duration (~40s at sf0.1), so load lasting
+    // less than a sweep can contaminate at most one sample of each query.
+    val sampled: Seq[(String, Seq[Double])] = {
+      val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      headline.foreach(n => acc(n) = Vector.empty)
+      for (_ <- 1 to runs; name <- headline) {
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        acc(name) = acc(name) :+ (System.nanoTime() - t0) / 1e9
+        // release pair-generator scratch checkpoints between queries
+        // (outside the timed region) so blocks can't accumulate across
+        // the suite's ~200 materializations and skew later samples
+        graft.ext.Scratch.drain()
+      }
+      acc.toSeq
+    }
+    val results = sampled.map { case (name, raw) =>
+      val times = raw.sorted
       (name, times(times.length / 2), times.head)
     }
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }

@@ -326,7 +326,7 @@ object OracleSql {
         SELECT q_id, n_id, "rank", sim_e6 FROM ranked WHERE "rank" <= 5"""
   }
 
-  val all: Map[String, String] = ListMap(
+  private val base: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
             CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_cents,
@@ -1335,4 +1335,12 @@ object OracleSql {
                 FROM (SELECT * FROM s0 EXCEPT ALL SELECT * FROM s1))
           SELECT * FROM i UNION ALL SELECT * FROM d"""
   )
+
+  // merge-on-read variants (`graft.dv=true`): matched preimages become
+  // per-file deletion vectors, postimages/inserts append as new files —
+  // the row contract is IDENTICAL to copy-on-write, so the DV queries
+  // share the COW oracles verbatim
+  val all: Map[String, String] = base ++ ListMap(
+    "merge_upsert_dv" -> base("merge_upsert"),
+    "merge_clauses_dv" -> base("merge_clauses"))
 }

@@ -349,14 +349,23 @@ object SparkEntry {
 
   private def mergeCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
-  private def mergeQuery(mt: MergeType)(spark: SparkSession, dir: String): DataFrame = {
+  /** With `dv = true` the target opts into `graft.dv`, routing the merge
+    * through the merge-on-read path (matched preimages become deletion
+    * vectors, postimages append) — row results are contractually
+    * IDENTICAL to the COW path, so the DV variants share the COW
+    * oracles.
+    */
+  private def mergeQuery(mt: MergeType, dv: Boolean = false)(
+      spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders").select(mergeCols.map(col): _*)
     val target = orders.filter(col("o_orderkey") % 4 =!= 0)
     val source = orders.filter(col("o_orderkey") % 2 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 1)
       .withColumn("o_orderstatus", lit("M"))
-    val p = tmp(s"graft_merge_${mt.name}")
-    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    val p = tmp(s"graft_merge_${mt.name}_$dv")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite,
+      metadata =
+        if (dv) Map(graft.io.DeletionVectors.PropKey -> "true") else Map.empty))
     MergeExecutor.merge(spark, source, p, MergeConfig(mt, "s.o_orderkey = t.o_orderkey"))
     GraftTable(spark, p).toDf()
   }
@@ -406,14 +415,17 @@ object SparkEntry {
     * source keys divisible by 8 insert — the Delta WHEN-clause surface
     * over the same COW execution.
     */
-  private def qMergeClauses(spark: SparkSession, dir: String): DataFrame = {
+  private def qMergeClauses(dv: Boolean = false)(
+      spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders").select(mergeCols.map(col): _*)
     val target = orders.filter(col("o_orderkey") % 4 =!= 0)
     val source = orders.filter(col("o_orderkey") % 2 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 1)
       .withColumn("o_orderstatus", lit("M"))
-    val p = tmp("graft_merge_clauses")
-    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite))
+    val p = tmp(s"graft_merge_clauses_$dv")
+    GraftWriter.write(spark, target, p, WriteOptions(mode = WriteMode.Overwrite,
+      metadata =
+        if (dv) Map(graft.io.DeletionVectors.PropKey -> "true") else Map.empty))
     MergeClausesExecutor.merge(spark, source, p, "s.o_orderkey = t.o_orderkey",
       matched = Seq(
         UpdateAll(Some(expr("s.o_orderkey % 3 = 0"))),
@@ -1222,7 +1234,9 @@ object SparkEntry {
     "merge_replace_delete_unmatched" -> (mergeQuery(MergeType.ReplaceDeleteUnmatched) _),
     "merge_partition_scoped" -> (qMergePartitionScoped _),
     "merge_schema_evolution" -> (qMergeSchemaEvolution _),
-    "merge_clauses" -> (qMergeClauses _),
+    "merge_clauses" -> (qMergeClauses() _),
+    "merge_upsert_dv" -> (mergeQuery(MergeType.Upsert, dv = true) _),
+    "merge_clauses_dv" -> (qMergeClauses(dv = true) _),
     "table_roundtrip" -> (qTableRoundtrip _),
     "table_clone" -> (qTableClone _),
     "table_replace_where" -> (qReplaceWhere _),

@@ -23,6 +23,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release pair-generator scratch checkpoints between queries so the
+      // 100+-query dump can't accumulate session-lifetime cached blocks
+      graft.ext.Scratch.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

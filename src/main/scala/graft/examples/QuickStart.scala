@@ -93,9 +93,20 @@ object QuickStart {
     // 7. streaming: events parquet replayed as a file stream into a table
     import graft.streaming.Streams
     val eventsDir = s"$out/events_in"
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .write.parquet(eventsDir)
+    locally {
+      // events.ts is TIMESTAMP(NANOS) in some testdata generations (read
+      // as a nanos long under nanosAsLong) and plain µs in others —
+      // normalize by the actual read type, like SparkEntry.tEvents
+      val rawEvents = spark.read.parquet(s"$sfDir/events.parquet")
+      // the cast to TIMESTAMP (from NTZ; session TZ is UTC, so values
+      // are preserved) keeps the stream watermark-able below
+      val evts = rawEvents.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          rawEvents.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => rawEvents.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      evts.write.parquet(eventsDir)
+    }
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
     val q = Streams.toGraftTable(stream, s"$out/events_table", s"$out/ckpt")

@@ -81,6 +81,7 @@ object Skew {
       .filter(col("__n") > hotThreshold)
       .select(kc: _*)
       .localCheckpoint(eager = true) // tiny by construction; computed once
+    Scratch.register(hot) // reclaimed by Scratch.drain between pipelines
     val cold = left.join(broadcast(hot), keys, "left_anti")
       .join(right, keys)
     val hotRows = left.join(broadcast(hot), keys, "left_semi")

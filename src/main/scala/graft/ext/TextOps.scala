@@ -164,10 +164,14 @@ object Dedup {
     val kept = b.join(broadcast(hot), Seq("band_id", "band_key"), "left_anti")
     val a = kept.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
     val c = kept.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
-    a.join(c, Seq("band_id", "band_key"))
+    val pairs = a.join(c, Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    // Seal the (small) pair set and release the corpus-sized band
+    // relation NOW — without this every call leaks its checkpointed
+    // bands for the session's lifetime (see Scratch).
+    Scratch.seal(pairs, b, hot)
   }
 
   /** Connected components over near-duplicate candidate pairs: every doc
@@ -239,6 +243,7 @@ object Dedup {
         val rows = parent.keys.toSeq.sorted.map(v =>
           org.apache.spark.sql.Row(v, find(v)))
         import org.apache.spark.sql.types._
+        Scratch.release(edges) // labels are local now; drop the edge blocks
         return spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](
             scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -283,11 +288,10 @@ object Dedup {
         prevSum = s
         it += 1
       }
-      // flatten the loop lineage and release the CacheManager entry: a
-      // localCheckpoint is materialized (eager) and its backing RDD is
-      // reclaimed by the ContextCleaner once unreferenced, unlike
-      // persist(), which would leak one cached DataFrame per call
-      val out = labels.localCheckpoint(eager = true)
+      // flatten the loop lineage (labels' lineage spans every round) and
+      // release the loop cache + the edge checkpoint now that the label
+      // set is sealed; the sealed output is registered for Scratch.drain
+      val out = Scratch.seal(labels, edges)
       labels.unpersist()
       out
     }
@@ -443,10 +447,13 @@ object Dedup {
       zip_with(split(col("sa"), ""), split(col("sb"), ""),
         (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    cand
+    val pairs = cand
       .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+    // Seal the (small) pair set and release the corpus-sized banded
+    // relation NOW (see Scratch).
+    Scratch.seal(pairs, banded, hot)
   }
 
   /** Token-set Jaccard near-duplicate pairs in exact integer arithmetic

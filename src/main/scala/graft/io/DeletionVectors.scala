@@ -6,7 +6,9 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.roaringbitmap.RoaringBitmap
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -108,6 +110,77 @@ object DeletionVectors {
     }
     bytesCache.put(key, bytes)
     bytes
+  }
+
+  /** Per-file deletion-bitmap updates for a set of hit rows. `hits` is a
+    * two-column DataFrame of `(absolute file path, physical row index)`
+    * — the row-meta columns a `withRowMeta` scan projects — over LIVE
+    * rows of `snap` (the scan already anti-filters existing DVs). The
+    * bitmaps are aggregated EXECUTOR-side (one group per file): only
+    * compressed bytes reach the driver, bounded by the touched file
+    * count, never the deleted row count.
+    *
+    * Returns, per touched file, its current add action paired with the
+    * repointed action carrying the merged DV — `None` when the merged DV
+    * would cover every physical row (the file is dropped outright) —
+    * plus the newly-deleted row count. Shared by DELETE/UPDATE
+    * ([[graft.merge.Dml]]) and the merge-on-read MERGE paths
+    * ([[graft.merge.MergeExecutor]], [[graft.merge.MergeClausesExecutor]]).
+    */
+  def bitmapUpdates(
+      spark: SparkSession,
+      path: String,
+      snap: graft.log.Snapshot,
+      hits: org.apache.spark.sql.DataFrame):
+      (Seq[(AddFile, Option[AddFile])], Long) = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val Seq(fileCol, idxCol) = hits.columns.toSeq
+    val bitmaps: Seq[(String, Array[Byte], Long)] = hits
+      .select(col(fileCol).as("f"), col(idxCol).cast("long").as("i"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bm = new RoaringBitmap()
+        it.foreach { case (_, i) =>
+          require(i >= 0 && i <= Int.MaxValue,
+            s"row index $i of $f exceeds the 32-bit DV bitmap range")
+          bm.add(i.toInt)
+        }
+        (f, serialize(bm), bm.getLongCardinality)
+      }
+      .collect().toSeq
+    if (bitmaps.isEmpty) return (Nil, 0L)
+
+    // absolute `_metadata.file_path` → the snapshot's add action: key
+    // every action by its bare URI path (an action path is
+    // table-relative normally, but FS-qualified-absolute for a shallow
+    // clone's references into its source — see graft.io.Clone)
+    val rootAbs = new Path(path).getFileSystem(conf)
+      .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
+    val byAbs = snap.files.map { f =>
+      val hp = new Path(f.path)
+      val key = if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toUri.getPath
+        else s"$rootAbs/${f.path}"
+      key -> f
+    }.toMap
+    def fileOf(abs: String): AddFile =
+      byAbs.getOrElse(new java.net.URI(abs).getPath,
+        throw new IllegalStateException(
+          s"DV rewrite: $abs is not a live file of $path"))
+
+    // merge with any existing DV; a fully-deleted file is removed outright
+    val updated = bitmaps.map { case (abs, bytes, _) =>
+      val old = fileOf(abs)
+      val bm = deserialize(bytes)
+      old.dv.foreach(d => bm.or(readDv(path, conf, d)))
+      val card = bm.getLongCardinality
+      require(card <= old.numRecords,
+        s"DV cardinality $card exceeds ${old.path}'s ${old.numRecords} rows")
+      if (card == old.numRecords) (old, None)
+      else (old, Some(old.copy(dv = Some(writeDv(path, conf, bm)))))
+    }
+    (updated, bitmaps.map(_._3).sum)
   }
 
   /** Driver-side index for a scan's DV'd files: relative path → bitmap

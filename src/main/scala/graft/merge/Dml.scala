@@ -137,9 +137,7 @@ object Dml {
       condition: Column,
       op: String,
       keepMatched: Option[Map[String, Column]]): DmlStats = {
-    import spark.implicits._
     import graft.io.DeletionVectors
-    val conf = spark.sessionState.newHadoopConf()
     val cols = snap.schema.map(_.name)
     val matched = coalesce(condition, lit(false)) // WHERE NULL = no-op
     val fileCol = graft.sources.GraftNativeRelation.RowMetaFileCol
@@ -151,51 +149,9 @@ object Dml {
     // path's input_file_name() discovery — nothing blocks pushdown
     val hits = table.dfForFiles(snap, snap.files, withRowMeta = true)
       .filter(matched)
-    val bitmaps: Seq[(String, Array[Byte], Long)] = hits
-      .select(col(fileCol).as("f"), col(idxCol).cast("long").as("i"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (f, it) =>
-        val bm = new org.roaringbitmap.RoaringBitmap()
-        it.foreach { case (_, i) =>
-          require(i >= 0 && i <= Int.MaxValue,
-            s"row index $i of $f exceeds the 32-bit DV bitmap range")
-          bm.add(i.toInt)
-        }
-        (f, DeletionVectors.serialize(bm), bm.getLongCardinality)
-      }
-      .collect().toSeq
-    if (bitmaps.isEmpty) return DmlStats(snap.version, 0L)
-
-    // absolute `_metadata.file_path` → the snapshot's add action: key
-    // every action by its bare URI path (an action path is
-    // table-relative normally, but FS-qualified-absolute for a shallow
-    // clone's references into its source — see graft.io.Clone)
-    val rootAbs = new Path(path).getFileSystem(conf)
-      .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
-    val byAbs = snap.files.map { f =>
-      val hp = new Path(f.path)
-      val key = if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toUri.getPath
-        else s"$rootAbs/${f.path}"
-      key -> f
-    }.toMap
-    def fileOf(abs: String): graft.log.AddFile =
-      byAbs.getOrElse(new java.net.URI(abs).getPath,
-        throw new IllegalStateException(
-          s"DV rewrite: $abs is not a live file of $path"))
-
-    // merge with any existing DV; a fully-deleted file is removed outright
-    val updated: Seq[(graft.log.AddFile, Option[graft.log.AddFile])] =
-      bitmaps.map { case (abs, bytes, _) =>
-        val old = fileOf(abs)
-        val bm = DeletionVectors.deserialize(bytes)
-        old.dv.foreach(d => bm.or(DeletionVectors.readDv(path, conf, d)))
-        val card = bm.getLongCardinality
-        require(card <= old.numRecords,
-          s"DV cardinality $card exceeds ${old.path}'s ${old.numRecords} rows")
-        if (card == old.numRecords) (old, None)
-        else (old, Some(old.copy(dv = Some(DeletionVectors.writeDv(path, conf, bm)))))
-      }
+    val (updated, numDeleted) = DeletionVectors.bitmapUpdates(
+      spark, path, snap, hits.select(col(fileCol), col(idxCol)))
+    if (updated.isEmpty) return DmlStats(snap.version, 0L)
     val touched = updated.map(_._1)
 
     // change-data feed (opt-in `graft.cdf`): one extra pass over the
@@ -222,7 +178,7 @@ object Dml {
     val metrics = Map(
       "num_affected_files" -> touched.size.toLong,
       "num_deletion_vectors" -> dvAdds.size.toLong,
-      "num_deleted_rows" -> bitmaps.map(_._3).sum)
+      "num_deleted_rows" -> numDeleted)
     val v = keepMatched match {
       case None => // DELETE: metadata-only commit, no data write at all
         table.log.commit(

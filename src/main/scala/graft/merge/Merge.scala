@@ -134,6 +134,12 @@ object MergeExecutor {
       path: String,
       config: MergeConfig): MergeStats = {
     val snap = table.snapshot()
+    // merge-on-read (opt-in `graft.dv=true`): matched preimages become
+    // DV entries on their files instead of whole-file rewrites.
+    // DeduplicateInsert is already append-only — nothing to DV.
+    if (graft.io.DeletionVectors.enabled(table.log.tableProperties()) &&
+        config.mergeType != MergeType.DeduplicateInsert)
+      return dvMergeOnce(spark, table, src, numSource, path, config, snap)
     locally {
       // schema evolution: the commit's schema is the union; every target
       // DataFrame below is padded with the new columns as nulls so the
@@ -149,31 +155,9 @@ object MergeExecutor {
       val sa = config.sourceAlias
       val ta = config.targetAlias
 
-      // 1. Candidate files: prune whole partitions when the scope
-      // predicate resolves against partition columns alone (non-aligned
-      // predicates fall back to all files, scoped per-row below)...
-      val partitionPruned: Seq[AddFile] = config.partitionFilter match {
-        case Some(p) if snap.partitionColumns.nonEmpty =>
-          try {
-            val keep = GraftWriter.matchingFiles(
-              spark, snap.files, snap.schema, snap.partitionColumns, p).toSet
-            snap.files.filter(f => keep(f.path))
-          } catch {
-            case _: org.apache.spark.sql.AnalysisException => snap.files
-          }
-        case _ => snap.files
-      }
-      // ...then skip files whose footer min/max proves they cannot hold a
-      // source key (plain equi-merges only): a pruned file provably
-      // contains no match, so it is untouched for update/upsert and
-      // cannot suppress a dedup insert — safe to exclude. RDU deletes
-      // unmatched rows everywhere, so no stat pruning there. This is what
-      // keeps the discovery scan O(overlapping files) on a 100 TB table
-      // with a narrow CDC batch.
-      val candidates: Seq[AddFile] =
-        if (config.mergeType == MergeType.ReplaceDeleteUnmatched) partitionPruned
-        else pruneByStats(partitionPruned, snap, src, config.predicate,
-          config.sourceAlias, config.targetAlias)
+      // 1. Candidate files: partition pruning then footer-stats pruning
+      // (see candidateFiles)
+      val candidates: Seq[AddFile] = candidateFiles(spark, snap, src, config)
       val candDf = table.dfForFiles(snap, candidates)
       // row-level scope (exact even when the filter isn't partition-aligned);
       // filter sits directly on the scan so pruning/pushdown still fire
@@ -229,37 +213,7 @@ object MergeExecutor {
       // never the table. DeduplicateInsert commits as a pure append, and
       // the CDF reader synthesizes its inserts from the add actions.
       val cdcFiles: Seq[AddFile] =
-        if (config.mergeType == MergeType.DeduplicateInsert ||
-            !graft.io.Cdc.enabled(table.log.tableProperties())) Nil
-        else {
-          val marker = "__graft_matched"
-          val joined = affScoped.alias(ta)
-            .join(src.withColumn(marker, lit(true)).alias(sa), cond, "left")
-          val isMatched = coalesce(col(s"$sa.$marker"), lit(false))
-          val cc = graft.io.Cdc.ChangeCol
-          val oldCols = cols.map(c => col(s"$ta.$c").as(c))
-          val srcCols = cols.map(c => col(s"$sa.$c").as(c))
-          val pairs = joined.filter(isMatched)
-          val updates = pairs.select(oldCols :+ lit("update_preimage").as(cc): _*)
-            .unionByName(pairs.select(srcCols :+ lit("update_postimage").as(cc): _*))
-          val changes = config.mergeType match {
-            case MergeType.UpdateOnly => updates
-            case MergeType.Upsert =>
-              // anti join against the touched rows is exact: every match
-              // lives in a touched file (same argument as the rewrite)
-              val inserts = src.alias(sa)
-                .join(affScoped.alias(ta), cond, "left_anti")
-                .select(cols.map(col): _*)
-              updates.unionByName(inserts.withColumn(cc, lit("insert")))
-            case MergeType.ReplaceDeleteUnmatched =>
-              updates.unionByName(
-                joined.filter(!isMatched)
-                  .select(oldCols :+ lit("delete").as(cc): _*))
-            case MergeType.DeduplicateInsert =>
-              throw new IllegalStateException("unreachable: dedup insert is append-only")
-          }
-          graft.io.Cdc.writeChangeFiles(spark, path, changes)
-        }
+        strategyCdc(spark, path, table, affScoped, src, config, cols)
 
       val v = GraftWriter.writeCow(spark, newData, path, snap, removals,
         operation = "MERGE",
@@ -272,6 +226,215 @@ object MergeExecutor {
       MergeStats(v, numSource, numOut)
     }
   }
+
+  /** Merge-on-read merge (opt-in `graft.dv=true`): the rows a strategy
+    * would replace or delete become deletion-vector entries on their
+    * files; replacement and inserted rows append as new files. An upsert
+    * touching one row per file on a 100 TB table therefore costs
+    * O(matched rows) of compressed bitmap plus the appended rows — never
+    * a rewrite of every touched file (the COW path's write
+    * amplification). Row semantics are IDENTICAL to the COW strategies
+    * (oracle-checked: `merge_upsert_dv` hashes equal to `merge_upsert`):
+    *
+    *   - update_only / upsert: matched target rows are DV'd; one
+    *     postimage per (target,source) match pair appends (the COW
+    *     emit-one-row-per-match contract); upsert also appends the
+    *     anti-joined inserts;
+    *   - replace_delete_unmatched: every in-scope target row is DV'd
+    *     (replaced or deleted); matched source rows append.
+    *
+    * The matched-row discovery scans with `_metadata` row identity
+    * (deterministic — pushdown-friendly, unlike input_file_name), and
+    * existing DVs are anti-filtered by the scan, so re-merging over
+    * already-DV'd files unions bitmaps exactly like [[Dml]].
+    */
+  private def dvMergeOnce(
+      spark: SparkSession,
+      table: GraftTable,
+      src: DataFrame,
+      numSource: Long,
+      path: String,
+      config: MergeConfig,
+      snap: graft.log.Snapshot): MergeStats = {
+    import graft.io.DeletionVectors
+    val mergedSchema =
+      if (config.schemaEvolution)
+        GraftWriter.mergeSchemas(snap.schema, src.schema)
+      else snap.schema
+    val cols = mergedSchema.map(_.name)
+    val cond = expr(config.predicate)
+    val sa = config.sourceAlias
+    val ta = config.targetAlias
+
+    // same contract checks as the relational core (MergeExecutor.apply)
+    val missing = snap.schema.map(_.name).filterNot(src.columns.contains)
+    require(missing.isEmpty,
+      s"merge ${config.mergeType.name}: source is missing target columns " +
+        s"${missing.mkString(", ")} (every strategy writes full rows; add " +
+        "the columns or use MergeClausesExecutor with UPDATE SET)")
+    if (config.errorOnTypeMismatch) {
+      val tTypes = snap.schema.map(f => f.name -> f.dataType).toMap
+      src.schema.foreach { f =>
+        tTypes.get(f.name).foreach { tt =>
+          require(tt == f.dataType,
+            s"merge type mismatch on '${f.name}': target $tt vs source ${f.dataType}")
+        }
+      }
+    }
+
+    val candidates = candidateFiles(spark, snap, src, config)
+    val candDfM = table.dfForFiles(snap, candidates, withRowMeta = true)
+    val scopedM = config.partitionFilter.map(candDfM.filter).getOrElse(candDfM)
+    val fileC = col(graft.sources.GraftNativeRelation.RowMetaFileCol)
+    val idxC = col(graft.sources.GraftNativeRelation.RowMetaIndexCol)
+
+    if (config.failOnMultipleMatches) {
+      // `_metadata` row identity doubles as the target-row id — no
+      // monotonically_increasing_id pass needed on this path
+      val multi = scopedM.alias(ta).join(src.alias(sa), cond, "inner")
+        .groupBy(fileC, idxC)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .limit(1)
+        .count()
+      require(multi == 0,
+        s"merge ${config.mergeType.name}: a target row matches multiple " +
+          "source rows (Delta semantics); deduplicate the source on the " +
+          "merge key or unset failOnMultipleMatches")
+    }
+
+    // rows whose current images leave the table → per-file bitmaps
+    val dvHits = config.mergeType match {
+      case MergeType.ReplaceDeleteUnmatched => scopedM // replaced or deleted
+      case _ => scopedM.alias(ta).join(src.alias(sa), cond, "left_semi")
+    }
+    val (updated, _) = DeletionVectors.bitmapUpdates(
+      spark, path, snap, dvHits.select(fileC, idxC))
+    val touched = updated.map(_._1)
+    val removals = touched.map(f => RemoveFile(f.path))
+    val dvAdds = updated.flatMap(_._2)
+
+    // appended rows are pure source projections (every strategy writes
+    // full source rows for its matches), cast to the commit schema like
+    // the COW when/otherwise projection coerces
+    def proj(df: DataFrame, qualifier: Option[String]): DataFrame =
+      df.select(cols.map { c =>
+        val base = qualifier.map(q => col(s"$q.$c")).getOrElse(col(c))
+        base.cast(mergedSchema(c).dataType).as(c)
+      }: _*)
+    val appended: DataFrame = config.mergeType match {
+      case MergeType.UpdateOnly =>
+        proj(scopedM.alias(ta).join(src.alias(sa), cond, "inner"), Some(sa))
+      case MergeType.Upsert =>
+        proj(scopedM.alias(ta).join(src.alias(sa), cond, "inner"), Some(sa))
+          .unionByName(
+            proj(src.alias(sa).join(scopedM.alias(ta), cond, "left_anti"), None))
+      case MergeType.ReplaceDeleteUnmatched =>
+        proj(src.alias(sa).join(scopedM.alias(ta), cond, "left_semi"), None)
+      case MergeType.DeduplicateInsert =>
+        throw new IllegalStateException("unreachable: dedup insert never takes the DV path")
+    }
+
+    // CDF: identical change semantics to the COW path, over the touched
+    // scope of the PRE-merge snapshot
+    lazy val affDf = graft.io.Schemas.padTo(
+      table.dfForFiles(snap, touched), mergedSchema)
+    lazy val affScoped =
+      config.partitionFilter.map(affDf.filter).getOrElse(affDf)
+    val cdcFiles = strategyCdc(spark, path, table, affScoped, src, config, cols)
+
+    val v = GraftWriter.writeCow(spark, appended, path, snap, removals,
+      operation = "MERGE",
+      metadata = config.metadata ++
+        Map("operation" -> s"MERGE:${config.mergeType.name}"),
+      cdc = cdcFiles,
+      schemaOverride =
+        if (config.schemaEvolution) Some(mergedSchema) else None,
+      extraAdds = dvAdds)
+    val numOut = table.snapshot().files.map(_.liveRecords).sum
+    MergeStats(v, numSource, numOut)
+  }
+
+  /** Candidate files for a strategy merge: prune whole partitions when
+    * the scope predicate resolves against partition columns alone
+    * (non-aligned predicates fall back to all files, scoped per-row by
+    * the caller), then skip files whose footer min/max proves they
+    * cannot hold a source key (plain equi-merges only): a pruned file
+    * provably contains no match, so it is untouched for update/upsert
+    * and cannot suppress a dedup insert — safe to exclude. RDU deletes
+    * unmatched rows everywhere, so no stat pruning there. This is what
+    * keeps the discovery scan O(overlapping files) on a 100 TB table
+    * with a narrow CDC batch.
+    */
+  private def candidateFiles(
+      spark: SparkSession,
+      snap: graft.log.Snapshot,
+      src: DataFrame,
+      config: MergeConfig): Seq[AddFile] = {
+    val partitionPruned: Seq[AddFile] = config.partitionFilter match {
+      case Some(p) if snap.partitionColumns.nonEmpty =>
+        try {
+          val keep = GraftWriter.matchingFiles(
+            spark, snap.files, snap.schema, snap.partitionColumns, p).toSet
+          snap.files.filter(f => keep(f.path))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => snap.files
+        }
+      case _ => snap.files
+    }
+    if (config.mergeType == MergeType.ReplaceDeleteUnmatched) partitionPruned
+    else pruneByStats(partitionPruned, snap, src, config.predicate,
+      config.sourceAlias, config.targetAlias)
+  }
+
+  /** The strategies' CDF change rows (pre/postimages + strategy-specific
+    * inserts/deletes) over the touched-file scope, written as staged
+    * change files. Shared verbatim by the COW and merge-on-read paths —
+    * the change feed is defined by the merge's relational semantics, not
+    * by how the files were physically updated.
+    */
+  private def strategyCdc(
+      spark: SparkSession,
+      path: String,
+      table: GraftTable,
+      affScoped: => DataFrame,
+      src: DataFrame,
+      config: MergeConfig,
+      cols: Seq[String]): Seq[AddFile] =
+    if (config.mergeType == MergeType.DeduplicateInsert ||
+        !graft.io.Cdc.enabled(table.log.tableProperties())) Nil
+    else {
+      val sa = config.sourceAlias
+      val ta = config.targetAlias
+      val cond = expr(config.predicate)
+      val marker = "__graft_matched"
+      val joined = affScoped.alias(ta)
+        .join(src.withColumn(marker, lit(true)).alias(sa), cond, "left")
+      val isMatched = coalesce(col(s"$sa.$marker"), lit(false))
+      val cc = graft.io.Cdc.ChangeCol
+      val oldCols = cols.map(c => col(s"$ta.$c").as(c))
+      val srcCols = cols.map(c => col(s"$sa.$c").as(c))
+      val pairs = joined.filter(isMatched)
+      val updates = pairs.select(oldCols :+ lit("update_preimage").as(cc): _*)
+        .unionByName(pairs.select(srcCols :+ lit("update_postimage").as(cc): _*))
+      val changes = config.mergeType match {
+        case MergeType.UpdateOnly => updates
+        case MergeType.Upsert =>
+          // anti join against the touched rows is exact: every match
+          // lives in a touched file (same argument as the rewrite)
+          val inserts = src.alias(sa)
+            .join(affScoped.alias(ta), cond, "left_anti")
+            .select(cols.map(col): _*)
+          updates.unionByName(inserts.withColumn(cc, lit("insert")))
+        case MergeType.ReplaceDeleteUnmatched =>
+          updates.unionByName(
+            joined.filter(!isMatched)
+              .select(oldCols :+ lit("delete").as(cc): _*))
+        case MergeType.DeduplicateInsert =>
+          throw new IllegalStateException("unreachable: dedup insert is append-only")
+      }
+      graft.io.Cdc.writeChangeFiles(spark, path, changes)
+    }
 
   /** `(sourceKey, targetKey)` of a plain equi-merge predicate
     * `s.K = t.C` / `t.C = s.K`; None for anything richer.

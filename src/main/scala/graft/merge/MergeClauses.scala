@@ -166,6 +166,15 @@ object MergeClausesExecutor {
       }
       val cols = mergedSchema.map(_.name)
 
+      // merge-on-read (opt-in `graft.dv=true`): affected rows become DV
+      // entries instead of whole-file rewrites. Insert-only merges are
+      // pure appends on the COW path already — nothing to DV there.
+      if (graft.io.DeletionVectors.enabled(table.log.tableProperties()) &&
+          (matched.nonEmpty || notMatchedBySource.nonEmpty))
+        return dvMergeOnce(spark, table, src, numSource, path, predicate,
+          matched, notMatched, notMatchedBySource, sourceAlias, targetAlias,
+          schemaEvolution, mergedSchema, snap)
+
       // stats pruning is only sound when every row-effect needs a match:
       // by-source clauses touch unmatched rows, and the insert anti-join
       // is unaffected (a pruned file provably holds no source key)
@@ -219,6 +228,163 @@ object MergeClausesExecutor {
     }
   }
 
+  /** Merge-on-read clause merge (opt-in `graft.dv=true`): joined rows
+    * where any clause fires mark their target row's physical index into
+    * a per-file deletion vector; non-Delete dispatch outputs and the
+    * not-matched inserts append as new files. Unaffected rows stay in
+    * place (not DV'd) instead of being carried over into rewritten
+    * files — so a clause merge touching one row per file costs
+    * O(affected rows) of compressed bitmap plus the appended rows,
+    * never a rewrite of every touched file. Row semantics are identical
+    * to the COW path (oracle-checked: `merge_clauses_dv`).
+    *
+    * Multi-match subtlety: with CONDITIONAL matched clauses, one target
+    * row can join several source rows where only some pairs fire. COW
+    * emits every pair through the dispatch (the fired pair's update plus
+    * the unfired pair's carried target image). To reproduce that, the
+    * affected flag is lifted from pair level to target-ROW level (a
+    * max() window over the `_metadata` row identity) and ALL pairs of an
+    * affected row are appended through the dispatch; the window is
+    * skipped when no matched clause has a condition (then pair-affected
+    * ⇔ row-affected).
+    */
+  private def dvMergeOnce(
+      spark: SparkSession,
+      table: GraftTable,
+      src: DataFrame,
+      numSource: Long,
+      path: String,
+      predicate: String,
+      matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedClause],
+      notMatchedBySource: Seq[MatchedClause],
+      sa: String,
+      ta: String,
+      schemaEvolution: Boolean,
+      mergedSchema: org.apache.spark.sql.types.StructType,
+      snap: graft.log.Snapshot): MergeStats = {
+    import graft.io.DeletionVectors
+    val cond = expr(predicate)
+    val cols = mergedSchema.map(_.name)
+    def evolve(df: DataFrame): DataFrame =
+      graft.io.Schemas.padTo(df, mergedSchema)
+
+    // same candidate rules as the COW path: by-source clauses touch
+    // unmatched rows everywhere, so stats pruning is only sound without
+    // them
+    val candidates =
+      if (notMatchedBySource.nonEmpty) snap.files
+      else MergeExecutor.pruneByStats(
+        snap.files, snap, src, predicate, sa, ta)
+    val candDfM = evolve(table.dfForFiles(snap, candidates, withRowMeta = true))
+    val fileC = col(graft.sources.GraftNativeRelation.RowMetaFileCol)
+    val idxC = col(graft.sources.GraftNativeRelation.RowMetaIndexCol)
+
+    val d = Dispatch(candDfM, src, cond, matched, notMatchedBySource, sa, ta)
+    val affRow: Column =
+      if (matched.exists(_.condition.isDefined))
+        max(d.affected.cast("int"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(fileC, idxC)) === 1
+      else d.affected
+    val tagged = d.joined.withColumn("__graft_affected", affRow)
+    val affected = tagged.filter(col("__graft_affected"))
+
+    val (updated, _) = DeletionVectors.bitmapUpdates(
+      spark, path, snap, affected.select(fileC, idxC))
+    val touched = updated.map(_._1)
+
+    // non-Delete dispatch outputs append (unaffected sibling pairs of an
+    // affected row re-emit the target image through the fold's default)
+    val rewrites = affected
+      .withColumn("__graft_keep", d.keep)
+      .filter(col("__graft_keep"))
+      .select(cols.map(d.outCol): _*)
+    val inserts = insertRows(
+      // anti join must see ALL candidate rows, not just touched files
+      candDfM, src, cond, mergedSchema, notMatched, sa, ta)
+    val newData = rewrites.unionByName(inserts)
+
+    // CDF: identical change semantics to the COW path, over the touched
+    // scope of the PRE-merge snapshot
+    val cdcFiles: Seq[AddFile] =
+      if (!graft.io.Cdc.enabled(table.log.tableProperties())) Nil
+      else {
+        val affDf = evolve(table.dfForFiles(snap, touched))
+        val changes = changeRows(affDf, src, cond, cols,
+          matched, notMatchedBySource, sa, ta)
+          .unionByName(inserts.withColumn(
+            graft.io.Cdc.ChangeCol, lit("insert")))
+        graft.io.Cdc.writeChangeFiles(spark, path, changes)
+      }
+
+    val v = GraftWriter.writeCow(spark, newData, path, snap,
+      touched.map(f => RemoveFile(f.path)),
+      operation = "MERGE",
+      metadata = Map("operation" -> "MERGE:clauses"),
+      cdc = cdcFiles,
+      schemaOverride = if (schemaEvolution) Some(mergedSchema) else None,
+      extraAdds = updated.flatMap(_._2))
+    val numOut = table.snapshot().files.map(_.liveRecords).sum
+    MergeStats(v, numSource, numOut)
+  }
+
+  /** The ordered clause-dispatch algebra shared by the COW rewrite, the
+    * CDF change rows, and the merge-on-read (DV) path: one left join of
+    * target and source, then per joined row the FIRST clause whose guard
+    * holds decides the output. Centralizing it guarantees the three
+    * consumers see bit-identical row semantics.
+    */
+  private final case class Dispatch(
+      target: DataFrame,
+      source: DataFrame,
+      cond: Column,
+      matched: Seq[MatchedClause],
+      bySource: Seq[MatchedClause],
+      sa: String,
+      ta: String) {
+    private val marker = "__graft_matched"
+    val joined: DataFrame = target.alias(ta)
+      .join(source.withColumn(marker, lit(true)).alias(sa), cond, "left")
+    private val isMatched = coalesce(col(s"$sa.$marker"), lit(false))
+
+    private def clauseGuard(c: MatchedClause, matchedSide: Boolean): Column = {
+      val side = if (matchedSide) isMatched else !isMatched
+      c.condition.map(side && _).getOrElse(side)
+    }
+    /** All (guard, clause) pairs in dispatch order. */
+    val pairs: Seq[(Column, MatchedClause)] =
+      matched.map(c => (clauseGuard(c, matchedSide = true), c)) ++
+        bySource.map(c => (clauseGuard(c, matchedSide = false), c))
+
+    private def colValue(c: MatchedClause, name: String): Column = c match {
+      case _: UpdateAll      => col(s"$sa.$name")
+      case UpdateSet(set, _) => set.getOrElse(name, col(s"$ta.$name"))
+      case _: Delete         => col(s"$ta.$name") // filtered by keep
+    }
+    def outCol(name: String): Column =
+      pairs.foldRight(col(s"$ta.$name")) { case ((g, c), rest) =>
+        when(g, colValue(c, name)).otherwise(rest)
+      }.as(name)
+    /** False iff the dispatched clause is a Delete. */
+    def keep: Column =
+      pairs.foldRight(lit(true)) { case ((g, c), rest) =>
+        when(g, lit(!c.isInstanceOf[Delete])).otherwise(rest)
+      }
+    /** "update" / "delete" of the dispatched clause; null if none fires. */
+    def kind: Column =
+      pairs.foldRight(lit(null).cast("string")) { case ((g, c), rest) =>
+        when(g, lit(if (c.isInstanceOf[Delete]) "delete" else "update"))
+          .otherwise(rest)
+      }
+    /** Does ANY clause fire for this joined row? (null-safe: a NULL
+      * guard condition means the clause does not apply.)
+      */
+    def affected: Column =
+      pairs.map { case (g, _) => coalesce(g, lit(false)) }
+        .foldLeft(lit(false))(_ || _)
+  }
+
   /** Target-side rewrite: ordered clause dispatch per row. */
   private def rewriteRows(
       target: DataFrame,
@@ -229,46 +395,19 @@ object MergeClausesExecutor {
       bySource: Seq[MatchedClause],
       sa: String,
       ta: String): DataFrame = {
-    val marker = "__graft_matched"
-    val joined = target.alias(ta)
-      .join(source.withColumn(marker, lit(true)).alias(sa), cond, "left")
-    val isMatched = coalesce(col(s"$sa.$marker"), lit(false))
-
-    def clauseGuard(c: MatchedClause, matchedSide: Boolean): Column = {
-      val side = if (matchedSide) isMatched else !isMatched
-      c.condition.map(side && _).getOrElse(side)
-    }
-    // all (guard, clause) pairs in dispatch order
-    val dispatch: Seq[(Column, MatchedClause)] =
-      matched.map(c => (clauseGuard(c, matchedSide = true), c)) ++
-        bySource.map(c => (clauseGuard(c, matchedSide = false), c))
-
-    def colValue(c: MatchedClause, name: String): Column = c match {
-      case _: UpdateAll     => col(s"$sa.$name")
-      case UpdateSet(set, _) => set.getOrElse(name, col(s"$ta.$name"))
-      case _: Delete        => col(s"$ta.$name") // filtered by keep below
-    }
-    def outCol(name: String): Column =
-      dispatch.foldRight(col(s"$ta.$name")) { case ((g, c), rest) =>
-        when(g, colValue(c, name)).otherwise(rest)
-      }.as(name)
-    val keep: Column =
-      dispatch.foldRight(lit(true)) { case ((g, c), rest) =>
-        when(g, lit(!c.isInstanceOf[Delete])).otherwise(rest)
-      }
-
-    joined
-      .withColumn("__graft_keep", keep)
+    val d = Dispatch(target, source, cond, matched, bySource, sa, ta)
+    d.joined
+      .withColumn("__graft_keep", d.keep)
       .filter(col("__graft_keep"))
-      .select(cols.map(outCol): _*)
+      .select(cols.map(d.outCol): _*)
   }
 
   /** Change rows for the CDF: per touched-file row, the first applicable
     * clause decides its change kind — `update` emits the old image
     * (`update_preimage`) and the new image (`update_postimage`),
     * `delete` emits the old image. Mirrors [[rewriteRows]]' dispatch
-    * exactly (same join, same ordered guards) so the images are
-    * bit-identical to what the rewrite wrote.
+    * exactly (same join, same ordered guards via [[Dispatch]]) so the
+    * images are bit-identical to what the rewrite wrote.
     */
   private def changeRows(
       target: DataFrame,
@@ -279,38 +418,14 @@ object MergeClausesExecutor {
       bySource: Seq[MatchedClause],
       sa: String,
       ta: String): DataFrame = {
-    val marker = "__graft_matched"
-    val joined = target.alias(ta)
-      .join(source.withColumn(marker, lit(true)).alias(sa), cond, "left")
-    val isMatched = coalesce(col(s"$sa.$marker"), lit(false))
-    def clauseGuard(c: MatchedClause, matchedSide: Boolean): Column = {
-      val side = if (matchedSide) isMatched else !isMatched
-      c.condition.map(side && _).getOrElse(side)
-    }
-    val dispatch: Seq[(Column, MatchedClause)] =
-      matched.map(c => (clauseGuard(c, matchedSide = true), c)) ++
-        bySource.map(c => (clauseGuard(c, matchedSide = false), c))
-    def colValue(c: MatchedClause, name: String): Column = c match {
-      case _: UpdateAll      => col(s"$sa.$name")
-      case UpdateSet(set, _) => set.getOrElse(name, col(s"$ta.$name"))
-      case _: Delete         => col(s"$ta.$name")
-    }
-    def outCol(name: String): Column =
-      dispatch.foldRight(col(s"$ta.$name")) { case ((g, c), rest) =>
-        when(g, colValue(c, name)).otherwise(rest)
-      }.as(name)
-    val kind: Column =
-      dispatch.foldRight(lit(null).cast("string")) { case ((g, c), rest) =>
-        when(g, lit(if (c.isInstanceOf[Delete]) "delete" else "update"))
-          .otherwise(rest)
-      }
-    val tagged = joined.withColumn("__graft_kind", kind)
+    val d = Dispatch(target, source, cond, matched, bySource, sa, ta)
+    val tagged = d.joined.withColumn("__graft_kind", d.kind)
     val oldCols = cols.map(c => col(s"$ta.$c").as(c))
     val cc = graft.io.Cdc.ChangeCol
     val updates = tagged.filter(col("__graft_kind") === "update")
     updates.select(oldCols :+ lit("update_preimage").as(cc): _*)
       .unionByName(updates.select(
-        cols.map(outCol) :+ lit("update_postimage").as(cc): _*))
+        cols.map(d.outCol) :+ lit("update_postimage").as(cc): _*))
       .unionByName(tagged.filter(col("__graft_kind") === "delete")
         .select(oldCols :+ lit("delete").as(cc): _*))
   }

@@ -198,6 +198,142 @@ class DeletionVectorSpec extends SparkSpec {
       resurrected.select("o_orderkey")).count() == 0)
   }
 
+  test("DV merge upsert: files reused, postimages appended, matches COW merge") {
+    import graft.merge._
+    val pDv = tmpDir("dv_mrg_up")
+    val pCow = tmpDir("cow_mrg_up")
+    writeDvTable(pDv)
+    GraftWriter.write(spark, orders, pCow,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    val keyType = orders.schema("o_orderkey").dataType
+    val bumps = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val news = bumps.limit(5)
+      .withColumn("o_orderkey", (col("o_orderkey") + 10000000L).cast(keyType))
+    val src = bumps.unionByName(news)
+    val cfg = MergeConfig(MergeType.Upsert, "s.o_orderkey = t.o_orderkey")
+    val before = GraftTable(spark, pDv).snapshot()
+    MergeExecutor.merge(spark, src, pDv, cfg)
+    MergeExecutor.merge(spark, src, pCow, cfg)
+    val after = GraftTable(spark, pDv).snapshot()
+    val beforePaths = before.files.map(_.path).toSet
+    // matched preimages became DVs on the ORIGINAL files...
+    assert(after.files.exists(f => beforePaths(f.path) && f.dv.isDefined))
+    // ...and postimages + inserts appended as new files
+    assert(after.files.exists(f => !beforePaths(f.path)))
+    val got = GraftTable(spark, pDv).toDf()
+    val want = GraftTable(spark, pCow).toDf()
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("DV merge: update_only and replace_delete_unmatched match COW") {
+    import graft.merge._
+    val keyType = orders.schema("o_orderkey").dataType
+    val bumps = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+    val news = bumps.limit(3)
+      .withColumn("o_orderkey", (col("o_orderkey") + 10000000L).cast(keyType))
+    val src = bumps.unionByName(news)
+    Seq(MergeType.UpdateOnly, MergeType.ReplaceDeleteUnmatched).foreach { mt =>
+      val pDv = tmpDir(s"dv_mrg_${mt.name}")
+      val pCow = tmpDir(s"cow_mrg_${mt.name}")
+      writeDvTable(pDv)
+      GraftWriter.write(spark, orders, pCow,
+        WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+      val cfg = MergeConfig(mt, "s.o_orderkey = t.o_orderkey")
+      MergeExecutor.merge(spark, src, pDv, cfg)
+      MergeExecutor.merge(spark, src, pCow, cfg)
+      val got = GraftTable(spark, pDv).toDf()
+      val want = GraftTable(spark, pCow).toDf()
+      assert(got.count() == want.count(), s"$mt count")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, s"$mt rows")
+    }
+  }
+
+  test("DV clause merge matches COW, including multi-match mixed pairs") {
+    import spark.implicits._
+    import graft.merge._
+    val t0 = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("k", "v")
+    // k=1: one pair fires the update, the sibling fires the delete;
+    // k=3: one pair fires the update, the sibling fires NOTHING — COW
+    // emits both the update and the carried target image; the DV path
+    // must reproduce that via its row-level affected window
+    val s0 = Seq((1L, 100L), (1L, 5L), (3L, 35L), (3L, 30L), (9L, 90L))
+      .toDF("k", "v")
+    def run(dv: Boolean): org.apache.spark.sql.DataFrame = {
+      val p = tmpDir(s"dv_mc_$dv") + "/t"
+      GraftWriter.write(spark, t0, p, WriteOptions(mode = WriteMode.Overwrite,
+        metadata =
+          if (dv) Map(DeletionVectors.PropKey -> "true") else Map.empty))
+      MergeClausesExecutor.merge(spark, s0, p, "s.k = t.k",
+        matched = Seq(
+          UpdateSet(Map("v" -> col("s.v")), Some(col("s.v") > col("t.v"))),
+          Delete(Some(col("s.v") < 10L))),
+        notMatched = Seq(InsertAll()),
+        notMatchedBySource = Seq(Delete(Some(col("t.v") === 40L))))
+      GraftTable(spark, p).toDf()
+    }
+    val got = run(dv = true)
+    val want = run(dv = false)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // sanity: the carried sibling image (3,30) is present next to (3,35)
+    assert(got.filter(col("k") === 3L).count() == 2)
+  }
+
+  test("DV merge: failOnMultipleMatches still enforced") {
+    import spark.implicits._
+    import graft.merge._
+    val p = tmpDir("dv_fmm") + "/t"
+    GraftWriter.write(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(DeletionVectors.PropKey -> "true")))
+    val dup = Seq((1L, 11L), (1L, 12L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeExecutor.merge(spark, dup, p,
+        MergeConfig(MergeType.Upsert, "s.k = t.k", failOnMultipleMatches = true))
+    }
+    assert(e.getMessage.contains("matches multiple"))
+  }
+
+  test("DV merge: CDF records exact changes; OPTIMIZE purges; RESTORE rewinds") {
+    import graft.merge._
+    val p = tmpDir("dv_mrg_cdf")
+    writeDvTable(p, Map(Cdc.PropKey -> "true"))
+    val t = GraftTable(spark, p)
+    val v0 = t.version()
+    val countBefore = t.toDf().count()
+    val keyType = orders.schema("o_orderkey").dataType
+    val bumps = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+    val news = bumps.limit(2)
+      .withColumn("o_orderkey", (col("o_orderkey") + 10000000L).cast(keyType))
+    MergeExecutor.merge(spark, bumps.unionByName(news), p,
+      MergeConfig(MergeType.Upsert, "s.o_orderkey = t.o_orderkey"))
+    val v1 = t.version()
+    val commit = t.log.readCommit(v1)
+    assert(commit.cdc.nonEmpty) // exact change files under DV merge
+    val changes = t.tableChanges(v0, v1)
+    // orders.o_orderkey is unique and every bump key is an orders key
+    val matchedN = bumps.count()
+    assert(changes.filter(col(Cdc.ChangeCol) === "update_preimage").count() == matchedN)
+    assert(changes.filter(col(Cdc.ChangeCol) === "update_postimage").count() == matchedN)
+    assert(changes.filter(col(Cdc.ChangeCol) === "insert").count() == 2)
+
+    // OPTIMIZE purges the merge's DVs without changing results
+    val live = t.toDf().count()
+    GraftWriter.optimize(spark, p)
+    assert(t.snapshot().files.forall(_.dv.isEmpty))
+    assert(t.toDf().count() == live)
+
+    // RESTORE to pre-merge rewinds rows exactly
+    t.restore(v0)
+    assert(t.toDf().count() == countBefore)
+    assert(t.toDf().exceptAll(GraftTable(spark, p).toDf(Some(v0))).isEmpty)
+  }
+
   test("streaming source does not re-emit DV metadata rewrites") {
     val p = tmpDir("dv_stream")
     writeDvTable(p)
