@@ -942,6 +942,38 @@ object OracleSql {
             SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.r)
           SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v""",
 
+    // SemDeDup: IVF-cell-confined cosine pairs (same centroid/guard CTEs
+    // as cosine_dup_pairs, threshold 0.30) -> components (min label) ->
+    // one row per vector with its cluster, size, and representative flag
+    "semantic_dedup" ->
+      s"""WITH RECURSIVE cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $autoCentStride = 0),
+          scored AS (SELECT e.vec_id, e.embedding, c_id,
+                            ${simE6("e.embedding", "c_vec")} AS c_sim
+                     FROM embeddings e, cent),
+          assign AS (SELECT vec_id, embedding, c_id AS cell FROM
+                       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+                        FROM scored) WHERE rn = 1),
+          guarded AS (SELECT vec_id, embedding, cell FROM
+                        (SELECT *, count(*) OVER (PARTITION BY cell) AS cn FROM assign)
+                      WHERE cn <= 4096),
+          cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM guarded a JOIN guarded b USING(cell)
+                   WHERE a.vec_id < b.vec_id
+                     AND ${simE6("a.embedding", "b.embedding")} >= 300000),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                    UNION SELECT id_b, id_a FROM cand),
+          reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.r),
+          comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+          lab AS (SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS cluster_id
+                  FROM embeddings e LEFT JOIN comp c ON c.v = e.vec_id)
+          SELECT vec_id, cluster_id,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+                 CAST(CASE WHEN cluster_id = vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM lab""",
+
     "dedup_survivors" ->
       s"""WITH RECURSIVE cand AS ($minhashSql),
           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
@@ -1203,6 +1235,57 @@ object OracleSql {
                   CASE WHEN blank OR lk NOT IN (SELECT lk FROM d) THEN line END,
                   chr(10) ORDER BY pos), '') AS clean_text
          FROM k GROUP BY doc_id""",
+
+    // exact-substring dedup (Lee et al. ExactSubstr, k=8): anchors are
+    // 8-token shingles with count >= 2 corpus-wide; overlapping/abutting
+    // anchor windows merge into spans (gaps-and-islands); docs are
+    // reassembled from tokens outside all spans. Every 10th doc carries
+    // an injected shared 11-token tail (guaranteed long cross-doc span).
+    "substring_dedup" ->
+      """WITH fx AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN text || ' shared boilerplate tail sentence repeated verbatim across every tenth document here'
+                       ELSE text END AS text
+           FROM documents),
+         d AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+               FROM fx),
+         a0 AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS pos, toks
+                FROM d WHERE len(toks) >= 8),
+         a AS (SELECT doc_id, pos,
+                      md5(array_to_string(toks[pos:pos+7], ' ')) AS h
+               FROM a0),
+         dup AS (SELECT h FROM a GROUP BY h HAVING count(*) >= 2),
+         da AS (SELECT doc_id, pos FROM a JOIN dup USING (h)),
+         sp0 AS (SELECT doc_id, pos,
+                        CASE WHEN pos - lag(pos) OVER
+                               (PARTITION BY doc_id ORDER BY pos) > 8
+                             THEN 1 ELSE 0 END AS ns
+                 FROM da),
+         sp1 AS (SELECT doc_id, pos,
+                        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS sid
+                 FROM sp0),
+         sp AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 7 AS e
+                FROM sp1 GROUP BY doc_id, sid),
+         st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                       CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
+                FROM sp GROUP BY doc_id),
+         tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS q,
+                       unnest(toks) AS tok
+                FROM d),
+         kept AS (SELECT t.doc_id, t.q, t.tok FROM tk t
+                  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = t.doc_id AND t.q BETWEEN sp.s AND sp.e)),
+         cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY q) AS clean_text
+                FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+                COALESCE(st.n_dup_tokens, 0) AS n_dup_tokens,
+                COALESCE(st.n_spans, 0) AS n_spans,
+                COALESCE(cl.clean_text, '') AS clean_text
+         FROM d LEFT JOIN st USING (doc_id) LEFT JOIN cl USING (doc_id)""",
 
     // a restore after a corrupting overwrite reads back the v0 content
     "table_restore" ->

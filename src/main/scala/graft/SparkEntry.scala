@@ -857,6 +857,30 @@ object SparkEntry {
     Dedup.lineDedup(fixture, minDupCount = 5)
   }
 
+  /** Exact-substring dedup (Lee et al. ExactSubstr, k=8 token windows)
+    * over a fixture where every 10th doc gains a shared 11-token tail —
+    * a guaranteed cross-doc duplicated span — on top of whatever
+    * 8-shingle repeats the synthetic texts share naturally. The spans,
+    * counts and reassembled clean_text must match the oracle exactly.
+    */
+  private def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = t(spark, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"),
+          lit(" shared boilerplate tail sentence repeated verbatim" +
+            " across every tenth document here")))
+        .otherwise(col("text")).as("text"))
+    Dedup.substringDedup(fixture, k = 8)
+  }
+
+  /** SemDeDup: IVF-cell-confined cosine pairs at sim >= 0.30 connected
+    * into components; one representative (min id) kept per cluster.
+    */
+  private def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semantic(t(spark, dir, "embeddings"), 300000L,
+      rowCountHint = embRows(spark, dir))
+
   /** Skew-aware fact⋈dim join (hot keys broadcast, cold keys shuffle);
     * the oracle is the PLAIN join — results must be identical. The
     * low threshold forces both branches to carry rows at sf scale.
@@ -1285,6 +1309,8 @@ object SparkEntry {
     "split_assign" -> (qSplitAssign _),
     "domain_mix" -> (qDomainMix _),
     "line_dedup" -> (qLineDedup _),
+    "substring_dedup" -> (qSubstringDedup _),
+    "semantic_dedup" -> (qSemanticDedup _),
     "skew_join" -> (qSkewJoin _),
     "frequent_ngrams" -> (qFrequentNgrams _),
     "content_chunks" -> (qContentChunks _),
@@ -1339,7 +1365,8 @@ object SparkEntry {
     "text_pii_scrub", "text_decontam", "sample_hash",
     "text_chunks", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
-    "text_gopher_rules", "text_bm25", "domain_mix", "line_dedup")
+    "text_gopher_rules", "text_bm25", "domain_mix", "line_dedup",
+    "substring_dedup", "semantic_dedup")
 
   // ---------- DuckDB oracle SQL ----------
 

@@ -460,7 +460,11 @@ object Similarity {
   /** Mean squared quantization distortion of a codebook set over the
     * corpus (driver-side over a collected sample — diagnostics/tests
     * only): Σ_j ‖x_sub − book_j[code]‖² averaged over vectors, using
-    * the same micro-rounded metric as encoding.
+    * the same micro-rounded metric as encoding. The collect is
+    * hard-capped at `maxSample` rows (deterministic id-order prefix) so
+    * reaching for this diagnostic on a real corpus can never pull the
+    * corpus onto the driver — past the cap it measures a sample, which
+    * is all a mean distortion needs.
     */
   private[graft] def pqDistortion(
       corpus: DataFrame,
@@ -468,11 +472,14 @@ object Similarity {
       ksub: Int,
       iters: Int,
       idCol: String,
-      vecCol: String): Double = {
+      vecCol: String,
+      maxSample: Int = 100000): Double = {
     val (dsub, books) =
       if (iters == 0) pqCodebooks(corpus, m, ksub, idCol, vecCol, None)
       else pqCodebooksKmeans(corpus, m, ksub, iters, idCol, vecCol, None)
-    val vecs = corpus.select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val vecs = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(maxSample)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     var total = 0.0
     vecs.foreach { v =>
       var j = 0

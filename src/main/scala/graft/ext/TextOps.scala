@@ -536,6 +536,119 @@ object Dedup {
             x => x.getField("line")),
           "\n").as("clean_text"))
   }
+
+  /** Exact-substring dedup (the Lee et al. "Deduplicating Training Data
+    * Makes Language Models Better" ExactSubstr case, re-expressed
+    * without a suffix array): a token position is duplicated iff it lies
+    * inside some substring of ≥ `k` tokens that occurs more than once in
+    * the corpus — which is exactly "covered by a `k`-token shingle whose
+    * corpus-wide occurrence count (same-doc repeats included) is ≥ 2".
+    * Covered anchor windows are merged into maximal duplicated spans per
+    * document (gaps-and-islands: a new span starts only when the next
+    * anchor no longer overlaps or abuts the previous window), and each
+    * document is reassembled from the tokens outside all its spans.
+    *
+    * Scale shape — linear in shingle volume, the property the suffix
+    * array buys on one machine: anchors are (doc, pos, 16-byte hash)
+    * rows; ONE partial-aggregated count shuffle on the hash (the
+    * duplicate-shingle set stays distributed — at web scale it is far
+    * too big to broadcast); a shuffle join back on the hash; span-merge
+    * is one window keyed on the doc over duplicated anchors only; the
+    * reassembly joins token positions against the few spans of their own
+    * doc (equi on doc + range post-filter). No driver-side state.
+    *
+    * Returns (idCol, n_tokens, n_dup_tokens, n_spans, clean_text).
+    */
+  def substringDedup(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 1, "duplicate-window length must exceed one token")
+    val toks = TextOps.spread(docs)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+    // anchor i (1-based) covers tokens [i, i+k-1]; a doc shorter than k
+    // tokens cannot contain a >= k-token duplicate and contributes none
+    val anchors = toks
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("pos"),
+        col("toks"))
+      .select(col(idCol), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(k)))).as("h"))
+    val dup = anchors.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select("h")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    // gap > k means the windows neither overlap nor abut (gap == k is
+    // two adjacent windows -> one contiguous duplicated region)
+    val spans = anchors.join(dup, Seq("h"))
+      .select(col(idCol), col("pos"))
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+    val spanStats = spans.groupBy(idCol).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("n_dup_tokens"))
+    val pos = toks
+      .select(col(idCol), posexplode(col("toks")).as(Seq("q0", "tok")))
+      .withColumn("q", col("q0") + 1)
+    val kept = pos.join(spans.withColumnRenamed(idCol, "__sid"),
+        pos(idCol) === col("__sid") &&
+          col("q") >= col("s") && col("q") <= col("e"),
+        "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("q"), col("tok")))),
+          x => x.getField("tok")),
+        " ").as("clean_text"))
+    toks.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(spanStats, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Semantic dedup over an embedding column (the SemDeDup shape,
+    * Abbas et al. 2023): cluster the corpus into IVF cells, score
+    * cosine similarity only WITHIN cells, connect pairs above the
+    * threshold into components, and keep one representative (the
+    * minimum id) per component. Composes [[Similarity.cosineDupPairs]]
+    * (cell-confined candidates — never all-pairs; degenerate cells are
+    * hard-capped) with [[components]] (hybrid union-find), so the only
+    * corpus-wide passes are the centroid assignment and the per-cell
+    * pair scoring.
+    *
+    * Returns one row per vector: (idCol, cluster_id, cluster_size,
+    * keep) — `cluster_id` is the component minimum (singletons are
+    * their own cluster), `keep` = 1 for the representative.
+    */
+  def semantic(
+      embeddings: DataFrame,
+      minSimE6: Long,
+      numCentroids: Int = 0,
+      maxCell: Int = 4096,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    val pairs = Similarity.cosineDupPairs(
+      embeddings, minSimE6, numCentroids, maxCell, idCol, vecCol, rowCountHint)
+    val comp = components(pairs, "id_a", "id_b")
+      .select(col("doc_id").as(idCol), col("component"))
+    val wc = Window.partitionBy("cluster_id")
+    embeddings.select(col(idCol).cast("long").as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol)))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        when(col("cluster_id") === col(idCol), 1L).otherwise(0L).as("keep"))
+  }
 }
 
 /** Text analysis: token/char statistics, heuristic language ID, quality

@@ -407,9 +407,14 @@ object GraftWriter {
     val byPartition = eligible.groupBy(_.partitionValues)
     // a deletion-vectored file is compactable even alone in its
     // partition: the rewrite materializes the anti-filter and PURGES the
-    // DV (Delta's `OPTIMIZE` on DV'd tables), restoring scan speed
+    // DV (Delta's `OPTIMIZE` on DV'd tables), restoring scan speed.
+    // Likewise a file referenced OUTSIDE the table root (a shallow
+    // clone's borrow from its source): rewriting localizes it, so
+    // OPTIMIZE fully detaches a clone even where the source was already
+    // compacted to one file per partition
     val toCompact = byPartition
-      .filter(g => g._2.size > 1 || g._2.exists(_.dv.isDefined))
+      .filter(g => g._2.size > 1 || g._2.exists(f =>
+        f.dv.isDefined || GraftTable.isExternalRef(f.path)))
       .values.flatten.toSeq
     if (toCompact.isEmpty) return snap.version
 

@@ -58,9 +58,29 @@ final case class GraftVacuumCommand(
     // retentionDurationCheck.enabled pattern)
     val enforce = spark.conf
       .getOption("spark.graft.vacuum.retentionCheck").forall(_.toBoolean)
-    GraftTable(spark, path)
+    val table = GraftTable(spark, path)
+    val removed = table
       .vacuumOlderThan(retainMs, dryRun = dryRun, enforceRetention = enforce)
       .map(Row(_))
+    // operational hazard surfacing (shallow clones): a dry run on a table
+    // whose LIVE snapshot references files outside its own root — i.e. a
+    // shallow clone — warns that those bytes belong to the source table,
+    // and that vacuuming the SOURCE (which cannot know its clones) can
+    // break this table. Deep-clone (localize) before shortening the
+    // source's retention past the clone's pin age.
+    val externalLive =
+      if (!dryRun) 0
+      else table.snapshot().files.count(f =>
+        GraftTable.isExternalRef(f.path) ||
+          f.dv.exists(d => GraftTable.isExternalRef(d.path)))
+    val note =
+      if (externalLive == 0) Nil
+      else Seq(Row(s"-- note: $externalLive live file reference(s) point " +
+        "outside this table root (shallow clone). They are never deleted " +
+        "here, but VACUUM on the SOURCE table does not know about this " +
+        "clone — deep clone (CREATE TABLE ... CLONE) to localize before " +
+        "vacuuming the source."))
+    removed ++ note
   }
 }
 

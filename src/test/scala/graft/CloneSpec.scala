@@ -110,6 +110,24 @@ class CloneSpec extends SparkSpec {
     assert(GraftTable(spark, src).toDf().count() == orders.count())
   }
 
+  test("VACUUM DRY RUN on a shallow clone surfaces the source-vacuum hazard") {
+    val src = tmpDir("clone_note_src")
+    val dst = tmpDir("clone_note_dst")
+    GraftWriter.write(spark, orders, src,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("o_orderstatus")))
+    Clone.shallow(spark, src, dst)
+    val out = spark.sql(s"VACUUM graft.`$dst` DRY RUN").collect().map(_.getString(0))
+    assert(out.exists(_.contains("outside this table root")),
+      s"expected a shallow-clone note, got: ${out.mkString("; ")}")
+    // localizing removes the external refs -> the note disappears
+    GraftWriter.optimize(spark, dst)
+    val after = spark.sql(s"VACUUM graft.`$dst` DRY RUN").collect().map(_.getString(0))
+    assert(!after.exists(_.contains("outside this table root")))
+    // a REAL vacuum never emits the note row (nothing to misparse as a path)
+    val real = spark.sql(s"VACUUM graft.`$dst`").collect().map(_.getString(0))
+    assert(!real.exists(_.startsWith("-- note")))
+  }
+
   test("clone inherits constraints and deletion-vector state") {
     val src = tmpDir("clone_prop_src")
     val dst = tmpDir("clone_prop_dst")

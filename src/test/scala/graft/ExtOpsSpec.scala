@@ -605,6 +605,64 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, "")))
   }
 
+  test("substringDedup finds cross-doc and self-repeat spans, merges islands") {
+    val shared = "common one two three four"
+    val fx = Seq(
+      (1L, s"x1 x2 $shared y1 y2"), // span tokens [3,7]
+      (2L, s"z1 $shared z2"), // span [2,6]
+      (3L, "p q r s t"), // no duplicates
+      (4L, "m n o m n o m n o"), // self-repeat: whole doc one span
+      (5L, s"$shared u1 u2 u3 u4 $shared") // two islands, gap > k
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(fx, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((9L, 5L, 1L, "x1 x2 y1 y2")))
+    assert(out(2L) == ((7L, 5L, 1L, "z1 z2")))
+    assert(out(3L) == ((5L, 0L, 0L, "p q r s t")))
+    assert(out(4L) == ((9L, 9L, 1L, "")))
+    assert(out(5L) == ((14L, 10L, 2L, "u1 u2 u3 u4")))
+  }
+
+  test("substringDedup: docs shorter than k never count as duplicated") {
+    val fx = Seq((1L, "same short"), (2L, "same short"), (3L, "same short"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(fx, k = 3).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getLong(2) == 0L && r.getString(4) == "same short"))
+  }
+
+  test("semantic dedup clusters cell-confined cosine neighbors, keeps min id") {
+    val fx = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.99f, 0.01f)),
+      (3L, Array(0.98f, 0.02f)),
+      (4L, Array(0f, 1f)),
+      (5L, Array(0.01f, 0.99f)),
+      (6L, Array(-1f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Dedup.semantic(fx, 950000L, numCentroids = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((1L, 3L, 1L)))
+    assert(out(2L) == ((1L, 3L, 0L)))
+    assert(out(3L) == ((1L, 3L, 0L)))
+    assert(out(4L) == ((4L, 2L, 1L)))
+    assert(out(5L) == ((4L, 2L, 0L)))
+    assert(out(6L) == ((6L, 1L, 1L)))
+  }
+
+  test("semantic dedup on the corpus: representatives cover every cluster") {
+    val d = Dedup.semantic(embs, 300000L)
+    assert(d.count() == embs.count())
+    // exactly one representative per cluster, and it is the minimum id
+    val perCluster = d.groupBy("cluster_id")
+      .agg(sum("keep").as("reps"), min("vec_id").as("mn"),
+        first("cluster_id").as("cid"))
+    assert(perCluster.filter(col("reps") =!= 1L).count() == 0)
+    assert(perCluster.filter(col("mn") =!= col("cid")).count() == 0)
+  }
+
   test("domainMix hits the target mixture with the binding domain kept whole") {
     val d = docs.select(col("doc_id"), col("source"))
     val mixed = Sampling.domainMix(d, "doc_id", "source",
