@@ -76,12 +76,19 @@ object Skew {
       hotThreshold: Long = 1000000L): DataFrame = {
     require(keys.nonEmpty, "skewJoin needs at least one key column")
     val kc = keys.map(col)
-    val hot = left.groupBy(kc: _*)
+    // hot keys are a SHORT list by construction (each exceeds the
+    // threshold, so there are at most |left|/threshold of them): collect
+    // them once and rebuild as a local relation — a plan literal with no
+    // cached-block lifecycle, so the returned lazy join can never lose a
+    // dependency to a Scratch.drain that runs before it materializes
+    val keySchema = left.select(kc: _*).schema
+    val hotKeys = left.groupBy(kc: _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
       .select(kc: _*)
-      .localCheckpoint(eager = true) // tiny by construction; computed once
-    Scratch.register(hot) // reclaimed by Scratch.drain between pipelines
+      .collect()
+    val hot = left.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotKeys: _*), keySchema)
     val cold = left.join(broadcast(hot), keys, "left_anti")
       .join(right, keys)
     val hotRows = left.join(broadcast(hot), keys, "left_semi")

@@ -565,8 +565,13 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k > 1, "duplicate-window length must exceed one token")
+    // a NULL text tokenizes to NULL — treat it as an empty document
+    // (n_tokens 0, nothing duplicated) instead of letting size(NULL)
+    // poison the stats downstream
     val toks = TextOps.spread(docs)
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        coalesce(TextOps.tokens(col(textCol)),
+          array().cast("array<string>")).as("toks"))
     // anchor i (1-based) covers tokens [i, i+k-1]; a doc shorter than k
     // tokens cannot contain a >= k-token duplicate and contributes none
     val anchors = toks

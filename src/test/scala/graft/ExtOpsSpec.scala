@@ -632,6 +632,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) == 0L && r.getString(4) == "same short"))
   }
 
+  test("substringDedup: NULL text behaves as an empty document") {
+    val fx = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(fx, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((4L, 0L, 0L, "a b c d")))
+    // size(NULL) must not leak a -1 token count
+    assert(out(2L) == ((0L, 0L, 0L, "")))
+  }
+
   test("semantic dedup clusters cell-confined cosine neighbors, keeps min id") {
     val fx = Seq(
       (1L, Array(1f, 0f)),
