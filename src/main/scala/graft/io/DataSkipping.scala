@@ -44,6 +44,82 @@ final case class DataFilter(column: String, op: SkipOp, value: Any = null) {
 
 private[graft] object DataSkipping {
 
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Catalyst comparison filters → data-skipping shapes (conservative:
+    * anything unrecognized skips nothing). Shared by the scan-side file
+    * index ([[graft.sources.GraftFileIndex]]) and the conflict checker's
+    * predicate matcher ([[matcherFor]]) so the two can never disagree on
+    * what a predicate proves about a file.
+    */
+  def toSkipFilters(e: Expression): Seq[DataFilter] = {
+    def value(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case other => other
+    }
+    def mk(a: Attribute, op: SkipOp, v: Any): Seq[DataFilter] =
+      if (v == null) Nil else Seq(DataFilter(a.name, op, value(v)))
+    e match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Eq, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Eq, v)
+      case LessThan(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Lt, v)
+      case LessThan(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Gt, v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Le, v)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Ge, v)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Gt, v)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Lt, v)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Ge, v)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Le, v)
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a: AttributeReference) =>
+        Seq(DataFilter(a.name, SkipOp.IsNull))
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
+        Seq(DataFilter(a.name, SkipOp.IsNotNull))
+      case org.apache.spark.sql.catalyst.expressions.In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        val lits = vs.collect { case Literal(v, _) if v != null => value(v) }
+        Seq(DataFilter(a.name, SkipOp.In, lits))
+      case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, vs) =>
+        Seq(DataFilter(a.name, SkipOp.In, vs.toSeq.filter(_ != null).map(value)))
+      case And(l, r) => toSkipFilters(l) ++ toSkipFilters(r)
+      case _ => Nil
+    }
+  }
+
+  /** Conservative file matcher for a transaction's read predicate
+    * ([[graft.log.TxnProfile.mayRead]]): `false` only when the file's
+    * partition values / footer stats PROVE `condition` matches nothing
+    * in it. The condition is resolved against the snapshot schema and
+    * compiled to skip filters on PHYSICAL column names (footer stats are
+    * keyed physically under column mapping); a condition that compiles
+    * to no usable filter yields an always-`true` matcher — every
+    * concurrent append then conflicts, which is the safe default.
+    */
+  def matcherFor(
+      spark: SparkSession,
+      snap: graft.log.Snapshot,
+      condition: Column): AddFile => Boolean = {
+    val filters: Seq[DataFilter] =
+      try {
+        val analyzed = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
+          .filter(condition)
+          .queryExecution.analyzed
+        val m = ColumnMapping.fromSnapshot(snap)
+        analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            toSkipFilters(f.condition)
+        }.flatten
+          .map(f => f.copy(column = ColumnMapping.physicalName(m, f.column)))
+      } catch {
+        case scala.util.control.NonFatal(_) => Nil // unresolvable → conservative
+      }
+    val physSchema = ColumnMapping.physicalSchema(
+      snap.schema, ColumnMapping.fromSnapshot(snap))
+    a => filters.forall(mayMatch(a, physSchema, _))
+  }
+
   private def micros(ts: Timestamp): BigDecimal =
     BigDecimal(ts.getTime / 1000L) * 1000000L +
       BigDecimal(ts.getNanos) / 1000

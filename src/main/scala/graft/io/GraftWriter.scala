@@ -435,18 +435,25 @@ object GraftWriter {
     w.parquet(stage.toString)
     val added = promoteStaged(fs, conf, stage, new Path(path))
 
-    log.commit(
-      operation = "OPTIMIZE",
-      mode = "compaction",
-      schemaDdl = snap.schema.toDDL,
-      partitionColumns = snap.partitionColumns,
-      metadata = Map.empty,
-      operationMetrics = Map(
-        "num_compacted_files" -> toCompact.size.toLong,
-        "num_added_files" -> added.size.toLong),
-      add = added,
-      remove = toCompact.map(f => RemoveFile(f.path)),
-      expectedVersion = Some(snap.version))
+    // compaction reads ONLY the files it rewrites: concurrent appends
+    // (e.g. the streaming sink this auto-compacts behind) and rewrites
+    // of other files commute and REBASE instead of forcing the whole
+    // copy to re-run — only a concurrent remove of a compacted file is
+    // a real conflict
+    log.commitOrRebase(maintenanceProfile(toCompact), snap) { expected =>
+      log.commit(
+        operation = "OPTIMIZE",
+        mode = "compaction",
+        schemaDdl = snap.schema.toDDL,
+        partitionColumns = snap.partitionColumns,
+        metadata = Map.empty,
+        operationMetrics = Map(
+          "num_compacted_files" -> toCompact.size.toLong,
+          "num_added_files" -> added.size.toLong),
+        add = added,
+        remove = toCompact.map(f => RemoveFile(f.path)),
+        expectedVersion = Some(expected))
+    }
   }
 
   /** Bounded retry for maintenance commands whose removal sets derive
@@ -521,19 +528,36 @@ object GraftWriter {
       .sortWithinPartitions(cols.map(col): _*)
     val added = stageAndPromote(
       spark, fs, conf, clustered, path, snap.partitionColumns, "zstd")
-    log.commit(
-      operation = "OPTIMIZE",
-      mode = "cluster",
-      schemaDdl = snap.schema.toDDL,
-      partitionColumns = snap.partitionColumns,
-      metadata = Map("cluster_by" -> cols.mkString(",")),
-      operationMetrics = Map(
-        "num_clustered_files" -> snap.files.size.toLong,
-        "num_added_files" -> added.size.toLong),
-      add = added,
-      remove = snap.files.map(f => RemoveFile(f.path)),
-      expectedVersion = Some(snap.version))
+    // like compaction: a concurrent append commutes (its file is not in
+    // the removal set, so its rows survive — merely unclustered) and
+    // REBASES instead of re-running the whole-table rewrite
+    log.commitOrRebase(maintenanceProfile(snap.files), snap) { expected =>
+      log.commit(
+        operation = "OPTIMIZE",
+        mode = "cluster",
+        schemaDdl = snap.schema.toDDL,
+        partitionColumns = snap.partitionColumns,
+        metadata = Map("cluster_by" -> cols.mkString(",")),
+        operationMetrics = Map(
+          "num_clustered_files" -> snap.files.size.toLong,
+          "num_added_files" -> added.size.toLong),
+        add = added,
+        remove = snap.files.map(f => RemoveFile(f.path)),
+        expectedVersion = Some(expected))
+    }
   }
+
+  /** Profile of a maintenance rewrite (compaction / clustering /
+    * Z-order): it reads exactly the files it removes and its output is
+    * row-identical to them, so only a concurrent remove of one of those
+    * files conflicts — never an append.
+    */
+  private def maintenanceProfile(
+      files: Seq[AddFile]): graft.log.TxnProfile =
+    graft.log.TxnProfile(
+      readPaths = files.map(_.path).toSet,
+      removePaths = files.map(_.path).toSet,
+      mayRead = _ => false)
 
   /** Morton (Z-order) key over up to 4 numeric/timestamp columns: each
     * value is quantile-normalized to a 16-bit rank (equi-depth cuts from
@@ -612,18 +636,20 @@ object GraftWriter {
         .drop(zCol)
       val added = stageAndPromote(
         spark, fs, conf, clustered, path, snap.partitionColumns, "zstd")
-      log.commit(
-        operation = "OPTIMIZE",
-        mode = "zorder",
-        schemaDdl = snap.schema.toDDL,
-        partitionColumns = snap.partitionColumns,
-        metadata = Map("zorder_by" -> cols.mkString(",")),
-        operationMetrics = Map(
-          "num_clustered_files" -> snap.files.size.toLong,
-          "num_added_files" -> added.size.toLong),
-        add = added,
-        remove = snap.files.map(f => RemoveFile(f.path)),
-        expectedVersion = Some(snap.version))
+      log.commitOrRebase(maintenanceProfile(snap.files), snap) { expected =>
+        log.commit(
+          operation = "OPTIMIZE",
+          mode = "zorder",
+          schemaDdl = snap.schema.toDDL,
+          partitionColumns = snap.partitionColumns,
+          metadata = Map("zorder_by" -> cols.mkString(",")),
+          operationMetrics = Map(
+            "num_clustered_files" -> snap.files.size.toLong,
+            "num_added_files" -> added.size.toLong),
+          add = added,
+          remove = snap.files.map(f => RemoveFile(f.path)),
+          expectedVersion = Some(expected))
+      }
     }
 
   /** Copy-on-write commit: stage `df` as new data files and commit them
@@ -654,7 +680,16 @@ object GraftWriter {
         * [[graft.merge.Dml]]); not subject to CHECK enforcement, which
         * already validated their rows when they were first written.
         */
-      extraAdds: Seq[AddFile] = Nil): Long = {
+      extraAdds: Seq[AddFile] = Nil,
+      /** Transaction read/write profile: when set, a lost CAS is
+        * conflict-checked and REBASED onto the new head when the winning
+        * commits logically commute (concurrent append to a partition the
+        * command never read, etc.) — the staged files and actions are
+        * committed as-is, zero recompute. Without it a lost CAS always
+        * throws and the caller re-derives (see
+        * [[graft.log.CommitLog.commitOrRebase]]).
+        */
+      profile: Option[graft.log.TxnProfile] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
@@ -667,7 +702,11 @@ object GraftWriter {
       stageAndPromote(spark, fs, conf, writeDf, path, snap.partitionColumns, compression)
     enforceOnWritten(spark, fs, path, schema, snap.partitionColumns, added,
       log.tableProperties())
-    log.commit(
+    // CAS on the snapshot the rewrite was derived from: a concurrent
+    // commit conflicts (the merge/DML retry re-derives) instead of
+    // having its changes silently clobbered by stale carried-over rows.
+    // With a profile, commuting winners rebase instead of conflicting.
+    def doCommit(expected: Long): Long = log.commit(
       operation = operation,
       mode = "cow",
       schemaDdl = schema.toDDL,
@@ -679,11 +718,12 @@ object GraftWriter {
         "num_output_rows" -> added.map(_.numRecords).sum),
       add = added ++ extraAdds,
       remove = removals,
-      // CAS on the snapshot the rewrite was derived from: a concurrent
-      // commit conflicts (the merge/DML retry re-derives) instead of
-      // having its changes silently clobbered by stale carried-over rows
-      expectedVersion = Some(snap.version),
+      expectedVersion = Some(expected),
       cdc = cdc)
+    profile match {
+      case Some(p) => log.commitOrRebase(p, snap)(doCommit)
+      case None    => doCommit(snap.version)
+    }
   }
 
   /** Write `df` under a staging dir, then promote the parquet files into

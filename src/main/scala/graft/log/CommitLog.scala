@@ -353,6 +353,48 @@ final class CommitLog(
     v
   }
 
+  /** Commit with conflict-checked REBASE instead of blind CAS failure:
+    * run `attempt` (which must call [[commit]] with the given
+    * `expectedVersion`); when the CAS loses, read the commits that won
+    * the race and ask [[ConflictCheck]] whether they logically conflict
+    * with what this transaction read and writes. If they commute, retry
+    * the SAME actions at the new head — zero recompute (the staged data
+    * files and derived action set stay valid); if they conflict, the
+    * typed [[GraftConcurrencyException]] propagates so the caller's
+    * re-derive loop (or the user) can react to what actually raced.
+    *
+    * `base` is the snapshot the transaction derived its actions from.
+    */
+  def commitOrRebase(
+      profile: TxnProfile,
+      base: Snapshot,
+      maxRebases: Int = 10)(attempt: Long => Long): Long = {
+    val baseCommit = base.commits.last
+    val baseProps = baseCommit.metadata
+      .filter { case (k, _) => k.startsWith(CommitLog.ReservedPrefix) }
+    val baseDvCard: Map[String, Long] =
+      base.files.map(f => f.path -> f.dv.map(_.cardinality).getOrElse(0L)).toMap
+    var expected = base.version
+    var rebases = 0
+    while (true) {
+      try return attempt(expected)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (e.isInstanceOf[GraftConcurrencyException] || rebases >= maxRebases)
+            throw e
+          val latest = latestVersion().getOrElse(throw e)
+          if (latest <= expected) throw e // CAS failed for another reason
+          val winners = ((expected + 1) to latest).map(readCommit)
+          // throws the typed conflict when a rebase would be unsound
+          ConflictCheck.check(profile, baseCommit.schemaDdl, baseProps,
+            baseDvCard, winners, tablePath)
+          expected = latest
+          rebases += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Atomic commit point: make `tmp` visible as `target`, failing (not
     * overwriting) if `target` already exists. POSIX `rename(2)` silently
     * replaces an existing destination, so an exists()+rename pair has a

@@ -112,8 +112,30 @@ object Dml {
       touched.map(f => RemoveFile(f.path)),
       operation = op,
       metadata = Map("operation" -> op),
-      cdc = cdcFiles)
+      cdc = cdcFiles,
+      profile = Some(dmlProfile(spark, snap, touched, condition)))
     DmlStats(v, touched.size.toLong)
+  }
+
+  /** Conflict profile of a DELETE/UPDATE: only the touched files' rows
+    * influenced the output (an untouched candidate provably held no
+    * match), and a concurrent append conflicts only when its file stats
+    * cannot rule out rows matching `condition` — so appends and
+    * rewrites elsewhere in the table REBASE instead of forcing a
+    * re-derivation ([[graft.log.CommitLog.commitOrRebase]]).
+    */
+  private def dmlProfile(
+      spark: SparkSession,
+      snap: graft.log.Snapshot,
+      touched: Seq[AddFile],
+      condition: Column): graft.log.TxnProfile = {
+    val paths = touched.map(_.path).toSet
+    // lazy: the matcher costs an analysis pass — only pay on a lost CAS
+    lazy val matcher = graft.io.DataSkipping.matcherFor(spark, snap, condition)
+    graft.log.TxnProfile(
+      readPaths = paths,
+      removePaths = paths,
+      mayRead = a => matcher(a))
   }
 
   /** Merge-on-read DELETE / UPDATE (opt-in `graft.dv=true`): instead of
@@ -179,19 +201,22 @@ object Dml {
       "num_affected_files" -> touched.size.toLong,
       "num_deletion_vectors" -> dvAdds.size.toLong,
       "num_deleted_rows" -> numDeleted)
+    val profile = dmlProfile(spark, snap, touched, condition)
     val v = keepMatched match {
       case None => // DELETE: metadata-only commit, no data write at all
-        table.log.commit(
-          operation = op,
-          mode = "dv",
-          schemaDdl = snap.schema.toDDL,
-          partitionColumns = snap.partitionColumns,
-          metadata = Map("operation" -> op),
-          operationMetrics = metrics,
-          add = dvAdds,
-          remove = removals,
-          expectedVersion = Some(snap.version),
-          cdc = cdcFiles)
+        table.log.commitOrRebase(profile, snap) { expected =>
+          table.log.commit(
+            operation = op,
+            mode = "dv",
+            schemaDdl = snap.schema.toDDL,
+            partitionColumns = snap.partitionColumns,
+            metadata = Map("operation" -> op),
+            operationMetrics = metrics,
+            add = dvAdds,
+            remove = removals,
+            expectedVersion = Some(expected),
+            cdc = cdcFiles)
+        }
       case Some(set) => // UPDATE: postimages append as new files
         val postimages = table.dfForFiles(snap, touched).filter(matched)
           .select(cols.map(c =>
@@ -201,7 +226,8 @@ object Dml {
           operation = op,
           metadata = Map("operation" -> op),
           cdc = cdcFiles,
-          extraAdds = dvAdds)
+          extraAdds = dvAdds,
+          profile = Some(profile))
     }
     DmlStats(v, touched.size.toLong)
   }

@@ -215,13 +215,22 @@ object MergeExecutor {
       val cdcFiles: Seq[AddFile] =
         strategyCdc(spark, path, table, affScoped, src, config, cols)
 
+      val readPaths = (config.mergeType match {
+        case MergeType.UpdateOnly => touched
+        case _                    => candidates // anti-join / RDU read them all
+      }).map(_.path).toSet
+      val profile = conflictProfile(spark, snap, src, config.predicate,
+        sa, ta, config.partitionFilter, readPaths,
+        removals.map(_.path).toSet,
+        readsUnmatchedRows = config.mergeType == MergeType.ReplaceDeleteUnmatched)
       val v = GraftWriter.writeCow(spark, newData, path, snap, removals,
         operation = "MERGE",
         metadata = config.metadata ++
           Map("operation" -> s"MERGE:${config.mergeType.name}"),
         cdc = cdcFiles,
         schemaOverride =
-          if (config.schemaEvolution) Some(mergedSchema) else None)
+          if (config.schemaEvolution) Some(mergedSchema) else None,
+        profile = Some(profile))
       val numOut = table.snapshot().files.map(_.liveRecords).sum
       MergeStats(v, numSource, numOut)
     }
@@ -266,21 +275,9 @@ object MergeExecutor {
     val sa = config.sourceAlias
     val ta = config.targetAlias
 
-    // same contract checks as the relational core (MergeExecutor.apply)
-    val missing = snap.schema.map(_.name).filterNot(src.columns.contains)
-    require(missing.isEmpty,
-      s"merge ${config.mergeType.name}: source is missing target columns " +
-        s"${missing.mkString(", ")} (every strategy writes full rows; add " +
-        "the columns or use MergeClausesExecutor with UPDATE SET)")
-    if (config.errorOnTypeMismatch) {
-      val tTypes = snap.schema.map(f => f.name -> f.dataType).toMap
-      src.schema.foreach { f =>
-        tTypes.get(f.name).foreach { tt =>
-          require(tt == f.dataType,
-            s"merge type mismatch on '${f.name}': target $tt vs source ${f.dataType}")
-        }
-      }
-    }
+    // same contract checks as the relational core (MergeExecutor.apply),
+    // against the same schema apply sees (the evolved one)
+    validateSource(mergedSchema, src, config)
 
     val candidates = candidateFiles(spark, snap, src, config)
     val candDfM = table.dfForFiles(snap, candidates, withRowMeta = true)
@@ -291,16 +288,9 @@ object MergeExecutor {
     if (config.failOnMultipleMatches) {
       // `_metadata` row identity doubles as the target-row id — no
       // monotonically_increasing_id pass needed on this path
-      val multi = scopedM.alias(ta).join(src.alias(sa), cond, "inner")
-        .groupBy(fileC, idxC)
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-        .limit(1)
-        .count()
-      require(multi == 0,
-        s"merge ${config.mergeType.name}: a target row matches multiple " +
-          "source rows (Delta semantics); deduplicate the source on the " +
-          "merge key or unset failOnMultipleMatches")
+      requireSingleMatch(
+        scopedM.alias(ta).join(src.alias(sa), cond, "inner"),
+        Seq(fileC, idxC), config.mergeType.name)
     }
 
     // rows whose current images leave the table → per-file bitmaps
@@ -343,6 +333,14 @@ object MergeExecutor {
       config.partitionFilter.map(affDf.filter).getOrElse(affDf)
     val cdcFiles = strategyCdc(spark, path, table, affScoped, src, config, cols)
 
+    val readPaths = (config.mergeType match {
+      case MergeType.UpdateOnly => touched
+      case _                    => candidates
+    }).map(_.path).toSet
+    val profile = conflictProfile(spark, snap, src, config.predicate,
+      sa, ta, config.partitionFilter, readPaths,
+      removals.map(_.path).toSet,
+      readsUnmatchedRows = config.mergeType == MergeType.ReplaceDeleteUnmatched)
     val v = GraftWriter.writeCow(spark, appended, path, snap, removals,
       operation = "MERGE",
       metadata = config.metadata ++
@@ -350,7 +348,8 @@ object MergeExecutor {
       cdc = cdcFiles,
       schemaOverride =
         if (config.schemaEvolution) Some(mergedSchema) else None,
-      extraAdds = dvAdds)
+      extraAdds = dvAdds,
+      profile = Some(profile))
     val numOut = table.snapshot().files.map(_.liveRecords).sum
     MergeStats(v, numSource, numOut)
   }
@@ -385,6 +384,56 @@ object MergeExecutor {
     if (config.mergeType == MergeType.ReplaceDeleteUnmatched) partitionPruned
     else pruneByStats(partitionPruned, snap, src, config.predicate,
       config.sourceAlias, config.targetAlias)
+  }
+
+  /** Conflict profile of a merge ([[graft.log.CommitLog.commitOrRebase]]):
+    * `readPaths` are the candidate files whose rows influenced the
+    * output — for an update-only merge just the touched files, but for
+    * any strategy with an anti-join or by-source branch every candidate
+    * (the insert decision read them all). A concurrent append conflicts
+    * when it lands inside the merge's partition scope AND its stats
+    * cannot rule out the source's key range; a merge that also touches
+    * UNMATCHED in-scope rows (`readsUnmatchedRows` — RDU, by-source
+    * clauses) conflicts with ANY in-scope append.
+    */
+  private[merge] def conflictProfile(
+      spark: SparkSession,
+      snap: graft.log.Snapshot,
+      src: DataFrame,
+      predicate: String,
+      sa: String,
+      ta: String,
+      partitionFilter: Option[Column],
+      readPaths: Set[String],
+      removePaths: Set[String],
+      readsUnmatchedRows: Boolean): graft.log.TxnProfile = {
+    // lazy: the matchers cost an analysis pass and a (cached-)source
+    // aggregation — only pay on a lost CAS, never on the common
+    // uncontended commit
+    lazy val partMatcher: AddFile => Boolean = partitionFilter match {
+      case Some(p) => DataSkipping.matcherFor(spark, snap, p)
+      case None    => _ => true
+    }
+    lazy val keyMatcher: AddFile => Boolean =
+      if (readsUnmatchedRows) { _ => true }
+      else equiKey(predicate, sa, ta) match {
+        case Some((srcCol, tgtCol)) if src.columns.contains(srcCol) =>
+          val mm = src.agg(min(col(srcCol)), max(col(srcCol))).first()
+          if (mm.isNullAt(0)) { _ => false } // no non-null keys: nothing joins
+          else {
+            val m = graft.io.ColumnMapping.fromSnapshot(snap)
+            val phys = graft.io.ColumnMapping.physicalName(m, tgtCol)
+            val filters = Seq(
+              graft.io.DataFilter(phys, graft.io.SkipOp.Ge, mm.get(0)),
+              graft.io.DataFilter(phys, graft.io.SkipOp.Le, mm.get(1)))
+            val physSchema =
+              graft.io.ColumnMapping.physicalSchema(snap.schema, m)
+            a => filters.forall(DataSkipping.mayMatch(a, physSchema, _))
+          }
+        case _ => _ => true // non-equi predicate: any in-scope add conflicts
+      }
+    graft.log.TxnProfile(readPaths, removePaths,
+      a => partMatcher(a) && keyMatcher(a))
   }
 
   /** The strategies' CDF change rows (pre/postimages + strategy-specific
@@ -435,6 +484,54 @@ object MergeExecutor {
       }
       graft.io.Cdc.writeChangeFiles(spark, path, changes)
     }
+
+  /** The strategies' source contract, shared by the COW relational core
+    * ([[apply]]) and the merge-on-read path so the two can never drift:
+    * every target column must exist in the source (full-row writes), and
+    * overlapping columns must type-match when `errorOnTypeMismatch`.
+    * `targetSchema` is the schema the merge commits (the evolved one
+    * under schemaEvolution).
+    */
+  private[merge] def validateSource(
+      targetSchema: org.apache.spark.sql.types.StructType,
+      source: DataFrame,
+      config: MergeConfig): Unit = {
+    val missing = targetSchema.map(_.name).filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"merge ${config.mergeType.name}: source is missing target columns " +
+        s"${missing.mkString(", ")} (every strategy writes full rows; add " +
+        "the columns or use MergeClausesExecutor with UPDATE SET)")
+    if (config.errorOnTypeMismatch) {
+      val tTypes = targetSchema.map(f => f.name -> f.dataType).toMap
+      source.schema.foreach { f =>
+        tTypes.get(f.name).foreach { tt =>
+          require(tt == f.dataType,
+            s"merge type mismatch on '${f.name}': target $tt vs source ${f.dataType}")
+        }
+      }
+    }
+  }
+
+  /** Delta's failOnMultipleMatches contract: no group of `rowKeys` in
+    * `matchedPairs` (target⋈source inner join) may hold more than one
+    * pair. Shared by both execution paths — only the row-identity key
+    * differs (`_metadata` file/index vs a monotonic id).
+    */
+  private[merge] def requireSingleMatch(
+      matchedPairs: DataFrame,
+      rowKeys: Seq[Column],
+      mergeName: String): Unit = {
+    val multi = matchedPairs
+      .groupBy(rowKeys: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .limit(1)
+      .count()
+    require(multi == 0,
+      s"merge $mergeName: a target row matches multiple " +
+        "source rows (Delta semantics); deduplicate the source on the " +
+        "merge key or unset failOnMultipleMatches")
+  }
 
   /** `(sourceKey, targetKey)` of a plain equi-merge predicate
     * `s.K = t.C` / `t.C = s.K`; None for anything richer.
@@ -493,20 +590,7 @@ object MergeExecutor {
     val target =
       if (!config.schemaEvolution) target0
       else graft.io.Schemas.padTo(target0, source.schema)
-    val missing = target.columns.filterNot(source.columns.contains)
-    require(missing.isEmpty,
-      s"merge ${config.mergeType.name}: source is missing target columns " +
-        s"${missing.mkString(", ")} (every strategy writes full rows; add " +
-        "the columns or use MergeClausesExecutor with UPDATE SET)")
-    if (config.errorOnTypeMismatch) {
-      val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
-      source.schema.foreach { f =>
-        tTypes.get(f.name).foreach { tt =>
-          require(tt == f.dataType,
-            s"merge type mismatch on '${f.name}': target $tt vs source ${f.dataType}")
-        }
-      }
-    }
+    validateSource(target.schema, source, config)
     val ta = config.targetAlias
     val sa = config.sourceAlias
     val cond = expr(config.predicate)
@@ -519,18 +603,10 @@ object MergeExecutor {
     if (config.failOnMultipleMatches &&
         config.mergeType != MergeType.DeduplicateInsert) {
       val tid = "__graft_tid"
-      val multi = target.withColumn(tid, monotonically_increasing_id())
-        .alias(ta)
-        .join(s, cond, "inner")
-        .groupBy(col(tid))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-        .limit(1)
-        .count()
-      require(multi == 0,
-        s"merge ${config.mergeType.name}: a target row matches multiple " +
-          "source rows (Delta semantics); deduplicate the source on the " +
-          "merge key or unset failOnMultipleMatches")
+      requireSingleMatch(
+        target.withColumn(tid, monotonically_increasing_id())
+          .alias(ta).join(s, cond, "inner"),
+        Seq(col(tid)), config.mergeType.name)
     }
     // NOT EXISTS via anti joins (null-safe matched detection via marker lit)
     def updated: DataFrame =

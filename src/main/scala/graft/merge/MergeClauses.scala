@@ -189,16 +189,31 @@ object MergeClausesExecutor {
       def collectFiles(d: DataFrame): Seq[AddFile] =
         Cow.touchedFiles(spark, path, candidates, d, fileCol)
 
-      // by-source clauses touch every row; otherwise only files with matches
+      // by-source clauses touch every row; otherwise only files where a
+      // matched clause actually FIRES for some pair (null-safe: a NULL
+      // clause condition means the clause does not apply) — a file whose
+      // matches all have non-firing conditions is left untouched instead
+      // of being rewritten verbatim
+      val matchedFires: Column = matched
+        .map(_.condition.getOrElse(lit(true)))
+        .reduceOption(_ || _).getOrElse(lit(false))
       val touched: Seq[AddFile] =
         if (notMatchedBySource.nonEmpty) candidates
         else if (matched.isEmpty) Nil // insert-only: pure append
         else collectFiles(
-          withFile.alias(targetAlias).join(src.alias(sourceAlias), cond, "left_semi"))
+          withFile.alias(targetAlias).join(
+            src.alias(sourceAlias), cond && matchedFires, "left_semi"))
 
-      val affDf = evolve(table.dfForFiles(snap, touched))
+      // one target row can join several source pairs where NO clause
+      // fires (all matched clauses conditional, or by-source clauses on a
+      // matched row): the carried target image must be emitted ONCE, not
+      // once per pair — rewriteRows dedups via `_metadata` row identity
+      val needRowLevel = matched.forall(_.condition.isDefined) &&
+        (matched.nonEmpty || notMatchedBySource.nonEmpty)
+      val affDf = evolve(table.dfForFiles(snap, touched, withRowMeta = needRowLevel))
       val rewritten = rewriteRows(
-        affDf, src, cond, cols, matched, notMatchedBySource, sourceAlias, targetAlias)
+        affDf, src, cond, cols, matched, notMatchedBySource, sourceAlias,
+        targetAlias, rowLevel = needRowLevel)
       val inserts = insertRows(
         // anti join must see ALL candidate rows, not just touched files
         candDf, src, cond, mergedSchema, notMatched, sourceAlias, targetAlias)
@@ -222,10 +237,40 @@ object MergeClausesExecutor {
         operation = "MERGE",
         metadata = Map("operation" -> "MERGE:clauses"),
         cdc = cdcFiles,
-        schemaOverride = if (schemaEvolution) Some(mergedSchema) else None)
+        schemaOverride = if (schemaEvolution) Some(mergedSchema) else None,
+        profile = Some(clauseProfile(spark, snap, src, predicate,
+          sourceAlias, targetAlias, candidates, touched, matched, notMatched,
+          notMatchedBySource)))
       val numOut = table.snapshot().files.map(_.liveRecords).sum
       MergeStats(v, numSource, numOut)
     }
+  }
+
+  /** Conflict profile of a clause merge — same shape as
+    * [[MergeExecutor.conflictProfile]]: the insert anti-join reads every
+    * candidate, by-source clauses touch unmatched in-scope rows (so any
+    * concurrent append conflicts), and otherwise only appends inside the
+    * source's key range can invalidate the derivation.
+    */
+  private def clauseProfile(
+      spark: SparkSession,
+      snap: graft.log.Snapshot,
+      src: DataFrame,
+      predicate: String,
+      sa: String,
+      ta: String,
+      candidates: Seq[AddFile],
+      touched: Seq[AddFile],
+      matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedClause],
+      notMatchedBySource: Seq[MatchedClause]): graft.log.TxnProfile = {
+    val readPaths =
+      (if (notMatched.nonEmpty || notMatchedBySource.nonEmpty) candidates
+       else touched).map(_.path).toSet
+    MergeExecutor.conflictProfile(spark, snap, src, predicate, sa, ta,
+      partitionFilter = None, readPaths = readPaths,
+      removePaths = touched.map(_.path).toSet,
+      readsUnmatchedRows = notMatchedBySource.nonEmpty)
   }
 
   /** Merge-on-read clause merge (opt-in `graft.dv=true`): joined rows
@@ -281,14 +326,22 @@ object MergeClausesExecutor {
     val idxC = col(graft.sources.GraftNativeRelation.RowMetaIndexCol)
 
     val d = Dispatch(candDfM, src, cond, matched, notMatchedBySource, sa, ta)
+    // pair-affected can differ from row-affected only when every matched
+    // clause is conditional (an unconditional clause fires every matched
+    // pair, and by-source rows have exactly one pair)
     val affRow: Column =
-      if (matched.exists(_.condition.isDefined))
+      if (matched.nonEmpty && matched.forall(_.condition.isDefined))
         max(d.affected.cast("int"))
           .over(org.apache.spark.sql.expressions.Window
             .partitionBy(fileC, idxC)) === 1
       else d.affected
     val tagged = d.joined.withColumn("__graft_affected", affRow)
+    // the dominant plan of the merge (candidate⋈source join plus the
+    // (file,idx) window shuffle) feeds BOTH the bitmap collect and the
+    // appended rewrites — persist so it executes once, not twice
     val affected = tagged.filter(col("__graft_affected"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     val (updated, _) = DeletionVectors.bitmapUpdates(
       spark, path, snap, affected.select(fileC, idxC))
@@ -324,9 +377,12 @@ object MergeClausesExecutor {
       metadata = Map("operation" -> "MERGE:clauses"),
       cdc = cdcFiles,
       schemaOverride = if (schemaEvolution) Some(mergedSchema) else None,
-      extraAdds = updated.flatMap(_._2))
+      extraAdds = updated.flatMap(_._2),
+      profile = Some(clauseProfile(spark, snap, src, predicate, sa, ta,
+        candidates, touched, matched, notMatched, notMatchedBySource)))
     val numOut = table.snapshot().files.map(_.liveRecords).sum
     MergeStats(v, numSource, numOut)
+    } finally affected.unpersist()
   }
 
   /** The ordered clause-dispatch algebra shared by the COW rewrite, the
@@ -385,7 +441,18 @@ object MergeClausesExecutor {
         .foldLeft(lit(false))(_ || _)
   }
 
-  /** Target-side rewrite: ordered clause dispatch per row. */
+  /** Target-side rewrite: ordered clause dispatch per row.
+    *
+    * With `rowLevel` (set when every matched clause is conditional, so a
+    * matched pair can leave its row unaffected), `target` carries
+    * `_metadata` row identity and rows where NO pair fires keep exactly
+    * one joined pair — without it a multi-matched row whose pairs all
+    * miss their clause conditions would be emitted once per pair
+    * (silent duplication vs the merge-on-read path and Delta).
+    * Affected rows still emit every pair through the dispatch (the
+    * documented emit-one-row-per-match contract, shared with the DV
+    * path's `affRow` lift).
+    */
   private def rewriteRows(
       target: DataFrame,
       source: DataFrame,
@@ -394,9 +461,25 @@ object MergeClausesExecutor {
       matched: Seq[MatchedClause],
       bySource: Seq[MatchedClause],
       sa: String,
-      ta: String): DataFrame = {
+      ta: String,
+      rowLevel: Boolean = false): DataFrame = {
     val d = Dispatch(target, source, cond, matched, bySource, sa, ta)
-    d.joined
+    val pruned =
+      if (!rowLevel) d.joined
+      else {
+        val fileC = col(graft.sources.GraftNativeRelation.RowMetaFileCol)
+        val idxC = col(graft.sources.GraftNativeRelation.RowMetaIndexCol)
+        // idxC is constant within the partition — a legal, cheap order key
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(fileC, idxC)
+        d.joined
+          .withColumn("__graft_aff_row",
+            max(d.affected.cast("int")).over(w) === 1)
+          .withColumn("__graft_rn",
+            row_number().over(w.orderBy(idxC)))
+          .filter(col("__graft_aff_row") || col("__graft_rn") === 1)
+      }
+    pruned
       .withColumn("__graft_keep", d.keep)
       .filter(col("__graft_keep"))
       .select(cols.map(d.outCol): _*)

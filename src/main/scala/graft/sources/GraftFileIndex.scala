@@ -89,41 +89,12 @@ final class GraftFileIndex(
     graft.io.ColumnMapping.physicalSchema(
       snap.schema, graft.io.ColumnMapping.fromSnapshot(snap))
 
-  /** Catalyst comparison filters -> data-skipping shapes (conservative:
-    * anything unrecognized skips nothing).
+  /** Catalyst comparison filters -> data-skipping shapes — shared with
+    * the conflict checker's predicate matcher via
+    * [[DataSkipping.toSkipFilters]].
     */
-  private def toSkip(e: Expression): Seq[DataFilter] = {
-    def value(v: Any): Any = v match {
-      case u: UTF8String => u.toString
-      case other => other
-    }
-    def mk(a: Attribute, op: SkipOp, v: Any): Seq[DataFilter] =
-      if (v == null) Nil else Seq(DataFilter(a.name, op, value(v)))
-    e match {
-      case EqualTo(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Eq, v)
-      case EqualTo(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Eq, v)
-      case LessThan(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Lt, v)
-      case LessThan(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Gt, v)
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Le, v)
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Ge, v)
-      case GreaterThan(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Gt, v)
-      case GreaterThan(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Lt, v)
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => mk(a, SkipOp.Ge, v)
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => mk(a, SkipOp.Le, v)
-      case org.apache.spark.sql.catalyst.expressions.IsNull(a: AttributeReference) =>
-        Seq(DataFilter(a.name, SkipOp.IsNull))
-      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
-        Seq(DataFilter(a.name, SkipOp.IsNotNull))
-      case org.apache.spark.sql.catalyst.expressions.In(a: AttributeReference, vs)
-          if vs.forall(_.isInstanceOf[Literal]) =>
-        val lits = vs.collect { case Literal(v, _) if v != null => value(v) }
-        Seq(DataFilter(a.name, SkipOp.In, lits))
-      case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, vs) =>
-        Seq(DataFilter(a.name, SkipOp.In, vs.toSeq.filter(_ != null).map(value)))
-      case And(l, r) => toSkip(l) ++ toSkip(r)
-      case _ => Nil
-    }
-  }
+  private def toSkip(e: Expression): Seq[DataFilter] =
+    DataSkipping.toSkipFilters(e)
 
   private def status(f: AddFile): FileStatus =
     new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024,

@@ -283,6 +283,39 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got.filter(col("k") === 3L).count() == 2)
   }
 
+  test("clause merge keeps a multi-matched row ONCE when no pair fires (COW == DV)") {
+    import spark.implicits._
+    import graft.merge._
+    val t0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    // k=1 joins two source rows but NEITHER fires the conditional update:
+    // the carried target image must appear exactly once (COW used to emit
+    // it once per joined pair)
+    val s0 = Seq((1L, 100L), (1L, 5L)).toDF("k", "v")
+    def run(dv: Boolean, bySourceOnly: Boolean): Set[(Long, Long)] = {
+      val p = tmpDir(s"dv_nofire_${dv}_$bySourceOnly") + "/t"
+      GraftWriter.write(spark, t0, p, WriteOptions(mode = WriteMode.Overwrite,
+        metadata =
+          if (dv) Map(DeletionVectors.PropKey -> "true") else Map.empty))
+      if (bySourceOnly)
+        // matched rows see no clause at all; only unmatched-by-source
+        // targets are touched (none fire here either)
+        MergeClausesExecutor.merge(spark, s0, p, "s.k = t.k",
+          matched = Nil,
+          notMatchedBySource = Seq(Delete(Some(col("t.v") > 1000L))))
+      else
+        MergeClausesExecutor.merge(spark, s0, p, "s.k = t.k",
+          matched = Seq(
+            UpdateSet(Map("v" -> col("s.v")), Some(col("s.v") > 1000L))))
+      GraftTable(spark, p).toDf().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .ensuring(_ => GraftTable(spark, p).toDf().count() == 2,
+          s"row duplicated (dv=$dv bySourceOnly=$bySourceOnly)")
+    }
+    val want = Set((1L, 10L), (2L, 20L))
+    for (dv <- Seq(false, true); bs <- Seq(false, true))
+      assert(run(dv, bs) == want, s"dv=$dv bySourceOnly=$bs")
+  }
+
   test("DV merge: failOnMultipleMatches still enforced") {
     import spark.implicits._
     import graft.merge._
