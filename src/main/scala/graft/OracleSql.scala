@@ -624,6 +624,19 @@ object OracleSql {
                 l_returnflag, l_quantity, l_shipdate
          FROM lineitem WHERE l_returnflag <> 'N'""",
 
+    // generated columns: first write computes them, the shifted append
+    // supplies them — the union models both commits
+    "table_generated_cols" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                o_orderkey % 7 AS okey_bucket
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_totalprice, o_orderdate,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                (o_orderkey + 10000000) % 7 AS okey_bucket
+         FROM orders""",
+
     "table_replace_where" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus <> 'F'
@@ -1183,6 +1196,23 @@ object OracleSql {
     // domain-mixture resampling: binding source = argmin n/w (kept
     // whole); thresholds are exact integer rationals in millionths —
     // mirrors Sampling.domainMix bit for bit
+    // greedy quality-first selection under a token budget: the single
+    // global window here IS the oracle for the distributed
+    // prefix-sum formulation (Sampling.selectByBudget)
+    "corpus_select" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                     % 1000000 AS score,
+                   CAST(len($TOKS) AS BIGINT) AS n_tokens
+            FROM documents),
+          r AS (
+            SELECT doc_id, score, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+          SELECT doc_id, score, n_tokens FROM r WHERE cum <= 12000""",
+
     "domain_mix" ->
       """WITH wt(wsource, w) AS (
            SELECT * FROM (VALUES ('src1', 500), ('src2', 300), ('src3', 200))),

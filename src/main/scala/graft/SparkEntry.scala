@@ -440,6 +440,27 @@ object SparkEntry {
     * with a COW delete — the clone serves v0-minus-deleted while the
     * source (which got an extra append) is untouched.
     */
+  /** Generated columns (`graft.generated.*` properties): the first write
+    * omits them (auto-computed), the append supplies them explicitly
+    * (validated against the generating expressions post-write).
+    */
+  private def qGeneratedCols(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+    val p = tmp("graft_gen")
+    GraftWriter.write(spark, o, p, WriteOptions(
+      mode = WriteMode.Overwrite,
+      metadata = Map(
+        "graft.generated.o_year" -> "CAST(year(o_orderdate) AS BIGINT)",
+        "graft.generated.okey_bucket" -> "o_orderkey % 7")))
+    GraftWriter.write(spark,
+      o.withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_year", expr("CAST(year(o_orderdate) AS BIGINT)"))
+        .withColumn("okey_bucket", expr("o_orderkey % 7")),
+      p, WriteOptions(mode = WriteMode.Append))
+    GraftTable(spark, p).toDf()
+  }
+
   private def qTableClone(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
@@ -840,6 +861,19 @@ object SparkEntry {
     Sampling.domainMix(t(spark, dir, "documents"), "doc_id", "source",
       Map("src1" -> 500, "src2" -> 300, "src3" -> 200))
       .select("doc_id", "source")
+
+  /** Token-budget corpus selection: rank documents by a deterministic
+    * hash-derived quality stand-in and keep the best until the token
+    * budget is spent (distributed prefix sums — no single-partition
+    * window; see [[Sampling.selectByBudget]]).
+    */
+  private def qCorpusSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(
+      col("doc_id"),
+      Sampling.hashBucket(col("doc_id"), 1000000).as("score"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    Sampling.selectByBudget(d, budget = 12000L)
+  }
 
   /** Line-level boilerplate removal over a deterministic multi-line
     * fixture: every doc gains a shared header/footer (500×) and a
@@ -1263,6 +1297,7 @@ object SparkEntry {
     "merge_clauses_dv" -> (qMergeClauses(dv = true) _),
     "table_roundtrip" -> (qTableRoundtrip _),
     "table_clone" -> (qTableClone _),
+    "table_generated_cols" -> (qGeneratedCols _),
     "table_replace_where" -> (qReplaceWhere _),
     "table_time_travel" -> (qTimeTravel _),
     "table_schema_evolution" -> (qSchemaEvolution _),
@@ -1308,6 +1343,7 @@ object SparkEntry {
     "sample_stratified" -> (qSampleStratified _),
     "split_assign" -> (qSplitAssign _),
     "domain_mix" -> (qDomainMix _),
+    "corpus_select" -> (qCorpusSelect _),
     "line_dedup" -> (qLineDedup _),
     "substring_dedup" -> (qSubstringDedup _),
     "semantic_dedup" -> (qSemanticDedup _),
@@ -1365,7 +1401,8 @@ object SparkEntry {
     "text_pii_scrub", "text_decontam", "sample_hash",
     "text_chunks", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
-    "text_gopher_rules", "text_bm25", "domain_mix", "line_dedup",
+    "text_gopher_rules", "text_bm25", "domain_mix", "corpus_select",
+    "line_dedup",
     "substring_dedup", "semantic_dedup")
 
   // ---------- DuckDB oracle SQL ----------

@@ -409,6 +409,34 @@ object QuickStart {
     println(s"[33] deep clone: self-contained=$localRefs, " +
       s"rows=${GraftTable(spark, dcp).toDf().count()} (was $preDelRows, " +
       s"deleted down to $afterDel, rewound by RESTORE TIMESTAMP AS OF)")
+
+    // 34. generated + identity columns: declared as carried-forward
+    // properties; writes that omit them get them computed/assigned,
+    // writes that supply a generated column are validated against the
+    // expression, and identity values stay unique across appends
+    val genp = s"$out/orders_generated"
+    GraftWriter.write(spark,
+      orders.select("o_orderkey", "o_totalprice", "o_orderdate"), genp,
+      WriteOptions(mode = WriteMode.Overwrite, metadata = Map(
+        "graft.generated.o_year" -> "CAST(year(o_orderdate) AS BIGINT)",
+        "graft.identity.rid" -> "1,1")))
+    GraftWriter.write(spark,
+      orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10).withColumn("o_orderkey", col("o_orderkey") + 1000000L),
+      genp, WriteOptions(mode = WriteMode.Append))
+    val gt = GraftTable(spark, genp).toDf()
+    val nRows = gt.count()
+    val nRids = gt.select("rid").distinct().count()
+    val badGen =
+      try {
+        GraftWriter.write(spark,
+          orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+            .limit(1).withColumn("o_year", lit(1900L)),
+          genp, WriteOptions(mode = WriteMode.Append))
+        false
+      } catch { case _: IllegalArgumentException => true }
+    println(s"[34] generated+identity: rows=$nRows unique rids=$nRids " +
+      s"(equal=${nRows == nRids}); wrong supplied o_year rejected=$badGen")
     spark.stop()
   }
 }

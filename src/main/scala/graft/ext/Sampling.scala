@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, reproducible sampling for training-data pipelines.
@@ -121,5 +122,54 @@ object Sampling {
       when(col(domainCol) === s, lit(t)).otherwise(rest)
     }
     df.filter(hashBucket(col(keyCol), 1000000) < thrCol)
+  }
+
+  /** Token-budget corpus selection (the "take the best data up to N
+    * tokens" pipeline step): rank rows by (`scoreCol` DESC, `idCol` ASC
+    * — a total order when ids are unique) and keep the maximal prefix
+    * whose cumulative `tokenCol` stays within `budget`. Token counts
+    * must be non-null.
+    *
+    * Scale shape: a running total over a global ORDER BY window executes
+    * in ONE partition — the classic window anti-pattern at 100 TB.
+    * Instead the corpus is range-repartitioned on the ranking key,
+    * running totals are computed per partition, and each partition's
+    * base offset comes from the per-partition sums (#partitions values,
+    * collected driver-side and baked back in as a literal CASE) — both
+    * corpus-wide passes stay fully parallel.
+    */
+  def selectByBudget(
+      df: DataFrame,
+      budget: Long,
+      scoreCol: String = "score",
+      tokenCol: String = "n_tokens",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    // pin the RANGE partition id as a column — spark_partition_id() is
+    // physical-partitioning-dependent and would re-evaluate to the
+    // WINDOW exchange's ids if referenced after it
+    val ranked = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val sums: Map[Int, Long] = ranked
+      .groupBy("__pid").agg(sum(col(tokenCol)).as("__sum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // offsets(p) = total tokens in partitions before p
+    val offsets: Seq[(Int, Long)] = {
+      var acc = 0L
+      (0 until parts).map { p =>
+        val o = (p, acc); acc += sums.getOrElse(p, 0L); o
+      }
+    }
+    val offCol = offsets.foldRight(lit(0L): Column) { case ((p, off), rest) =>
+      when(col("__pid") === p, lit(off)).otherwise(rest)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("__cum", sum(col(tokenCol)).over(w) + offCol)
+      .filter(col("__cum") <= budget)
+      .drop("__cum", "__pid")
   }
 }

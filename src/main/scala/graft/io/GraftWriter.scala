@@ -90,7 +90,20 @@ object GraftWriter {
       spark: SparkSession,
       df: DataFrame,
       path: String,
-      opts: WriteOptions = WriteOptions()): Long = {
+      opts: WriteOptions = WriteOptions()): Long =
+    writeAttempt(spark, df, path, opts, identityAttempt = 0)
+
+  private def writeAttempt(
+      spark: SparkSession,
+      dfIn: DataFrame,
+      path: String,
+      opts: WriteOptions,
+      /** Bounded re-runs of identity-ASSIGNING writes whose CAS lost
+        * (the staged bytes embed values allocated from a stale
+        * high-water mark, so the whole assignment re-runs — the one
+        * write shape that cannot reuse its staged files on conflict).
+        */
+      identityAttempt: Int): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
@@ -106,6 +119,38 @@ object GraftWriter {
 
     // Resolve schema (evolution rules) and partition columns.
     val snapOpt = if (exists) Some(log.snapshot()) else None
+
+    // Generated / identity columns: effective declarations = the
+    // snapshot's carried-forward properties (read from the SNAPSHOT
+    // commit, so the high-water mark is pinned to its version) plus any
+    // newly supplied reserved metadata.
+    val declProps: Map[String, String] = {
+      val existing = snapOpt.map(_.commits.last.metadata.filter {
+        case (k, _) => k.startsWith(graft.log.CommitLog.ReservedPrefix)
+      }).getOrElse(Map.empty)
+      val supplied = opts.metadata.filter { case (k, v) =>
+        k.startsWith(graft.log.CommitLog.ReservedPrefix) && v.nonEmpty
+      }
+      // Delta parity: generated/identity columns are declared at table
+      // CREATION only — declaring one over existing rows would leave
+      // them without values the invariant claims always hold
+      if (snapOpt.exists(_.files.nonEmpty) &&
+          opts.mode != WriteMode.Overwrite &&
+          opts.mode != WriteMode.CreateOrReplace) {
+        val late = supplied.keys.filter(k =>
+          (k.startsWith(Generated.Prefix) ||
+            k.startsWith(Generated.IdentityPrefix)) && !existing.contains(k))
+        require(late.isEmpty,
+          s"generated/identity declarations (${late.mkString(", ")}) can only " +
+            "be added at table creation or on a full overwrite — existing " +
+            "rows would not satisfy them")
+      }
+      existing ++ supplied
+    }
+    val dfGen = Generated.fillGenerated(
+      spark, dfIn, snapOpt.map(_.schema), declProps)
+    val (df, identityAssigned) = Generated.assignIdentity(dfGen, declProps)
+
     val partitionCols: Seq[String] = snapOpt match {
       case Some(s)
           if opts.mode == WriteMode.Append || opts.mode == WriteMode.Overwrite =>
@@ -194,8 +239,12 @@ object GraftWriter {
     var attempt = 0
     while (true) {
       // -1 = "expect an empty log" (a concurrent CREATE must conflict too)
+      // identity-assigning writes CAS on the version their high-water
+      // mark was read at — two concurrent assignments from the same mark
+      // would allocate colliding values
       var expected: Option[Long] =
-        if (casModes(opts.mode)) Some(snapOpt.map(_.version).getOrElse(-1L))
+        if (casModes(opts.mode) || identityAssigned)
+          Some(snapOpt.map(_.version).getOrElse(-1L))
         else None
       val (schemaDdl, removals2) =
         if (attempt == 0) (newSchema.toDDL, removals0)
@@ -239,12 +288,21 @@ object GraftWriter {
           mode = opts.mode.name,
           schemaDdl = schemaDdl,
           partitionColumns = partitionCols,
-          metadata = opts.metadata,
+          // advance identity high-water marks from the written files'
+          // footer stats — a pure metadata read, no extra data pass
+          metadata = opts.metadata ++ Generated.hwmUpdates(added, declProps),
           operationMetrics = metrics,
           add = added,
           remove = removals2,
           expectedVersion = expected)
       } catch {
+        case e: java.util.ConcurrentModificationException
+            if identityAssigned =>
+          // the staged bytes embed values from a now-stale high-water
+          // mark: drop them and re-run the whole assignment (bounded)
+          added.foreach(f => fs.delete(new Path(path, f.path), false))
+          if (identityAttempt >= 5) throw e
+          return writeAttempt(spark, dfIn, path, opts, identityAttempt + 1)
         case _: java.util.ConcurrentModificationException if attempt < 5 =>
           attempt += 1
       }
@@ -275,7 +333,9 @@ object GraftWriter {
       partitionCols: Seq[String],
       added: Seq[AddFile],
       props: Map[String, String]): Unit = {
-    if (added.isEmpty || constraintsOf(props).isEmpty) return
+    if (added.isEmpty ||
+      (constraintsOf(props).isEmpty && Generated.generatedOf(props).isEmpty))
+      return
     // written files carry physical column names (ColumnMapping) — read
     // physical, alias back to logical so constraint SQL resolves
     val mapping = ColumnMapping.fromProps(props)
@@ -299,22 +359,34 @@ object GraftWriter {
     }
   }
 
-  /** SQL semantics: a row violates only when the expression is FALSE;
-    * NULL passes. The error names every violated constraint.
+  /** One aggregate pass over the written rows covering BOTH invariants:
+    * CHECK constraints (SQL semantics — a row violates only when the
+    * expression is FALSE; NULL passes) and supplied generated-column
+    * values (must null-safe-EQUAL their generating expression — a
+    * rewrite or explicit write cannot silently break the invariant
+    * readers rely on). The error names every violation.
     */
   private def enforceConstraints(df: DataFrame, props: Map[String, String]): Unit = {
-    val checks = constraintsOf(props).toSeq
+    val checks: Seq[(String, Column)] =
+      constraintsOf(props).toSeq.map { case (name, sql) =>
+        (s"CHECK constraint $name ($sql)", coalesce(!expr(sql), lit(false)))
+      } ++
+        Generated.generatedOf(props).toSeq
+          .filter { case (c, _) => df.columns.contains(c) }
+          .map { case (c, sql) =>
+            (s"generated column $c != ($sql)", !(col(c) <=> expr(sql)))
+          }
     if (checks.isEmpty) return
-    val flags = checks.map { case (name, sql) =>
-      max(when(coalesce(!expr(sql), lit(false)), 1).otherwise(0)).as(s"c_$name")
+    val flags = checks.zipWithIndex.map { case ((_, bad), i) =>
+      max(when(bad, 1).otherwise(0)).as(s"c_$i")
     }
     val row = df.agg(flags.head, flags.tail: _*).first()
     val violated = checks.zipWithIndex.collect {
-      case ((name, sql), i) if !row.isNullAt(i) && row.getInt(i) == 1 => s"$name ($sql)"
+      case ((label, _), i) if !row.isNullAt(i) && row.getInt(i) == 1 => label
     }
     if (violated.nonEmpty)
       throw new IllegalArgumentException(
-        s"CHECK constraint${if (violated.size > 1) "s" else ""} violated: " +
+        s"write invariant${if (violated.size > 1) "s" else ""} violated: " +
           violated.mkString("; "))
   }
 
@@ -711,7 +783,10 @@ object GraftWriter {
       mode = "cow",
       schemaDdl = schema.toDDL,
       partitionColumns = snap.partitionColumns,
-      metadata = metadata,
+      // a merge insert may SUPPLY identity values (BY DEFAULT
+      // semantics): keep the high-water mark ahead of them
+      metadata = metadata ++
+        Generated.hwmUpdates(added, log.tableProperties()),
       operationMetrics = Map(
         "num_added_files" -> added.size.toLong,
         "num_removed_files" -> removals.size.toLong,

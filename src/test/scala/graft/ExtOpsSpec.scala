@@ -694,4 +694,29 @@ class ExtOpsSpec extends SparkSpec {
       Map("src1" -> 500, "src2" -> 300, "src3" -> 200))
     assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
   }
+
+  test("selectByBudget equals the single-window reference; boundary exact") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (1L to 200L)
+      .map(i => (i, (i * 37) % 101, 1L + (i % 7))) // (id, score, tokens)
+      .toDF("doc_id", "score", "n_tokens")
+    val budget = 300L
+    val got = Sampling.selectByBudget(d, budget)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: one global running-total window
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < 200, "partial selection")
+    // the kept set's token total never exceeds the budget, and adding
+    // the next-ranked doc would
+    val toks = d.as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(got.toSeq.map(toks).sum <= budget)
+    // degenerate budgets
+    assert(Sampling.selectByBudget(d, 0L).count() == 0)
+    assert(Sampling.selectByBudget(d, 1000000L).count() == 200)
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Generated, GraftTable, GraftWriter, WriteMode, WriteOptions}
+import graft.merge.Dml
+
+/** Generated and identity columns ([[graft.io.Generated]]): declared as
+  * carried-forward table properties, auto-computed/assigned on batch
+  * writes, validated on every write path that goes through the written-
+  * rows invariant pass (append, overwrite, DML/merge rewrites).
+  */
+class GeneratedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genProps =
+    Map(s"${Generated.Prefix}total_cents" -> "qty * price_cents")
+
+  test("generated column: computed when absent, validated when supplied") {
+    val p = tmpDir("gen") + "/t"
+    GraftWriter.write(spark,
+      Seq((1L, 2L, 100L), (2L, 3L, 50L)).toDF("id", "qty", "price_cents"),
+      p, WriteOptions(mode = WriteMode.Overwrite, metadata = genProps))
+    val rows = GraftTable(spark, p).toDf()
+      .select("id", "total_cents").as[(Long, Long)].collect().toMap
+    assert(rows == Map(1L -> 200L, 2L -> 150L))
+
+    // supplying CORRECT values passes
+    GraftWriter.write(spark,
+      Seq((3L, 4L, 10L, 40L)).toDF("id", "qty", "price_cents", "total_cents"),
+      p, WriteOptions(mode = WriteMode.Append))
+    // supplying WRONG values is refused and the files are rolled back
+    val ex = intercept[IllegalArgumentException] {
+      GraftWriter.write(spark,
+        Seq((4L, 4L, 10L, 99L)).toDF("id", "qty", "price_cents", "total_cents"),
+        p, WriteOptions(mode = WriteMode.Append))
+    }
+    assert(ex.getMessage.contains("total_cents"))
+    assert(GraftTable(spark, p).toDf().count() == 3)
+
+    // an UPDATE that would break the invariant is refused too (writeCow)
+    intercept[IllegalArgumentException] {
+      Dml.update(spark, p, col("id") === 1L, Map("qty" -> lit(9L)))
+    }
+    // updating base AND generated together consistently passes
+    Dml.update(spark, p, col("id") === 1L,
+      Map("qty" -> lit(9L), "total_cents" -> lit(900L)))
+    assert(GraftTable(spark, p).toDf().filter(col("id") === 1L)
+      .select("total_cents").as[Long].head() == 900L)
+  }
+
+  test("generated expression may only reference non-generated columns") {
+    val p = tmpDir("gen_bad") + "/t"
+    val ex = intercept[IllegalArgumentException] {
+      GraftWriter.write(spark, Seq((1L, 2L)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Overwrite,
+          metadata = Map(s"${Generated.Prefix}g" -> "nope + 1")))
+    }
+    assert(ex.getMessage.contains("non-base columns"))
+  }
+
+  test("generated partition column: computed before partitioning, prunes files") {
+    val p = tmpDir("gen_part") + "/t"
+    GraftWriter.write(spark,
+      Seq((1L, "2024-03-05"), (2L, "2025-07-01")).toDF("id", "day"),
+      p, WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("yr"),
+        metadata = Map(s"${Generated.Prefix}yr" -> "substring(day, 1, 4)")))
+    val snap = GraftTable(spark, p).snapshot()
+    assert(snap.partitionColumns == Seq("yr"))
+    assert(snap.files.map(_.partitionValues("yr")).toSet == Set("2024", "2025"))
+    assert(GraftTable(spark, p).toDf().filter(col("yr") === "2024")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("identity column: unique increasing values across appends, mark advances") {
+    val p = tmpDir("ident") + "/t"
+    val props = Map(s"${Generated.IdentityPrefix}rid" -> "1,1")
+    GraftWriter.write(spark, Seq("a", "b").toDF("k"), p,
+      WriteOptions(mode = WriteMode.Overwrite, metadata = props))
+    val t = GraftTable(spark, p)
+    def rids() = t.toDf().select("rid").as[Long].collect().toSeq
+    val first = rids()
+    assert(first.size == 2 && first.distinct.size == 2)
+    assert(first.forall(_ >= 1L))
+    val hwm1 = t.log.tableProperties()(Generated.hwmKey("rid")).toLong
+    assert(hwm1 == first.max)
+
+    GraftWriter.write(spark, Seq("c", "d").toDF("k"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val all = rids()
+    assert(all.size == 4 && all.distinct.size == 4, "identity values unique")
+    assert(all.filterNot(first.contains).forall(_ > hwm1),
+      "new values strictly above the prior mark")
+
+    // supplying the column explicitly (BY DEFAULT) advances the mark too
+    val big = all.max + 100L
+    GraftWriter.write(spark, Seq(("e", big)).toDF("k", "rid"), p,
+      WriteOptions(mode = WriteMode.Append))
+    assert(t.log.tableProperties()(Generated.hwmKey("rid")).toLong == big)
+    GraftWriter.write(spark, Seq("f").toDF("k"), p,
+      WriteOptions(mode = WriteMode.Append))
+    assert(rids().max > big, "assignment resumes above the supplied value")
+  }
+
+  test("generated/identity declarations are creation-time only") {
+    val p = tmpDir("gen_late") + "/t"
+    GraftWriter.write(spark, Seq((1L, 2L)).toDF("a", "b"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val ex = intercept[IllegalArgumentException] {
+      GraftWriter.write(spark, Seq((2L, 3L)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Append,
+          metadata = Map(s"${Generated.Prefix}c" -> "a + b")))
+    }
+    assert(ex.getMessage.contains("table creation"))
+    // a full overwrite replaces every row, so declaring there is fine
+    // (the new column needs schema evolution like any other)
+    GraftWriter.write(spark, Seq((2L, 3L)).toDF("a", "b"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        schemaMode = Some(graft.io.SchemaMode.Overwrite),
+        metadata = Map(s"${Generated.Prefix}c" -> "a + b")))
+    assert(GraftTable(spark, p).toDf().select("c").as[Long].head() == 5L)
+  }
+
+  test("concurrent identity appends never collide (CAS + re-assign)") {
+    val p = tmpDir("ident_conc") + "/t"
+    GraftWriter.write(spark, Seq("seed").toDF("k"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(s"${Generated.IdentityPrefix}rid" -> "1,1")))
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        GraftWriter.write(spark,
+          Seq(s"t$i-a", s"t$i-b").toDF("k"), p,
+          WriteOptions(mode = WriteMode.Append))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val rids = GraftTable(spark, p).toDf().select("rid").as[Long].collect()
+    assert(rids.length == 9)
+    assert(rids.distinct.length == 9, s"identity collision: ${rids.sorted.toSeq}")
+  }
+}
