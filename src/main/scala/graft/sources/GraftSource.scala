@@ -100,7 +100,9 @@ final class GraftSource
       pathOf(parameters),
       startOf(sqlContext, parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toLong),
-      readChangeFeed = cdfOf(parameters))
+      readChangeFeed = cdfOf(parameters),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
 }
 
 /** Batch change-feed relation (Delta's

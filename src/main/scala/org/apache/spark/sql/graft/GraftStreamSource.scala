@@ -46,7 +46,18 @@ class GraftStreamSource(
       * commits as their net diff), so a downstream can maintain a
       * mirror without rescanning the table.
       */
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    /** Delta's `maxFilesPerTrigger` / `maxBytesPerTrigger`, enforced at
+      * COMMIT granularity (offsets are commit versions): whole commits
+      * are admitted until the next would push the batch past a cap, at
+      * least one per batch. A streaming-sink-fed table commits one or a
+      * few files per micro-batch, so commit granularity bounds catch-up
+      * batches exactly like Delta's file granularity does there; one
+      * giant historical commit still arrives whole (pair with
+      * `maxRecordsPerFile`-bounded writes upstream).
+      */
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -92,10 +103,36 @@ class GraftStreamSource(
           if (Option(startOffset).isEmpty && startingVersion.isEmpty)
             math.max(start0, log.versions().headOption.getOrElse(0L) - 1)
           else start0
-        val end = limit match {
+        val commitCapped = limit match {
           case m: ReadMaxFiles => math.min(l, start + m.maxFiles())
           case _               => l
         }
+        // file/byte caps: admit whole commits while BOTH stay under
+        // their caps, at least one — reads at most (admitted+1) commit
+        // JSONs per trigger, bounded by the caps themselves
+        val end =
+          if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+            commitCapped
+          else {
+            val surviving = log.versions().filter(v => v > start && v <= commitCapped)
+            var (files, bytes) = (0L, 0L)
+            var last = start
+            var done = surviving.isEmpty
+            val it = surviving.iterator
+            while (!done && it.hasNext) {
+              val v = it.next()
+              val c = log.readCommit(v)
+              val rewritten = c.remove.map(_.path).toSet
+              val adds = c.add.filterNot(a => rewritten(a.path))
+              files += adds.size
+              bytes += adds.map(_.sizeBytes).sum
+              val over = maxFilesPerTrigger.exists(files > _) ||
+                maxBytesPerTrigger.exists(bytes > _)
+              if (over && last > start) done = true // cap hit: stop BEFORE v
+              else last = v // always admit at least one commit
+            }
+            last
+          }
         if (end < 0) null else LongOffset(math.max(end, start))
     }
   }

@@ -340,6 +340,42 @@ class StreamingSpec extends SparkSpec {
     assert(batches >= 3, s"expected >=3 bounded micro-batches, got $batches")
   }
 
+  test("maxFilesPerTrigger and maxBytesPerTrigger bound catch-up batches") {
+    import graft.io.{GraftWriter, WriteMode, WriteOptions}
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val src = tmpDir("graft_adm") + "/src"
+    (1 to 6).foreach { i => // one file per commit
+      GraftWriter.write(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), src,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    def endFrom(s: org.apache.spark.sql.graft.GraftStreamSource,
+        start: Long): Long =
+      s.latestOffset(LongOffset(start), s.getDefaultReadLimit)
+        .asInstanceOf[LongOffset].offset
+    // 2 files per trigger = 2 commits here (one file per commit)
+    val byFiles = new org.apache.spark.sql.graft.GraftStreamSource(
+      spark.sqlContext, src, startingVersion = None,
+      maxFilesPerTrigger = Some(2L))
+    assert(endFrom(byFiles, -1L) == 1L)
+    assert(endFrom(byFiles, 1L) == 3L)
+    // a tiny byte budget still admits at least one commit per batch
+    val byBytes = new org.apache.spark.sql.graft.GraftStreamSource(
+      spark.sqlContext, src, startingVersion = None,
+      maxBytesPerTrigger = Some(1L))
+    assert(endFrom(byBytes, -1L) == 0L)
+    assert(endFrom(byBytes, 0L) == 1L)
+    // end-to-end: AvailableNow drains everything in bounded batches
+    val dst = tmpDir("graft_adm") + "/dst"
+    val q = Streams.toGraftTable(
+      spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", 2).load(src),
+      dst, tmpDir("graft_adm_ckpt"))
+    q.awaitTermination()
+    val t = GraftTable(spark, dst)
+    assert(t.toDf().count() == 6)
+    assert(t.history().count(_.metadata.contains("streaming_batch_id")) >= 3)
+  }
+
   test("readStream.table streams a catalog-named graft table") {
     import graft.io.{GraftWriter, WriteMode, WriteOptions}
     val root = tmpDir("graft_scat_root")
