@@ -690,16 +690,33 @@ object GraftWriter {
       spark: SparkSession,
       path: String,
       cols: Seq[String],
-      maxRecordsPerFile: Long = 4 * 1024 * 1024): Long =
+      maxRecordsPerFile: Long = 4 * 1024 * 1024,
+      /** Partition-scoped Z-ordering (Delta's `OPTIMIZE ... WHERE ...
+        * ZORDER BY`): only files in matching partitions are re-clustered
+        * — at 100 TB you Z-order the day that just landed, never the
+        * whole table.
+        */
+      where: Option[Column] = None): Long =
     retryDerived {
       val conf = spark.sessionState.newHadoopConf()
       val log = new CommitLog(path, conf)
       val fs = new Path(path).getFileSystem(conf)
       val snap = log.snapshot()
       val table = new GraftTable(spark, path)
-      val totalRows = snap.files.map(_.liveRecords).sum
+      val eligible = where match {
+        case None => snap.files
+        case Some(pred) =>
+          require(snap.partitionColumns.nonEmpty,
+            "OPTIMIZE ... WHERE requires a partitioned table " +
+              "(the predicate scopes by partition values)")
+          val keep = matchingFiles(
+            spark, snap.files, snap.schema, snap.partitionColumns, pred).toSet
+          snap.files.filter(f => keep(f.path))
+      }
+      if (eligible.isEmpty) return snap.version
+      val totalRows = eligible.map(_.liveRecords).sum
       val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
-      val df = table.toDf()
+      val df = table.dfForFiles(snap, eligible)
       val zCol = "__graft_z"
       val clustered = df
         .withColumn(zCol, mortonKey(df, cols))
@@ -708,7 +725,7 @@ object GraftWriter {
         .drop(zCol)
       val added = stageAndPromote(
         spark, fs, conf, clustered, path, snap.partitionColumns, "zstd")
-      log.commitOrRebase(maintenanceProfile(snap.files), snap) { expected =>
+      log.commitOrRebase(maintenanceProfile(eligible), snap) { expected =>
         log.commit(
           operation = "OPTIMIZE",
           mode = "zorder",
@@ -716,10 +733,10 @@ object GraftWriter {
           partitionColumns = snap.partitionColumns,
           metadata = Map("zorder_by" -> cols.mkString(",")),
           operationMetrics = Map(
-            "num_clustered_files" -> snap.files.size.toLong,
+            "num_clustered_files" -> eligible.size.toLong,
             "num_added_files" -> added.size.toLong),
           add = added,
-          remove = snap.files.map(f => RemoveFile(f.path)),
+          remove = eligible.map(f => RemoveFile(f.path)),
           expectedVersion = Some(expected))
       }
     }

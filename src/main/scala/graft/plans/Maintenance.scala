@@ -12,7 +12,7 @@ import graft.io.{GraftTable, GraftWriter}
   *
   * {{{
   * VACUUM <table> [RETAIN n HOURS] [DRY RUN]
-  * OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]
+  * OPTIMIZE <table> [WHERE <partition predicate>] [ZORDER BY (c1, ...)]
   * DESCRIBE HISTORY <table>
   * DESCRIBE DETAIL <table>
   * RESTORE [TABLE] <table> TO VERSION AS OF v
@@ -93,14 +93,11 @@ final case class GraftOptimizeCommand(
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenance.resolvePath(spark, target)
-    require(where.isEmpty || zorderBy.isEmpty,
-      "OPTIMIZE ... WHERE does not compose with ZORDER BY " +
-        "(Z-ordering re-clusters the whole table)")
+    val pred = where.map(org.apache.spark.sql.functions.expr)
     val v =
-      if (zorderBy.isEmpty)
-        GraftWriter.optimize(spark, path,
-          where = where.map(org.apache.spark.sql.functions.expr))
-      else GraftWriter.optimizeZOrder(spark, path, zorderBy)
+      if (zorderBy.isEmpty) GraftWriter.optimize(spark, path, where = pred)
+      // partition-scoped Z-order: only matching partitions re-cluster
+      else GraftWriter.optimizeZOrder(spark, path, zorderBy, where = pred)
     Seq(Row(v))
   }
 }

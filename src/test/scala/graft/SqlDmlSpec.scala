@@ -520,10 +520,14 @@ class SqlDmlSpec extends SparkSpec {
     assert(filesIn("a").size == 1)
     assert(filesIn("b").toSet == bBefore.toSet) // untouched
     assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 7L)
-    // WHERE + ZORDER BY is rejected; unpartitioned WHERE errors loudly
-    intercept[Exception] {
-      spark.sql(s"OPTIMIZE graft.`$p` WHERE cat = 'a' ZORDER BY (id)")
-    }
+    // WHERE + ZORDER BY re-clusters ONLY the matching partitions
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (9, 'b', 90.0)")
+    val bPre = filesIn("b").toSet
+    val aPre = filesIn("a").toSet
+    spark.sql(s"OPTIMIZE graft.`$p` WHERE cat = 'b' ZORDER BY (id, v)")
+    assert(filesIn("a").toSet == aPre, "out-of-scope partition untouched")
+    assert(filesIn("b").toSet != bPre, "scoped partition re-clustered")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 8L)
   }
 
   test("OPTIMIZE ZORDER BY clusters files for skipping") {
