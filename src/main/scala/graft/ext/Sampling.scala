@@ -149,9 +149,17 @@ object Sampling {
     val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
     // pin the RANGE partition id as a column — spark_partition_id() is
     // physical-partitioning-dependent and would re-evaluate to the
-    // WINDOW exchange's ids if referenced after it
+    // WINDOW exchange's ids if referenced after it. Eagerly checkpoint
+    // the ranked relation: the partition-sums job and the window job
+    // must see the SAME materialized rows (a nondeterministic score
+    // would otherwise silently desync the offsets), and the corpus scan
+    // + range exchange runs once, not twice. Registered for
+    // Scratch.drain like the pair-generators — consume the result
+    // before draining.
     val ranked = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    Scratch.register(ranked)
     val sums: Map[Int, Long] = ranked
       .groupBy("__pid").agg(sum(col(tokenCol)).as("__sum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

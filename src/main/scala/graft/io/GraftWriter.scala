@@ -133,10 +133,14 @@ object GraftWriter {
       }
       // Delta parity: generated/identity columns are declared at table
       // CREATION only — declaring one over existing rows would leave
-      // them without values the invariant claims always hold
-      if (snapOpt.exists(_.files.nonEmpty) &&
-          opts.mode != WriteMode.Overwrite &&
-          opts.mode != WriteMode.CreateOrReplace) {
+      // them without values the invariant claims always hold. A PARTIAL
+      // overwrite (replaceWhere / dynamic partitions) keeps rows too,
+      // so only a FULL overwrite counts as re-creation.
+      val fullReplace =
+        opts.mode == WriteMode.CreateOrReplace ||
+          (opts.mode == WriteMode.Overwrite && opts.replaceWhere.isEmpty &&
+            !opts.dynamicPartitionOverwrite)
+      if (snapOpt.exists(_.files.nonEmpty) && !fullReplace) {
         val late = supplied.keys.filter(k =>
           (k.startsWith(Generated.Prefix) ||
             k.startsWith(Generated.IdentityPrefix)) && !existing.contains(k))
@@ -210,8 +214,15 @@ object GraftWriter {
     val added =
       stageAndPromote(spark, fs, conf, writeDf, path, partitionCols,
         opts.compression, opts.maxRecordsPerFile)
+    // declProps, not tableProperties(): a CREATING write's declarations
+    // (constraints, generated columns) must be enforced on the very
+    // rows that create the table, and the pre-commit log has none yet.
+    // Only generated columns the CALLER supplied need validating — the
+    // ones fillGenerated computed satisfy their expressions by
+    // construction, so the common computed-write pays no read-back.
     enforceOnWritten(spark, fs, path, newSchema, partitionCols, added,
-      log.tableProperties())
+      declProps,
+      validateGenerated = Some(dfIn.columns.toSet))
 
     // Dynamic partition overwrite: drop exactly the live files in the
     // partitions the new files landed in (metadata-only set intersection;
@@ -332,9 +343,17 @@ object GraftWriter {
       schema: StructType,
       partitionCols: Seq[String],
       added: Seq[AddFile],
-      props: Map[String, String]): Unit = {
-    if (added.isEmpty ||
-      (constraintsOf(props).isEmpty && Generated.generatedOf(props).isEmpty))
+      props: Map[String, String],
+      /** Generated columns whose values the caller SUPPLIED (only those
+        * can violate their expressions; filled ones hold by
+        * construction). None = validate every declared one — the
+        * rewrite paths (DML/merge), where any column may have been set.
+        */
+      validateGenerated: Option[Set[String]] = None): Unit = {
+    val genCheck = validateGenerated
+      .map(Generated.generatedOf(props).keySet.intersect)
+      .getOrElse(Generated.generatedOf(props).keySet)
+    if (added.isEmpty || (constraintsOf(props).isEmpty && genCheck.isEmpty))
       return
     // written files carry physical column names (ColumnMapping) — read
     // physical, alias back to logical so constraint SQL resolves
@@ -351,7 +370,7 @@ object GraftWriter {
           else ColumnMapping.physicalName(mapping, f.name)
         col(phys).cast(f.dataType).as(f.name)
       }: _*)
-    try enforceConstraints(written, props)
+    try enforceConstraints(written, props, Some(genCheck))
     catch {
       case t: Throwable =>
         added.foreach(f => fs.delete(new Path(path, f.path), false))
@@ -366,13 +385,17 @@ object GraftWriter {
     * rewrite or explicit write cannot silently break the invariant
     * readers rely on). The error names every violation.
     */
-  private def enforceConstraints(df: DataFrame, props: Map[String, String]): Unit = {
+  private def enforceConstraints(
+      df: DataFrame,
+      props: Map[String, String],
+      generatedCols: Option[Set[String]] = None): Unit = {
+    val genCols = generatedCols.getOrElse(Generated.generatedOf(props).keySet)
     val checks: Seq[(String, Column)] =
       constraintsOf(props).toSeq.map { case (name, sql) =>
         (s"CHECK constraint $name ($sql)", coalesce(!expr(sql), lit(false)))
       } ++
         Generated.generatedOf(props).toSeq
-          .filter { case (c, _) => df.columns.contains(c) }
+          .filter { case (c, _) => genCols(c) && df.columns.contains(c) }
           .map { case (c, sql) =>
             (s"generated column $c != ($sql)", !(col(c) <=> expr(sql)))
           }

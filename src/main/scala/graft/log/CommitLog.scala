@@ -324,9 +324,10 @@ final class CommitLog(
     // without understanding DVs would resurrect its deleted rows)
     Protocol.check(props, Protocol.WriterFeaturesKey,
       Protocol.SupportedWriterFeatures, "modify", tablePath)
-    val mergedMeta0 = (props ++ metadata).filterNot { case (k, value) =>
-      k.startsWith(CommitLog.ReservedPrefix) && value.isEmpty // "" = drop property
-    }
+    val mergedMeta0 = CommitLog.advanceHwms(props,
+      (props ++ metadata).filterNot { case (k, value) =>
+        k.startsWith(CommitLog.ReservedPrefix) && value.isEmpty // "" = drop property
+      })
     // auto-register the deletionVectors feature the first time a commit
     // attaches a DV: from then on, pre-DV builds fail loudly instead of
     // serving deleted rows (features are append-only — older versions of
@@ -434,6 +435,46 @@ object CommitLog {
 
   /** Key for a named CHECK constraint (value = its SQL expression). */
   def constraintKey(name: String): String = s"${ReservedPrefix}constraint.$name"
+
+  /** Identity-column declarations (`graft.identity.<col>` = "start,step")
+    * and their high-water marks (`graft.identity.<col>.hwm`). The
+    * property-name convention lives here because the LOG layer needs it:
+    * hwm values are monotone operational counters — [[CommitLog.commit]]
+    * must never let a racer's stale value regress one, and
+    * [[ConflictCheck]] must not treat an advance as a schema-shaped
+    * metadata change.
+    */
+  val IdentityPrefix: String = s"${ReservedPrefix}identity."
+  def isHwmKey(k: String): Boolean =
+    k.startsWith(IdentityPrefix) && k.endsWith(".hwm")
+
+  /** step (sign decides the advance direction) of the identity column a
+    * hwm key belongs to; None when unparseable.
+    */
+  private[log] def stepOf(props: Map[String, String], hwmKey: String): Option[Long] =
+    props.get(hwmKey.stripSuffix(".hwm"))
+      .map(_.split(",").map(_.trim))
+      .collect { case Array(_, s) if s.matches("-?\\d+") => s.toLong }
+
+  /** Merge incoming hwm values with the CURRENT ones, keeping whichever
+    * is further advanced (max for positive step, min for negative): a
+    * writer whose hwm was computed against a stale snapshot can then
+    * never roll back a newer allocation — the commit-time counterpart
+    * of the CAS that identity-ASSIGNING writes take.
+    */
+  private[log] def advanceHwms(
+      current: Map[String, String],
+      merged: Map[String, String]): Map[String, String] =
+    merged.map {
+      case (k, v) if isHwmKey(k) && current.contains(k) &&
+          v.matches("-?\\d+") && current(k).matches("-?\\d+") =>
+        val step = stepOf(merged, k).orElse(stepOf(current, k)).getOrElse(1L)
+        val best =
+          if (step >= 0) math.max(v.toLong, current(k).toLong)
+          else math.min(v.toLong, current(k).toLong)
+        k -> best.toString
+      case kv => kv
+    }
 }
 
 /** Protocol feature gates (Delta's reader/writer table features).

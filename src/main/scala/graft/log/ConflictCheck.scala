@@ -122,10 +122,17 @@ object ConflictCheck {
       if (c.schemaDdl != baseSchemaDdl)
         throw new MetadataChangedException(
           s"concurrent $who changed the table schema")
-      val props = c.metadata.filter { case (k, _) =>
-        k.startsWith(CommitLog.ReservedPrefix)
-      }
-      if (props != baseProperties) {
+      // identity high-water marks are monotone operational counters
+      // advanced by ordinary appends, not shape metadata — comparing
+      // them would kill the rebase fast path on exactly the hot-append
+      // identity tables it serves (stale-hwm safety is commit-time:
+      // CommitLog.advanceHwms never lets a rebase regress one)
+      def opProps(m: Map[String, String]): Map[String, String] =
+        m.filter { case (k, _) =>
+          k.startsWith(CommitLog.ReservedPrefix) && !CommitLog.isHwmKey(k)
+        }
+      val props = opProps(c.metadata)
+      if (props != opProps(baseProperties)) {
         val protoKeys = Set(Protocol.ReaderFeaturesKey, Protocol.WriterFeaturesKey)
         val protoChanged = protoKeys.exists(k =>
           props.get(k) != baseProperties.get(k))

@@ -80,6 +80,25 @@ class ConflictSpec extends SparkSpec {
     }
   }
 
+  test("identity hwm advances are NOT metadata conflicts (rebase stays alive)") {
+    val profile = TxnProfile(Set("f1"), Set("f1"), _ => false)
+    val hwmKey = CommitLog.IdentityPrefix + "rid.hwm"
+    // winner is an ordinary assigning append: it advanced the mark —
+    // an operational counter, not shape metadata; the rebase fast path
+    // must survive on exactly these hot-append tables
+    ConflictCheck.check(profile, baseSchema,
+      Map(hwmKey -> "50"), Map("f1" -> 0L),
+      Seq(commitOf(1, add = Seq(addFile("f9")),
+        metadata = Map(hwmKey -> "500"))), "/t")
+    // a REAL property change still conflicts
+    intercept[MetadataChangedException] {
+      ConflictCheck.check(profile, baseSchema,
+        Map(hwmKey -> "50"), Map("f1" -> 0L),
+        Seq(commitOf(1, metadata = Map(hwmKey -> "500", "graft.cdf" -> "true"))),
+        "/t")
+    }
+  }
+
   test("DV repoints: grown DV is a delete, shrunk DV (RESTORE) is an append") {
     val anyRead = TxnProfile(Set("f9"), Set("f9"), _ => true)
     // grown DV on an unrelated file: live rows only shrank — rebase OK

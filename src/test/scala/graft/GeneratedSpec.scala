@@ -102,6 +102,54 @@ class GeneratedSpec extends SparkSpec {
     assert(rids().max > big, "assignment resumes above the supplied value")
   }
 
+  test("creating write validates supplied generated values too") {
+    val p = tmpDir("gen_create") + "/t"
+    // the declaration arrives WITH the first write — wrong supplied
+    // values must be rejected even though the pre-commit log is empty
+    val ex = intercept[IllegalArgumentException] {
+      GraftWriter.write(spark,
+        Seq((1L, 2L, 100L, 999L)).toDF("id", "qty", "price_cents", "total_cents"),
+        p, WriteOptions(mode = WriteMode.Overwrite, metadata = genProps))
+    }
+    assert(ex.getMessage.contains("total_cents"))
+    assert(!GraftTable.exists(spark, p))
+  }
+
+  test("partial overwrites cannot declare generated/identity columns") {
+    val p = tmpDir("gen_partial") + "/t"
+    GraftWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "part"), p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("part")))
+    val ex = intercept[IllegalArgumentException] {
+      GraftWriter.write(spark, Seq((3L, "a", 4L)).toDF("k", "part", "g"), p,
+        WriteOptions(mode = WriteMode.Overwrite,
+          replaceWhere = Some(col("part") === "a"),
+          schemaMode = Some(graft.io.SchemaMode.Merge),
+          metadata = Map(s"${Generated.Prefix}g" -> "k + 1")))
+    }
+    assert(ex.getMessage.contains("table creation"))
+  }
+
+  test("a stale supplied-identity write can never regress the high-water mark") {
+    val p = tmpDir("ident_hwm") + "/t"
+    GraftWriter.write(spark, Seq(("a", 100L)).toDF("k", "rid"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(s"${Generated.IdentityPrefix}rid" -> "1,1")))
+    val t = GraftTable(spark, p)
+    def hwm() = t.log.tableProperties()(Generated.hwmKey("rid")).toLong
+    assert(hwm() == 100L)
+    // a writer supplying LOWER values (derived from a stale view) must
+    // not roll the mark back — commit-time advance keeps the max
+    GraftWriter.write(spark, Seq(("b", 60L)).toDF("k", "rid"), p,
+      WriteOptions(mode = WriteMode.Append))
+    assert(hwm() == 100L)
+    // assignment resumes above the protected mark
+    GraftWriter.write(spark, Seq("c").toDF("k"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val rids = t.toDf().select("rid").as[Long].collect()
+    assert(rids.length == rids.distinct.length)
+    assert(rids.max > 100L)
+  }
+
   test("generated/identity declarations are creation-time only") {
     val p = tmpDir("gen_late") + "/t"
     GraftWriter.write(spark, Seq((1L, 2L)).toDF("a", "b"), p,
