@@ -59,6 +59,33 @@ object ExplainAudit {
       .select("l_orderkey", "l_quantity")
     dvScan.explain("formatted")
 
+    println("=== [F] corpus_select (expect RangePartitioning exchange + " +
+      "per-__pid window — NO single-partition global window) ===")
+    val sel = graft.SparkEntry.queries("corpus_select")(spark, sfDir)
+    sel.explain("formatted")
+    val globalWindows = sel.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }.size
+    println(s"--- empty-partitionSpec windows (must be 0): $globalWindows")
+
+    println("=== [G] generated partition column scan (expect partition " +
+      "pruning on the GENERATED column's value) ===")
+    val gp = java.nio.file.Files.createTempDirectory("graft_audit_gen").toString
+    GraftWriter.write(spark,
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderdate"),
+      s"$gp/t", WriteOptions(mode = WriteMode.Overwrite,
+        partitionBy = Seq("o_year"),
+        metadata = Map(
+          "graft.generated.o_year" -> "CAST(year(o_orderdate) AS STRING)")))
+    val genScan = GraftTable(spark, s"$gp/t").toDf()
+      .filter(col("o_year") === "1995")
+      .select("o_orderkey")
+    genScan.explain("formatted")
+    println(s"--- files scanned: ${scannedFiles(genScan)} of " +
+      s"${GraftTable(spark, s"$gp/t").snapshot().files.size}")
+
     spark.stop()
   }
 
@@ -66,6 +93,18 @@ object ExplainAudit {
     import org.apache.spark.sql.execution.FileSourceScanExec
     df.queryExecution.executedPlan.collect {
       case f: FileSourceScanExec => f.relation.location.inputFiles.length.toLong
+    }.sum
+  }
+
+  /** Files ACTUALLY read (post partition-pruning/skipping): execute and
+    * read the scan's numFiles metric — `inputFiles` above is the
+    * pre-pruning index listing.
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.metrics.get("numFiles").map(_.value).getOrElse(0L)
     }.sum
   }
 }
