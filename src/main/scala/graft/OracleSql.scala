@@ -1403,6 +1403,16 @@ object OracleSql {
           SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
                  'update_postimage' AS _change_type FROM m""",
 
+    // same change set as read_change_feed_batch, via the SQL TVF route
+    "sql_table_changes" ->
+      """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderstatus = 'P')
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'update_preimage' AS _change_type FROM m
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                 'update_postimage' AS _change_type FROM m""",
+
     "table_changes_merge" ->
       """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                     FROM orders WHERE o_orderkey % 7 = 0)

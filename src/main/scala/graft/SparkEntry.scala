@@ -1091,6 +1091,21 @@ object SparkEntry {
       .load(p)
   }
 
+  /** Same changes as `read_change_feed_batch`, served through the SQL
+    * table-valued function (`table_changes_by_path`) — shares its
+    * oracle row.
+    */
+  private def qSqlTableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val p = tmp("graft_cdftvf")
+    GraftWriter.write(spark, o, p, WriteOptions(mode = WriteMode.Overwrite,
+      metadata = Map(Cdc.PropKey -> "true")))
+    Dml.update(spark, p, col("o_orderstatus") === "P",
+      Map("o_totalprice" -> col("o_totalprice") * 2))
+    spark.sql(s"SELECT * FROM table_changes_by_path('$p', 1)")
+  }
+
   /** Mixed CDF range: an update commit (exact pre/postimages) followed
     * by a full overwrite — the feed keeps per-commit granularity, with
     * the overwrite contributing its own net diff (EXCEPT ALL over its
@@ -1365,6 +1380,7 @@ object SparkEntry {
     "sql_catalog_bucket_join" -> (qSqlCatalogBucketJoin _),
     "table_changes_updates" -> (qTableChangesUpdates _),
     "read_change_feed_batch" -> (qReadChangeFeedBatch _),
+    "sql_table_changes" -> (qSqlTableChanges _),
     "table_changes_merge" -> (qTableChangesMerge _),
     "table_changes_mixed" -> (qTableChangesMixed _),
     "table_dynamic_overwrite" -> (qDynamicOverwrite _),

@@ -17,6 +17,18 @@ final case class UnresolvedGraftRelation(path: String) extends LeafNode {
   override lazy val resolved: Boolean = false
 }
 
+/** Parse-time placeholder for `table_changes(...)` /
+  * `table_changes_by_path(...)` — claimed at parse time because Spark's
+  * `ResolveFunctions` fails analysis HARD on an unknown table-valued
+  * function before injected resolution rules run; [[GraftSqlDml]]
+  * rewrites the placeholder into the batch change-feed relation.
+  */
+final case class UnresolvedTableChanges(
+    args: Seq[Expression], byPath: Boolean) extends LeafNode {
+  override def output: Seq[Attribute] = Nil
+  override lazy val resolved: Boolean = false
+}
+
 /** Parser wrapper (installed via `SparkSessionExtensions.injectParser`)
   * that rewrites `graft.`path`` relations into
   * [[UnresolvedGraftRelation]] placeholders right after parsing —
@@ -38,6 +50,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         tt.copy(relation = substituteRel(tt.relation))
       case u: UnresolvedRelation if isGraftPath(u) =>
         UnresolvedGraftRelation(u.multipartIdentifier(1))
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.length == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes") =>
+        UnresolvedTableChanges(tvf.functionArgs, byPath = false)
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.length == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes_by_path") =>
+        UnresolvedTableChanges(tvf.functionArgs, byPath = true)
     }
 
   private def substituteRel(plan: LogicalPlan): LogicalPlan =

@@ -480,8 +480,50 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
     assigns.map(a =>
       keyName(a.key, targetAliases) -> column(requalify(a.value))).toMap
 
+  /** Delta's SQL change-feed entry points:
+    * `table_changes('cat.ns.tbl' | 'graft.`/path`', start [, end])` and
+    * `table_changes_by_path('/path', start [, end])` — start/end are a
+    * version number or a timestamp string (same at-or-after/at-or-before
+    * resolution as the reader options). Rewritten to the batch CDF
+    * relation before Spark's TVF resolution rejects the name.
+    */
+  private def tableChangesPlan(
+      args: Seq[Expression], byPath: Boolean): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      "table_changes(table, start[, end]) takes 2 or 3 arguments")
+    def litOf(e: Expression): Any = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        v match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => other
+        }
+      case other => throw new IllegalArgumentException(
+        s"table_changes arguments must be literals, got $other")
+    }
+    val tableStr = litOf(args.head).toString
+    val target: Either[String, Seq[String]] =
+      if (byPath) Left(tableStr)
+      else if (tableStr.contains("`")) // graft.`/path` form
+        Left(tableStr.stripPrefix("graft.").stripPrefix("`").stripSuffix("`"))
+      else Right(tableStr.split('.').toSeq)
+    val path = GraftMaintenance.resolvePath(spark, target)
+    def boundOpt(prefix: String, v: Any): (String, String) = v match {
+      case s: String => (s"${prefix}Timestamp", s)
+      case n         => (s"${prefix}Version", n.toString)
+    }
+    val opts = Map(boundOpt("starting", litOf(args(1)))) ++
+      args.lift(2).map(e => boundOpt("ending", litOf(e)))
+    val from = graft.sources.GraftReadOptions.start(spark, path, opts).get
+    val to = graft.sources.GraftReadOptions.end(spark, path, opts)
+    org.apache.spark.sql.execution.datasources.LogicalRelation(
+      graft.sources.GraftChangesRelation(spark.sqlContext, path, from, to))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
+      case UnresolvedTableChanges(args, byPath) =>
+        tableChangesPlan(args, byPath)
+
       case DeleteFromTable(GraftSqlTarget(path, alias), cond) =>
         GraftDeleteCommand(path,
           Option(cond).map(e => column(noAlias(e, alias.toSeq)))

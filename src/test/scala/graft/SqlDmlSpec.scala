@@ -537,6 +537,48 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5L)
   }
 
+  test("table_changes / table_changes_by_path TVFs serve batch CDF in SQL") {
+    import spark.implicits._
+    val p = tmpDir("sqltvf") + "/t"
+    io.GraftWriter.write(spark, Seq((1L, "a")).toDF("k", "v"), p,
+      io.WriteOptions(mode = io.WriteMode.Overwrite))
+    io.GraftWriter.write(spark, Seq((2L, "b")).toDF("k", "v"), p,
+      io.WriteOptions(mode = io.WriteMode.Append))
+    merge.Dml.delete(spark, p, col("k") === 1L)
+    // by path, from version 1: the append's insert + the delete
+    val got = spark.sql(s"SELECT k, _change_type FROM table_changes_by_path('$p', 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "insert"), (1L, "delete")))
+    // graft.`path` form with an end bound
+    val bounded = spark.sql(
+      s"SELECT k, _change_type FROM table_changes('graft.`$p`', 1, 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bounded == Set((2L, "insert")))
+    // timestamp start: from the delete commit's wall clock onward
+    val delTs = io.GraftTable(spark, p).history().find(_.version == 2L).get.timestampMs
+    val tsStr = java.time.Instant.ofEpochMilli(delTs)
+      .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+      .toLocalDateTime.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val fromTs = spark.sql(
+      s"SELECT k, _change_type FROM table_changes_by_path('$p', '$tsStr')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromTs == Set((1L, "delete")))
+    // catalog-name form
+    val root = tmpDir("sqltvf_cat")
+    spark.conf.set("spark.sql.catalog.tvfcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tvfcat.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    io.GraftWriter.write(spark, Seq((9L, "z")).toDF("k", "v"), s"$root/ns/t9",
+      io.WriteOptions(mode = io.WriteMode.Overwrite))
+    io.GraftWriter.write(spark, Seq((10L, "y")).toDF("k", "v"), s"$root/ns/t9",
+      io.WriteOptions(mode = io.WriteMode.Append))
+    val cat = spark.sql(
+      "SELECT k, _change_type FROM table_changes('tvfcat.ns.t9', 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cat == Set((10L, "insert")))
+  }
+
   test("non-graft DML is left to Spark (still errors as before)") {
     intercept[Exception] {
       spark.sql("DELETE FROM nonexistent_tbl WHERE 1=1")
