@@ -129,7 +129,13 @@ final class CommitLog(
   private def versionFile(v: Long): Path =
     new Path(logDir, f"v$v%010d.json")
 
+  // checkpoints are gzipped (a 100 TB table's checkpoint carries every
+  // live file's metadata — ~10× smaller on the wire and on listing-
+  // heavy stores); plain .json checkpoints from older builds still read
   private def checkpointFile(v: Long): Path =
+    new Path(logDir, f"ckpt-v$v%010d.json.gz")
+
+  private def legacyCheckpointFile(v: Long): Path =
     new Path(logDir, f"ckpt-v$v%010d.json")
 
   /** Sorted list of committed versions; empty if the table doesn't exist. */
@@ -163,21 +169,37 @@ final class CommitLog(
   def readCommit(v: Long): Commit =
     JsonMethods.parse(readJson(versionFile(v))).extract[Commit]
 
-  /** Sorted checkpoint versions present in the log dir. */
+  /** Sorted checkpoint versions present in the log dir (either form). */
   def checkpointVersions(): Seq[Long] = {
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir)
       .iterator
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("ckpt-v") && n.endsWith(".json") =>
-        n.stripPrefix("ckpt-v").stripSuffix(".json").toLong
+      .collect {
+        case n if n.startsWith("ckpt-v") && n.endsWith(".json.gz") =>
+          n.stripPrefix("ckpt-v").stripSuffix(".json.gz").toLong
+        case n if n.startsWith("ckpt-v") && n.endsWith(".json") =>
+          n.stripPrefix("ckpt-v").stripSuffix(".json").toLong
       }
       .toSeq
+      .distinct
       .sorted
   }
 
-  def readCheckpoint(v: Long): Checkpoint =
-    JsonMethods.parse(readJson(checkpointFile(v))).extract[Checkpoint]
+  def readCheckpoint(v: Long): Checkpoint = {
+    val json =
+      if (fs.exists(checkpointFile(v))) {
+        val in = new java.util.zip.GZIPInputStream(fs.open(checkpointFile(v)))
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString("UTF-8")
+        } finally in.close()
+      } else readJson(legacyCheckpointFile(v))
+    JsonMethods.parse(json).extract[Checkpoint]
+  }
 
   /** Replay the log up to `versionAsOf` (inclusive; latest when None).
     * Starts from the newest checkpoint at or before the target, so
@@ -250,7 +272,8 @@ final class CommitLog(
       case Some(b) =>
         val doomed =
           vs.filter(_ < b).map(versionFile) ++
-            checkpointVersions().filter(_ < b).map(checkpointFile)
+            checkpointVersions().filter(_ < b)
+              .flatMap(v => Seq(checkpointFile(v), legacyCheckpointFile(v)))
         doomed.filter(p => fs.delete(p, false)).map(_.getName)
     }
   }
@@ -262,7 +285,7 @@ final class CommitLog(
     val snap = snapshot(Some(v))
     val c = Checkpoint(v, System.currentTimeMillis(), snap.schema.toDDL,
       snap.partitionColumns, snap.files)
-    val out = fs.create(checkpointFile(v), true)
+    val out = new java.util.zip.GZIPOutputStream(fs.create(checkpointFile(v), true))
     try out.write(Serialization.write(c).getBytes("UTF-8"))
     finally out.close()
   }

@@ -803,6 +803,25 @@ class TableLayerSpec extends SparkSpec {
       "snapshot through the checkpoint must equal the fully-replayed contents")
     // time travel within the surviving suffix also works
     assert(GraftTable(spark, p).toDf(Some(102L)).count() == 103)
+
+    // legacy-format compat: a plain .json checkpoint (pre-gzip build)
+    // replays identically — rewrite ckpt-100 uncompressed and re-read
+    val gz = new org.apache.hadoop.fs.Path(p, "_graft_log/ckpt-v0000000100.json.gz")
+    val plain = new org.apache.hadoop.fs.Path(p, "_graft_log/ckpt-v0000000100.json")
+    val in = new java.util.zip.GZIPInputStream(fs.open(gz))
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+    val out = fs.create(plain, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(gz, false)
+    assert(log.checkpointVersions().contains(100L))
+    val viaLegacy = GraftTable(spark, p).toDf().collect().map(_.getLong(0)).sorted
+    assert(viaLegacy.toSeq == (0L until 104L))
   }
 
   test("null partition values round-trip (hive default partition)") {
