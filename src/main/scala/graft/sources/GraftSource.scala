@@ -102,7 +102,9 @@ final class GraftSource
       parameters.get("maxCommitsPerTrigger").map(_.toLong),
       readChangeFeed = cdfOf(parameters),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
-      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
+      // accepts byte-string suffixes ("1g", "512m") like Delta's option
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes))
 }
 
 /** Batch change-feed relation (Delta's
