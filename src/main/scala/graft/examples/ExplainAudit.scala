@@ -63,8 +63,10 @@ object ExplainAudit {
       "per-__pid window — NO single-partition global window) ===")
     val sel = graft.SparkEntry.queries("corpus_select")(spark, sfDir)
     sel.explain("formatted")
-    val globalWindows = sel.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
+    // logical-plan check: under AQE the executedPlan is an adaptive
+    // wrapper leaf, so a physical WindowExec collect would be vacuous
+    val globalWindows = sel.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
     }.size
     println(s"--- empty-partitionSpec windows (must be 0): $globalWindows")

@@ -155,8 +155,7 @@ final class CommitLog(
 
   def tableExists(): Boolean = latestVersion().isDefined
 
-  private def readJson(p: Path): String = {
-    val in = fs.open(p)
+  private def readAll(in: java.io.InputStream): String =
     try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
@@ -164,7 +163,8 @@ final class CommitLog(
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       buf.toString("UTF-8")
     } finally in.close()
-  }
+
+  private def readJson(p: Path): String = readAll(fs.open(p))
 
   def readCommit(v: Long): Commit =
     JsonMethods.parse(readJson(versionFile(v))).extract[Commit]
@@ -188,16 +188,9 @@ final class CommitLog(
 
   def readCheckpoint(v: Long): Checkpoint = {
     val json =
-      if (fs.exists(checkpointFile(v))) {
-        val in = new java.util.zip.GZIPInputStream(fs.open(checkpointFile(v)))
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          buf.toString("UTF-8")
-        } finally in.close()
-      } else readJson(legacyCheckpointFile(v))
+      if (fs.exists(checkpointFile(v)))
+        readAll(new java.util.zip.GZIPInputStream(fs.open(checkpointFile(v))))
+      else readJson(legacyCheckpointFile(v))
     JsonMethods.parse(json).extract[Checkpoint]
   }
 
@@ -218,13 +211,27 @@ final class CommitLog(
       case None => vs
     }
     val target = upTo.last
+    // newest readable checkpoint at or below the target; a corrupt one
+    // falls back to the NEXT older, and running out of checkpoints is
+    // only acceptable when the log still reaches back to version 0 —
+    // a retention-cleaned log replayed from its oldest surviving commit
+    // with an empty live map would silently drop every pre-boundary
+    // file, so fail loudly instead
     val ckpt: Option[Checkpoint] = checkpointVersions()
       .filter(v => v <= target && vs.contains(v))
-      .lastOption
-      .flatMap { v =>
+      // an older checkpoint only replays correctly when EVERY commit
+      // after it survives (commit versions are dense, so count suffices)
+      .filter(v => upTo.count(_ > v) == target - v)
+      .reverseIterator
+      .map { v =>
         try Some(readCheckpoint(v))
-        catch { case scala.util.control.NonFatal(_) => None } // fall back to full replay
+        catch { case scala.util.control.NonFatal(_) => None }
       }
+      .collectFirst { case Some(c) => c }
+    require(ckpt.isDefined || upTo.head == 0L,
+      s"graft table at $tablePath: no readable checkpoint at or below " +
+        s"version $target and the log starts at version ${upTo.head} " +
+        "(retention-cleaned) — a replay would silently miss files")
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     ckpt.foreach(_.files.foreach(a => live(a.path) = a))
     val replayFrom = ckpt.map(_.version).getOrElse(0L)
@@ -270,6 +277,20 @@ final class CommitLog(
     boundary match {
       case None => Nil
       case Some(b) =>
+        // once commits below the boundary are gone, the boundary
+        // checkpoint becomes LOAD-BEARING: a pre-gzip build that cannot
+        // see `.json.gz` would replay the surviving suffix from an
+        // empty live map and silently drop every pre-boundary file —
+        // so materialize a plain-JSON copy of the boundary checkpoint
+        // before deleting anything (one small file, boundaries only)
+        if (!fs.exists(legacyCheckpointFile(b))) {
+          val c = readCheckpoint(b)
+          val tmp = new Path(logDir, s".tmp-legacy-${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, false)
+          try out.write(Serialization.write(c).getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, legacyCheckpointFile(b))) fs.delete(tmp, false)
+        }
         val doomed =
           vs.filter(_ < b).map(versionFile) ++
             checkpointVersions().filter(_ < b)
@@ -285,9 +306,19 @@ final class CommitLog(
     val snap = snapshot(Some(v))
     val c = Checkpoint(v, System.currentTimeMillis(), snap.schema.toDDL,
       snap.partitionColumns, snap.files)
-    val out = new java.util.zip.GZIPOutputStream(fs.create(checkpointFile(v), true))
+    // atomic: a reader racing (or a crash during) an in-place write
+    // would see a truncated gzip stream — stage and rename instead
+    // (overwrite-rename is fine: the content is a pure function of the
+    // log at v, so any complete copy is equivalent)
+    val tmp = new Path(logDir, s".tmp-ckpt-${java.util.UUID.randomUUID()}")
+    val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, false))
     try out.write(Serialization.write(c).getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(tmp, checkpointFile(v))) {
+      fs.delete(checkpointFile(v), false)
+      if (!fs.rename(tmp, checkpointFile(v)))
+        throw new java.io.IOException(s"cannot publish checkpoint for $v")
+    }
   }
 
   /** Active table properties (reserved `graft.constraint.*` etc.): the

@@ -494,6 +494,8 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
     def litOf(e: Expression): Any = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
         v match {
+          case null => throw new IllegalArgumentException(
+            "table_changes arguments must not be NULL")
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
           case other => other
         }
@@ -501,12 +503,38 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         s"table_changes arguments must be literals, got $other")
     }
     val tableStr = litOf(args.head).toString
-    val target: Either[String, Seq[String]] =
-      if (byPath) Left(tableStr)
-      else if (tableStr.contains("`")) // graft.`/path` form
-        Left(tableStr.stripPrefix("graft.").stripPrefix("`").stripSuffix("`"))
-      else Right(tableStr.split('.').toSeq)
-    val path = GraftMaintenance.resolvePath(spark, target)
+    val path: String =
+      if (byPath) tableStr
+      else if (tableStr.startsWith("graft.")) // graft.`/path` form
+        tableStr.stripPrefix("graft.").stripPrefix("`").stripSuffix("`")
+      else {
+        // proper identifier parsing (quoted parts included), then: a
+        // graft DSv2 catalog resolves through it; anything else —
+        // including 1-part names — is looked up as a session-catalog
+        // `USING graft` table whose path rides in its storage options
+        val parts = spark.sessionState.sqlParser
+          .parseMultipartIdentifier(tableStr)
+        val viaGraftCatalog = parts.length >= 2 &&
+          (try spark.sessionState.catalogManager.catalog(parts.head)
+            .isInstanceOf[graft.catalog.GraftCatalog]
+          catch { case scala.util.control.NonFatal(_) => false })
+        if (viaGraftCatalog) GraftMaintenance.resolvePath(spark, Right(parts))
+        else {
+          val ident = parts.takeRight(2) match {
+            case Seq(db, t) => org.apache.spark.sql.catalyst
+              .TableIdentifier(t, Some(db))
+            case _ => org.apache.spark.sql.catalyst.TableIdentifier(parts.last)
+          }
+          val meta = spark.sessionState.catalog.getTableMetadata(ident)
+          require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+            s"table_changes: '$tableStr' is not a graft table " +
+              s"(provider ${meta.provider.getOrElse("none")})")
+          meta.storage.properties.get("path")
+            .orElse(meta.storage.locationUri.map(_.getPath))
+            .getOrElse(throw new IllegalArgumentException(
+              s"table_changes: '$tableStr' has no path in its storage options"))
+        }
+      }
     def boundOpt(prefix: String, v: Any): (String, String) = v match {
       case s: String => (s"${prefix}Timestamp", s)
       case n         => (s"${prefix}Version", n.toString)

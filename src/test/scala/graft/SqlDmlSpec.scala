@@ -544,6 +544,7 @@ class SqlDmlSpec extends SparkSpec {
       io.WriteOptions(mode = io.WriteMode.Overwrite))
     io.GraftWriter.write(spark, Seq((2L, "b")).toDF("k", "v"), p,
       io.WriteOptions(mode = io.WriteMode.Append))
+    Thread.sleep(5) // distinct wall-clock ms for the timestamp-start assert
     merge.Dml.delete(spark, p, col("k") === 1L)
     // by path, from version 1: the append's insert + the delete
     val got = spark.sql(s"SELECT k, _change_type FROM table_changes_by_path('$p', 1)")
@@ -577,6 +578,14 @@ class SqlDmlSpec extends SparkSpec {
       "SELECT k, _change_type FROM table_changes('tvfcat.ns.t9', 1)")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(cat == Set((10L, "insert")))
+    // session-catalog `USING graft` named table (Delta's primary form)
+    spark.sql(s"CREATE TABLE tvf_events USING graft OPTIONS (path '$p')")
+    try {
+      val named = spark.sql(
+        "SELECT k, _change_type FROM table_changes('tvf_events', 1, 1)")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(named == Set((2L, "insert")))
+    } finally spark.sql("DROP TABLE tvf_events")
   }
 
   test("non-graft DML is left to Spark (still errors as before)") {

@@ -876,6 +876,23 @@ class TableLayerSpec extends SparkSpec {
     intercept[Exception] { GraftTable(spark, p).toDf(Some(5L)) }
     // idempotent
     assert(log.cleanOldLogs(1000L, nowMs = future).isEmpty)
+    // the cleanup materialized a plain-JSON copy of the load-bearing
+    // boundary checkpoint, so a pre-gzip build still replays correctly
+    val fs = log.fs
+    val legacy = new org.apache.hadoop.fs.Path(p, "_graft_log/ckpt-v0000000020.json")
+    assert(fs.exists(legacy))
+    // and with the gz copy gone (simulated old build view), replay
+    // through the plain copy is identical
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_graft_log/ckpt-v0000000020.json.gz"), false)
+    assert(GraftTable(spark, p).toDf().count() == 25)
+    // a CORRUPT lone boundary checkpoint on a cleaned log fails loudly
+    // instead of silently dropping pre-boundary files
+    val out = fs.create(legacy, true)
+    try out.write("{not json".getBytes("UTF-8")) finally out.close()
+    val ex = intercept[IllegalArgumentException] {
+      new CommitLog(p, spark.sessionState.newHadoopConf()).snapshot()
+    }
+    assert(ex.getMessage.contains("no readable checkpoint"))
   }
 
   test("concurrent GraftWriter appends all land (full write path under contention)") {
