@@ -1387,10 +1387,12 @@ object OracleSql {
       """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                     FROM orders WHERE o_orderstatus = 'P')
           SELECT o_orderkey, o_orderstatus, o_totalprice,
-                 'update_preimage' AS _change_type FROM m
+                 'update_preimage' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version FROM m
           UNION ALL
           SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
-                 'update_postimage' AS _change_type FROM m""",
+                 'update_postimage' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version FROM m""",
 
     // batch CDF reader, startingVersion=1: only the update commit —
     // identical pre/postimage shape to table_changes_updates
@@ -1398,32 +1400,39 @@ object OracleSql {
       """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                     FROM orders WHERE o_orderstatus = 'P')
           SELECT o_orderkey, o_orderstatus, o_totalprice,
-                 'update_preimage' AS _change_type FROM m
+                 'update_preimage' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version FROM m
           UNION ALL
           SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
-                 'update_postimage' AS _change_type FROM m""",
+                 'update_postimage' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version FROM m""",
 
     // same change set as read_change_feed_batch, via the SQL TVF route
     "sql_table_changes" ->
       """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                     FROM orders WHERE o_orderstatus = 'P')
           SELECT o_orderkey, o_orderstatus, o_totalprice,
-                 'update_preimage' AS _change_type FROM m
+                 'update_preimage' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version FROM m
           UNION ALL
           SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
-                 'update_postimage' AS _change_type FROM m""",
+                 'update_postimage' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version FROM m""",
 
     "table_changes_merge" ->
       """WITH m AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                     FROM orders WHERE o_orderkey % 7 = 0)
           SELECT o_orderkey, o_orderstatus, o_totalprice,
-                 'update_preimage' AS _change_type FROM m
+                 'update_preimage' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version FROM m
           UNION ALL
           SELECT o_orderkey, o_orderstatus, o_totalprice + 10 AS o_totalprice,
-                 'update_postimage' AS _change_type FROM m
+                 'update_postimage' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version FROM m
           UNION ALL
           SELECT -o_orderkey AS o_orderkey, o_orderstatus, o_totalprice,
-                 'insert' AS _change_type
+                 'insert' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version
           FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey > 0""",
 
     "table_changes_mixed" ->
@@ -1432,16 +1441,20 @@ object OracleSql {
                               CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
                                    ELSE o_totalprice END AS o_totalprice FROM base)
           SELECT o_orderkey, o_orderstatus, o_totalprice,
-                 'update_preimage' AS _change_type
+                 'update_preimage' AS _change_type,
+                 CAST(1 AS BIGINT) AS _commit_version
           FROM base WHERE o_orderstatus = 'P'
           UNION ALL
           SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
-                 'update_postimage' FROM base WHERE o_orderstatus = 'P'
+                 'update_postimage', CAST(1 AS BIGINT)
+          FROM base WHERE o_orderstatus = 'P'
           UNION ALL
-          SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete' FROM upd
+          SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete',
+                 CAST(2 AS BIGINT) FROM upd
           WHERE o_orderkey % 5 <> 0 OR o_orderstatus = 'P'
           UNION ALL
-          SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert' FROM base
+          SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert',
+                 CAST(2 AS BIGINT) FROM base
           WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'P'""",
 
     // net row diff of the upsert: delete+insert pair per touched key
@@ -1456,7 +1469,9 @@ object OracleSql {
                 FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s0)),
           d AS (SELECT *, 'delete' AS _change_type
                 FROM (SELECT * FROM s0 EXCEPT ALL SELECT * FROM s1))
-          SELECT * FROM i UNION ALL SELECT * FROM d"""
+          SELECT *, CAST(1 AS BIGINT) AS _commit_version FROM i
+          UNION ALL
+          SELECT *, CAST(1 AS BIGINT) FROM d"""
   )
 
   // merge-on-read variants (`graft.dv=true`): matched preimages become

@@ -1050,7 +1050,9 @@ object SparkEntry {
     MergeExecutor.merge(spark, src, p,
       MergeConfig(MergeType.Upsert, "s.o_orderkey = t.o_orderkey"))
     val tb = GraftTable(spark, p)
-    tb.tableChanges(0L, tb.version())
+    // _commit_timestamp is wall clock — not DuckDB-reproducible; the
+    // deterministic _commit_version stays in the checked output
+    tb.tableChanges(0L, tb.version()).drop(Cdc.TimestampCol)
   }
 
   /** Change-data feed with preimage tracking: on a CDF-enabled table
@@ -1067,7 +1069,9 @@ object SparkEntry {
     Dml.update(spark, p, col("o_orderstatus") === "P",
       Map("o_totalprice" -> col("o_totalprice") * 2))
     val tb = GraftTable(spark, p)
-    tb.tableChanges(0L, tb.version())
+    // _commit_timestamp is wall clock — not DuckDB-reproducible; the
+    // deterministic _commit_version stays in the checked output
+    tb.tableChanges(0L, tb.version()).drop(Cdc.TimestampCol)
   }
 
   /** Batch CDF through the DataFrame reader (Delta's
@@ -1089,6 +1093,7 @@ object SparkEntry {
       .option("readChangeFeed", "true")
       .option("startingVersion", "1")
       .load(p)
+      .drop(Cdc.TimestampCol)
   }
 
   /** Same changes as `read_change_feed_batch`, served through the SQL
@@ -1104,6 +1109,7 @@ object SparkEntry {
     Dml.update(spark, p, col("o_orderstatus") === "P",
       Map("o_totalprice" -> col("o_totalprice") * 2))
     spark.sql(s"SELECT * FROM table_changes_by_path('$p', 1)")
+      .drop(Cdc.TimestampCol)
   }
 
   /** Mixed CDF range: an update commit (exact pre/postimages) followed
@@ -1122,7 +1128,9 @@ object SparkEntry {
     GraftWriter.write(spark, o.filter(col("o_orderkey") % 5 === 0), p,
       WriteOptions(mode = WriteMode.Overwrite))
     val tb = GraftTable(spark, p)
-    tb.tableChanges(0L, tb.version())
+    // _commit_timestamp is wall clock — not DuckDB-reproducible; the
+    // deterministic _commit_version stays in the checked output
+    tb.tableChanges(0L, tb.version()).drop(Cdc.TimestampCol)
   }
 
   /** In-place adoption: a plain partitioned parquet directory becomes a
@@ -1169,7 +1177,9 @@ object SparkEntry {
     MergeExecutor.merge(spark, src, p,
       MergeConfig(MergeType.Upsert, "s.o_orderkey = t.o_orderkey"))
     val tb = GraftTable(spark, p)
-    tb.tableChanges(0L, tb.version())
+    // _commit_timestamp is wall clock — not DuckDB-reproducible; the
+    // deterministic _commit_version stays in the checked output
+    tb.tableChanges(0L, tb.version()).drop(Cdc.TimestampCol)
   }
 
   /** Dynamic partition overwrite via `INSERT OVERWRITE` under

@@ -23,6 +23,12 @@ import graft.log.{AddFile, CommitLog}
 object Cdc {
 
   val ChangeCol = "_change_type"
+  /** Commit provenance columns every change row carries (Delta's CDF
+    * contract): the version that produced the change and its wall-clock
+    * commit timestamp.
+    */
+  val VersionCol = "_commit_version"
+  val TimestampCol = "_commit_timestamp"
   val Dir = "_cdc"
 
   /** Carried-forward table property key enabling CDF (`graft.cdf`). */

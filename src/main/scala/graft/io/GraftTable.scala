@@ -373,9 +373,16 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val cc = Cdc.ChangeCol
     def alignData(df: DataFrame): DataFrame =
       Schemas.conformTo(df, alignTo.schema)
+    // every change row carries its commit's provenance (Delta's CDF
+    // contract): version + wall-clock commit timestamp
+    def stamp(df: DataFrame, c: graft.log.Commit): DataFrame =
+      df.withColumn(Cdc.VersionCol, lit(c.version))
+        .withColumn(Cdc.TimestampCol,
+          lit(new java.sql.Timestamp(c.timestampMs)))
     def align(df: DataFrame): DataFrame =
       Schemas.padTo(df, alignTo.schema)
-        .select(alignTo.schema.map(f => col(f.name)) :+ col(cc): _*)
+        .select(alignTo.schema.map(f => col(f.name)) ++
+          Seq(col(cc), col(Cdc.VersionCol), col(Cdc.TimestampCol)): _*)
     // change files carry PHYSICAL column names (like data files) —
     // project them back to the target snapshot's logical names; columns
     // of since-dropped fields are discarded (align pads/selects the rest)
@@ -391,14 +398,14 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       }: _*)
     val parts = commits.flatMap { c =>
       if (c.cdc.nonEmpty)
-        Some(align(logicalize(spark.read.parquet(
-          c.cdc.map(f => new Path(path, f.path).toString): _*))))
+        Some(align(stamp(logicalize(spark.read.parquet(
+          c.cdc.map(f => new Path(path, f.path).toString): _*)), c)))
       else if (pureAppend(c))
         // read through the TARGET snapshot: files of any generation carry
         // physical names, so alignTo's mapping projects them to the
         // output (logical) names even across renames
-        Some(align(dfForFiles(alignTo, c.add)
-          .withColumn(cc, lit("insert"))))
+        Some(align(stamp(dfForFiles(alignTo, c.add)
+          .withColumn(cc, lit("insert")), c)))
       else if (metadataOnly(c)) None
       else {
         // overwrite-family: per-commit net diff over its churned files —
@@ -415,15 +422,18 @@ final class GraftTable(val spark: SparkSession, val path: String) {
         val removedFiles = c.remove.flatMap(r => prevByPath.get(r.path))
         val added = alignData(dfForFiles(alignTo, c.add))
         val removed = alignData(dfForFiles(alignTo, removedFiles))
-        Some(added.exceptAll(removed).withColumn(cc, lit("insert"))
-          .unionByName(
-            removed.exceptAll(added).withColumn(cc, lit("delete"))))
+        Some(align(stamp(
+          added.exceptAll(removed).withColumn(cc, lit("insert"))
+            .unionByName(
+              removed.exceptAll(added).withColumn(cc, lit("delete"))), c)))
       }
     }
     parts.reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(alignTo.schema.fields :+
-          StructField(cc, StringType, nullable = false)))
+        StructType(alignTo.schema.fields ++ Seq(
+          StructField(cc, StringType, nullable = false),
+          StructField(Cdc.VersionCol, LongType, nullable = false),
+          StructField(Cdc.TimestampCol, TimestampType, nullable = false))))
     }
   }
 
@@ -446,9 +456,15 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     // logical names even across renames; evolution-added columns read as
     // nulls, dropped columns are projected away
     val removedRows = dfForFiles(toSnap, fromSnap.files.filterNot(f => toIds(ident(f))))
-    addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
+    // the whole-range diff spans several commits; provenance is pinned
+    // to the range END ("net change as of toVersion")
+    val endCommit = log.readCommit(toVersion)
+    addedRows.exceptAll(removedRows).withColumn(Cdc.ChangeCol, lit("insert"))
       .unionByName(
-        removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
+        removedRows.exceptAll(addedRows).withColumn(Cdc.ChangeCol, lit("delete")))
+      .withColumn(Cdc.VersionCol, lit(endCommit.version))
+      .withColumn(Cdc.TimestampCol,
+        lit(new java.sql.Timestamp(endCommit.timestampMs)))
   }
 
   /** Deep clean: physically delete data files under the table root that

@@ -175,10 +175,14 @@ class GraftStreamSource(
       // mode those rows are the mirror's starting inserts
       val base = table.dfForFiles(snap, snap.files)
       return asStream(
-        if (readChangeFeed)
-          base.withColumn(graft.io.Cdc.ChangeCol,
-            org.apache.spark.sql.functions.lit("insert"))
-        else base)
+        if (readChangeFeed) {
+          import org.apache.spark.sql.functions.lit
+          val snapCommit = log.readCommit(snapV)
+          base.withColumn(graft.io.Cdc.ChangeCol, lit("insert"))
+            .withColumn(graft.io.Cdc.VersionCol, lit(snapCommit.version))
+            .withColumn(graft.io.Cdc.TimestampCol,
+              lit(new java.sql.Timestamp(snapCommit.timestampMs)))
+        } else base)
     }
     if (readChangeFeed)
       return asStream(table.changesForCommits(from, to, snap))
@@ -202,10 +206,19 @@ class GraftStreamSource(
 }
 
 object GraftStreamSource {
-  /** The change-feed read schema: table columns + `_change_type`. */
+  /** The change-feed read schema: table columns + `_change_type` +
+    * commit provenance (`_commit_version`, `_commit_timestamp`) —
+    * Delta's CDF column contract.
+    */
   def cdfSchema(tableSchema: StructType): StructType =
-    StructType(tableSchema.fields :+
+    StructType(tableSchema.fields ++ Seq(
       org.apache.spark.sql.types.StructField(
         graft.io.Cdc.ChangeCol,
-        org.apache.spark.sql.types.StringType, nullable = false))
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        graft.io.Cdc.VersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        graft.io.Cdc.TimestampCol,
+        org.apache.spark.sql.types.TimestampType, nullable = false)))
 }

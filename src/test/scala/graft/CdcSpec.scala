@@ -210,4 +210,34 @@ class CdcSpec extends SparkSpec {
     // change files survive both vacuums; the feed still reads
     assert(changes(p, 0L)("delete") == Seq((1L, 10.0)))
   }
+
+  test("change rows carry _commit_version and _commit_timestamp provenance") {
+    import graft.io.Cdc
+    import spark.implicits._
+    val p = tmpDir("cdcprov") + "/t"
+    GraftWriter.write(spark, Seq((1L, 10.0)).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(Cdc.PropKey -> "true")))
+    GraftWriter.write(spark, Seq((2L, 20.0)).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Append)) // v1
+    Dml.update(spark, p, col("k") === 1L, Map("v" -> lit(11.0))) // v2
+    val tb = GraftTable(spark, p)
+    val rows = tb.tableChanges(0L, 2L)
+      .select("k", Cdc.ChangeCol, Cdc.VersionCol, Cdc.TimestampCol)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3).getTime))
+    // per-commit provenance: the append is v1, the update's pair is v2
+    assert(rows.collect { case (2L, "insert", ver, _) => ver }.toSeq == Seq(1L))
+    assert(rows.collect { case (1L, ct, ver, _) => (ct, ver) }.toSet ==
+      Set(("update_preimage", 2L), ("update_postimage", 2L)))
+    // timestamps match the commits' wall clocks
+    val byVer = tb.history().map(c => c.version -> c.timestampMs).toMap
+    assert(rows.forall { case (_, _, ver, ts) => byVer(ver) == ts })
+    // the streaming CDF schema exposes the same provenance columns
+    val st = org.apache.spark.sql.graft.GraftStreamSource.cdfSchema(
+      tb.snapshot().schema)
+    assert(st.fieldNames.takeRight(3).sameElements(
+      Array(Cdc.ChangeCol, Cdc.VersionCol, Cdc.TimestampCol)))
+  }
 }
