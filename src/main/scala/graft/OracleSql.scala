@@ -1196,6 +1196,15 @@ object OracleSql {
     // domain-mixture resampling: binding source = argmin n/w (kept
     // whole); thresholds are exact integer rationals in millionths —
     // mirrors Sampling.domainMix bit for bit
+    // deterministic global shuffle: the single global window here IS
+    // the oracle for the distributed prefix-count formulation
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+                CAST(ROW_NUMBER() OVER (
+                  ORDER BY md5('42' || CAST(doc_id AS VARCHAR)) ASC,
+                           doc_id ASC) - 1 AS BIGINT) AS pos
+         FROM documents""",
+
     // greedy quality-first selection under a token budget: the single
     // global window here IS the oracle for the distributed
     // prefix-sum formulation (Sampling.selectByBudget)

@@ -875,6 +875,13 @@ object SparkEntry {
     Sampling.selectByBudget(d, budget = 12000L)
   }
 
+  /** Deterministic global shuffle: dense positions in md5(seed||id)
+    * order, engine-reproducible (see [[Sampling.shuffledPositions]]).
+    */
+  private def qCorpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shuffledPositions(
+      t(spark, dir, "documents").select("doc_id"), seed = "42")
+
   /** Line-level boilerplate removal over a deterministic multi-line
     * fixture: every doc gains a shared header/footer (500×) and a
     * per-language promo line (64–218×) around its original text (all
@@ -1369,6 +1376,7 @@ object SparkEntry {
     "split_assign" -> (qSplitAssign _),
     "domain_mix" -> (qDomainMix _),
     "corpus_select" -> (qCorpusSelect _),
+    "corpus_shuffle" -> (qCorpusShuffle _),
     "line_dedup" -> (qLineDedup _),
     "substring_dedup" -> (qSubstringDedup _),
     "semantic_dedup" -> (qSemanticDedup _),
@@ -1428,7 +1436,7 @@ object SparkEntry {
     "text_chunks", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
     "text_gopher_rules", "text_bm25", "domain_mix", "corpus_select",
-    "line_dedup",
+    "corpus_shuffle", "line_dedup",
     "substring_dedup", "semantic_dedup")
 
   // ---------- DuckDB oracle SQL ----------

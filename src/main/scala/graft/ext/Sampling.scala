@@ -124,6 +124,50 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 1000000) < thrCol)
   }
 
+  /** Deterministic global shuffle positions (the "shuffle the corpus
+    * once, reproducibly" final materialization step): every row gets a
+    * dense position `0..n-1` in the order of `md5(seed || key)` (key
+    * tiebreak, so the order is total and ENGINE-INDEPENDENT — re-running
+    * the pipeline, or any other md5-capable system, produces the
+    * identical permutation; Spark's `orderBy(rand())` gives neither).
+    *
+    * Scale shape: positions depend only on the total hash order, never
+    * on partition boundaries — range-partition on the hash, per-
+    * partition `row_number`, and driver-side prefix offsets over the
+    * per-partition COUNTS (#partitions values), exactly the
+    * [[selectByBudget]] formulation. No single-partition global window.
+    */
+  def shuffledPositions(
+      df: DataFrame,
+      seed: String,
+      keyCol: String = "doc_id",
+      outCol: String = "pos"): DataFrame = {
+    val h = md5(concat(lit(seed), col(keyCol).cast("string")))
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val ranked = df.withColumn("__h", h)
+      .repartitionByRange(parts, col("__h"), col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true) // one materialization backs both jobs
+    Scratch.register(ranked)
+    val counts: Map[Int, Long] = ranked
+      .groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Seq[(Int, Long)] = {
+      var acc = 0L
+      (0 until parts).map { p =>
+        val o = (p, acc); acc += counts.getOrElse(p, 0L); o
+      }
+    }
+    val offCol = offsets.foldRight(lit(0L): Column) { case ((p, off), rest) =>
+      when(col("__pid") === p, lit(off)).otherwise(rest)
+    }
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__h").asc, col(keyCol).asc)
+    ranked
+      .withColumn(outCol, row_number().over(w).cast("long") - 1L + offCol)
+      .drop("__h", "__pid")
+  }
+
   /** Token-budget corpus selection (the "take the best data up to N
     * tokens" pipeline step): rank rows by (`scoreCol` DESC, `idCol` ASC
     * — a total order when ids are unique) and keep the maximal prefix

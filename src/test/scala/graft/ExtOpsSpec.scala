@@ -695,6 +695,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
   }
 
+  test("shuffledPositions: dense, deterministic, equals the single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (1L to 300L).toDF("doc_id")
+    val got = Sampling.shuffledPositions(d, seed = "s1")
+      .as[(Long, Long)].collect().toMap
+    // dense permutation of 0..n-1
+    assert(got.values.toSeq.sorted == (0L until 300L))
+    // equals the global-window reference order
+    val h = md5(concat(lit("s1"), col("doc_id").cast("string")))
+    val want = d.withColumn("pos",
+      row_number().over(Window.orderBy(h.asc, col("doc_id").asc)).cast("long") - 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // deterministic across calls; a different seed permutes differently
+    assert(Sampling.shuffledPositions(d, "s1").as[(Long, Long)].collect().toMap == got)
+    assert(Sampling.shuffledPositions(d, "s2").as[(Long, Long)].collect().toMap != got)
+  }
+
   test("selectByBudget equals the single-window reference; boundary exact") {
     import org.apache.spark.sql.expressions.Window
     val d = (1L to 200L)
