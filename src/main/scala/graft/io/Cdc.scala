@@ -29,6 +29,17 @@ object Cdc {
     */
   val VersionCol = "_commit_version"
   val TimestampCol = "_commit_timestamp"
+
+  /** Stamp change rows with their commit's provenance — the ONE
+    * definition of the provenance columns' values, shared by the
+    * per-commit feed, the whole-range diff fallback, and the streaming
+    * source's initial-snapshot batch.
+    */
+  def stamp(df: DataFrame, version: Long, timestampMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    df.withColumn(VersionCol, lit(version))
+      .withColumn(TimestampCol, lit(new java.sql.Timestamp(timestampMs)))
+  }
   val Dir = "_cdc"
 
   /** Carried-forward table property key enabling CDF (`graft.cdf`). */

@@ -376,9 +376,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     // every change row carries its commit's provenance (Delta's CDF
     // contract): version + wall-clock commit timestamp
     def stamp(df: DataFrame, c: graft.log.Commit): DataFrame =
-      df.withColumn(Cdc.VersionCol, lit(c.version))
-        .withColumn(Cdc.TimestampCol,
-          lit(new java.sql.Timestamp(c.timestampMs)))
+      Cdc.stamp(df, c.version, c.timestampMs)
     def align(df: DataFrame): DataFrame =
       Schemas.padTo(df, alignTo.schema)
         .select(alignTo.schema.map(f => col(f.name)) ++
@@ -459,12 +457,12 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     // the whole-range diff spans several commits; provenance is pinned
     // to the range END ("net change as of toVersion")
     val endCommit = log.readCommit(toVersion)
-    addedRows.exceptAll(removedRows).withColumn(Cdc.ChangeCol, lit("insert"))
-      .unionByName(
-        removedRows.exceptAll(addedRows).withColumn(Cdc.ChangeCol, lit("delete")))
-      .withColumn(Cdc.VersionCol, lit(endCommit.version))
-      .withColumn(Cdc.TimestampCol,
-        lit(new java.sql.Timestamp(endCommit.timestampMs)))
+    Cdc.stamp(
+      addedRows.exceptAll(removedRows).withColumn(Cdc.ChangeCol, lit("insert"))
+        .unionByName(
+          removedRows.exceptAll(addedRows)
+            .withColumn(Cdc.ChangeCol, lit("delete"))),
+      endCommit.version, endCommit.timestampMs)
   }
 
   /** Deep clean: physically delete data files under the table root that

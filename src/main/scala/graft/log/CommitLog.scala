@@ -283,14 +283,14 @@ final class CommitLog(
         // empty live map and silently drop every pre-boundary file —
         // so materialize a plain-JSON copy of the boundary checkpoint
         // before deleting anything (one small file, boundaries only)
-        if (!fs.exists(legacyCheckpointFile(b))) {
-          val c = readCheckpoint(b)
-          val tmp = new Path(logDir, s".tmp-legacy-${java.util.UUID.randomUUID()}")
-          val out = fs.create(tmp, false)
-          try out.write(Serialization.write(c).getBytes("UTF-8"))
-          finally out.close()
-          if (!fs.rename(tmp, legacyCheckpointFile(b))) fs.delete(tmp, false)
-        }
+        // writeFileAtomic THROWS if no complete copy lands — the
+        // cleanup below must not run without it (deleting pre-boundary
+        // commits with no legacy-visible checkpoint is exactly the
+        // silent-data-loss case this copy exists to prevent)
+        if (!fs.exists(legacyCheckpointFile(b)))
+          writeFileAtomic(
+            Serialization.write(readCheckpoint(b)).getBytes("UTF-8"),
+            legacyCheckpointFile(b))
         val doomed =
           vs.filter(_ < b).map(versionFile) ++
             checkpointVersions().filter(_ < b)
@@ -306,18 +306,33 @@ final class CommitLog(
     val snap = snapshot(Some(v))
     val c = Checkpoint(v, System.currentTimeMillis(), snap.schema.toDDL,
       snap.partitionColumns, snap.files)
-    // atomic: a reader racing (or a crash during) an in-place write
-    // would see a truncated gzip stream — stage and rename instead
-    // (overwrite-rename is fine: the content is a pure function of the
-    // log at v, so any complete copy is equivalent)
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    try gz.write(Serialization.write(c).getBytes("UTF-8"))
+    finally gz.close()
+    writeFileAtomic(out.toByteArray, checkpointFile(v))
+  }
+
+  /** Stage `bytes` and rename into `target` — atomic publication for
+    * files whose content is a PURE FUNCTION of the log (checkpoints,
+    * legacy-format copies): a reader never sees a partial write, and a
+    * rename losing to an existing `target` is success (any complete
+    * copy is equivalent — the existing one is kept, never deleted, so
+    * there is no window with no file at all). Throws when the rename
+    * fails with no complete copy in place; the staged temp never leaks.
+    */
+  private def writeFileAtomic(bytes: Array[Byte], target: Path): Unit = {
     val tmp = new Path(logDir, s".tmp-ckpt-${java.util.UUID.randomUUID()}")
-    val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, false))
-    try out.write(Serialization.write(c).getBytes("UTF-8"))
+    val out = fs.create(tmp, false)
+    try out.write(bytes)
     finally out.close()
-    if (!fs.rename(tmp, checkpointFile(v))) {
-      fs.delete(checkpointFile(v), false)
-      if (!fs.rename(tmp, checkpointFile(v)))
-        throw new java.io.IOException(s"cannot publish checkpoint for $v")
+    val renamed = try fs.rename(tmp, target)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!renamed) {
+      try fs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      if (!fs.exists(target))
+        throw new java.io.IOException(s"cannot publish $target")
     }
   }
 

@@ -27,18 +27,44 @@ import graft.io.{GraftTable, GraftWriter}
   */
 object GraftMaintenance {
 
-  /** DML/maintenance target: a literal path or a catalog identifier. */
+  /** Table path of a maintenance/CDF target: a literal path, a graft
+    * DSv2 catalog name, or a session-catalog `USING graft` table (path
+    * from its storage options/location). A name whose leading part IS a
+    * registered non-graft, non-session catalog errors loudly — falling
+    * through to the session catalog could silently serve a same-named
+    * different table.
+    */
   def resolvePath(spark: SparkSession, target: Either[String, Seq[String]]): String =
     target match {
       case Left(path) => path
       case Right(parts) =>
-        require(parts.length >= 2,
-          s"catalog table name needs at least catalog.table: ${parts.mkString(".")}")
-        spark.sessionState.catalogManager.catalog(parts.head) match {
-          case g: graft.catalog.GraftCatalog =>
+        val catOpt =
+          if (parts.length < 2) None
+          else
+            try Some(spark.sessionState.catalogManager.catalog(parts.head))
+            catch { case scala.util.control.NonFatal(_) => None }
+        catOpt match {
+          case Some(g: graft.catalog.GraftCatalog) =>
             g.pathForIdent(Identifier.of(parts.tail.init.toArray, parts.last))
-          case other => throw new IllegalArgumentException(
-            s"'${parts.head}' is not a graft catalog (got $other)")
+          case Some(other) if parts.head != "spark_catalog" =>
+            throw new IllegalArgumentException(
+              s"'${parts.head}' is not a graft catalog (got $other)")
+          case _ => // session-catalog `USING graft` table
+            val ident = parts.filterNot(_ == "spark_catalog") match {
+              case Seq(t)     => org.apache.spark.sql.catalyst.TableIdentifier(t)
+              case Seq(db, t) =>
+                org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+              case bad => throw new IllegalArgumentException(
+                s"cannot resolve table name ${bad.mkString(".")}")
+            }
+            val meta = spark.sessionState.catalog.getTableMetadata(ident)
+            require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+              s"'${parts.mkString(".")}' is not a graft table " +
+                s"(provider ${meta.provider.getOrElse("none")})")
+            meta.storage.properties.get("path")
+              .orElse(meta.storage.locationUri.map(_.toString))
+              .getOrElse(throw new IllegalArgumentException(
+                s"'${parts.mkString(".")}' has no path in its storage options"))
         }
     }
 }

@@ -503,38 +503,16 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         s"table_changes arguments must be literals, got $other")
     }
     val tableStr = litOf(args.head).toString
+    // `graft.`-with-backtick is the path-literal form; every OTHER name
+    // (including one under a catalog actually NAMED 'graft') goes
+    // through the shared resolver — graft DSv2 catalogs, then
+    // session-catalog `USING graft` tables
     val path: String =
       if (byPath) tableStr
-      else if (tableStr.startsWith("graft.")) // graft.`/path` form
+      else if (tableStr.startsWith("graft.`"))
         tableStr.stripPrefix("graft.").stripPrefix("`").stripSuffix("`")
-      else {
-        // proper identifier parsing (quoted parts included), then: a
-        // graft DSv2 catalog resolves through it; anything else —
-        // including 1-part names — is looked up as a session-catalog
-        // `USING graft` table whose path rides in its storage options
-        val parts = spark.sessionState.sqlParser
-          .parseMultipartIdentifier(tableStr)
-        val viaGraftCatalog = parts.length >= 2 &&
-          (try spark.sessionState.catalogManager.catalog(parts.head)
-            .isInstanceOf[graft.catalog.GraftCatalog]
-          catch { case scala.util.control.NonFatal(_) => false })
-        if (viaGraftCatalog) GraftMaintenance.resolvePath(spark, Right(parts))
-        else {
-          val ident = parts.takeRight(2) match {
-            case Seq(db, t) => org.apache.spark.sql.catalyst
-              .TableIdentifier(t, Some(db))
-            case _ => org.apache.spark.sql.catalyst.TableIdentifier(parts.last)
-          }
-          val meta = spark.sessionState.catalog.getTableMetadata(ident)
-          require(meta.provider.exists(_.equalsIgnoreCase("graft")),
-            s"table_changes: '$tableStr' is not a graft table " +
-              s"(provider ${meta.provider.getOrElse("none")})")
-          meta.storage.properties.get("path")
-            .orElse(meta.storage.locationUri.map(_.getPath))
-            .getOrElse(throw new IllegalArgumentException(
-              s"table_changes: '$tableStr' has no path in its storage options"))
-        }
-      }
+      else GraftMaintenance.resolvePath(spark, Right(
+        spark.sessionState.sqlParser.parseMultipartIdentifier(tableStr)))
     def boundOpt(prefix: String, v: Any): (String, String) = v match {
       case s: String => (s"${prefix}Timestamp", s)
       case n         => (s"${prefix}Version", n.toString)

@@ -176,12 +176,11 @@ class GraftStreamSource(
       val base = table.dfForFiles(snap, snap.files)
       return asStream(
         if (readChangeFeed) {
-          import org.apache.spark.sql.functions.lit
           val snapCommit = log.readCommit(snapV)
-          base.withColumn(graft.io.Cdc.ChangeCol, lit("insert"))
-            .withColumn(graft.io.Cdc.VersionCol, lit(snapCommit.version))
-            .withColumn(graft.io.Cdc.TimestampCol,
-              lit(new java.sql.Timestamp(snapCommit.timestampMs)))
+          graft.io.Cdc.stamp(
+            base.withColumn(graft.io.Cdc.ChangeCol,
+              org.apache.spark.sql.functions.lit("insert")),
+            snapCommit.version, snapCommit.timestampMs)
         } else base)
     }
     if (readChangeFeed)

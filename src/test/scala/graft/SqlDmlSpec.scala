@@ -585,6 +585,10 @@ class SqlDmlSpec extends SparkSpec {
         "SELECT k, _change_type FROM table_changes('tvf_events', 1, 1)")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(named == Set((2L, "insert")))
+      // the shared resolver serves the maintenance surface on session-
+      // catalog names too, not just the TVF
+      assert(spark.sql("DESCRIBE HISTORY tvf_events").count() == 3)
+      spark.sql("OPTIMIZE tvf_events")
     } finally spark.sql("DROP TABLE tvf_events")
   }
 
