@@ -164,6 +164,18 @@ object GraftWriter {
         s.partitionColumns
       case _ => opts.partitionBy
     }
+    // Identity columns cannot be partition columns: hive-style layout
+    // drops them from the data pages, so written files carry no footer
+    // stats for them and the high-water mark could never advance — the
+    // next assigning write would silently reallocate duplicate values.
+    {
+      val idPart = partitionCols.filter(p =>
+        Generated.identityOf(declProps).keySet.exists(_.equalsIgnoreCase(p)))
+      require(idPart.isEmpty,
+        s"identity columns (${idPart.mkString(", ")}) cannot be partition " +
+          "columns — partition values are dropped from data pages, so the " +
+          "identity high-water mark cannot advance from footer stats")
+    }
     val newSchema: StructType = snapOpt match {
       case Some(s)
           if opts.mode == WriteMode.Append || opts.mode == WriteMode.Overwrite =>
@@ -301,7 +313,8 @@ object GraftWriter {
           partitionColumns = partitionCols,
           // advance identity high-water marks from the written files'
           // footer stats — a pure metadata read, no extra data pass
-          metadata = opts.metadata ++ Generated.hwmUpdates(added, declProps),
+          metadata = opts.metadata ++
+            Generated.hwmUpdates(added, declProps, writtenFallback = Some(df)),
           operationMetrics = metrics,
           add = added,
           remove = removals2,
@@ -350,9 +363,16 @@ object GraftWriter {
         * rewrite paths (DML/merge), where any column may have been set.
         */
       validateGenerated: Option[Set[String]] = None): Unit = {
-    val genCheck = validateGenerated
-      .map(Generated.generatedOf(props).keySet.intersect)
-      .getOrElse(Generated.generatedOf(props).keySet)
+    // supplied-name matching is case-insensitive, like Spark's resolver
+    // (a caller supplying 'TOTAL_CENTS' for declared 'total_cents' HAS
+    // supplied the column and must be validated)
+    val genCheck = validateGenerated match {
+      case Some(supplied) =>
+        val ci = supplied.map(_.toLowerCase(java.util.Locale.ROOT))
+        Generated.generatedOf(props).keySet
+          .filter(g => ci(g.toLowerCase(java.util.Locale.ROOT)))
+      case None => Generated.generatedOf(props).keySet
+    }
     if (added.isEmpty || (constraintsOf(props).isEmpty && genCheck.isEmpty))
       return
     // written files carry physical column names (ColumnMapping) — read
@@ -395,7 +415,8 @@ object GraftWriter {
         (s"CHECK constraint $name ($sql)", coalesce(!expr(sql), lit(false)))
       } ++
         Generated.generatedOf(props).toSeq
-          .filter { case (c, _) => genCols(c) && df.columns.contains(c) }
+          .filter { case (c, _) =>
+            genCols(c) && df.columns.exists(_.equalsIgnoreCase(c)) }
           .map { case (c, sql) =>
             (s"generated column $c != ($sql)", !(col(c) <=> expr(sql)))
           }
@@ -801,7 +822,15 @@ object GraftWriter {
         * throws and the caller re-derives (see
         * [[graft.log.CommitLog.commitOrRebase]]).
         */
-      profile: Option[graft.log.TxnProfile] = None): Long = {
+      profile: Option[graft.log.TxnProfile] = None,
+      /** Columns the command EXPLICITLY assigned (UPDATE SET / merge
+        * clause targets). Generated columns outside this set were
+        * recomputed by the caller ([[Generated.recompute]]) and satisfy
+        * their expressions by construction — only the explicitly
+        * assigned ones need the post-write read-back validation. None =
+        * legacy posture: validate every declared generated column.
+        */
+      assignedCols: Option[Set[String]] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
@@ -813,7 +842,7 @@ object GraftWriter {
     val added =
       stageAndPromote(spark, fs, conf, writeDf, path, snap.partitionColumns, compression)
     enforceOnWritten(spark, fs, path, schema, snap.partitionColumns, added,
-      log.tableProperties())
+      log.tableProperties(), validateGenerated = assignedCols)
     // CAS on the snapshot the rewrite was derived from: a concurrent
     // commit conflicts (the merge/DML retry re-derives) instead of
     // having its changes silently clobbered by stale carried-over rows.
@@ -826,7 +855,8 @@ object GraftWriter {
       // a merge insert may SUPPLY identity values (BY DEFAULT
       // semantics): keep the high-water mark ahead of them
       metadata = metadata ++
-        Generated.hwmUpdates(added, log.tableProperties()),
+        Generated.hwmUpdates(added, log.tableProperties(),
+          writtenFallback = Some(df)),
       operationMetrics = Map(
         "num_added_files" -> added.size.toLong,
         "num_removed_files" -> removals.size.toLong,

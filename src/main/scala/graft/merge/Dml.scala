@@ -82,13 +82,20 @@ object Dml {
     // 2. rewrite only the touched files
     val aff = table.dfForFiles(snap, touched)
     val matched = coalesce(condition, lit(false)) // WHERE NULL = no-op
+    val props = table.log.tableProperties()
     val newData = keepMatched match {
       case None => aff.filter(!matched) // DELETE
-      case Some(set) => aff.select(cols.map { c =>
-        set.get(c)
-          .map(v => when(matched, v).otherwise(col(c)).as(c))
-          .getOrElse(col(c))
-      }: _*)
+      case Some(set) =>
+        // generated columns not explicitly SET are recomputed (identity
+        // on unmatched carried-over rows; keeps the invariant true on
+        // rows whose base columns just changed — Delta parity)
+        graft.io.Generated.recompute(
+          aff.select(cols.map { c =>
+            set.get(c)
+              .map(v => when(matched, v).otherwise(col(c)).as(c))
+              .getOrElse(col(c))
+          }: _*),
+          snap.schema, props, except = set.keys.toSet)
     }
     // change-data feed (opt-in `graft.cdf`): record the matched rows as
     // pre/postimages — one extra pass over the TOUCHED files only
@@ -102,8 +109,10 @@ object Dml {
           case Some(set) =>
             hit.withColumn(graft.io.Cdc.ChangeCol, lit("update_preimage"))
               .unionByName(
-                hit.select(cols.map(c =>
-                  set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+                graft.io.Generated.recompute(
+                  hit.select(cols.map(c =>
+                    set.get(c).map(_.as(c)).getOrElse(col(c))): _*),
+                  snap.schema, props, except = set.keys.toSet)
                   .withColumn(graft.io.Cdc.ChangeCol, lit("update_postimage")))
         }
         graft.io.Cdc.writeChangeFiles(spark, path, changes)
@@ -113,7 +122,9 @@ object Dml {
       operation = op,
       metadata = Map("operation" -> op),
       cdc = cdcFiles,
-      profile = Some(dmlProfile(spark, snap, touched, condition)))
+      profile = Some(dmlProfile(spark, snap, touched, condition)),
+      // DELETE changes no values; UPDATE recomputed all but the SET ones
+      assignedCols = Some(keepMatched.map(_.keys.toSet).getOrElse(Set.empty)))
     DmlStats(v, touched.size.toLong)
   }
 
@@ -178,8 +189,9 @@ object Dml {
 
     // change-data feed (opt-in `graft.cdf`): one extra pass over the
     // TOUCHED files only, same shape as the COW path
+    val props = table.log.tableProperties()
     val cdcFiles: Seq[graft.log.AddFile] =
-      if (!graft.io.Cdc.enabled(table.log.tableProperties())) Nil
+      if (!graft.io.Cdc.enabled(props)) Nil
       else {
         val hit = table.dfForFiles(snap, touched).filter(matched)
         val changes = keepMatched match {
@@ -188,8 +200,10 @@ object Dml {
           case Some(set) =>
             hit.withColumn(graft.io.Cdc.ChangeCol, lit("update_preimage"))
               .unionByName(
-                hit.select(cols.map(c =>
-                  set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+                graft.io.Generated.recompute(
+                  hit.select(cols.map(c =>
+                    set.get(c).map(_.as(c)).getOrElse(col(c))): _*),
+                  snap.schema, props, except = set.keys.toSet)
                   .withColumn(graft.io.Cdc.ChangeCol, lit("update_postimage")))
         }
         graft.io.Cdc.writeChangeFiles(spark, path, changes)
@@ -218,16 +232,19 @@ object Dml {
             cdc = cdcFiles)
         }
       case Some(set) => // UPDATE: postimages append as new files
-        val postimages = table.dfForFiles(snap, touched).filter(matched)
-          .select(cols.map(c =>
-            set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        val postimages = graft.io.Generated.recompute(
+          table.dfForFiles(snap, touched).filter(matched)
+            .select(cols.map(c =>
+              set.get(c).map(_.as(c)).getOrElse(col(c))): _*),
+          snap.schema, props, except = set.keys.toSet)
         GraftWriter.writeCow(spark, postimages, path, snap,
           removals,
           operation = op,
           metadata = Map("operation" -> op),
           cdc = cdcFiles,
           extraAdds = dvAdds,
-          profile = Some(profile))
+          profile = Some(profile),
+          assignedCols = Some(set.keys.toSet))
     }
     DmlStats(v, touched.size.toLong)
   }

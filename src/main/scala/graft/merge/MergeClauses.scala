@@ -217,18 +217,29 @@ object MergeClausesExecutor {
       val inserts = insertRows(
         // anti join must see ALL candidate rows, not just touched files
         candDf, src, cond, mergedSchema, notMatched, sourceAlias, targetAlias)
-      val newData = rewritten.unionByName(inserts)
+      val props = table.log.tableProperties()
+      val genExcept = explicitGenerated(
+        props, matched, notMatched, notMatchedBySource)
+      // generated columns no clause explicitly assigns are recomputed
+      // post-dispatch (identity on carried rows; keeps the invariant when
+      // a SET changed a referenced base column — Delta parity); the
+      // explicitly assigned ones keep the post-write validation
+      val newData = graft.io.Generated.recompute(
+        rewritten.unionByName(inserts), mergedSchema, props, genExcept)
 
       // change-data feed (opt-in `graft.cdf`): row-level pre/postimages
       // for the touched files plus the inserted rows — change volume
       // scales with the clauses' hits, never the table
       val cdcFiles: Seq[AddFile] =
-        if (!graft.io.Cdc.enabled(table.log.tableProperties())) Nil
+        if (!graft.io.Cdc.enabled(props)) Nil
         else {
           val changes = changeRows(affDf, src, cond, cols,
-            matched, notMatchedBySource, sourceAlias, targetAlias)
-            .unionByName(inserts.withColumn(
-              graft.io.Cdc.ChangeCol, lit("insert")))
+            matched, notMatchedBySource, sourceAlias, targetAlias,
+            mergedSchema, props, genExcept)
+            .unionByName(
+              graft.io.Generated.recompute(inserts, mergedSchema, props,
+                genExcept).withColumn(
+                graft.io.Cdc.ChangeCol, lit("insert")))
           graft.io.Cdc.writeChangeFiles(spark, path, changes)
         }
 
@@ -240,7 +251,8 @@ object MergeClausesExecutor {
         schemaOverride = if (schemaEvolution) Some(mergedSchema) else None,
         profile = Some(clauseProfile(spark, snap, src, predicate,
           sourceAlias, targetAlias, candidates, touched, matched, notMatched,
-          notMatchedBySource)))
+          notMatchedBySource)),
+        assignedCols = Some(genExcept))
       val numOut = table.snapshot().files.map(_.liveRecords).sum
       MergeStats(v, numSource, numOut)
     }
@@ -356,18 +368,24 @@ object MergeClausesExecutor {
     val inserts = insertRows(
       // anti join must see ALL candidate rows, not just touched files
       candDfM, src, cond, mergedSchema, notMatched, sa, ta)
-    val newData = rewrites.unionByName(inserts)
+    val props = table.log.tableProperties()
+    val genExcept = explicitGenerated(
+      props, matched, notMatched, notMatchedBySource)
+    val newData = graft.io.Generated.recompute(
+      rewrites.unionByName(inserts), mergedSchema, props, genExcept)
 
     // CDF: identical change semantics to the COW path, over the touched
     // scope of the PRE-merge snapshot
     val cdcFiles: Seq[AddFile] =
-      if (!graft.io.Cdc.enabled(table.log.tableProperties())) Nil
+      if (!graft.io.Cdc.enabled(props)) Nil
       else {
         val affDf = evolve(table.dfForFiles(snap, touched))
         val changes = changeRows(affDf, src, cond, cols,
-          matched, notMatchedBySource, sa, ta)
-          .unionByName(inserts.withColumn(
-            graft.io.Cdc.ChangeCol, lit("insert")))
+          matched, notMatchedBySource, sa, ta, mergedSchema, props, genExcept)
+          .unionByName(
+            graft.io.Generated.recompute(inserts, mergedSchema, props,
+              genExcept).withColumn(
+              graft.io.Cdc.ChangeCol, lit("insert")))
         graft.io.Cdc.writeChangeFiles(spark, path, changes)
       }
 
@@ -379,7 +397,8 @@ object MergeClausesExecutor {
       schemaOverride = if (schemaEvolution) Some(mergedSchema) else None,
       extraAdds = updated.flatMap(_._2),
       profile = Some(clauseProfile(spark, snap, src, predicate, sa, ta,
-        candidates, touched, matched, notMatched, notMatchedBySource)))
+        candidates, touched, matched, notMatched, notMatchedBySource)),
+      assignedCols = Some(genExcept))
     val numOut = table.snapshot().files.map(_.liveRecords).sum
     MergeStats(v, numSource, numOut)
     } finally affected.unpersist()
@@ -500,17 +519,49 @@ object MergeClausesExecutor {
       matched: Seq[MatchedClause],
       bySource: Seq[MatchedClause],
       sa: String,
-      ta: String): DataFrame = {
+      ta: String,
+      schema: org.apache.spark.sql.types.StructType,
+      props: Map[String, String],
+      genExcept: Set[String]): DataFrame = {
     val d = Dispatch(target, source, cond, matched, bySource, sa, ta)
     val tagged = d.joined.withColumn("__graft_kind", d.kind)
     val oldCols = cols.map(c => col(s"$ta.$c").as(c))
     val cc = graft.io.Cdc.ChangeCol
     val updates = tagged.filter(col("__graft_kind") === "update")
     updates.select(oldCols :+ lit("update_preimage").as(cc): _*)
-      .unionByName(updates.select(
-        cols.map(d.outCol) :+ lit("update_postimage").as(cc): _*))
+      .unionByName(
+        // postimages mirror the rewrite's recompute so the feed's new
+        // images are bit-identical to what the table now holds
+        graft.io.Generated.recompute(
+          updates.select(cols.map(d.outCol): _*), schema, props, genExcept)
+          .withColumn(cc, lit("update_postimage")))
       .unionByName(tagged.filter(col("__graft_kind") === "delete")
         .select(oldCols :+ lit("delete").as(cc): _*))
+  }
+
+  /** Generated columns at least one clause EXPLICITLY assigns (UPDATE
+    * SET / INSERT VALUES naming them, or any full-row UPDATE ALL /
+    * INSERT ALL clause — the source supplies every column there). These
+    * skip the dispatch-side recompute and keep the post-write
+    * validation posture instead.
+    */
+  private def explicitGenerated(
+      props: Map[String, String],
+      matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedClause],
+      bySource: Seq[MatchedClause]): Set[String] = {
+    val gens = graft.io.Generated.generatedOf(props).keySet
+    if (gens.isEmpty) return Set.empty
+    val fullRow = (matched ++ bySource).exists(_.isInstanceOf[UpdateAll]) ||
+      notMatched.exists(_.isInstanceOf[InsertAll])
+    if (fullRow) gens
+    else {
+      val named =
+        (matched ++ bySource).collect { case UpdateSet(s, _) => s.keys }
+          .flatten.toSet ++
+          notMatched.collect { case InsertValues(v, _) => v.keys }.flatten
+      gens.filter(g => named.exists(_.equalsIgnoreCase(g)))
+    }
   }
 
   /** Insert side: first applicable not-matched clause per unmatched

@@ -54,7 +54,10 @@ class GraftStreamSource(
       * few files per micro-batch, so commit granularity bounds catch-up
       * batches exactly like Delta's file granularity does there; one
       * giant historical commit still arrives whole (pair with
-      * `maxRecordsPerFile`-bounded writes upstream).
+      * `maxRecordsPerFile`-bounded writes upstream). The INITIAL
+      * SNAPSHOT of a fresh stream on a retention-cleaned log is also
+      * split across triggers under these caps (Delta parity) via
+      * [[SnapshotPhaseOffset]] — without caps it arrives as one batch.
       */
     maxFilesPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None)
@@ -72,6 +75,70 @@ class GraftStreamSource(
 
   /** End version frozen by prepareForTriggerAvailableNow. */
   @volatile private var availableNowCap: Option[Long] = None
+
+  /** Offset used while serving the INITIAL SNAPSHOT in capped chunks:
+    * `index` files of the (path-sorted) snapshot at `version` have been
+    * served. Plain long offsets (all other phases, and every pre-split
+    * checkpoint) stay the wire format — `json` here is a JSON object, so
+    * the two never collide.
+    */
+  private[graft] case class SnapshotPhaseOffset(version: Long, index: Long)
+      extends Offset {
+    override def json: String = s"""{"v":$version,"i":$index}"""
+  }
+
+  /** (commit version, snapshot-phase file index if mid-snapshot). */
+  private def parseOffset(o: OffsetV2): (Long, Option[Long]) = {
+    val j = o match {
+      case l: LongOffset           => return (l.offset, None)
+      case SnapshotPhaseOffset(v, i) => return (v, Some(i))
+      case s: SerializedOffset     => s.json
+      case other                   => other.json
+    }
+    val t = j.trim
+    if (t.startsWith("{")) {
+      val re = """\{\s*"v"\s*:\s*(-?\d+)\s*,\s*"i"\s*:\s*(\d+)\s*\}""".r
+      t match {
+        case re(v, i) => (v.toLong, Some(i.toLong))
+        case _ => throw new IllegalStateException(
+          s"unrecognized graft stream offset: $j")
+      }
+    } else (t.toLong, None)
+  }
+
+  /** Deterministic file order for snapshot chunking — stable across
+    * restarts because it depends only on the pinned snapshot. Cached:
+    * the phase consults it every trigger, and the pinned snapshot is
+    * immutable.
+    */
+  @volatile private var snapshotCache: Option[(Long, Seq[graft.log.AddFile])] = None
+  private def snapshotFilesSorted(v: Long): Seq[graft.log.AddFile] =
+    snapshotCache match {
+      case Some((`v`, files)) => files
+      case _ =>
+        val files = log.snapshot(Some(v)).files.sortBy(_.path)
+        snapshotCache = Some((v, files))
+        files
+    }
+
+  /** Largest index `j > from` with files[from..j) under both caps (at
+    * least one file per trigger so the phase always progresses).
+    */
+  private def admitSnapshotChunk(files: Seq[graft.log.AddFile], from: Long): Long = {
+    var (n, bytes) = (0L, 0L)
+    var j = from
+    var done = false
+    val it = files.iterator.drop(from.toInt)
+    while (!done && it.hasNext) {
+      val f = it.next()
+      n += 1; bytes += f.sizeBytes
+      val over = maxFilesPerTrigger.exists(n > _) ||
+        maxBytesPerTrigger.exists(bytes > _)
+      if (over && j > from) done = true
+      else j += 1 // always admit at least one file
+    }
+    j
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxCommitsPerTrigger
@@ -91,8 +158,34 @@ class GraftStreamSource(
     latest match {
       case None => null
       case Some(l) =>
-        val start0 = Option(startOffset)
-          .map(versionOf)
+        val parsedStart = Option(startOffset).map(parseOffset)
+        // mid-initial-snapshot: keep chunking the pinned snapshot under
+        // the caps until every file has been served, THEN resume commit
+        // replay from the pinned version
+        parsedStart match {
+          case Some((v, Some(i))) =>
+            val files = snapshotFilesSorted(v)
+            if (i < files.size)
+              return SnapshotPhaseOffset(v, admitSnapshotChunk(files, i))
+          case _ => ()
+        }
+        val freshStream = parsedStart.isEmpty && startingVersion.isEmpty
+        val oldestSurviving = log.versions().headOption.getOrElse(0L)
+        // a BRAND-NEW stream on a retention-cleaned log serves the
+        // INITIAL SNAPSHOT first; with file/byte caps it is split across
+        // triggers (Delta applies the caps to the initial snapshot too —
+        // a 100 TB table must not arrive as one unbounded batch)
+        if (freshStream && oldestSurviving > 0 &&
+            (maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty)) {
+          val files = snapshotFilesSorted(oldestSurviving)
+          val j = admitSnapshotChunk(files, 0L)
+          return (
+            if (j < files.size) SnapshotPhaseOffset(oldestSurviving, j)
+            // tiny snapshot: fits one batch, serve it as such and move on
+            else SnapshotPhaseOffset(oldestSurviving, files.size.toLong))
+        }
+        val start0 = parsedStart
+          .map(_._1)
           .orElse(startingVersion.map(_ - 1))
           .getOrElse(-1L)
         // a BRAND-NEW stream on a retention-cleaned log starts at the
@@ -100,8 +193,7 @@ class GraftStreamSource(
         // snapshot), so admission control never proposes an end version
         // whose commit no longer exists
         val start =
-          if (Option(startOffset).isEmpty && startingVersion.isEmpty)
-            math.max(start0, log.versions().headOption.getOrElse(0L) - 1)
+          if (freshStream) math.max(start0, oldestSurviving - 1)
           else start0
         val commitCapped = limit match {
           case m: ReadMaxFiles => math.min(l, start + m.maxFiles())
@@ -137,15 +229,31 @@ class GraftStreamSource(
     }
   }
 
-  private def versionOf(o: OffsetV2): Long = o match {
-    case l: LongOffset       => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other               => other.json.toLong
-  }
-
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf(_) + 1).getOrElse(startingVersion.getOrElse(0L))
-    val to = versionOf(end)
+    val (endV, endIdx) = parseOffset(end)
+    endIdx.foreach { j =>
+      // initial-snapshot phase: serve files [i0, j) of the snapshot
+      // pinned at endV (path-sorted, so chunks are restart-stable)
+      val i0 = start.map(o => parseOffset(o)._2.getOrElse(0L)).getOrElse(0L)
+      val snap = log.snapshot(Some(endV))
+      val chunk = snap.files.sortBy(_.path)
+        .slice(i0.toInt, math.min(j, Int.MaxValue).toInt)
+      val table = graft.io.GraftTable(spark, path)
+      val base = table.dfForFiles(snap, chunk)
+      val batch =
+        if (readChangeFeed) {
+          val snapCommit = log.readCommit(endV)
+          graft.io.Cdc.stamp(
+            base.withColumn(graft.io.Cdc.ChangeCol,
+              org.apache.spark.sql.functions.lit("insert")),
+            snapCommit.version, snapCommit.timestampMs)
+        } else base
+      return spark.internalCreateDataFrame(
+        batch.queryExecution.toRdd, batch.schema, isStreaming = true)
+    }
+    val from = start.map(o => parseOffset(o)._1 + 1)
+      .getOrElse(startingVersion.getOrElse(0L))
+    val to = endV
     // gap handling BEFORE building the snapshot — snapshot(Some(to))
     // itself rejects retention-cleaned versions with a confusing error
     val surviving = log.versions()

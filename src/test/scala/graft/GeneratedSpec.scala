@@ -38,15 +38,90 @@ class GeneratedSpec extends SparkSpec {
     assert(ex.getMessage.contains("total_cents"))
     assert(GraftTable(spark, p).toDf().count() == 3)
 
-    // an UPDATE that would break the invariant is refused too (writeCow)
-    intercept[IllegalArgumentException] {
-      Dml.update(spark, p, col("id") === 1L, Map("qty" -> lit(9L)))
-    }
-    // updating base AND generated together consistently passes
-    Dml.update(spark, p, col("id") === 1L,
-      Map("qty" -> lit(9L), "total_cents" -> lit(900L)))
+    // an UPDATE changing a referenced base column RECOMPUTES the
+    // generated column (Delta parity) instead of refusing
+    Dml.update(spark, p, col("id") === 1L, Map("qty" -> lit(9L)))
     assert(GraftTable(spark, p).toDf().filter(col("id") === 1L)
       .select("total_cents").as[Long].head() == 900L)
+    // explicitly assigning an INCONSISTENT value is still refused
+    intercept[IllegalArgumentException] {
+      Dml.update(spark, p, col("id") === 2L,
+        Map("qty" -> lit(9L), "total_cents" -> lit(1L)))
+    }
+    // explicit CONSISTENT assignment passes (validated post-write)
+    Dml.update(spark, p, col("id") === 2L,
+      Map("qty" -> lit(9L), "total_cents" -> lit(450L)))
+    assert(GraftTable(spark, p).toDf().filter(col("id") === 2L)
+      .select("total_cents").as[Long].head() == 450L)
+  }
+
+  test("supplied columns are resolved case-insensitively (not silently recomputed)") {
+    val p = tmpDir("gen_ci") + "/t"
+    // generated: supplying under a different case is a SUPPLY — wrong
+    // values must be refused, never silently overwritten
+    val ex = intercept[IllegalArgumentException] {
+      GraftWriter.write(spark,
+        Seq((1L, 2L, 100L, 999L)).toDF("id", "qty", "price_cents", "TOTAL_CENTS"),
+        p, WriteOptions(mode = WriteMode.Overwrite, metadata = genProps))
+    }
+    assert(ex.getMessage.contains("total_cents") ||
+      ex.getMessage.contains("TOTAL_CENTS"))
+    // identity: supplied-under-different-case values are kept and the
+    // mark advances past them
+    val p2 = tmpDir("gen_ci2") + "/t"
+    GraftWriter.write(spark, Seq(("a", 50L)).toDF("k", "RID"), p2,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(s"${Generated.IdentityPrefix}rid" -> "1,1")))
+    assert(GraftTable(spark, p2).toDf().select("RID").as[Long].head() == 50L)
+    assert(GraftTable(spark, p2).log.tableProperties()(
+      Generated.hwmKey("rid")).toLong == 50L)
+  }
+
+  test("identity columns cannot be partition columns") {
+    val p = tmpDir("ident_part") + "/t"
+    val ex = intercept[IllegalArgumentException] {
+      GraftWriter.write(spark, Seq("a", "b").toDF("k"), p,
+        WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("rid"),
+          metadata = Map(s"${Generated.IdentityPrefix}rid" -> "1,1")))
+    }
+    assert(ex.getMessage.contains("partition"))
+  }
+
+  test("identity mark falls back to an aggregate when footer stats are absent") {
+    import graft.log.AddFile
+    val props = Map(s"${Generated.IdentityPrefix}rid" -> "1,1")
+    val noStats = Seq(
+      AddFile("f1.parquet", Map.empty, 10L, 2L, 0L),
+      AddFile("f2.parquet", Map.empty, 10L, 1L, 0L))
+    // without a fallback frame: no stats, no advance (pre-fix posture)
+    assert(Generated.hwmUpdates(noStats, props).isEmpty)
+    // with the written frame: one aggregate pass finds the true edge
+    val up = Generated.hwmUpdates(noStats, props,
+      writtenFallback = Some(Seq(5L, 9L, 3L).toDF("rid")))
+    assert(up(Generated.hwmKey("rid")) == "9")
+    // descending identity tracks the min
+    val down = Generated.hwmUpdates(noStats,
+      Map(s"${Generated.IdentityPrefix}rid" -> "-1,-1"),
+      writtenFallback = Some(Seq(-5L, -9L, -3L).toDF("rid")))
+    assert(down(Generated.hwmKey("rid")) == "-9")
+    // zero-row files never force the fallback pass
+    val empty = Seq(AddFile("f3.parquet", Map.empty, 0L, 0L, 0L))
+    assert(Generated.hwmUpdates(empty, props,
+      writtenFallback = Some(Seq(99L).toDF("rid"))).isEmpty)
+  }
+
+  test("UPDATE of a base column recomputes generated columns in the change feed too") {
+    val p = tmpDir("gen_cdf") + "/t"
+    GraftWriter.write(spark,
+      Seq((1L, 2L, 100L)).toDF("id", "qty", "price_cents"),
+      p, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = genProps + ("graft.cdf" -> "true")))
+    Dml.update(spark, p, col("id") === 1L, Map("qty" -> lit(7L)))
+    val t = GraftTable(spark, p)
+    val post = t.tableChanges(0, t.version())
+      .filter(col("_change_type") === "update_postimage")
+      .select("total_cents").as[Long].head()
+    assert(post == 700L, "CDF postimage must carry the recomputed value")
   }
 
   test("generated expression may only reference non-generated columns") {
