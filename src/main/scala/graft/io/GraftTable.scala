@@ -471,28 +471,77 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     * time is older than `retainMillis` — the directory-listing posture of
     * Delta's VACUUM, as the complement to the log-driven
     * [[vacuumOlderThan]]. Internal dirs (`_graft_log`, `_staging-*`,
-    * `_branches`) are never touched.
+    * `_branches`) are never touched. Listing and deletion are
+    * EXECUTOR-parallel (one listing task per top-level partition
+    * directory, batched deletes) — at millions of files the previous
+    * driver-side recursive walk plus serial deletes was hours of
+    * single-threaded work; the driver now handles only the root's
+    * direct children and the doomed-path result.
     */
   def vacuumOrphans(
       retainMillis: Long,
-      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+      nowMs: Long = System.currentTimeMillis(),
+      /** Report what WOULD be deleted without touching anything. */
+      dryRun: Boolean = false): Seq[String] = {
     val cutoff = nowMs - retainMillis
-    val referenced: Set[String] =
-      log.versions().flatMap(v => log.readCommit(v).add.map(_.path)).toSet
+    val referenced: Seq[String] =
+      log.versions().flatMap(v => log.readCommit(v).add.map(_.path)).distinct
     val fs = log.fs
-    val rootAbs = fs.makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
-    val it = fs.listFiles(new Path(path), true)
-    val doomed = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val st = it.next()
-      val abs = st.getPath.toUri.getPath
-      val rel = abs.stripPrefix(rootAbs).stripPrefix("/")
-      val internal = rel.startsWith("_") || rel.contains("/_") ||
-        rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-      if (!internal && rel.endsWith(".parquet") && !referenced(rel) &&
-          st.getModificationTime < cutoff) doomed += rel
+    val qualifiedRoot = fs.makeQualified(new Path(path))
+    val rootAbs = qualifiedRoot.toUri.getPath.stripSuffix("/")
+    def isInternal(rel: String): Boolean =
+      rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+    def candidate(rel: String, mtime: Long): Boolean =
+      !isInternal(rel) && rel.endsWith(".parquet") && mtime < cutoff
+
+    // one flat listing of the root on the driver: its direct files are
+    // evaluated here; each non-internal DIRECTORY (= partition dir on a
+    // hive layout) becomes one executor listing task — a million-file
+    // table lists in parallel instead of one serial driver walk
+    val top = fs.listStatus(new Path(path)).toSeq
+    val (dirs, rootFiles) = top.partition(_.isDirectory)
+    val candDirs = dirs.map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+    val driverCands: Seq[String] = rootFiles.flatMap { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootAbs).stripPrefix("/")
+      if (candidate(rel, st.getModificationTime)) Some(rel) else None
     }
-    doomed.toSeq.filter(rel => fs.delete(new Path(path, rel), false))
+
+    // executor-side: recursive listing + candidate filter BEFORE any
+    // collect, so only candidate rel-paths ever cross the wire; the
+    // referenced set is anti-joined as a relation (never broadcast as a
+    // giant driver set)
+    val rootAbsL = rootAbs
+    val cutoffL = cutoff
+    val listed = org.apache.spark.sql.graft.GraftInternal
+      .distributedListFiles(spark, candDirs.map(_.toString))
+      .flatMap { case (abs, mtime) =>
+        val rel = new Path(abs).toUri.getPath
+          .stripPrefix(rootAbsL).stripPrefix("/")
+        val internal = rel.split('/').exists(s =>
+          s.startsWith("_") || s.startsWith("."))
+        if (!internal && rel.endsWith(".parquet") && mtime < cutoffL)
+          Some(rel)
+        else None
+      }
+    import org.apache.spark.sql.Encoders
+    val candDf = spark.createDataset(listed)(Encoders.STRING)
+      .union(spark.createDataset(driverCands)(Encoders.STRING))
+      .toDF("rel")
+    val refDf = spark.createDataset(referenced)(Encoders.STRING).toDF("rel")
+    val doomed = candDf.join(refDf, Seq("rel"), "left_anti")
+      .as(Encoders.STRING).collect().toSeq.sorted
+    if (dryRun) doomed
+    else {
+      // batched executor-side deletes (the driver loop was hours of
+      // serial RPC at millions of files)
+      val deleted = org.apache.spark.sql.graft.GraftInternal
+        .distributedDelete(spark,
+          doomed.map(rel => new Path(qualifiedRoot, rel).toString))
+        .map(u => new Path(u).toUri.getPath
+          .stripPrefix(rootAbs).stripPrefix("/")).toSet
+      doomed.filter(deleted)
+    }
   }
 
   /** Physically delete data files not live in any of the newest

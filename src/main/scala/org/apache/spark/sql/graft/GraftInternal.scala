@@ -62,6 +62,54 @@ object GraftInternal {
     }.sum().toLong
   }
 
+  /** Recursively list each directory of `dirUris` on EXECUTORS (one
+    * task per directory, so a table with thousands of partition
+    * directories lists in parallel instead of serially on the driver)
+    * and return (absolute path URI string, modificationTime) per file.
+    * Same `SerializableConfiguration` placement rationale as
+    * [[distributedCopy]].
+    */
+  def distributedListFiles(
+      spark: SparkSession,
+      dirUris: Seq[String]): org.apache.spark.rdd.RDD[(String, Long)] = {
+    val sc = spark.sparkContext
+    if (dirUris.isEmpty) return sc.emptyRDD
+    val bc = sc.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+    val slices = math.min(dirUris.size, math.max(1, sc.defaultParallelism))
+    sc.parallelize(dirUris, slices).flatMap { d =>
+      val conf = bc.value.value
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        out += ((st.getPath.toString, st.getModificationTime))
+      }
+      out
+    }
+  }
+
+  /** Delete each URI on EXECUTORS (batched over tasks, not one
+    * sequential driver loop) and return the URIs whose delete actually
+    * removed a file (false = already gone, e.g. a prior vacuum).
+    */
+  def distributedDelete(spark: SparkSession, uris: Seq[String]): Seq[String] = {
+    if (uris.isEmpty) return Nil
+    val sc = spark.sparkContext
+    val bc = sc.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+    val slices = math.min(uris.size, math.max(1, sc.defaultParallelism))
+    sc.parallelize(uris, slices).mapPartitions { it =>
+      val conf = bc.value.value
+      it.filter { u =>
+        val p = new org.apache.hadoop.fs.Path(u)
+        p.getFileSystem(conf).delete(p, false)
+      }
+    }.collect().toSeq
+  }
+
   /** Multipart names of every unresolved attribute referenced by a
     * Column, read off the ColumnNode tree (the catalyst expression is
     * built lazily in Spark 4, so pre-analysis validation must walk the

@@ -853,6 +853,45 @@ class TableLayerSpec extends SparkSpec {
     assert(t.toDf().count() == 3) // live data untouched
   }
 
+  test("vacuumOrphans: executor-parallel sweep over a many-partition layout") {
+    val p = tmpDir("orph_part")
+    val df = (1 to 32).map(i => (i.toLong, s"p${i % 8}")).toDF("k", "pt")
+    GraftWriter.write(spark, df, p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pt")))
+    val t = GraftTable(spark, p)
+    def drop(rel: String): Unit = {
+      val f = new java.io.File(p, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    }
+    drop("pt=p1/stray1.parquet")          // orphan inside a partition dir
+    drop("pt=p3/stray2.parquet")
+    drop("root-stray.parquet")            // orphan at the table root
+    drop("pt=p2/.hidden-stray.parquet")   // hidden: never touched
+    drop("_staging-x/stray.parquet")      // internal dir: never touched
+    drop("pt=p4/notes.txt")               // non-parquet: never touched
+    val future = System.currentTimeMillis() + 60000
+    // dry run reports the doomed set without deleting anything
+    val wouldGo = t.vacuumOrphans(1000L, nowMs = future, dryRun = true)
+    assert(wouldGo == Seq(
+      "pt=p1/stray1.parquet", "pt=p3/stray2.parquet", "root-stray.parquet"))
+    assert(new java.io.File(p, "pt=p1/stray1.parquet").exists())
+    // real run deletes exactly the dry-run set
+    val deleted = t.vacuumOrphans(1000L, nowMs = future)
+    assert(deleted == wouldGo)
+    assert(!new java.io.File(p, "pt=p1/stray1.parquet").exists())
+    assert(!new java.io.File(p, "root-stray.parquet").exists())
+    assert(new java.io.File(p, "pt=p2/.hidden-stray.parquet").exists())
+    assert(new java.io.File(p, "_staging-x/stray.parquet").exists())
+    assert(new java.io.File(p, "pt=p4/notes.txt").exists())
+    assert(t.toDf().count() == 32, "live data untouched")
+    // idempotent: a second sweep finds nothing
+    assert(t.vacuumOrphans(1000L, nowMs = future).isEmpty)
+    // young strays survive the retention window
+    drop("pt=p5/young.parquet")
+    assert(t.vacuumOrphans(60000L).isEmpty)
+  }
+
   test("log-retention cleanup keeps the checkpoint boundary readable") {
     import graft.log.CommitLog
     val p = tmpDir("logret")
