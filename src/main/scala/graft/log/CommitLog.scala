@@ -100,6 +100,21 @@ final case class Checkpoint(
     partitionColumns: Seq[String],
     files: Seq[AddFile])
 
+/** Manifest of a SHARDED checkpoint (written once the live-file set
+  * outgrows one JSON document): checkpoint metadata plus the shard
+  * layout. The manifest is the checkpoint's atomic commit point — shards
+  * land first, manifest last, so a reader either sees a complete
+  * checkpoint or none. `numFiles` lets the reader detect shard loss or
+  * a mixed-writer layout loudly instead of silently dropping files.
+  */
+final case class CheckpointManifest(
+    version: Long,
+    timestampMs: Long,
+    schemaDdl: String,
+    partitionColumns: Seq[String],
+    numShards: Int,
+    numFiles: Long)
+
 /** Per-table JSON commit log under `<table>/_graft_log/vNNNNNNNNNN.json`.
   *
   * Single JSON document per version; atomic publication via
@@ -118,7 +133,15 @@ final class CommitLog(
     tablePath: String,
     conf: Configuration,
     /** Write a checkpoint every N commits; <= 0 disables. */
-    checkpointInterval: Int = 10) {
+    checkpointInterval: Int = 10,
+    /** Max add-actions per checkpoint document: a live-file set larger
+      * than this writes as a manifest + N gzipped shards parsed in
+      * PARALLEL at read time (one multi-GB single-threaded JSON parse
+      * per cold snapshot was the driver bottleneck at ~10M files).
+      * Sets at or under the threshold keep the single-file form, which
+      * older builds can read.
+      */
+    checkpointShardRecords: Int = CommitLog.DefaultCheckpointShardRecords) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -137,6 +160,16 @@ final class CommitLog(
 
   private def legacyCheckpointFile(v: Long): Path =
     new Path(logDir, f"ckpt-v$v%010d.json")
+
+  // suffixes deliberately NOT ending in .json/.json.gz: pre-sharding
+  // builds glob exactly those, so they skip sharded artifacts entirely
+  // and fall back to an older readable checkpoint (or fail loudly at
+  // the retention require) instead of crashing on the file name
+  private def manifestFile(v: Long): Path =
+    new Path(logDir, f"ckpt-v$v%010d.manifest")
+
+  private def shardFile(v: Long, i: Int): Path =
+    new Path(logDir, f"ckpt-v$v%010d.shard-$i%05d.gz")
 
   /** Sorted list of committed versions; empty if the table doesn't exist. */
   def versions(): Seq[Long] = {
@@ -169,17 +202,25 @@ final class CommitLog(
   def readCommit(v: Long): Commit =
     JsonMethods.parse(readJson(versionFile(v))).extract[Commit]
 
-  /** Sorted checkpoint versions present in the log dir (either form). */
+  /** Sorted checkpoint versions present in the log dir (any form:
+    * sharded manifest, single gzip, legacy plain JSON). Shard files do
+    * not mark a checkpoint — only their manifest does (shards land
+    * first; the manifest is the atomic commit point).
+    */
   def checkpointVersions(): Seq[Long] = {
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir)
       .iterator
       .map(_.getPath.getName)
+      .collect { case n if n.startsWith("ckpt-v") =>
+        val core = n.stripPrefix("ckpt-v")
+        (core.takeWhile(_.isDigit), core.dropWhile(_.isDigit))
+      }
       .collect {
-        case n if n.startsWith("ckpt-v") && n.endsWith(".json.gz") =>
-          n.stripPrefix("ckpt-v").stripSuffix(".json.gz").toLong
-        case n if n.startsWith("ckpt-v") && n.endsWith(".json") =>
-          n.stripPrefix("ckpt-v").stripSuffix(".json").toLong
+        case (digits, suffix) if digits.nonEmpty &&
+            (suffix == ".json" || suffix == ".json.gz" ||
+              suffix == ".manifest") =>
+          digits.toLong
       }
       .toSeq
       .distinct
@@ -187,11 +228,45 @@ final class CommitLog(
   }
 
   def readCheckpoint(v: Long): Checkpoint = {
+    if (fs.exists(manifestFile(v))) return readShardedCheckpoint(v)
     val json =
       if (fs.exists(checkpointFile(v)))
         readAll(new java.util.zip.GZIPInputStream(fs.open(checkpointFile(v))))
       else readJson(legacyCheckpointFile(v))
     JsonMethods.parse(json).extract[Checkpoint]
+  }
+
+  /** Parse a sharded checkpoint's shards in PARALLEL (one thread per
+    * shard up to the core count — the wall-clock win this format
+    * exists for) and validate the reassembled file count against the
+    * manifest; any missing/corrupt/miscounted shard throws, so
+    * [[snapshot]]'s fallback tries the next older checkpoint instead of
+    * replaying a silently incomplete live set.
+    */
+  private def readShardedCheckpoint(v: Long): Checkpoint = {
+    val m = JsonMethods.parse(readJson(manifestFile(v)))
+      .extract[CheckpointManifest]
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(m.numShards,
+        Runtime.getRuntime.availableProcessors())))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = (0 until m.numShards).map { i =>
+        Future {
+          JsonMethods.parse(readAll(
+            new java.util.zip.GZIPInputStream(fs.open(shardFile(v, i)))))
+            .extract[Seq[AddFile]]
+        }
+      }
+      val files = Await.result(
+        Future.sequence(futs), scala.concurrent.duration.Duration.Inf).flatten
+      require(files.size == m.numFiles,
+        s"checkpoint v$v at $tablePath: shards hold ${files.size} files, " +
+          s"manifest expects ${m.numFiles} — shard loss or mixed writers")
+      Checkpoint(m.version, m.timestampMs, m.schemaDdl, m.partitionColumns,
+        files)
+    } finally pool.shutdown()
   }
 
   /** Replay the log up to `versionAsOf` (inclusive; latest when None).
@@ -286,31 +361,65 @@ final class CommitLog(
         // writeFileAtomic THROWS if no complete copy lands — the
         // cleanup below must not run without it (deleting pre-boundary
         // commits with no legacy-visible checkpoint is exactly the
-        // silent-data-loss case this copy exists to prevent)
-        if (!fs.exists(legacyCheckpointFile(b)))
+        // silent-data-loss case this copy exists to prevent).
+        // A SHARDED boundary checkpoint skips the copy: its legacy form
+        // would be one multi-GB document (the bottleneck sharding
+        // removes), and pre-sharding builds reading past it fail LOUDLY
+        // via snapshot()'s no-readable-checkpoint require — never
+        // silently.
+        if (!fs.exists(manifestFile(b)) &&
+            !fs.exists(legacyCheckpointFile(b)))
           writeFileAtomic(
             Serialization.write(readCheckpoint(b)).getBytes("UTF-8"),
             legacyCheckpointFile(b))
-        val doomed =
-          vs.filter(_ < b).map(versionFile) ++
-            checkpointVersions().filter(_ < b)
-              .flatMap(v => Seq(checkpointFile(v), legacyCheckpointFile(v)))
+        // checkpoint artifacts are matched by prefix so every form goes
+        // (single gzip, legacy JSON, sharded manifest + shard files)
+        val oldCkptArtifacts = fs.listStatus(logDir).iterator
+          .map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.startsWith("ckpt-v") && {
+              val digits = n.stripPrefix("ckpt-v").takeWhile(_.isDigit)
+              digits.nonEmpty && digits.toLong < b
+            }
+          }
+          .toSeq
+        val doomed = vs.filter(_ < b).map(versionFile) ++ oldCkptArtifacts
         doomed.filter(p => fs.delete(p, false)).map(_.getName)
     }
   }
 
   /** Write the checkpoint for `v` (idempotent — content is a pure
-    * function of the log at `v`; overwrite is safe).
+    * function of the log at `v`; overwrite is safe). Live sets beyond
+    * `checkpointShardRecords` write as shards + manifest (parallel
+    * parse at read time); shards land first, the manifest last, so a
+    * concurrent reader never sees a partial checkpoint.
     */
   def writeCheckpoint(v: Long): Unit = {
     val snap = snapshot(Some(v))
-    val c = Checkpoint(v, System.currentTimeMillis(), snap.schema.toDDL,
-      snap.partitionColumns, snap.files)
+    val ts = System.currentTimeMillis()
+    if (snap.files.size > checkpointShardRecords) {
+      val shards = snap.files.grouped(checkpointShardRecords).toSeq
+      shards.zipWithIndex.foreach { case (part, i) =>
+        writeFileAtomic(gzipBytes(Serialization.write(part)), shardFile(v, i))
+      }
+      val m = CheckpointManifest(v, ts, snap.schema.toDDL,
+        snap.partitionColumns, shards.size, snap.files.size.toLong)
+      writeFileAtomic(Serialization.write(m).getBytes("UTF-8"),
+        manifestFile(v))
+    } else {
+      val c = Checkpoint(v, ts, snap.schema.toDDL,
+        snap.partitionColumns, snap.files)
+      writeFileAtomic(gzipBytes(Serialization.write(c)), checkpointFile(v))
+    }
+  }
+
+  private def gzipBytes(s: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(out)
-    try gz.write(Serialization.write(c).getBytes("UTF-8"))
+    try gz.write(s.getBytes("UTF-8"))
     finally gz.close()
-    writeFileAtomic(out.toByteArray, checkpointFile(v))
+    out.toByteArray
   }
 
   /** Stage `bytes` and rename into `target` — atomic publication for
@@ -501,6 +610,13 @@ object CommitLog {
     * forward into every commit, dropped by committing an empty value.
     */
   val ReservedPrefix = "graft."
+
+  /** Default max add-actions per checkpoint document before sharding
+    * kicks in (~100k actions ≈ tens of MB of JSON — comfortably one
+    * document; a 10M-file table then writes ~100 shards parsed on all
+    * cores instead of one multi-GB single-threaded parse).
+    */
+  val DefaultCheckpointShardRecords: Int = 100000
 
   /** Key for a named CHECK constraint (value = its SQL expression). */
   def constraintKey(name: String): String = s"${ReservedPrefix}constraint.$name"

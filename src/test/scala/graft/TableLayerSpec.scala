@@ -824,6 +824,99 @@ class TableLayerSpec extends SparkSpec {
     assert(viaLegacy.toSeq == (0L until 104L))
   }
 
+  test("sharded checkpoints replay identically; a corrupt shard falls back loudly-or-older") {
+    import graft.log.CommitLog
+    import org.apache.hadoop.fs.Path
+    val p = tmpDir("ckpt_shard")
+    (0 until 12).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, i.toLong * 2)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    // force the sharded form: 12 live files at 5 records/shard = 3 shards
+    val shardLog = new CommitLog(p, conf, checkpointShardRecords = 5)
+    shardLog.writeCheckpoint(11L)
+    val fs = shardLog.fs
+    assert(fs.exists(new Path(p, "_graft_log/ckpt-v0000000011.manifest")))
+    (0 to 2).foreach { i =>
+      assert(fs.exists(new Path(p, f"_graft_log/ckpt-v0000000011.shard-$i%05d.gz")))
+    }
+    // a DEFAULT log (no threshold override) reads the sharded form
+    val log = new CommitLog(p, conf)
+    assert(log.checkpointVersions().contains(11L))
+    assert(log.readCheckpoint(11L).files.size == 12)
+    // drop commits below the auto gz checkpoint at v10: replay must go
+    // through a checkpoint and still reconstruct everything
+    (0L until 10L).foreach { v =>
+      fs.delete(new Path(p, f"_graft_log/v$v%010d.json"), false)
+    }
+    assert(GraftTable(spark, p).toDf().collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 12L))
+    // corrupt one shard: the sharded checkpoint becomes unreadable and
+    // replay FALLS BACK to the older gz checkpoint (v10) + suffix
+    val bad = fs.create(new Path(p, "_graft_log/ckpt-v0000000011.shard-00001.gz"), true)
+    try bad.write("not gzip".getBytes("UTF-8")) finally bad.close()
+    assert(GraftTable(spark, p).toDf().collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 12L))
+    // with no surviving readable checkpoint at all, replay fails LOUDLY
+    fs.delete(new Path(p, "_graft_log/ckpt-v0000000010.json.gz"), false)
+    val ex = intercept[IllegalArgumentException] {
+      GraftTable(spark, p).toDf().count()
+    }
+    assert(ex.getMessage.contains("no readable checkpoint"))
+  }
+
+  test("a shard-count mismatch is detected, never a silently smaller live set") {
+    import graft.log.CommitLog
+    import org.apache.hadoop.fs.Path
+    val p = tmpDir("ckpt_shard_mix")
+    (0 until 9).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, i.toLong)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val shardLog = new CommitLog(p, conf, checkpointShardRecords = 4)
+    shardLog.writeCheckpoint(8L) // 9 files -> shards of 4,4,1
+    val fs = shardLog.fs
+    // simulate shard loss: replace a shard with a VALID but short one
+    val gz = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.GZIPOutputStream(gz)
+    try out.write("[]".getBytes("UTF-8")) finally out.close()
+    val f = fs.create(new Path(p, "_graft_log/ckpt-v0000000008.shard-00001.gz"), true)
+    try f.write(gz.toByteArray) finally f.close()
+    val ex = intercept[Exception] { shardLog.readCheckpoint(8L) }
+    assert(ex.getMessage.contains("shard"),
+      s"expected a shard-count error, got: ${ex.getMessage}")
+  }
+
+  test("log-retention across a sharded boundary checkpoint") {
+    import graft.log.CommitLog
+    import org.apache.hadoop.fs.Path
+    val p = tmpDir("ckpt_shard_ret")
+    (0 until 25).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, i.toLong)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val shardLog = new CommitLog(p, conf, checkpointShardRecords = 8)
+    shardLog.writeCheckpoint(20L) // 21 files -> 3 shards
+    val fs = shardLog.fs
+    // leave ONLY the sharded form at the boundary
+    fs.delete(new Path(p, "_graft_log/ckpt-v0000000020.json.gz"), false)
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    val deleted = shardLog.cleanOldLogs(1000L, nowMs = future)
+    assert(deleted.nonEmpty)
+    assert(shardLog.versions() == (20L to 24L))
+    // sub-boundary checkpoint artifacts (the gz at v10) went with them
+    assert(!fs.exists(new Path(p, "_graft_log/ckpt-v0000000010.json.gz")))
+    // no multi-GB legacy copy is materialized for a SHARDED boundary
+    assert(!fs.exists(new Path(p, "_graft_log/ckpt-v0000000020.json")))
+    // replay through the sharded boundary still serves everything
+    assert(GraftTable(spark, p).toDf().count() == 25)
+    assert(GraftTable(spark, p).toDf().collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 25L))
+  }
+
   test("null partition values round-trip (hive default partition)") {
     val p = tmpDir("nullpart")
     val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
