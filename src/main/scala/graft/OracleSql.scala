@@ -617,6 +617,11 @@ object OracleSql {
                 l_returnflag, l_quantity, l_shipdate
          FROM lineitem WHERE l_returnflag IN ('A', 'R')""",
 
+    // bloom-filter point lookup must lose no rows to wrong pruning
+    "point_lookup_bloom" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id IN (7, 123, 400, 444)""",
+
     // clone pinned at v0 (pre-append), then DELETE l_returnflag='N' on
     // the clone only — output is the source's original rows minus 'N'
     "table_clone" ->

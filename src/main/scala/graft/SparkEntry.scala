@@ -488,6 +488,24 @@ object SparkEntry {
       Seq(StaticDimension("l_returnflag", Seq("A", "R")))))
   }
 
+  /** Point lookup through parquet-footer bloom filters: `doc_id` is
+    * hash-scattered across 8 files, so every file's [min,max] covers
+    * the probes and footer stats prune NOTHING — the declared
+    * `graft.bloom.cols` filters are what confine the scan (see
+    * [[graft.io.BloomFilters]]). Result must equal the plain lookup.
+    */
+  private def qPointLookupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+      .repartition(8, col("doc_id"))
+    val p = tmp("graft_bloom")
+    GraftWriter.write(spark, d, p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.BloomFilters.PropKey -> "doc_id")))
+    spark.read.format("graft").load(p)
+      .filter(col("doc_id").isin(7L, 123L, 400L, 444L))
+  }
+
   private def qReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     val p = tmp("graft_rw")
@@ -1328,6 +1346,7 @@ object SparkEntry {
     "merge_upsert_dv" -> (mergeQuery(MergeType.Upsert, dv = true) _),
     "merge_clauses_dv" -> (qMergeClauses(dv = true) _),
     "table_roundtrip" -> (qTableRoundtrip _),
+    "point_lookup_bloom" -> (qPointLookupBloom _),
     "table_clone" -> (qTableClone _),
     "table_generated_cols" -> (qGeneratedCols _),
     "table_replace_where" -> (qReplaceWhere _),

@@ -225,7 +225,7 @@ object GraftWriter {
       else effectiveDf
     val added =
       stageAndPromote(spark, fs, conf, writeDf, path, partitionCols,
-        opts.compression, opts.maxRecordsPerFile)
+        opts.compression, opts.maxRecordsPerFile, extraProps = declProps)
     // declProps, not tableProperties(): a CREATING write's declarations
     // (constraints, generated columns) must be enforced on the very
     // rows that create the table, and the pre-commit log has none yet.
@@ -885,7 +885,12 @@ object GraftWriter {
       path: String,
       partitionCols: Seq[String],
       compression: String,
-      maxRecordsPerFile: Long = 0L): Seq[AddFile] = {
+      maxRecordsPerFile: Long = 0L,
+      /** Properties not yet committed (a CREATING write's declarations)
+        * merged over the log's, so e.g. declared bloom columns apply to
+        * the very first write's files too.
+        */
+      extraProps: Map[String, String] = Map.empty): Seq[AddFile] = {
     val stage = new Path(path, s"_staging-${UUID.randomUUID()}")
     val tsConfKey = "spark.sql.parquet.outputTimestampType"
     val prevTsConf = spark.conf.getOption(tsConfKey)
@@ -895,9 +900,15 @@ object GraftWriter {
       // invariant: every data file and its footer stats are keyed by
       // the column's creation name, so reads and pushed filters resolve
       // uniformly across pre- and post-rename files)
+      val props = new CommitLog(path, conf).tableProperties() ++ extraProps
       val physDf = ColumnMapping.toPhysical(writeDf,
-        ColumnMapping.fromProps(new CommitLog(path, conf).tableProperties()))
+        ColumnMapping.fromProps(props))
       var w = physDf.write.option("compression", compression)
+      // declared point-lookup columns get parquet footer bloom filters
+      // (consulted at prune time by GraftFileIndex — see BloomFilters)
+      BloomFilters.writerOptions(props).foreach { case (k, v) =>
+        w = w.option(k, v)
+      }
       if (maxRecordsPerFile > 0)
         w = w.option("maxRecordsPerFile", maxRecordsPerFile)
       if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)

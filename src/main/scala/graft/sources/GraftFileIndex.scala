@@ -71,13 +71,45 @@ final class GraftFileIndex(
         dirs.filter { case (row, _) => pred.eval(row) }
       }
     val skips = dataFilters.flatMap(toSkip)
-    selected.map { case (row, files) =>
+    val statKept = selected.map { case (row, files) =>
       val kept =
         if (skips.isEmpty) files
         else files.filter(f => skips.forall(DataSkipping.mayMatch(f, physSchema, _)))
+      (row, kept)
+    }
+    // point-lookup skipping: `=`/`IN` filters on DECLARED bloom columns
+    // consult the surviving files' parquet footer bloom filters (min/max
+    // can't prune a uniform high-cardinality key; the bloom filter can)
+    val bloomChecks: Seq[(String, Seq[Any])] = skips.collect {
+      case DataFilter(c, SkipOp.Eq, v) if bloomPhysCols(c) && v != null =>
+        (c, Seq(v))
+      case DataFilter(c, SkipOp.In, vs: Seq[_]) if bloomPhysCols(c) =>
+        (c, vs.asInstanceOf[Seq[Any]])
+    }
+    val result =
+      if (bloomChecks.isEmpty) statKept
+      else {
+        val key = bloomChecks.toString
+        val keep = bloomMemo.computeIfAbsent(key, _ =>
+          graft.io.BloomFilters.pruneFiles(
+            spark.sessionState.newHadoopConf(), tablePath,
+            statKept.flatMap(_._2), bloomChecks))
+        statKept.map { case (row, fs) => (row, fs.filter(f => keep(f.path))) }
+      }
+    result.map { case (row, kept) =>
       PartitionDirectory(row, kept.map(status).toArray)
     }
   }
+
+  /** Declared bloom columns (physical names) at this snapshot. */
+  private lazy val bloomPhysCols: Set[String] =
+    graft.io.BloomFilters.physColsOf(snap)
+
+  /** listFiles can run several times while one query plans; footer
+    * consultations for the same filter set are answered once.
+    */
+  private val bloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   /** Pushed-down filters reference the scan's output attributes, which
     * carry PHYSICAL column names for renamed columns (the native plan

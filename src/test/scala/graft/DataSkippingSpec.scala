@@ -10,6 +10,60 @@ import graft.io._
 class DataSkippingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bloom point-lookup skips files min/max cannot prune; results identical") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    def build(p: String, withBloom: Boolean): Unit =
+      (0 until 8).foreach { i =>
+        // keys STRIPED across files: every file's [min,max] spans the
+        // whole range, so footer stats prune nothing — only the bloom
+        // filter can confine a point probe
+        // v is striped the same way (file-id LAST) so string min/max
+        // ranges overlap across files too
+        val df = (0 until 100).map(j => (j * 16L + i, f"v$j%03d-$i"))
+          .toDF("k", "v").coalesce(1)
+        val meta =
+          if (withBloom && i == 0) Map(BloomFilters.PropKey -> "k,v")
+          else Map.empty[String, String]
+        GraftWriter.write(spark, df, p, WriteOptions(
+          mode = if (i == 0) WriteMode.Overwrite else WriteMode.Append,
+          metadata = meta))
+      }
+    def scannedFiles(p: String, probe: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+      val t = GraftTable(spark, p)
+      val idx = new graft.sources.GraftFileIndex(spark, p, t.snapshot())
+      idx.listFiles(Nil, Seq(probe)).map(_.files.length).sum
+    }
+    val withB = tmpDir("bloom_on")
+    val without = tmpDir("bloom_off")
+    build(withB, withBloom = true)
+    build(without, withBloom = false)
+    assert(GraftTable(spark, withB).snapshot().files.size == 8)
+
+    val kProbe = EqualTo(AttributeReference("k", LongType)(), Literal(5 * 16L + 3))
+    // stats alone keep all 8 files; blooms confine the probe
+    assert(scannedFiles(without, kProbe) == 8)
+    assert(scannedFiles(withB, kProbe) < 8,
+      "bloom filters must prune files for a long-key point lookup")
+    // string column goes through the BINARY hash path
+    val vProbe = EqualTo(AttributeReference("v", StringType)(), Literal("v005-3"))
+    assert(scannedFiles(without, vProbe) == 8)
+    assert(scannedFiles(withB, vProbe) < 8,
+      "bloom filters must prune files for a string-key point lookup")
+
+    // full read path: results identical with and without the index
+    def lookup(p: String) = spark.read.format("graft").load(p)
+      .filter(col("k") === 83L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(lookup(withB) == Seq((83L, "v005-3")))
+    assert(lookup(withB) == lookup(without))
+    // IN probes prune too and lose nothing
+    val inRows = spark.read.format("graft").load(withB)
+      .filter(col("k").isin(83L, 1591L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(inRows == Seq(83L, 1591L))
+  }
+
   test("footer stats land in add actions; pruned scan reads fewer files, same rows") {
     val p = tmpDir("skip")
     val df = spark.range(0, 10000)
