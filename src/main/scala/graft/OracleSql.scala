@@ -276,6 +276,52 @@ object OracleSql {
         SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
   }
 
+  /** IVF-PQ residual twin: coarse cells by rounded-cosine argmax (same
+    * assignment as knnIvfSql), residual = (v − centroid) per element as
+    * the correctly-rounded FLOAT difference, PQ codebooks stride-seeded
+    * over the RESIDUALS, codes by micro-rounded squared-L2 argmin, ADC
+    * restricted to the query's own cell (nprobe = 1).
+    */
+  private val knnIvfPqAdcSql: String = {
+    val rx = "rr.r[js.j*4+1:js.j*4+4]"
+    val rcs = "c.c_vec[js.j*4+1:js.j*4+4]"
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
+        scored AS (SELECT e.vec_id, e.embedding, c_id,
+                          ${simE6("e.embedding", "c_vec")} AS c_sim
+                   FROM embeddings e, cent),
+        assign AS (SELECT vec_id, embedding, c_id AS cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+                      FROM scored) WHERE rn = 1),
+        resid AS (SELECT a.vec_id, a.cell,
+                         list_transform(range(1, len(a.embedding) + 1),
+                           i -> (a.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)::FLOAT) AS r
+                  FROM assign a JOIN cent c ON c.c_id = a.cell),
+        rcb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, r AS c_vec
+                FROM resid WHERE vec_id % $pqStride16 = 0),
+        js AS (SELECT unnest(range(0, 16)) AS j),
+        codes AS (SELECT vec_id, cell, j, idx AS code FROM (
+          SELECT rr.vec_id, rr.cell, js.j, c.idx,
+                 row_number() OVER (PARTITION BY rr.vec_id, js.j
+                   ORDER BY ${pqD2(rx, rcs)}, c.idx) AS rn
+          FROM resid rr, js, rcb c) WHERE rn = 1),
+        q AS (SELECT rr.vec_id AS q_id, rr.cell, js.j, $rx AS sub
+              FROM resid rr, js WHERE rr.vec_id < 32),
+        dtab AS (SELECT q.q_id, q.cell, q.j, c.idx,
+                        ${pqD2("q.sub", "c.c_vec[q.j*4+1:q.j*4+4]")} AS d
+                 FROM q, rcb c),
+        sc AS (SELECT d.q_id, co.vec_id AS n_id,
+                      CAST(sum(d.d) AS BIGINT) AS adist_e6
+               FROM codes co JOIN dtab d
+                 ON d.cell = co.cell AND d.j = co.j AND d.idx = co.code
+               WHERE co.vec_id <> d.q_id
+               GROUP BY d.q_id, co.vec_id),
+        ranked AS (SELECT q_id, n_id, adist_e6,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist_e6, n_id) AS "rank"
+                   FROM sc)
+        SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
   private val knnIvfKmeansSql: String = {
     def assign(centCte: String, name: String) =
       s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
@@ -876,6 +922,8 @@ object OracleSql {
     "knn_pq_adc_kmeans" -> knnPqAdcKmeansSql,
 
     "knn_pq_adc" -> knnPqAdcSql,
+
+    "knn_ivfpq_adc" -> knnIvfPqAdcSql,
 
     "cosine_dup_pairs" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $autoCentStride = 0),

@@ -735,6 +735,16 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("adist_e6"))
 
+  /** IVF-PQ ADC top-5: residual-encoded codes within coarse cells —
+    * the billion-vector layout (IVF confines, PQ shrinks, residual
+    * encoding concentrates the books on within-cell variance).
+    */
+  private def qKnnIvfPqAdc(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfpqTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
+      rowCountHint = embRows(spark, dir))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("adist_e6"))
+
   private def qCosineDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(t(spark, dir, "embeddings"), 450000L,
       rowCountHint = embRows(spark, dir))
@@ -1377,6 +1387,7 @@ object SparkEntry {
     "pq_codes_kmeans" -> (qPqCodesKmeans _),
     "knn_pq_adc" -> (qKnnPqAdc _),
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
+    "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
     "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
     "binary_meta" -> (qBinaryMeta _),
@@ -1445,7 +1456,7 @@ object SparkEntry {
     "paragraph_dedup", "url_filter", "text_bpeish_count",
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
-    "pq_codes", "knn_pq_adc", "knn_pq_adc_kmeans",
+    "pq_codes", "knn_pq_adc", "knn_pq_adc_kmeans", "knn_ivfpq_adc",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",
     "embedding_centroid_sums", "embedding_normalize",

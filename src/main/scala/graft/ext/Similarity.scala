@@ -588,6 +588,89 @@ object Similarity {
         (-col("sim_e6")).as("adist_e6"))
   }
 
+  // ---------- IVF-PQ with residual encoding ----------
+
+  /** IVF-PQ top-k with RESIDUAL encoding — the billion-vector ANN
+    * layout (IVF confines candidates to probed cells; PQ shrinks each
+    * candidate to `m` codes; encoding the residual `v − centroid(cell)`
+    * instead of `v` concentrates the PQ books on the within-cell
+    * distribution, which is what makes m·ksub codes usable at scale):
+    *
+    *   1. coarse cells: stride-seeded centroids ([[centroidsK]]),
+    *      assignment is the narrow literal-centroid projection of
+    *      [[assignCells]] — no shuffle;
+    *   2. residuals: one broadcast join to the (tiny) centroid set +
+    *      one codegen'd [[graft.functions.VecSub]] per row;
+    *   3. PQ books are trained on the residuals (same deterministic
+    *      stride seeding as [[pqEncode]]) and baked into the plan;
+    *      the corpus side carries only (id, cell, m codes);
+    *   4. queries compute one ADC table per PROBED cell from their
+    *      residual to THAT cell's centroid (asymmetric: queries stay
+    *      full precision) and broadcast; scoring joins on `cell` — the
+    *      only shuffle keys on cell, candidates never leave their
+    *      cells, and ranking rides the bounded top-k aggregator.
+    *
+    * Output: (q_id, n_id, rank, adist_e6) — ranked by approximate
+    * squared-L2 of residuals, ascending, id tie-break.
+    */
+  def ivfpqTopK(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      numCells: Int = 32,
+      m: Int = 16,
+      ksub: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None,
+      nprobe: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val n = rowCountHint.getOrElse(corpus.count())
+    val coarse = centroidsK(corpus, numCells, idCol, vecCol, Some(n))
+    val centLocal = broadcast(
+      coarse.select(col("c_id").as("cell"), col("c_vec")))
+
+    def residualize(df: DataFrame, probes: Int): DataFrame =
+      assignCells(df, coarse, idCol, vecCol, probes)
+        .join(centLocal, "cell")
+        .withColumn("__resid", org.apache.spark.sql.graft.GraftInternal.column(
+          graft.functions.VecSub(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("c_vec"))))
+        .select(col(idCol), col("cell"), col("__resid"))
+
+    val resid = residualize(corpus, probes = 1)
+    // PQ books trained on the residuals — stride-seeded by id, so the
+    // whole pipeline stays deterministic and oracle-expressible
+    val (dsub, books) = pqCodebooks(
+      resid, m, ksub, idCol, "__resid", Some(n))
+    val codes = resid
+      .select(col(idCol).as("n_id"), col("cell"),
+        pqCodesExpr("__resid", dsub, books).as("codes"))
+    val qtab = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqQueryTable(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("__resid"),
+        books.map(_.map(_._2))))
+    val q = broadcast(residualize(corpus.filter(queryPred), probes = nprobe)
+      .select(col(idCol).as("q_id"), col("cell"), qtab.as("qtab")))
+    val adc = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqAdcDistance(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
+    val scored = codes
+      .join(q, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adist_e6", adc)
+      // multi-probe can score one (q, n) pair from several cells; keep
+      // the best (then min = the true probed-cell distance)
+      .groupBy("q_id", "n_id")
+      .agg(min(col("adist_e6")).as("adist_e6"))
+      .withColumn("sim_e6", -col("adist_e6"))
+    topKRows(scored, k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        (-col("sim_e6")).as("adist_e6"))
+  }
+
   /** IVF top-k: each query probes its `nprobe` nearest cells. nprobe=1
     * trades recall for a |cell|/|corpus| reduction in comparisons;
     * higher values recover the boundary-vector misses (a query sitting

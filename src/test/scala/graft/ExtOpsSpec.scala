@@ -161,6 +161,52 @@ class ExtOpsSpec extends SparkSpec {
     info(f"distortion stride=$d0%.4f kmeans=$d2%.4f; recall stride=$stride%.3f kmeans=$kmeans%.3f")
   }
 
+  test("IVF-PQ residual ADC: deterministic, cell-confined, recall floor vs exact L2") {
+    val pred = col("vec_id") < 16
+    // exact squared-L2 top-5 reference (ADC approximates L2)
+    val q = embs.filter(pred).select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val d2 = Similarity.dot(col("qv"), col("qv")) -
+      lit(2.0) * Similarity.dot(col("qv"), col("nv")) +
+      Similarity.dot(col("nv"), col("nv"))
+    val exact = embs.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      .crossJoin(q).filter(col("n_id") =!= col("q_id"))
+      .withColumn("d", round(d2 * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("d"), col("n_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val one = Similarity.ivfpqTopK(embs, pred, 5)
+    val r1 = recallOf(one)
+    // cell-confined candidates CANNOT beat flat PQ on recall here; the
+    // floor catches residual/encode/ADC regressions, not ANN quality
+    assert(r1 >= 0.05, s"IVF-PQ recall $r1 below floor")
+    // deterministic across runs (stride seeds everywhere, id tie-breaks)
+    val a = one.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val b = Similarity.ivfpqTopK(embs, pred, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(a.sameElements(b), "IVF-PQ output must be deterministic")
+    // multi-probe widens the candidate set; recall must not degrade
+    // materially (ADC re-ranking can shuffle the tail slightly)
+    val r2 = recallOf(Similarity.ivfpqTopK(embs, pred, 5, nprobe = 2))
+    assert(r2 >= r1 - 0.05, s"nprobe=2 recall $r2 degraded vs nprobe=1 $r1")
+    // every (q, n) pair shares a probed cell — candidates never left IVF
+    val cells = Similarity.assignCells(embs,
+      Similarity.centroidsK(embs, 32), "vec_id", "embedding")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs1 = one.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs1.forall { case (qi, ni) => cells(qi) == cells(ni) },
+      "nprobe=1 neighbors must come from the query's own cell")
+  }
+
   test("skewJoin equals the plain join and broadcasts the hot branch") {
     import spark.implicits._
     // key 1 is hot (40 rows), keys 2..20 cold
