@@ -169,6 +169,18 @@ object OracleSql {
   private val pqStride16 =
     "(SELECT GREATEST(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) FROM embeddings)"
 
+  /** Language-ID trigram profiles rendered as a VALUES list — computed
+    * from the SAME [[graft.ext.LangProfiles]] the Spark kernel uses, so
+    * the two sides can never drift. Trigrams are a–z/space only (the
+    * shared normalization guarantees it), safe to single-quote.
+    */
+  private val langProfileValues: String =
+    graft.ext.LangProfiles.langs.flatMap { l =>
+      graft.ext.LangProfiles.profileOf(
+        graft.ext.LangProfiles.seedTexts.toMap.apply(l))
+        .map { case (tg, w) => s"('$l', '$tg', $w)" }
+    }.mkString(", ")
+
   private def pqD2(x: String, c: String) =
     s"CAST(round((${dot(x, x)} - 2*${dot(x, c)} + ${dot(c, c)}) * 1000000) AS BIGINT)"
 
@@ -789,20 +801,28 @@ object OracleSql {
                  CAST(length(text) AS BIGINT) AS n_chars_computed
           FROM d JOIN documents USING (doc_id)""",
 
+    // trigram-profile language ID: profiles are rendered from the SAME
+    // LangProfiles the Spark kernel bakes into the plan; scoring sums
+    // profile weights over every trigram occurrence of the shared
+    // normalization, argmax with (score desc, lang asc) tie-break
     "text_lang_id" ->
-      s"""WITH d AS (SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
-          h AS (SELECT doc_id,
-                  CAST(len(list_intersect(toks, ['the','a','of','and'])) AS BIGINT) AS en,
-                  CAST(len(list_intersect(toks, ['der','die','das','und'])) AS BIGINT) AS de,
-                  CAST(len(list_intersect(toks, ['el','la','los','y'])) AS BIGINT) AS es
-                FROM d)
-          SELECT doc_id,
-                 CASE WHEN greatest(en, de, es) > 0 THEN
-                   CASE WHEN en >= de AND en >= es THEN 'en'
-                        WHEN de >= es THEN 'de' ELSE 'es' END
-                 ELSE 'unk' END AS pred_lang,
-                 greatest(en, de, es) AS hits
-          FROM h""",
+      s"""WITH prof(lang, tg, w) AS (VALUES $langProfileValues),
+          d AS (SELECT doc_id,
+                       ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' AS s
+                FROM documents),
+          tgs AS (SELECT doc_id, s[i:i+2] AS tg
+                  FROM d, UNNEST(range(1, len(s) - 1)) AS t(i)),
+          sc AS (SELECT g.doc_id, p.lang, CAST(sum(p.w) AS BIGINT) AS score
+                 FROM tgs g JOIN prof p ON p.tg = g.tg
+                 GROUP BY 1, 2),
+          best AS (SELECT doc_id, lang, score,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+                   FROM sc)
+          SELECT d.doc_id,
+                 COALESCE(b.lang, 'unk') AS pred_lang,
+                 COALESCE(b.score, CAST(0 AS BIGINT)) AS score
+          FROM d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""",
 
     "text_quality_score" ->
       s"""WITH d AS ($DOCS_TOKS)

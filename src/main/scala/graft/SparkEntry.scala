@@ -614,7 +614,7 @@ object SparkEntry {
 
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(t(spark, dir, "documents"))
-      .select(col("doc_id"), col("pred_lang"), col("hits").cast("long").as("hits"))
+      .select(col("doc_id"), col("pred_lang"), col("score").cast("long").as("score"))
 
   private def qQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(spark, dir, "documents"))

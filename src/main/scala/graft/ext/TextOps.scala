@@ -697,31 +697,33 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** Tiny-dictionary language ID: vote by stopword hits per language,
-    * deterministic tie-break by language code. (A real system would use
-    * char n-gram profiles; the plan shape — per-row array ops, no
-    * shuffle — is the same.)
+  /** Character-trigram language ID ([[LangProfiles]]): rank-weighted
+    * top-trigram profiles per language as plan reference objects, one
+    * codegen'd scan per row summing profile weights over every trigram
+    * occurrence ([[graft.functions.TrigramLangScore]]), argmax with
+    * alphabetical tie-break. Narrow per-row pass, no shuffle — the same
+    * plan shape as the 4-word-dictionary toy this replaces, with a
+    * model that actually separates languages.
     */
-  val langDicts: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and"),
-    "de" -> Seq("der", "die", "das", "und"),
-    "es" -> Seq("el", "la", "los", "y"))
-
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val hits = langDicts.map { case (lang, words) =>
-      lang -> size(array_intersect(array_distinct(toks),
-        array(words.map(lit): _*)))
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val langs = LangProfiles.langs
+    val scoresCol = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.TrigramLangScore(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(textCol),
+        langs.toArray, LangProfiles.trigramWeights))
+    val scored = docs.select(col("doc_id"), scoresCol.as("__scores"))
+    // null text → zero scores → 'unk' (mirrors the oracle's LEFT JOIN)
+    val s = langs.indices.map(i => coalesce(col("__scores")(i), lit(0L)))
+    val best = greatest(s: _*)
+    // langs is sorted ascending, so first-equal = alphabetical tie-break
+    val pred = langs.indices.drop(1).foldLeft(
+      when(s.head === best, langs.head)) { (acc, i) =>
+      acc.when(s(i) === best, langs(i))
     }
-    // argmax with fixed priority order (en > de > es) on ties
-    val Seq(en, de, es) = hits.map(_._2)
-    val best = when(en >= de && en >= es, "en")
-      .when(de >= es, "de").otherwise("es")
-    val bestHits = greatest(en, de, es)
-    docs.select(
+    scored.select(
       col("doc_id"),
-      when(bestHits > 0, best).otherwise("unk").as("pred_lang"),
-      bestHits.as("hits"))
+      when(best > 0, pred).otherwise("unk").as("pred_lang"),
+      best.as("score"))
   }
 
   /** Quality scoring: punctuation count, stopword count/ratio — the

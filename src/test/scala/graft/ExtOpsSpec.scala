@@ -372,10 +372,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(f.forall(_.meta("frame").toInt % 2 == 0))
   }
 
-  test("language id picks a dictionary language only when stopwords present") {
+  test("language id: zero-score docs are unk, scored docs never are") {
     val out = TextAnalysis.langId(docs)
-    assert(out.filter(col("pred_lang") === "unk" && col("hits") > 0).count() == 0)
-    assert(out.filter(col("pred_lang") =!= "unk" && col("hits") === 0).count() == 0)
+    assert(out.filter(col("pred_lang") === "unk" && col("score") > 0).count() == 0)
+    assert(out.filter(col("pred_lang") =!= "unk" && col("score") === 0).count() == 0)
+  }
+
+  test("trigram language id identifies held-out sentences across six languages") {
+    // held-out sentences — none appear in the LangProfiles seed texts
+    val fixture = Seq(
+      ("en", "she walked along the river in the evening and watched the " +
+        "small boats while thinking about the long journey ahead"),
+      ("de", "sie ging am abend den fluss entlang und beobachtete die " +
+        "kleinen boote waehrend sie ueber die lange reise nachdachte"),
+      ("es", "ella camino junto al rio por la tarde y miro los barcos " +
+        "pequenos mientras pensaba en el largo viaje que le esperaba"),
+      ("fr", "elle marchait le long de la riviere le soir et regardait " +
+        "les petits bateaux en pensant au long voyage qui l attendait"),
+      ("it", "lei camminava lungo il fiume la sera e guardava le piccole " +
+        "barche mentre pensava al lungo viaggio che la aspettava"),
+      ("pt", "ela caminhava ao longo do rio a tarde e olhava os barcos " +
+        "pequenos enquanto pensava na longa viagem que a esperava"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "true_lang")
+    val pred = TextAnalysis.langId(fixture)
+      .join(fixture.select("doc_id", "true_lang"), "doc_id")
+    val correct = pred.filter(col("pred_lang") === col("true_lang")).count()
+    assert(correct == 6,
+      s"trigram lang-id got $correct/6 right: " +
+        pred.select("true_lang", "pred_lang").collect().mkString(", "))
+    // gibberish with no a-z trigram signal scores 0 → unk
+    val noise = Seq((99L, "12345 !!! ???")).toDF("doc_id", "text")
+    assert(TextAnalysis.langId(noise).select("pred_lang").head().getString(0) == "unk")
   }
 
   test("connected components label every cluster with its min id transitively") {
