@@ -575,34 +575,18 @@ final class CommitLog(
   }
 
   /** Atomic commit point: make `tmp` visible as `target`, failing (not
-    * overwriting) if `target` already exists. POSIX `rename(2)` silently
-    * replaces an existing destination, so an exists()+rename pair has a
-    * lost-commit race; instead we hard-link (atomic, EEXIST on collision)
-    * on local filesystems and use `FileContext.rename(..., Rename.NONE)`
-    * (atomic fail-if-exists on HDFS-like stores) elsewhere. Losers get
+    * overwriting) if `target` already exists. Delegated to the
+    * conf-selected [[LogStore]] (`graft.logstore.impl`): atomic
+    * fail-if-exists rename by default, a staged put-if-absent strategy
+    * for object stores without one. Losers get
     * ConcurrentModificationException, which GraftWriter's optimistic
-    * retry loop and RetryingCoordinator are built on.
+    * retry loop and RetryingCoordinator are built on — a silent
+    * overwrite (lost commit) is the one outcome every implementation
+    * must rule out.
     */
-  private def publish(tmp: Path, target: Path, v: Long): Unit = {
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    try {
-      if (scheme == "file") {
-        val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
-        val nioTarget = java.nio.file.Paths.get(target.toUri.getPath)
-        java.nio.file.Files.createLink(nioTarget, nioTmp)
-        fs.delete(tmp, false)
-      } else {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
-      }
-    } catch {
-      case e @ (_: java.nio.file.FileAlreadyExistsException |
-                _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
-        fs.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent commit at version $v for $tablePath (${e.getMessage})")
-    }
-  }
+  private def publish(tmp: Path, target: Path, v: Long): Unit =
+    LogStore.forConf(conf).publish(fs, conf, tmp, target,
+      s"version $v for $tablePath")
 }
 
 object CommitLog {
