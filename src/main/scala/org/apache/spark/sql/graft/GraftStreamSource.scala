@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.StructType
   *     *added* files (removals are not retracted) — same posture as
   *     Delta's source, which errors-or-ignores changes; compose with
   *     [[graft.streaming.Streams.dedupStream]] downstream if upstream
-  *     rewrites can re-add rows;
+  *     rewrites can re-add rows. OPTIMIZE commits (bin-pack / Z-order)
+  *     are skipped entirely — pure rearrangements of already-delivered
+  *     rows (Delta's dataChange=false), as are deletion-vector repoints
+  *     (same-path remove+add);
   *   - the read schema is pinned at stream start (schema evolution mid
   *     stream requires a restart);
   *   - `option("startingVersion", v)` begins at commit v instead of 0;
@@ -215,7 +218,11 @@ class GraftStreamSource(
               val v = it.next()
               val c = log.readCommit(v)
               val rewritten = c.remove.map(_.path).toSet
-              val adds = c.add.filterNot(a => rewritten(a.path))
+              // OPTIMIZE commits serve no rows (see getBatch) — admit
+              // them for free instead of counting phantom files
+              val adds =
+                if (c.operation == "OPTIMIZE") Nil
+                else c.add.filterNot(a => rewritten(a.path))
               files += adds.size
               bytes += adds.map(_.sizeBytes).sum
               val over = maxFilesPerTrigger.exists(files > _) ||
@@ -296,11 +303,18 @@ class GraftStreamSource(
     val versions = surviving.filter(v => v >= from && v <= to)
     // a same-commit remove+add of one path is a metadata rewrite of an
     // existing file (deletion-vector DML repointing its DV), not new
-    // data — emitting it would replay the file's surviving rows
+    // data — emitting it would replay the file's surviving rows. An
+    // OPTIMIZE commit (bin-pack / Z-order / cluster) is a pure
+    // rearrangement of already-delivered rows — Delta marks its files
+    // dataChange=false and the source skips them; emitting would replay
+    // every compacted row
     val added = versions.flatMap { v =>
       val c = log.readCommit(v)
-      val rewritten = c.remove.map(_.path).toSet
-      c.add.filterNot(a => rewritten(a.path))
+      if (c.operation == "OPTIMIZE") Nil
+      else {
+        val rewritten = c.remove.map(_.path).toSet
+        c.add.filterNot(a => rewritten(a.path))
+      }
     }
     asStream(table.dfForFiles(snap, added))
   }

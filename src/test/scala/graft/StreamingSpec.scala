@@ -565,6 +565,66 @@ class StreamingSpec extends SparkSpec {
     assert(first.isStreaming)
   }
 
+  test("soak: graft -> session_window -> graft survives restarts across OPTIMIZE and DV DELETE") {
+    import graft.io.{GraftWriter, GraftTable, WriteMode, WriteOptions}
+    val src = tmpDir("graft_soak") + "/src"
+    val dst = tmpDir("graft_soak") + "/dst"
+    val ckpt = tmpDir("graft_soak_ckpt")
+    def append(rows: (Timestamp, Long, String)*): Unit =
+      GraftWriter.write(spark, rows.toDF("ts", "user_id", "event_type"), src,
+        WriteOptions(mode = WriteMode.Append,
+          metadata = Map("graft.dv" -> "true")))
+    def run(): Unit = {
+      val q = Streams.toGraftTable(
+        Streams.sessionWindows(spark.readStream.format("graft").load(src)),
+        dst, ckpt)
+      q.awaitTermination()
+    }
+    // epoch 1: two source commits, then a stream run (delivers events;
+    // no session closes before the watermark moves)
+    append((ts("2024-01-01 10:00:00"), 1L, "view"),
+      (ts("2024-01-01 10:10:00"), 1L, "view"))
+    append((ts("2024-01-01 09:00:00"), 2L, "view"),
+      (ts("2024-01-01 09:20:00"), 2L, "view"))
+    run()
+    // mid-stream maintenance on the SOURCE table:
+    //  - OPTIMIZE compacts delivered files (must NOT re-deliver rows)
+    //  - a DV DELETE drops an already-delivered row in place (append
+    //    stream semantics: no retraction, no replay, no crash)
+    GraftWriter.optimize(spark, src)
+    assert(GraftTable(spark, src).history().exists(_.operation == "OPTIMIZE"))
+    graft.merge.Dml.delete(spark, src, col("ts") === ts("2024-01-01 09:00:00"))
+    assert(GraftTable(spark, src).toDf().count() == 3, "DV delete applied")
+    // epoch 2: new events (a new u1 session, a u3 singleton), restart
+    append((ts("2024-01-01 11:30:00"), 1L, "click"),
+      (ts("2024-01-01 09:05:00"), 3L, "view"))
+    run()
+    // close everything: a far-future watermark pusher, then one more
+    // commit per run so append-mode emission has a batch to fire in
+    append((ts("2024-01-05 00:00:00"), 999L, "view"))
+    run()
+    append((ts("2024-01-05 00:00:01"), 999L, "view"))
+    run()
+    val out = GraftTable(spark, dst).toDf()
+      .filter(col("user_id") < 999L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    // the DELETE removed a DELIVERED event — sessions reflect what the
+    // stream consumed (u2 still counts 2 events), and OPTIMIZE added
+    // nothing: each session appears exactly once
+    assert(out == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L),
+      (1L, "2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L),
+      (2L, "2024-01-01 09:00:00.0", "2024-01-01 09:50:00.0", 2L),
+      (3L, "2024-01-01 09:05:00.0", "2024-01-01 09:35:00.0", 1L)),
+      s"unexpected sessions: $out")
+    // a restart with nothing new neither duplicates nor drops
+    val before = GraftTable(spark, dst).toDf().count()
+    run()
+    assert(GraftTable(spark, dst).toDf().count() == before)
+  }
+
   test("file/byte caps split the initial snapshot across triggers") {
     import graft.io.{GraftWriter, GraftTable, WriteMode, WriteOptions}
     import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
