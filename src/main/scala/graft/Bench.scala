@@ -86,7 +86,77 @@ object Bench {
       case (k, med, mn) if mn > 0 && med / mn > 3.0 => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_queries":$mins,"noisy":$noisy,"sf":"$sfDir","runs":$runs,"agg":"median"}""")
+    // Maintenance paths (write/compact/vacuum/replay) — reported as a
+    // SEPARATE section so the read-only headline medians stay
+    // round-comparable while OPTIMIZE / ZORDER / DV DELETE / vacuum /
+    // checkpoint-replay regressions get the same per-round scrutiny.
+    val maint = maintenanceBench(spark, sfDir, runs)
+    val maintJson = maint.map { case (k, med) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_queries":$mins,"noisy":$noisy,"maintenance":$maintJson,"sf":"$sfDir","runs":$runs,"agg":"median"}""")
     spark.stop()
+  }
+
+  /** Times the WRITE/maintenance surface on a scratch table built from
+    * the SF's orders table: fragmented appends, bin-pack OPTIMIZE,
+    * Z-order, a DV point delete, checkpoint write, a COLD snapshot
+    * replay, retention vacuum, and the orphan sweep. Median of `runs`
+    * fresh-table rounds (each round its own temp table, deleted after).
+    */
+  private def maintenanceBench(
+      spark: SparkSession, sfDir: String, runs: Int): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.col
+    import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+    val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try f
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      acc(name) = acc.getOrElse(name, Vector.empty) :+
+        (System.nanoTime() - t0) / 1e9
+    }
+    for (_ <- 1 to runs) {
+      val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
+      val p = s"$root/t"
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      time("maint_append_fragmented") {
+        (1 to 4).foreach { _ =>
+          GraftWriter.write(spark, orders.repartition(16), p,
+            WriteOptions(mode = WriteMode.Append,
+              metadata = Map("graft.dv" -> "true")))
+        }
+      }
+      time("maint_optimize") { GraftWriter.optimize(spark, p) }
+      time("maint_zorder") {
+        GraftWriter.optimizeZOrder(spark, p, Seq("o_orderkey", "o_custkey"))
+      }
+      time("maint_dv_delete") {
+        graft.merge.Dml.delete(spark, p, col("o_orderkey") % 1000 === 0)
+      }
+      val conf = spark.sessionState.newHadoopConf()
+      time("maint_checkpoint_write") {
+        val log = new graft.log.CommitLog(p, conf)
+        log.writeCheckpoint(log.latestVersion().get)
+      }
+      time("maint_cold_replay") {
+        // a FRESH CommitLog instance: full checkpoint + suffix replay
+        new graft.log.CommitLog(p, conf).snapshot()
+      }
+      time("maint_vacuum") {
+        GraftTable(spark, p).vacuumOlderThan(0L, enforceRetention = false)
+      }
+      time("maint_vacuum_orphans") {
+        GraftTable(spark, p).vacuumOrphans(0L,
+          nowMs = System.currentTimeMillis() + 60000L)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+    acc.toSeq.map { case (k, raw) =>
+      val s = raw.sorted
+      (k, s(s.length / 2))
+    }
   }
 }

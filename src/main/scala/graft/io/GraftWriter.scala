@@ -685,41 +685,24 @@ object GraftWriter {
   private def mortonKey(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.size >= 2 && cols.size <= 4,
       s"Z-order needs 2-4 columns, got ${cols.size}")
-    val bitsPer = 16
-    val buckets = 1 << bitsPer
-    val stride = cols.size
     // equi-depth cut points (255 interior cuts -> 256 coarse buckets,
     // refined to 16 bits by uniform interpolation inside the bucket).
     // One multi-column quantile job (not one scan per column); columns
-    // are pre-cast to double so timestamps/dates work too. The rank
-    // subtree appears once per interleaved bit, but whole-stage codegen
-    // CSE evaluates it once per row.
+    // are pre-cast to double so timestamps/dates work too. Ranking +
+    // bit interleaving run in the native [[graft.functions.MortonKey]]
+    // kernel — the declarative fold (255 comparisons per column,
+    // duplicated per interleaved bit) spent ~50 s per OPTIMIZE ZORDER
+    // call in janino compilation alone.
     val probes = (1 until 256).map(_ / 256.0).toArray
     val allCuts = df
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
       .stat.approxQuantile(cols.toArray, probes, 0.001)
-    val ranked: Seq[Column] = cols.zip(allCuts).map { case (c, rawCuts) =>
-      val cuts = rawCuts.distinct.sorted
-      val v = col(c).cast("double")
-      // binary-search-free bucket assignment: count of cuts <= v, as a
-      // sum of codegen'd comparisons over the literal cut array
-      val coarse = cuts.foldLeft(lit(0)) { (acc, cut) =>
-        acc + when(v > lit(cut), 1).otherwise(0)
-      }
-      // refine within the coarse bucket uniformly (best effort)
-      val lo = element_at(typedLit(Double.MinValue +: cuts), coarse + 1)
-      val hi = element_at(typedLit(cuts :+ Double.MaxValue), coarse + 1)
-      val frac = when(hi > lo, (v - lo) / (hi - lo)).otherwise(lit(0.0))
-      val fine = least(greatest(floor(frac * 256).cast("int"), lit(0)), lit(255))
-      (coarse * 256 + fine).cast("long") % buckets
-    }
-    // interleave: bit b of column i goes to position b*stride + i
-    val parts = ranked.zipWithIndex.map { case (r, i) =>
-      (0 until bitsPer).map { b =>
-        shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * stride + i)
-      }.reduce(_.bitwiseOR(_))
-    }
-    parts.reduce(_.bitwiseOR(_))
+    org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.MortonKey(
+        cols.map(c => org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(c),
+          org.apache.spark.sql.types.DoubleType)),
+        allCuts.map(_.distinct.sorted)))
   }
 
   /** True multi-dimensional Z-order clustering (Delta `OPTIMIZE ZORDER BY`
