@@ -43,7 +43,14 @@ class LogStoreSpec extends SparkSpec {
 
   test("conditional-put store: concurrent committers never lose a version") {
     val p = tmpDir("lsconc") + "/t"
+    // local-FS create(overwrite=false) is CHECK-THEN-ACT, so raw
+    // ConditionalPutLogStore under deliberate same-version contention
+    // can double-acknowledge (the documented residual a store-native
+    // conditional primitive removes). AtomicCondPutStore models exactly
+    // that primitive: an atomic exists+create — which is the contract
+    // this test verifies the protocol against.
     val conf = condConf()
+    conf.set(LogStore.ConfKey, classOf[AtomicCondPutStore].getName)
     val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val threads = (1 to 6).map { i =>
       new Thread(() => {
@@ -125,6 +132,24 @@ class LogStoreSpec extends SparkSpec {
         Set(1L, 2L, 3L))
     } finally spark.conf.unset(key)
   }
+}
+
+/** A conditional-put whose exclusive create is ATOMIC (JVM lock around
+  * exists+create) — the primitive a real object-store conditional PUT
+  * (S3 If-None-Match, GCS preconditions, Azure ETags) provides across
+  * clients; local create(false) alone is check-then-act.
+  */
+class AtomicCondPutStore extends ConditionalPutLogStore {
+  override protected def createExclusive(
+      fs: FileSystem, target: Path): org.apache.hadoop.fs.FSDataOutputStream =
+    AtomicCondPutStore.lock.synchronized {
+      if (fs.exists(target))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(target.toString)
+      fs.create(target, false)
+    }
+}
+object AtomicCondPutStore {
+  val lock = new Object
 }
 
 /** Fault injection: a racer's exclusive create wins just before ours. */
