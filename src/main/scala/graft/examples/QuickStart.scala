@@ -437,6 +437,41 @@ object QuickStart {
       } catch { case _: IllegalArgumentException => true }
     println(s"[34] generated+identity: rows=$nRows unique rids=$nRids " +
       s"(equal=${nRows == nRids}); wrong supplied o_year rejected=$badGen")
+
+    // 35. bloom-filter point lookups: graft.bloom.cols writes parquet
+    // footer bloom filters; the file index consults them for =/IN on a
+    // high-cardinality key that min/max stats cannot prune
+    val bloomP = s"$out/orders_bloom"
+    GraftWriter.write(spark,
+      orders.select("o_orderkey", "o_totalprice").repartition(8, col("o_orderkey")),
+      bloomP, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.BloomFilters.PropKey -> "o_orderkey")))
+    val probeKey = orders.select("o_orderkey").orderBy("o_orderkey")
+      .limit(100).collect().last.getLong(0)
+    val bt = GraftTable(spark, bloomP)
+    val bloomIdx = new graft.sources.GraftFileIndex(spark, bloomP, bt.snapshot())
+    val bloomScanned = bloomIdx.listFiles(Nil, Seq(
+      org.apache.spark.sql.catalyst.expressions.EqualTo(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference("o_orderkey",
+          org.apache.spark.sql.types.LongType)(),
+        org.apache.spark.sql.catalyst.expressions.Literal(probeKey))))
+      .map(_.files.length).sum
+    val bloomHit = spark.read.format("graft").load(bloomP)
+      .filter(col("o_orderkey") === probeKey).count()
+    println(s"[35] bloom point lookup: scanned $bloomScanned/" +
+      s"${bt.snapshot().files.size} files for key $probeKey, rows=$bloomHit")
+
+    // 36. IVF-PQ with residual encoding + trigram language ID — the
+    // billion-vector ANN layout and a real lang-id model, both
+    // deterministic and oracle-checked
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ivfpq = graft.ext.Similarity.ivfpqTopK(embs, col("vec_id") < 4, 3)
+    val langs = graft.ext.TextAnalysis.langId(
+      spark.read.parquet(s"$sf/documents.parquet"))
+      .groupBy("pred_lang").count().orderBy(col("count").desc)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+    println(s"[36] ivf-pq top-3: ${ivfpq.count()} neighbor rows; " +
+      s"lang-id votes: $langs")
     spark.stop()
   }
 }
