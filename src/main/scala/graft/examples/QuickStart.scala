@@ -464,10 +464,10 @@ object QuickStart {
     // 36. IVF-PQ with residual encoding + trigram language ID — the
     // billion-vector ANN layout and a real lang-id model, both
     // deterministic and oracle-checked
-    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
-    val ivfpq = graft.ext.Similarity.ivfpqTopK(embs, col("vec_id") < 4, 3)
+    val ivfpq = graft.ext.Similarity.ivfpqTopK(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), col("vec_id") < 4, 3)
     val langs = graft.ext.TextAnalysis.langId(
-      spark.read.parquet(s"$sf/documents.parquet"))
+      spark.read.parquet(s"$sfDir/documents.parquet"))
       .groupBy("pred_lang").count().orderBy(col("count").desc)
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
     println(s"[36] ivf-pq top-3: ${ivfpq.count()} neighbor rows; " +
