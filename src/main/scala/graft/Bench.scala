@@ -110,12 +110,19 @@ object Bench {
     val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try f
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      acc(name) = acc.getOrElse(name, Vector.empty) :+
-        (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { f; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // a FAILED op's elapsed time is not a sample — recording it would
+      // let a broken step (and every dependent step failing fast after
+      // it) report plausible-looking medians; absent keys in the output
+      // are the loud signal
+      if (ok)
+        acc(name) = acc.getOrElse(name, Vector.empty) :+
+          (System.nanoTime() - t0) / 1e9
     }
     for (_ <- 1 to runs) {
       val root = java.nio.file.Files.createTempDirectory("graft_maint").toString

@@ -60,49 +60,52 @@ object BloomFilters {
     }
   }
 
-  /** Consult the footer bloom filter of `physCol` in `file`: false ONLY
-    * when every row group's filter proves NONE of `values` can be
-    * present. A row group without a filter, a value the column's
-    * physical type cannot hash, or any IO error keeps the file
-    * (conservative).
+  /** Consult `file`'s footer bloom filters for EVERY check in one
+    * footer open (one ranged read per file regardless of how many
+    * declared columns the query probes): false ONLY when some check's
+    * values are provably absent from every row group. A row group
+    * without a filter, a value the column's physical type cannot hash,
+    * or any IO error keeps the file (conservative).
     */
   def mayContain(
       conf: Configuration,
       file: Path,
-      physCol: String,
-      values: Seq[Any]): Boolean = {
+      checks: Seq[(String, Seq[Any])]): Boolean = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE, FLOAT, INT32, INT64}
-    if (values.isEmpty) return true
+    val live = checks.filter(_._2.nonEmpty)
+    if (live.isEmpty) return true
     try {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         import scala.jdk.CollectionConverters._
         val groups = r.getRowGroups.asScala.toSeq
-        groups.isEmpty || groups.exists { block =>
-          block.getColumns.asScala
-            .find(_.getPath.toDotString == physCol) match {
-            case None => true // column absent (schema evolution): keep
-            case Some(md) =>
-              val bf = r.getBloomFilterDataReader(block).readBloomFilter(md)
-              if (bf == null) true // no filter written: keep
-              else {
-                val prim = md.getPrimitiveType.getPrimitiveTypeName
-                def mayHold(v: Any): Boolean = {
-                  val hash: Option[Long] = (prim, v) match {
-                    case (INT64, n: Number)  => Some(bf.hash(n.longValue()))
-                    case (INT32, n: Number)  => Some(bf.hash(n.intValue()))
-                    case (DOUBLE, n: Number) => Some(bf.hash(n.doubleValue()))
-                    case (FLOAT, n: Number)  => Some(bf.hash(n.floatValue()))
-                    case (BINARY, s: String) => Some(bf.hash(Binary.fromString(s)))
-                    case _                   => None // unhashable: keep
+        groups.isEmpty || live.forall { case (physCol, values) =>
+          groups.exists { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == physCol) match {
+              case None => true // column absent (schema evolution): keep
+              case Some(md) =>
+                val bf = r.getBloomFilterDataReader(block).readBloomFilter(md)
+                if (bf == null) true // no filter written: keep
+                else {
+                  val prim = md.getPrimitiveType.getPrimitiveTypeName
+                  def mayHold(v: Any): Boolean = {
+                    val hash: Option[Long] = (prim, v) match {
+                      case (INT64, n: Number)  => Some(bf.hash(n.longValue()))
+                      case (INT32, n: Number)  => Some(bf.hash(n.intValue()))
+                      case (DOUBLE, n: Number) => Some(bf.hash(n.doubleValue()))
+                      case (FLOAT, n: Number)  => Some(bf.hash(n.floatValue()))
+                      case (BINARY, s: String) => Some(bf.hash(Binary.fromString(s)))
+                      case _                   => None // unhashable: keep
+                    }
+                    hash.forall(bf.findHash)
                   }
-                  hash.forall(bf.findHash)
+                  values.exists(mayHold)
                 }
-                values.exists(mayHold)
-              }
+            }
           }
         }
       } finally r.close()
@@ -129,9 +132,7 @@ object BloomFilters {
       val futs = files.map { f =>
         Future {
           val abs = new Path(tablePath, f.path)
-          if (checks.forall { case (c, vs) => mayContain(conf, abs, c, vs) })
-            Some(f.path)
-          else None
+          if (mayContain(conf, abs, checks)) Some(f.path) else None
         }
       }
       Await.result(Future.sequence(futs),

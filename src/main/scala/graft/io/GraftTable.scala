@@ -484,8 +484,16 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       /** Report what WOULD be deleted without touching anything. */
       dryRun: Boolean = false): Seq[String] = {
     val cutoff = nowMs - retainMillis
+    // referenced = every add action of the SURVIVING commits PLUS the
+    // oldest surviving snapshot's live set: after log retention, a file
+    // added by a cleaned commit (and never removed) is referenced ONLY
+    // through the boundary checkpoint — without the snapshot union the
+    // sweep would delete live data files and corrupt the table
+    val vs = log.versions()
     val referenced: Seq[String] =
-      log.versions().flatMap(v => log.readCommit(v).add.map(_.path)).distinct
+      (vs.flatMap(v => log.readCommit(v).add.map(_.path)) ++
+        vs.headOption.toSeq.flatMap(h =>
+          log.snapshot(Some(h)).files.map(_.path))).distinct
     val fs = log.fs
     val qualifiedRoot = fs.makeQualified(new Path(path))
     val rootAbs = qualifiedRoot.toUri.getPath.stripSuffix("/")

@@ -110,12 +110,17 @@ object AtomicRenameLogStore extends LogStore {
   * conditional implementation for hard guarantees.
   *
   * Visibility caveat: object-store PUTs are atomic (the object appears
-  * only complete), but on POSIX/HDFS a created file is visible while
-  * still being written — a concurrent log reader can transiently see a
-  * partial commit there. That is why [[AtomicRenameLogStore]] stays
-  * the default (and the right choice) for filesystems with an atomic
-  * fail-if-exists primitive; this store targets the stores that lack
-  * one.
+  * only when the put COMPLETES — a crash mid-put leaves nothing), but
+  * on POSIX/HDFS a created file is visible while still being written:
+  * a concurrent log reader can transiently see a partial commit, and a
+  * CRASH between create and close leaves a permanent truncated
+  * `vNNN.json` that wedges the version (readers fail parsing it; later
+  * committers lose the exclusive create to it forever). That failure
+  * mode is impossible under [[AtomicRenameLogStore]] (bytes land in a
+  * temp file; the rename is all-or-nothing) — which is why the rename
+  * store stays the default and the REQUIRED choice on filesystems
+  * whose create streams into a visible file. This store is for stores
+  * whose put visibility is atomic at close.
   */
 class ConditionalPutLogStore extends LogStore {
   override def publish(

@@ -211,21 +211,23 @@ object MergeClausesExecutor {
       val needRowLevel = matched.forall(_.condition.isDefined) &&
         (matched.nonEmpty || notMatchedBySource.nonEmpty)
       val affDf = evolve(table.dfForFiles(snap, touched, withRowMeta = needRowLevel))
+      val props = table.log.tableProperties()
+      val genCols = graft.io.Generated.generatedOf(props).keys.toSeq
       val rewritten = rewriteRows(
         affDf, src, cond, cols, matched, notMatchedBySource, sourceAlias,
-        targetAlias, rowLevel = needRowLevel)
+        targetAlias, rowLevel = needRowLevel, genCols = genCols)
       val inserts = insertRows(
         // anti join must see ALL candidate rows, not just touched files
-        candDf, src, cond, mergedSchema, notMatched, sourceAlias, targetAlias)
-      val props = table.log.tableProperties()
-      val genExcept = explicitGenerated(
-        props, matched, notMatched, notMatchedBySource)
-      // generated columns no clause explicitly assigns are recomputed
-      // post-dispatch (identity on carried rows; keeps the invariant when
-      // a SET changed a referenced base column — Delta parity); the
-      // explicitly assigned ones keep the post-write validation
-      val newData = graft.io.Generated.recompute(
-        rewritten.unionByName(inserts), mergedSchema, props, genExcept)
+        candDf, src, cond, mergedSchema, notMatched, sourceAlias, targetAlias,
+        genCols = genCols)
+      // generated columns are recomputed ROW-LEVEL: each row's
+      // dispatched clause decides (a clause that explicitly assigns the
+      // column keeps its value for post-write validation; any other
+      // clause recomputes — Delta parity even when DIFFERENT clauses
+      // assign different columns)
+      val newData = dropGenFlags(graft.io.Generated.recomputeGated(
+        rewritten.unionByName(inserts), mergedSchema, props, genFlagCol),
+        genCols)
 
       // change-data feed (opt-in `graft.cdf`): row-level pre/postimages
       // for the touched files plus the inserted rows — change volume
@@ -235,11 +237,11 @@ object MergeClausesExecutor {
         else {
           val changes = changeRows(affDf, src, cond, cols,
             matched, notMatchedBySource, sourceAlias, targetAlias,
-            mergedSchema, props, genExcept)
+            mergedSchema, props, genCols)
             .unionByName(
-              graft.io.Generated.recompute(inserts, mergedSchema, props,
-                genExcept).withColumn(
-                graft.io.Cdc.ChangeCol, lit("insert")))
+              dropGenFlags(graft.io.Generated.recomputeGated(
+                inserts, mergedSchema, props, genFlagCol), genCols)
+                .withColumn(graft.io.Cdc.ChangeCol, lit("insert")))
           graft.io.Cdc.writeChangeFiles(spark, path, changes)
         }
 
@@ -252,7 +254,10 @@ object MergeClausesExecutor {
         profile = Some(clauseProfile(spark, snap, src, predicate,
           sourceAlias, targetAlias, candidates, touched, matched, notMatched,
           notMatchedBySource)),
-        assignedCols = Some(genExcept))
+        // validation set = every generated column SOME clause assigns
+        // (rows dispatched elsewhere were recomputed and pass trivially)
+        assignedCols = Some(explicitGenerated(
+          props, matched, notMatched, notMatchedBySource)))
       val numOut = table.snapshot().files.map(_.liveRecords).sum
       MergeStats(v, numSource, numOut)
     }
@@ -361,18 +366,20 @@ object MergeClausesExecutor {
 
     // non-Delete dispatch outputs append (unaffected sibling pairs of an
     // affected row re-emit the target image through the fold's default)
+    val props = table.log.tableProperties()
+    val genCols = graft.io.Generated.generatedOf(props).keys.toSeq
     val rewrites = affected
       .withColumn("__graft_keep", d.keep)
       .filter(col("__graft_keep"))
-      .select(cols.map(d.outCol): _*)
+      .select(cols.map(d.outCol) ++
+        genCols.map(g => matchedAssignFlag(d, g).as(genFlagName(g))): _*)
     val inserts = insertRows(
       // anti join must see ALL candidate rows, not just touched files
-      candDfM, src, cond, mergedSchema, notMatched, sa, ta)
-    val props = table.log.tableProperties()
-    val genExcept = explicitGenerated(
-      props, matched, notMatched, notMatchedBySource)
-    val newData = graft.io.Generated.recompute(
-      rewrites.unionByName(inserts), mergedSchema, props, genExcept)
+      candDfM, src, cond, mergedSchema, notMatched, sa, ta,
+      genCols = genCols)
+    val newData = dropGenFlags(graft.io.Generated.recomputeGated(
+      rewrites.unionByName(inserts), mergedSchema, props, genFlagCol),
+      genCols)
 
     // CDF: identical change semantics to the COW path, over the touched
     // scope of the PRE-merge snapshot
@@ -381,11 +388,11 @@ object MergeClausesExecutor {
       else {
         val affDf = evolve(table.dfForFiles(snap, touched))
         val changes = changeRows(affDf, src, cond, cols,
-          matched, notMatchedBySource, sa, ta, mergedSchema, props, genExcept)
+          matched, notMatchedBySource, sa, ta, mergedSchema, props, genCols)
           .unionByName(
-            graft.io.Generated.recompute(inserts, mergedSchema, props,
-              genExcept).withColumn(
-              graft.io.Cdc.ChangeCol, lit("insert")))
+            dropGenFlags(graft.io.Generated.recomputeGated(
+              inserts, mergedSchema, props, genFlagCol), genCols)
+              .withColumn(graft.io.Cdc.ChangeCol, lit("insert")))
         graft.io.Cdc.writeChangeFiles(spark, path, changes)
       }
 
@@ -398,7 +405,8 @@ object MergeClausesExecutor {
       extraAdds = updated.flatMap(_._2),
       profile = Some(clauseProfile(spark, snap, src, predicate, sa, ta,
         candidates, touched, matched, notMatched, notMatchedBySource)),
-      assignedCols = Some(genExcept))
+      assignedCols = Some(explicitGenerated(
+        props, matched, notMatched, notMatchedBySource)))
     val numOut = table.snapshot().files.map(_.liveRecords).sum
     MergeStats(v, numSource, numOut)
     } finally affected.unpersist()
@@ -472,6 +480,33 @@ object MergeClausesExecutor {
     * documented emit-one-row-per-match contract, shared with the DV
     * path's `affRow` lift).
     */
+  /** Flag-column name carrying "the dispatched clause explicitly
+    * assigned generated column g" per row.
+    */
+  private def genFlagName(g: String): String =
+    s"__graft_gen_${g.toLowerCase(java.util.Locale.ROOT)}"
+
+  private def genFlagCol(g: String): Column = col(genFlagName(g))
+
+  private def dropGenFlags(df: DataFrame, genCols: Seq[String]): DataFrame =
+    genCols.foldLeft(df)((d, g) => d.drop(genFlagName(g)))
+
+  /** Per-row "did the dispatched MATCHED/BY-SOURCE clause explicitly
+    * assign `g`": UPDATE ALL supplies every column; UPDATE SET only its
+    * names; Delete rows are filtered before this matters; carried rows
+    * (no clause fires) keep target values that satisfy the invariant —
+    * true skips the redundant recompute for them.
+    */
+  private def matchedAssignFlag(d: Dispatch, g: String): Column =
+    d.pairs.foldRight(lit(true)) { case ((guard, c), rest) =>
+      val assigns = c match {
+        case _: UpdateAll      => true
+        case UpdateSet(set, _) => set.keys.exists(_.equalsIgnoreCase(g))
+        case _: Delete         => true
+      }
+      when(guard, lit(assigns)).otherwise(rest)
+    }
+
   private def rewriteRows(
       target: DataFrame,
       source: DataFrame,
@@ -481,7 +516,8 @@ object MergeClausesExecutor {
       bySource: Seq[MatchedClause],
       sa: String,
       ta: String,
-      rowLevel: Boolean = false): DataFrame = {
+      rowLevel: Boolean = false,
+      genCols: Seq[String] = Nil): DataFrame = {
     val d = Dispatch(target, source, cond, matched, bySource, sa, ta)
     val pruned =
       if (!rowLevel) d.joined
@@ -501,7 +537,8 @@ object MergeClausesExecutor {
     pruned
       .withColumn("__graft_keep", d.keep)
       .filter(col("__graft_keep"))
-      .select(cols.map(d.outCol): _*)
+      .select(cols.map(d.outCol) ++
+        genCols.map(g => matchedAssignFlag(d, g).as(genFlagName(g))): _*)
   }
 
   /** Change rows for the CDF: per touched-file row, the first applicable
@@ -522,7 +559,7 @@ object MergeClausesExecutor {
       ta: String,
       schema: org.apache.spark.sql.types.StructType,
       props: Map[String, String],
-      genExcept: Set[String]): DataFrame = {
+      genCols: Seq[String]): DataFrame = {
     val d = Dispatch(target, source, cond, matched, bySource, sa, ta)
     val tagged = d.joined.withColumn("__graft_kind", d.kind)
     val oldCols = cols.map(c => col(s"$ta.$c").as(c))
@@ -530,10 +567,12 @@ object MergeClausesExecutor {
     val updates = tagged.filter(col("__graft_kind") === "update")
     updates.select(oldCols :+ lit("update_preimage").as(cc): _*)
       .unionByName(
-        // postimages mirror the rewrite's recompute so the feed's new
-        // images are bit-identical to what the table now holds
-        graft.io.Generated.recompute(
-          updates.select(cols.map(d.outCol): _*), schema, props, genExcept)
+        // postimages mirror the rewrite's ROW-LEVEL recompute so the
+        // feed's new images are bit-identical to what the table holds
+        dropGenFlags(graft.io.Generated.recomputeGated(
+          updates.select(cols.map(d.outCol) ++
+            genCols.map(g => matchedAssignFlag(d, g).as(genFlagName(g))): _*),
+          schema, props, genFlagCol), genCols)
           .withColumn(cc, lit("update_postimage")))
       .unionByName(tagged.filter(col("__graft_kind") === "delete")
         .select(oldCols :+ lit("delete").as(cc): _*))
@@ -541,9 +580,10 @@ object MergeClausesExecutor {
 
   /** Generated columns at least one clause EXPLICITLY assigns (UPDATE
     * SET / INSERT VALUES naming them, or any full-row UPDATE ALL /
-    * INSERT ALL clause — the source supplies every column there). These
-    * skip the dispatch-side recompute and keep the post-write
-    * validation posture instead.
+    * INSERT ALL clause — the source supplies every column there). The
+    * POST-WRITE VALIDATION set: recompute itself is decided per row by
+    * the dispatched clause ([[matchedAssignFlag]]), so rows dispatched
+    * to a non-assigning clause were recomputed and pass trivially.
     */
   private def explicitGenerated(
       props: Map[String, String],
@@ -574,13 +614,27 @@ object MergeClausesExecutor {
       schema: org.apache.spark.sql.types.StructType,
       notMatched: Seq[NotMatchedClause],
       sa: String,
-      ta: String): DataFrame = {
+      ta: String,
+      genCols: Seq[String] = Nil): DataFrame = {
     val cols = schema.map(_.name)
     val unmatched = source.alias(sa).join(target.alias(ta), cond, "left_anti")
+    def guard(c: NotMatchedClause): Column = c.condition.getOrElse(lit(true))
+    // per-row "did the dispatched insert clause explicitly supply g":
+    // INSERT ALL supplies every column; INSERT VALUES only its names —
+    // unlisted generated columns are recomputed instead of left null
+    def assignFlag(g: String): Column =
+      notMatched.foldRight(lit(true)) { case (c, rest) =>
+        val assigns = c match {
+          case _: InsertAll            => true
+          case InsertValues(values, _) => values.keys.exists(_.equalsIgnoreCase(g))
+        }
+        when(guard(c), lit(assigns)).otherwise(rest)
+      }
+    val flagCols = genCols.map(g => assignFlag(g).as(genFlagName(g)))
     if (notMatched.isEmpty)
       return unmatched.limit(0).select(cols.map(n =>
-        lit(null).cast(schema(n).dataType).as(n)): _*)
-    def guard(c: NotMatchedClause): Column = c.condition.getOrElse(lit(true))
+        lit(null).cast(schema(n).dataType).as(n)) ++
+        genCols.map(g => lit(true).as(genFlagName(g))): _*)
     val applicable = notMatched.foldRight(lit(false)) { case (c, rest) =>
       when(guard(c), lit(true)).otherwise(rest)
     }
@@ -595,6 +649,6 @@ object MergeClausesExecutor {
       }.as(name)
     unmatched
       .filter(applicable)
-      .select(cols.map(outCol): _*)
+      .select(cols.map(outCol) ++ flagCols: _*)
   }
 }

@@ -89,12 +89,22 @@ final class GraftFileIndex(
     val result =
       if (bloomChecks.isEmpty) statKept
       else {
-        val key = bloomChecks.toString
-        val keep = bloomMemo.computeIfAbsent(key, _ =>
-          graft.io.BloomFilters.pruneFiles(
-            spark.sessionState.newHadoopConf(), tablePath,
-            statKept.flatMap(_._2), bloomChecks))
-        statKept.map { case (row, fs) => (row, fs.filter(f => keep(f.path))) }
+        val checksKey = bloomChecks.toString
+        val candidates = statKept.flatMap(_._2)
+        // memoised PER (file, checks) — a keep-set computed under one
+        // query's narrower partition/stats pruning must never be reused
+        // as the whole answer for a broader query on the same index
+        val unknown = candidates.filterNot(f =>
+          bloomMemo.containsKey((f.path, checksKey)))
+        if (unknown.nonEmpty) {
+          val keep = graft.io.BloomFilters.pruneFiles(
+            spark.sessionState.newHadoopConf(), tablePath, unknown, bloomChecks)
+          unknown.foreach(f =>
+            bloomMemo.put((f.path, checksKey), keep(f.path)))
+        }
+        statKept.map { case (row, fs) =>
+          (row, fs.filter(f => bloomMemo.get((f.path, checksKey))))
+        }
       }
     result.map { case (row, kept) =>
       PartitionDirectory(row, kept.map(status).toArray)
@@ -105,11 +115,12 @@ final class GraftFileIndex(
   private lazy val bloomPhysCols: Set[String] =
     graft.io.BloomFilters.physColsOf(snap)
 
-  /** listFiles can run several times while one query plans; footer
-    * consultations for the same filter set are answered once.
+  /** listFiles can run several times while one query plans (and one
+    * index instance can serve several queries); footer consultations
+    * for the same (file, filter set) are answered once.
     */
   private val bloomMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
 
   /** Pushed-down filters reference the scan's output attributes, which
     * carry PHYSICAL column names for renamed columns (the native plan

@@ -19,9 +19,12 @@ class DataSkippingSpec extends SparkSpec {
         // whole range, so footer stats prune nothing — only the bloom
         // filter can confine a point probe
         // v is striped the same way (file-id LAST) so string min/max
-        // ranges overlap across files too
-        val df = (0 until 100).map(j => (j * 16L + i, f"v$j%03d-$i"))
-          .toDF("k", "v").coalesce(1)
+        // ranges overlap across files too; w is file-DISJOINT so stats
+        // CAN prune on it (the memo-poisoning regression needs a filter
+        // that narrows the candidate set)
+        val df = (0 until 100).map(j =>
+          (j * 16L + i, f"v$j%03d-$i", i * 100L + j))
+          .toDF("k", "v", "w").coalesce(1)
         val meta =
           if (withBloom && i == 0) Map(BloomFilters.PropKey -> "k,v")
           else Map.empty[String, String]
@@ -62,6 +65,23 @@ class DataSkippingSpec extends SparkSpec {
       .filter(col("k").isin(83L, 1591L))
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(inRows == Seq(83L, 1591L))
+
+    // memo-poisoning regression: the SAME index first answers the probe
+    // under a stats filter that narrows candidates to file 0, then the
+    // probe ALONE — the broad answer must still find the true holder
+    // (file 3), not be confined to the first call's candidate set
+    val t2 = GraftTable(spark, withB)
+    val idx2 = new graft.sources.GraftFileIndex(spark, withB, t2.snapshot())
+    import org.apache.spark.sql.catalyst.expressions.LessThan
+    val wNarrow = LessThan(AttributeReference("w", LongType)(), Literal(100L))
+    val narrow = idx2.listFiles(Nil, Seq(kProbe, wNarrow)).map(_.files.length).sum
+    assert(narrow <= 1, s"w<100 + bloom should confine to <=1 file, got $narrow")
+    val broad = idx2.listFiles(Nil, Seq(kProbe)).map(_.files.length).sum
+    assert(broad >= 1 && broad < 8, s"broad probe got $broad files")
+    // and the broad read truly serves the row (file 3 holds k=83)
+    val viaIdx = spark.read.format("graft").load(withB)
+      .filter(col("k") === 83L).count()
+    assert(viaIdx == 1L)
   }
 
   test("footer stats land in add actions; pruned scan reads fewer files, same rows") {

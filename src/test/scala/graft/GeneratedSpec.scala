@@ -110,6 +110,47 @@ class GeneratedSpec extends SparkSpec {
       writtenFallback = Some(Seq(99L).toDF("rid"))).isEmpty)
   }
 
+  test("clause merge recomputes generated columns PER CLAUSE") {
+    import graft.merge._
+    val p = tmpDir("gen_clause") + "/t"
+    GraftWriter.write(spark,
+      Seq((1L, 2L, 100L), (2L, 3L, 100L)).toDF("id", "qty", "price_cents"),
+      p, WriteOptions(mode = WriteMode.Overwrite, metadata = genProps))
+    // clause 1 (id=1): explicitly assigns BOTH qty and total_cents
+    // (consistent); clause 2 (id=2): assigns only qty — total_cents
+    // must be RECOMPUTED for its rows, not refused because another
+    // clause named it
+    val src = Seq((1L, 5L), (2L, 7L)).toDF("id", "new_qty")
+    MergeClausesExecutor.merge(spark, src, p, "s.id = t.id",
+      matched = Seq(
+        UpdateSet(Map("qty" -> col("s.new_qty"),
+          "total_cents" -> (col("s.new_qty") * lit(100L))),
+          condition = Some(col("t.id") === 1L)),
+        UpdateSet(Map("qty" -> col("s.new_qty")),
+          condition = Some(col("t.id") === 2L))),
+      sourceAlias = "s", targetAlias = "t")
+    assert(GraftTable(spark, p).toDf()
+      .select("id", "total_cents").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 500L, 2L -> 700L))
+    // an INSERT VALUES clause that omits the generated column computes it
+    val src2 = Seq((9L, 4L)).toDF("id", "new_qty")
+    MergeClausesExecutor.merge(spark, src2, p, "s.id = t.id",
+      notMatched = Seq(InsertValues(Map(
+        "id" -> col("s.id"), "qty" -> col("s.new_qty"),
+        "price_cents" -> lit(50L)))),
+      sourceAlias = "s", targetAlias = "t")
+    assert(GraftTable(spark, p).toDf().filter(col("id") === 9L)
+      .select("total_cents").as[Long].head() == 200L)
+    // an explicitly WRONG assignment in a clause is still refused
+    intercept[IllegalArgumentException] {
+      MergeClausesExecutor.merge(spark,
+        Seq((1L, 8L)).toDF("id", "new_qty"), p, "s.id = t.id",
+        matched = Seq(UpdateSet(Map("qty" -> col("s.new_qty"),
+          "total_cents" -> lit(1L)))),
+        sourceAlias = "s", targetAlias = "t")
+    }
+  }
+
   test("UPDATE of a base column recomputes generated columns in the change feed too") {
     val p = tmpDir("gen_cdf") + "/t"
     GraftWriter.write(spark,

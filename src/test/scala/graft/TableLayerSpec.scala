@@ -985,6 +985,33 @@ class TableLayerSpec extends SparkSpec {
     assert(t.vacuumOrphans(60000L).isEmpty)
   }
 
+  test("vacuumOrphans after log retention never deletes checkpoint-only live files") {
+    import graft.log.CommitLog
+    val p = tmpDir("orph_ret")
+    // 25 appends -> checkpoints at v10/v20; files added by commits 0..19
+    // stay LIVE but (after retention) are referenced only through the
+    // boundary checkpoint — the orphan sweep must protect them
+    (0 until 25).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, i.toLong)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val log = new CommitLog(p, spark.sessionState.newHadoopConf())
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    assert(log.cleanOldLogs(1000L, nowMs = future).nonEmpty)
+    assert(log.versions().head == 20L)
+    // aggressive sweep with everything "old": nothing live may go
+    val deleted = GraftTable(spark, p).vacuumOrphans(1000L, nowMs = future)
+    assert(deleted.isEmpty, s"live files deleted: $deleted")
+    assert(GraftTable(spark, p).toDf().count() == 25,
+      "table must survive an orphan sweep after log retention")
+    // a genuine stray still goes
+    val stray = new java.io.File(p, "stray.parquet")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1))
+    assert(GraftTable(spark, p).vacuumOrphans(1000L, nowMs = future) ==
+      Seq("stray.parquet"))
+    assert(GraftTable(spark, p).toDf().count() == 25)
+  }
+
   test("log-retention cleanup keeps the checkpoint boundary readable") {
     import graft.log.CommitLog
     val p = tmpDir("logret")
