@@ -88,6 +88,30 @@ object ExplainAudit {
     println(s"--- files scanned: ${scannedFiles(genScan)} of " +
       s"${GraftTable(spark, s"$gp/t").snapshot().files.size}")
 
+    println("=== [H] bloom point lookup (expect files scanned << files in " +
+      "table on a key min/max cannot prune) ===")
+    val bp = java.nio.file.Files.createTempDirectory("graft_audit_bloom").toString + "/t"
+    GraftWriter.write(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "n_chars").repartition(8, col("doc_id")),
+      bp, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(BloomFilters.PropKey -> "doc_id")))
+    val bloomScan = spark.read.format("graft").load(bp)
+      .filter(col("doc_id") === 123L)
+    bloomScan.explain("formatted")
+    println(s"--- files scanned: ${scannedFiles(bloomScan)} of " +
+      s"${GraftTable(spark, bp).snapshot().files.size}")
+
+    println("=== [I] ivf-pq residual ADC (expect broadcast query side + " +
+      "cell-keyed join — no CartesianProduct, codes-only corpus) ===")
+    val ivfpq = graft.SparkEntry.queries("knn_ivfpq_adc")(spark, sfDir)
+    ivfpq.explain("formatted")
+    val cartesians = ivfpq.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty => j
+    }.size
+    println(s"--- condition-less joins (must be 0): $cartesians")
+
     spark.stop()
   }
 

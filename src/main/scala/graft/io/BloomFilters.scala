@@ -112,31 +112,50 @@ object BloomFilters {
     } catch { case scala.util.control.NonFatal(_) => true }
   }
 
+  /** Candidate sets beyond this fan the footer reads out to EXECUTORS
+    * instead of the driver's thread pool — a million-file point probe
+    * must not serialize a million ranged reads through one process.
+    */
+  val DriverPruneLimit = 512
+
   /** File-pruning pass over `files` for `=`/`IN` filters on declared
     * bloom columns: returns the relative paths that may hold a match.
-    * Footer reads run in parallel on a bounded pool (one ranged read
-    * per file — the cost this index trades for skipping whole scans).
+    * Footer reads run in parallel — driver thread pool for small
+    * candidate sets, executor tasks past [[DriverPruneLimit]] (one
+    * ranged read per file either way; that read is the cost this index
+    * trades for skipping whole scans).
     */
   def pruneFiles(
       conf: Configuration,
       tablePath: String,
       files: Seq[graft.log.AddFile],
-      checks: Seq[(String, Seq[Any])]): Set[String] = {
+      checks: Seq[(String, Seq[Any])],
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Set[String] = {
     if (files.isEmpty || checks.isEmpty) return files.map(_.path).toSet
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(files.size,
-        Runtime.getRuntime.availableProcessors())))
-    try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val futs = files.map { f =>
-        Future {
-          val abs = new Path(tablePath, f.path)
-          if (mayContain(conf, abs, checks)) Some(f.path) else None
-        }
-      }
-      Await.result(Future.sequence(futs),
-        scala.concurrent.duration.Duration.Inf).flatten.toSet
-    } finally pool.shutdown()
+    spark match {
+      case Some(s) if files.size > DriverPruneLimit =>
+        val tp = tablePath
+        val cks = checks
+        org.apache.spark.sql.graft.GraftInternal
+          .distributedFilter(s, files.map(_.path),
+            (c, rel) => mayContain(c, new Path(tp, rel), cks))
+          .toSet
+      case _ =>
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(files.size,
+            Runtime.getRuntime.availableProcessors())))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          val futs = files.map { f =>
+            Future {
+              val abs = new Path(tablePath, f.path)
+              if (mayContain(conf, abs, checks)) Some(f.path) else None
+            }
+          }
+          Await.result(Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf).flatten.toSet
+        } finally pool.shutdown()
+    }
   }
 }

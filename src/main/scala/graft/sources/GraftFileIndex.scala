@@ -98,7 +98,8 @@ final class GraftFileIndex(
           bloomMemo.containsKey((f.path, checksKey)))
         if (unknown.nonEmpty) {
           val keep = graft.io.BloomFilters.pruneFiles(
-            spark.sessionState.newHadoopConf(), tablePath, unknown, bloomChecks)
+            spark.sessionState.newHadoopConf(), tablePath, unknown,
+            bloomChecks, spark = Some(spark))
           unknown.foreach(f =>
             bloomMemo.put((f.path, checksKey), keep(f.path)))
         }

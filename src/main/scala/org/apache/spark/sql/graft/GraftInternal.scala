@@ -110,6 +110,26 @@ object GraftInternal {
     }.collect().toSeq
   }
 
+  /** Filter `items` on EXECUTORS with a credentialed Hadoop conf (the
+    * `SerializableConfiguration` placement rationale again): used by
+    * bloom-filter pruning when the candidate set outgrows the driver's
+    * thread pool — one footer read per file, fanned across the cluster.
+    */
+  def distributedFilter(
+      spark: SparkSession,
+      items: Seq[String],
+      f: (org.apache.hadoop.conf.Configuration, String) => Boolean): Seq[String] = {
+    if (items.isEmpty) return Nil
+    val sc = spark.sparkContext
+    val bc = sc.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+    val slices = math.min(items.size, math.max(1, sc.defaultParallelism))
+    sc.parallelize(items, slices).mapPartitions { it =>
+      val conf = bc.value.value
+      it.filter(p => f(conf, p))
+    }.collect().toSeq
+  }
+
   /** Multipart names of every unresolved attribute referenced by a
     * Column, read off the ColumnNode tree (the catalyst expression is
     * built lazily in Spark 4, so pre-analysis validation must walk the

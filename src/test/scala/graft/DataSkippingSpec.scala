@@ -82,6 +82,21 @@ class DataSkippingSpec extends SparkSpec {
     val viaIdx = spark.read.format("graft").load(withB)
       .filter(col("k") === 83L).count()
     assert(viaIdx == 1L)
+
+    // the executor fan-out path (used past DriverPruneLimit candidates)
+    // must agree with the driver pool byte-for-byte — this is the
+    // closure-serialization canary for the 100 TB path
+    val snapB = GraftTable(spark, withB).snapshot()
+    val checks = Seq(("k", Seq[Any](83L)))
+    val viaDriver = BloomFilters.pruneFiles(
+      spark.sessionState.newHadoopConf(), withB, snapB.files, checks)
+    val viaExec = org.apache.spark.sql.graft.GraftInternal
+      .distributedFilter(spark, snapB.files.map(_.path),
+        (c, rel) => BloomFilters.mayContain(
+          c, new org.apache.hadoop.fs.Path(withB, rel), checks))
+      .toSet
+    assert(viaExec == viaDriver, s"executor $viaExec != driver $viaDriver")
+    assert(viaExec.size < 8)
   }
 
   test("footer stats land in add actions; pruned scan reads fewer files, same rows") {
