@@ -675,6 +675,14 @@ object OracleSql {
                 l_returnflag, l_quantity, l_shipdate
          FROM lineitem WHERE l_returnflag IN ('A', 'R')""",
 
+    // default column values: the append omitted src_tag -> 'bulk'
+    "table_default_cols" ->
+      """SELECT o_orderkey, o_totalprice, 'seed' AS src_tag FROM orders
+         UNION ALL
+         SELECT o_orderkey + 20000000 AS o_orderkey, o_totalprice,
+                'bulk' AS src_tag
+         FROM orders WHERE o_orderkey % 3 = 0""",
+
     // bloom-filter point lookup must lose no rows to wrong pruning
     "point_lookup_bloom" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -506,6 +506,22 @@ object SparkEntry {
       .filter(col("doc_id").isin(7L, 123L, 400L, 444L))
   }
 
+  /** Default column values (`graft.default.<col>`): a write OMITTING
+    * the column gets the default expression; supplied values win.
+    */
+  private def qDefaultCols(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val p = tmp("graft_def")
+    GraftWriter.write(spark, o.withColumn("src_tag", lit("seed")), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(s"${graft.io.Generated.DefaultPrefix}src_tag" -> "'bulk'")))
+    GraftWriter.write(spark,
+      o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L),
+      p, WriteOptions(mode = WriteMode.Append))
+    GraftTable(spark, p).toDf()
+  }
+
   private def qReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     val p = tmp("graft_rw")
@@ -1357,6 +1373,7 @@ object SparkEntry {
     "merge_clauses_dv" -> (qMergeClauses(dv = true) _),
     "table_roundtrip" -> (qTableRoundtrip _),
     "point_lookup_bloom" -> (qPointLookupBloom _),
+    "table_default_cols" -> (qDefaultCols _),
     "table_clone" -> (qTableClone _),
     "table_generated_cols" -> (qGeneratedCols _),
     "table_replace_where" -> (qReplaceWhere _),

@@ -151,8 +151,11 @@ object GraftWriter {
       }
       existing ++ supplied
     }
+    // defaults FIRST (a generating expression may reference a defaulted
+    // base column), then generated fill, then identity assignment
+    val dfDef = Generated.fillDefaults(dfIn, snapOpt.map(_.schema), declProps)
     val dfGen = Generated.fillGenerated(
-      spark, dfIn, snapOpt.map(_.schema), declProps)
+      spark, dfDef, snapOpt.map(_.schema), declProps)
     val (df, identityAssigned) = Generated.assignIdentity(dfGen, declProps)
 
     val partitionCols: Seq[String] = snapOpt match {
@@ -333,6 +336,16 @@ object GraftWriter {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Table property capping footer-stats collection to the first N data
+    * columns (Delta's `dataSkippingNumIndexedCols`). Unset = stats for
+    * every column. NOTE: an identity column past the cap loses its
+    * zero-cost footer-stats high-water-mark advance and pays the
+    * aggregate fallback per assigning write — keep identity columns
+    * inside the indexed prefix.
+    */
+  val StatsIndexedColsKey: String =
+    graft.log.CommitLog.ReservedPrefix + "dataSkippingNumIndexedCols"
 
   private def constraintsOf(props: Map[String, String]): Map[String, String] = {
     val prefix = graft.log.CommitLog.constraintKey("")
@@ -896,7 +909,14 @@ object GraftWriter {
         w = w.option("maxRecordsPerFile", maxRecordsPerFile)
       if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
       w.parquet(stage.toString)
-      promoteStaged(fs, conf, stage, new Path(path))
+      // stats cap (Delta's dataSkippingNumIndexedCols): on wide tables
+      // keep footer stats only for the first N data columns — the log
+      // stays O(N) per file instead of O(width)
+      val statsCols = props.get(GraftWriter.StatsIndexedColsKey)
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(_ >= 0)
+        .map(n => physDf.schema.fieldNames.take(n).toSet)
+      promoteStaged(fs, conf, stage, new Path(path), statsCols)
     } finally {
       prevTsConf match {
         case Some(v) => spark.conf.set(tsConfKey, v)
@@ -1010,7 +1030,15 @@ object GraftWriter {
       fs: FileSystem,
       conf: Configuration,
       stage: Path,
-      root: Path): Seq[AddFile] = {
+      root: Path,
+      /** Physical column names to keep footer stats for; None = all.
+        * Delta's `dataSkippingNumIndexedCols` posture: on a 1000-column
+        * table, per-file stats for every column dominate the log — cap
+        * them to the first N schema columns (`graft.dataSkippingNumIndexedCols`)
+        * and skipping on later columns degrades conservatively to
+        * keep-the-file.
+        */
+      statsCols: Option[Set[String]] = None): Seq[AddFile] = {
     val staged = listRec(fs, stage).filter(_.getName.endsWith(".parquet"))
     val adds = staged.map { f =>
       val rel0 = relativize(stage, f)
@@ -1032,7 +1060,11 @@ object GraftWriter {
       if (!fs.rename(f, target))
         throw new java.io.IOException(s"rename $f -> $target failed")
       val st = fs.getFileStatus(target)
-      val (rows, stats) = footerInfo(conf, target)
+      val (rows, stats0) = footerInfo(conf, target)
+      val stats = statsCols match {
+        case Some(keep) => stats0.filter { case (c, _) => keep(c) }
+        case None       => stats0
+      }
       AddFile(rel, partitionValuesOf(rel), st.getLen,
         rows, st.getModificationTime, stats)
     }

@@ -219,7 +219,7 @@ object MergeClausesExecutor {
       val inserts = insertRows(
         // anti join must see ALL candidate rows, not just touched files
         candDf, src, cond, mergedSchema, notMatched, sourceAlias, targetAlias,
-        genCols = genCols)
+        genCols = genCols, defaults = graft.io.Generated.defaultsOf(props))
       // generated columns are recomputed ROW-LEVEL: each row's
       // dispatched clause decides (a clause that explicitly assigns the
       // column keeps its value for post-write validation; any other
@@ -376,7 +376,7 @@ object MergeClausesExecutor {
     val inserts = insertRows(
       // anti join must see ALL candidate rows, not just touched files
       candDfM, src, cond, mergedSchema, notMatched, sa, ta,
-      genCols = genCols)
+      genCols = genCols, defaults = graft.io.Generated.defaultsOf(props))
     val newData = dropGenFlags(graft.io.Generated.recomputeGated(
       rewrites.unionByName(inserts), mergedSchema, props, genFlagCol),
       genCols)
@@ -615,7 +615,12 @@ object MergeClausesExecutor {
       notMatched: Seq[NotMatchedClause],
       sa: String,
       ta: String,
-      genCols: Seq[String] = Nil): DataFrame = {
+      genCols: Seq[String] = Nil,
+      /** Declared column defaults (`graft.default.*`): an INSERT VALUES
+        * clause that omits such a column gets the default instead of
+        * null (Delta's DEFAULT-on-insert semantics).
+        */
+      defaults: Map[String, String] = Map.empty): DataFrame = {
     val cols = schema.map(_.name)
     val unmatched = source.alias(sa).join(target.alias(ta), cond, "left_anti")
     def guard(c: NotMatchedClause): Column = c.condition.getOrElse(lit(true))
@@ -641,7 +646,10 @@ object MergeClausesExecutor {
     def colValue(c: NotMatchedClause, name: String): Column = c match {
       case _: InsertAll => col(name)
       case InsertValues(values, _) =>
-        values.getOrElse(name, lit(null)).cast(schema(name).dataType)
+        values.getOrElse(name,
+          defaults.collectFirst {
+            case (dc, sql) if dc.equalsIgnoreCase(name) => expr(sql)
+          }.getOrElse(lit(null))).cast(schema(name).dataType)
     }
     def outCol(name: String): Column =
       notMatched.foldRight(lit(null).cast(schema(name).dataType): Column) {

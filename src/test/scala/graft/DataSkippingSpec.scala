@@ -99,6 +99,26 @@ class DataSkippingSpec extends SparkSpec {
     assert(viaExec.size < 8)
   }
 
+  test("stats cap keeps the log narrow; skipping on capped columns degrades conservatively") {
+    val p = tmpDir("statscap")
+    val df = spark.range(0, 1000).select(col("id").as("a"),
+      (col("id") * 2).as("b"), (col("id") * 3).as("c"))
+      .repartitionByRange(4, col("a"))
+    GraftWriter.write(spark, df, p, WriteOptions(mode = WriteMode.Overwrite,
+      metadata = Map(GraftWriter.StatsIndexedColsKey -> "2")))
+    val t = GraftTable(spark, p)
+    val files = t.snapshot().files
+    assert(files.size == 4)
+    // only the first 2 schema columns carry stats
+    assert(files.forall(_.stats.keySet == Set("a", "b")),
+      s"got stats keys ${files.map(_.stats.keySet)}")
+    // skipping on an indexed column still prunes
+    assert(t.filesAfterPruning(Seq(DataFilter("a", SkipOp.Ge, 900L))) <= 2)
+    // skipping on a CAPPED column keeps every file — and stays correct
+    assert(t.filesAfterPruning(Seq(DataFilter("c", SkipOp.Ge, 2700L))) == 4)
+    assert(t.scanPruned(Seq(DataFilter("c", SkipOp.Ge, 2700L))).count() == 100)
+  }
+
   test("footer stats land in add actions; pruned scan reads fewer files, same rows") {
     val p = tmpDir("skip")
     val df = spark.range(0, 10000)

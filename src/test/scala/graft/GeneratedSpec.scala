@@ -110,6 +110,47 @@ class GeneratedSpec extends SparkSpec {
       writtenFallback = Some(Seq(99L).toDF("rid"))).isEmpty)
   }
 
+  test("default column values fill omitted columns; supplied values win") {
+    import graft.merge._
+    val p = tmpDir("defaults") + "/t"
+    GraftWriter.write(spark,
+      Seq((1L, "explicit")).toDF("id", "tag"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(s"${Generated.DefaultPrefix}tag" -> "'dflt'")))
+    // append omitting the column -> default
+    GraftWriter.write(spark, Seq(2L).toDF("id"), p,
+      WriteOptions(mode = WriteMode.Append))
+    // append supplying it -> supplied value kept
+    GraftWriter.write(spark, Seq((3L, "mine")).toDF("id", "tag"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val t = GraftTable(spark, p)
+    assert(t.toDf().select("id", "tag").as[(Long, String)].collect().toMap ==
+      Map(1L -> "explicit", 2L -> "dflt", 3L -> "mine"))
+    // unlike generated columns, a default may be declared LATE (it only
+    // affects future writes, no invariant on existing rows)
+    val p2 = tmpDir("defaults2") + "/t"
+    GraftWriter.write(spark, Seq((1L, "x")).toDF("id", "tag"), p2,
+      WriteOptions(mode = WriteMode.Overwrite))
+    GraftWriter.write(spark, Seq(2L).toDF("id"), p2,
+      WriteOptions(mode = WriteMode.Append,
+        metadata = Map(s"${Generated.DefaultPrefix}tag" -> "'late'")))
+    assert(GraftTable(spark, p2).toDf().filter(col("id") === 2L)
+      .select("tag").as[String].head() == "late")
+    // a default for a column the table does NOT have never silently
+    // evolves the schema
+    GraftWriter.write(spark, Seq(3L).toDF("id"), p2,
+      WriteOptions(mode = WriteMode.Append,
+        metadata = Map(s"${Generated.DefaultPrefix}ghost" -> "'nope'")))
+    assert(!GraftTable(spark, p2).toDf().columns.contains("ghost"))
+    // merge INSERT VALUES omitting a defaulted column gets the default
+    MergeClausesExecutor.merge(spark,
+      Seq(9L).toDF("id"), p, "s.id = t.id",
+      notMatched = Seq(InsertValues(Map("id" -> col("s.id")))),
+      sourceAlias = "s", targetAlias = "t")
+    assert(t.toDf().filter(col("id") === 9L)
+      .select("tag").as[String].head() == "dflt")
+  }
+
   test("clause merge recomputes generated columns PER CLAUSE") {
     import graft.merge._
     val p = tmpDir("gen_clause") + "/t"
