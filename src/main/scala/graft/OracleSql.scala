@@ -334,6 +334,92 @@ object OracleSql {
         SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
   }
 
+  /** Full-composition twin: k-means coarse cells (2 Lloyd iterations,
+    * same CTEs as knnIvfKmeansSql), residuals to the REFINED centroids,
+    * per-subspace k-means PQ books over the residuals (same recipe as
+    * pqKmeansCtes, parameterized to the residual relation), ADC
+    * confined to the query's own cell.
+    */
+  private val knnIvfPqKmeansSql: String = {
+    def assign(centCte: String, name: String) =
+      s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
+            (SELECT e.vec_id, e.embedding, c.c_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${simE6("e.embedding", "c.c_vec")} DESC, c.c_id) AS rn
+             FROM embeddings e, $centCte c) WHERE rn = 1)"""
+    def recompute(assignCte: String, name: String) =
+      s"""${name}_s AS (SELECT cell, i,
+              CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS n
+            FROM $assignCte, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY cell, i),
+          $name AS (SELECT cell AS c_id,
+              list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS c_vec
+            FROM ${name}_s GROUP BY cell)"""
+    def pqAssign(cb: String, name: String) =
+      s"""$name AS (SELECT vec_id, j, idx AS code FROM (
+            SELECT es.vec_id, es.j, c.idx,
+                   row_number() OVER (PARTITION BY es.vec_id, es.j
+                     ORDER BY ${pqD2("es.sub", "c.sub")}, c.idx) AS rn
+            FROM es, $cb c WHERE c.j = es.j) WHERE rn = 1)"""
+    def pqRecompute(codes: String, prev: String, name: String) =
+      s"""${name}_s AS (SELECT co.j, co.code, t.i,
+              CAST(sum(CAST(round(es2.sub[t.i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS n
+            FROM $codes co JOIN es es2 ON es2.vec_id = co.vec_id AND es2.j = co.j,
+                 UNNEST(range(1, 5)) AS t(i)
+            GROUP BY co.j, co.code, t.i),
+          ${name}_m AS (SELECT j, code AS idx,
+              list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS sub
+            FROM ${name}_s GROUP BY j, code),
+          $name AS (SELECT * FROM ${name}_m
+            UNION ALL
+            SELECT p.j, p.idx, p.sub FROM $prev p
+            WHERE NOT EXISTS (SELECT 1 FROM ${name}_m x
+                              WHERE x.j = p.j AND x.idx = p.idx))"""
+    s"""WITH c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
+        ${assign("c0", "a1")},
+        ${recompute("a1", "c1")},
+        ${assign("c1", "a2")},
+        ${recompute("a2", "c2")},
+        ${assign("c2", "af")},
+        resid AS (SELECT a.vec_id, a.cell,
+                         list_transform(range(1, len(a.embedding) + 1),
+                           i -> (a.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)::FLOAT) AS r
+                  FROM af a JOIN c2 c ON c.c_id = a.cell),
+        js AS (SELECT unnest(range(0, 16)) AS j),
+        es AS (SELECT rr.vec_id, js.j, rr.r[js.j*4+1:js.j*4+4] AS sub
+               FROM resid rr, js),
+        cb0 AS (SELECT js.j, c.idx, c.c_vec[js.j*4+1:js.j*4+4] AS sub
+                FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+                             r AS c_vec
+                      FROM resid WHERE vec_id % $pqStride16 = 0) c, js),
+        ${pqAssign("cb0", "k0")},
+        ${pqRecompute("k0", "cb0", "cb1")},
+        ${pqAssign("cb1", "k1")},
+        ${pqRecompute("k1", "cb1", "cb2")},
+        ${pqAssign("cb2", "codes_km")},
+        codes AS (SELECT k.vec_id, rr.cell, k.j, k.code
+                  FROM codes_km k JOIN resid rr ON rr.vec_id = k.vec_id),
+        q AS (SELECT es.vec_id AS q_id, rr.cell, es.j, es.sub
+              FROM es JOIN resid rr ON rr.vec_id = es.vec_id
+              WHERE es.vec_id < 32),
+        dtab AS (SELECT q.q_id, q.cell, q.j, c.idx,
+                        ${pqD2("q.sub", "c.sub")} AS d
+                 FROM q JOIN cb2 c ON c.j = q.j),
+        sc AS (SELECT d.q_id, co.vec_id AS n_id,
+                      CAST(sum(d.d) AS BIGINT) AS adist_e6
+               FROM codes co JOIN dtab d
+                 ON d.cell = co.cell AND d.j = co.j AND d.idx = co.code
+               WHERE co.vec_id <> d.q_id
+               GROUP BY d.q_id, co.vec_id),
+        ranked AS (SELECT q_id, n_id, adist_e6,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist_e6, n_id) AS "rank"
+                   FROM sc)
+        SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
   private val knnIvfKmeansSql: String = {
     def assign(centCte: String, name: String) =
       s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
@@ -952,6 +1038,7 @@ object OracleSql {
     "knn_pq_adc" -> knnPqAdcSql,
 
     "knn_ivfpq_adc" -> knnIvfPqAdcSql,
+    "knn_ivfpq_kmeans" -> knnIvfPqKmeansSql,
 
     "cosine_dup_pairs" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $autoCentStride = 0),

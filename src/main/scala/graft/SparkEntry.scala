@@ -761,6 +761,15 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("adist_e6"))
 
+  /** IVF-PQ with BOTH quantizers k-means-refined — the production ANN
+    * training recipe, oracle-checked end-to-end through the training.
+    */
+  private def qKnnIvfPqKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfpqTopKKmeans(t(spark, dir, "embeddings"),
+      col("vec_id") < 32, 5, rowCountHint = embRows(spark, dir))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("adist_e6"))
+
   private def qCosineDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(t(spark, dir, "embeddings"), 450000L,
       rowCountHint = embRows(spark, dir))
@@ -1405,6 +1414,7 @@ object SparkEntry {
     "knn_pq_adc" -> (qKnnPqAdc _),
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
+    "knn_ivfpq_kmeans" -> (qKnnIvfPqKmeans _),
     "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
     "binary_meta" -> (qBinaryMeta _),
@@ -1474,6 +1484,7 @@ object SparkEntry {
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
     "pq_codes", "knn_pq_adc", "knn_pq_adc_kmeans", "knn_ivfpq_adc",
+    "knn_ivfpq_kmeans",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "embedding_stats",
     "embedding_centroid_sums", "embedding_normalize",

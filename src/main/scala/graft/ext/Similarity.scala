@@ -626,7 +626,54 @@ object Similarity {
       nprobe: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val n = rowCountHint.getOrElse(corpus.count())
-    val coarse = centroidsK(corpus, numCells, idCol, vecCol, Some(n))
+    ivfpqWith(corpus, centroidsK(corpus, numCells, idCol, vecCol, Some(n)),
+      queryPred, k, m, ksub, pqIters = 0, n, idCol, vecCol, nprobe)
+  }
+
+  /** [[ivfpqTopK]] with BOTH quantizers k-means-refined: Lloyd coarse
+    * cells ([[kmeansCentroids]]) and per-subspace Lloyd PQ books over
+    * the RESIDUALS — the production IVF-PQ training recipe (stride
+    * seeding bounds the recall floor; Lloyd adapts cells and books to
+    * the data's distribution). Same deterministic fixed-point training
+    * arithmetic as the individually-oracled k-means paths, so the whole
+    * composition stays oracle-checkable. Output shape identical to
+    * [[ivfpqTopK]].
+    */
+  def ivfpqTopKKmeans(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      numCells: Int = 32,
+      m: Int = 16,
+      ksub: Int = 16,
+      coarseIters: Int = 2,
+      pqIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None,
+      nprobe: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val n = rowCountHint.getOrElse(corpus.count())
+    ivfpqWith(corpus,
+      kmeansCentroids(corpus, numCells, coarseIters, idCol, vecCol, Some(n)),
+      queryPred, k, m, ksub, pqIters, n, idCol, vecCol, nprobe)
+  }
+
+  private def ivfpqWith(
+      corpus: DataFrame,
+      coarse: DataFrame,
+      queryPred: Column,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      /** 0 = stride-seeded PQ books over the residuals; >0 = that many
+        * per-subspace Lloyd refinement passes.
+        */
+      pqIters: Int,
+      n: Long,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int): DataFrame = {
     val centLocal = broadcast(
       coarse.select(col("c_id").as("cell"), col("c_vec")))
 
@@ -640,10 +687,12 @@ object Similarity {
         .select(col(idCol), col("cell"), col("__resid"))
 
     val resid = residualize(corpus, probes = 1)
-    // PQ books trained on the residuals — stride-seeded by id, so the
-    // whole pipeline stays deterministic and oracle-expressible
-    val (dsub, books) = pqCodebooks(
-      resid, m, ksub, idCol, "__resid", Some(n))
+    // PQ books trained on the residuals — stride-seeded by id (plus
+    // optional per-subspace Lloyd), so the whole pipeline stays
+    // deterministic and oracle-expressible
+    val (dsub, books) =
+      if (pqIters <= 0) pqCodebooks(resid, m, ksub, idCol, "__resid", Some(n))
+      else pqCodebooksKmeans(resid, m, ksub, pqIters, idCol, "__resid", Some(n))
     val codes = resid
       .select(col(idCol).as("n_id"), col("cell"),
         pqCodesExpr("__resid", dsub, books).as("codes"))

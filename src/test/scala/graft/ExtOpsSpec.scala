@@ -205,6 +205,12 @@ class ExtOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs1.forall { case (qi, ni) => cells(qi) == cells(ni) },
       "nprobe=1 neighbors must come from the query's own cell")
+    // the fully k-means-refined composition must not lose recall vs the
+    // stride-seeded pipeline (Lloyd adapts cells AND books to the data)
+    val rKm = recallOf(Similarity.ivfpqTopKKmeans(embs, pred, 5))
+    assert(rKm >= r1 - 0.05,
+      s"ivf-pq kmeans recall $rKm degraded vs stride $r1")
+    info(f"ivf-pq recall stride=$r1%.3f kmeans=$rKm%.3f nprobe2=$r2%.3f")
   }
 
   test("skewJoin equals the plain join and broadcasts the hot branch") {
