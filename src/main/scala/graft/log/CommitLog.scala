@@ -400,9 +400,20 @@ final class CommitLog(
     val ts = System.currentTimeMillis()
     if (snap.files.size > checkpointShardRecords) {
       val shards = snap.files.grouped(checkpointShardRecords).toSeq
-      shards.zipWithIndex.foreach { case (part, i) =>
-        writeFileAtomic(gzipBytes(Serialization.write(part)), shardFile(v, i))
-      }
+      // shards serialize+write in parallel (same pool shape as the
+      // parallel read); the manifest lands LAST — the commit point
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(shards.size,
+          Runtime.getRuntime.availableProcessors())))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(shards.zipWithIndex.map { case (part, i) =>
+          Future {
+            writeFileAtomic(gzipBytes(Serialization.write(part)), shardFile(v, i))
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       val m = CheckpointManifest(v, ts, snap.schema.toDDL,
         snap.partitionColumns, shards.size, snap.files.size.toLong)
       writeFileAtomic(Serialization.write(m).getBytes("UTF-8"),
