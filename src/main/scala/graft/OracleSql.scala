@@ -169,6 +169,13 @@ object OracleSql {
   private val pqStride16 =
     "(SELECT GREATEST(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) FROM embeddings)"
 
+  /** Quality-classifier weights rendered as a VALUES list — from the
+    * SAME trained [[graft.ext.QualityModel]] the Spark kernel bakes in.
+    */
+  private lazy val qualityWeightValues: String =
+    graft.ext.QualityModel.nonZeroWeights
+      .map { case (b, w) => s"($b, $w)" }.mkString(", ")
+
   /** Language-ID trigram profiles rendered as a VALUES list — computed
     * from the SAME [[graft.ext.LangProfiles]] the Spark kernel uses, so
     * the two sides can never drift. Trigrams are a–z/space only (the
@@ -917,6 +924,25 @@ object OracleSql {
                  COALESCE(b.lang, 'unk') AS pred_lang,
                  COALESCE(b.score, CAST(0 AS BIGINT)) AS score
           FROM d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""",
+
+    // hashed-unigram logistic quality classifier: exact integer sum of
+    // e6 bucket weights over token occurrences + bias
+    "text_quality_classifier" ->
+      s"""WITH w(b, wt) AS (VALUES ${qualityWeightValues}),
+          d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+          tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+          tb AS (SELECT doc_id,
+                        ('0x' || substr(md5(tok), 1, 15))::BIGINT % ${graft.ext.QualityModel.Buckets} AS b
+                 FROM tk),
+          sc AS (SELECT tb.doc_id,
+                        CAST(sum(COALESCE(w.wt, 0)) AS BIGINT) AS s
+                 FROM tb LEFT JOIN w ON w.b = tb.b
+                 GROUP BY tb.doc_id)
+          SELECT d.doc_id,
+                 CAST(${graft.ext.QualityModel.biasE6} + COALESCE(sc.s, 0) AS BIGINT) AS score_e6,
+                 CAST(CASE WHEN ${graft.ext.QualityModel.biasE6} + COALESCE(sc.s, 0) > 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS pred_good
+          FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
 
     "text_quality_score" ->
       s"""WITH d AS ($DOCS_TOKS)

@@ -632,6 +632,11 @@ object SparkEntry {
     TextAnalysis.langId(t(spark, dir, "documents"))
       .select(col("doc_id"), col("pred_lang"), col("score").cast("long").as("score"))
 
+  private def qQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityClassify(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("score_e6").cast("long").as("score_e6"),
+        col("pred_good").cast("long").as("pred_good"))
+
   private def qQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(spark, dir, "documents"))
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
@@ -1399,6 +1404,7 @@ object SparkEntry {
     "text_token_stats" -> (qTokenStats _),
     "text_lang_id" -> (qLangId _),
     "text_quality_score" -> (qQuality _),
+    "text_quality_classifier" -> (qQualityClassifier _),
     "text_lm_score" -> (qLmScore _),
     "paragraph_dedup" -> (qParagraphDedup _),
     "url_filter" -> (qUrlFilter _),
@@ -1479,7 +1485,8 @@ object SparkEntry {
     "dedup_exact", "dedup_latest", "minhash_lsh_pairs",
     "simhash_signature", "simhash_band_pairs", "ngram_jaccard_pairs",
     "text_token_stats",
-    "text_lang_id", "text_quality_score", "text_lm_score",
+    "text_lang_id", "text_quality_score", "text_quality_classifier",
+    "text_lm_score",
     "paragraph_dedup", "url_filter", "text_bpeish_count",
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",

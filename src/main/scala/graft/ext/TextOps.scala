@@ -726,6 +726,26 @@ object TextAnalysis {
       best.as("score"))
   }
 
+  /** Model-based quality classification ([[QualityModel]]): fasttext
+    * style hashed-unigram logistic scorer, trained deterministically at
+    * init on embedded prose/junk seeds, scored as one exact-integer
+    * codegen'd scan per row ([[graft.functions.HashedLinearScore]]) —
+    * the model-based complement to the heuristic [[qualityScore]] and
+    * gopher rules. Output: (doc_id, score_e6, pred_good ∈ {0,1}).
+    */
+  def qualityClassify(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val score = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.HashedLinearScore(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(textCol),
+        QualityModel.weightsE6, QualityModel.biasE6))
+    docs.select(
+      col("doc_id"),
+      // null text has no token rows in the oracle: score = bias
+      coalesce(score, lit(QualityModel.biasE6)).as("score_e6"))
+      .withColumn("pred_good",
+        when(col("score_e6") > 0, 1L).otherwise(0L))
+  }
+
   /** Quality scoring: punctuation count, stopword count/ratio — the
     * usual cheap pre-filters before expensive pipeline stages.
     */

@@ -412,6 +412,39 @@ class ExtOpsSpec extends SparkSpec {
     assert(TextAnalysis.langId(noise).select("pred_lang").head().getString(0) == "unk")
   }
 
+  test("quality classifier separates held-out prose from held-out junk") {
+    // none of these appear in QualityModel's seeds
+    val fixture = Seq(
+      (1L, "the village council discussed the plan for the new school " +
+        "and decided to ask the province for additional funding", 1L),
+      (2L, "over the winter the team repaired the boats and by spring " +
+        "they were ready to fish the northern waters again", 1L),
+      (3L, "her research on the old manuscripts revealed that the " +
+        "trade routes had shifted long before the war began", 1L),
+      (4L, "click here click here free bonus free bonus win win win " +
+        "claim your prize today limited offer act now act now", 0L),
+      (5L, "cheap replica cheap replica discount wholesale free " +
+        "shipping buy now buy now lowest price guaranteed", 0L),
+      (6L, "subscribe follow follow promo code promo code link in bio " +
+        "smash that button easy cash work from home", 0L))
+      .toDF("doc_id", "text", "expected")
+    val out = TextAnalysis.qualityClassify(fixture)
+      .join(fixture.select("doc_id", "expected"), "doc_id")
+    val wrong = out.filter(col("pred_good") =!= col("expected")).collect()
+    assert(wrong.isEmpty,
+      s"misclassified: ${wrong.map(r => (r.getLong(0), r.getLong(1))).mkString(", ")}")
+    // deterministic: same bigint scores on every run
+    val a = TextAnalysis.qualityClassify(fixture)
+      .select("doc_id", "score_e6").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = TextAnalysis.qualityClassify(fixture)
+      .select("doc_id", "score_e6").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    // null text scores exactly the bias
+    val nullDoc = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextAnalysis.qualityClassify(nullDoc)
+      .select("score_e6").head().getLong(0) == graft.ext.QualityModel.biasE6)
+  }
+
   test("connected components label every cluster with its min id transitively") {
     // chain 1-2-3 (via separate pairs), island 7-9, singleton pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L), (20L, 21L)).toDF("doc_a", "doc_b")
