@@ -91,24 +91,39 @@ object QualityModel {
       "work from home work from home passive income passive income")
 
   /** Spark-parity tokenization: trim SPACES (Spark's `trim`), lower,
-    * split on whitespace runs.
+    * split on whitespace runs with limit -1 — Spark's `split` and
+    * DuckDB's `regexp_split_to_array` both KEEP leading/trailing empty
+    * tokens (text ending in a tab splits to [..., ""]), so the scorer
+    * must too or the twins drift on exactly that text. This is THE
+    * tokenization — training and the scoring kernel both call it, so
+    * they cannot desynchronize.
     */
-  def tokensOf(s: String): Seq[String] = {
+  def tokensOf(s: String): Array[String] = {
     var a = 0; var b = s.length
     while (a < b && s.charAt(a) == ' ') a += 1
     while (b > a && s.charAt(b - 1) == ' ') b -= 1
     s.substring(a, b).toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").toSeq
+      .split("\\s+", -1)
   }
 
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** Shared cross-engine hash:
-    * `('0x' || substr(md5(tok), 1, 15))::BIGINT % Buckets`.
+    * `('0x' || substr(md5(tok), 1, 15))::BIGINT % Buckets` — the first
+    * 15 hex chars are the digest's high 60 bits. THE bucket function:
+    * training and scoring both call it (thread-local digest; per-call
+    * allocation would be measurable on the per-row scan).
     */
   def bucketOf(tok: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(tok.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % Buckets).toInt
+    val d = md5Local.get().digest(tok.getBytes("UTF-8"))
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    ((h >>> 4) % Buckets).toInt
   }
 
   /** (weightsE6 indexed by bucket, biasE6) — trained once at init. */

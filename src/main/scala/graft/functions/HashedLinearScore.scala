@@ -26,24 +26,14 @@ case class HashedLinearScore(
   override def prettyName: String = "graft_hashed_linear_score"
 
   def evalScore(input: UTF8String): Long = {
-    val s = input.toString
-    var a = 0; var b = s.length
-    while (a < b && s.charAt(a) == ' ') a += 1
-    while (b > a && s.charAt(b - 1) == ' ') b -= 1
-    val toks = s.substring(a, b)
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // tokenize/bucket are QualityModel's OWN functions — the exact ones
+    // training used, so the model scored is the model trained (a
+    // re-implementation here could silently drift)
+    val toks = graft.ext.QualityModel.tokensOf(input.toString)
     var acc = biasE6
     var i = 0
     while (i < toks.length) {
-      val d = md.digest(toks(i).getBytes("UTF-8"))
-      md.reset()
-      // first 15 hex chars = high 60 bits of the digest
-      var h = 0L
-      var j = 0
-      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-      h = h >>> 4 // 64 - 60 bits
-      acc += weightsE6((h % weightsE6.length).toInt)
+      acc += weightsE6(graft.ext.QualityModel.bucketOf(toks(i)))
       i += 1
     }
     acc

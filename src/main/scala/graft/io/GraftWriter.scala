@@ -347,6 +347,34 @@ object GraftWriter {
   val StatsIndexedColsKey: String =
     graft.log.CommitLog.ReservedPrefix + "dataSkippingNumIndexedCols"
 
+  /** The capped stats column set (physical names): the first N DATA
+    * columns in TABLE-SCHEMA order — not the write frame's order, which
+    * varies per writer (omitted generated/default/identity columns are
+    * appended last), and not counting partition columns, which never
+    * carry footer stats and must not consume indexed slots. None = no
+    * cap declared.
+    */
+  private def statsCapCols(
+      props: Map[String, String],
+      snapOpt: => Option[graft.log.Snapshot],
+      /** Creating write: the frame IS the table order. */
+      fallbackCols: => Seq[String],
+      partitionCols: Seq[String]): Option[Set[String]] =
+    props.get(StatsIndexedColsKey)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 0)
+      .map { n =>
+        val cols = snapOpt match {
+          case Some(snap) =>
+            val m = ColumnMapping.fromSnapshot(snap)
+            snap.schema.fieldNames.toSeq
+              .filterNot(partitionCols.contains)
+              .map(c => ColumnMapping.physicalName(m, c))
+          case None => fallbackCols.filterNot(partitionCols.contains)
+        }
+        cols.take(n).toSet
+      }
+
   private def constraintsOf(props: Map[String, String]): Map[String, String] = {
     val prefix = graft.log.CommitLog.constraintKey("")
     props.collect { case (k, sql) if k.startsWith(prefix) =>
@@ -562,7 +590,9 @@ object GraftWriter {
     var w = physDf.write.option("compression", "zstd")
     if (snap.partitionColumns.nonEmpty) w = w.partitionBy(snap.partitionColumns: _*)
     w.parquet(stage.toString)
-    val added = promoteStaged(fs, conf, stage, new Path(path))
+    val added = promoteStaged(fs, conf, stage, new Path(path),
+      statsCapCols(log.tableProperties(), Some(snap), Nil,
+        snap.partitionColumns))
 
     // compaction reads ONLY the files it rewrites: concurrent appends
     // (e.g. the streaming sink this auto-compacts behind) and rewrites
@@ -896,7 +926,8 @@ object GraftWriter {
       // invariant: every data file and its footer stats are keyed by
       // the column's creation name, so reads and pushed filters resolve
       // uniformly across pre- and post-rename files)
-      val props = new CommitLog(path, conf).tableProperties() ++ extraProps
+      val spLog = new CommitLog(path, conf)
+      val props = spLog.tableProperties() ++ extraProps
       val physDf = ColumnMapping.toPhysical(writeDf,
         ColumnMapping.fromProps(props))
       var w = physDf.write.option("compression", compression)
@@ -912,10 +943,9 @@ object GraftWriter {
       // stats cap (Delta's dataSkippingNumIndexedCols): on wide tables
       // keep footer stats only for the first N data columns — the log
       // stays O(N) per file instead of O(width)
-      val statsCols = props.get(GraftWriter.StatsIndexedColsKey)
-        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-        .filter(_ >= 0)
-        .map(n => physDf.schema.fieldNames.take(n).toSet)
+      val statsCols = statsCapCols(props,
+        if (spLog.tableExists()) Some(spLog.snapshot()) else None,
+        physDf.schema.fieldNames.toSeq, partitionCols)
       promoteStaged(fs, conf, stage, new Path(path), statsCols)
     } finally {
       prevTsConf match {
@@ -1007,7 +1037,9 @@ object GraftWriter {
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
     val snap = log.snapshot()
-    val added = promoteStaged(fs, conf, stage, new Path(path))
+    val added = promoteStaged(fs, conf, stage, new Path(path),
+      statsCapCols(log.tableProperties(), Some(snap), Nil,
+        snap.partitionColumns))
     enforceOnWritten(spark, fs, path, snap.schema, snap.partitionColumns, added,
       log.tableProperties())
     log.commit(

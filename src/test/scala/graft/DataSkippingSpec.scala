@@ -117,6 +117,29 @@ class DataSkippingSpec extends SparkSpec {
     // skipping on a CAPPED column keeps every file — and stays correct
     assert(t.filesAfterPruning(Seq(DataFilter("c", SkipOp.Ge, 2700L))) == 4)
     assert(t.scanPruned(Seq(DataFilter("c", SkipOp.Ge, 2700L))).count() == 100)
+    // the cap follows TABLE-schema order, not the write frame's order:
+    // an append with reordered columns still indexes {a, b}
+    GraftWriter.write(spark,
+      spark.range(1000, 1100).select((col("id") * 3).as("c"),
+        (col("id") * 2).as("b"), col("id").as("a")).coalesce(1),
+      p, WriteOptions(mode = WriteMode.Append))
+    assert(GraftTable(spark, p).snapshot().files
+      .forall(_.stats.keySet == Set("a", "b")))
+    // OPTIMIZE-compacted files keep the cap too (the bulk-rewrite path
+    // is exactly where O(width) stats would hurt most)
+    GraftWriter.optimize(spark, p)
+    assert(GraftTable(spark, p).snapshot().files
+      .forall(_.stats.keySet == Set("a", "b")))
+    // partition columns never consume indexed slots
+    val pp = tmpDir("statscap_part")
+    GraftWriter.write(spark,
+      spark.range(0, 100).select((col("id") % 2).cast("string").as("pt"),
+        col("id").as("x"), (col("id") * 2).as("y"), (col("id") * 3).as("z")),
+      pp, WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pt"),
+        metadata = Map(GraftWriter.StatsIndexedColsKey -> "2")))
+    assert(GraftTable(spark, pp).snapshot().files
+      .forall(_.stats.keySet == Set("x", "y")),
+      "the partition column must not occupy an indexed slot")
   }
 
   test("footer stats land in add actions; pruned scan reads fewer files, same rows") {
