@@ -686,7 +686,20 @@ object Similarity {
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("c_vec"))))
         .select(col(idCol), col("cell"), col("__resid"))
 
-    val resid = residualize(corpus, probes = 1)
+    val resid0 = residualize(corpus, probes = 1)
+    // the Lloyd PQ training rescans the residuals once per pass (seed
+    // collect + one per iteration) and the ADC scan reads them again —
+    // pin them once (same Scratch lifecycle as the pair-generators;
+    // Bench/Verify drain between queries) instead of recomputing the
+    // assignment+join per pass. The stride path reads them only twice;
+    // not worth a corpus-sized block there.
+    val resid =
+      if (pqIters <= 0) resid0
+      else {
+        val pinned = resid0.localCheckpoint(eager = true)
+        Scratch.register(pinned)
+        pinned
+      }
     // PQ books trained on the residuals — stride-seeded by id (plus
     // optional per-subspace Lloyd), so the whole pipeline stays
     // deterministic and oracle-expressible
