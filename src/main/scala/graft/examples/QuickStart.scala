@@ -466,12 +466,15 @@ object QuickStart {
     // deterministic and oracle-checked
     val ivfpq = graft.ext.Similarity.ivfpqTopK(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), col("vec_id") < 4, 3)
-    val langs = graft.ext.TextAnalysis.langId(
-      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val langs = graft.ext.TextAnalysis.langId(docsDf)
       .groupBy("pred_lang").count().orderBy(col("count").desc)
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+    val goodShare = graft.ext.TextAnalysis.qualityClassify(docsDf)
+      .agg(sum("pred_good"), count(lit(1))).head()
     println(s"[36] ivf-pq top-3: ${ivfpq.count()} neighbor rows; " +
-      s"lang-id votes: $langs")
+      s"lang-id votes: $langs; quality classifier keeps " +
+      s"${goodShare.getLong(0)}/${goodShare.getLong(1)} docs")
     spark.stop()
   }
 }
