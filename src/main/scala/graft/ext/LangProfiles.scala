@@ -67,7 +67,47 @@ object LangProfiles {
       "amigos. nao ha nada melhor do que um bom livro e um fogo quente " +
       "no inverno. as criancas brincam no jardim enquanto os seus pais " +
       "as observam da casa. hoje o sol brilha e o ceu esta azul sobre " +
-      "as montanhas."))
+      "as montanhas."),
+    "nl" -> ("de snelle bruine vos springt over de luie hond. dit is een " +
+      "korte tekst over het weer en de mensen die in de stad wonen. we " +
+      "gaan morgen naar de markt en daarna drinken we thee met onze " +
+      "vrienden. er is niets beters dan een goed boek en een warm vuur " +
+      "in de winter. de kinderen spelen in de tuin terwijl hun ouders " +
+      "vanuit het huis toekijken. vandaag schijnt de zon en de lucht is " +
+      "blauw boven de bergen."),
+    "sv" -> ("den snabba bruna raven hoppar over den lata hunden. detta " +
+      "ar en kort text om vadret och manniskorna som bor i staden. vi " +
+      "gar till marknaden pa morgonen och sedan dricker vi te med vara " +
+      "vanner. det finns inget battre an en bra bok och en varm eld pa " +
+      "vintern. barnen leker i tradgarden medan deras foraldrar tittar " +
+      "pa fran huset. idag skiner solen och himlen ar bla over bergen."),
+    "da" -> ("den hurtige brune raev springer over den dovne hund. dette " +
+      "er en kort tekst om vejret og de mennesker der bor i byen. vi " +
+      "gar pa markedet om morgenen og bagefter drikker vi te med vores " +
+      "venner. der findes ikke noget bedre end en god bog og en varm " +
+      "ild om vinteren. bornene leger i haven mens deres foraeldre ser " +
+      "til fra huset. i dag skinner solen og himlen er bla over bjergene."),
+    "pl" -> ("szybki brazowy lis skacze nad leniwym psem. to jest " +
+      "krotki tekst o pogodzie i ludziach ktorzy mieszkaja w miescie. " +
+      "rano idziemy na targ a potem pijemy herbate z naszymi " +
+      "przyjaciolmi. nie ma nic lepszego niz dobra ksiazka i cieple " +
+      "ognisko zima. dzieci bawia sie w ogrodzie podczas gdy rodzice " +
+      "patrza na nie z domu. dzisiaj swieci slonce a niebo nad gorami " +
+      "jest niebieskie."),
+    "ro" -> ("vulpea maro si rapida sare peste cainele lenes. acesta " +
+      "este un text scurt despre vreme si despre oamenii care traiesc " +
+      "in oras. mergem dimineata la piata si apoi bem ceai cu " +
+      "prietenii nostri. nu exista nimic mai bun decat o carte buna " +
+      "si un foc cald iarna. copiii se joaca in gradina in timp ce " +
+      "parintii lor ii privesc din casa. astazi soarele straluceste " +
+      "si cerul este albastru deasupra muntilor."),
+    "fi" -> ("nopea ruskea kettu hyppaa laiskan koiran yli. tama on " +
+      "lyhyt teksti saasta ja ihmisista jotka asuvat kaupungissa. " +
+      "menemme aamulla torille ja sitten juomme teeta ystaviemme " +
+      "kanssa. ei ole mitaan parempaa kuin hyva kirja ja lammin tuli " +
+      "talvella. lapset leikkivat puutarhassa kun heidan vanhempansa " +
+      "katsovat talosta. tanaan aurinko paistaa ja taivas on sininen " +
+      "vuorten ylla."))
 
   /** Language codes, ascending — the tie-break order and the index
     * order of every per-language score array.

@@ -384,7 +384,7 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.filter(col("pred_lang") =!= "unk" && col("score") === 0).count() == 0)
   }
 
-  test("trigram language id identifies held-out sentences across six languages") {
+  test("trigram language id identifies held-out sentences across twelve languages") {
     // held-out sentences — none appear in the LangProfiles seed texts
     val fixture = Seq(
       ("en", "she walked along the river in the evening and watched the " +
@@ -398,14 +398,26 @@ class ExtOpsSpec extends SparkSpec {
       ("it", "lei camminava lungo il fiume la sera e guardava le piccole " +
         "barche mentre pensava al lungo viaggio che la aspettava"),
       ("pt", "ela caminhava ao longo do rio a tarde e olhava os barcos " +
-        "pequenos enquanto pensava na longa viagem que a esperava"))
+        "pequenos enquanto pensava na longa viagem que a esperava"),
+      ("nl", "zij liep langs de rivier in de avond en keek naar de " +
+        "kleine boten terwijl ze aan de lange reis dacht"),
+      ("sv", "hon gick langs floden pa kvallen och tittade pa de sma " +
+        "batarna medan hon tankte pa den langa resan"),
+      ("da", "hun gik langs floden om aftenen og sa pa de sma bade " +
+        "mens hun taenkte pa den lange rejse"),
+      ("pl", "szla wzdluz rzeki wieczorem i patrzyla na male lodzie " +
+        "myslac o dlugiej podrozy ktora ja czekala"),
+      ("ro", "ea mergea de a lungul raului seara si privea barcile " +
+        "mici in timp ce se gandea la lunga calatorie care o astepta"),
+      ("fi", "han kaveli joen vartta iltaisin ja katseli pienia " +
+        "veneita miettien pitkaa matkaa joka hanta odotti"))
       .zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) }
       .toDF("doc_id", "text", "true_lang")
     val pred = TextAnalysis.langId(fixture)
       .join(fixture.select("doc_id", "true_lang"), "doc_id")
     val correct = pred.filter(col("pred_lang") === col("true_lang")).count()
-    assert(correct == 6,
-      s"trigram lang-id got $correct/6 right: " +
+    assert(correct == 12,
+      s"trigram lang-id got $correct/12 right: " +
         pred.select("true_lang", "pred_lang").collect().mkString(", "))
     // gibberish with no a-z trigram signal scores 0 → unk
     val noise = Seq((99L, "12345 !!! ???")).toDF("doc_id", "text")
