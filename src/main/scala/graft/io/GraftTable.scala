@@ -577,6 +577,57 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     doomed.filter(rel => fs.delete(new Path(path, rel), false))
   }
 
+  /** Delta's `GENERATE symlink_format_manifest`: write one manifest
+    * text file per partition (hive dirs mirrored) under
+    * `_symlink_format_manifest/`, each listing the partition's LIVE
+    * data files as fully-qualified URIs — the layout
+    * Presto/Trino/Athena's SymlinkTextInputFormat consumes, so
+    * external engines can read the current snapshot without
+    * understanding the commit log. Fully regenerated per call (stale
+    * manifests removed first); shallow-clone external refs resolve to
+    * their absolute source URIs. Refused on tables with live deletion
+    * vectors: a symlink reader has no DV filter and would resurrect
+    * deleted rows — purge first (OPTIMIZE rewrites DV'd files).
+    * Returns the manifest paths written (relative to the table root).
+    */
+  def generateSymlinkManifest(): Seq[String] = {
+    val snap = snapshot()
+    require(snap.files.forall(_.dv.isEmpty),
+      s"cannot generate a symlink manifest for $path: the snapshot has " +
+        "files with deletion vectors (an external symlink reader would " +
+        "resurrect deleted rows); run OPTIMIZE to purge them first")
+    val fs = log.fs
+    val qRoot = fs.makeQualified(new Path(path))
+    val manifestRoot = new Path(qRoot, "_symlink_format_manifest")
+    fs.delete(manifestRoot, true)
+    def partDir(f: AddFile): String =
+      if (!GraftTable.isExternalRef(f.path))
+        f.path.split('/').dropRight(1).mkString("/")
+      else
+        // external ref: rebuild hive dirs from partitionValues so the
+        // manifest layout matches the table's partitioning
+        snap.partitionColumns.map { c =>
+          val v = f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")
+          s"$c=${java.net.URLEncoder.encode(v, "UTF-8")}"
+        }.mkString("/")
+    snap.files.groupBy(partDir).toSeq.sortBy(_._1).map { case (dir, files) =>
+      val rel =
+        if (dir.isEmpty) "_symlink_format_manifest/manifest"
+        else s"_symlink_format_manifest/$dir/manifest"
+      val target = new Path(qRoot, rel)
+      fs.mkdirs(target.getParent)
+      val uris = files.map { f =>
+        if (GraftTable.isExternalRef(f.path))
+          fs.makeQualified(new Path(f.path)).toString
+        else fs.makeQualified(new Path(qRoot, f.path)).toString
+      }.sorted
+      val out = fs.create(target, true)
+      try out.write((uris.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      rel
+    }
+  }
+
   /** Wall-clock-retention vacuum — Delta's `VACUUM ... RETAIN n HOURS`:
     * physically delete files that were logically removed from the live
     * set by a commit older than `retainMillis` ago. Files of the current

@@ -90,6 +90,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ConvertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+  private val GenerateRe =
+    ("""(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
+      T + """\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + T +
       """\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+""" + T +
@@ -112,6 +115,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftOptimizeCommand(target(p, n),
           Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
           Option(wpred).map(_.trim).filter(_.nonEmpty)))
+      case GenerateRe(p, n) => Some(GraftGenerateCommand(target(p, n)))
       case HistoryRe(p, n) => Some(GraftDescribeHistoryCommand(target(p, n)))
       case DetailRe(p, n) => Some(GraftDescribeDetailCommand(target(p, n)))
       case RestoreRe(p, n, v, ts) => Some(GraftRestoreCommand(target(p, n),

@@ -69,6 +69,19 @@ object GraftMaintenance {
     }
 }
 
+/** `GENERATE symlink_format_manifest FOR TABLE t` — Delta's external
+  * interop surface ([[graft.io.GraftTable.generateSymlinkManifest]]).
+  */
+final case class GraftGenerateCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("manifest", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    GraftTable(spark, path).generateSymlinkManifest().map(Row(_))
+  }
+}
+
 final case class GraftVacuumCommand(
     target: Either[String, Seq[String]],
     retainHours: Option[Long],

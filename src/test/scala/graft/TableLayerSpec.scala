@@ -930,6 +930,56 @@ class TableLayerSpec extends SparkSpec {
       .filter(col("pt") === "a").count() == 2)
   }
 
+  test("symlink manifest lists exactly the live snapshot; DV tables refuse") {
+    import org.apache.hadoop.fs.Path
+    val p = tmpDir("symlink")
+    GraftWriter.write(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "pt"), p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pt")))
+    val t = GraftTable(spark, p)
+    def readManifest(rel: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(s"$p/$rel", "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    val manifests = spark.sql(s"GENERATE symlink_format_manifest FOR TABLE graft.`$p`")
+      .collect().map(_.getString(0)).toSeq
+    assert(manifests.size == 2 &&
+      manifests.forall(_.startsWith("_symlink_format_manifest/pt=")))
+    // every live file, and ONLY live files, appears — and the URIs are
+    // readable as plain parquet by an engine with no commit-log notion
+    val listed = manifests.flatMap(readManifest)
+    val live = t.snapshot().files.map(f =>
+      t.log.fs.makeQualified(new Path(p, f.path)).toString).sorted
+    assert(listed.sorted == live)
+    assert(spark.read.parquet(listed.map(_.stripPrefix("file:")): _*)
+      .count() == 3)
+    // regeneration after DML tracks the new snapshot (no stale entries)
+    graft.merge.Dml.delete(spark, p, col("k") === 3L)
+    val after = spark.sql(s"GENERATE symlink_format_manifest FOR TABLE graft.`$p`")
+      .collect().map(_.getString(0)).flatMap(readManifest)
+    val liveAfter = t.snapshot().files.map(f =>
+      t.log.fs.makeQualified(new Path(p, f.path)).toString).sorted
+    assert(after.sorted.toSeq == liveAfter)
+    assert(spark.read.parquet(after.map(_.stripPrefix("file:")): _*)
+      .count() == 2)
+    // the old pt=b manifest dir is gone (full regeneration)
+    assert(!new java.io.File(s"$p/_symlink_format_manifest/pt=b").exists())
+    // DV tables refuse: a symlink reader would resurrect deleted rows
+    val pd = tmpDir("symlink_dv")
+    GraftWriter.write(spark, Seq(1L, 2L, 3L).toDF("k").coalesce(1), pd,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map("graft.dv" -> "true")))
+    graft.merge.Dml.delete(spark, pd, col("k") === 2L)
+    assert(GraftTable(spark, pd).snapshot().files.exists(_.dv.isDefined))
+    val ex = intercept[IllegalArgumentException] {
+      GraftTable(spark, pd).generateSymlinkManifest()
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+    // OPTIMIZE purges the DVs; generation then succeeds
+    GraftWriter.optimize(spark, pd)
+    assert(GraftTable(spark, pd).generateSymlinkManifest().nonEmpty)
+  }
+
   test("vacuumOrphans deletes unreferenced files only") {
     val p = tmpDir("orph")
     GraftWriter.write(spark, abDf, p, WriteOptions(mode = WriteMode.Overwrite))
