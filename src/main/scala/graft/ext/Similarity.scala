@@ -638,6 +638,14 @@ object Similarity {
     * arithmetic as the individually-oracled k-means paths, so the whole
     * composition stays oracle-checkable. Output shape identical to
     * [[ivfpqTopK]].
+    *
+    * Lifecycle caveat (same contract as the [[TextOps]] pair
+    * generators): training runs EAGERLY at call time (the Lloyd passes
+    * materialize a [[Scratch]]-pinned residual checkpoint backing the
+    * returned frame), so consume the result before calling
+    * `Scratch.drain()` — and DO call drain between pipelines, or each
+    * call pins a corpus-sized block for the session's lifetime. A
+    * drained result must not be re-executed.
     */
   def ivfpqTopKKmeans(
       corpus: DataFrame,

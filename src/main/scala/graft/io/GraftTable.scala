@@ -599,33 +599,65 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     val fs = log.fs
     val qRoot = fs.makeQualified(new Path(path))
     val manifestRoot = new Path(qRoot, "_symlink_format_manifest")
-    fs.delete(manifestRoot, true)
     def partDir(f: AddFile): String =
       if (!GraftTable.isExternalRef(f.path))
         f.path.split('/').dropRight(1).mkString("/")
       else
-        // external ref: rebuild hive dirs from partitionValues so the
-        // manifest layout matches the table's partitioning
+        // external ref: rebuild hive dirs from partitionValues with
+        // HIVE path escaping — the same escaping the table's own layout
+        // uses (Clone's localization does exactly this), so a reader
+        // decodes the same partition values; URL-encoding would turn a
+        // space into '+' and silently change the value
         snap.partitionColumns.map { c =>
           val v = f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")
-          s"$c=${java.net.URLEncoder.encode(v, "UTF-8")}"
+          s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
         }.mkString("/")
-    snap.files.groupBy(partDir).toSeq.sortBy(_._1).map { case (dir, files) =>
-      val rel =
-        if (dir.isEmpty) "_symlink_format_manifest/manifest"
-        else s"_symlink_format_manifest/$dir/manifest"
-      val target = new Path(qRoot, rel)
-      fs.mkdirs(target.getParent)
-      val uris = files.map { f =>
-        if (GraftTable.isExternalRef(f.path))
-          fs.makeQualified(new Path(f.path)).toString
-        else fs.makeQualified(new Path(qRoot, f.path)).toString
-      }.sorted
-      val out = fs.create(target, true)
-      try out.write((uris.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      rel
+    // write NEW manifests first (staged + renamed into place, so a
+    // reader never sees a truncated file), THEN prune stale partition
+    // dirs — a concurrent external reader always finds a complete
+    // manifest set (Delta's GENERATE order); delete-all-then-write
+    // would leave a zero-manifest window and a crash would strand it
+    val fresh = snap.files.groupBy(partDir).toSeq.sortBy(_._1).map {
+      case (dir, files) =>
+        val rel =
+          if (dir.isEmpty) "_symlink_format_manifest/manifest"
+          else s"_symlink_format_manifest/$dir/manifest"
+        val target = new Path(qRoot, rel)
+        fs.mkdirs(target.getParent)
+        val uris = files.map { f =>
+          if (GraftTable.isExternalRef(f.path))
+            fs.makeQualified(new Path(f.path)).toString
+          else fs.makeQualified(new Path(qRoot, f.path)).toString
+        }.sorted
+        val tmp = new Path(target.getParent,
+          s".manifest-tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write((uris.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"cannot publish manifest $target")
+        rel
     }
+    // prune stale partition manifests (partitions that no longer exist)
+    val keep = fresh.map(r => new Path(qRoot, r).toUri.getPath).toSet
+    if (fs.exists(manifestRoot)) {
+      val it = fs.listFiles(manifestRoot, true)
+      val stale = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (!keep(st.getPath.toUri.getPath)) stale += st.getPath
+      }
+      stale.foreach { p =>
+        fs.delete(p, false)
+        // drop the partition dir too when it just emptied (delete of a
+        // non-empty dir fails non-recursively — exactly what we want)
+        if (p.getParent != manifestRoot)
+          try fs.delete(p.getParent, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    fresh
   }
 
   /** Wall-clock-retention vacuum — Delta's `VACUUM ... RETAIN n HOURS`:

@@ -978,6 +978,32 @@ class TableLayerSpec extends SparkSpec {
     // OPTIMIZE purges the DVs; generation then succeeds
     GraftWriter.optimize(spark, pd)
     assert(GraftTable(spark, pd).generateSymlinkManifest().nonEmpty)
+
+    // external refs (shallow clone) rebuild partition dirs with HIVE
+    // escaping — the same naming the table layout uses, so a value
+    // with a space round-trips (URL-encoding would publish 'a+b')
+    val src2 = tmpDir("symlink_src2")
+    GraftWriter.write(spark,
+      Seq((1L, "a b"), (2L, "plain")).toDF("k", "pt"), src2,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pt")))
+    val srcDirs = new java.io.File(src2).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("pt=")).toSet
+    val cl = tmpDir("symlink_clone") + "/t"
+    graft.io.Clone.shallow(spark, src2, cl)
+    val cloneManifests = GraftTable(spark, cl).generateSymlinkManifest()
+    val cloneDirs = cloneManifests
+      .map(_.stripPrefix("_symlink_format_manifest/").stripSuffix("/manifest"))
+      .toSet
+    assert(cloneDirs == srcDirs,
+      s"manifest dirs $cloneDirs must mirror the source layout $srcDirs")
+    val cloneUris = cloneManifests.flatMap(readManifest2(cl, _))
+    assert(spark.read.parquet(cloneUris.map(_.stripPrefix("file:")): _*)
+      .count() == 2)
+  }
+
+  private def readManifest2(root: String, rel: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(s"$root/$rel", "UTF-8")
+    try src.getLines().toList finally src.close()
   }
 
   test("vacuumOrphans deletes unreferenced files only") {
