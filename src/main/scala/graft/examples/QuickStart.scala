@@ -475,6 +475,21 @@ object QuickStart {
     println(s"[36] ivf-pq top-3: ${ivfpq.count()} neighbor rows; " +
       s"lang-id votes: $langs; quality classifier keeps " +
       s"${goodShare.getLong(0)}/${goodShare.getLong(1)} docs")
+
+    // 37. symlink manifests: external engines (Presto/Trino/Athena)
+    // read the live snapshot through SymlinkTextInputFormat manifests
+    val manifests = spark
+      .sql(s"GENERATE symlink_format_manifest FOR TABLE graft.`$table`")
+      .collect().map(_.getString(0))
+    val manifestUris = manifests.flatMap { rel =>
+      val src = scala.io.Source.fromFile(s"$table/$rel", "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    val externalRows = spark.read
+      .parquet(manifestUris.map(_.stripPrefix("file:")): _*).count()
+    println(s"[37] symlink manifests: ${manifests.length} partitions, " +
+      s"$externalRows rows readable as plain parquet " +
+      s"(= ${GraftTable(spark, table).toDf().count()} in the table)")
     spark.stop()
   }
 }
