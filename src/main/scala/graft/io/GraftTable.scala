@@ -634,9 +634,16 @@ final class GraftTable(val spark: SparkSession, val path: String) {
         val out = fs.create(tmp, false)
         try out.write((uris.mkString("\n") + "\n").getBytes("UTF-8"))
         finally out.close()
-        fs.delete(target, false)
-        if (!fs.rename(tmp, target))
-          throw new java.io.IOException(s"cannot publish manifest $target")
+        // rename OVER the target first: on POSIX-rename stores the swap
+        // is atomic — no missing-manifest window for a concurrent
+        // external reader, and a crash never strands the partition
+        // manifest-less. Only where the FS refuses to clobber fall back
+        // to delete-then-rename (the old, windowed behavior).
+        if (!fs.rename(tmp, target)) {
+          fs.delete(target, false)
+          if (!fs.rename(tmp, target))
+            throw new java.io.IOException(s"cannot publish manifest $target")
+        }
         rel
     }
     // prune stale partition manifests (partitions that no longer exist)

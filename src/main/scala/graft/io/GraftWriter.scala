@@ -357,7 +357,11 @@ object GraftWriter {
   private def statsCapCols(
       props: Map[String, String],
       snapOpt: => Option[graft.log.Snapshot],
-      /** Creating write: the frame IS the table order. */
+      /** Creating write: the frame IS the table order — LOGICAL names
+        * (partition columns are logical; filtering must happen before
+        * the physical mapping or mapped tables leak partition columns
+        * into the indexed slots).
+        */
       fallbackCols: => Seq[String],
       partitionCols: Seq[String]): Option[Set[String]] =
     props.get(StatsIndexedColsKey)
@@ -370,7 +374,10 @@ object GraftWriter {
             snap.schema.fieldNames.toSeq
               .filterNot(partitionCols.contains)
               .map(c => ColumnMapping.physicalName(m, c))
-          case None => fallbackCols.filterNot(partitionCols.contains)
+          case None =>
+            val m = ColumnMapping.fromProps(props)
+            fallbackCols.filterNot(partitionCols.contains)
+              .map(c => ColumnMapping.physicalName(m, c))
         }
         cols.take(n).toSet
       }
@@ -945,7 +952,7 @@ object GraftWriter {
       // stays O(N) per file instead of O(width)
       val statsCols = statsCapCols(props,
         if (spLog.tableExists()) Some(spLog.snapshot()) else None,
-        physDf.schema.fieldNames.toSeq, partitionCols)
+        writeDf.schema.fieldNames.toSeq, partitionCols)
       promoteStaged(fs, conf, stage, new Path(path), statsCols)
     } finally {
       prevTsConf match {

@@ -399,6 +399,19 @@ final class CommitLog(
     val snap = snapshot(Some(v))
     val ts = System.currentTimeMillis()
     if (snap.files.size > checkpointShardRecords) {
+      // A crashed earlier attempt (possibly under a different
+      // checkpointShardRecords) may have left shards for this version;
+      // writeFileAtomic keeps an existing target on rename loss, so a
+      // retry would otherwise mix stale old-layout shards with the new
+      // manifest and leave ckpt-v permanently unreadable. Clear the
+      // manifest FIRST (readers fall back to log replay — safe, the
+      // checkpoint is a pure cache), then every shard for this version.
+      val prefix = f"ckpt-v$v%010d.shard-"
+      fs.delete(manifestFile(v), false)
+      fs.listStatus(logDir).iterator
+        .map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(fs.delete(_, false))
       val shards = snap.files.grouped(checkpointShardRecords).toSeq
       // shards serialize+write in parallel (same pool shape as the
       // parallel read); the manifest lands LAST — the commit point

@@ -621,6 +621,9 @@ object MergeClausesExecutor {
         * null (Delta's DEFAULT-on-insert semantics).
         */
       defaults: Map[String, String] = Map.empty): DataFrame = {
+    // defaults resolve here against the source⋈target join frame — the
+    // column-free invariant keeps that identical to the write path's fill
+    graft.io.Generated.validateDefaults(source.sparkSession, defaults)
     val cols = schema.map(_.name)
     val unmatched = source.alias(sa).join(target.alias(ta), cond, "left_anti")
     def guard(c: NotMatchedClause): Column = c.condition.getOrElse(lit(true))

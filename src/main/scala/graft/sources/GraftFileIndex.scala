@@ -89,7 +89,12 @@ final class GraftFileIndex(
     val result =
       if (bloomChecks.isEmpty) statKept
       else {
-        val checksKey = bloomChecks.toString
+        // key carries each value's runtime class — Seq.toString erases
+        // types (long 1 and string "1" render identically), and two
+        // filters differing only in value type must not share a memo row
+        val checksKey = bloomChecks.map { case (c, vs) =>
+          (c, vs.map(v => (if (v == null) "null" else v.getClass.getName, v)))
+        }.toString
         val candidates = statKept.flatMap(_._2)
         // memoised PER (file, checks) — a keep-set computed under one
         // query's narrower partition/stats pruning must never be reused

@@ -83,6 +83,21 @@ class DataSkippingSpec extends SparkSpec {
       .filter(col("k") === 83L).count()
     assert(viaIdx == 1L)
 
+    // memo keys carry the VALUE TYPE: a string probe "83" (absent from
+    // the string column -> everything pruned) must not answer a later
+    // long-83 probe on the same column (unhashable against BINARY ->
+    // keep-all). Seq.toString rendered both as "83" and shared the row.
+    val idx3 = new graft.sources.GraftFileIndex(spark, withB, t2.snapshot())
+    val vAttr = AttributeReference("v", StringType)()
+    val strMiss = idx3.listFiles(Nil,
+      Seq(EqualTo(vAttr, Literal("83")))).map(_.files.length).sum
+    assert(strMiss == 0, s"absent string key should prune all files, got $strMiss")
+    val longOnBinary = idx3.listFiles(Nil,
+      Seq(EqualTo(vAttr, Literal(83L)))).map(_.files.length).sum
+    assert(longOnBinary == 8,
+      s"a long probe on a string column is unhashable -> keep all 8; " +
+        s"got $longOnBinary (memo poisoned across value types?)")
+
     // the executor fan-out path (used past DriverPruneLimit candidates)
     // must agree with the driver pool byte-for-byte — this is the
     // closure-serialization canary for the 100 TB path
@@ -140,6 +155,21 @@ class DataSkippingSpec extends SparkSpec {
     assert(GraftTable(spark, pp).snapshot().files
       .forall(_.stats.keySet == Set("x", "y")),
       "the partition column must not occupy an indexed slot")
+    // creating write WITH column mapping declared: partition columns are
+    // logical names, the frame writes physical ones — filtering must
+    // happen on the logical side or the partition column eats a slot
+    // and the trailing data column silently loses stats
+    val pm = tmpDir("statscap_mapped")
+    GraftWriter.write(spark,
+      spark.range(0, 100).select((col("id") % 2).cast("string").as("pt"),
+        col("id").as("x"), (col("id") * 2).as("y"), (col("id") * 3).as("z")),
+      pm, WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pt"),
+        metadata = Map(GraftWriter.StatsIndexedColsKey -> "2",
+          graft.io.ColumnMapping.key("x") -> "col_x_phys")))
+    assert(GraftTable(spark, pm).snapshot().files
+      .forall(_.stats.keySet == Set("col_x_phys", "y")),
+      s"mapped creating write must index {col_x_phys, y}; got " +
+        GraftTable(spark, pm).snapshot().files.map(_.stats.keySet).toString)
   }
 
   test("footer stats land in add actions; pruned scan reads fewer files, same rows") {

@@ -151,6 +151,27 @@ class GeneratedSpec extends SparkSpec {
       .select("tag").as[String].head() == "dflt")
   }
 
+  test("a default expression referencing columns is rejected at fill time") {
+    val p = tmpDir("defaults_colref") + "/t"
+    // a column-referencing default would resolve against the write frame
+    // here but against the source-join frame on merge's insert path —
+    // different per-row values per path. Refused loudly instead.
+    val ex = intercept[IllegalArgumentException] {
+      GraftWriter.write(spark,
+        Seq((1L, "x")).toDF("id", "tag"), p,
+        WriteOptions(mode = WriteMode.Overwrite,
+          metadata = Map(s"${Generated.DefaultPrefix}tag" -> "concat('v', id)")))
+    }
+    assert(ex.getMessage.contains("column-free"), ex.getMessage)
+    // nullary function calls remain fine
+    GraftWriter.write(spark,
+      Seq(1L).toDF("id"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(s"${Generated.DefaultPrefix}tag" -> "upper('ok')")))
+    assert(GraftTable(spark, p).toDf()
+      .select("tag").as[String].head() == "OK")
+  }
+
   test("clause merge recomputes generated columns PER CLAUSE") {
     import graft.merge._
     val p = tmpDir("gen_clause") + "/t"

@@ -889,6 +889,39 @@ class TableLayerSpec extends SparkSpec {
       s"expected a shard-count error, got: ${ex.getMessage}")
   }
 
+  test("re-writing a sharded checkpoint under a different layout clears stale shards") {
+    import graft.log.CommitLog
+    import org.apache.hadoop.fs.Path
+    val p = tmpDir("ckpt_shard_relayout")
+    (0 until 12).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, i.toLong)).toDF("a", "b"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    // first attempt: 5 records/shard -> shards 0..2 (5,5,2)
+    new CommitLog(p, conf, checkpointShardRecords = 5).writeCheckpoint(11L)
+    val fs = new CommitLog(p, conf).fs
+    assert(fs.exists(new Path(p, "_graft_log/ckpt-v0000000011.shard-00002.gz")))
+    // retry under a SMALLER shard size -> 4 shards. writeFileAtomic keeps
+    // an existing target on rename loss, so without pre-cleanup shards
+    // 0..2 would stay old-layout (5+5+2 files) next to a manifest
+    // declaring 4 shards/12 files — 15 parsed files, permanently
+    // unreadable. The cleanup must make the retry fully fresh.
+    new CommitLog(p, conf, checkpointShardRecords = 3).writeCheckpoint(11L)
+    (0 to 3).foreach { i =>
+      assert(fs.exists(new Path(p, f"_graft_log/ckpt-v0000000011.shard-$i%05d.gz")))
+    }
+    val log = new CommitLog(p, conf)
+    assert(log.readCheckpoint(11L).files.size == 12)
+    // replay through it (drop commits below) still serves everything
+    (0L until 11L).foreach { v =>
+      fs.delete(new Path(p, f"_graft_log/v$v%010d.json"), false)
+    }
+    fs.delete(new Path(p, "_graft_log/ckpt-v0000000010.json.gz"), false)
+    assert(GraftTable(spark, p).toDf().collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 12L))
+  }
+
   test("log-retention across a sharded boundary checkpoint") {
     import graft.log.CommitLog
     import org.apache.hadoop.fs.Path
