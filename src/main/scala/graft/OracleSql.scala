@@ -1094,6 +1094,24 @@ object OracleSql {
                 md5(text) AS payload_md5
          FROM documents""",
 
+    // replays syntheticImages' pixel arithmetic codec-free: even doc_id
+    // = 16x8 gray sample(i)=(31*doc_id+i)%256; odd = 8x8 RGB with
+    // r=(doc_id+i) g=(2*doc_id+i) b=(3*doc_id+i), each %256. The Spark
+    // side pushes these pixels through a REAL PNG encode+ImageIO decode.
+    "image_decode_stats" ->
+      """SELECT d.doc_id,
+                CAST(CASE WHEN d.doc_id % 2 = 0 THEN 16 ELSE 8 END AS BIGINT) AS width,
+                CAST(8 AS BIGINT) AS height,
+                CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+                CAST((SELECT CASE WHEN d.doc_id % 2 = 0
+                        THEN SUM((d.doc_id * 31 + t.i) % 256)
+                        ELSE SUM((d.doc_id + t.i) % 256
+                               + (d.doc_id * 2 + t.i) % 256
+                               + (d.doc_id * 3 + t.i) % 256) END
+                      FROM generate_series(0, 127) t(i)
+                      WHERE d.doc_id % 2 = 0 OR t.i < 64) AS BIGINT) AS pix_sum
+         FROM documents d""",
+
     "embedding_stats" ->
       """SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
                 CAST(min(len(embedding)) AS BIGINT) AS min_dim,

@@ -790,6 +790,22 @@ object SparkEntry {
       .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
         col("payload_md5"))
 
+  /** REAL image decode, oracle-checked end-to-end: deterministic PNG
+    * fixtures (pixels are pure doc_id arithmetic) go through an actual
+    * PNG encode + `javax.imageio` decode; the oracle replays the pixel
+    * arithmetic without any codec. A fake decode cannot reproduce sums
+    * that survived a real PNG byte stream.
+    */
+  private def qImageDecodeStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(
+      Multimodal.syntheticImages(t(spark, dir, "documents")))
+      .toDF()
+      .select(col("media_id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        col("pix_sum"))
+
   /** Per-label centroid sums via the typed Aggregator (UDAF surface):
     * exploded to (label, ord, sum_e6, n) rows for the oracle.
     */
@@ -1424,6 +1440,7 @@ object SparkEntry {
     "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
     "binary_meta" -> (qBinaryMeta _),
+    "image_decode_stats" -> (qImageDecodeStats _),
     "embedding_stats" -> (qEmbeddingStats _),
     "embedding_centroid_sums" -> (qCentroidSums _),
     "embedding_normalize" -> (qEmbedNormalize _),

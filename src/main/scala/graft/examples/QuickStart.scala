@@ -190,17 +190,20 @@ object QuickStart {
       s"${GraftTable(spark, smallPath).snapshot().files.size}, rows=" +
       GraftTable(spark, smallPath).toDf().count())
 
-    // 13. multimodal pipeline: binary payloads -> decode -> resize ->
-    // frame-sample (decode/resize are clearly-marked deterministic stubs;
-    // the Spark plumbing - schema, mapPartitions batching - is real)
+    // 13. multimodal pipeline: synthetic PNG fixtures -> REAL ImageIO
+    // decode -> average-pool resize -> re-decode (frame sampling stays a
+    // named stub: the JDK ships no video codec)
     import graft.ext.Multimodal
-    val media = Multimodal.fromDocuments(
-      spark.read.parquet(s"$sfDir/documents.parquet"))
-    val feats = Multimodal.decodeStub(media)
+    val mediaDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.syntheticImages(mediaDocs)
+    val feats = Multimodal.decodeImages(media)
+    val okDecodes = feats.filter(_.decoded).count()
+    val resized = Multimodal.decodeImages(Multimodal.resizePooled(media, 4, 4))
     val frames = Multimodal.frameSampleStub(
-      Multimodal.resizeStub(media, 16, 16), frameBytes = 64, stride = 2)
-    println(s"[13] multimodal: ${feats.count()} decoded, " +
-      s"${frames.count()} sampled frames of ${frames.head().payload.length} bytes")
+      Multimodal.fromDocuments(mediaDocs), frameBytes = 64, stride = 2)
+    println(s"[13] multimodal: $okDecodes/${media.count()} PNGs decoded, " +
+      s"${resized.filter(f => f.decoded && f.width == 4 && f.height == 4).count()} " +
+      s"pooled to 4x4, ${frames.count()} sampled frames")
 
     // 14. the registered data source format: plain spark.read + SQL
     val gsrc = spark.read.format("graft").load(table)

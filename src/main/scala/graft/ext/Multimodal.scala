@@ -26,15 +26,35 @@ final case class MediaFeatures(
     height: Int,
     feature: Array[Float])
 
+/** Output of the REAL image-decode stage ([[Multimodal.decodeImages]]).
+  * `channels` is the decoded raster's band count (1 = grayscale, 3 =
+  * RGB, 4 = +alpha); `pix_sum` sums every sample of every band —
+  * the cheap whole-image statistic an ingest pipeline uses for
+  * corruption checks and dedup pre-hashing. `decoded=false` rows carry
+  * the failure reason in `err` and zeros elsewhere (a 100 TB ingest
+  * must quarantine undecodable payloads, not throw on them).
+  */
+final case class ImageDecoded(
+    media_id: Long,
+    decoded: Boolean,
+    format: String,
+    width: Int,
+    height: Int,
+    channels: Int,
+    pix_sum: Long,
+    err: String)
+
 /** Multimodal-column plumbing (north-star EXT surface).
   *
-  * The decode/feature-extract step runs as `Dataset.mapPartitions` — the
-  * Scala analog of `mapInPandas`: per-partition batched processing with a
-  * typed row contract, which is exactly where a JNI/native image decoder
-  * would sit. The image/audio libraries are not in this environment, so
-  * [[decodeStub]] is a clearly-marked deterministic fake; the Spark-side
-  * plumbing (schema, encoders, partition-level batching, join to text/
-  * embedding modalities) is real and tested.
+  * Decode/feature-extract stages run as `Dataset.mapPartitions` — the
+  * Scala analog of `mapInPandas`: per-partition batched processing with
+  * a typed row contract. Image decode ([[decodeImages]]) and resize
+  * ([[resizePooled]]) are REAL, built on the JDK's `javax.imageio`
+  * (PNG/JPEG/BMP/GIF readers ship with the JVM — no added
+  * dependencies); [[syntheticImages]] generates oracle-checkable PNG
+  * fixtures whose decoded statistics any engine can compute without a
+  * codec. Only video frame sampling remains a named stub
+  * ([[frameSampleStub]] — the JDK has no video codec).
   */
 object Multimodal {
 
@@ -52,18 +72,18 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode: a real implementation would call an image/audio codec
-    * here (per partition, reusing the decoder across the batch). This
-    * fake derives deterministic pseudo-dimensions and a tiny feature
-    * vector from the payload bytes so downstream plumbing is exercised
-    * honestly.
+  /** Lightweight digest-based features over the raw payload (no codec):
+    * byte length, SHA-256, and a tiny deterministic feature vector —
+    * the pre-decode fingerprint stage of an ingest pipeline (exact-dup
+    * detection before paying for a decode). Runs as mapPartitions with
+    * per-partition digest reuse.
     */
-  def decodeStub(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def payloadFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = records.sparkSession
     import spark.implicits._
     records.mapPartitions { it =>
-      // per-partition setup (real codecs are expensive to init — do it
-      // once per partition, not per record)
+      // per-partition setup (digests/codecs are expensive to init — do
+      // it once per partition, not per record)
       val digest = MessageDigest.getInstance("SHA-256")
       it.map { r =>
         digest.reset()
@@ -79,35 +99,184 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real implementation would decode, scale with a codec
-    * and re-encode; the fake deterministically folds the payload into a
-    * `w*h` byte grid so output shape/size semantics are honest. Runs as
-    * mapPartitions — same plumbing a native resizer would use.
+  /** Deterministic PNG fixtures keyed by doc_id — the drivable stand-in
+    * for an image corpus in this codec-less environment. Every pixel is
+    * PURE ARITHMETIC in `doc_id`, so any engine can compute the expected
+    * decoded statistics without a codec while WE go through a real PNG
+    * encode (here) and a real decode ([[decodeImages]]):
+    *
+    *   - even doc_id: 16×8 grayscale, sample(i) = (doc_id·31 + i) mod 256
+    *   - odd  doc_id:  8×8 RGB, r=(doc_id+i) g=(2·doc_id+i) b=(3·doc_id+i),
+    *     each mod 256, i = y·w + x
+    *
+    * PNG is lossless, so the decoded samples equal the formula exactly —
+    * which is what makes the decode stage oracle-checkable end-to-end.
     */
-  def resizeStub(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
-    val spark = records.sparkSession
+  def syntheticImages(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    records.mapPartitions { it =>
-      it.map { r =>
-        val out = new Array[Byte](w * h)
-        if (r.payload.nonEmpty) {
-          var i = 0
-          while (i < out.length) {
-            out(i) = r.payload((i.toLong * r.payload.length / out.length).toInt)
-            i += 1
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no executor tmp files
+      it.map { id =>
+        val img =
+          if (id % 2 == 0) {
+            val im = new java.awt.image.BufferedImage(
+              16, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val ras = im.getRaster
+            var i = 0
+            while (i < 16 * 8) {
+              ras.setSample(i % 16, i / 16, 0, ((id * 31 + i) % 256).toInt)
+              i += 1
+            }
+            im
+          } else {
+            val im = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val ras = im.getRaster
+            var i = 0
+            while (i < 8 * 8) {
+              ras.setSample(i % 8, i / 8, 0, ((id + i) % 256).toInt)
+              ras.setSample(i % 8, i / 8, 1, ((id * 2 + i) % 256).toInt)
+              ras.setSample(i % 8, i / 8, 2, ((id * 3 + i) % 256).toInt)
+              i += 1
+            }
+            im
           }
-        }
-        r.copy(payload = out,
-          meta = r.meta ++ Map("width" -> w.toString, "height" -> h.toString,
-            "resized" -> "true"))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        MediaRecord(id, "image/png", out.toByteArray,
+          Map("synthetic" -> "true"))
       }
     }
   }
 
-  /** STUB frame sampling: treat the payload as a "video" of fixed-size
-    * frames and emit every `stride`-th frame as its own record (id
-    * composed as parent*1000+frame). Real codecs slot into the same
-    * mapPartitions + flatMap shape.
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF — the
+    * formats whose readers ship with the JVM, so this works offline with
+    * zero added dependencies). Per-partition batched `mapPartitions` —
+    * the exact seam a JNI codec (libjpeg-turbo, ffmpeg) would slot into.
+    * Undecodable payloads become quarantine rows (`decoded=false` +
+    * reason), never exceptions: at 100 TB some payloads WILL be corrupt
+    * and one bad record must not kill a stage.
+    */
+  def decodeImages(records: Dataset[MediaRecord]): Dataset[ImageDecoded] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
+      it.map { r =>
+        try {
+          val in = new java.io.ByteArrayInputStream(r.payload)
+          val stream = javax.imageio.ImageIO.createImageInputStream(in)
+          val readers = javax.imageio.ImageIO.getImageReaders(stream)
+          if (!readers.hasNext)
+            ImageDecoded(r.media_id, decoded = false, "", 0, 0, 0, 0L,
+              "no ImageIO reader for payload")
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(stream)
+              val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+              val img = reader.read(0)
+              val ras = img.getRaster
+              val (w, h, bands) = (img.getWidth, img.getHeight, ras.getNumBands)
+              var sum = 0L
+              val row = new Array[Int](w * bands)
+              var y = 0
+              while (y < h) {
+                ras.getPixels(0, y, w, 1, row)
+                var i = 0
+                while (i < row.length) { sum += row(i); i += 1 }
+                y += 1
+              }
+              ImageDecoded(r.media_id, decoded = true, fmt, w, h, bands, sum, "")
+            } finally reader.dispose()
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            ImageDecoded(r.media_id, decoded = false, "", 0, 0, 0, 0L,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+        }
+      }
+    }
+  }
+
+  /** REAL resize by integer average-pooling: decode, floor-average each
+    * `(sw/tw)×(sh/th)` block per band, re-encode as PNG. Target dims
+    * must divide the source dims — pooling stays exact integer math
+    * (deterministic across JVMs, replayable by any engine; a fractional
+    * resampler's float rounding is not). Undecodable records pass
+    * through unchanged with `resize_err` set in their metadata.
+    */
+  def resizePooled(records: Dataset[MediaRecord], tw: Int, th: Int): Dataset[MediaRecord] = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null)
+            r.copy(meta = r.meta + ("resize_err" -> "no ImageIO reader"))
+          else if (img.getWidth % tw != 0 || img.getHeight % th != 0)
+            r.copy(meta = r.meta + ("resize_err" ->
+              s"${img.getWidth}x${img.getHeight} not divisible by ${tw}x$th"))
+          else {
+            val ras = img.getRaster
+            val bands = ras.getNumBands
+            val (bw, bh) = (img.getWidth / tw, img.getHeight / th)
+            val outType =
+              if (bands == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+              else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+            val out = new java.awt.image.BufferedImage(tw, th, outType)
+            val ors = out.getRaster
+            val outBands = ors.getNumBands
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) {
+                var b = 0
+                while (b < outBands) {
+                  var sum = 0L
+                  var dy = 0
+                  while (dy < bh) {
+                    var dx = 0
+                    while (dx < bw) {
+                      sum += ras.getSample(x * bw + dx, y * bh + dy,
+                        math.min(b, bands - 1))
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  ors.setSample(x, y, b, (sum / (bw * bh)).toInt)
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            r.copy(payload = buf.toByteArray,
+              meta = r.meta ++ Map("width" -> tw.toString,
+                "height" -> th.toString, "resized" -> "true"))
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            r.copy(meta = r.meta + ("resize_err" ->
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"))
+        }
+      }
+    }
+  }
+
+  /** STUB frame sampling (the one remaining named stub — the JDK ships
+    * no video codec, so this cannot be made real offline): treat the
+    * payload as a "video" of fixed-size frames and emit every
+    * `stride`-th frame as its own record (id composed as
+    * parent*1000+frame). A real ffmpeg-backed sampler slots into the
+    * same mapPartitions + flatMap shape.
     */
   def frameSampleStub(
       records: Dataset[MediaRecord],

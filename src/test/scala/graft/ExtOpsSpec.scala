@@ -296,8 +296,8 @@ class ExtOpsSpec extends SparkSpec {
     assert(top.drop(1) == Seq(("b c a", 2L), ("c a b", 2L), ("x y z", 2L)))
   }
 
-  test("multimodal decode stub: deterministic, bounded dims, real payload length") {
-    val feats = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
+  test("payload features: deterministic, bounded dims, real payload length") {
+    val feats = Multimodal.payloadFeatures(Multimodal.fromDocuments(docs))
     val f = feats.collect()
     assert(f.length == docs.count())
     assert(f.forall(x => x.width >= 1 && x.width <= 64 && x.height >= 1 && x.height <= 64))
@@ -308,9 +308,76 @@ class ExtOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(f.forall(x => x.byte_len == lens(x.media_id)))
     // deterministic across runs
-    val again = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
+    val again = Multimodal.payloadFeatures(Multimodal.fromDocuments(docs))
       .collect().map(x => x.media_id -> x.sha_hex).toMap
     assert(f.forall(x => again(x.media_id) == x.sha_hex))
+  }
+
+  test("real ImageIO decode: embedded PNG decodes byte-exactly") {
+    import spark.implicits._
+    // hand-built 3x2 grayscale PNG: row0 = [10,20,30], row1 = [200,150,100]
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAMAAAACCAAAAAC4HznGAAAAEElEQVR4nGPgEpFjODEtBQAFRAH/I2aEPwAAAABJRU5ErkJggg==")
+    val media = Seq(
+      MediaRecord(1L, "image/png", png, Map.empty),
+      MediaRecord(2L, "application/junk",
+        "definitely not an image".getBytes("UTF-8"), Map.empty)).toDS()
+    val out = Multimodal.decodeImages(media).collect().map(d => d.media_id -> d).toMap
+    val ok = out(1L)
+    assert(ok.decoded && ok.format == "png", ok)
+    assert((ok.width, ok.height, ok.channels) == ((3, 2, 1)))
+    assert(ok.pix_sum == 10 + 20 + 30 + 200 + 150 + 100)
+    // corrupt payload -> quarantine row, never an exception
+    val bad = out(2L)
+    assert(!bad.decoded && bad.err.nonEmpty && bad.pix_sum == 0L)
+  }
+
+  test("synthetic PNGs survive a real encode/decode roundtrip with formula-exact stats") {
+    val decoded = Multimodal.decodeImages(Multimodal.syntheticImages(docs))
+      .collect().map(d => d.media_id -> d).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val d = decoded(id)
+      assert(d.decoded, s"doc $id failed decode: ${d.err}")
+      val expected =
+        if (id % 2 == 0)
+          (0 until 128).map(i => (id * 31 + i) % 256).sum
+        else
+          (0 until 64).map(i =>
+            (id + i) % 256 + (id * 2 + i) % 256 + (id * 3 + i) % 256).sum
+      assert((d.width, d.height, d.channels) ==
+        (if (id % 2 == 0) ((16, 8, 1)) else ((8, 8, 3))))
+      assert(d.pix_sum == expected,
+        s"doc $id: decoded sum ${d.pix_sum} != formula $expected")
+    }
+  }
+
+  test("average-pool resize is exact integer math, verified through a re-decode") {
+    val media = Multimodal.syntheticImages(docs.limit(20))
+    val pooled = Multimodal.decodeImages(Multimodal.resizePooled(media, 4, 4))
+      .collect().map(d => d.media_id -> d).toMap
+    docs.limit(20).select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val d = pooled(id)
+      assert(d.decoded && d.width == 4 && d.height == 4, d)
+      // replay the pooling independently: floor-average per block per band
+      val (sw, sh, bands) = if (id % 2 == 0) (16, 8, 1) else (8, 8, 3)
+      def sample(x: Int, y: Int, b: Int): Long = {
+        val i = y * sw + x
+        if (id % 2 == 0) (id * 31 + i) % 256
+        else (id * (b + 1) + i) % 256
+      }
+      val (bw, bh) = (sw / 4, sh / 4)
+      var expected = 0L
+      for (y <- 0 until 4; x <- 0 until 4; b <- 0 until bands) {
+        val blockSum = (for (dy <- 0 until bh; dx <- 0 until bw)
+          yield sample(x * bw + dx, y * bh + dy, b)).sum
+        expected += blockSum / (bw * bh)
+      }
+      assert(d.pix_sum == expected,
+        s"doc $id: pooled sum ${d.pix_sum} != replayed $expected")
+    }
+    // non-divisible targets are refused per record, not crashed on
+    val odd = Multimodal.resizePooled(media, 5, 3).collect()
+    assert(odd.forall(_.meta.get("resize_err").exists(_.contains("not divisible"))))
   }
 
   test("IVF multi-probe (nprobe) recall dominates single-probe") {
@@ -365,11 +432,8 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal resize/frame-sample stubs: shape contracts hold") {
+  test("frame-sample stub: shape contracts hold") {
     val media = Multimodal.fromDocuments(docs)
-    val resized = Multimodal.resizeStub(media, 8, 8).collect()
-    assert(resized.forall(_.payload.length == 64))
-    assert(resized.forall(r => r.meta("width") == "8" && r.meta("resized") == "true"))
     val frames = Multimodal.frameSampleStub(media, frameBytes = 32, stride = 2)
     val f = frames.collect()
     assert(f.nonEmpty && f.forall(_.payload.length == 32))
