@@ -301,7 +301,11 @@ object OracleSql {
     * over the RESIDUALS, codes by micro-rounded squared-L2 argmin, ADC
     * restricted to the query's own cell (nprobe = 1).
     */
-  private val knnIvfPqAdcSql: String = {
+  /** Shared WITH-body of the stride-seeded IVF-PQ twins, ending at
+    * `sc` = per-(q,n) ADC distances — the plain ADC oracle ranks it
+    * directly; the rerank oracle shortlists it then reranks exactly.
+    */
+  private val knnIvfPqScCtes: String = {
     val rx = "rr.r[js.j*4+1:js.j*4+4]"
     val rcs = "c.c_vec[js.j*4+1:js.j*4+4]"
     s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
@@ -333,13 +337,37 @@ object OracleSql {
                FROM codes co JOIN dtab d
                  ON d.cell = co.cell AND d.j = co.j AND d.idx = co.code
                WHERE co.vec_id <> d.q_id
-               GROUP BY d.q_id, co.vec_id),
+               GROUP BY d.q_id, co.vec_id)"""
+  }
+
+  private val knnIvfPqAdcSql: String =
+    s"""$knnIvfPqScCtes,
         ranked AS (SELECT q_id, n_id, adist_e6,
                           row_number() OVER (PARTITION BY q_id
                             ORDER BY adist_e6, n_id) AS "rank"
                    FROM sc)
         SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
-  }
+
+  /** Two-stage twin: ADC shortlist of 4·k = 20 per query (same ranking
+    * as the plain ADC oracle), then EXACT cosine over the shortlisted
+    * pairs' full vectors decides the final top-5.
+    */
+  private val knnIvfPqRerankSql: String =
+    s"""$knnIvfPqScCtes,
+        slranked AS (SELECT q_id, n_id,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY adist_e6, n_id) AS rn
+                     FROM sc),
+        sl AS (SELECT q_id, n_id FROM slranked WHERE rn <= 20),
+        ex AS (SELECT sl.q_id, sl.n_id,
+                      ${simE6("qe.embedding", "ne.embedding")} AS sim_e6
+               FROM sl JOIN embeddings qe ON qe.vec_id = sl.q_id
+                       JOIN embeddings ne ON ne.vec_id = sl.n_id),
+        rr AS (SELECT q_id, n_id, sim_e6,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim_e6 DESC, n_id) AS "rank"
+               FROM ex)
+        SELECT q_id, n_id, "rank", sim_e6 FROM rr WHERE "rank" <= 5"""
 
   /** Full-composition twin: k-means coarse cells (2 Lloyd iterations,
     * same CTEs as knnIvfKmeansSql), residuals to the REFINED centroids,
@@ -1064,6 +1092,7 @@ object OracleSql {
     "knn_pq_adc" -> knnPqAdcSql,
 
     "knn_ivfpq_adc" -> knnIvfPqAdcSql,
+    "knn_ivfpq_rerank" -> knnIvfPqRerankSql,
     "knn_ivfpq_kmeans" -> knnIvfPqKmeansSql,
 
     "cosine_dup_pairs" ->

@@ -766,6 +766,18 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("adist_e6"))
 
+  /** Two-stage retrieval: IVF-PQ ADC shortlist (4×k per query), then
+    * EXACT cosine over the shortlisted pairs' full vectors decides the
+    * final top-5 — recall recovers at the cost of one broadcast join
+    * over a tiny id set.
+    */
+  private def qKnnIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfpqTopKRerank(t(spark, dir, "embeddings"),
+      col("vec_id") < 32, 5, shortlistFactor = 4,
+      rowCountHint = embRows(spark, dir))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim_e6"))
+
   /** IVF-PQ with BOTH quantizers k-means-refined — the production ANN
     * training recipe, oracle-checked end-to-end through the training.
     */
@@ -1436,6 +1448,7 @@ object SparkEntry {
     "knn_pq_adc" -> (qKnnPqAdc _),
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
+    "knn_ivfpq_rerank" -> (qKnnIvfPqRerank _),
     "knn_ivfpq_kmeans" -> (qKnnIvfPqKmeans _),
     "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
@@ -1508,9 +1521,10 @@ object SparkEntry {
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
     "pq_codes", "knn_pq_adc", "knn_pq_adc_kmeans", "knn_ivfpq_adc",
-    "knn_ivfpq_kmeans",
+    "knn_ivfpq_rerank", "knn_ivfpq_kmeans",
     "cosine_dup_pairs",
-    "multimodal_project", "binary_meta", "embedding_stats",
+    "multimodal_project", "binary_meta", "image_decode_stats",
+    "embedding_stats",
     "embedding_centroid_sums", "embedding_normalize",
     "embedding_quantize_int8",
     "dedup_clusters", "q24_exact_moments", "q25_window_suite",

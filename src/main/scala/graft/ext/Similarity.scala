@@ -741,6 +741,85 @@ object Similarity {
         (-col("sim_e6")).as("adist_e6"))
   }
 
+  // ---------- exact rerank over ANN shortlists ----------
+
+  /** Exact-cosine rerank of an ANN shortlist — stage two of the
+    * standard two-stage retrieval: the approximate stage (ADC) returns
+    * k′ = factor·k candidates per query; their ids join back to the
+    * full vectors and the FINAL ranking is exact cosine. Recall
+    * recovers because ADC's quantization error only has to keep the
+    * true neighbors inside the (cheap, generous) shortlist, not rank
+    * them perfectly.
+    *
+    * Scale shape: the shortlist is O(q·k′) rows — broadcast it to the
+    * corpus scan (one narrow pass picks up neighbor vectors, no corpus
+    * shuffle); query vectors are a second broadcast semi-join. The
+    * rerank itself touches only |shortlist| pairs.
+    *
+    * Output: (q_id, n_id, rank, sim_e6) — same shape and metric as
+    * [[bruteTopK]], so recall is directly comparable.
+    */
+  def rerankExact(
+      corpus: DataFrame,
+      shortlist: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = broadcast(shortlist.select(col("q_id"), col("n_id")))
+    val qv = broadcast(
+      corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+        .join(broadcast(pairs.select("q_id").distinct()), Seq("q_id")))
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(pairs, Seq("n_id"))
+      .join(qv, Seq("q_id"))
+      .withColumn("sim_e6", simE6(col("q_vec"), col("n_vec")))
+      .select("q_id", "n_id", "sim_e6")
+    topKRows(scored, k)
+  }
+
+  /** [[pqTopK]] with an exact rerank stage: ADC shortlist of
+    * `shortlistFactor`·k per query, exact-cosine final top-k.
+    */
+  def pqTopKRerank(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      shortlistFactor: Int = 4,
+      m: Int = 16,
+      ksub: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    rerankExact(corpus,
+      pqTopK(corpus, queryPred, k * shortlistFactor, m, ksub,
+        idCol, vecCol, rowCountHint),
+      k, idCol, vecCol)
+  }
+
+  /** [[ivfpqTopK]] with an exact rerank stage — the full production
+    * retrieval pipeline: IVF confines, residual-PQ ADC shortlists,
+    * exact cosine ranks the survivors.
+    */
+  def ivfpqTopKRerank(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      shortlistFactor: Int = 4,
+      numCells: Int = 32,
+      m: Int = 16,
+      ksub: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None,
+      nprobe: Int = 1): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    rerankExact(corpus,
+      ivfpqTopK(corpus, queryPred, k * shortlistFactor, numCells, m, ksub,
+        idCol, vecCol, rowCountHint, nprobe),
+      k, idCol, vecCol)
+  }
+
   /** IVF top-k: each query probes its `nprobe` nearest cells. nprobe=1
     * trades recall for a |cell|/|corpus| reduction in comparisons;
     * higher values recover the boundary-vector misses (a query sitting

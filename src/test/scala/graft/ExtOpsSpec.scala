@@ -414,6 +414,52 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"kmeans-IVF nprobe=4 recall $recall below floor")
   }
 
+  test("exact rerank recall dominates the plain ADC ranking") {
+    val pred = col("vec_id") < 16
+    val brute = Similarity.bruteTopK(embs, embs.filter(pred), 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    // the rerank can only fix ranking INSIDE the shortlist, never lose
+    // a true neighbor the shortlist already had — recall is monotone,
+    // at nprobe=1 and with boundary misses recovered at nprobe=4
+    for (np <- Seq(1, 4)) {
+      val adc = recallOf(Similarity.ivfpqTopK(embs, pred, 5, nprobe = np))
+      val reranked = recallOf(Similarity.ivfpqTopKRerank(embs, pred, 5,
+        shortlistFactor = 4, nprobe = np))
+      assert(reranked >= adc,
+        s"nprobe=$np: rerank recall $reranked < ADC recall $adc")
+    }
+    // the final ordering is EXACT cosine: every emitted sim equals the
+    // independently-computed pair cosine, descending with rank
+    val out = Similarity.ivfpqTopKRerank(embs, pred, 5, shortlistFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2).toLong, r.getLong(3)))
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosE6(a: Array[Float], b: Array[Float]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+    }
+    out.foreach { case (q, n, _, sim) =>
+      assert(sim == cosE6(vecs(q), vecs(n)),
+        s"pair ($q,$n): emitted $sim != exact ${cosE6(vecs(q), vecs(n))}")
+    }
+    out.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"sims not descending with rank: ${rows.toSeq}")
+    }
+  }
+
   test("int8 quantization bounds reconstruction error by half a step") {
     val q = Similarity.quantizeInt8(embs).select("embedding", "q8", "scale_e6").collect()
     q.foreach { r =>
