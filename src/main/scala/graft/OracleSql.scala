@@ -858,6 +858,15 @@ object OracleSql {
          SELECT o_orderkey, o_custkey, 'new' AS o_flag FROM orders
          WHERE o_orderkey % 10 = 0""",
 
+    // both generations surface as BIGINT after the metadata-only
+    // widening; gen-2 values exceed int range on purpose
+    "table_type_widening" ->
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS qty FROM orders
+         WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey + 3000000000 AS qty FROM orders
+         WHERE o_orderkey % 2 = 1""",
+
     "table_slice_time_window" ->
       """SELECT o_orderkey, o_totalprice,
                 CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month

@@ -553,6 +553,28 @@ object SparkEntry {
     GraftTable(spark, p).toDf()
   }
 
+  /** ALTER COLUMN TYPE widening is metadata-only: generation-1 files
+    * keep their narrow parquet type (int32 here) and the scan widens
+    * them per file generation; generation-2 rows carry values beyond
+    * int range to prove longs genuinely flow end-to-end.
+    */
+  private def qTypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val p = tmp("graft_widen")
+    GraftWriter.write(spark,
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey").cast("int").as("qty")),
+      p, WriteOptions(mode = WriteMode.Overwrite))
+    Alter.alter(spark, p,
+      alterColTypes = Seq(("qty", org.apache.spark.sql.types.LongType)))
+    GraftWriter.write(spark,
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"),
+          (col("o_custkey") + lit(3000000000L)).as("qty")),
+      p, WriteOptions(mode = WriteMode.Append))
+    GraftTable(spark, p).toDf()
+  }
+
   /** ALTER TABLE RENAME COLUMN is metadata-only (ColumnMapping): files
     * written BEFORE the rename keep the physical name and still serve
     * the renamed logical column; files written AFTER carry the physical
@@ -1421,6 +1443,7 @@ object SparkEntry {
     "table_replace_where" -> (qReplaceWhere _),
     "table_time_travel" -> (qTimeTravel _),
     "table_schema_evolution" -> (qSchemaEvolution _),
+    "table_type_widening" -> (qTypeWidening _),
     "table_slice_time_window" -> (qSliceTimeWindow _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_latest" -> (qDedupLatest _),

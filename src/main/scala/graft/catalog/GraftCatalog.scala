@@ -218,6 +218,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     var addCols = Seq.empty[(String, org.apache.spark.sql.types.DataType, Option[String])]
     var dropCols = Seq.empty[String]
     var renameCols = Seq.empty[(String, String)]
+    var alterColTypes = Seq.empty[(String, org.apache.spark.sql.types.DataType)]
     var meta = Map.empty[String, String]
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -246,6 +247,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"graft ALTER TABLE supports top-level columns only, got " +
             ren.fieldNames.mkString("."))
         renameCols :+= ((ren.fieldNames.head, ren.newName))
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          s"graft ALTER COLUMN supports top-level columns only, got " +
+            ut.fieldNames.mkString("."))
+        alterColTypes :+= ((ut.fieldNames.head, ut.newDataType))
       case sp: TableChange.SetProperty =>
         require(sp.value.nonEmpty,
           s"empty value would drop property '${sp.property}'; use UNSET")
@@ -257,8 +263,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "schema-evolution write modes for anything richer")
     }
     if (addCols.nonEmpty || meta.nonEmpty || dropCols.nonEmpty ||
-        renameCols.nonEmpty)
-      graft.io.Alter.alter(spark, path, addCols, meta, dropCols, renameCols)
+        renameCols.nonEmpty || alterColTypes.nonEmpty)
+      graft.io.Alter.alter(spark, path, addCols, meta, dropCols, renameCols,
+        alterColTypes)
     loadTable(ident)
   }
 

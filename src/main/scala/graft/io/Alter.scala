@@ -28,12 +28,36 @@ object Alter {
       addCols: Seq[(String, DataType, Option[String])] = Nil,
       props: Map[String, String] = Map.empty,
       dropCols: Seq[String] = Nil,
-      renameCols: Seq[(String, String)] = Nil): Long = {
+      renameCols: Seq[(String, String)] = Nil,
+      alterColTypes: Seq[(String, DataType)] = Nil): Long = {
     require(GraftTable.exists(spark, path), s"not a graft table: $path")
     // a concurrent commit invalidates the snapshot the new schema DDL
     // was derived from — re-derive and retry (bounded)
     GraftWriter.retryDerived {
-      alterOnce(spark, path, addCols, props, dropCols, renameCols)
+      alterOnce(spark, path, addCols, props, dropCols, renameCols,
+        alterColTypes)
+    }
+  }
+
+  /** The safe (lossless, total) widenings: every value of `from` is
+    * exactly representable in `to`. Mirrors Delta's type-widening
+    * matrix for the types graft tables use; anything else (narrowing,
+    * cross-family, string) needs a rewrite and is refused.
+    */
+  private[graft] def isSafeWidening(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false // no-op — reject loudly, not silently
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      // decimal growth: scale may grow only with matching integer-digit
+      // headroom (p-s), or values near the precision cap would overflow
+      case (d1: DecimalType, d2: DecimalType) =>
+        val (p1, s1, p2, s2) = (d1.precision, d1.scale, d2.precision, d2.scale)
+        s2 >= s1 && (p2 - s2) >= (p1 - s1) && (p2 > p1 || s2 > s1)
+      case _ => false
     }
   }
 
@@ -43,7 +67,8 @@ object Alter {
       addCols: Seq[(String, DataType, Option[String])],
       props: Map[String, String],
       dropCols: Seq[String],
-      renameCols: Seq[(String, String)]): Long = {
+      renameCols: Seq[(String, String)],
+      alterColTypes: Seq[(String, DataType)] = Nil): Long = {
     val table = GraftTable(spark, path)
     val snap = table.snapshot()
     var schema = snap.schema
@@ -121,6 +146,41 @@ object Alter {
       schema = StructType(
         schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
       require(schema.nonEmpty, "cannot drop the last column")
+    }
+    // ALTER COLUMN ... TYPE — metadata-only for the SAFE widenings:
+    // old files keep their narrow parquet type and the scan reconciles
+    // per file generation (Spark's parquet readers widen
+    // int→long / float→double / decimal growth natively), so no
+    // rewrite ever happens. Gated behind the typeWidening protocol
+    // feature: a build without per-generation reconciliation must fail
+    // loudly on such a table, not mis-read the narrow files.
+    alterColTypes.foreach { case (name, to) =>
+      val field = schema.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(s"no such column: $name"))
+      require(isSafeWidening(field.dataType, to),
+        s"cannot ALTER COLUMN $name TYPE ${to.sql}: only safe widenings " +
+          s"of ${field.dataType.sql} are metadata-only " +
+          "(byte/short/int→wider integral, float→double, decimal growth " +
+          "with integer-digit headroom); anything else needs a rewrite")
+      require(!snap.partitionColumns.exists(_.equalsIgnoreCase(name)),
+        s"cannot widen partition column $name (partition values are " +
+          "directory-typed; widening would re-type the physical layout)")
+      // bucket layout is keyed by the column's HASH — hash(1:int) and
+      // hash(1L:long) differ, so widening a bucket key would silently
+      // scatter existing keys across wrong buckets
+      require(!Bucketing.spec(table).exists(_._1.equalsIgnoreCase(name)),
+        s"cannot widen bucket key $name (bucket hashing is type-sensitive)")
+      schema = StructType(schema.fields.map { f =>
+        if (f.name.equalsIgnoreCase(name)) f.copy(dataType = to) else f
+      })
+    }
+    if (alterColTypes.nonEmpty) {
+      val allProps = table.log.tableProperties()
+      Seq(graft.log.Protocol.ReaderFeaturesKey,
+        graft.log.Protocol.WriterFeaturesKey).foreach { k =>
+        mapProps += k -> graft.log.Protocol.render(
+          graft.log.Protocol.parse(allProps, k) + graft.log.Protocol.TypeWidening)
+      }
     }
     props.keys.foreach { k =>
       require(k.startsWith(CommitLog.ReservedPrefix),

@@ -691,14 +691,21 @@ object Protocol {
 
   val DeletionVectors = "deletionVectors"
 
+  /** ALTER COLUMN type widening: files written before the widening keep
+    * their narrow parquet type and reads reconcile per file generation —
+    * a reader unaware of the feature could mis-plan the narrow files
+    * (or fail on the type mismatch), so widened tables gate both sides.
+    */
+  val TypeWidening = "typeWidening"
+
   /** Everything this build can READ correctly. */
-  val SupportedReaderFeatures: Set[String] = Set(DeletionVectors)
+  val SupportedReaderFeatures: Set[String] = Set(DeletionVectors, TypeWidening)
 
   /** Everything this build can WRITE without corrupting invariants a
     * feature imposes (a writer that ignores DVs would e.g. compact a
     * file and resurrect its deleted rows).
     */
-  val SupportedWriterFeatures: Set[String] = Set(DeletionVectors)
+  val SupportedWriterFeatures: Set[String] = Set(DeletionVectors, TypeWidening)
 
   def parse(metadata: Map[String, String], key: String): Set[String] =
     metadata.get(key).toSet[String]

@@ -195,7 +195,9 @@ final case class GraftAlterCommand(
     props: Map[String, String],
     dropCols: Seq[String] = Nil,
     dropIfExists: Boolean = false,
-    renameCols: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
+    renameCols: Seq[(String, String)] = Nil,
+    alterColTypes: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -204,10 +206,11 @@ final case class GraftAlterCommand(
     val drops =
       if (!dropIfExists) dropCols
       else dropCols.filter(c => existing(c.toLowerCase(java.util.Locale.ROOT)))
-    if (addCols.isEmpty && props.isEmpty && drops.isEmpty && renameCols.isEmpty)
+    if (addCols.isEmpty && props.isEmpty && drops.isEmpty &&
+        renameCols.isEmpty && alterColTypes.isEmpty)
       Seq(Row(graft.io.GraftTable(spark, path).version())) // IF EXISTS no-op
     else Seq(Row(graft.io.Alter.alter(
-      spark, path, addCols, props, drops, renameCols)))
+      spark, path, addCols, props, drops, renameCols, alterColTypes)))
   }
 }
 
@@ -649,6 +652,22 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftAlterCommand(p, Nil, Map.empty,
               renameCols = Seq((r.column.name.head, r.newName)))
           case None => r
+        }
+      // ALTER COLUMN c TYPE <wider> — metadata-only safe widening
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+        graftTablePath(ac.table) match {
+          case Some(p) =>
+            val widenings = ac.specs.map { s =>
+              require(s.column.name.length == 1,
+                "graft ALTER COLUMN supports top-level columns only")
+              require(s.newDataType.isDefined && s.newNullability.isEmpty &&
+                  s.newComment.isEmpty && s.newPosition.isEmpty &&
+                  s.newDefaultExpression.isEmpty && !s.dropDefault,
+                "graft ALTER COLUMN supports TYPE widening only")
+              (s.column.name.head, s.newDataType.get)
+            }
+            GraftAlterCommand(p, Nil, Map.empty, alterColTypes = widenings)
+          case None => ac
         }
       case s: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
         graftTablePath(s.table) match {

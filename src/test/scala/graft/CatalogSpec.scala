@@ -162,6 +162,22 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
   }
 
+  test("ALTER COLUMN TYPE widens through the DSv2 catalog route") {
+    import spark.implicits._
+    val p = s"$root/ns15/widen"
+    GraftWriter.write(spark, Seq((1, 1.0f), (2, 2.0f)).toDF("n", "x"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    spark.sql("ALTER TABLE gcat.ns15.widen ALTER COLUMN n TYPE bigint")
+    spark.sql("INSERT INTO gcat.ns15.widen VALUES (6000000000, 3.0)")
+    val rows = spark.sql("SELECT n FROM gcat.ns15.widen ORDER BY n")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L, 6000000000L), rows)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ns15.widen ALTER COLUMN x TYPE float")
+    }
+    assert(e.getMessage.contains("widening"), e.getMessage)
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES drives table properties") {
     seed("ns10", "props")
     spark.sql(

@@ -240,6 +240,65 @@ class SqlDmlSpec extends SparkSpec {
     assert(e2.getMessage.contains("haveid"), e2.getMessage)
   }
 
+  test("ALTER COLUMN TYPE widening is metadata-only across file generations") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val p = tmpDir("sqlwiden")
+    GraftWriter.write(spark,
+      Seq((1, 1.5f), (2, 2.5f)).toDF("n", "x"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val filesBefore = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN n TYPE bigint")
+    spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN x TYPE double")
+    val t = GraftTable(spark, p)
+    // metadata-only: no file was rewritten
+    assert(t.snapshot().files.map(_.path).toSet == filesBefore)
+    assert(t.snapshot().schema("n").dataType == LongType)
+    assert(t.snapshot().schema("x").dataType == DoubleType)
+    // gen-2 append carries a value beyond int range
+    GraftWriter.write(spark, Seq((5000000000L, 9.25)).toDF("n", "x"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val rows = spark.sql(s"SELECT n, x FROM graft.`$p` ORDER BY n")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 1.5), (2L, 2.5), (5000000000L, 9.25)), rows)
+    // the protocol feature is stamped on BOTH sides: pre-widening
+    // builds must fail loudly, not mis-read narrow files
+    val props = t.log.tableProperties()
+    Seq(graft.log.Protocol.ReaderFeaturesKey,
+      graft.log.Protocol.WriterFeaturesKey).foreach { k =>
+      assert(graft.log.Protocol.parse(props, k)
+        .contains(graft.log.Protocol.TypeWidening), s"$k missing feature")
+    }
+    // stats pruning still works across generations: int-stats gen-1
+    // files prune against a long probe
+    import graft.io.{DataFilter, SkipOp}
+    assert(t.filesAfterPruning(Seq(DataFilter("n", SkipOp.Eq, 5000000000L))) == 1)
+    // narrowing and no-op retype are refused
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN n TYPE int")
+    }
+    assert(e1.getMessage.contains("widening"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN x TYPE double")
+    }
+    assert(e2.getMessage.contains("widening"), e2.getMessage)
+    // partition columns are protected (directory-typed layout)
+    val pp = freshTable("sqlwidenpart")
+    val e3 = intercept[Exception] {
+      graft.io.Alter.alter(spark, pp, alterColTypes =
+        Seq(("cat", org.apache.spark.sql.types.StringType)))
+    }
+    assert(e3.getMessage.contains("widening") ||
+      e3.getMessage.contains("partition"), e3.getMessage)
+    // decimal growth needs integer-digit headroom
+    assert(graft.io.Alter.isSafeWidening(
+      org.apache.spark.sql.types.DecimalType(5, 2),
+      org.apache.spark.sql.types.DecimalType(12, 4)))
+    assert(!graft.io.Alter.isSafeWidening(
+      org.apache.spark.sql.types.DecimalType(5, 2),
+      org.apache.spark.sql.types.DecimalType(6, 4)))
+  }
+
   test("ALTER TABLE graft.`path` RENAME COLUMN is metadata-only") {
     val p = freshTable("sqlren")
     val filesBefore = GraftTable(spark, p).snapshot().files.map(_.path).toSet
