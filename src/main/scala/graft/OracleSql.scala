@@ -858,6 +858,13 @@ object OracleSql {
          SELECT o_orderkey, o_custkey, 'new' AS o_flag FROM orders
          WHERE o_orderkey % 10 = 0""",
 
+    // the source dir is copied twice (second run must be an exact
+    // no-op — doubled rows would hash-mismatch), then extended once
+    "copy_into" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1""",
+
     // both generations surface as BIGINT after the metadata-only
     // widening; gen-2 values exceed int range on purpose
     "table_type_widening" ->

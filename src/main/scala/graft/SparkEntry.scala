@@ -575,6 +575,26 @@ object SparkEntry {
     GraftTable(spark, p).toDf()
   }
 
+  /** COPY INTO idempotency, oracle-proven: the same source directory is
+    * copied TWICE — if the second run were not an exact no-op the rows
+    * would double and the hash would mismatch. A second source drop
+    * (new files) ingests incrementally on the third call.
+    */
+  private def qCopyInto(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val src = tmp("graft_copy_src")
+    val p = tmp("graft_copy_tbl")
+    o.filter(col("o_orderkey") % 3 === 0).write.mode("overwrite").parquet(src)
+    GraftWriter.write(spark, o.limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    CopyInto.copyInto(spark, p, src)
+    CopyInto.copyInto(spark, p, src) // exact no-op
+    o.filter(col("o_orderkey") % 3 === 1).write.mode("overwrite")
+      .parquet(src + "/extra")
+    CopyInto.copyInto(spark, p, src) // picks up only the new files
+    GraftTable(spark, p).toDf()
+  }
+
   /** ALTER TABLE RENAME COLUMN is metadata-only (ColumnMapping): files
     * written BEFORE the rename keep the physical name and still serve
     * the renamed logical column; files written AFTER carry the physical
@@ -1444,6 +1464,7 @@ object SparkEntry {
     "table_time_travel" -> (qTimeTravel _),
     "table_schema_evolution" -> (qSchemaEvolution _),
     "table_type_widening" -> (qTypeWidening _),
+    "copy_into" -> (qCopyInto _),
     "table_slice_time_window" -> (qSliceTimeWindow _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_latest" -> (qDedupLatest _),

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io._
+
+/** COPY INTO — idempotent foreign-file ingestion. */
+class CopyIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seedSource(dir: String, ids: Range): Unit =
+    ids.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+
+  test("re-running COPY INTO is an exact no-op (no commit)") {
+    val src = tmpDir("ci_src")
+    val p = tmpDir("ci_tbl")
+    seedSource(src, 0 until 100)
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val r1 = CopyInto.copyInto(spark, p, src)
+    assert(r1.version.isDefined && r1.ingestedFiles > 0 && r1.skippedFiles == 0)
+    val vAfter = GraftTable(spark, p).version()
+    val r2 = CopyInto.copyInto(spark, p, src)
+    assert(r2.version.isEmpty && r2.ingestedFiles == 0, r2)
+    assert(r2.skippedFiles == r1.ingestedFiles)
+    // version did NOT advance — the no-op left no commit behind
+    assert(GraftTable(spark, p).version() == vAfter)
+    assert(GraftTable(spark, p).toDf().count() == 100)
+  }
+
+  test("new and re-uploaded source files ingest incrementally") {
+    val src = tmpDir("ci_incr_src")
+    val p = tmpDir("ci_incr_tbl")
+    seedSource(src, 0 until 50)
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    CopyInto.copyInto(spark, p, src)
+    // drop NEW files beside the old ones -> only they ingest
+    (50 until 80).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(src + "/batch2")
+    val r = CopyInto.copyInto(spark, p, src)
+    assert(r.version.isDefined && r.ingestedFiles == 1, r)
+    assert(GraftTable(spark, p).toDf().count() == 80)
+    // a re-uploaded file (same path, different size/mtime) is a NEW
+    // identity and ingests again — Delta's COPY INTO contract
+    val fs = GraftTable(spark, p).log.fs
+    val batch2 = new org.apache.hadoop.fs.Path(src + "/batch2")
+    val oldFile = fs.listStatus(batch2).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    (80 until 95).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(src + "/batch2_tmp")
+    val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(src + "/batch2_tmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(oldFile, false)
+    fs.rename(newFile, oldFile)
+    val r3 = CopyInto.copyInto(spark, p, src)
+    assert(r3.version.isDefined && r3.ingestedFiles == 1, r3)
+    // rows 50..79 came from the replaced file's FIRST upload and stay;
+    // the re-upload adds its own rows (append semantics, like Delta)
+    assert(GraftTable(spark, p).toDf().filter(col("id") >= 80).count() == 15)
+  }
+
+  test("schema mismatch is loud unless mergeSchema; state key is not carried forward") {
+    val src = tmpDir("ci_schema_src")
+    val p = tmpDir("ci_schema_tbl")
+    seedSource(src, 0 until 10)
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    CopyInto.copyInto(spark, p, src)
+    (10 until 20).map(i => (i.toLong, s"row$i", i * 2.0)).toDF("id", "s", "extra")
+      .coalesce(1).write.mode("overwrite").parquet(src + "/wide")
+    val e = intercept[Exception] { CopyInto.copyInto(spark, p, src) }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    val r = CopyInto.copyInto(spark, p, src, mergeSchema = true)
+    assert(r.version.isDefined)
+    val t = GraftTable(spark, p)
+    assert(t.toDf().count() == 20)
+    assert(t.toDf().columns.contains("extra"))
+    // the ingested-set record lives in the COPY INTO commit only; an
+    // unrelated later commit must NOT carry (and re-serialize) it
+    GraftWriter.write(spark, Seq((99L, "z", 1.0)).toDF("id", "s", "extra"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val last = t.log.readCommit(t.log.latestVersion().get)
+    assert(!last.metadata.contains(CopyInto.SourcesKey),
+      "per-commit COPY INTO state leaked into a later commit")
+  }
+}
