@@ -26,8 +26,11 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     log.snapshot(versionAsOf)
 
   /** Latest version committed at or before `tsMillis` — the
-    * `TIMESTAMP AS OF` lookup (commit timestamps are the log's own
-    * wall clock, like Delta).
+    * `TIMESTAMP AS OF` lookup. Timestamps are IN-COMMIT and MONOTONE
+    * (`ts(v) = max(now, ts(v-1)+1)` — Delta's in-commit timestamp
+    * contract, see [[graft.log.CommitLog.commit]]), so this resolves
+    * deterministically even under writer clock skew or a log
+    * copy/restore that scrambles file mtimes.
     */
   def versionAtTimestamp(tsMillis: Long): Long =
     log.versions().map(log.readCommit)

@@ -541,7 +541,16 @@ final class CommitLog(
         .foldLeft(mergedMeta0) { (m, k) =>
           m.updated(k, Protocol.render(Protocol.parse(m, k) + Protocol.DeletionVectors))
         }
-    val c = Commit(v, System.currentTimeMillis(), operation, mode, schemaDdl,
+    // in-commit timestamps are MONOTONE per table (Delta's in-commit
+    // timestamp contract): ts(v) = max(now, ts(v-1)+1). A writer whose
+    // wall clock lags a previous writer's (skew, log copy/restore) can
+    // therefore never make TIMESTAMP AS OF / startingTimestamp / CDF
+    // `_commit_timestamp` ambiguous — the sequence the binary searches
+    // assume is strictly increasing by construction, not by luck.
+    val prevTs = (if (v > 0) scala.util.Try(readCommit(v - 1).timestampMs).toOption
+      else None).getOrElse(Long.MinValue)
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+    val c = Commit(v, ts, operation, mode, schemaDdl,
       partitionColumns, mergedMeta, operationMetrics, add, remove, cdc)
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)

@@ -889,6 +889,48 @@ class TableLayerSpec extends SparkSpec {
       s"expected a shard-count error, got: ${ex.getMessage}")
   }
 
+  test("in-commit timestamps stay monotone under clock skew") {
+    import org.apache.hadoop.fs.Path
+    val p = tmpDir("ts_monotone")
+    GraftWriter.write(spark, Seq((1L, "a")).toDF("k", "s"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val t = GraftTable(spark, p)
+    // simulate a writer with a FAST clock: rewrite v0's stored
+    // timestamp one hour into the future (timestamps live in the
+    // commit JSON itself — that is what makes this surgery possible)
+    val fs = t.log.fs
+    val v0 = new Path(p, "_graft_log/v0000000000.json")
+    val skewed = System.currentTimeMillis() + 3600L * 1000
+    val raw = {
+      val in = fs.open(v0)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val c0 = org.json4s.jackson.JsonMethods.parse(raw)
+    val patched = org.json4s.jackson.JsonMethods.compact(
+      c0.replace(List("timestampMs"), org.json4s.JLong(skewed)))
+    fs.delete(v0, false)
+    val out = fs.create(v0, false)
+    try out.write(patched.getBytes("UTF-8")) finally out.close()
+    // the next commit (sane clock, an hour BEHIND v0's stamp) must not
+    // regress: ts(v1) = ts(v0) + 1
+    GraftWriter.write(spark, Seq((2L, "b")).toDF("k", "s"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val hist = GraftTable(spark, p).history().sortBy(_.version)
+    assert(hist.map(_.timestampMs) == Seq(skewed, skewed + 1),
+      hist.map(c => (c.version, c.timestampMs)).toString)
+    // TIMESTAMP AS OF resolves through the monotone stamps: the skewed
+    // instant sees v0, one ms later sees v1, a pre-skew instant has
+    // NO commit at-or-before it and fails loudly
+    assert(GraftTable(spark, p).versionAtTimestamp(skewed) == 0L)
+    assert(GraftTable(spark, p).versionAtTimestamp(skewed + 1) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable(spark, p).versionAtTimestamp(skewed - 10)
+    }
+    assert(e.getMessage.contains("no commit"), e.getMessage)
+    // startingTimestamp's at-or-after lookup agrees
+    assert(GraftTable(spark, p).versionAtOrAfterTimestamp(skewed + 1) == 1L)
+  }
+
   test("re-writing a sharded checkpoint under a different layout clears stale shards") {
     import graft.log.CommitLog
     import org.apache.hadoop.fs.Path
