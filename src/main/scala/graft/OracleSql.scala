@@ -20,6 +20,42 @@ object OracleSql {
   // DuckDB list comprehension of whitespace tokens / 3-word shingles
   private val TOKS = """regexp_split_to_array(lower(trim(text)), '\s+')"""
   private val DOCS_TOKS = s"SELECT doc_id, $TOKS AS toks FROM documents"
+
+  /** BPE twin: the merge table is rendered from the SAME
+    * [[graft.ext.BpeModel]] the Spark kernel bakes in. Final states are
+    * the rows that reached rank NumMerges+1.
+    */
+  private lazy val bpeCountSql: String = {
+    val mergeValues = graft.ext.BpeModel.merges.zipWithIndex.map {
+      case ((l, r), i) => s"(${i + 1}, ' $l $r ', ' $l$r ')"
+    }.mkString(", ")
+    val endRank = graft.ext.BpeModel.merges.length + 1
+    s"""WITH RECURSIVE
+        dw AS (SELECT doc_id, unnest(toks) AS w FROM ($DOCS_TOKS)),
+        words AS (SELECT DISTINCT w FROM dw WHERE w <> ''),
+        m(rank, pat, rep) AS (VALUES $mergeValues),
+        enc(w, sym, rank) AS (
+          SELECT w,
+                 ' ' || trim(regexp_replace(hex(encode(w)), '(..)', '\\1 ', 'g')) || ' ',
+                 1
+          FROM words
+          UNION ALL
+          SELECT e.w,
+                 CASE WHEN position(m.pat IN e.sym) > 0
+                      THEN substr(e.sym, 1, position(m.pat IN e.sym) - 1) || m.rep ||
+                           substr(e.sym, position(m.pat IN e.sym) + length(m.pat))
+                      ELSE e.sym END,
+                 CASE WHEN position(m.pat IN e.sym) > 0 THEN e.rank ELSE e.rank + 1 END
+          FROM enc e JOIN m ON m.rank = e.rank
+        ),
+        wc AS (SELECT w, len(string_split(trim(sym), ' ')) AS n
+               FROM enc WHERE rank = $endRank)
+        SELECT d.doc_id, CAST(COALESCE(SUM(wc.n), 0) AS BIGINT) AS n_bpe
+        FROM documents d
+        LEFT JOIN dw ON dw.doc_id = d.doc_id AND dw.w <> ''
+        LEFT JOIN wc ON wc.w = dw.w
+        GROUP BY d.doc_id"""
+  }
   private val SHINGLES =
     """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
@@ -1001,6 +1037,15 @@ object OracleSql {
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
          FROM documents""",
+
+    // real byte-level BPE: the merge table below is RENDERED from
+    // graft.ext.BpeModel (the same object the Spark kernel uses).
+    // Replay: per DISTINCT word, hex the UTF-8 bytes into symbols, then
+    // a recursive CTE applies merges in rank order — one leftmost
+    // occurrence per step (repeated-leftmost ≡ one left-to-right pass
+    // per rank, since a merge's parts are created only by earlier
+    // merges); a word's final state is its row at rank N+1.
+    "text_bpe_count" -> bpeCountSql,
 
     // corpus-self-trained bigram LM perplexity proxy; the per-doc fold
     // runs over a list sorted by the exact INTEGER (c1, c2) pair so the

@@ -718,6 +718,13 @@ object SparkEntry {
     TextAnalysis.bpeishCount(t(spark, dir, "documents"))
       .select(col("doc_id"), col("n_bpeish").cast("long").as("n_bpeish"))
 
+  /** REAL byte-level BPE counts through the embedded merge table; the
+    * oracle replays the SAME table (rendered from [[graft.ext.BpeModel]])
+    * with a bounded recursive CTE over the distinct word vocabulary.
+    */
+  private def qBpeCount(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeCount(t(spark, dir, "documents"))
+
   private def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(t(spark, dir, "documents"))
 
@@ -1481,6 +1488,7 @@ object SparkEntry {
     "paragraph_dedup" -> (qParagraphDedup _),
     "url_filter" -> (qUrlFilter _),
     "text_bpeish_count" -> (qBpeish _),
+    "text_bpe_count" -> (qBpeCount _),
     "text_fingerprint" -> (qFingerprint _),
     "text_repetition" -> (qRepetition _),
     "text_source_stats" -> (qSourceStats _),
@@ -1561,7 +1569,7 @@ object SparkEntry {
     "text_token_stats",
     "text_lang_id", "text_quality_score", "text_quality_classifier",
     "text_lm_score",
-    "paragraph_dedup", "url_filter", "text_bpeish_count",
+    "paragraph_dedup", "url_filter", "text_bpeish_count", "text_bpe_count",
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
     "pq_codes", "knn_pq_adc", "knn_pq_adc_kmeans", "knn_ivfpq_adc",

@@ -977,6 +977,20 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpeish"))
 
+  /** REAL byte-level BPE token count ([[BpeModel]]'s embedded,
+    * deterministically-trained merge table; [[bpeishCount]] remains the
+    * regex approximation for comparison). Narrow per-row codegen pass —
+    * the count column that feeds sequence packing and token-budget
+    * selection when BPE-accurate budgets matter.
+    */
+  def bpeCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      org.apache.spark.sql.graft.GraftInternal.column(
+        graft.functions.BpeCount(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(textCol)))
+        .as("n_bpe"))
+
   /** Content fingerprint: min-md5 over 3-word shingles (a 1-permutation
     * MinHash) — robust to reordering-free small edits. Explode + min-agg
     * so each shingle is hashed exactly once.

@@ -296,6 +296,53 @@ class ExtOpsSpec extends SparkSpec {
     assert(top.drop(1) == Seq(("b c a", 2L), ("c a b", 2L), ("x y z", 2L)))
   }
 
+  test("byte-level BPE: trained merges compress seed-like prose, counts are exact") {
+    import spark.implicits._
+    // the model trained a full merge table from the embedded seeds
+    assert(BpeModel.merges.length == BpeModel.NumMerges)
+    assert(BpeModel.merges.distinct.length == BpeModel.merges.length)
+    // a merged symbol's parts must have been produced by EARLIER merges
+    // (or be base bytes) — the property that makes one ordered pass per
+    // merge canonical
+    val producedBy = BpeModel.merges.zipWithIndex.map { case ((l, r), i) =>
+      (l + r) -> i
+    }.toMap
+    BpeModel.merges.zipWithIndex.foreach { case ((l, r), i) =>
+      Seq(l, r).foreach { part =>
+        assert(part.length == 2 || producedBy(part) < i,
+          s"merge $i uses $part produced at ${producedBy.get(part)}")
+      }
+    }
+    // common seed words compress far below their byte counts; gibberish
+    // stays near byte-per-token
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    val the = BpeModel.textTokenCount("the", memo)
+    assert(the >= 1 && the <= 2, s"'the' -> $the tokens")
+    val gib = BpeModel.textTokenCount("xqzjv", memo)
+    assert(gib >= 4, s"gibberish 'xqzjv' -> $gib tokens")
+    assert(BpeModel.textTokenCount("", memo) == 0)
+    assert(BpeModel.textTokenCount("   ", memo) == 0)
+    // multi-byte UTF-8 counts whole bytes, never splits mid-scalar sums
+    val eur = BpeModel.textTokenCount("€", memo) // 3 UTF-8 bytes
+    assert(eur >= 1 && eur <= 3)
+    // the Spark kernel agrees with the driver-side model on real docs
+    val viaKernel = TextAnalysis.bpeCount(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        BpeModel.textTokenCount(r.getString(1), memo)).toMap
+    assert(viaKernel == direct)
+    // BPE counts feed token-budget selection directly (pluggable count
+    // column): budget in BPE tokens is respected exactly
+    val scored = TextAnalysis.bpeCount(docs)
+      .withColumn("score", lit(1.0) / (col("doc_id") + 1))
+      .withColumnRenamed("n_bpe", "n_tokens")
+    val budget = 2000L
+    val picked = Sampling.selectByBudget(scored, budget)
+    val total = picked.agg(sum("n_tokens")).head().getLong(0)
+    assert(total <= budget, s"selected $total BPE tokens > budget $budget")
+  }
+
   test("payload features: deterministic, bounded dims, real payload length") {
     val feats = Multimodal.payloadFeatures(Multimodal.fromDocuments(docs))
     val f = feats.collect()
