@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+import graft.merge.{Delete, InsertValues, MergeClausesExecutor, UpdateSet}
+
+/** Materialized-view-style incremental aggregate maintenance over the
+  * change feed — the composition users actually build from CDF + MERGE:
+  * a summary table `GROUP BY keys → (sum, count)` kept in sync with its
+  * source by applying per-key DELTAS from `tableChanges`, never
+  * rescanning the source.
+  *
+  * Exactly-once: the last-applied source version rides the SAME merge
+  * commit as the deltas (a carried-forward table property on the
+  * summary), so a crashed refresh retries from the recorded version and
+  * can neither skip nor double-apply a change range. Work per refresh
+  * scales with the CHANGED rows (one groupBy over the change rows + a
+  * key-equi merge into the summary), not the source size — the property
+  * that makes a 100 TB source's minute-level summary refresh cheap.
+  *
+  * The summed column must be integral (LongType) — the repo's
+  * fixed-point idiom: incremental `+delta` maintenance of a float sum
+  * would drift from a recompute by float association, an integer sum
+  * cannot.
+  */
+object MaterializedAgg {
+
+  /** Carried-forward summary-table property: last source version whose
+    * changes are reflected in the summary.
+    */
+  val SourceVersionKey: String =
+    graft.log.CommitLog.ReservedPrefix + "matview.sourceVersion"
+
+  /** Build or incrementally refresh `summaryPath` =
+    * `source GROUP BY keyCols AGG sum(valueCol) AS sum_val, count(*) AS
+    * n_rows`. Returns the newly applied source version, or None when the
+    * summary was already current.
+    */
+  def refresh(
+      spark: SparkSession,
+      sourcePath: String,
+      summaryPath: String,
+      keyCols: Seq[String],
+      valueCol: String): Option[Long] = {
+    require(keyCols.nonEmpty, "at least one grouping key")
+    val src = GraftTable(spark, sourcePath)
+    val curV = src.version()
+
+    if (!GraftTable.exists(spark, summaryPath)) {
+      // initial build: one full aggregate, version pinned in the same
+      // creating commit
+      GraftWriter.write(spark, summarize(src.toDf(), keyCols, valueCol),
+        summaryPath, WriteOptions(mode = WriteMode.ErrorIfExists,
+          metadata = Map(SourceVersionKey -> curV.toString)))
+      return Some(curV)
+    }
+
+    val summary = GraftTable(spark, summaryPath)
+    val lastV = summary.log.tableProperties().get(SourceVersionKey)
+      .map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"$summaryPath is not a materialized aggregate of $sourcePath " +
+          s"(missing $SourceVersionKey)"))
+    if (curV <= lastV) return None // already current
+
+    // per-key deltas from the change feed: insert/update_postimage rows
+    // add, delete/update_preimage rows subtract — net zero keys drop out
+    val changes = src.tableChanges(lastV, curV) // EXCLUSIVE from
+    val sign = when(col(graft.io.Cdc.ChangeCol)
+      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    val deltas = changes
+      .select(keyCols.map(col) :+ sign.as("__sign") :+
+        (col(valueCol).cast("long") * sign).as("__dv"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__dv")).as("d_sum"), sum(col("__sign")).as("d_n"))
+      .filter(col("d_n") =!= 0L || col("d_sum") =!= 0L)
+
+    // upsert the deltas; the source-version watermark rides the SAME
+    // commit — atomic exactly-once
+    val pred = keyCols.map(k => s"s.$k = t.$k").mkString(" AND ")
+    MergeClausesExecutor.merge(spark, deltas, summaryPath, pred,
+      matched = Seq(
+        // a key whose row count nets to zero disappeared from the source
+        Delete(Some(col("t.n_rows") + col("s.d_n") === 0L)),
+        UpdateSet(Map(
+          "sum_val" -> (col("t.sum_val") + col("s.d_sum")),
+          "n_rows" -> (col("t.n_rows") + col("s.d_n"))))),
+      notMatched = Seq(InsertValues(
+        keyCols.map(k => k -> col(s"s.$k")).toMap ++
+          Map("sum_val" -> col("s.d_sum"), "n_rows" -> col("s.d_n")))),
+      extraMetadata = Map(SourceVersionKey -> curV.toString))
+    Some(curV)
+  }
+
+  /** The summary shape: one row per key with the exact integer sum and
+    * row count.
+    */
+  def summarize(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valueCol).cast("long")).as("sum_val"),
+        count(lit(1)).as("n_rows"))
+}

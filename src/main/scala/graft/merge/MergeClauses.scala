@@ -64,7 +64,12 @@ object MergeClausesExecutor {
         * appended to the table schema (nullable) in the same commit;
         * UPDATE SET / INSERT VALUES may then name them.
         */
-      schemaEvolution: Boolean = false): MergeStats = {
+      schemaEvolution: Boolean = false,
+      /** Extra commit metadata riding the merge commit itself — e.g. a
+        * carried-forward watermark property that must land ATOMICALLY
+        * with the merged rows (see [[graft.ext.MaterializedAgg]]).
+        */
+      extraMetadata: Map[String, String] = Map.empty): MergeStats = {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "merge requires at least one clause")
     if (!GraftTable.exists(spark, path)) {
@@ -80,7 +85,7 @@ object MergeClausesExecutor {
       Cow.retryOnConflict() {
         mergeOnce(spark, table, src, numSource, path, predicate,
           matched, notMatched, notMatchedBySource, sourceAlias, targetAlias,
-          schemaEvolution)
+          schemaEvolution, extraMetadata)
       }
     } finally src.unpersist()
   }
@@ -97,7 +102,8 @@ object MergeClausesExecutor {
       notMatchedBySource: Seq[MatchedClause],
       sourceAlias: String,
       targetAlias: String,
-      schemaEvolution: Boolean): MergeStats = {
+      schemaEvolution: Boolean,
+      extraMetadata: Map[String, String]): MergeStats = {
     val snap = table.snapshot()
     locally {
       val cond = expr(predicate)
@@ -173,7 +179,7 @@ object MergeClausesExecutor {
           (matched.nonEmpty || notMatchedBySource.nonEmpty))
         return dvMergeOnce(spark, table, src, numSource, path, predicate,
           matched, notMatched, notMatchedBySource, sourceAlias, targetAlias,
-          schemaEvolution, mergedSchema, snap)
+          schemaEvolution, mergedSchema, snap, extraMetadata)
 
       // stats pruning is only sound when every row-effect needs a match:
       // by-source clauses touch unmatched rows, and the insert anti-join
@@ -248,7 +254,7 @@ object MergeClausesExecutor {
       val v = GraftWriter.writeCow(spark, newData, path, snap,
         touched.map(f => RemoveFile(f.path)),
         operation = "MERGE",
-        metadata = Map("operation" -> "MERGE:clauses"),
+        metadata = Map("operation" -> "MERGE:clauses") ++ extraMetadata,
         cdc = cdcFiles,
         schemaOverride = if (schemaEvolution) Some(mergedSchema) else None,
         profile = Some(clauseProfile(spark, snap, src, predicate,
@@ -324,7 +330,8 @@ object MergeClausesExecutor {
       ta: String,
       schemaEvolution: Boolean,
       mergedSchema: org.apache.spark.sql.types.StructType,
-      snap: graft.log.Snapshot): MergeStats = {
+      snap: graft.log.Snapshot,
+      extraMetadata: Map[String, String]): MergeStats = {
     import graft.io.DeletionVectors
     val cond = expr(predicate)
     val cols = mergedSchema.map(_.name)
@@ -399,7 +406,7 @@ object MergeClausesExecutor {
     val v = GraftWriter.writeCow(spark, newData, path, snap,
       touched.map(f => RemoveFile(f.path)),
       operation = "MERGE",
-      metadata = Map("operation" -> "MERGE:clauses"),
+      metadata = Map("operation" -> "MERGE:clauses") ++ extraMetadata,
       cdc = cdcFiles,
       schemaOverride = if (schemaEvolution) Some(mergedSchema) else None,
       extraAdds = updated.flatMap(_._2),

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.MaterializedAgg
+import graft.io._
+import graft.merge.Dml
+
+/** CDF-driven incremental aggregate maintenance — the MERGE + change
+  * feed composition as users actually build it.
+  */
+class MaterializedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def recompute(src: String, sum: String): Map[String, (Long, Long)] =
+    MaterializedAgg.summarize(
+      GraftTable(spark, src).toDf(), Seq("cat"), "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  private def summaryOf(p: String): Map[String, (Long, Long)] =
+    GraftTable(spark, p).toDf()
+      .select("cat", "sum_val", "n_rows").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("summary tracks inserts, updates, deletes through the change feed") {
+    val src = tmpDir("mv_src")
+    val sum = tmpDir("mv_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    // initial build
+    assert(MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v").isDefined)
+    assert(summaryOf(sum) == Map("a" -> ((40L, 2L)), "b" -> ((20L, 1L))))
+    // already current -> None, version unchanged
+    val v0 = GraftTable(spark, sum).version()
+    assert(MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v").isEmpty)
+    assert(GraftTable(spark, sum).version() == v0)
+    // append + update + delete on the source, then one refresh
+    GraftWriter.write(spark, Seq((4L, "c", 5L)).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    Dml.update(spark, src, col("id") === 1L, Map("v" -> lit(15L)))
+    Dml.delete(spark, src, col("id") === 3L)
+    assert(MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v").isDefined)
+    assert(summaryOf(sum) == recompute(src, sum))
+    assert(summaryOf(sum) == Map("a" -> ((15L, 1L)), "b" -> ((20L, 1L)),
+      "c" -> ((5L, 1L))))
+    // a key deleted down to zero rows disappears from the summary
+    Dml.delete(spark, src, col("cat") === "b")
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    assert(!summaryOf(sum).contains("b"))
+    assert(summaryOf(sum) == recompute(src, sum))
+  }
+
+  test("the watermark rides the merge commit — refresh is exactly-once") {
+    val src = tmpDir("mv_once_src")
+    val sum = tmpDir("mv_once_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 7L)).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    GraftWriter.write(spark, Seq((2L, "a", 3L)).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    assert(summaryOf(sum) == Map("a" -> ((10L, 2L))))
+    // the recorded watermark and the merged rows are ONE commit: a
+    // replayed refresh (e.g. after a crash-retry) sees the watermark
+    // and does nothing — sums can never double-apply
+    val t = GraftTable(spark, sum)
+    val props = t.log.tableProperties()
+    assert(props(MaterializedAgg.SourceVersionKey).toLong ==
+      GraftTable(spark, src).version())
+    assert(MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v").isEmpty)
+    assert(summaryOf(sum) == Map("a" -> ((10L, 2L))))
+    // metadata-only source commits advance the watermark harmlessly
+    graft.io.Alter.alter(spark, src,
+      props = Map(graft.log.CommitLog.ReservedPrefix + "note" -> "x"))
+    assert(MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v").isDefined)
+    assert(summaryOf(sum) == Map("a" -> ((10L, 2L))))
+  }
+}
