@@ -252,6 +252,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"graft ALTER COLUMN supports top-level columns only, got " +
             ut.fieldNames.mkString("."))
         alterColTypes :+= ((ut.fieldNames.head, ut.newDataType))
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames.length == 1,
+          s"graft ALTER COLUMN supports top-level columns only, got " +
+            ud.fieldNames.mkString("."))
+        // empty = DROP DEFAULT (the commit log's ""-drops-property rule)
+        meta += graft.io.Generated.DefaultPrefix + ud.fieldNames.head ->
+          ud.newDefaultValue()
       case sp: TableChange.SetProperty =>
         require(sp.value.nonEmpty,
           s"empty value would drop property '${sp.property}'; use UNSET")

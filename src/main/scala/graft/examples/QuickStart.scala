@@ -493,6 +493,71 @@ object QuickStart {
     println(s"[37] symlink manifests: ${manifests.length} partitions, " +
       s"$externalRows rows readable as plain parquet " +
       s"(= ${GraftTable(spark, table).toDf().count()} in the table)")
+
+    // 38. metadata-only type widening: gen-1 int files + gen-2 long
+    // rows read uniformly as BIGINT, no rewrite, protocol-gated
+    val widen = s"$out/widen"
+    GraftWriter.write(spark,
+      spark.range(3).select(col("id"), col("id").cast("int").as("qty")),
+      widen, WriteOptions(mode = WriteMode.Overwrite))
+    val wGen1 = GraftTable(spark, widen).snapshot().files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE graft.`$widen` ALTER COLUMN qty TYPE bigint")
+    GraftWriter.write(spark,
+      spark.range(3, 4).select(col("id"),
+        (col("id") + 9000000000L).as("qty")),
+      widen, WriteOptions(mode = WriteMode.Append))
+    val wMax = spark.sql(s"SELECT max(qty) FROM graft.`$widen`").head().getLong(0)
+    val wNow = GraftTable(spark, widen).snapshot().files.map(_.path).toSet
+    println(s"[38] type widening: ${(wGen1 intersect wNow).size} of " +
+      s"${wGen1.size} gen-1 int files untouched " +
+      s"(+${(wNow diff wGen1).size} long append), max(qty)=$wMax " +
+      "read as BIGINT across generations")
+
+    // 39. COPY INTO: idempotent ingestion — the second run is a no-op
+    val copySrc = s"$out/copy_src"
+    val copyTbl = s"$out/copy_tbl"
+    spark.range(100).select(col("id"), (col("id") * 2).as("v"))
+      .write.mode("overwrite").parquet(copySrc)
+    GraftWriter.write(spark,
+      spark.range(0).select(col("id"), col("id").as("v")), copyTbl,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val c1 = spark.sql(s"COPY INTO graft.`$copyTbl` FROM '$copySrc'").head()
+    val c2 = spark.sql(s"COPY INTO graft.`$copyTbl` FROM '$copySrc'").head()
+    println(s"[39] COPY INTO: run1 ingested ${c1.getLong(1)} files; " +
+      s"run2 ingested ${c2.getLong(1)}, skipped ${c2.getLong(2)} " +
+      s"(version ${if (c2.isNullAt(0)) "unchanged — exact no-op" else "ADVANCED?!"})")
+
+    // 40. two-stage ANN retrieval + real BPE counts
+    val embsDf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rerank = graft.ext.Similarity.ivfpqTopKRerank(
+      embsDf, col("vec_id") < 4, 3, shortlistFactor = 4)
+    val bpe = graft.ext.TextAnalysis.bpeCount(mediaDocs)
+      .agg(sum("n_bpe"), count(lit(1))).head()
+    println(s"[40] rerank: ${rerank.count()} exact-reranked neighbor rows; " +
+      s"BPE: ${bpe.getLong(0)} tokens over ${bpe.getLong(1)} docs " +
+      s"(${graft.ext.BpeModel.merges.length} trained merges)")
+
+    // 41. incremental aggregate maintenance over the change feed
+    val mvSrc = s"$out/mv_src"
+    val mvSum = s"$out/mv_sum"
+    GraftWriter.write(spark,
+      spark.range(6).select(col("id"), (col("id") % 2).cast("string").as("k"),
+        col("id").as("v")),
+      mvSrc, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    graft.ext.MaterializedAgg.refresh(spark, mvSrc, mvSum, Seq("k"), "v")
+    graft.merge.Dml.delete(spark, mvSrc, col("id") === 4L)
+    GraftWriter.write(spark,
+      spark.range(10, 12).select(col("id"),
+        (col("id") % 2).cast("string").as("k"), col("id").as("v")),
+      mvSrc, WriteOptions(mode = WriteMode.Append))
+    graft.ext.MaterializedAgg.refresh(spark, mvSrc, mvSum, Seq("k"), "v")
+    val mvRows = GraftTable(spark, mvSum).toDf()
+      .orderBy("k").collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}/${r.getLong(2)}")
+      .mkString(" ")
+    println(s"[41] incremental matview: $mvRows (sum/rows per key, " +
+      "maintained from change-feed deltas — source never rescanned)")
     spark.stop()
   }
 }

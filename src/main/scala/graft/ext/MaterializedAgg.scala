@@ -94,6 +94,30 @@ object MaterializedAgg {
     Some(curV)
   }
 
+  /** Continuous maintenance: a change-feed stream whose every
+    * micro-batch triggers one [[refresh]]. The stream is the TRIGGER,
+    * not the data path — refresh reads `tableChanges` against its own
+    * committed watermark, so a replayed micro-batch (crash/restart
+    * re-delivery) finds the watermark already advanced and applies
+    * nothing: exactly-once without coupling to Spark's batch ids. Call
+    * `processAllAvailable()`/`awaitTermination()` on the returned query.
+    */
+  def maintainStream(
+      spark: SparkSession,
+      sourcePath: String,
+      summaryPath: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Streams.readChangeFeed(spark, sourcePath)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, sourcePath, summaryPath, keyCols, valueCol)
+        ()
+      }
+      .start()
+
   /** The summary shape: one row per key with the exact integer sum and
     * row count.
     */

@@ -187,6 +187,19 @@ object Alter {
         s"only ${CommitLog.ReservedPrefix}* table properties persist " +
           s"across commits; got '$k'")
     }
+    // SET DEFAULT declarations validate HERE (declaration time): the
+    // column must exist and the expression must be column-free — the
+    // fill sites re-validate, but a bad declaration should fail at the
+    // ALTER, not at the next write
+    props.foreach { case (k, v) if k.startsWith(Generated.DefaultPrefix) =>
+      val c = k.stripPrefix(Generated.DefaultPrefix)
+      if (v.nonEmpty) {
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"cannot SET DEFAULT for unknown column $c")
+        Generated.validateDefaults(spark, Map(c -> v))
+      }
+    case _ => ()
+    }
     table.log.commit(
       operation = "ALTER TABLE",
       mode = "metadata",

@@ -93,6 +93,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val GenerateRe =
     ("""(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
       T + """\s*;?\s*$""").r
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + T +
+      """\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?(\s+MERGE\s+SCHEMA)?\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + T +
       """\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+""" + T +
@@ -120,6 +124,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case DetailRe(p, n) => Some(GraftDescribeDetailCommand(target(p, n)))
       case RestoreRe(p, n, v, ts) => Some(GraftRestoreCommand(target(p, n),
         Option(v).map(_.toLong), Option(ts)))
+      case CopyIntoRe(p, n, src, fmt, ms) =>
+        Some(GraftCopyIntoCommand(target(p, n), src,
+          Option(fmt).getOrElse("parquet"), mergeSchema = ms != null))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>

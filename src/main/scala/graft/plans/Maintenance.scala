@@ -82,6 +82,29 @@ final case class GraftGenerateCommand(
   }
 }
 
+/** `COPY INTO t FROM '/src' [FILEFORMAT = PARQUET] [MERGE SCHEMA]` —
+  * idempotent foreign-file ingestion ([[graft.io.CopyInto]]): files
+  * already recorded are skipped; a fully-skipped run commits nothing.
+  * Returns (version, ingested, skipped) — version is NULL on a no-op.
+  */
+final case class GraftCopyIntoCommand(
+    target: Either[String, Seq[String]],
+    sourceDir: String,
+    format: String,
+    mergeSchema: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = true)(),
+    AttributeReference("ingested_files", LongType, nullable = false)(),
+    AttributeReference("skipped_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    val r = graft.io.CopyInto.copyInto(spark, path, sourceDir, format,
+      mergeSchema = mergeSchema)
+    Seq(Row(r.version.map(Long.box).orNull,
+      r.ingestedFiles.toLong, r.skippedFiles.toLong))
+  }
+}
+
 final case class GraftVacuumCommand(
     target: Either[String, Seq[String]],
     retainHours: Option[Long],

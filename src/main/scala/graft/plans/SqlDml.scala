@@ -653,20 +653,33 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
               renameCols = Seq((r.column.name.head, r.newName)))
           case None => r
         }
-      // ALTER COLUMN c TYPE <wider> — metadata-only safe widening
+      // ALTER COLUMN c TYPE <wider> (metadata-only safe widening) /
+      // SET DEFAULT expr / DROP DEFAULT (the graft.default.* property)
       case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
         graftTablePath(ac.table) match {
           case Some(p) =>
-            val widenings = ac.specs.map { s =>
+            var widenings = Seq.empty[(String, org.apache.spark.sql.types.DataType)]
+            var props = Map.empty[String, String]
+            ac.specs.foreach { s =>
               require(s.column.name.length == 1,
                 "graft ALTER COLUMN supports top-level columns only")
-              require(s.newDataType.isDefined && s.newNullability.isEmpty &&
-                  s.newComment.isEmpty && s.newPosition.isEmpty &&
-                  s.newDefaultExpression.isEmpty && !s.dropDefault,
-                "graft ALTER COLUMN supports TYPE widening only")
-              (s.column.name.head, s.newDataType.get)
+              val col = s.column.name.head
+              require(s.newNullability.isEmpty && s.newComment.isEmpty &&
+                  s.newPosition.isEmpty,
+                "graft ALTER COLUMN supports TYPE widening and " +
+                  "SET/DROP DEFAULT only")
+              (s.newDataType, s.newDefaultExpression, s.dropDefault) match {
+                case (Some(dt), None, false) => widenings :+= ((col, dt))
+                case (None, Some(d), false) =>
+                  props += graft.io.Generated.DefaultPrefix + col -> d.originalSQL
+                case (None, None, true) =>
+                  props += graft.io.Generated.DefaultPrefix + col -> ""
+                case _ => throw new IllegalArgumentException(
+                  "graft ALTER COLUMN supports TYPE widening and " +
+                    "SET/DROP DEFAULT only (one change per column)")
+              }
             }
-            GraftAlterCommand(p, Nil, Map.empty, alterColTypes = widenings)
+            GraftAlterCommand(p, Nil, props, alterColTypes = widenings)
           case None => ac
         }
       case s: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>

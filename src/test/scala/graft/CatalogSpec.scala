@@ -178,6 +178,17 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("widening"), e.getMessage)
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT through the DSv2 catalog route") {
+    seed("ns16", "defs")
+    spark.sql("ALTER TABLE gcat.ns16.defs ALTER COLUMN cat SET DEFAULT 'dflt'")
+    val p = s"$root/ns16/defs"
+    assert(GraftTable(spark, p).log.tableProperties()
+      .get(graft.io.Generated.DefaultPrefix + "cat").contains("'dflt'"))
+    spark.sql("ALTER TABLE gcat.ns16.defs ALTER COLUMN cat DROP DEFAULT")
+    assert(!GraftTable(spark, p).log.tableProperties()
+      .contains(graft.io.Generated.DefaultPrefix + "cat"))
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES drives table properties") {
     seed("ns10", "props")
     spark.sql(

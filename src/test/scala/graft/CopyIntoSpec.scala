@@ -61,6 +61,27 @@ class CopyIntoSpec extends SparkSpec {
     assert(GraftTable(spark, p).toDf().filter(col("id") >= 80).count() == 15)
   }
 
+  test("COPY INTO works from SQL (path target), no-op on re-run") {
+    val src = tmpDir("ci_sql_src")
+    val p = tmpDir("ci_sql_tbl")
+    seedSource(src, 0 until 30)
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val r1 = spark.sql(
+      s"COPY INTO graft.`$p` FROM '$src' FILEFORMAT = PARQUET").head()
+    assert(!r1.isNullAt(0) && r1.getLong(1) > 0 && r1.getLong(2) == 0, r1)
+    val r2 = spark.sql(s"COPY INTO graft.`$p` FROM '$src'").head()
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0 && r2.getLong(2) == r1.getLong(1))
+    assert(GraftTable(spark, p).toDf().count() == 30)
+    // MERGE SCHEMA clause reaches the evolve path
+    (30 until 40).map(i => (i.toLong, s"r$i", i * 1.5)).toDF("id", "s", "x")
+      .coalesce(1).write.mode("overwrite").parquet(src + "/wide")
+    val r3 = spark.sql(
+      s"COPY INTO graft.`$p` FROM '$src' MERGE SCHEMA").head()
+    assert(!r3.isNullAt(0) && r3.getLong(1) == 1, r3)
+    assert(GraftTable(spark, p).toDf().columns.contains("x"))
+  }
+
   test("schema mismatch is loud unless mergeSchema; state key is not carried forward") {
     val src = tmpDir("ci_schema_src")
     val p = tmpDir("ci_schema_tbl")

@@ -299,6 +299,40 @@ class SqlDmlSpec extends SparkSpec {
       org.apache.spark.sql.types.DecimalType(6, 4)))
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT drives the graft.default property") {
+    import spark.implicits._
+    val p = tmpDir("sqldefault")
+    GraftWriter.write(spark, Seq((1L, "explicit")).toDF("id", "tag"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN tag SET DEFAULT upper('dflt')")
+    // an append omitting the column gets the default
+    GraftWriter.write(spark, Seq(2L).toDF("id"), p,
+      WriteOptions(mode = WriteMode.Append))
+    assert(spark.sql(s"SELECT tag FROM graft.`$p` WHERE id = 2")
+      .head().getString(0) == "DFLT")
+    // DROP DEFAULT: omitting the column is a schema mismatch again —
+    // a default is exactly what makes omission legal on this writer
+    spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN tag DROP DEFAULT")
+    assert(!GraftTable(spark, p).log.tableProperties()
+      .contains(graft.io.Generated.DefaultPrefix + "tag"))
+    val eDrop = intercept[Exception] {
+      GraftWriter.write(spark, Seq(3L).toDF("id"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    assert(eDrop.getMessage.contains("schema mismatch"), eDrop.getMessage)
+    // declaration-time validation: unknown column and column-referencing
+    // expressions are refused at the ALTER
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN ghost SET DEFAULT 'x'")
+    }
+    assert(e1.getMessage.contains("unknown column") ||
+      e1.getMessage.toLowerCase.contains("ghost"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` ALTER COLUMN tag SET DEFAULT concat('v', id)")
+    }
+    assert(e2.getMessage.contains("column-free"), e2.getMessage)
+  }
+
   test("ALTER TABLE graft.`path` RENAME COLUMN is metadata-only") {
     val p = freshTable("sqlren")
     val filesBefore = GraftTable(spark, p).snapshot().files.map(_.path).toSet
