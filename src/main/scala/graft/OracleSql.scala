@@ -384,6 +384,21 @@ object OracleSql {
                    FROM sc)
         SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
 
+  /** Filtered-search twin: same full-corpus index CTEs, candidates
+    * restricted to label-0 vectors before ranking (filtering the
+    * scored pairs ≡ filtering candidates — scores are per-pair).
+    */
+  private val knnIvfPqFilteredSql: String =
+    s"""$knnIvfPqScCtes,
+        fsc AS (SELECT sc.q_id, sc.n_id, sc.adist_e6
+                FROM sc JOIN embeddings el ON el.vec_id = sc.n_id
+                WHERE el.label = 0),
+        ranked AS (SELECT q_id, n_id, adist_e6,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist_e6, n_id) AS "rank"
+                   FROM fsc)
+        SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
+
   /** Two-stage twin: ADC shortlist of 4·k = 20 per query (same ranking
     * as the plain ADC oracle), then EXACT cosine over the shortlisted
     * pairs' full vectors decides the final top-5.
@@ -1154,6 +1169,7 @@ object OracleSql {
 
     "knn_ivfpq_adc" -> knnIvfPqAdcSql,
     "knn_ivfpq_rerank" -> knnIvfPqRerankSql,
+    "knn_ivfpq_filtered" -> knnIvfPqFilteredSql,
     "knn_ivfpq_kmeans" -> knnIvfPqKmeansSql,
 
     "cosine_dup_pairs" ->

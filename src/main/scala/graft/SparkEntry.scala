@@ -815,6 +815,17 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("adist_e6"))
 
+  /** Filtered search over the SHARED index: coarse cells + PQ books
+    * train on the FULL corpus, only label-0 vectors become candidates —
+    * "nearest neighbors among label=X" without per-filter retraining.
+    */
+  private def qKnnIvfPqFiltered(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfpqTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
+      rowCountHint = embRows(spark, dir),
+      corpusPred = Some(col("label") === 0))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("adist_e6"))
+
   /** Two-stage retrieval: IVF-PQ ADC shortlist (4×k per query), then
     * EXACT cosine over the shortlisted pairs' full vectors decides the
     * final top-5 — recall recovers at the cost of one broadcast join
@@ -1501,6 +1512,7 @@ object SparkEntry {
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
     "knn_ivfpq_rerank" -> (qKnnIvfPqRerank _),
+    "knn_ivfpq_filtered" -> (qKnnIvfPqFiltered _),
     "knn_ivfpq_kmeans" -> (qKnnIvfPqKmeans _),
     "cosine_dup_pairs" -> (qCosineDupPairs _),
     "multimodal_project" -> (qMultimodalProject _),
@@ -1573,7 +1585,7 @@ object SparkEntry {
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
     "pq_codes", "knn_pq_adc", "knn_pq_adc_kmeans", "knn_ivfpq_adc",
-    "knn_ivfpq_rerank", "knn_ivfpq_kmeans",
+    "knn_ivfpq_rerank", "knn_ivfpq_filtered", "knn_ivfpq_kmeans",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "image_decode_stats",
     "embedding_stats",

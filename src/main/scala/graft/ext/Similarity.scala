@@ -623,11 +623,19 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       rowCountHint: Option[Long] = None,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      /** Filtered search over the SHARED index: the coarse cells and PQ
+        * books still train on the FULL corpus (the index is one build,
+        * many filtered searches), but only rows satisfying the predicate
+        * become candidates — "nearest neighbors among label=X" without
+        * retraining per filter.
+        */
+      corpusPred: Option[Column] = None): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val n = rowCountHint.getOrElse(corpus.count())
     ivfpqWith(corpus, centroidsK(corpus, numCells, idCol, vecCol, Some(n)),
-      queryPred, k, m, ksub, pqIters = 0, n, idCol, vecCol, nprobe)
+      queryPred, k, m, ksub, pqIters = 0, n, idCol, vecCol, nprobe,
+      corpusPred)
   }
 
   /** [[ivfpqTopK]] with BOTH quantizers k-means-refined: Lloyd coarse
@@ -681,7 +689,8 @@ object Similarity {
       n: Long,
       idCol: String,
       vecCol: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      corpusPred: Option[Column] = None): DataFrame = {
     val centLocal = broadcast(
       coarse.select(col("c_id").as("cell"), col("c_vec")))
 
@@ -714,7 +723,14 @@ object Similarity {
     val (dsub, books) =
       if (pqIters <= 0) pqCodebooks(resid, m, ksub, idCol, "__resid", Some(n))
       else pqCodebooksKmeans(resid, m, ksub, pqIters, idCol, "__resid", Some(n))
-    val codes = resid
+    // filtered search: training above used the FULL corpus; only the
+    // candidate side narrows (one extra narrow assignment pass when a
+    // predicate is set — the pinned training resid stays shared)
+    val residCand = corpusPred match {
+      case Some(p) => residualize(corpus.filter(p), probes = 1)
+      case None    => resid
+    }
+    val codes = residCand
       .select(col(idCol).as("n_id"), col("cell"),
         pqCodesExpr("__resid", dsub, books).as("codes"))
     val qtab = org.apache.spark.sql.graft.GraftInternal.column(

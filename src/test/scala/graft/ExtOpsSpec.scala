@@ -507,6 +507,33 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: shared index, candidates confined to the predicate") {
+    val pred = col("vec_id") < 8
+    val out = Similarity.ivfpqTopK(embs, pred, 5,
+      corpusPred = Some(col("label") === 0)).collect()
+    assert(out.nonEmpty)
+    val label0 = embs.filter(col("label") === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every returned neighbor satisfies the predicate
+    assert(out.forall(r => label0(r.getLong(1))),
+      "filtered search returned an out-of-predicate candidate")
+    // distances ascend with rank per query (ADC ordering intact)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val d = rows.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+    // the index is SHARED: unfiltered search over the same corpus
+    // agrees with filtered search on every surviving (q, n) distance
+    val full = Similarity.ivfpqTopK(embs, pred, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    out.foreach { r =>
+      full.get((r.getLong(0), r.getLong(1))).foreach { dFull =>
+        assert(dFull == r.getLong(3),
+          s"distance differs between filtered and full search: $r vs $dFull")
+      }
+    }
+  }
+
   test("int8 quantization bounds reconstruction error by half a step") {
     val q = Similarity.quantizeInt8(embs).select("embedding", "q8", "scale_e6").collect()
     q.foreach { r =>
