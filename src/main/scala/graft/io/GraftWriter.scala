@@ -309,7 +309,7 @@ object GraftWriter {
         "num_removed_files" -> removals2.size.toLong,
         "num_output_rows" -> added.map(_.numRecords).sum)
       try {
-        return log.commit(
+        val v = log.commit(
           operation = "WRITE",
           mode = opts.mode.name,
           schemaDdl = schemaDdl,
@@ -322,6 +322,8 @@ object GraftWriter {
           add = added,
           remove = removals2,
           expectedVersion = expected)
+        maybeAutoCompact(spark, path, opts, added, declProps)
+        return v
       } catch {
         case e: java.util.ConcurrentModificationException
             if identityAssigned =>
@@ -335,6 +337,56 @@ object GraftWriter {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Post-commit auto-compaction (Delta's `autoOptimize.autoCompact`):
+    * `graft.autoCompact = true` makes every APPEND check its touched
+    * partitions after committing and compact any whose live file count
+    * reached `graft.autoCompact.minFiles` (default 8) — small files
+    * from stream-ish appends never accumulate past the threshold.
+    * Pure compaction (never the declared-clusterBy rewrite — that is
+    * scheduled maintenance, not a per-write side effect), its own
+    * commit AFTER the write's (the write's durability never depends on
+    * it), and best-effort: a compaction failure logs and the write
+    * still succeeds.
+    */
+  val AutoCompactKey: String =
+    graft.log.CommitLog.ReservedPrefix + "autoCompact"
+  val AutoCompactMinFilesKey: String =
+    graft.log.CommitLog.ReservedPrefix + "autoCompact.minFiles"
+
+  private def maybeAutoCompact(
+      spark: SparkSession,
+      path: String,
+      opts: WriteOptions,
+      added: Seq[AddFile],
+      props: Map[String, String]): Unit = {
+    if (opts.mode != WriteMode.Append) return
+    if (!props.get(AutoCompactKey).exists(_.equalsIgnoreCase("true"))) return
+    val minFiles = props.get(AutoCompactMinFilesKey)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 2).getOrElse(8)
+    try {
+      val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+      val snap = log.snapshot()
+      if (snap.partitionColumns.isEmpty) {
+        if (snap.files.size >= minFiles)
+          retryDerived { optimizeOnce(spark, path, 4 * 1024 * 1024, None) }
+      } else {
+        val touched = added.map(_.partitionValues).toSet
+        val hot = snap.files.groupBy(_.partitionValues)
+          .collect { case (pv, fs) if touched(pv) && fs.size >= minFiles => pv }
+          .toSet
+        if (hot.nonEmpty)
+          retryDerived {
+            optimizeOnce(spark, path, 4 * 1024 * 1024, None, Some(hot))
+          }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) => // never fail the write
+        System.err.println(s"graft auto-compact at $path failed " +
+          s"(write already committed): ${e.getMessage}")
+    }
   }
 
   /** Table property capping footer-stats collection to the first N data
@@ -538,6 +590,18 @@ object GraftWriter {
     * At scale, compaction is what keeps a streamed/merged table's file
     * count O(data/maxFileSize) instead of O(commits).
     */
+  /** Declared clustering keys (the simplest liquid-clustering contract):
+    * `graft.clusterBy = "a,b"` makes a PLAIN `OPTIMIZE` Z-order by those
+    * keys instead of merely compacting — declare the layout once, every
+    * maintenance pass maintains it. An explicit `ZORDER BY` clause
+    * overrides per call.
+    */
+  val ClusterByKey: String = graft.log.CommitLog.ReservedPrefix + "clusterBy"
+
+  private[graft] def clusterByOf(props: Map[String, String]): Seq[String] =
+    props.get(ClusterByKey).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   def optimize(
       spark: SparkSession,
       path: String,
@@ -546,19 +610,39 @@ object GraftWriter {
         * `OPTIMIZE ... WHERE`) — at 100 TB you compact the day that
         * streamed in small files, never the whole table.
         */
-      where: Option[Column] = None): Long =
-    retryDerived { optimizeOnce(spark, path, maxRecordsPerFile, where) }
+      where: Option[Column] = None): Long = {
+    val declared = clusterByOf(
+      new CommitLog(path, spark.sessionState.newHadoopConf()).tableProperties())
+    declared match {
+      case Nil =>
+        retryDerived { optimizeOnce(spark, path, maxRecordsPerFile, where) }
+      case Seq(single) =>
+        // one key: linear range-clustering beats a Morton curve
+        require(where.isEmpty,
+          "OPTIMIZE ... WHERE on a single-key clusterBy table is not " +
+            "supported (single-key clustering is a whole-table range " +
+            "sort); drop the predicate or declare 2+ keys")
+        optimizeCluster(spark, path, Seq(single), maxRecordsPerFile)
+      case many =>
+        optimizeZOrder(spark, path, many, maxRecordsPerFile, where)
+    }
+  }
 
   private def optimizeOnce(
       spark: SparkSession,
       path: String,
       maxRecordsPerFile: Long,
-      where: Option[Column]): Long = {
+      where: Option[Column],
+      /** Exact partition-value scope (auto-compaction's touched set) —
+        * bypasses predicate compilation, membership on the log's own
+        * partition-value maps.
+        */
+      onlyPartitions: Option[Set[Map[String, String]]] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
     val snap = log.snapshot()
-    val eligible = where match {
+    val eligible0 = where match {
       case None => snap.files
       case Some(pred) =>
         require(snap.partitionColumns.nonEmpty,
@@ -567,6 +651,10 @@ object GraftWriter {
         val keep = matchingFiles(
           spark, snap.files, snap.schema, snap.partitionColumns, pred).toSet
         snap.files.filter(f => keep(f.path))
+    }
+    val eligible = onlyPartitions match {
+      case Some(pvs) => eligible0.filter(f => pvs(f.partitionValues))
+      case None      => eligible0
     }
     val byPartition = eligible.groupBy(_.partitionValues)
     // a deletion-vectored file is compactable even alone in its

@@ -630,6 +630,47 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0) == 5L)
   }
 
+  test("declared clusterBy keys make plain OPTIMIZE cluster (liquid-style)") {
+    import spark.implicits._
+    val p = tmpDir("sqlcluster")
+    // 4 files with k STRIPED across them: min/max spans the range
+    // everywhere, so stats prune nothing before clustering
+    (0 until 4).foreach { i =>
+      GraftWriter.write(spark,
+        (0 until 64).map(j => (j * 4L + i, s"v$j")).toDF("k", "v").coalesce(1),
+        p, WriteOptions(mode =
+          if (i == 0) WriteMode.Overwrite else WriteMode.Append))
+    }
+    val t0 = GraftTable(spark, p)
+    assert(t0.filesAfterPruning(
+      Seq(graft.io.DataFilter("k", graft.io.SkipOp.Le, 10L))) == 4)
+    spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES " +
+      s"('${GraftWriter.ClusterByKey}' = 'k')")
+    // PLAIN OPTIMIZE now clusters by the declared key (small file cap
+    // so the clustering is observable across several output files)
+    GraftWriter.optimize(spark, p, maxRecordsPerFile = 64)
+    val t1 = GraftTable(spark, p)
+    assert(t1.toDf().count() == 256)
+    assert(t1.snapshot().files.size >= 4)
+    assert(t1.filesAfterPruning(
+      Seq(graft.io.DataFilter("k", graft.io.SkipOp.Le, 10L))) == 1,
+      "declared-key clustering must make the range probe prune files")
+    // the SQL statement routes the same way (single file at default cap)
+    assert(spark.sql(s"OPTIMIZE graft.`$p`").head().getLong(0) > 0)
+    // declaration validates: unknown and partition keys are refused
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$p` SET TBLPROPERTIES " +
+        s"('${GraftWriter.ClusterByKey}' = 'ghost')")
+    }
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+    val pp = freshTable("sqlclusterpart")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$pp` SET TBLPROPERTIES " +
+        s"('${GraftWriter.ClusterByKey}' = 'cat')")
+    }
+    assert(e2.getMessage.contains("partition column"), e2.getMessage)
+  }
+
   test("table_changes / table_changes_by_path TVFs serve batch CDF in SQL") {
     import spark.implicits._
     val p = tmpDir("sqltvf") + "/t"

@@ -889,6 +889,50 @@ class TableLayerSpec extends SparkSpec {
       s"expected a shard-count error, got: ${ex.getMessage}")
   }
 
+  test("auto-compaction collapses small-file build-up in touched partitions only") {
+    // unpartitioned: 4 appends at minFiles=4 -> compaction fires
+    val p = tmpDir("autocompact")
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("k", "s"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(GraftWriter.AutoCompactKey -> "true",
+          GraftWriter.AutoCompactMinFilesKey -> "4")))
+    (1 to 3).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, "x")).toDF("k", "s"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val t = GraftTable(spark, p)
+    assert(t.snapshot().files.size == 1,
+      s"expected 1 compacted file, got ${t.snapshot().files.size}")
+    assert(t.toDf().count() == 4)
+    assert(t.history().exists(_.operation == "OPTIMIZE"))
+    // partitioned: only the partition that crossed the threshold compacts
+    val pp = tmpDir("autocompact_part")
+    GraftWriter.write(spark,
+      Seq((0L, "hot"), (0L, "cold")).toDF("k", "pt"), pp,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("pt"),
+        metadata = Map(GraftWriter.AutoCompactKey -> "true",
+          GraftWriter.AutoCompactMinFilesKey -> "3")))
+    (1 to 2).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, "hot")).toDF("k", "pt"), pp,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val byPart = GraftTable(spark, pp).snapshot().files
+      .groupBy(_.partitionValues.get("pt"))
+    assert(byPart(Some("hot")).size == 1,
+      s"hot partition should be compacted: ${byPart.view.mapValues(_.size).toMap}")
+    assert(byPart(Some("cold")).size == 1) // untouched, never rewritten
+    assert(GraftTable(spark, pp).toDf().count() == 4)
+    // OFF by default: no OPTIMIZE commits appear
+    val pd = tmpDir("autocompact_off")
+    (0 to 4).foreach { i =>
+      GraftWriter.write(spark, Seq((i.toLong, "x")).toDF("k", "s"), pd,
+        WriteOptions(mode =
+          if (i == 0) WriteMode.Overwrite else WriteMode.Append))
+    }
+    assert(GraftTable(spark, pd).snapshot().files.size == 5)
+    assert(!GraftTable(spark, pd).history().exists(_.operation == "OPTIMIZE"))
+  }
+
   test("in-commit timestamps stay monotone under clock skew") {
     import org.apache.hadoop.fs.Path
     val p = tmpDir("ts_monotone")
