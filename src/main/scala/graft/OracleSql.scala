@@ -1408,6 +1408,32 @@ object OracleSql {
          WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
                % 1000 < 100""",
 
+    // Poisson weighted sample, integer-exact: hash24·Σw < k·w·2^24
+    // (HUGEINT here, decimal(38) on the Spark side — both exact)
+    "sample_weighted" ->
+      """WITH tw AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS w FROM documents)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         FROM documents, tw
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                 AS HUGEINT) * tw.w
+             < CAST(100 AS HUGEINT) * CAST(n_chars AS HUGEINT) * 16777216""",
+
+    "source_quota" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents) WHERE rn <= 3""",
+
+    "text_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(regexp_replace(
+                  nfc_normalize(text),
+                  '[\t\n\r]', ' ', 'g'),
+                  '[\p{Cc}\p{Cf}]', '', 'g'),
+                  ' +', ' ', 'g')) AS text_norm
+         FROM documents""",
+
     "split_assign" ->
       """SELECT doc_id,
                 CASE WHEN b < 980 THEN 'train'

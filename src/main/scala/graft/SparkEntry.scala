@@ -725,6 +725,25 @@ object SparkEntry {
   private def qBpeCount(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeCount(t(spark, dir, "documents"))
 
+  /** Integer-exact weighted Poisson sample: inclusion ∝ n_chars,
+    * expected ~100 rows; one narrow filter, no shuffle.
+    */
+  private def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(t(spark, dir, "documents"), 100,
+      weightCol = "n_chars")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+
+  /** Cap each source at its 3 longest documents (score = n_chars). */
+  private def qSourceQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.groupQuota(
+      t(spark, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars")),
+      quota = 3, groupCol = "source", scoreCol = "n_chars")
+
+  /** NFC + control-strip + whitespace-collapse cleaning pass. */
+  private def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalizeText(t(spark, dir, "documents"))
+
   private def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(t(spark, dir, "documents"))
 
@@ -1528,6 +1547,9 @@ object SparkEntry {
     "q25_window_suite" -> (qWindowSuite _),
     "text_pii_scrub" -> (qPiiScrub _),
     "text_decontam" -> (qDecontam _),
+    "sample_weighted" -> (qSampleWeighted _),
+    "source_quota" -> (qSourceQuota _),
+    "text_normalize" -> (qTextNormalize _),
     "sample_hash" -> (qSampleHash _),
     "sample_stratified" -> (qSampleStratified _),
     "split_assign" -> (qSplitAssign _),
@@ -1593,6 +1615,7 @@ object SparkEntry {
     "embedding_quantize_int8",
     "dedup_clusters", "q24_exact_moments", "q25_window_suite",
     "text_pii_scrub", "text_decontam", "sample_hash",
+    "sample_weighted", "source_quota", "text_normalize",
     "text_chunks", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
     "text_gopher_rules", "text_bm25", "domain_mix", "corpus_select",

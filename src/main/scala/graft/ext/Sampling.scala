@@ -224,4 +224,55 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__cum", "__pid")
   }
+
+  /** Weighted Poisson sampling: include each row independently with
+    * probability `min(1, expectedRows · wᵢ / Σw)` — inclusion chance
+    * proportional to an integer weight column (tokens, bytes), expected
+    * sample size ≈ `expectedRows`. The standard one-pass distributed
+    * weighted sampler: ONE narrow filter, no shuffle, no sort — where a
+    * top-k-by-jittered-key (A-ES) design needs a global top-k AND
+    * transcendental math whose last-ulp differs across engines.
+    *
+    * Exactness discipline: the inclusion test is pure INTEGER
+    * arithmetic in decimal — `hash24(key) · Σw < expectedRows · wᵢ ·
+    * 2²⁴` — so any engine with md5 computes the identical sample
+    * (DuckDB twin uses HUGEINT). `Σw` is one scalar aggregate, baked
+    * into the plan as a literal.
+    */
+  def weightedSample(
+      df: DataFrame,
+      expectedRows: Long,
+      weightCol: String = "n_tokens",
+      keyCol: String = "doc_id",
+      /** Precomputed Σw (skips the scalar aggregate job). */
+      totalWeightHint: Option[Long] = None): DataFrame = {
+    require(expectedRows >= 0, "expectedRows must be non-negative")
+    val totalW = totalWeightHint.getOrElse(
+      df.agg(sum(col(weightCol).cast("long"))).head().getLong(0))
+    require(totalW > 0, s"total weight must be positive, got $totalW")
+    val dec = "decimal(38,0)"
+    df.filter(
+      hashBucket(col(keyCol), 1 << 24).cast(dec) * lit(totalW).cast(dec) <
+        lit(expectedRows).cast(dec) * col(weightCol).cast(dec) *
+          lit(1L << 24).cast(dec))
+  }
+
+  /** Per-group quota: keep the top `quota` rows of each group by
+    * (score DESC, id ASC) — the "cap every source/domain at N documents"
+    * stage. One shuffle on the group key; the ranking window never
+    * sees more than a group's rows per partition.
+    */
+  def groupQuota(
+      df: DataFrame,
+      quota: Int,
+      groupCol: String = "source",
+      scoreCol: String = "score",
+      idCol: String = "doc_id"): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    df.withColumn("__rn",
+      row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
 }

@@ -977,6 +977,27 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpeish"))
 
+  /** Text cleaning: Unicode NFC normalization (composed/decomposed
+    * accents unify — the pre-hash step that keeps dedup from treating
+    * `é` and `e`+combining-acute as different documents), control /
+    * format character strip (`\p{Cc}\p{Cf}`, newline and tab first
+    * folded to spaces so words stay separated), whitespace collapse,
+    * trim. One narrow per-row pass; regex classes chosen for identical
+    * semantics in Java regex and RE2 (the DuckDB twin).
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nfc = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(textCol)))
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(nfc, "[\\t\\n\\r]", " "),
+          "[\\p{Cc}\\p{Cf}]", ""),
+        " +", " ")).as("text_norm"))
+  }
+
   /** REAL byte-level BPE token count ([[BpeModel]]'s embedded,
     * deterministically-trained merge table; [[bpeishCount]] remains the
     * regex approximation for comparison). Narrow per-row codegen pass —

@@ -296,6 +296,64 @@ class ExtOpsSpec extends SparkSpec {
     assert(top.drop(1) == Seq(("b c a", 2L), ("c a b", 2L), ("x y z", 2L)))
   }
 
+  test("weighted Poisson sample: inclusion tracks weights, exact and deterministic") {
+    import spark.implicits._
+    val n = 2000
+    val df = (1 to n).map(i => (i.toLong, if (i <= 100) 1000L else 10L))
+      .toDF("doc_id", "w")
+    val sampled = Sampling.weightedSample(df, 200, weightCol = "w")
+      .collect().map(_.getLong(0)).toSet
+    // deterministic across runs
+    val again = Sampling.weightedSample(df, 200, weightCol = "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled == again)
+    // heavy rows (1000) have 100x the inclusion odds of light rows (10):
+    // p_heavy = 200*1000/119000 > 1 -> ALL heavy rows included
+    val heavy = sampled.count(_ <= 100)
+    assert(heavy == 100, s"all saturated heavy rows must be included, got $heavy")
+    // expected light inclusions = 1900 * 200*10/119000 ≈ 32; allow wide noise
+    val light = sampled.size - heavy
+    assert(light > 5 && light < 120, s"light inclusions way off: $light")
+    // totalWeightHint skips the aggregate job and matches exactly
+    val viaHint = Sampling.weightedSample(df, 200, weightCol = "w",
+      totalWeightHint = Some(100 * 1000L + 1900 * 10L))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaHint == sampled)
+  }
+
+  test("group quota caps every group at N rows, deterministically") {
+    import spark.implicits._
+    val df = (1 to 100).map(i =>
+      (i.toLong, s"src${i % 5}", (i % 7).toLong)).toDF("doc_id", "source", "score")
+    val out = Sampling.groupQuota(df, 3).collect()
+    val byGroup = out.groupBy(_.getString(1))
+    assert(byGroup.size == 5 && byGroup.values.forall(_.length == 3))
+    // within a group: scores non-increasing, id tie-break ascending
+    byGroup.values.foreach { rows =>
+      val sorted = rows.sortBy(r => (-r.getLong(2), r.getLong(0))).toSeq
+      assert(rows.map(_.getLong(0)).toSet == sorted.map(_.getLong(0)).toSet)
+    }
+  }
+
+  test("text normalization unifies composed forms, strips controls, collapses space") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val composed = "caf\u00e9"      // precomposed e-acute
+    val zwsp = "\u200b"             // zero-width space (Cf)
+    val df = Seq(
+      (1L, decomposed + "\tx\n\ny  " + zwsp + "z!"),
+      (2L, composed),
+      (3L, "   already clean   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == composed + " x y z!", out(1L))
+    assert(out(2L) == composed)
+    assert(out(3L) == "already clean")
+    // composed and decomposed inputs now agree byte-for-byte — the
+    // pre-dedup motivation for the pass
+    assert(out(1L).startsWith(out(2L)))
+  }
+
   test("byte-level BPE: trained merges compress seed-like prose, counts are exact") {
     import spark.implicits._
     // the model trained a full merge table from the embedded seeds
