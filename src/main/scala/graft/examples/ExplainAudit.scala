@@ -112,6 +112,35 @@ object ExplainAudit {
     }.size
     println(s"--- condition-less joins (must be 0): $cartesians")
 
+    println("=== [J] exact rerank stage (expect BROADCAST joins for the " +
+      "shortlist + query vectors — no corpus shuffle) ===")
+    val rerank = graft.SparkEntry.queries("knn_ivfpq_rerank")(spark, sfDir)
+    rerank.explain("formatted")
+    val rerankShuffles = rerank.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    println(s"--- shuffle exchanges (topK partial-agg only; expect <= 2): " +
+      rerankShuffles)
+
+    println("=== [K] weighted Poisson sample (expect ONE scan + filter, " +
+      "NO shuffle, NO sort) ===")
+    val ws = graft.SparkEntry.queries("sample_weighted")(spark, sfDir)
+    ws.explain("formatted")
+    val wsShuffles = ws.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    println(s"--- shuffle exchanges (must be 0): $wsShuffles")
+
+    println("=== [L] BPE / NFC per-row kernels (expect WholeStageCodegen " +
+      "spans containing graft_bpe_count / graft_nfc_normalize) ===")
+    val bpe = graft.SparkEntry.queries("text_bpe_count")(spark, sfDir)
+    bpe.explain("formatted")
+
+    println("=== [M] image decode pipeline (expect mapPartitions over a " +
+      "single narrow scan — the codec seam) ===")
+    val img = graft.SparkEntry.queries("image_decode_stats")(spark, sfDir)
+    img.explain("formatted")
+
     spark.stop()
   }
 

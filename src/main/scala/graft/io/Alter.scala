@@ -223,6 +223,60 @@ object Alter {
       expectedVersion = Some(snap.version))
   }
 
+  /** `ALTER TABLE ... DROP FEATURE f` (Delta's feature removal): strike
+    * a protocol feature from BOTH the reader and writer sets so older
+    * builds can use the table again — legal only when the feature is
+    * PROVABLY unused across the whole RETAINED log, not just the live
+    * snapshot (a time-travel read of an old DV'd version by a pre-DV
+    * build would resurrect deleted rows). For `deletionVectors` that
+    * means: no live DV, and no retained commit ever attached one — run
+    * OPTIMIZE (purges DVs) and log retention first, like Delta's
+    * `DROP FEATURE ... TRUNCATE HISTORY` flow. Other features are
+    * refused (their use cannot be cheaply proven absent).
+    */
+  def dropFeature(spark: SparkSession, path: String, feature: String): Long = {
+    require(GraftTable.exists(spark, path), s"not a graft table: $path")
+    import graft.log.Protocol
+    require(feature == Protocol.DeletionVectors,
+      s"DROP FEATURE supports '${Protocol.DeletionVectors}' only " +
+        s"(got '$feature'); other features cannot be proven unused")
+    GraftWriter.retryDerived {
+      val table = GraftTable(spark, path)
+      val snap = table.snapshot()
+      val log = table.log
+      val dvCommits = log.versions()
+        .filter(v => log.readCommit(v).add.exists(_.dv.isDefined))
+      require(dvCommits.isEmpty,
+        s"cannot DROP FEATURE ${Protocol.DeletionVectors}: retained " +
+          s"commits ${dvCommits.mkString(", ")} carry deletion vectors — " +
+          "a pre-DV build time-traveling there would resurrect deleted " +
+          "rows. OPTIMIZE (purges DVs), wait out retention, run " +
+          "cleanOldLogs, then retry")
+      val props = log.tableProperties()
+      val newFeatures = Seq(Protocol.ReaderFeaturesKey, Protocol.WriterFeaturesKey)
+        .map { k =>
+          val left = Protocol.parse(props, k) - feature
+          k -> (if (left.isEmpty) "" else Protocol.render(left)) // "" drops
+        }.toMap
+      // dv must also be disabled as a table property or the next DML
+      // would immediately re-register the feature
+      val disableDv = Map(DeletionVectorsPropKey -> "")
+      log.commit(
+        operation = "DROP FEATURE",
+        mode = "metadata",
+        schemaDdl = snap.schema.toDDL,
+        partitionColumns = snap.partitionColumns,
+        metadata = newFeatures ++ disableDv,
+        operationMetrics = Map.empty,
+        add = Nil,
+        remove = Nil,
+        expectedVersion = Some(snap.version))
+    }
+  }
+
+  private val DeletionVectorsPropKey: String =
+    CommitLog.ReservedPrefix + "dv"
+
   /** Fail if a CHECK constraint's SQL references `name` — both dropping
     * and renaming such a column would silently break enforcement (the
     * recorded SQL text keeps the old name).

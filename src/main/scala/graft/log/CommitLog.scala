@@ -689,10 +689,11 @@ object CommitLog {
   * format feature. Tables written before this mechanism carry no
   * feature properties and replay unchecked (vacuously compatible).
   *
-  * Features are append-only per table (dropping one would strand
-  * readers pinned to older versions mid-history) and auto-registered by
-  * the writer the first time a commit uses the capability — see
-  * [[CommitLog.commit]] for deletion vectors.
+  * Features auto-register the first time a commit uses the capability
+  * (see [[CommitLog.commit]] for deletion vectors) and stay until
+  * `DROP FEATURE` proves the capability unused across the RETAINED log
+  * ([[graft.io.Alter.dropFeature]]); per-version metadata keeps older,
+  * pre-drop versions correctly gated for time travel either way.
   */
 object Protocol {
   val ReaderFeaturesKey: String = CommitLog.ReservedPrefix + "readerFeatures"

@@ -93,6 +93,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val GenerateRe =
     ("""(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
       T + """\s*;?\s*$""").r
+  private val DropFeatureRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+FEATURE\s+(\w+)\s*;?\s*$""").r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+""" + T +
       """\s+FROM\s+'([^']+)'""" +
@@ -124,6 +127,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case DetailRe(p, n) => Some(GraftDescribeDetailCommand(target(p, n)))
       case RestoreRe(p, n, v, ts) => Some(GraftRestoreCommand(target(p, n),
         Option(v).map(_.toLong), Option(ts)))
+      case DropFeatureRe(p, n, feature) =>
+        Some(GraftDropFeatureCommand(target(p, n), feature))
       case CopyIntoRe(p, n, src, fmt, ms) =>
         Some(GraftCopyIntoCommand(target(p, n), src,
           Option(fmt).getOrElse("parquet"), mergeSchema = ms != null))

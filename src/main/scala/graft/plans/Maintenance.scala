@@ -105,6 +105,18 @@ final case class GraftCopyIntoCommand(
   }
 }
 
+/** `ALTER TABLE t DROP FEATURE f` — see [[graft.io.Alter.dropFeature]]. */
+final case class GraftDropFeatureCommand(
+    target: Either[String, Seq[String]],
+    feature: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    Seq(Row(graft.io.Alter.dropFeature(spark, path, feature)))
+  }
+}
+
 final case class GraftVacuumCommand(
     target: Either[String, Seq[String]],
     retainHours: Option[Long],

@@ -43,6 +43,54 @@ class ProtocolSpec extends SparkSpec {
       Protocol.ReaderFeaturesKey) == Set(Protocol.DeletionVectors))
   }
 
+  test("DROP FEATURE removes deletionVectors only once provably unused") {
+    val p = tmpDir("proto_dropfeat")
+    writeSmall(p, dv = true)
+    Dml.delete(spark, p, col("id") === 2L)
+    val log = newLog(p)
+    assert(Protocol.parse(log.tableProperties(),
+      Protocol.ReaderFeaturesKey) == Set(Protocol.DeletionVectors))
+    // retained commits still carry DVs -> refused loudly
+    val e1 = intercept[IllegalArgumentException] {
+      graft.io.Alter.dropFeature(spark, p, Protocol.DeletionVectors)
+    }
+    assert(e1.getMessage.contains("deletion vectors"), e1.getMessage)
+    // OPTIMIZE purges the live DV, but the DV COMMIT is still in the log
+    GraftWriter.optimize(spark, p)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.io.Alter.dropFeature(spark, p, Protocol.DeletionVectors)
+    }
+    assert(e2.getMessage.contains("retained commits"), e2.getMessage)
+    // age the pre-purge history out; the proof obligation is now met
+    newLog(p).writeCheckpoint(newLog(p).latestVersion().get)
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    newLog(p).cleanOldLogs(1000L, nowMs = future)
+    val v = graft.io.Alter.dropFeature(spark, p, Protocol.DeletionVectors)
+    val props = newLog(p).tableProperties()
+    assert(Protocol.parse(props, Protocol.ReaderFeaturesKey).isEmpty)
+    assert(Protocol.parse(props, Protocol.WriterFeaturesKey).isEmpty)
+    assert(!props.contains(graft.log.CommitLog.ReservedPrefix + "dv"))
+    assert(GraftTable(spark, p).toDf().count() == 2)
+    // a follow-up DELETE goes copy-on-write and re-registers nothing
+    Dml.delete(spark, p, col("id") === 1L)
+    assert(Protocol.parse(newLog(p).tableProperties(),
+      Protocol.ReaderFeaturesKey).isEmpty)
+    assert(GraftTable(spark, p).toDf().count() == 1)
+    // the SQL surface routes the same way (on a fresh non-DV table the
+    // drop is vacuously legal and a no-op on the feature sets)
+    val p2 = tmpDir("proto_dropfeat2")
+    writeSmall(p2, dv = false)
+    assert(spark.sql(
+      s"ALTER TABLE graft.`$p2` DROP FEATURE deletionVectors")
+      .head().getLong(0) > 0)
+    // unsupported feature names are refused
+    val e3 = intercept[IllegalArgumentException] {
+      graft.io.Alter.dropFeature(spark, p, "typeWidening")
+    }
+    assert(e3.getMessage.contains("cannot be proven unused"), e3.getMessage)
+    assert(v > 0)
+  }
+
   test("unknown required reader feature fails reads; writer-only feature fails modify but reads fine") {
     val pR = tmpDir("proto_r")
     writeSmall(pR, dv = false)
