@@ -637,11 +637,24 @@ object GraftWriter {
         * bypasses predicate compilation, membership on the log's own
         * partition-value maps.
         */
-      onlyPartitions: Option[Set[Map[String, String]]] = None): Long = {
+      onlyPartitions: Option[Set[Map[String, String]]] = None,
+      /** Bin-packing floor: files AT or ABOVE this size are already
+        * compacted and are left alone (Delta's `optimize.minFileSize`)
+        * unless they carry a DV or an external ref, which OPTIMIZE must
+        * rewrite regardless. At 100 TB this is the difference between
+        * compacting the small-file tail and rewriting the whole table
+        * every maintenance pass. Conf:
+        * `spark.graft.optimize.minFileSizeBytes`; default 256 MiB.
+        */
+      minFileSizeBytes: Option[Long] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
     val snap = log.snapshot()
+    val sizeFloor = minFileSizeBytes.getOrElse(
+      spark.conf.getOption("spark.graft.optimize.minFileSizeBytes")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .getOrElse(256L * 1024 * 1024))
     val eligible0 = where match {
       case None => snap.files
       case Some(pred) =>
@@ -664,10 +677,19 @@ object GraftWriter {
     // clone's borrow from its source): rewriting localizes it, so
     // OPTIMIZE fully detaches a clone even where the source was already
     // compacted to one file per partition
-    val toCompact = byPartition
-      .filter(g => g._2.size > 1 || g._2.exists(f =>
-        f.dv.isDefined || GraftTable.isExternalRef(f.path)))
-      .values.flatten.toSeq
+    // bin-packing: within a partition, only SMALL files (below the
+    // floor) plus must-rewrite files (DV'd, external ref) compact;
+    // already-large plain files stay untouched — and a partition whose
+    // candidate set is one plain small file has nothing to gain
+    val toCompact = byPartition.values.flatMap { files =>
+      val candidates = files.filter(f =>
+        f.sizeBytes < sizeFloor || f.dv.isDefined ||
+          GraftTable.isExternalRef(f.path))
+      if (candidates.size > 1 || candidates.exists(f =>
+          f.dv.isDefined || GraftTable.isExternalRef(f.path)))
+        candidates
+      else Nil
+    }.toSeq
     if (toCompact.isEmpty) return snap.version
 
     val table = new GraftTable(spark, path)

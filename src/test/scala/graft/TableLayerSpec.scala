@@ -889,6 +889,38 @@ class TableLayerSpec extends SparkSpec {
       s"expected a shard-count error, got: ${ex.getMessage}")
   }
 
+  test("OPTIMIZE bin-packs: already-large files are never rewritten") {
+    val p = tmpDir("binpack")
+    // two "large" appends and three small ones (size floor forced tiny
+    // via the session conf so the test can distinguish them)
+    GraftWriter.write(spark,
+      spark.range(0, 5000).select(col("id"), lit("x").as("s")), p,
+      WriteOptions(mode = WriteMode.Overwrite, maxRecordsPerFile = 2500))
+    val large = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+    (0 until 3).foreach { i =>
+      GraftWriter.write(spark, Seq((10000L + i, "y")).toDF("id", "s"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val largeBytes = GraftTable(spark, p).snapshot().files
+      .filter(f => large(f.path)).map(_.sizeBytes).min
+    spark.conf.set("spark.graft.optimize.minFileSizeBytes",
+      (largeBytes - 1).toString)
+    try {
+      GraftWriter.optimize(spark, p)
+      val after = GraftTable(spark, p).snapshot().files
+      // the large generation survives untouched; the 3 small files
+      // became 1
+      assert(large.subsetOf(after.map(_.path).toSet),
+        "OPTIMIZE rewrote already-large files")
+      assert(after.size == large.size + 1, after.map(_.path))
+      assert(GraftTable(spark, p).toDf().count() == 5003)
+      // idempotent: a second pass finds nothing to do (no new commit)
+      val v = GraftTable(spark, p).version()
+      GraftWriter.optimize(spark, p)
+      assert(GraftTable(spark, p).version() == v)
+    } finally spark.conf.unset("spark.graft.optimize.minFileSizeBytes")
+  }
+
   test("auto-compaction collapses small-file build-up in touched partitions only") {
     // unpartitioned: 4 appends at minFiles=4 -> compaction fires
     val p = tmpDir("autocompact")
