@@ -40,6 +40,11 @@ object CopyInto {
     */
   val SourcesKey: String = "copyInto.ingestedSources"
 
+  /** Top-level source entries beyond this fan the recursive listing out
+    * to executors.
+    */
+  private val DriverListLimit = 64
+
   final case class Result(
       /** Committed version; None when the run was a no-op. */
       version: Option[Long],
@@ -69,17 +74,32 @@ object CopyInto {
     val fs = src.getFileSystem(conf)
     require(fs.exists(src), s"COPY INTO source not found: $sourceDir")
 
-    // current source inventory (qualified path + size + mtime)
-    val inventory = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    val it = fs.listFiles(fs.makeQualified(src), true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-          name.toLowerCase(java.util.Locale.ROOT).endsWith(".parquet")) {
-        val p = st.getPath.toString
-        inventory += ((p, s"$p|${st.getLen}|${st.getModificationTime}"))
-      }
+    // current source inventory (qualified path + size + mtime). Past a
+    // handful of top-level entries the recursive walk fans out to
+    // EXECUTORS (one task per entry slice) — a million-file ingest
+    // source must never serialize its listing through the driver (the
+    // same scale rule the vacuum orphan sweep follows)
+    val topLevel = fs.listStatus(fs.makeQualified(src)).toSeq
+    val listed: Seq[(String, Long, Long)] =
+      if (topLevel.size <= DriverListLimit) {
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        val it = fs.listFiles(fs.makeQualified(src), true)
+        while (it.hasNext) {
+          val st = it.next()
+          out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+        out.toSeq
+      } else
+        org.apache.spark.sql.graft.GraftInternal.distributedListFilesMeta(
+          spark, topLevel.map(_.getPath.toString))
+    val inventory = listed.collect {
+      case (p, len, mtime)
+          if {
+            val name = p.substring(p.lastIndexOf('/') + 1)
+            !name.startsWith("_") && !name.startsWith(".") &&
+              name.toLowerCase(java.util.Locale.ROOT).endsWith(".parquet")
+          } =>
+        (p, s"$p|$len|$mtime")
     }
     val seen = ingestedIdentities(table)
     val (skipped, fresh) = inventory.partition(f => seen(f._2))

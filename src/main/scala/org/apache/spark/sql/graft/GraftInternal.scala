@@ -69,6 +69,40 @@ object GraftInternal {
     * Same `SerializableConfiguration` placement rationale as
     * [[distributedCopy]].
     */
+  /** Executor-parallel recursive listing with full file metadata —
+    * (path, size, mtime) — for callers whose identity includes size
+    * and mtime (COPY INTO's source inventory). One task per top-level
+    * entry slice; the driver never walks the tree.
+    */
+  def distributedListFilesMeta(
+      spark: SparkSession,
+      dirUris: Seq[String]): Seq[(String, Long, Long)] = {
+    val sc = spark.sparkContext
+    if (dirUris.isEmpty) return Nil
+    val bc = sc.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+    val slices = math.min(dirUris.size, math.max(1, sc.defaultParallelism))
+    sc.parallelize(dirUris, slices).flatMap { d =>
+      val conf = bc.value.value
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      if (fs.exists(p)) {
+        if (fs.getFileStatus(p).isFile) {
+          val st = fs.getFileStatus(p)
+          out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+        } else {
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+          }
+        }
+      }
+      out
+    }.collect().toSeq
+  }
+
   def distributedListFiles(
       spark: SparkSession,
       dirUris: Seq[String]): org.apache.spark.rdd.RDD[(String, Long)] = {

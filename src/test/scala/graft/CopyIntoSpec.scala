@@ -82,6 +82,31 @@ class CopyIntoSpec extends SparkSpec {
     assert(GraftTable(spark, p).toDf().columns.contains("x"))
   }
 
+  test("a many-entry source dir lists on executors and still ingests exactly") {
+    val src = tmpDir("ci_fanout_src")
+    val p = tmpDir("ci_fanout_tbl")
+    // one seed parquet file, byte-copied into 70 subdirs (> the driver
+    // listing limit) — forces the executor fan-out path
+    seedSource(src + "/seed", 0 until 1)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val seedFile = fs.listStatus(new org.apache.hadoop.fs.Path(src + "/seed"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    (1 to 69).foreach { i =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, seedFile, fs,
+        new org.apache.hadoop.fs.Path(s"$src/d$i/part.parquet"),
+        false, spark.sessionState.newHadoopConf())
+    }
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val r1 = CopyInto.copyInto(spark, p, src)
+    assert(r1.ingestedFiles == 70, r1)
+    assert(GraftTable(spark, p).toDf().count() == 70)
+    // the fan-out listing produces the same identities: re-run no-op
+    val r2 = CopyInto.copyInto(spark, p, src)
+    assert(r2.version.isEmpty && r2.skippedFiles == 70, r2)
+  }
+
   test("schema mismatch is loud unless mergeSchema; state key is not carried forward") {
     val src = tmpDir("ci_schema_src")
     val p = tmpDir("ci_schema_tbl")
