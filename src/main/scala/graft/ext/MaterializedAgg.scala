@@ -66,30 +66,45 @@ object MaterializedAgg {
     if (curV <= lastV) return None // already current
 
     // per-key deltas from the change feed: insert/update_postimage rows
-    // add, delete/update_preimage rows subtract — net zero keys drop out
+    // add, delete/update_preimage rows subtract — net zero keys drop out.
+    // NULL values are coalesced to 0 PER ROW so d_sum is never NULL (a
+    // batch whose changed rows all carry NULL would otherwise null the
+    // accumulated sum through `t.sum_val + s.d_sum`); exact sum() NULL
+    // semantics are restored from n_vals (the non-null value count):
+    // sum_val is NULL iff no non-null value remains, exactly as a full
+    // recompute's sum() would report.
     val changes = src.tableChanges(lastV, curV) // EXCLUSIVE from
     val sign = when(col(graft.io.Cdc.ChangeCol)
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
     val deltas = changes
       .select(keyCols.map(col) :+ sign.as("__sign") :+
-        (col(valueCol).cast("long") * sign).as("__dv"): _*)
+        (coalesce(col(valueCol).cast("long"), lit(0L)) * sign).as("__dv") :+
+        when(col(valueCol).isNotNull, sign).otherwise(0L).as("__nv"): _*)
       .groupBy(keyCols.map(col): _*)
-      .agg(sum(col("__dv")).as("d_sum"), sum(col("__sign")).as("d_n"))
-      .filter(col("d_n") =!= 0L || col("d_sum") =!= 0L)
+      .agg(sum(col("__dv")).as("d_sum"), sum(col("__sign")).as("d_n"),
+        sum(col("__nv")).as("d_nv"))
+      .filter(col("d_n") =!= 0L || col("d_sum") =!= 0L || col("d_nv") =!= 0L)
 
     // upsert the deltas; the source-version watermark rides the SAME
     // commit — atomic exactly-once
     val pred = keyCols.map(k => s"s.$k = t.$k").mkString(" AND ")
+    val newNv = coalesce(col("t.n_vals"), lit(0L)) + col("s.d_nv")
     MergeClausesExecutor.merge(spark, deltas, summaryPath, pred,
       matched = Seq(
         // a key whose row count nets to zero disappeared from the source
         Delete(Some(col("t.n_rows") + col("s.d_n") === 0L)),
         UpdateSet(Map(
-          "sum_val" -> (col("t.sum_val") + col("s.d_sum")),
-          "n_rows" -> (col("t.n_rows") + col("s.d_n"))))),
+          "sum_val" -> when(newNv === 0L, lit(null).cast("long"))
+            .otherwise(coalesce(col("t.sum_val"), lit(0L)) + col("s.d_sum")),
+          "n_rows" -> (col("t.n_rows") + col("s.d_n")),
+          "n_vals" -> newNv))),
       notMatched = Seq(InsertValues(
         keyCols.map(k => k -> col(s"s.$k")).toMap ++
-          Map("sum_val" -> col("s.d_sum"), "n_rows" -> col("s.d_n")))),
+          Map(
+            "sum_val" -> when(col("s.d_nv") === 0L, lit(null).cast("long"))
+              .otherwise(col("s.d_sum")),
+            "n_rows" -> col("s.d_n"),
+            "n_vals" -> col("s.d_nv")))),
       extraMetadata = Map(SourceVersionKey -> curV.toString))
     Some(curV)
   }
@@ -118,11 +133,14 @@ object MaterializedAgg {
       }
       .start()
 
-  /** The summary shape: one row per key with the exact integer sum and
-    * row count.
+  /** The summary shape: one row per key with the exact integer sum, the
+    * row count, and the non-null value count (`n_vals` carries sum()'s
+    * NULL semantics through incremental maintenance: sum_val is NULL iff
+    * n_vals = 0).
     */
   def summarize(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(sum(col(valueCol).cast("long")).as("sum_val"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"),
+        count(col(valueCol)).as("n_vals"))
 }

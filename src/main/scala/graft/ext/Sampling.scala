@@ -247,9 +247,27 @@ object Sampling {
       /** Precomputed Σw (skips the scalar aggregate job). */
       totalWeightHint: Option[Long] = None): DataFrame = {
     require(expectedRows >= 0, "expectedRows must be non-negative")
-    val totalW = totalWeightHint.getOrElse(
-      df.agg(sum(col(weightCol).cast("long"))).head().getLong(0))
+    val (totalW, maxW) = totalWeightHint match {
+      case Some(t) => (t, t) // conservative: any non-negative wᵢ ≤ Σw
+      case None =>
+        val r = df.agg(sum(col(weightCol).cast("long")),
+          max(col(weightCol).cast("long"))).head()
+        (r.getLong(0), r.getLong(1))
+    }
     require(totalW > 0, s"total weight must be positive, got $totalW")
+    // Decimal(38) headroom proof: both comparison sides must stay inside
+    // 38 digits or non-ANSI decimal overflow yields NULL and the filter
+    // SILENTLY drops exactly the heaviest rows. LHS ≤ 2²⁴·Σw; RHS ≤
+    // expectedRows·max(wᵢ)·2²⁴ — checked in BigInt so the check itself
+    // cannot overflow.
+    val headroom = BigInt(10).pow(38)
+    val shift = BigInt(1L << 24)
+    require(shift * BigInt(totalW) < headroom &&
+      BigInt(expectedRows) * BigInt(math.max(maxW, 0L)) * shift < headroom,
+      s"weightedSample inclusion product exceeds decimal(38) headroom " +
+        s"(expectedRows=$expectedRows, maxWeight=$maxW, totalWeight=" +
+        s"$totalW) — the overflow would NULL out and silently exclude " +
+        "the heaviest rows; rescale the weight column (e.g. kilo-tokens)")
     val dec = "decimal(38,0)"
     df.filter(
       hashBucket(col(keyCol), 1 << 24).cast(dec) * lit(totalW).cast(dec) <

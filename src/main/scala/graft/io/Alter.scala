@@ -244,6 +244,19 @@ object Alter {
       val table = GraftTable(spark, path)
       val snap = table.snapshot()
       val log = table.log
+      // Both halves of the advertised invariant are required. The
+      // retained-log scan alone is NOT enough: cleanOldLogs can prune
+      // the DV-attaching commits past a checkpoint boundary while the
+      // CURRENT snapshot (replayed from that checkpoint) still carries
+      // live DVs — striking the feature then would let a pre-DV build
+      // resurrect deleted rows on a plain read, not just a time-travel.
+      val liveDvFiles = snap.files.filter(_.dv.isDefined)
+      require(liveDvFiles.isEmpty,
+        s"cannot DROP FEATURE ${Protocol.DeletionVectors}: " +
+          s"${liveDvFiles.size} live file(s) in the current snapshot " +
+          "carry deletion vectors — a pre-DV build reading the table " +
+          "would resurrect deleted rows. Run OPTIMIZE (purges DVs) " +
+          "first, then retry")
       val dvCommits = log.versions()
         .filter(v => log.readCommit(v).add.exists(_.dv.isDefined))
       require(dvCommits.isEmpty,

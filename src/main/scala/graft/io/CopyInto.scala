@@ -11,32 +11,43 @@ import org.apache.spark.sql.SparkSession
   * to foreign-file ingestion instead of asset outputs.
   *
   * Source-file identity is `(qualified path, size, mtime)`. Every COPY
-  * INTO commit records the CUMULATIVE identity set it has seen under a
-  * per-commit (non-carried) metadata key, so the already-ingested set is
-  * read from the NEWEST surviving COPY INTO commit — one commit read,
-  * not a history scan, and each property list is written once per COPY
-  * INTO (never re-serialized by unrelated commits, which is why this is
-  * NOT a carried-forward `graft.*` property). A re-uploaded source file
-  * (same path, new size/mtime) is a NEW identity and ingests again —
-  * same contract as Delta's COPY INTO.
+  * INTO commit records ONLY the identities it newly ingested under a
+  * per-commit (non-carried) metadata key; the already-ingested set is
+  * the UNION of those records across the retained log. Per-commit
+  * metadata therefore stays O(new files) no matter how many runs have
+  * accumulated — a million-file source ingested over hundreds of runs
+  * never re-serializes the full set into any single commit. A
+  * re-uploaded source file (same path, new size/mtime) is a NEW
+  * identity and ingests again — same contract as Delta's COPY INTO.
   *
-  * Retention caveat (inherent to log-backed dedup state, same as
-  * Delta's): if log retention prunes EVERY COPY INTO commit, the
-  * ingested set is forgotten and a re-run re-ingests. The cumulative
-  * list makes this need ALL such commits to age out, not just one.
+  * Concurrency: the append commit is compare-and-swapped on the
+  * snapshot version the seen-set was read at, so two racing COPY INTOs
+  * cannot both ingest the same files — the loser re-reads the (now
+  * larger) seen-set and retries, usually degrading to a no-op.
   *
-  * Scale shape: the identity set is metadata-scale (one short string
-  * per source file — the same order as the add-actions the ingest
-  * itself appends); the data copy is one distributed read of only the
-  * NEW files appended through the normal write path (stats, blooms,
-  * constraints all apply).
+  * Retention caveat (inherent to log-backed dedup state, same family as
+  * Delta's): once log retention prunes a COPY INTO commit, the
+  * identities IT recorded are forgotten and those exact source files
+  * would re-ingest on a later run. RESTORE interaction: restoring the
+  * table to a pre-COPY version reverts the DATA but the COPY commit
+  * (and its identity record) remains in the log, so a re-run does NOT
+  * re-ingest the rolled-back rows — re-upload the source files (new
+  * mtime = new identity) to force re-ingestion after a RESTORE.
+  *
+  * Scale shape: the identity records are metadata-scale (one short
+  * string per NEW source file — the same order as the add-actions the
+  * ingest itself appends); the data copy is one distributed read of
+  * only the NEW files appended through the normal write path (stats,
+  * blooms, constraints all apply).
   */
 object CopyInto {
 
-  /** Per-commit metadata key holding the cumulative ingested identity
-    * set as a sorted, newline-joined list. Deliberately NOT
+  /** Per-commit metadata key holding the identities newly ingested BY
+    * THAT COMMIT as a sorted, newline-joined list. Deliberately NOT
     * `graft.`-prefixed: it must live in the COPY INTO commit alone, not
     * be carried into (and re-serialized by) every later commit.
+    * (Commits from older builds carried the cumulative set under the
+    * same key; the union read handles both encodings.)
     */
   val SourcesKey: String = "copyInto.ingestedSources"
 
@@ -44,6 +55,8 @@ object CopyInto {
     * to executors.
     */
   private val DriverListLimit = 64
+
+  private val SupportedFormats = Seq("parquet")
 
   final case class Result(
       /** Committed version; None when the run was a no-op. */
@@ -64,73 +77,132 @@ object CopyInto {
       /** Evolve the table schema when source files carry extra columns
         * (same semantics as the schema-evolution write mode).
         */
-      mergeSchema: Boolean = false): Result = {
-    require(format.equalsIgnoreCase("parquet"),
-      s"COPY INTO supports FILEFORMAT = PARQUET here, got $format")
-    val table = GraftTable(spark, path)
-    val snap = table.snapshot() // must exist; also the CAS base
+      mergeSchema: Boolean = false,
+      /** `PATTERN = 'glob'`: restrict the source listing to files whose
+        * path RELATIVE to `sourceDir` matches the glob (`*`, `?`,
+        * `[...]`, `{a,b}`, and `**` across directories). Exclusive with
+        * `files`.
+        */
+      pattern: Option[String] = None,
+      /** `FILES = (...)`: ingest exactly these files (named relative to
+        * `sourceDir`); a named file that does not exist fails loudly.
+        * Exclusive with `pattern`.
+        */
+      files: Option[Seq[String]] = None): Result = {
+    require(SupportedFormats.exists(_.equalsIgnoreCase(format)),
+      s"COPY INTO supports FILEFORMAT = " +
+        s"${SupportedFormats.map(_.toUpperCase).mkString("/")} here, got $format")
+    require(pattern.isEmpty || files.isEmpty,
+      "COPY INTO takes PATTERN or FILES, not both")
     val conf = spark.sessionState.newHadoopConf()
     val src = new Path(sourceDir)
     val fs = src.getFileSystem(conf)
     require(fs.exists(src), s"COPY INTO source not found: $sourceDir")
+    val qualifiedSrc = fs.makeQualified(src).toString
 
-    // current source inventory (qualified path + size + mtime). Past a
-    // handful of top-level entries the recursive walk fans out to
-    // EXECUTORS (one task per entry slice) — a million-file ingest
-    // source must never serialize its listing through the driver (the
-    // same scale rule the vacuum orphan sweep follows)
-    val topLevel = fs.listStatus(fs.makeQualified(src)).toSeq
-    val listed: Seq[(String, Long, Long)] =
-      if (topLevel.size <= DriverListLimit) {
-        val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
-        val it = fs.listFiles(fs.makeQualified(src), true)
-        while (it.hasNext) {
-          val st = it.next()
-          out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+    def isDataFile(p: String): Boolean = {
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      !name.startsWith("_") && !name.startsWith(".") &&
+        name.toLowerCase(java.util.Locale.ROOT).endsWith(".parquet")
+    }
+    def relative(p: String): String =
+      p.stripPrefix(qualifiedSrc).stripPrefix("/")
+
+    // current source inventory (qualified path + size + mtime). FILES
+    // stats exactly the named files — no directory walk at all. For a
+    // directory listing, past a handful of top-level entries the
+    // recursive walk fans out to EXECUTORS (one task per entry slice) —
+    // a million-file ingest source must never serialize its listing
+    // through the driver (the same scale rule the vacuum orphan sweep
+    // follows)
+    val listed: Seq[(String, Long, Long)] = files match {
+      case Some(names) =>
+        require(names.nonEmpty, "COPY INTO FILES list is empty")
+        names.map { n =>
+          val fp = fs.makeQualified(new Path(src, n))
+          require(fs.exists(fp), s"COPY INTO FILES entry not found: $fp")
+          val st = fs.getFileStatus(fp)
+          require(st.isFile, s"COPY INTO FILES entry is a directory: $fp")
+          (fp.toString, st.getLen, st.getModificationTime)
         }
-        out.toSeq
-      } else
-        org.apache.spark.sql.graft.GraftInternal.distributedListFilesMeta(
-          spark, topLevel.map(_.getPath.toString))
+      case None =>
+        val topLevel = fs.listStatus(fs.makeQualified(src)).toSeq
+        if (topLevel.size <= DriverListLimit) {
+          val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+          val it = fs.listFiles(fs.makeQualified(src), true)
+          while (it.hasNext) {
+            val st = it.next()
+            out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+          }
+          out.toSeq
+        } else
+          org.apache.spark.sql.graft.GraftInternal.distributedListFilesMeta(
+            spark, topLevel.map(_.getPath.toString))
+    }
+    val globMatch: String => Boolean = pattern match {
+      case Some(g) =>
+        // java.nio glob: the standard *, ?, [...], {a,b}, ** semantics;
+        // matched against the path RELATIVE to the source dir, like
+        // Delta's PATTERN
+        val m = java.nio.file.FileSystems.getDefault
+          .getPathMatcher("glob:" + g)
+        p => m.matches(java.nio.file.Paths.get(relative(p)))
+      case None => _ => true
+    }
     val inventory = listed.collect {
-      case (p, len, mtime)
-          if {
-            val name = p.substring(p.lastIndexOf('/') + 1)
-            !name.startsWith("_") && !name.startsWith(".") &&
-              name.toLowerCase(java.util.Locale.ROOT).endsWith(".parquet")
-          } =>
+      case (p, len, mtime) if isDataFile(p) && globMatch(p) =>
         (p, s"$p|$len|$mtime")
     }
-    val seen = ingestedIdentities(table)
-    val (skipped, fresh) = inventory.partition(f => seen(f._2))
-    if (fresh.isEmpty)
-      return Result(None, 0, skipped.size) // exact no-op: no commit
 
-    // read the NEW files schema-on-read and let the normal write path
-    // validate compatibility (loud mismatch unless mergeSchema) — the
-    // copy goes through stats/bloom/constraint machinery like any append
-    val incoming = spark.read.parquet(fresh.map(_._1).toSeq: _*)
-    val cumulative = (seen ++ fresh.map(_._2)).toSeq.sorted
-    val v = GraftWriter.write(spark, incoming, path,
-      WriteOptions(
-        mode = WriteMode.Append,
-        schemaMode = if (mergeSchema) Some(SchemaMode.Merge) else None,
-        metadata = Map(SourcesKey -> cumulative.mkString("\n"))))
-    Result(Some(v), fresh.size, skipped.size)
+    // CAS loop: the seen-set is read at a snapshot version and the
+    // append commits against exactly that version — a concurrent COPY
+    // INTO landing in between forces a re-derivation here instead of a
+    // double ingest
+    var attempt = 0
+    while (true) {
+      val table = GraftTable(spark, path)
+      val snap = table.snapshot() // must exist; also the CAS base
+      val seen = ingestedIdentities(table)
+      val (skipped, fresh) = inventory.partition(f => seen(f._2))
+      if (fresh.isEmpty)
+        return Result(None, 0, skipped.size) // exact no-op: no commit
+
+      // read the NEW files schema-on-read and let the normal write path
+      // validate compatibility (loud mismatch unless mergeSchema) — the
+      // copy goes through stats/bloom/constraint machinery like any
+      // append
+      val incoming = spark.read.parquet(fresh.map(_._1).toSeq: _*)
+      try {
+        val v = GraftWriter.write(spark, incoming, path,
+          WriteOptions(
+            mode = WriteMode.Append,
+            schemaMode = if (mergeSchema) Some(SchemaMode.Merge) else None,
+            metadata =
+              Map(SourcesKey -> fresh.map(_._2).sorted.mkString("\n")),
+            casOnVersion = Some(snap.version)))
+        return Result(Some(v), fresh.size, skipped.size)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 5) throw e
+          attempt += 1 // re-read the seen-set against the fresh log
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  /** The cumulative ingested identity set = the newest surviving COPY
-    * INTO commit's record (each such commit carries the full set).
+  /** The cumulative ingested identity set = the union of every retained
+    * COPY INTO commit's record (each records only ITS new files; old
+    * builds recorded cumulative sets — a superset union is harmless).
     */
   private def ingestedIdentities(table: GraftTable): Set[String] = {
     val log = table.log
-    log.versions().reverse.iterator
-      .map(v => log.readCommit(v))
-      .collectFirst {
-        case c if c.metadata.contains(SourcesKey) =>
-          c.metadata(SourcesKey).split("\n").iterator
-            .filter(_.nonEmpty).toSet
+    val out = Set.newBuilder[String]
+    log.versions().foreach { v =>
+      val c = log.readCommit(v)
+      c.metadata.get(SourcesKey).foreach { s =>
+        s.split("\n").iterator.filter(_.nonEmpty).foreach(out += _)
       }
-      .getOrElse(Set.empty)
+    }
+    out.result()
   }
 }

@@ -74,7 +74,17 @@ final case class WriteOptions(
       * data lands in one task, and this splits that task's output into
       * scan-parallelizable files.
       */
-    maxRecordsPerFile: Long = 0L)
+    maxRecordsPerFile: Long = 0L,
+    /** CAS the commit on exactly this snapshot version even for Append —
+      * for callers whose commit CONTENT was derived from that snapshot's
+      * log state (e.g. COPY INTO's ingested-identity dedup, where a
+      * concurrent ingest reading the same seen-set would double-ingest).
+      * On conflict the staged files are deleted and the
+      * ConcurrentModificationException propagates so the CALLER re-derives
+      * against the fresh log and retries; the writer's internal rebase
+      * cannot re-derive caller state.
+      */
+    casOnVersion: Option[Long] = None)
 
 /** Transactional writer over [[graft.log.CommitLog]].
   *
@@ -269,9 +279,11 @@ object GraftWriter {
       // mark was read at — two concurrent assignments from the same mark
       // would allocate colliding values
       var expected: Option[Long] =
-        if (casModes(opts.mode) || identityAssigned)
-          Some(snapOpt.map(_.version).getOrElse(-1L))
-        else None
+        opts.casOnVersion.orElse {
+          if (casModes(opts.mode) || identityAssigned)
+            Some(snapOpt.map(_.version).getOrElse(-1L))
+          else None
+        }
       val (schemaDdl, removals2) =
         if (attempt == 0) (newSchema.toDDL, removals0)
         else {
@@ -325,6 +337,12 @@ object GraftWriter {
         maybeAutoCompact(spark, path, opts, added, declProps)
         return v
       } catch {
+        case e: java.util.ConcurrentModificationException
+            if opts.casOnVersion.isDefined =>
+          // the caller pinned the version its state was read at; only
+          // the caller can re-derive — clean the staging and propagate
+          added.foreach(f => fs.delete(new Path(path, f.path), false))
+          throw e
         case e: java.util.ConcurrentModificationException
             if identityAssigned =>
           // the staged bytes embed values from a now-stale high-water

@@ -99,7 +99,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+""" + T +
       """\s+FROM\s+'([^']+)'""" +
-      """(?:\s+FILEFORMAT\s*=\s*(\w+))?(\s+MERGE\s+SCHEMA)?\s*;?\s*$""").r
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+      """(?:\s+FILES\s*=\s*\(([^)]*)\))?""" +
+      """(\s+MERGE\s+SCHEMA)?\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + T +
       """\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+""" + T +
@@ -129,9 +132,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(v).map(_.toLong), Option(ts)))
       case DropFeatureRe(p, n, feature) =>
         Some(GraftDropFeatureCommand(target(p, n), feature))
-      case CopyIntoRe(p, n, src, fmt, ms) =>
+      case CopyIntoRe(p, n, src, fmt, pat, fl, ms) =>
         Some(GraftCopyIntoCommand(target(p, n), src,
-          Option(fmt).getOrElse("parquet"), mergeSchema = ms != null))
+          Option(fmt).getOrElse("parquet"), mergeSchema = ms != null,
+          pattern = Option(pat),
+          files = Option(fl).map(_.split(',').toSeq
+            .map(_.trim.stripPrefix("'").stripSuffix("'"))
+            .filter(_.nonEmpty))))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>

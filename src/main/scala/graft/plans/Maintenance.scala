@@ -82,16 +82,19 @@ final case class GraftGenerateCommand(
   }
 }
 
-/** `COPY INTO t FROM '/src' [FILEFORMAT = PARQUET] [MERGE SCHEMA]` —
-  * idempotent foreign-file ingestion ([[graft.io.CopyInto]]): files
-  * already recorded are skipped; a fully-skipped run commits nothing.
-  * Returns (version, ingested, skipped) — version is NULL on a no-op.
+/** `COPY INTO t FROM '/src' [FILEFORMAT = PARQUET] [PATTERN = 'glob']
+  * [FILES = ('a.parquet', ...)] [MERGE SCHEMA]` — idempotent
+  * foreign-file ingestion ([[graft.io.CopyInto]]): files already
+  * recorded are skipped; a fully-skipped run commits nothing. Returns
+  * (version, ingested, skipped) — version is NULL on a no-op.
   */
 final case class GraftCopyIntoCommand(
     target: Either[String, Seq[String]],
     sourceDir: String,
     format: String,
-    mergeSchema: Boolean) extends LeafRunnableCommand {
+    mergeSchema: Boolean,
+    pattern: Option[String] = None,
+    files: Option[Seq[String]] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = true)(),
     AttributeReference("ingested_files", LongType, nullable = false)(),
@@ -99,7 +102,7 @@ final case class GraftCopyIntoCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenance.resolvePath(spark, target)
     val r = graft.io.CopyInto.copyInto(spark, path, sourceDir, format,
-      mergeSchema = mergeSchema)
+      mergeSchema = mergeSchema, pattern = pattern, files = files)
     Seq(Row(r.version.map(Long.box).orNull,
       r.ingestedFiles.toLong, r.skippedFiles.toLong))
   }

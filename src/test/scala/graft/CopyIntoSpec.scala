@@ -107,6 +107,97 @@ class CopyIntoSpec extends SparkSpec {
     assert(r2.version.isEmpty && r2.skippedFiles == 70, r2)
   }
 
+  test("dedup state is split across commits: each records only ITS new files") {
+    val src = tmpDir("ci_split_src")
+    val p = tmpDir("ci_split_tbl")
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    // three incremental ingests
+    seedSource(src + "/b1", 0 until 10)
+    val v1 = CopyInto.copyInto(spark, p, src).version.get
+    seedSource(src + "/b2", 10 until 20)
+    val v2 = CopyInto.copyInto(spark, p, src).version.get
+    seedSource(src + "/b3", 20 until 30)
+    val v3 = CopyInto.copyInto(spark, p, src).version.get
+    assert(GraftTable(spark, p).toDf().count() == 30)
+    // re-run is still an exact no-op — the seen-set is the UNION of the
+    // three per-commit records
+    val r = CopyInto.copyInto(spark, p, src)
+    assert(r.version.isEmpty && r.skippedFiles == 6, r)
+    // commit N's metadata records ONLY its own files — N-1's identities
+    // must not be re-serialized (bounded per-commit state)
+    val log = GraftTable(spark, p).log
+    def ids(v: Long): Set[String] =
+      log.readCommit(v).metadata(CopyInto.SourcesKey)
+        .split("\n").filter(_.nonEmpty).toSet
+    assert(ids(v1).size == 2 && ids(v2).size == 2 && ids(v3).size == 2)
+    assert((ids(v2) intersect ids(v1)).isEmpty,
+      "commit 2 re-serialized commit 1's identities")
+    assert((ids(v3) intersect (ids(v1) ++ ids(v2))).isEmpty,
+      "commit 3 re-serialized earlier identities")
+    assert(ids(v1).forall(_.contains("/b1/")))
+    assert(ids(v3).forall(_.contains("/b3/")))
+  }
+
+  test("PATTERN restricts the listing; FILES ingests an explicit list") {
+    val src = tmpDir("ci_pat_src")
+    val p = tmpDir("ci_pat_tbl")
+    seedSource(src + "/keep", 0 until 10)
+    seedSource(src + "/skip", 10 until 20)
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    // PATTERN: only keep/ files match
+    val r1 = CopyInto.copyInto(spark, p, src, pattern = Some("keep/*.parquet"))
+    assert(r1.version.isDefined && r1.ingestedFiles == 2, r1)
+    assert(GraftTable(spark, p).toDf().count() == 10)
+    assert(GraftTable(spark, p).toDf().agg(max(col("id"))).head().getLong(0) == 9)
+    // widening the pattern ingests the remainder; already-seen skip
+    val r2 = CopyInto.copyInto(spark, p, src, pattern = Some("**.parquet"))
+    assert(r2.ingestedFiles == 2 && r2.skippedFiles == 2, r2)
+    assert(GraftTable(spark, p).toDf().count() == 20)
+    // FILES: exactly one named file; dedup still applies on re-run
+    val p2 = tmpDir("ci_files_tbl")
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p2,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val one = fs.listStatus(new org.apache.hadoop.fs.Path(src + "/keep"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.head
+    val r3 = CopyInto.copyInto(spark, p2, src, files = Some(Seq(s"keep/$one")))
+    assert(r3.version.isDefined && r3.ingestedFiles == 1, r3)
+    val r4 = CopyInto.copyInto(spark, p2, src, files = Some(Seq(s"keep/$one")))
+    assert(r4.version.isEmpty && r4.skippedFiles == 1, r4)
+    // a named file that does not exist fails loudly
+    val eMissing = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, p2, src, files = Some(Seq("keep/nope.parquet")))
+    }
+    assert(eMissing.getMessage.contains("not found"), eMissing.getMessage)
+    // PATTERN and FILES together are refused
+    val eBoth = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, p2, src,
+        pattern = Some("*.parquet"), files = Some(Seq(s"keep/$one")))
+    }
+    assert(eBoth.getMessage.contains("not both"), eBoth.getMessage)
+    // unsupported FILEFORMAT is refused with the supported list
+    val eFmt = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, p2, src, format = "csv")
+    }
+    assert(eFmt.getMessage.contains("PARQUET"), eFmt.getMessage)
+    // the SQL route carries PATTERN and FILES through
+    val p3 = tmpDir("ci_sqlpat_tbl")
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p3,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val rs = spark.sql(s"COPY INTO graft.`$p3` FROM '$src' " +
+      "FILEFORMAT = PARQUET PATTERN = 'keep/*.parquet'").head()
+    assert(rs.getLong(1) == 2, rs)
+    val oneSkip = fs.listStatus(new org.apache.hadoop.fs.Path(src + "/skip"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.head
+    val rf = spark.sql(s"COPY INTO graft.`$p3` FROM '$src' " +
+      s"FILES = ('skip/$oneSkip')").head()
+    assert(!rf.isNullAt(0) && rf.getLong(1) == 1, rf)
+    assert(GraftTable(spark, p3).toDf().count() > 10)
+  }
+
   test("schema mismatch is loud unless mergeSchema; state key is not carried forward") {
     val src = tmpDir("ci_schema_src")
     val p = tmpDir("ci_schema_tbl")

@@ -319,6 +319,15 @@ class ExtOpsSpec extends SparkSpec {
       totalWeightHint = Some(100 * 1000L + 1900 * 10L))
       .collect().map(_.getLong(0)).toSet
     assert(viaHint == sampled)
+    // inputs whose inclusion product would overflow decimal(38) — and
+    // silently NULL out, dropping exactly the heaviest rows — are
+    // refused loudly instead
+    val eOf = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(
+        Seq((1L, Long.MaxValue)).toDF("doc_id", "w"),
+        Long.MaxValue, weightCol = "w")
+    }
+    assert(eOf.getMessage.contains("decimal(38)"), eOf.getMessage)
   }
 
   test("group quota caps every group at N rows, deterministically") {

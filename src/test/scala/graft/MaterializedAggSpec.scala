@@ -81,6 +81,52 @@ class MaterializedAggSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("NULL values: incremental refresh matches sum()'s NULL semantics exactly") {
+    val src = tmpDir("mv_null_src")
+    val sum = tmpDir("mv_null_sum")
+    def nullSafe(p: String): Map[String, (Option[Long], Long, Long)] =
+      GraftTable(spark, p).toDf()
+        .select("cat", "sum_val", "n_rows", "n_vals").collect()
+        .map(r => r.getString(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2), r.getLong(3)))).toMap
+    def recomputeNs(p: String): Map[String, (Option[Long], Long, Long)] =
+      MaterializedAgg.summarize(
+        GraftTable(spark, p).toDf(), Seq("cat"), "v").collect()
+        .map(r => r.getString(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2), r.getLong(3)))).toMap
+    // "a" mixes NULL and non-null; "b" is all-NULL (sum() -> NULL)
+    GraftWriter.write(spark,
+      Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, "b", None))
+        .toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    assert(nullSafe(sum) == Map(
+      "a" -> ((Some(10L), 2L, 1L)), "b" -> ((None, 1L, 0L))))
+    assert(nullSafe(sum) == recomputeNs(src))
+    // a batch whose changed rows are ALL NULL for a key must not null
+    // the accumulated sum (the reported bug: d_sum = sum(NULL) = NULL)
+    GraftWriter.write(spark,
+      Seq((4L, "a", None: Option[Long])).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    assert(nullSafe(sum)("a") == ((Some(10L), 3L, 1L)))
+    assert(nullSafe(sum) == recomputeNs(src))
+    // "b" gains its first non-null value: NULL -> 5, like a recompute
+    GraftWriter.write(spark,
+      Seq((5L, "b", Some(5L))).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    assert(nullSafe(sum)("b") == ((Some(5L), 2L, 1L)))
+    // deleting the only non-null row sends the sum back to NULL
+    Dml.delete(spark, src, col("id") === 1L)
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    assert(nullSafe(sum)("a") == ((None, 2L, 0L)))
+    assert(nullSafe(sum) == recomputeNs(src))
+  }
+
   test("the watermark rides the merge commit — refresh is exactly-once") {
     val src = tmpDir("mv_once_src")
     val sum = tmpDir("mv_once_sum")

@@ -91,6 +91,40 @@ class ProtocolSpec extends SparkSpec {
     assert(v > 0)
   }
 
+  test("DROP FEATURE refused while the live snapshot carries DVs even after log pruning") {
+    // Bypass attempt: delete with DVs, do NOT run OPTIMIZE, then age the
+    // DV-attaching commits out of the retained log past a checkpoint.
+    // The retained-commit scan finds nothing, but the CURRENT snapshot
+    // still carries live DVs — the drop must still be refused, or a
+    // pre-DV build reading the table resurrects the deleted row.
+    val p = tmpDir("proto_dropfeat_live")
+    writeSmall(p, dv = true)
+    Dml.delete(spark, p, col("id") === 2L)
+    // an unrelated append bumps the log past the DV-attaching commit so
+    // retention can prune it while the DV'd FILE stays live
+    GraftWriter.write(spark, Seq((9L, "z")).toDF("id", "s"), p,
+      WriteOptions(mode = WriteMode.Append))
+    newLog(p).writeCheckpoint(newLog(p).latestVersion().get)
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    newLog(p).cleanOldLogs(1000L, nowMs = future)
+    // precondition of the scenario: the DV-attaching commit is gone
+    val log = newLog(p)
+    assert(!log.versions().exists(v => log.readCommit(v).add.exists(_.dv.isDefined)))
+    assert(log.snapshot().files.exists(_.dv.isDefined))
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Alter.dropFeature(spark, p, Protocol.DeletionVectors)
+    }
+    assert(e.getMessage.contains("live file"), e.getMessage)
+    // deleted row stays deleted (3 original - 1 deleted + 1 appended)
+    assert(GraftTable(spark, p).toDf().count() == 3)
+    // OPTIMIZE purges the live DV; now the drop is legal
+    GraftWriter.optimize(spark, p)
+    newLog(p).writeCheckpoint(newLog(p).latestVersion().get)
+    newLog(p).cleanOldLogs(1000L, nowMs = future + 1000L)
+    assert(graft.io.Alter.dropFeature(spark, p, Protocol.DeletionVectors) > 0)
+    assert(GraftTable(spark, p).toDf().count() == 3)
+  }
+
   test("unknown required reader feature fails reads; writer-only feature fails modify but reads fine") {
     val pR = tmpDir("proto_r")
     writeSmall(pR, dv = false)
