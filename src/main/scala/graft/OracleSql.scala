@@ -1168,6 +1168,10 @@ object OracleSql {
     "knn_pq_adc" -> knnPqAdcSql,
 
     "knn_ivfpq_adc" -> knnIvfPqAdcSql,
+    // the persisted-index search is bit-identical to the inline IVF-PQ
+    // ADC path by construction (shared stages, exact artifact
+    // round-trip) — the SAME oracle SQL checks both
+    "knn_index_search" -> knnIvfPqAdcSql,
     "knn_ivfpq_rerank" -> knnIvfPqRerankSql,
     "knn_ivfpq_filtered" -> knnIvfPqFilteredSql,
     "knn_ivfpq_kmeans" -> knnIvfPqKmeansSql,

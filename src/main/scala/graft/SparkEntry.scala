@@ -834,6 +834,28 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("adist_e6"))
 
+  /** Persisted ANN index lifecycle ([[graft.ext.AnnIndex]]): the corpus
+    * lands in a graft table, `build` commits codes + quantizers ONCE,
+    * and the search plans against the STORED artifacts — searches stop
+    * paying the training + whole-corpus re-encode the inline path runs
+    * per call, which is what "similarity search" means at 100 TB. The
+    * output is bit-identical to [[qKnnIvfPqAdc]] (shared residualize and
+    * ADC stages; quantizers round-trip exactly through table
+    * properties), which is exactly what sharing its oracle SQL checks.
+    */
+  private def qKnnIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val srcP = tmp("graft_ann_src")
+    val idxP = tmp("graft_ann_idx") + "/ix"
+    GraftWriter.write(spark, t(spark, dir, "embeddings"), srcP,
+      WriteOptions(mode = WriteMode.Overwrite))
+    graft.ext.AnnIndex.build(spark, srcP, idxP)
+    graft.ext.AnnIndex.search(spark, idxP,
+      GraftTable(spark, srcP).toDf().filter(col("vec_id") < 32), k = 5,
+      requireFresh = true)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("adist_e6"))
+  }
+
   /** Filtered search over the SHARED index: coarse cells + PQ books
     * train on the FULL corpus, only label-0 vectors become candidates —
     * "nearest neighbors among label=X" without per-filter retraining.
@@ -1530,6 +1552,7 @@ object SparkEntry {
     "knn_pq_adc" -> (qKnnPqAdc _),
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
+    "knn_index_search" -> (qKnnIndexSearch _),
     "knn_ivfpq_rerank" -> (qKnnIvfPqRerank _),
     "knn_ivfpq_filtered" -> (qKnnIvfPqFiltered _),
     "knn_ivfpq_kmeans" -> (qKnnIvfPqKmeans _),

@@ -1,0 +1,345 @@
+package graft.ext
+
+import java.nio.ByteBuffer
+import java.util.Base64
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
+import graft.merge.{Delete, InsertValues, MergeClausesExecutor, UpdateSet}
+
+/** Persisted IVF-PQ index lifecycle: build ONCE, search MANY, maintain
+  * INCREMENTALLY — the artifact shape that makes similarity search
+  * viable at 100 TB. The inline [[Similarity.ivfpqTopK]] family trains
+  * centroids + codebooks and re-encodes the whole corpus on EVERY call;
+  * this module commits those artifacts instead:
+  *
+  *   - the CODES table — one graft-table row per corpus vector:
+  *     `(n_id, cell, codes[m])`, partitioned by `cell`, so a search's
+  *     probed cells prune to their own files before any bytes move;
+  *   - the QUANTIZERS — coarse centroids and PQ codebooks, base64-packed
+  *     into carried table properties (k·dim + m·ksub·dsub floats —
+  *     kilobytes by construction, independent of corpus size; see
+  *     [[Similarity.centroidsK]]);
+  *   - the WATERMARK — the source-table version the codes reflect, the
+  *     same exactly-once contract as [[MaterializedAgg]]: it rides the
+  *     refresh's merge commit, so a crashed refresh can neither skip nor
+  *     double-apply a change range.
+  *
+  * [[search]] plans against the STORED codes with the stored quantizers
+  * as plan literals, sharing the residualization and ADC stages with the
+  * inline path ([[Similarity.residualizeWith]] /
+  * [[Similarity.adcScoreTopK]]) — so a search over a fresh index is
+  * bit-identical to [[Similarity.ivfpqTopK]] on the same corpus (the
+  * AnnIndexSpec invariant, and the `knn_index_search` oracle row).
+  *
+  * [[refresh]] encodes ONLY the rows the source change feed reports —
+  * work scales with changed rows, never corpus size. The quantizers stay
+  * FROZEN across refreshes (the standard ANN maintenance posture:
+  * centroid drift degrades recall slowly; re-training re-encodes the
+  * world, so it is an explicit [[build]], not a side effect of append).
+  * Staleness is first-class: [[status]] reports indexed vs current
+  * source version, and `search(requireFresh = true)` refuses a stale
+  * index loudly instead of silently serving pre-append neighbors.
+  */
+object AnnIndex {
+
+  private val P = graft.log.CommitLog.ReservedPrefix + "ann."
+  /** Qualified source-table path the index was built from. */
+  val SourcePathKey: String = P + "sourcePath"
+  /** Source version the codes reflect (carried; rides refresh commits). */
+  val SourceVersionKey: String = P + "sourceVersion"
+  /** Base64 [k][dim] + k×(c_id:long, dim floats) coarse centroids. */
+  val CentroidsKey: String = P + "centroids"
+  /** Base64 [m][ksub][dsub] + m·ksub·dsub floats PQ codebooks. */
+  val BooksKey: String = P + "books"
+  /** `m=..,ksub=..,numCells=..,idCol=..,vecCol=..` build parameters. */
+  val ParamsKey: String = P + "params"
+
+  final case class Status(
+      indexedVersion: Long,
+      sourceVersion: Long) {
+    def stale: Boolean = sourceVersion > indexedVersion
+  }
+
+  /** Train the quantizers on the corpus at `sourcePath` and commit the
+    * index table at `indexPath`: codes as rows (partitioned by `cell`),
+    * centroids/books/params/watermark as carried properties in the
+    * creating commit. `coarseIters`/`pqIters` = 0 keeps the
+    * deterministic stride seeding ([[Similarity.centroidsK]]); > 0 adds
+    * Lloyd refinement ([[Similarity.kmeansCentroids]] /
+    * [[Similarity.pqCodebooksKmeans]]).
+    *
+    * Scale shape: training is the same bounded-artifact recipe as the
+    * inline path (centroids and books never exceed kilobytes); the
+    * corpus-sized work is ONE narrow encode pass writing (n_id, cell,
+    * m codes) — after which searches never touch the vectors again.
+    */
+  def build(
+      spark: SparkSession,
+      sourcePath: String,
+      indexPath: String,
+      numCells: Int = 32,
+      m: Int = 16,
+      ksub: Int = 16,
+      coarseIters: Int = 0,
+      pqIters: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val src = GraftTable(spark, sourcePath)
+    val srcV = src.version()
+    val corpus = src.toDf(versionAsOf = Some(srcV))
+    val n = corpus.count()
+    val coarseDf =
+      if (coarseIters > 0)
+        Similarity.kmeansCentroids(corpus, numCells, coarseIters, idCol, vecCol, Some(n))
+      else Similarity.centroidsK(corpus, numCells, idCol, vecCol, Some(n))
+    val centRows = coarseDf
+      .select(col("c_id").cast("long"), col("c_vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "ANN index build needs a non-empty corpus")
+    val cents = centsDf(spark, centRows)
+    val resid0 = Similarity.residualizeWith(corpus, cents, idCol, vecCol, probes = 1)
+    // Lloyd PQ training rescans the residuals per pass and the encode
+    // pass reads them again — pin once (same Scratch lifecycle as the
+    // inline path); the stride path reads them only twice
+    val resid =
+      if (pqIters <= 0) resid0
+      else {
+        val pinned = resid0.localCheckpoint(eager = true)
+        Scratch.register(pinned)
+        pinned
+      }
+    val (dsub, books) =
+      if (pqIters > 0)
+        Similarity.pqCodebooksKmeans(resid, m, ksub, pqIters, idCol, "__resid", Some(n))
+      else Similarity.pqCodebooks(resid, m, ksub, idCol, "__resid", Some(n))
+    val codes = resid.select(
+      col(idCol).cast("long").as("n_id"), col("cell"),
+      Similarity.pqCodesExpr("__resid", dsub, books).as("codes"))
+    GraftWriter.write(spark, codes, indexPath,
+      WriteOptions(
+        mode = WriteMode.ErrorIfExists,
+        partitionBy = Seq("cell"),
+        metadata = Map(
+          SourcePathKey -> qualify(spark, sourcePath),
+          SourceVersionKey -> srcV.toString,
+          CentroidsKey -> packCentroids(centRows),
+          BooksKey -> packBooks(books.map(_.map(_._2))),
+          ParamsKey -> (s"m=$m,ksub=$ksub,numCells=$numCells," +
+            s"idCol=$idCol,vecCol=$vecCol"))))
+  }
+
+  /** Top-k ADC search against the persisted index: quantizers load from
+    * table properties into plan literals, the query side residualizes
+    * through them ([[Similarity.residualizeWith]] — narrow), and scoring
+    * joins the broadcast query tables to the STORED codes on `cell`
+    * through the shared [[Similarity.adcScoreTopK]] stage. The probed
+    * cells additionally push a partition filter into the codes scan —
+    * with C cells and nprobe probes, a search reads ~nprobe/C of the
+    * index's files, which is the point of partitioning codes by cell.
+    *
+    * `queries` needs the index's (idCol, vecCol) columns; `corpusPred`
+    * narrows the candidate side over the index's payload columns
+    * (`n_id`/`cell`) — the quantizers are shared, nothing retrains.
+    * Output: (q_id, n_id, rank, adist_e6) — bit-identical to
+    * [[Similarity.ivfpqTopK]] on the corpus the index was built from.
+    */
+  def search(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 1,
+      corpusPred: Option[Column] = None,
+      /** Refuse to serve from an index whose source has newer commits. */
+      requireFresh: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = GraftTable(spark, indexPath)
+    val props = idx.log.tableProperties()
+    val (_, _, idColName, vecColName) = params(props)
+    val centRows = unpackCentroids(prop(props, CentroidsKey))
+    val books = withSelfDots(unpackBooks(prop(props, BooksKey)))
+    if (requireFresh) {
+      val st = status(spark, indexPath)
+      require(!st.stale,
+        s"ANN index $indexPath is STALE: codes reflect source version " +
+          s"${st.indexedVersion} but the source is at ${st.sourceVersion} — " +
+          "run AnnIndex.refresh (or rebuild) before searching with " +
+          "requireFresh = true")
+    }
+    val cents = centsDf(spark, centRows)
+    val q = broadcast(
+      Similarity.residualizeWith(queries, cents, idColName, vecColName, nprobe)
+        .select(col(idColName).cast("long").as("q_id"), col("cell"),
+          Similarity.pqQueryTabExpr("__resid", books).as("qtab")))
+    // the query side is small by contract (it broadcasts); collecting its
+    // probed cells costs one tiny job and buys partition pruning on the
+    // codes scan — only the probed cells' files are read
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes0 = idx.toDf()
+      .filter(col("cell").isin(probed.map(Long.box): _*))
+      .select(col("n_id"), col("cell"), col("codes"))
+    val codes = corpusPred.fold(codes0)(codes0.filter)
+    Similarity.adcScoreTopK(codes, q, k)
+  }
+
+  /** Encode an arbitrary frame through the index's FROZEN quantizers —
+    * the row-level primitive [[refresh]] applies to changed rows, and
+    * the recompute oracle AnnIndexSpec checks refresh against.
+    * Output: (n_id, cell, codes).
+    */
+  def encodeWith(
+      spark: SparkSession,
+      indexPath: String,
+      df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val props = GraftTable(spark, indexPath).log.tableProperties()
+    val (_, _, idColName, vecColName) = params(props)
+    val centRows = unpackCentroids(prop(props, CentroidsKey))
+    val books = withSelfDots(unpackBooks(prop(props, BooksKey)))
+    val dsub = books.head.head._2.length
+    val cents = centsDf(spark, centRows)
+    Similarity.residualizeWith(df, cents, idColName, vecColName, probes = 1)
+      .select(col(idColName).cast("long").as("n_id"), col("cell"),
+        Similarity.pqCodesExpr("__resid", dsub, books).as("codes"))
+  }
+
+  /** Incrementally fold the source's change feed into the codes table:
+    * per changed id, the NET effect over the unapplied range (last
+    * change wins) is either a delete or an upsert of the re-encoded
+    * row. One merge commit; the watermark rides it (exactly-once, the
+    * [[MaterializedAgg]] pattern). Work is O(changed rows): the change
+    * scan, one narrow encode pass over the survivors, and a key-equi
+    * merge into the codes table — the source is never rescanned.
+    * Returns the newly applied source version, or None when current.
+    */
+  def refresh(spark: SparkSession, indexPath: String): Option[Long] = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = GraftTable(spark, indexPath)
+    val props = idx.log.tableProperties()
+    val sourcePath = prop(props, SourcePathKey)
+    val lastV = prop(props, SourceVersionKey).toLong
+    val (_, _, idColName, vecColName) = params(props)
+    val src = GraftTable(spark, sourcePath)
+    val curV = src.version()
+    if (curV <= lastV) return None
+
+    val changes = src.tableChanges(lastV, curV) // EXCLUSIVE from
+    // net effect per id across the range: drop update preimages (their
+    // postimage twin carries the surviving values), then keep the
+    // latest change by commit version — delete loses to a same-commit
+    // insert/postimage of the same id (a rewrite that re-adds the row)
+    val priority = when(col(graft.io.Cdc.ChangeCol) === "delete", 0L).otherwise(1L)
+    val latest = changes
+      .filter(col(graft.io.Cdc.ChangeCol) =!= "update_preimage")
+      .withColumn("__pri", priority)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idColName))
+          .orderBy(col(graft.io.Cdc.VersionCol).desc, col("__pri").desc)))
+      .filter(col("__rn") === 1)
+    val survivors = latest.filter(col(graft.io.Cdc.ChangeCol) =!= "delete")
+      .select(col(idColName), col(vecColName))
+    val deletes = latest.filter(col(graft.io.Cdc.ChangeCol) === "delete")
+      .select(col(idColName).cast("long").as("n_id"),
+        lit(null).cast("long").as("cell"),
+        lit(null).cast("array<int>").as("codes"),
+        lit("D").as("__op"))
+    val upserts = encodeWith(spark, indexPath, survivors)
+      .withColumn("__op", lit("U"))
+    MergeClausesExecutor.merge(spark, upserts.unionByName(deletes), indexPath,
+      "s.n_id = t.n_id",
+      matched = Seq(
+        Delete(Some(col("s.__op") === "D")),
+        UpdateSet(Map(
+          "cell" -> col("s.cell"),
+          "codes" -> col("s.codes")))),
+      notMatched = Seq(InsertValues(
+        Map("n_id" -> col("s.n_id"), "cell" -> col("s.cell"),
+          "codes" -> col("s.codes")),
+        Some(col("s.__op") =!= "D"))),
+      extraMetadata = Map(SourceVersionKey -> curV.toString))
+    Some(curV)
+  }
+
+  /** Indexed vs current source version — the staleness probe `search`'s
+    * `requireFresh` gate consults.
+    */
+  def status(spark: SparkSession, indexPath: String): Status = {
+    val props = GraftTable(spark, indexPath).log.tableProperties()
+    val sourcePath = prop(props, SourcePathKey)
+    Status(
+      indexedVersion = prop(props, SourceVersionKey).toLong,
+      sourceVersion = GraftTable(spark, sourcePath).version())
+  }
+
+  // ---------- artifact packing ----------
+
+  private def prop(props: Map[String, String], key: String): String =
+    props.getOrElse(key,
+      throw new IllegalStateException(
+        s"not an ANN index table (missing $key) — build with AnnIndex.build"))
+
+  private def params(props: Map[String, String]): (Int, Int, String, String) = {
+    val kv = prop(props, ParamsKey).split(',')
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    (kv("m").toInt, kv("ksub").toInt, kv("idCol"), kv("vecCol"))
+  }
+
+  private def centsDf(
+      spark: SparkSession, rows: Array[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("c_id", "c_vec")
+  }
+
+  private def withSelfDots(
+      books: Array[Array[Array[Float]]]): Array[Array[(Int, Array[Float], Double)]] =
+    books.map(_.zipWithIndex.map { case (sub, idx) =>
+      (idx, sub, Similarity.foldSelfDot(sub))
+    })
+
+  private[ext] def packCentroids(rows: Array[(Long, Array[Float])]): String = {
+    val dim = rows.head._2.length
+    val buf = ByteBuffer.allocate(8 + rows.length * (8 + 4 * dim))
+    buf.putInt(rows.length).putInt(dim)
+    rows.foreach { case (id, v) =>
+      buf.putLong(id); v.foreach(buf.putFloat)
+    }
+    Base64.getEncoder.encodeToString(buf.array())
+  }
+
+  private[ext] def unpackCentroids(s: String): Array[(Long, Array[Float])] = {
+    val buf = ByteBuffer.wrap(Base64.getDecoder.decode(s))
+    val k = buf.getInt; val dim = buf.getInt
+    Array.fill(k) {
+      val id = buf.getLong
+      (id, Array.fill(dim)(buf.getFloat))
+    }
+  }
+
+  private[ext] def packBooks(books: Array[Array[Array[Float]]]): String = {
+    val m = books.length; val ksub = books.head.length
+    val dsub = books.head.head.length
+    val buf = ByteBuffer.allocate(12 + m * ksub * dsub * 4)
+    buf.putInt(m).putInt(ksub).putInt(dsub)
+    books.foreach(_.foreach(_.foreach(buf.putFloat)))
+    Base64.getEncoder.encodeToString(buf.array())
+  }
+
+  private[ext] def unpackBooks(s: String): Array[Array[Array[Float]]] = {
+    val buf = ByteBuffer.wrap(Base64.getDecoder.decode(s))
+    val m = buf.getInt; val ksub = buf.getInt; val dsub = buf.getInt
+    Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(buf.getFloat)))
+  }
+
+  private def qualify(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
+  }
+}

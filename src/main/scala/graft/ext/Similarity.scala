@@ -331,7 +331,7 @@ object Similarity {
   /** Sequential-fold self dot product on the driver — bit-identical to
     * `dot(v, v)` through [[graft.functions.DotProductFP64]].
     */
-  private def foldSelfDot(v: Array[Float]): Double = {
+  private[ext] def foldSelfDot(v: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
     s
@@ -346,7 +346,7 @@ object Similarity {
     * into the plan as literals — assignment and ADC scoring are pure
     * per-row projections, no shuffle, no broadcast join.
     */
-  private def pqCodebooks(
+  private[ext] def pqCodebooks(
       corpus: DataFrame,
       m: Int,
       ksub: Int,
@@ -388,7 +388,7 @@ object Similarity {
     * id-order seeding ignores the data distribution, Lloyd adapts the
     * cells to it.
     */
-  private def pqCodebooksKmeans(
+  private[ext] def pqCodebooksKmeans(
       corpus: DataFrame,
       m: Int,
       ksub: Int,
@@ -506,7 +506,7 @@ object Similarity {
     * overflows whole-stage codegen's method budget and allocates m·ksub
     * structs per row — ~3x slower at sf0.1 and worse at scale.
     */
-  private def pqCodesExpr(
+  private[ext] def pqCodesExpr(
       vecCol: String, dsub: Int, books: Array[Array[(Int, Array[Float], Double)]]): Column =
     org.apache.spark.sql.graft.GraftInternal.column(
       graft.functions.PqEncode(
@@ -691,17 +691,8 @@ object Similarity {
       vecCol: String,
       nprobe: Int,
       corpusPred: Option[Column] = None): DataFrame = {
-    val centLocal = broadcast(
-      coarse.select(col("c_id").as("cell"), col("c_vec")))
-
     def residualize(df: DataFrame, probes: Int): DataFrame =
-      assignCells(df, coarse, idCol, vecCol, probes)
-        .join(centLocal, "cell")
-        .withColumn("__resid", org.apache.spark.sql.graft.GraftInternal.column(
-          graft.functions.VecSub(
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("c_vec"))))
-        .select(col(idCol), col("cell"), col("__resid"))
+      residualizeWith(df, coarse, idCol, vecCol, probes)
 
     val resid0 = residualize(corpus, probes = 1)
     // the Lloyd PQ training rescans the residuals once per pass (seed
@@ -733,12 +724,53 @@ object Similarity {
     val codes = residCand
       .select(col(idCol).as("n_id"), col("cell"),
         pqCodesExpr("__resid", dsub, books).as("codes"))
-    val qtab = org.apache.spark.sql.graft.GraftInternal.column(
-      graft.functions.PqQueryTable(
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("__resid"),
-        books.map(_.map(_._2))))
     val q = broadcast(residualize(corpus.filter(queryPred), probes = nprobe)
-      .select(col(idCol).as("q_id"), col("cell"), qtab.as("qtab")))
+      .select(col(idCol).as("q_id"), col("cell"),
+        pqQueryTabExpr("__resid", books).as("qtab")))
+    adcScoreTopK(codes, q, k)
+  }
+
+  /** Residual computation shared by the inline IVF-PQ paths and the
+    * persisted-index lifecycle ([[AnnIndex]]): assign each vector to its
+    * `probes` nearest coarse cells, then subtract the cell centroid.
+    * One narrow literal-centroid assignment pass + one broadcast join to
+    * the (tiny) centroid set + one codegen'd [[graft.functions.VecSub]]
+    * per row. Output: (idCol, cell, __resid).
+    */
+  private[ext] def residualizeWith(
+      df: DataFrame,
+      coarse: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: Int): DataFrame = {
+    val centLocal = broadcast(
+      coarse.select(col("c_id").as("cell"), col("c_vec")))
+    assignCells(df, coarse, idCol, vecCol, probes)
+      .join(centLocal, "cell")
+      .withColumn("__resid", org.apache.spark.sql.graft.GraftInternal.column(
+        graft.functions.VecSub(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("c_vec"))))
+      .select(col(idCol), col("cell"), col("__resid"))
+  }
+
+  /** Per-query ADC lookup table over residuals (see [[pqTopK]]). */
+  private[ext] def pqQueryTabExpr(
+      residCol: String, books: Array[Array[(Int, Array[Float], Double)]]): Column =
+    org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqQueryTable(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(residCol),
+        books.map(_.map(_._2))))
+
+  /** The ADC scoring + ranking stage shared by [[ivfpqTopK]] (inline
+    * index) and [[AnnIndex.search]] (persisted index): join the
+    * codes-only corpus side to the broadcast query tables on `cell`,
+    * score each pair with m table lookups, and rank through the bounded
+    * top-k aggregator. `codes` = (n_id, cell, codes); `q` = (q_id, cell,
+    * qtab), already broadcast by the caller.
+    */
+  private[ext] def adcScoreTopK(
+      codes: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val adc = org.apache.spark.sql.graft.GraftInternal.column(
       graft.functions.PqAdcDistance(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{AnnIndex, Similarity}
+import graft.io._
+import graft.merge.Dml
+
+/** Persisted ANN index lifecycle: build once / search many /
+  * CDF-incremental refresh. The core invariants:
+  *   - a search over a fresh index is BIT-identical to the inline
+  *     [[Similarity.ivfpqTopK]] on the same corpus (shared residualize +
+  *     ADC stages, quantizers round-tripped through table properties);
+  *   - refresh applies only the change feed, and afterwards the codes
+  *     table equals re-encoding the full current corpus through the
+  *     FROZEN quantizers;
+  *   - staleness is first-class: detectable via status, refusable via
+  *     requireFresh.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 8
+
+  private def vec(i: Long): Array[Float] =
+    Array.tabulate(Dim)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 3f)
+
+  private def embDf(rows: Seq[(Long, Array[Float], Long)]) =
+    rows.toDF("vec_id", "embedding", "label")
+      // parquet round-trip reads arrays as containsNull = true; match it
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  private def mkCorpus(path: String, ids: Seq[Long]): Unit =
+    GraftWriter.write(spark, embDf(ids.map(i => (i, vec(i), i % 3))),
+      path, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(Cdc.PropKey -> "true")))
+
+  private def codesOf(indexPath: String): Set[(Long, Long, Seq[Int])] =
+    GraftTable(spark, indexPath).toDf()
+      .select("n_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+
+  private def frozenRecompute(indexPath: String, corpusPath: String): Set[(Long, Long, Seq[Int])] =
+    AnnIndex.encodeWith(spark, indexPath, GraftTable(spark, corpusPath).toDf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+
+  private def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Long)] =
+    df.select("q_id", "n_id", "rank", "adist_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("fresh-index search is bit-identical to the inline IVF-PQ path") {
+    val src = tmpDir("ann_src"); val idx = tmpDir("ann_idx") + "/ix"
+    mkCorpus(src, 0L until 120L)
+    AnnIndex.build(spark, src, idx, numCells = 6, m = 4, ksub = 8)
+    val corpus = GraftTable(spark, src).toDf()
+    val inline = Similarity.ivfpqTopK(corpus, col("vec_id") < 8, k = 4,
+      numCells = 6, m = 4, ksub = 8, rowCountHint = Some(120L))
+    val stored = AnnIndex.search(spark, idx,
+      corpus.filter(col("vec_id") < 8), k = 4)
+    assert(ranked(stored) == ranked(inline))
+    assert(ranked(stored).nonEmpty)
+    // multi-probe parity too (query-side nprobe only — same stored codes)
+    val inlineP = Similarity.ivfpqTopK(corpus, col("vec_id") < 8, k = 4,
+      numCells = 6, m = 4, ksub = 8, rowCountHint = Some(120L), nprobe = 2)
+    val storedP = AnnIndex.search(spark, idx,
+      corpus.filter(col("vec_id") < 8), k = 4, nprobe = 2)
+    assert(ranked(storedP) == ranked(inlineP))
+  }
+
+  test("filtered search narrows candidates without retraining") {
+    val src = tmpDir("ann_fsrc"); val idx = tmpDir("ann_fidx") + "/ix"
+    mkCorpus(src, 0L until 90L)
+    AnnIndex.build(spark, src, idx, numCells = 4, m = 4, ksub = 8)
+    val corpus = GraftTable(spark, src).toDf()
+    val res = AnnIndex.search(spark, idx, corpus.filter(col("vec_id") < 5),
+      k = 3, corpusPred = Some(col("n_id") % 3 === 0))
+    assert(ranked(res).nonEmpty)
+    assert(ranked(res).forall(_._2 % 3 == 0))
+  }
+
+  test("refresh folds append/update/delete; codes equal a frozen-quantizer recompute") {
+    val src = tmpDir("ann_rsrc"); val idx = tmpDir("ann_ridx") + "/ix"
+    mkCorpus(src, 0L until 80L)
+    AnnIndex.build(spark, src, idx, numCells = 4, m = 4, ksub = 8)
+    assert(AnnIndex.refresh(spark, idx).isEmpty) // already current
+    assert(codesOf(idx) == frozenRecompute(idx, src))
+
+    // append new vectors, re-point one embedding, delete a few rows
+    GraftWriter.write(spark,
+      embDf((200L until 210L).map(i => (i, vec(i + 3), i % 3))),
+      src, WriteOptions(mode = WriteMode.Append))
+    Dml.update(spark, src, col("vec_id") === 7L,
+      Map("embedding" -> typedLit(vec(999L))))
+    Dml.delete(spark, src, col("vec_id").isin(3L, 5L, 203L))
+    val applied = AnnIndex.refresh(spark, idx)
+    assert(applied.contains(GraftTable(spark, src).version()))
+
+    val after = codesOf(idx)
+    assert(after == frozenRecompute(idx, src))
+    assert(!after.exists(_._1 == 3L) && !after.exists(_._1 == 203L))
+    assert(after.exists(_._1 == 207L))
+    // the updated vector re-encoded: its codes differ from the original
+    val before = AnnIndex.encodeWith(spark, idx,
+      Seq((7L, vec(7L), 1L)).toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).head
+    val cur = after.find(_._1 == 7L).get
+    assert((cur._2, cur._3) != ((before._2, before._3)))
+    // idempotent: nothing left to apply
+    assert(AnnIndex.refresh(spark, idx).isEmpty)
+    // searches after refresh serve the maintained codes (fresh gate on)
+    val q = GraftTable(spark, src).toDf().filter(col("vec_id") < 4)
+    assert(ranked(AnnIndex.search(spark, idx, q, k = 3,
+      requireFresh = true)).nonEmpty)
+  }
+
+  test("staleness is detectable and requireFresh refuses a stale index") {
+    val src = tmpDir("ann_ssrc"); val idx = tmpDir("ann_sidx") + "/ix"
+    mkCorpus(src, 0L until 60L)
+    AnnIndex.build(spark, src, idx, numCells = 4, m = 4, ksub = 8)
+    assert(!AnnIndex.status(spark, idx).stale)
+    GraftWriter.write(spark, embDf(Seq((300L, vec(300L), 0L))), src,
+      WriteOptions(mode = WriteMode.Append))
+    val st = AnnIndex.status(spark, idx)
+    assert(st.stale && st.sourceVersion > st.indexedVersion)
+    val q = GraftTable(spark, src).toDf().filter(col("vec_id") < 4)
+    // default: stale index still serves (documented; status is the probe)
+    assert(ranked(AnnIndex.search(spark, idx, q, k = 3)).nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.search(spark, idx, q, k = 3, requireFresh = true)
+    }
+    assert(e.getMessage.contains("STALE"))
+    AnnIndex.refresh(spark, idx)
+    assert(!AnnIndex.status(spark, idx).stale)
+    assert(ranked(AnnIndex.search(spark, idx, q, k = 3,
+      requireFresh = true)).nonEmpty)
+  }
+
+  test("k-means build round-trips its refined quantizers through the properties") {
+    val src = tmpDir("ann_ksrc"); val idx = tmpDir("ann_kidx") + "/ix"
+    mkCorpus(src, 0L until 100L)
+    AnnIndex.build(spark, src, idx, numCells = 4, m = 4, ksub = 8,
+      coarseIters = 1, pqIters = 1)
+    graft.ext.Scratch.drain()
+    val corpus = GraftTable(spark, src).toDf()
+    val inline = Similarity.ivfpqTopKKmeans(corpus, col("vec_id") < 6, k = 3,
+      numCells = 4, m = 4, ksub = 8, coarseIters = 1, pqIters = 1,
+      rowCountHint = Some(100L))
+    val inlineRows = ranked(inline)
+    graft.ext.Scratch.drain()
+    val stored = AnnIndex.search(spark, idx,
+      corpus.filter(col("vec_id") < 6), k = 3)
+    assert(ranked(stored) == inlineRows)
+  }
+}
