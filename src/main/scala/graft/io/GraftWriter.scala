@@ -628,7 +628,16 @@ object GraftWriter {
         * `OPTIMIZE ... WHERE`) — at 100 TB you compact the day that
         * streamed in small files, never the whole table.
         */
-      where: Option[Column] = None): Long = {
+      where: Option[Column] = None,
+      /** clusterBy tables maintain their layout INCREMENTALLY by
+        * default: only files not yet written under the declared layout
+        * (plus the small-file tail and must-rewrite files) re-sort — a
+        * routine maintenance pass is O(new data), not O(table).
+        * `full = true` forces the whole eligible set through the sort
+        * (Delta's `OPTIMIZE ... FULL`) — the reset that restores a
+        * globally disjoint layout after many incremental passes.
+        */
+      full: Boolean = false): Long = {
     val declared = clusterByOf(
       new CommitLog(path, spark.sessionState.newHadoopConf()).tableProperties())
     declared match {
@@ -636,13 +645,11 @@ object GraftWriter {
         retryDerived { optimizeOnce(spark, path, maxRecordsPerFile, where) }
       case Seq(single) =>
         // one key: linear range-clustering beats a Morton curve
-        require(where.isEmpty,
-          "OPTIMIZE ... WHERE on a single-key clusterBy table is not " +
-            "supported (single-key clustering is a whole-table range " +
-            "sort); drop the predicate or declare 2+ keys")
-        optimizeCluster(spark, path, Seq(single), maxRecordsPerFile)
+        optimizeCluster(spark, path, Seq(single), maxRecordsPerFile, where,
+          incremental = !full)
       case many =>
-        optimizeZOrder(spark, path, many, maxRecordsPerFile, where)
+        optimizeZOrder(spark, path, many, maxRecordsPerFile, where,
+          incremental = !full)
     }
   }
 
@@ -669,10 +676,7 @@ object GraftWriter {
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
     val snap = log.snapshot()
-    val sizeFloor = minFileSizeBytes.getOrElse(
-      spark.conf.getOption("spark.graft.optimize.minFileSizeBytes")
-        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-        .getOrElse(256L * 1024 * 1024))
+    val sizeFloor = minFileSizeBytes.getOrElse(sizeFloorOf(spark))
     val eligible0 = where match {
       case None => snap.files
       case Some(pred) =>
@@ -774,6 +778,15 @@ object GraftWriter {
       expectedVersion = Some(snap.version))
   }
 
+  /** Bin-packing floor shared by compaction and incremental clustering
+    * (`spark.graft.optimize.minFileSizeBytes`, default 256 MiB): files
+    * at or above it are considered done.
+    */
+  private def sizeFloorOf(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.optimize.minFileSizeBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(256L * 1024 * 1024)
+
   private[io] def retryDerived(f: => Long): Long = {
     var attempt = 0
     while (true) {
@@ -800,43 +813,94 @@ object GraftWriter {
       spark: SparkSession,
       path: String,
       cols: Seq[String],
-      maxRecordsPerFile: Long = 4 * 1024 * 1024): Long = {
+      maxRecordsPerFile: Long = 4 * 1024 * 1024,
+      /** Partition-column predicate scoping the pass (range-sorts
+        * within the matching partitions only).
+        */
+      where: Option[Column] = None,
+      /** Incremental maintenance: sort only files NOT already written
+        * under this layout, plus the small-file tail and must-rewrite
+        * files (DV'd / external refs). A direct call defaults to the
+        * historical full re-sort; the plain-OPTIMIZE dispatcher on a
+        * clusterBy table passes `incremental = true`.
+        */
+      incremental: Boolean = false): Long = {
     require(cols.nonEmpty, "clustering requires at least one column")
-    retryDerived { optimizeClusterOnce(spark, path, cols, maxRecordsPerFile) }
+    retryDerived {
+      optimizeClusterOnce(spark, path, cols, maxRecordsPerFile, where,
+        incremental)
+    }
+  }
+
+  /** The candidate set of an incremental clustering pass over `scoped`
+    * files: everything not yet written under `layout`, plus
+    * already-clustered files that are small (the tail folds into the
+    * layout) or MUST rewrite (DV'd / external refs). Returns Nil when
+    * the pass would accomplish nothing — all candidates already in the
+    * layout, plain, and too few to bin-pack — so a second maintenance
+    * pass right after a first is a clean no-op.
+    */
+  private def clusterCandidates(
+      scoped: Seq[AddFile], layout: String, sizeFloor: Long): Seq[AddFile] = {
+    val candidates = scoped.filter(f =>
+      !f.clusteredBy.contains(layout) || f.sizeBytes < sizeFloor ||
+        f.dv.isDefined || GraftTable.isExternalRef(f.path))
+    val worthIt = candidates.exists(f =>
+      !f.clusteredBy.contains(layout) || f.dv.isDefined ||
+        GraftTable.isExternalRef(f.path)) || candidates.size > 1
+    if (worthIt) candidates else Nil
   }
 
   private def optimizeClusterOnce(
       spark: SparkSession,
       path: String,
       cols: Seq[String],
-      maxRecordsPerFile: Long): Long = {
+      maxRecordsPerFile: Long,
+      where: Option[Column],
+      incremental: Boolean): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
     val snap = log.snapshot()
     val table = new GraftTable(spark, path)
-    val totalRows = snap.files.map(_.liveRecords).sum
+    val layout = cols.mkString(",")
+    val scoped = where match {
+      case None => snap.files
+      case Some(pred) =>
+        require(snap.partitionColumns.nonEmpty,
+          "OPTIMIZE ... WHERE requires a partitioned table " +
+            "(the predicate scopes by partition values)")
+        val keep = matchingFiles(
+          spark, snap.files, snap.schema, snap.partitionColumns, pred).toSet
+        snap.files.filter(f => keep(f.path))
+    }
+    val toSort =
+      if (incremental) clusterCandidates(scoped, layout, sizeFloorOf(spark))
+      else scoped
+    if (toSort.isEmpty) return snap.version
+    val totalRows = toSort.map(_.liveRecords).sum
     val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
-    val clustered = table.toDf()
+    val clustered = table.dfForFiles(snap, toSort)
       .repartitionByRange(nOut, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     val added = stageAndPromote(
       spark, fs, conf, clustered, path, snap.partitionColumns, "zstd")
+      .map(_.copy(clusteredBy = Some(layout)))
     // like compaction: a concurrent append commutes (its file is not in
     // the removal set, so its rows survive — merely unclustered) and
-    // REBASES instead of re-running the whole-table rewrite
-    log.commitOrRebase(maintenanceProfile(snap.files), snap) { expected =>
+    // REBASES instead of re-running the rewrite
+    log.commitOrRebase(maintenanceProfile(toSort), snap) { expected =>
       log.commit(
         operation = "OPTIMIZE",
         mode = "cluster",
         schemaDdl = snap.schema.toDDL,
         partitionColumns = snap.partitionColumns,
-        metadata = Map("cluster_by" -> cols.mkString(",")),
+        metadata = Map("cluster_by" -> layout),
         operationMetrics = Map(
-          "num_clustered_files" -> snap.files.size.toLong,
+          "num_clustered_files" -> toSort.size.toLong,
           "num_added_files" -> added.size.toLong),
         add = added,
-        remove = snap.files.map(f => RemoveFile(f.path)),
+        remove = toSort.map(f => RemoveFile(f.path)),
         expectedVersion = Some(expected))
     }
   }
@@ -901,14 +965,22 @@ object GraftWriter {
         * — at 100 TB you Z-order the day that just landed, never the
         * whole table.
         */
-      where: Option[Column] = None): Long =
+      where: Option[Column] = None,
+      /** Incremental maintenance (see [[optimizeCluster]]): Z-order
+        * only the files not yet written under this layout plus the
+        * small/must-rewrite tail. New files overlap older ones in
+        * Morton range — footer stats stay conservative-correct, and an
+        * occasional `full = true` pass restores disjointness.
+        */
+      incremental: Boolean = false): Long =
     retryDerived {
       val conf = spark.sessionState.newHadoopConf()
       val log = new CommitLog(path, conf)
       val fs = new Path(path).getFileSystem(conf)
       val snap = log.snapshot()
       val table = new GraftTable(spark, path)
-      val eligible = where match {
+      val layout = cols.mkString(",")
+      val scoped = where match {
         case None => snap.files
         case Some(pred) =>
           require(snap.partitionColumns.nonEmpty,
@@ -918,6 +990,9 @@ object GraftWriter {
             spark, snap.files, snap.schema, snap.partitionColumns, pred).toSet
           snap.files.filter(f => keep(f.path))
       }
+      val eligible =
+        if (incremental) clusterCandidates(scoped, layout, sizeFloorOf(spark))
+        else scoped
       if (eligible.isEmpty) return snap.version
       val totalRows = eligible.map(_.liveRecords).sum
       val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
@@ -930,13 +1005,14 @@ object GraftWriter {
         .drop(zCol)
       val added = stageAndPromote(
         spark, fs, conf, clustered, path, snap.partitionColumns, "zstd")
+        .map(_.copy(clusteredBy = Some(layout)))
       log.commitOrRebase(maintenanceProfile(eligible), snap) { expected =>
         log.commit(
           operation = "OPTIMIZE",
           mode = "zorder",
           schemaDdl = snap.schema.toDDL,
           partitionColumns = snap.partitionColumns,
-          metadata = Map("zorder_by" -> cols.mkString(",")),
+          metadata = Map("zorder_by" -> layout),
           operationMetrics = Map(
             "num_clustered_files" -> eligible.size.toLong,
             "num_added_files" -> added.size.toLong),

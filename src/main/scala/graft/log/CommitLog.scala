@@ -41,7 +41,14 @@ final case class AddFile(
     /** Deletion vector; None = every physical row is live (absent in
       * pre-DV logs — json4s default).
       */
-    dv: Option[DvFile] = None) {
+    dv: Option[DvFile] = None,
+    /** Cluster layout ("col1,col2") this file was WRITTEN under by an
+      * OPTIMIZE cluster/Z-order pass — incremental clustering rewrites
+      * only files NOT already in the declared layout, so maintenance on
+      * a clusterBy table is O(new data), not O(table). None (absent in
+      * older logs) = not known to be clustered.
+      */
+    clusteredBy: Option[String] = None) {
   def liveRecords: Long = numRecords - dv.map(_.cardinality).getOrElse(0L)
 }
 

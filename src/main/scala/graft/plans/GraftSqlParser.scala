@@ -77,7 +77,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*VACUUM\s+""" + T +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val OptimizeRe =
-    ("""(?is)^\s*OPTIMIZE\s+""" + T +
+    ("""(?is)^\s*OPTIMIZE\s+""" + T + """(\s+FULL)?""" +
       """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
@@ -121,10 +121,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case VacuumRe(p, n, hours, dry) =>
         Some(GraftVacuumCommand(target(p, n),
           Option(hours).map(_.toLong), dryRun = dry != null))
-      case OptimizeRe(p, n, wpred, zcols) =>
+      case OptimizeRe(p, n, fullKw, wpred, zcols) =>
         Some(GraftOptimizeCommand(target(p, n),
           Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-          Option(wpred).map(_.trim).filter(_.nonEmpty)))
+          Option(wpred).map(_.trim).filter(_.nonEmpty),
+          full = fullKw != null))
       case GenerateRe(p, n) => Some(GraftGenerateCommand(target(p, n)))
       case HistoryRe(p, n) => Some(GraftDescribeHistoryCommand(target(p, n)))
       case DetailRe(p, n) => Some(GraftDescribeDetailCommand(target(p, n)))

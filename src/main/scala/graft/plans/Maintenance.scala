@@ -165,14 +165,20 @@ final case class GraftOptimizeCommand(
     target: Either[String, Seq[String]],
     zorderBy: Seq[String],
     /** Partition-scoped compaction (`OPTIMIZE t WHERE day = '...'`). */
-    where: Option[String] = None) extends LeafRunnableCommand {
+    where: Option[String] = None,
+    /** `OPTIMIZE t FULL`: force the whole eligible set through the
+      * declared-cluster sort instead of the incremental pass (restores
+      * a globally disjoint layout after many incremental passes).
+      */
+    full: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenance.resolvePath(spark, target)
     val pred = where.map(org.apache.spark.sql.functions.expr)
     val v =
-      if (zorderBy.isEmpty) GraftWriter.optimize(spark, path, where = pred)
+      if (zorderBy.isEmpty)
+        GraftWriter.optimize(spark, path, where = pred, full = full)
       // partition-scoped Z-order: only matching partitions re-cluster
       else GraftWriter.optimizeZOrder(spark, path, zorderBy, where = pred)
     Seq(Row(v))

@@ -322,6 +322,72 @@ class TableLayerSpec extends SparkSpec {
     assert(t.toDf(Some(0L)).count() == 4000)
   }
 
+  test("declared clustering is incremental: a second OPTIMIZE touches only new files") {
+    import spark.implicits._
+    val p = tmpDir("inccluster")
+    val floorKey = "spark.graft.optimize.minFileSizeBytes"
+    try {
+      // files here are a few KB; a 1-byte floor makes "already clustered
+      // and large enough" representable at test scale
+      spark.conf.set(floorKey, "1")
+      (0 until 4).foreach { i =>
+        GraftWriter.write(spark,
+          (0 until 64).map(j => (j * 4L + i, s"v$j")).toDF("k", "v").coalesce(1),
+          p, WriteOptions(mode =
+            if (i == 0) WriteMode.Overwrite else WriteMode.Append))
+      }
+      graft.io.Alter.alter(spark, p,
+        props = Map(GraftWriter.ClusterByKey -> "k"))
+      // first pass: everything is unmarked -> full range sort, marked adds
+      GraftWriter.optimize(spark, p, maxRecordsPerFile = 64)
+      val t = GraftTable(spark, p)
+      val firstPass = t.snapshot().files
+      assert(firstPass.forall(_.clusteredBy.contains("k")))
+      assert(t.filesAfterPruning(
+        Seq(DataFilter("k", SkipOp.Le, 10L))) == 1)
+      // second pass right away: nothing unmarked, nothing small -> no-op
+      val vBefore = t.version()
+      assert(GraftWriter.optimize(spark, p, maxRecordsPerFile = 64) == vBefore)
+      // append new (unclustered) data, then maintain: ONLY the new file
+      // sorts into the layout — every first-pass file survives untouched
+      GraftWriter.write(spark,
+        (256 until 288).map(j => (j.toLong, s"v$j")).toDF("k", "v").coalesce(1),
+        p, WriteOptions(mode = WriteMode.Append))
+      GraftWriter.optimize(spark, p, maxRecordsPerFile = 64)
+      val afterIncr = GraftTable(spark, p).snapshot().files
+      val firstPaths = firstPass.map(_.path).toSet
+      assert(firstPaths.subsetOf(afterIncr.map(_.path).toSet),
+        "incremental pass must not rewrite already-clustered files")
+      assert(afterIncr.forall(_.clusteredBy.contains("k")))
+      assert(GraftTable(spark, p).toDf().count() == 288)
+      // skipping still effective over the mixed old+new layout
+      assert(GraftTable(spark, p).filesAfterPruning(
+        Seq(DataFilter("k", SkipOp.Le, 10L))) == 1)
+      // FULL forces the global re-sort (SQL route): all paths change
+      val vFull = spark.sql(s"OPTIMIZE graft.`$p` FULL").head().getLong(0)
+      assert(vFull > vBefore)
+      val afterFull = GraftTable(spark, p).snapshot().files
+      assert(afterFull.map(_.path).toSet.intersect(
+        afterIncr.map(_.path).toSet).isEmpty)
+      assert(GraftTable(spark, p).toDf().count() == 288)
+      // WHERE now works on single-key clusterBy tables (partitioned)
+      val pp = tmpDir("incclusterw")
+      GraftWriter.write(spark,
+        (0 until 64).map(j => (j.toLong, j % 2, s"v$j")).toDF("k", "part", "v"),
+        pp, WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("part")))
+      graft.io.Alter.alter(spark, pp,
+        props = Map(GraftWriter.ClusterByKey -> "k"))
+      val scopedV = GraftWriter.optimize(spark, pp,
+        where = Some(col("part") === 0))
+      assert(scopedV > 0)
+      val scoped = GraftTable(spark, pp).snapshot().files
+      assert(scoped.filter(_.partitionValues("part") == "0")
+        .forall(_.clusteredBy.contains("k")))
+      assert(scoped.filter(_.partitionValues("part") == "1")
+        .forall(_.clusteredBy.isEmpty))
+    } finally spark.conf.unset(floorKey)
+  }
+
   test("z-order clustering prunes selective predicates on ANY clustered column") {
     val p = tmpDir("zord")
     val df = spark.range(0, 65536).select(
