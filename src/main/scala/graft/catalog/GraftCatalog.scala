@@ -190,17 +190,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       properties: util.Map[String, String]): Table = {
     val path = pathFor(ident)
     if (GraftTable.exists(spark, path)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map {
+    // CLUSTER BY (a,b) arrives as a ClusterByTransform among the
+    // partitioning transforms — peel it into the graft.clusterBy
+    // declaration (plain OPTIMIZE then maintains the layout)
+    import org.apache.spark.sql.connector.expressions.ClusterByTransform
+    val clusterKeys = partitions.toSeq.collect {
+      case ClusterByTransform(refs) => refs.map(_.fieldNames.mkString("."))
+    }.flatten
+    val partCols = partitions.toSeq
+      .filterNot(_.isInstanceOf[ClusterByTransform]).map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
       case other => throw new UnsupportedOperationException(
         s"graft tables support identity partitioning only, got $other")
     }
+    val meta = properties.asScala.toMap -
+      org.apache.spark.sql.catalyst.catalog.CatalogTable.PROP_CLUSTERING_COLUMNS ++
+      (if (clusterKeys.isEmpty) Map.empty
+       else Map(GraftWriter.ClusterByKey -> clusterKeys.mkString(",")))
+    GraftWriter.validateClusterBy(schema, partCols, meta)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     GraftWriter.write(spark, empty, path,
       WriteOptions(mode = WriteMode.ErrorIfExists, partitionBy = partCols,
-        metadata = properties.asScala.toMap))
+        metadata = meta))
     loadTable(ident)
   }
 
@@ -259,6 +272,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // empty = DROP DEFAULT (the commit log's ""-drops-property rule)
         meta += graft.io.Generated.DefaultPrefix + ud.fieldNames.head ->
           ud.newDefaultValue()
+      // ALTER TABLE t CLUSTER BY (a,b) / NONE via the DSv2 change
+      // contract — empty column set = NONE = drop the declaration
+      case cb: TableChange.ClusterBy =>
+        val cols = cb.clusteringColumns.toSeq.map(_.fieldNames.mkString("."))
+        meta += GraftWriter.ClusterByKey -> cols.mkString(",")
       case sp: TableChange.SetProperty =>
         require(sp.value.nonEmpty,
           s"empty value would drop property '${sp.property}'; use UNSET")

@@ -202,15 +202,7 @@ object Alter {
     }
     // clusterBy declarations validate here too: keys must be existing
     // NON-partition data columns (partition layout already clusters them)
-    props.get(GraftWriter.ClusterByKey).filter(_.nonEmpty).foreach { v =>
-      v.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
-        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-          s"clusterBy names unknown column $c")
-        require(!snap.partitionColumns.exists(_.equalsIgnoreCase(c)),
-          s"clusterBy key $c is a partition column (already clustered " +
-            "by the directory layout)")
-      }
-    }
+    GraftWriter.validateClusterBy(schema, snap.partitionColumns, props)
     table.log.commit(
       operation = "ALTER TABLE",
       mode = "metadata",

@@ -620,6 +620,25 @@ object GraftWriter {
     props.get(ClusterByKey).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
+  /** Declaration-time check shared by every route that can set
+    * `graft.clusterBy` (ALTER, CREATE TABLE ... CLUSTER BY on both the
+    * path and catalog DDL routes): keys must be existing NON-partition
+    * data columns — the partition layout already clusters its columns.
+    */
+  private[graft] def validateClusterBy(
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String],
+      props: Map[String, String]): Unit =
+    props.get(ClusterByKey).filter(_.nonEmpty).foreach { v =>
+      v.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"clusterBy names unknown column $c")
+        require(!partitionCols.exists(_.equalsIgnoreCase(c)),
+          s"clusterBy key $c is a partition column (already clustered " +
+            "by the directory layout)")
+      }
+    }
+
   def optimize(
       spark: SparkSession,
       path: String,

@@ -319,12 +319,21 @@ final case class GraftShowCreateTableCommand(
     val parts =
       if (snap.partitionColumns.isEmpty) ""
       else snap.partitionColumns.map(q).mkString("\nPARTITIONED BY (", ", ", ")")
+    // the declared clustering layout renders as its DDL clause, not as a
+    // raw property — the emitted CREATE TABLE round-trips through the
+    // CLUSTER BY parse path and redeclares graft.clusterBy itself
+    val clusterKeys = props.get(graft.io.GraftWriter.ClusterByKey).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val cluster =
+      if (clusterKeys.isEmpty) ""
+      else clusterKeys.map(q).mkString("\nCLUSTER BY (", ", ", ")")
+    val shownProps = props - graft.io.GraftWriter.ClusterByKey
     val tblProps =
-      if (props.isEmpty) ""
-      else props.toSeq.sortBy(_._1)
+      if (shownProps.isEmpty) ""
+      else shownProps.toSeq.sortBy(_._1)
         .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
         .mkString("\nTBLPROPERTIES (", ", ", ")")
-    Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft$parts$tblProps\n"))
+    Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft$parts$cluster$tblProps\n"))
   }
 }
 
@@ -351,6 +360,7 @@ final case class GraftCreateTableCommand(
         s"only ${graft.log.CommitLog.ReservedPrefix}* table properties " +
           s"persist across commits; got '$k'")
     }
+    GraftWriter.validateClusterBy(tableSchema, partitionCols, props)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](), tableSchema)
     Seq(Row(GraftWriter.write(spark, empty, path,
@@ -383,6 +393,10 @@ final case class GraftCreateTableAsSelectCommand(
         s"only ${graft.log.CommitLog.ReservedPrefix}* table properties " +
           s"persist across commits; got '$k'")
     }
+    GraftWriter.validateClusterBy(
+      org.apache.spark.sql.types.StructType(query.output.map(a =>
+        org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))),
+      partitionCols, props)
     Seq(Row(GraftWriter.write(spark,
       GraftInternal.dfFromPlan(spark, query), path,
       graft.io.WriteOptions(
@@ -682,6 +696,20 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftAlterCommand(p, Nil, props, alterColTypes = widenings)
           case None => ac
         }
+      // ALTER TABLE t CLUSTER BY (a,b) / CLUSTER BY NONE — the DDL face
+      // of the graft.clusterBy property (plain OPTIMIZE then maintains
+      // the declared layout incrementally). NONE drops the declaration;
+      // key validation (existing non-partition columns) runs in Alter.
+      case acb: org.apache.spark.sql.catalyst.plans.logical.AlterTableClusterBy =>
+        graftTablePath(acb.table) match {
+          case Some(p) =>
+            val v = acb.clusterBySpec
+              .map(_.columnNames.map(_.fieldNames.mkString(".")).mkString(","))
+              .getOrElse("") // empty value = drop (commit-log contract)
+            GraftAlterCommand(p, Nil,
+              Map(graft.io.GraftWriter.ClusterByKey -> v))
+          case None => acb
+        }
       case s: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
         graftTablePath(s.table) match {
           case Some(p) =>
@@ -773,37 +801,50 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             // parquet` must NOT be hijacked into a graft table
             c.tableDesc.provider.exists(_.equalsIgnoreCase("graft")) &&
             c.query.forall(_.resolved) =>
+        val v1Props = translateClusterProp(c.tableDesc.properties)
         c.query match {
           case Some(q) =>
             GraftCreateTableAsSelectCommand(
               c.tableDesc.identifier.table, q,
               c.tableDesc.partitionColumnNames,
-              c.tableDesc.properties,
+              v1Props,
               c.mode == org.apache.spark.sql.SaveMode.Ignore)
           case None =>
             GraftCreateTableCommand(
               c.tableDesc.identifier.table,
               c.tableDesc.schema,
               c.tableDesc.partitionColumnNames,
-              c.tableDesc.properties,
+              v1Props,
               c.mode == org.apache.spark.sql.SaveMode.Ignore)
         }
       case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable =>
         graftTablePath(c.name) match {
           case Some(p) =>
-            val partCols = c.partitioning.map {
+            // CLUSTER BY (a,b) arrives as a ClusterByTransform among the
+            // partitioning transforms — peel it into the graft.clusterBy
+            // property (the declared-layout contract OPTIMIZE maintains)
+            val clusterKeys = c.partitioning.collect {
+              case org.apache.spark.sql.connector.expressions
+                    .ClusterByTransform(refs) =>
+                refs.map(_.fieldNames.mkString("."))
+            }.flatten
+            val partCols = c.partitioning.filterNot(
+              _.isInstanceOf[org.apache.spark.sql.connector.expressions
+                .ClusterByTransform]).map {
               case t if t.name == "identity" && t.references.length == 1 =>
                 t.references.head.fieldNames.mkString(".")
               case other => throw new UnsupportedOperationException(
                 s"graft path tables support identity partitioning only, got $other")
             }
-            val props = c.tableSpec match {
+            val props = (c.tableSpec match {
               case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
                 u.properties
               case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
                 t.properties
               case _ => Map.empty[String, String]
-            }
+            }) ++ (if (clusterKeys.isEmpty) Map.empty
+                   else Map(graft.io.GraftWriter.ClusterByKey ->
+                     clusterKeys.mkString(",")))
             GraftCreateTableCommand(
               p, c.tableSchema, partCols, props, c.ignoreIfExists)
           case None => c
@@ -831,6 +872,26 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
     * still carrying the raw two-part identifier) or a catalog-resolved
     * graft table (ALTER on `cat.ns.tbl` names).
     */
+  /** ResolveSessionCatalog folds a `CLUSTER BY (a,b)` clause into the
+    * CatalogTable's `clusteringColumns` property (ClusterBySpec JSON);
+    * rewrite it as the carried `graft.clusterBy` declaration so the
+    * clause survives the V1 conversion on the path CREATE route.
+    */
+  private def translateClusterProp(
+      props: Map[String, String]): Map[String, String] = {
+    val key = org.apache.spark.sql.catalyst.catalog.CatalogTable
+      .PROP_CLUSTERING_COLUMNS
+    props.get(key) match {
+      case None => props
+      case Some(v) =>
+        val cols = org.apache.spark.sql.catalyst.catalog.ClusterBySpec
+          .fromProperty(v).columnNames.map(_.fieldNames.mkString("."))
+        (props - key) ++ (if (cols.isEmpty) Map.empty
+                          else Map(graft.io.GraftWriter.ClusterByKey ->
+                            cols.mkString(",")))
+    }
+  }
+
   private def graftTablePath(t: LogicalPlan): Option[String] = t match {
     case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
         if ut.multipartIdentifier.length == 2 &&

@@ -671,6 +671,71 @@ class SqlDmlSpec extends SparkSpec {
     assert(e2.getMessage.contains("partition column"), e2.getMessage)
   }
 
+  test("CLUSTER BY DDL: CREATE/ALTER clause routes to the declared layout") {
+    import spark.implicits._
+    // path route: the clause lands as the carried graft.clusterBy prop
+    val p = tmpDir("ddlcluster") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$p` (k BIGINT, v STRING) USING graft " +
+      "CLUSTER BY (k)")
+    assert(GraftTable(spark, p).log.tableProperties()
+      .get(GraftWriter.ClusterByKey).contains("k"))
+    // the declaration drives plain OPTIMIZE exactly like the property route
+    (0 until 4).foreach { i =>
+      GraftWriter.write(spark,
+        (0 until 64).map(j => (j * 4L + i, s"v$j")).toDF("k", "v").coalesce(1),
+        p, WriteOptions(mode = WriteMode.Append))
+    }
+    GraftWriter.optimize(spark, p, maxRecordsPerFile = 64)
+    assert(GraftTable(spark, p).filesAfterPruning(
+      Seq(graft.io.DataFilter("k", graft.io.SkipOp.Le, 10L))) == 1)
+    // ALTER TABLE ... CLUSTER BY re-declares; NONE drops
+    spark.sql(s"ALTER TABLE graft.`$p` CLUSTER BY (v)")
+    assert(GraftTable(spark, p).log.tableProperties()
+      .get(GraftWriter.ClusterByKey).contains("v"))
+    spark.sql(s"ALTER TABLE graft.`$p` CLUSTER BY NONE")
+    assert(!GraftTable(spark, p).log.tableProperties()
+      .contains(GraftWriter.ClusterByKey))
+    spark.sql(s"ALTER TABLE graft.`$p` CLUSTER BY (k, v)")
+    assert(GraftTable(spark, p).log.tableProperties()
+      .get(GraftWriter.ClusterByKey).contains("k,v"))
+    // SHOW CREATE TABLE renders the clause (not the raw property) and
+    // the emitted DDL round-trips: executing it re-declares the layout
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$p`").head().getString(0)
+    assert(ddl.contains("CLUSTER BY (`k`, `v`)"), ddl)
+    assert(!ddl.contains(GraftWriter.ClusterByKey), ddl)
+    val p2 = tmpDir("ddlcluster2") + "/t"
+    spark.sql(ddl.replace(s"graft.`$p`", s"graft.`$p2`"))
+    assert(GraftTable(spark, p2).log.tableProperties()
+      .get(GraftWriter.ClusterByKey).contains("k,v"))
+    // unknown clustering key is refused at CREATE (Spark's analyzer
+    // validates the clause against the declared schema before our rule)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${tmpDir("ddlclusterbad")}/t` " +
+        "(k BIGINT) USING graft CLUSTER BY (ghost)")
+    }
+    assert(e.getMessage.contains("ghost"), e.getMessage)
+    // catalog route: CREATE ... CLUSTER BY + ALTER ... CLUSTER BY
+    val root = tmpDir("ddlcluster_cat")
+    spark.conf.set("spark.sql.catalog.clcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.clcat.root", root)
+    try {
+      spark.sql("CREATE NAMESPACE clcat.ns")
+      spark.sql("CREATE TABLE clcat.ns.t (k BIGINT, v STRING) USING graft " +
+        "CLUSTER BY (k)")
+      assert(GraftTable(spark, s"$root/ns/t").log.tableProperties()
+        .get(GraftWriter.ClusterByKey).contains("k"))
+      spark.sql("ALTER TABLE clcat.ns.t CLUSTER BY (v)")
+      assert(GraftTable(spark, s"$root/ns/t").log.tableProperties()
+        .get(GraftWriter.ClusterByKey).contains("v"))
+      spark.sql("ALTER TABLE clcat.ns.t CLUSTER BY NONE")
+      assert(!GraftTable(spark, s"$root/ns/t").log.tableProperties()
+        .contains(GraftWriter.ClusterByKey))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.clcat")
+      spark.conf.unset("spark.sql.catalog.clcat.root")
+    }
+  }
+
   test("table_changes / table_changes_by_path TVFs serve batch CDF in SQL") {
     import spark.implicits._
     val p = tmpDir("sqltvf") + "/t"
