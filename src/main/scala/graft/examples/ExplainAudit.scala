@@ -141,6 +141,20 @@ object ExplainAudit {
     val img = graft.SparkEntry.queries("image_decode_stats")(spark, sfDir)
     img.explain("formatted")
 
+    println("=== [N] filtered IVF-PQ search (expect ONE scan of the " +
+      "embedding column — candidates semi-join the pinned training " +
+      "residuals; the predicate pass never re-reads vectors) ===")
+    val filt = graft.SparkEntry.queries("knn_ivfpq_filtered")(spark, sfDir)
+    filt.explain("formatted")
+    val embScans = filt.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.schema.fieldNames.exists(_.contains("embedding")) => f
+    }.size
+    println(s"--- embedding-column scans in the final plan (must be <= 1, " +
+      s"queries side only — corpus vectors live in the pinned residual " +
+      s"block): $embScans")
+    graft.ext.Scratch.drain()
+
     spark.stop()
   }
 

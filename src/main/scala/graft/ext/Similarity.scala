@@ -700,9 +700,11 @@ object Similarity {
     // pin them once (same Scratch lifecycle as the pair-generators;
     // Bench/Verify drain between queries) instead of recomputing the
     // assignment+join per pass. The stride path reads them only twice;
-    // not worth a corpus-sized block there.
+    // not worth a corpus-sized block there — EXCEPT under a filtered
+    // search, where the pin is what lets the candidate side reuse the
+    // training residuals instead of re-residualizing (below).
     val resid =
-      if (pqIters <= 0) resid0
+      if (pqIters <= 0 && corpusPred.isEmpty) resid0
       else {
         val pinned = resid0.localCheckpoint(eager = true)
         Scratch.register(pinned)
@@ -715,11 +717,15 @@ object Similarity {
       if (pqIters <= 0) pqCodebooks(resid, m, ksub, idCol, "__resid", Some(n))
       else pqCodebooksKmeans(resid, m, ksub, pqIters, idCol, "__resid", Some(n))
     // filtered search: training above used the FULL corpus; only the
-    // candidate side narrows (one extra narrow assignment pass when a
-    // predicate is set — the pinned training resid stays shared)
+    // candidate side narrows. The candidate residuals at probes=1 ARE
+    // the (pinned) training residuals, so narrow them with a semi-join
+    // against the predicate's id set instead of re-residualizing — the
+    // second corpus pass reads only (id, predicate cols), never the
+    // embedding column, and recomputes no cell assignment.
     val residCand = corpusPred match {
-      case Some(p) => residualize(corpus.filter(p), probes = 1)
-      case None    => resid
+      case Some(p) =>
+        resid.join(corpus.filter(p).select(col(idCol)), Seq(idCol), "left_semi")
+      case None => resid
     }
     val codes = residCand
       .select(col(idCol).as("n_id"), col("cell"),
