@@ -33,6 +33,17 @@ object MaterializedAgg {
   val SourceVersionKey: String =
     graft.log.CommitLog.ReservedPrefix + "matview.sourceVersion"
 
+  /** Carried-forward view DEFINITION properties (source path, grouping
+    * keys, summed column) — what lets `REFRESH MATERIALIZED VIEW t`
+    * re-derive the maintenance spec from the summary table alone.
+    */
+  val SourceKey: String =
+    graft.log.CommitLog.ReservedPrefix + "matview.source"
+  val KeysKey: String =
+    graft.log.CommitLog.ReservedPrefix + "matview.keys"
+  val ValueKey: String =
+    graft.log.CommitLog.ReservedPrefix + "matview.value"
+
   /** Build or incrementally refresh `summaryPath` =
     * `source GROUP BY keyCols AGG sum(valueCol) AS sum_val, count(*) AS
     * n_rows`. Returns the newly applied source version, or None when the
@@ -49,11 +60,16 @@ object MaterializedAgg {
     val curV = src.version()
 
     if (!GraftTable.exists(spark, summaryPath)) {
-      // initial build: one full aggregate, version pinned in the same
-      // creating commit
+      // initial build: one full aggregate; the version watermark AND the
+      // view definition (source/keys/value) pin in the same creating
+      // commit, so REFRESH MATERIALIZED VIEW can re-derive the spec
       GraftWriter.write(spark, summarize(src.toDf(), keyCols, valueCol),
         summaryPath, WriteOptions(mode = WriteMode.ErrorIfExists,
-          metadata = Map(SourceVersionKey -> curV.toString)))
+          metadata = Map(
+            SourceVersionKey -> curV.toString,
+            SourceKey -> sourcePath,
+            KeysKey -> keyCols.mkString(","),
+            ValueKey -> valueCol)))
       return Some(curV)
     }
 
@@ -107,6 +123,23 @@ object MaterializedAgg {
             "n_vals" -> col("s.d_nv")))),
       extraMetadata = Map(SourceVersionKey -> curV.toString))
     Some(curV)
+  }
+
+  /** [[refresh]] driven by the summary table alone: the view definition
+    * (source path, keys, summed column) reads back from the carried
+    * properties the creating commit recorded — the engine behind
+    * `REFRESH MATERIALIZED VIEW t`. Errors loudly on a table that is
+    * not a materialized aggregate.
+    */
+  def refreshByTarget(spark: SparkSession, summaryPath: String): Option[Long] = {
+    require(GraftTable.exists(spark, summaryPath),
+      s"not a graft table: $summaryPath")
+    val props = GraftTable(spark, summaryPath).log.tableProperties()
+    val source = props.getOrElse(SourceKey, throw new IllegalStateException(
+      s"$summaryPath is not a materialized view (missing $SourceKey — " +
+        "was it created with CREATE MATERIALIZED VIEW / MaterializedAgg?)"))
+    val keys = props(KeysKey).split(',').toSeq.filter(_.nonEmpty)
+    refresh(spark, source, summaryPath, keys, props(ValueKey))
   }
 
   /** Continuous maintenance: a change-feed stream whose every

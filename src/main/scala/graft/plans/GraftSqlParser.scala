@@ -103,6 +103,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
       """(?:\s+FILES\s*=\s*\(([^)]*)\))?""" +
       """(\s+MERGE\s+SCHEMA)?\s*;?\s*$""").r
+  private val CreateMatViewRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + T +
+      """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+""" + T +
+      """\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""").r
+  private val RefreshMatViewRe =
+    ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + T +
       """\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+""" + T +
@@ -140,6 +146,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           files = Option(fl).map(_.split(',').toSeq
             .map(_.trim.stripPrefix("'").stripSuffix("'"))
             .filter(_.nonEmpty))))
+      case CreateMatViewRe(p, n, sel, sp, sn, gb) =>
+        Some(GraftCreateMatViewCommand(target(p, n), target(sp, sn),
+          sel.trim,
+          gb.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      case RefreshMatViewRe(p, n) =>
+        Some(GraftRefreshMatViewCommand(target(p, n)))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>

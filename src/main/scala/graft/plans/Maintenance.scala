@@ -108,6 +108,66 @@ final case class GraftCopyIntoCommand(
   }
 }
 
+/** `CREATE MATERIALIZED VIEW s AS SELECT k..., sum(v) FROM src GROUP BY
+  * k...` — the SQL face of [[graft.ext.MaterializedAgg]]: one full
+  * aggregate now, then `REFRESH MATERIALIZED VIEW` applies per-key
+  * change-feed deltas (work scales with changed rows, never a source
+  * rescan). The view definition and source-version watermark ride the
+  * creating commit as carried properties. The SELECT shape is
+  * deliberately the one the incremental engine maintains exactly:
+  * grouping keys plus one integral `sum(col)` (summary columns land as
+  * `sum_val`/`n_rows`/`n_vals` regardless of any alias).
+  */
+final case class GraftCreateMatViewCommand(
+    target: Either[String, Seq[String]],
+    source: Either[String, Seq[String]],
+    selectList: String,
+    groupBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("source_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = GraftMaintenance.resolvePath(spark, source)
+    val dstPath = GraftMaintenance.resolvePath(spark, target)
+    require(!GraftTable.exists(spark, dstPath),
+      s"materialized view target already exists: $dstPath")
+    // select list = the grouping keys (bare identifiers) + exactly one
+    // SUM(col) [AS alias]; anything richer is not incrementally
+    // maintainable by the delta engine and is refused loudly
+    val sumRe = """(?i)^sum\s*\(\s*([\w.]+)\s*\)(?:\s+as\s+\w+)?$""".r
+    val items = selectList.split(',').map(_.trim).filter(_.nonEmpty)
+    val (sums, keys) = items.partition(sumRe.pattern.matcher(_).matches())
+    require(sums.length == 1,
+      "CREATE MATERIALIZED VIEW needs exactly one sum(col) in the " +
+        s"select list, got ${sums.length} in: $selectList")
+    keys.foreach(k => require(k.matches("""[\w.]+"""),
+      s"materialized-view select entries must be grouping keys or one " +
+        s"sum(col); cannot maintain '$k' incrementally"))
+    require(keys.map(_.toLowerCase).toSet == groupBy.map(_.toLowerCase).toSet,
+      s"select keys ${keys.mkString(",")} must equal GROUP BY " +
+        groupBy.mkString(","))
+    val valueCol = sums.head match { case sumRe(c) => c }
+    // preserve the SELECT's key order (groupBy order may differ)
+    val v = graft.ext.MaterializedAgg.refresh(
+      spark, srcPath, dstPath, keys.toSeq, valueCol)
+    Seq(Row(v.getOrElse(
+      throw new IllegalStateException("initial build applied no version"))))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW s` — incremental delta refresh from the
+  * recorded definition; `source_version` is NULL when already current.
+  */
+final case class GraftRefreshMatViewCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("source_version", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    Seq(Row(graft.ext.MaterializedAgg.refreshByTarget(spark, path)
+      .map(Long.box).orNull))
+  }
+}
+
 /** `ALTER TABLE t DROP FEATURE f` — see [[graft.io.Alter.dropFeature]]. */
 final case class GraftDropFeatureCommand(
     target: Either[String, Seq[String]],

@@ -52,6 +52,57 @@ class MaterializedAggSpec extends SparkSpec {
     assert(summaryOf(sum) == recompute(src, sum))
   }
 
+  test("CREATE/REFRESH MATERIALIZED VIEW SQL drives the same engine") {
+    val src = tmpDir("mv_sql_src")
+    val sum = tmpDir("mv_sql_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    val v0 = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT cat, sum(v) AS total FROM graft.`$src` GROUP BY cat")
+      .head().getLong(0)
+    assert(v0 == GraftTable(spark, src).version())
+    assert(summaryOf(sum) == Map("a" -> ((40L, 2L)), "b" -> ((20L, 1L))))
+    // the definition rides the creating commit: REFRESH needs only the
+    // target and is a no-op (NULL version) while the source is unchanged
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+      .head().isNullAt(0))
+    // source changes -> one incremental refresh catches up exactly
+    GraftWriter.write(spark, Seq((4L, "c", 5L)).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    Dml.delete(spark, src, col("id") === 1L)
+    val v1 = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+      .head().getLong(0)
+    assert(v1 == GraftTable(spark, src).version())
+    assert(summaryOf(sum) == recompute(src, sum))
+    // non-maintainable select shapes and key mismatches are refused
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`${tmpDir("mv_sql_bad")}` " +
+        s"AS SELECT cat, avg(v) FROM graft.`$src` GROUP BY cat")
+    }
+    assert(e1.getMessage.contains("sum(col)"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`${tmpDir("mv_sql_bad2")}` " +
+        s"AS SELECT id, sum(v) FROM graft.`$src` GROUP BY cat")
+    }
+    assert(e2.getMessage.contains("must equal GROUP BY"), e2.getMessage)
+    // refreshing a table that is not a materialized view errors loudly
+    val plain = tmpDir("mv_sql_plain")
+    GraftWriter.write(spark, Seq((1L, 1L)).toDF("a", "b"), plain,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val e3 = intercept[Exception] {
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$plain`")
+    }
+    assert(e3.getMessage.contains("not a materialized view"), e3.getMessage)
+    // existing target refused
+    val e4 = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+        s"SELECT cat, sum(v) FROM graft.`$src` GROUP BY cat")
+    }
+    assert(e4.getMessage.contains("already exists"), e4.getMessage)
+  }
+
   test("streaming maintenance: every micro-batch triggers an exactly-once refresh") {
     val src = tmpDir("mv_stream_src")
     val sum = tmpDir("mv_stream_sum")
