@@ -1172,6 +1172,10 @@ object OracleSql {
     // ADC path by construction (shared stages, exact artifact
     // round-trip) — the SAME oracle SQL checks both
     "knn_index_search" -> knnIvfPqAdcSql,
+    // the persisted-index rerank is bit-identical to the inline rerank
+    // by construction (shared shortlist + exact stages, quantizers
+    // round-trip through table properties) — sharing the SQL checks it
+    "knn_index_rerank" -> knnIvfPqRerankSql,
     "knn_ivfpq_rerank" -> knnIvfPqRerankSql,
     "knn_ivfpq_filtered" -> knnIvfPqFilteredSql,
     "knn_ivfpq_kmeans" -> knnIvfPqKmeansSql,

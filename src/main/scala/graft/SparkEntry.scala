@@ -856,6 +856,25 @@ object SparkEntry {
         col("adist_e6"))
   }
 
+  /** Two-stage retrieval against the PERSISTED index: ADC shortlist
+    * from the stored codes, exact-cosine rerank over the source table
+    * pinned at the indexed version. Bit-identical to the inline
+    * [[qKnnIvfPqRerank]] (shared shortlist and rerank stages) — which
+    * sharing its oracle SQL checks.
+    */
+  private def qKnnIndexRerank(spark: SparkSession, dir: String): DataFrame = {
+    val srcP = tmp("graft_annr_src")
+    val idxP = tmp("graft_annr_idx") + "/ix"
+    GraftWriter.write(spark, t(spark, dir, "embeddings"), srcP,
+      WriteOptions(mode = WriteMode.Overwrite))
+    graft.ext.AnnIndex.build(spark, srcP, idxP)
+    graft.ext.AnnIndex.searchRerank(spark, idxP,
+      GraftTable(spark, srcP).toDf().filter(col("vec_id") < 32), k = 5,
+      shortlistFactor = 4, requireFresh = true)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim_e6"))
+  }
+
   /** Filtered search over the SHARED index: coarse cells + PQ books
     * train on the FULL corpus, only label-0 vectors become candidates —
     * "nearest neighbors among label=X" without per-filter retraining.
@@ -1553,6 +1572,7 @@ object SparkEntry {
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
     "knn_index_search" -> (qKnnIndexSearch _),
+    "knn_index_rerank" -> (qKnnIndexRerank _),
     "knn_ivfpq_rerank" -> (qKnnIvfPqRerank _),
     "knn_ivfpq_filtered" -> (qKnnIvfPqFiltered _),
     "knn_ivfpq_kmeans" -> (qKnnIvfPqKmeans _),

@@ -190,6 +190,39 @@ object AnnIndex {
     Similarity.adcScoreTopK(codes, q, k)
   }
 
+  /** Two-stage retrieval against the persisted index: [[search]]'s ADC
+    * stage shortlists `shortlistFactor`·k candidates per query from the
+    * STORED codes, then an exact-cosine rerank reads the survivors'
+    * full vectors from the SOURCE table — pinned at the version the
+    * codes reflect, so even a deliberately stale search stays
+    * self-consistent (codes and vectors from the same snapshot). The
+    * exact stage touches only the O(q·k′) shortlist: vectors arrive via
+    * broadcast joins into one narrow source pass, never a corpus
+    * shuffle. Output: (q_id, n_id, rank, sim_e6) — bit-identical to
+    * [[Similarity.ivfpqTopKRerank]] on the corpus the index was built
+    * from.
+    */
+  def searchRerank(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int,
+      shortlistFactor: Int = 4,
+      nprobe: Int = 1,
+      corpusPred: Option[Column] = None,
+      requireFresh: Boolean = false): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    val shortlist = search(spark, indexPath, queries, k * shortlistFactor,
+      nprobe, corpusPred, requireFresh)
+    val props = GraftTable(spark, indexPath).log.tableProperties()
+    val (_, _, idColName, vecColName) = params(props)
+    val indexedV = prop(props, SourceVersionKey).toLong
+    val corpus = GraftTable(spark, prop(props, SourcePathKey))
+      .toDf(versionAsOf = Some(indexedV))
+    Similarity.rerankExactWith(
+      corpus, queries, shortlist, k, idColName, vecColName)
+  }
+
   /** Encode an arbitrary frame through the index's FROZEN quantizers —
     * the row-level primitive [[refresh]] applies to changed rows, and
     * the recompute oracle AnnIndexSpec checks refresh against.

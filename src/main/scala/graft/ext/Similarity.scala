@@ -818,10 +818,23 @@ object Similarity {
       shortlist: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    rerankExactWith(corpus, corpus, shortlist, k, idCol, vecCol)
+
+  /** [[rerankExact]] with the query vectors drawn from their own frame —
+    * the shape the persisted-index path needs, where queries are not
+    * rows of the indexed corpus.
+    */
+  private[ext] def rerankExactWith(
+      corpus: DataFrame,
+      queryVecs: DataFrame,
+      shortlist: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val pairs = broadcast(shortlist.select(col("q_id"), col("n_id")))
     val qv = broadcast(
-      corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      queryVecs.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
         .join(broadcast(pairs.select("q_id").distinct()), Seq("q_id")))
     val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .join(pairs, Seq("n_id"))

@@ -68,6 +68,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(ranked(storedP) == ranked(inlineP))
   }
 
+  test("persisted-index rerank is bit-identical to the inline two-stage path") {
+    val src = tmpDir("ann_rr_src"); val idx = tmpDir("ann_rr_idx") + "/ix"
+    mkCorpus(src, 0L until 120L)
+    AnnIndex.build(spark, src, idx, numCells = 6, m = 4, ksub = 8)
+    val corpus = GraftTable(spark, src).toDf()
+    val inline = Similarity.ivfpqTopKRerank(corpus, col("vec_id") < 8, k = 4,
+      shortlistFactor = 3, numCells = 6, m = 4, ksub = 8,
+      rowCountHint = Some(120L))
+      .select("q_id", "n_id", "rank", "sim_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val stored = AnnIndex.searchRerank(spark, idx,
+      corpus.filter(col("vec_id") < 8), k = 4, shortlistFactor = 3)
+      .select("q_id", "n_id", "rank", "sim_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(stored == inline)
+    // a stale index reranks against the SOURCE VERSION its codes
+    // reflect: appending rows changes nothing until a refresh
+    val before = AnnIndex.searchRerank(spark, idx,
+      corpus.filter(col("vec_id") < 8), k = 4, shortlistFactor = 3)
+      .collect().map(_.toSeq).toSet
+    GraftWriter.write(spark, embDf(Seq((500L, vec(500L), 0L))), src,
+      WriteOptions(mode = WriteMode.Append))
+    val afterStale = AnnIndex.searchRerank(spark, idx,
+      GraftTable(spark, src).toDf().filter(col("vec_id") < 8), k = 4,
+      shortlistFactor = 3)
+      .collect().map(_.toSeq).toSet
+    assert(afterStale == before,
+      "stale rerank must stay self-consistent with the indexed snapshot")
+    intercept[Exception] {
+      AnnIndex.searchRerank(spark, idx,
+        GraftTable(spark, src).toDf().filter(col("vec_id") < 8), k = 4,
+        requireFresh = true)
+    }
+  }
+
   test("filtered search narrows candidates without retraining") {
     val src = tmpDir("ann_fsrc"); val idx = tmpDir("ann_fidx") + "/ix"
     mkCorpus(src, 0L until 90L)
