@@ -558,6 +558,69 @@ object QuickStart {
       .mkString(" ")
     println(s"[41] incremental matview: $mvRows (sum/rows per key, " +
       "maintained from change-feed deltas — source never rescanned)")
+
+    // 42. persisted ANN index: build once, search many, refresh on change
+    val annSrc = s"$out/ann_src"
+    val annIdx = s"$out/ann_idx/ix"
+    GraftWriter.write(spark, embsDf, annSrc,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    graft.ext.AnnIndex.build(spark, annSrc, annIdx)
+    val annHits = graft.ext.AnnIndex.search(spark, annIdx,
+      GraftTable(spark, annSrc).toDf().filter(col("vec_id") < 4), k = 3,
+      requireFresh = true)
+    val annRerank = graft.ext.AnnIndex.searchRerank(spark, annIdx,
+      GraftTable(spark, annSrc).toDf().filter(col("vec_id") < 4), k = 3)
+    graft.merge.Dml.delete(spark, annSrc, col("vec_id") === 7L)
+    val stBefore = graft.ext.AnnIndex.status(spark, annIdx)
+    val refreshed = graft.ext.AnnIndex.refresh(spark, annIdx)
+    println(s"[42] ANN index: ${annHits.count()} ADC hits + " +
+      s"${annRerank.count()} exact-reranked from the STORED codes " +
+      s"(no retraining); delete made it stale=${stBefore.stale}, " +
+      s"refresh applied v${refreshed.getOrElse(-1L)} incrementally")
+
+    // 43. CLUSTER BY DDL + incremental maintenance: second OPTIMIZE
+    // touches only the newly appended file; FULL restores disjointness
+    val clTbl = s"$out/cluster_tbl"
+    // demo files are KBs; a 1-byte floor keeps "already clustered and
+    // large enough" representable (the default floor is 256 MiB)
+    spark.conf.set("spark.graft.optimize.minFileSizeBytes", "1")
+    spark.sql(s"CREATE TABLE graft.`$clTbl` (k BIGINT, v STRING) " +
+      "USING graft CLUSTER BY (k)")
+    (0 until 3).foreach { i =>
+      GraftWriter.write(spark,
+        spark.range(64).select((col("id") * 3 + i).as("k"),
+          col("id").cast("string").as("v")).coalesce(1),
+        clTbl, WriteOptions(mode = WriteMode.Append))
+    }
+    spark.sql(s"OPTIMIZE graft.`$clTbl`")
+    val clFirst = GraftTable(spark, clTbl).snapshot().files.map(_.path).toSet
+    GraftWriter.write(spark,
+      spark.range(200, 232).select(col("id").as("k"),
+        col("id").cast("string").as("v")).coalesce(1),
+      clTbl, WriteOptions(mode = WriteMode.Append))
+    spark.sql(s"OPTIMIZE graft.`$clTbl`")
+    val clAfter = GraftTable(spark, clTbl).snapshot().files.map(_.path).toSet
+    val clFullV = spark.sql(s"OPTIMIZE graft.`$clTbl` FULL").head().getLong(0)
+    spark.conf.unset("spark.graft.optimize.minFileSizeBytes")
+    println(s"[43] CLUSTER BY + incremental OPTIMIZE: " +
+      s"${(clFirst intersect clAfter).size} of ${clFirst.size} " +
+      "already-clustered files untouched by the second pass " +
+      s"(only the new append sorted in); OPTIMIZE FULL re-sorts (v$clFullV)")
+
+    // 44. CREATE/REFRESH MATERIALIZED VIEW — the SQL face of step 41
+    val mvSql = s"$out/mv_sql"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mvSql` AS " +
+      s"SELECT k, sum(v) FROM graft.`$mvSrc` GROUP BY k")
+    GraftWriter.write(spark,
+      spark.range(20, 23).select(col("id"),
+        (col("id") % 2).cast("string").as("k"), col("id").as("v")),
+      mvSrc, WriteOptions(mode = WriteMode.Append))
+    val mvV = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mvSql`").head()
+    val mvAgain = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mvSql`").head()
+    println(s"[44] SQL matview: REFRESH caught up to source " +
+      s"v${mvV.getLong(0)} from the recorded definition; second REFRESH " +
+      s"${if (mvAgain.isNullAt(0)) "no-op (already current)" else "RE-APPLIED?!"}")
     spark.stop()
   }
 }
