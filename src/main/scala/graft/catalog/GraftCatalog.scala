@@ -193,21 +193,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // CLUSTER BY (a,b) arrives as a ClusterByTransform among the
     // partitioning transforms — peel it into the graft.clusterBy
     // declaration (plain OPTIMIZE then maintains the layout)
-    import org.apache.spark.sql.connector.expressions.ClusterByTransform
-    val clusterKeys = partitions.toSeq.collect {
-      case ClusterByTransform(refs) => refs.map(_.fieldNames.mkString("."))
-    }.flatten
-    val partCols = partitions.toSeq
-      .filterNot(_.isInstanceOf[ClusterByTransform]).map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"graft tables support identity partitioning only, got $other")
-    }
+    val (partCols, clusterProp) = GraftWriter.peelClusterTransform(
+      partitions.toSeq, "graft tables")
     val meta = properties.asScala.toMap -
       org.apache.spark.sql.catalyst.catalog.CatalogTable.PROP_CLUSTERING_COLUMNS ++
-      (if (clusterKeys.isEmpty) Map.empty
-       else Map(GraftWriter.ClusterByKey -> clusterKeys.mkString(",")))
+      clusterProp
     GraftWriter.validateClusterBy(schema, partCols, meta)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -265,21 +265,24 @@ object AnnIndex {
     if (curV <= lastV) return None
 
     val changes = src.tableChanges(lastV, curV) // EXCLUSIVE from
-    // net effect per id across the range: drop update preimages (their
-    // postimage twin carries the surviving values), then keep the
-    // latest change by commit version — delete loses to a same-commit
-    // insert/postimage of the same id (a rewrite that re-adds the row)
-    val priority = when(col(graft.io.Cdc.ChangeCol) === "delete", 0L).otherwise(1L)
+    // net effect per id across the range: keep the latest change by
+    // commit version. Removal-shaped rows (delete AND update_preimage)
+    // rank BELOW any same-version insert/postimage of the same id: a
+    // normal UPDATE's postimage outranks its preimage twin, but an
+    // UPDATE that changes the ID COLUMN leaves the old id with only a
+    // preimage as its latest change — which must purge the old id's
+    // codes (dropping preimages outright left phantom neighbors behind)
+    val priority = when(col(graft.io.Cdc.ChangeCol)
+      .isin("delete", "update_preimage"), 0L).otherwise(1L)
     val latest = changes
-      .filter(col(graft.io.Cdc.ChangeCol) =!= "update_preimage")
       .withColumn("__pri", priority)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(idColName))
           .orderBy(col(graft.io.Cdc.VersionCol).desc, col("__pri").desc)))
       .filter(col("__rn") === 1)
-    val survivors = latest.filter(col(graft.io.Cdc.ChangeCol) =!= "delete")
+    val survivors = latest.filter(col("__pri") === 1L)
       .select(col(idColName), col(vecColName))
-    val deletes = latest.filter(col(graft.io.Cdc.ChangeCol) === "delete")
+    val deletes = latest.filter(col("__pri") === 0L)
       .select(col(idColName).cast("long").as("n_id"),
         lit(null).cast("long").as("cell"),
         lit(null).cast("array<int>").as("codes"),

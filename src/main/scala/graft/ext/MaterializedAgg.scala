@@ -79,6 +79,12 @@ object MaterializedAgg {
       .getOrElse(throw new IllegalStateException(
         s"$summaryPath is not a materialized aggregate of $sourcePath " +
           s"(missing $SourceVersionKey)"))
+    // summaries written before the NULL-semantics fix lack n_vals and
+    // its value is NOT derivable from (sum_val, n_rows) — fail with the
+    // remedy instead of a cryptic merge-validation error
+    require(summary.snapshot().schema.fieldNames.contains("n_vals"),
+      s"$summaryPath predates the n_vals column (exact sum() NULL " +
+        "semantics); drop it and rebuild the materialized aggregate")
     if (curV <= lastV) return None // already current
 
     // per-key deltas from the change feed: insert/update_postimage rows
@@ -102,8 +108,11 @@ object MaterializedAgg {
       .filter(col("d_n") =!= 0L || col("d_sum") =!= 0L || col("d_nv") =!= 0L)
 
     // upsert the deltas; the source-version watermark rides the SAME
-    // commit — atomic exactly-once
-    val pred = keyCols.map(k => s"s.$k = t.$k").mkString(" AND ")
+    // commit — atomic exactly-once. NULL-SAFE equality: a NULL grouping
+    // key is a real group (sum() skips values, not groups) — with plain
+    // `=` its delta row would never match and every refresh would
+    // insert a fresh duplicate NULL-key summary row
+    val pred = keyCols.map(k => s"s.$k <=> t.$k").mkString(" AND ")
     val newNv = coalesce(col("t.n_vals"), lit(0L)) + col("s.d_nv")
     MergeClausesExecutor.merge(spark, deltas, summaryPath, pred,
       matched = Seq(

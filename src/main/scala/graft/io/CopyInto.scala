@@ -25,10 +25,11 @@ import org.apache.spark.sql.SparkSession
   * cannot both ingest the same files — the loser re-reads the (now
   * larger) seen-set and retries, usually degrading to a no-op.
   *
-  * Retention caveat (inherent to log-backed dedup state, same family as
-  * Delta's): once log retention prunes a COPY INTO commit, the
-  * identities IT recorded are forgotten and those exact source files
-  * would re-ingest on a later run. RESTORE interaction: restoring the
+  * Retention: log cleanup FOLDS the identity records of pruned COPY
+  * INTO commits into a sidecar before deleting them
+  * ([[graft.log.CommitLog.RetentionFoldedKeys]]), and the seen-set
+  * unions it back in — routine checkpoint+retention maintenance never
+  * forgets what was ingested. RESTORE interaction: restoring the
   * table to a pre-COPY version reverts the DATA but the COPY commit
   * (and its identity record) remains in the log, so a re-run does NOT
   * re-ingest the rolled-back rows — re-upload the source files (new
@@ -149,6 +150,15 @@ object CopyInto {
         p => m.matches(java.nio.file.Paths.get(relative(p)))
       case None => _ => true
     }
+    // an EXPLICITLY named file that the data-file filter would drop
+    // (hidden/underscore prefix, non-.parquet suffix) fails loudly —
+    // silently ignoring a FILES entry would report a clean no-op for a
+    // file the user demanded
+    if (files.isDefined) listed.foreach { case (p, _, _) =>
+      require(isDataFile(p),
+        s"COPY INTO FILES entry is not an ingestible $format data file " +
+          s"(hidden/underscore-prefixed or wrong extension): $p")
+    }
     val inventory = listed.collect {
       case (p, len, mtime) if isDataFile(p) && globMatch(p) =>
         (p, s"$p|$len|$mtime")
@@ -192,11 +202,16 @@ object CopyInto {
 
   /** The cumulative ingested identity set = the union of every retained
     * COPY INTO commit's record (each records only ITS new files; old
-    * builds recorded cumulative sets — a superset union is harmless).
+    * builds recorded cumulative sets — a superset union is harmless)
+    * PLUS the records log retention folded out of pruned commits
+    * ([[graft.log.CommitLog.foldedMetadata]]) — so routine
+    * checkpoint+cleanOldLogs maintenance never forgets what was
+    * ingested and silently re-ingests old source files.
     */
   private def ingestedIdentities(table: GraftTable): Set[String] = {
     val log = table.log
     val out = Set.newBuilder[String]
+    out ++= log.foldedMetadata(SourcesKey)
     log.versions().foreach { v =>
       val c = log.readCommit(v)
       c.metadata.get(SourcesKey).foreach { s =>

@@ -620,6 +620,30 @@ object GraftWriter {
     props.get(ClusterByKey).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
+  /** Split DSv2 partitioning transforms into identity partition columns
+    * and the `graft.clusterBy` declaration a `CLUSTER BY (a,b)` clause
+    * arrives as — shared by the catalog createTable and the path-route
+    * CREATE TABLE claim so the two routes cannot drift.
+    */
+  private[graft] def peelClusterTransform(
+      partitions: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      what: String): (Seq[String], Map[String, String]) = {
+    import org.apache.spark.sql.connector.expressions.ClusterByTransform
+    val clusterKeys = partitions.collect {
+      case ClusterByTransform(refs) => refs.map(_.fieldNames.mkString("."))
+    }.flatten
+    val partCols = partitions
+      .filterNot(_.isInstanceOf[ClusterByTransform]).map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"$what supports identity partitioning only, got $other")
+    }
+    (partCols,
+      if (clusterKeys.isEmpty) Map.empty
+      else Map(ClusterByKey -> clusterKeys.mkString(",")))
+  }
+
   /** Declaration-time check shared by every route that can set
     * `graft.clusterBy` (ALTER, CREATE TABLE ... CLUSTER BY on both the
     * path and catalog DDL routes): keys must be existing NON-partition
@@ -661,6 +685,13 @@ object GraftWriter {
       new CommitLog(path, spark.sessionState.newHadoopConf()).tableProperties())
     declared match {
       case Nil =>
+        // Delta parity: FULL is the incremental-vs-global knob of a
+        // CLUSTERED table; on a plain table it would silently degrade
+        // to ordinary small-file compaction — refuse instead
+        require(!full,
+          "OPTIMIZE ... FULL requires clustering keys (declare them " +
+            "with CLUSTER BY / the graft.clusterBy property); plain " +
+            "tables compact with OPTIMIZE")
         retryDerived { optimizeOnce(spark, path, maxRecordsPerFile, where) }
       case Seq(single) =>
         // one key: linear range-clustering beats a Morton curve
@@ -855,19 +886,28 @@ object GraftWriter {
     * files: everything not yet written under `layout`, plus
     * already-clustered files that are small (the tail folds into the
     * layout) or MUST rewrite (DV'd / external refs). Returns Nil when
-    * the pass would accomplish nothing — all candidates already in the
-    * layout, plain, and too few to bin-pack — so a second maintenance
-    * pass right after a first is a clean no-op.
+    * the pass would accomplish nothing, so a second maintenance pass
+    * right after a first is a clean no-op. A candidate set that is
+    * ONLY the already-clustered small tail re-packs solely when it
+    * actually SHRINKS the file count — otherwise a steady state whose
+    * sorted outputs all land under the size floor (narrow rows capped
+    * by maxRecordsPerFile) would rewrite the whole table on every
+    * routine pass, forever.
     */
   private def clusterCandidates(
-      scoped: Seq[AddFile], layout: String, sizeFloor: Long): Seq[AddFile] = {
+      scoped: Seq[AddFile], layout: String, sizeFloor: Long,
+      maxRecordsPerFile: Long): Seq[AddFile] = {
     val candidates = scoped.filter(f =>
       !f.clusteredBy.contains(layout) || f.sizeBytes < sizeFloor ||
         f.dv.isDefined || GraftTable.isExternalRef(f.path))
-    val worthIt = candidates.exists(f =>
+    val mustWork = candidates.exists(f =>
       !f.clusteredBy.contains(layout) || f.dv.isDefined ||
-        GraftTable.isExternalRef(f.path)) || candidates.size > 1
-    if (worthIt) candidates else Nil
+        GraftTable.isExternalRef(f.path))
+    val packs = candidates.size > 1 && {
+      val rows = candidates.map(_.liveRecords).sum
+      math.ceil(rows.toDouble / maxRecordsPerFile).toLong < candidates.size
+    }
+    if (mustWork || packs) candidates else Nil
   }
 
   private def optimizeClusterOnce(
@@ -894,7 +934,8 @@ object GraftWriter {
         snap.files.filter(f => keep(f.path))
     }
     val toSort =
-      if (incremental) clusterCandidates(scoped, layout, sizeFloorOf(spark))
+      if (incremental) clusterCandidates(scoped, layout, sizeFloorOf(spark),
+          maxRecordsPerFile)
       else scoped
     if (toSort.isEmpty) return snap.version
     val totalRows = toSort.map(_.liveRecords).sum
@@ -1010,7 +1051,8 @@ object GraftWriter {
           snap.files.filter(f => keep(f.path))
       }
       val eligible =
-        if (incremental) clusterCandidates(scoped, layout, sizeFloorOf(spark))
+        if (incremental) clusterCandidates(scoped, layout, sizeFloorOf(spark),
+          maxRecordsPerFile)
         else scoped
       if (eligible.isEmpty) return snap.version
       val totalRows = eligible.map(_.liveRecords).sum

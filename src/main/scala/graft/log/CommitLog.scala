@@ -209,6 +209,25 @@ final class CommitLog(
   def readCommit(v: Long): Commit =
     JsonMethods.parse(readJson(versionFile(v))).extract[Commit]
 
+  /** Union of `key`'s records folded out of retention-pruned commits
+    * (see [[CommitLog.RetentionFoldedKeys]]) across every
+    * `folded-meta-v*.json` sidecar — each later sidecar is a superset
+    * of earlier ones, but unioning all of them also absorbs any sidecar
+    * a racing retention pass landed.
+    */
+  def foldedMetadata(key: String): Set[String] = {
+    if (!fs.exists(logDir)) return Set.empty
+    fs.listStatus(logDir).iterator
+      .map(_.getPath)
+      .filter(_.getName.matches("""folded-meta-v\d+\.json"""))
+      .flatMap { p =>
+        JsonMethods.parse(readJson(p)).extract[Map[String, String]]
+          .get(key).iterator
+          .flatMap(_.split("\n").iterator.filter(_.nonEmpty))
+      }
+      .toSet
+  }
+
   /** Sorted checkpoint versions present in the log dir (any form:
     * sharded manifest, single gzip, legacy plain JSON). Shard files do
     * not mark a checkpoint — only their manifest does (shards land
@@ -379,6 +398,32 @@ final class CommitLog(
           writeFileAtomic(
             Serialization.write(readCheckpoint(b)).getBytes("UTF-8"),
             legacyCheckpointFile(b))
+        // retention-folded metadata (COPY INTO identity records): union
+        // the doomed commits' values into the per-boundary sidecar
+        // BEFORE deleting — same crash rule as the checkpoint copy
+        // above: writeFileAtomic throws rather than lose the fold, and
+        // the cleanup below must not run without it (pruning the
+        // commits with no fold is exactly the silent re-ingest case).
+        // A fresh file per boundary (monotone) sidesteps rename-over-
+        // existing-target semantics differing across filesystems;
+        // re-running with the same boundary finds no doomed commits and
+        // writes nothing.
+        val foldable = {
+          val acc = scala.collection.mutable.Map.empty[String, Set[String]]
+          vs.filter(_ < b).foreach { v =>
+            val m = readCommit(v).metadata
+            CommitLog.RetentionFoldedKeys.foreach { k =>
+              m.get(k).filter(_.nonEmpty).foreach { s =>
+                acc(k) = acc.getOrElse(k, Set.empty) ++
+                  s.split("\n").iterator.filter(_.nonEmpty)
+              }
+            }
+          }
+          acc.map { case (k, s) => k -> s.toSeq.sorted.mkString("\n") }.toMap
+        }
+        if (foldable.nonEmpty)
+          writeFileAtomic(Serialization.write(foldable).getBytes("UTF-8"),
+            new Path(logDir, s"folded-meta-v$b.json"))
         // checkpoint artifacts are matched by prefix so every form goes
         // (single gzip, legacy JSON, sharded manifest + shard files)
         val oldCkptArtifacts = fs.listStatus(logDir).iterator
@@ -644,6 +689,19 @@ object CommitLog {
 
   /** Key for a named CHECK constraint (value = its SQL expression). */
   def constraintKey(name: String): String = s"${ReservedPrefix}constraint.$name"
+
+  /** Per-commit (non-carried) metadata keys whose records must SURVIVE
+    * log retention: before pruning, [[CommitLog.cleanOldLogs]] unions
+    * the doomed commits' values (newline-joined sets) into a
+    * `folded-meta-v<boundary>.json` sidecar that
+    * [[CommitLog.foldedMetadata]] reads back. COPY INTO's ingested
+    * identities live here — without the fold, pruning an old COPY INTO
+    * commit would silently forget its files and a later run would
+    * re-ingest them as duplicates (the key string is
+    * [[graft.io.CopyInto.SourcesKey]]; duplicated literally to keep the
+    * log layer free of io imports).
+    */
+  val RetentionFoldedKeys: Set[String] = Set("copyInto.ingestedSources")
 
   /** Identity-column declarations (`graft.identity.<col>` = "start,step")
     * and their high-water marks (`graft.identity.<col>.hwm`). The

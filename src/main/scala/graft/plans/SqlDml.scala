@@ -823,28 +823,16 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
             // CLUSTER BY (a,b) arrives as a ClusterByTransform among the
             // partitioning transforms — peel it into the graft.clusterBy
             // property (the declared-layout contract OPTIMIZE maintains)
-            val clusterKeys = c.partitioning.collect {
-              case org.apache.spark.sql.connector.expressions
-                    .ClusterByTransform(refs) =>
-                refs.map(_.fieldNames.mkString("."))
-            }.flatten
-            val partCols = c.partitioning.filterNot(
-              _.isInstanceOf[org.apache.spark.sql.connector.expressions
-                .ClusterByTransform]).map {
-              case t if t.name == "identity" && t.references.length == 1 =>
-                t.references.head.fieldNames.mkString(".")
-              case other => throw new UnsupportedOperationException(
-                s"graft path tables support identity partitioning only, got $other")
-            }
+            val (partCols, clusterProp) =
+              graft.io.GraftWriter.peelClusterTransform(
+                c.partitioning, "graft path tables")
             val props = (c.tableSpec match {
               case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
                 u.properties
               case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
                 t.properties
               case _ => Map.empty[String, String]
-            }) ++ (if (clusterKeys.isEmpty) Map.empty
-                   else Map(graft.io.GraftWriter.ClusterByKey ->
-                     clusterKeys.mkString(",")))
+            }) ++ clusterProp
             GraftCreateTableCommand(
               p, c.tableSchema, partCols, props, c.ignoreIfExists)
           case None => c

@@ -149,6 +149,18 @@ class AnnIndexSpec extends SparkSpec {
     val q = GraftTable(spark, src).toDf().filter(col("vec_id") < 4)
     assert(ranked(AnnIndex.search(spark, idx, q, k = 3,
       requireFresh = true)).nonEmpty)
+
+    // an UPDATE that changes the ID COLUMN leaves the old id with only
+    // an update_preimage in the range — refresh must purge its codes
+    // (a dropped preimage would leave a phantom neighbor forever)
+    Dml.update(spark, src, col("vec_id") === 9L,
+      Map("vec_id" -> lit(900L)))
+    assert(AnnIndex.refresh(spark, idx)
+      .contains(GraftTable(spark, src).version()))
+    val moved = codesOf(idx)
+    assert(!moved.exists(_._1 == 9L), "old id's codes must be purged")
+    assert(moved.exists(_._1 == 900L))
+    assert(moved == frozenRecompute(idx, src))
   }
 
   test("staleness is detectable and requireFresh refuses a stale index") {

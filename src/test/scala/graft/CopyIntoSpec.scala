@@ -198,6 +198,59 @@ class CopyIntoSpec extends SparkSpec {
     assert(GraftTable(spark, p3).toDf().count() > 10)
   }
 
+  test("a FILES entry the data-file filter would drop fails loudly") {
+    val src = tmpDir("ci_badfiles_src")
+    val p = tmpDir("ci_badfiles_tbl")
+    seedSource(src, 0 until 10)
+    // a real file that is NOT an ingestible data file (underscore name)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new org.apache.hadoop.fs.Path(src, "_staged.parquet")
+    val out = fs.create(staged, true); out.write(1); out.close()
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, p, src,
+        files = Some(Seq("_staged.parquet")))
+    }
+    assert(e.getMessage.contains("not an ingestible"), e.getMessage)
+    // the directory walk still skips it silently (listing semantics)
+    assert(CopyInto.copyInto(spark, p, src).version.isDefined)
+    assert(GraftTable(spark, p).toDf().count() == 10)
+  }
+
+  test("log retention folds ingested identities forward — no re-ingest") {
+    val src = tmpDir("ci_ret_src")
+    val p = tmpDir("ci_ret_tbl")
+    seedSource(src, 0 until 30)
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("id", "s").limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    assert(CopyInto.copyInto(spark, p, src).version.isDefined)
+    // later activity + a checkpoint boundary ABOVE the COPY commit,
+    // then retention prunes it (retain 0ms, clock in the future)
+    GraftWriter.write(spark, Seq((1000L, "y")).toDF("id", "s"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val log = GraftTable(spark, p).log
+    log.writeCheckpoint(log.latestVersion().get)
+    val removed = log.cleanOldLogs(0L,
+      nowMs = System.currentTimeMillis() + 120000L)
+    assert(removed.nonEmpty, "retention must actually prune commits")
+    // the COPY INTO commit is gone from the log…
+    assert(log.versions().forall(v =>
+      log.readCommit(v).metadata.get(CopyInto.SourcesKey).isEmpty))
+    // …but its identities survived the fold: the re-run is a no-op
+    val rerun = CopyInto.copyInto(spark, p, src)
+    assert(rerun.version.isEmpty && rerun.ingestedFiles == 0, rerun)
+    assert(rerun.skippedFiles > 0)
+    assert(GraftTable(spark, p).toDf().count() == 31)
+    // genuinely new files still ingest after the fold
+    (30 until 40).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(src)
+    val more = CopyInto.copyInto(spark, p, src)
+    assert(more.version.isDefined && more.ingestedFiles == 1, more)
+    assert(GraftTable(spark, p).toDf().count() == 41)
+  }
+
   test("schema mismatch is loud unless mergeSchema; state key is not carried forward") {
     val src = tmpDir("ci_schema_src")
     val p = tmpDir("ci_schema_tbl")

@@ -52,6 +52,55 @@ class MaterializedAggSpec extends SparkSpec {
     assert(summaryOf(sum) == recompute(src, sum))
   }
 
+  test("NULL grouping keys are one group, not a duplicate row per refresh") {
+    val src = tmpDir("mv_nullkey_src")
+    val sum = tmpDir("mv_nullkey_sum")
+    GraftWriter.write(spark,
+      Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 20L),
+        (3L, Option.empty[String], 30L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    def nullRows() = GraftTable(spark, sum).toDf()
+      .filter(col("cat").isNull).collect()
+    assert(nullRows().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((50L, 2L)))
+    // a delta for the NULL key must MATCH the existing NULL summary row
+    // (null-safe predicate), not insert a second one
+    GraftWriter.write(spark,
+      Seq((4L, Option.empty[String], 5L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Append))
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    assert(nullRows().length == 1, "NULL key must stay one summary row")
+    assert(nullRows().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((55L, 3L)))
+    // deleting the NULL group down to zero rows removes the row
+    Dml.delete(spark, src, col("cat").isNull)
+    MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    assert(nullRows().isEmpty)
+  }
+
+  test("a summary predating n_vals is refused with the rebuild remedy") {
+    val src = tmpDir("mv_old_src")
+    val sum = tmpDir("mv_old_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    // an old-build summary: (keys, sum_val, n_rows) and the watermark,
+    // but no n_vals column — its backfill is not derivable
+    GraftWriter.write(spark,
+      Seq(("a", 10L, 1L)).toDF("cat", "sum_val", "n_rows"),
+      sum, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(MaterializedAgg.SourceVersionKey -> "0")))
+    GraftWriter.write(spark, Seq((2L, "a", 5L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Append))
+    val e = intercept[Exception] {
+      MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("CREATE/REFRESH MATERIALIZED VIEW SQL drives the same engine") {
     val src = tmpDir("mv_sql_src")
     val sum = tmpDir("mv_sql_sum")

@@ -388,6 +388,42 @@ class TableLayerSpec extends SparkSpec {
     } finally spark.conf.unset(floorKey)
   }
 
+  test("a sub-floor steady state reaches a fixed point; FULL needs clustering keys") {
+    import spark.implicits._
+    val p = tmpDir("incclusterfp")
+    // DEFAULT size floor (256 MiB): every file at test scale is "small",
+    // so after one pass the whole table is an already-clustered small
+    // tail — a second pass must be a no-op (re-packing cannot shrink
+    // ceil(rows/maxRecordsPerFile) files), not an eternal full rewrite
+    (0 until 4).foreach { i =>
+      GraftWriter.write(spark,
+        (0 until 64).map(j => (j * 4L + i, s"v$j")).toDF("k", "v").coalesce(1),
+        p, WriteOptions(mode =
+          if (i == 0) WriteMode.Overwrite else WriteMode.Append))
+    }
+    graft.io.Alter.alter(spark, p,
+      props = Map(GraftWriter.ClusterByKey -> "k"))
+    GraftWriter.optimize(spark, p, maxRecordsPerFile = 64)
+    val files1 = GraftTable(spark, p).snapshot().files.map(_.path).toSet
+    assert(files1.size == 4) // 256 rows / 64-row cap
+    val v1 = GraftTable(spark, p).version()
+    assert(GraftWriter.optimize(spark, p, maxRecordsPerFile = 64) == v1,
+      "an already-packed sub-floor layout must not rewrite again")
+    assert(GraftTable(spark, p).snapshot().files.map(_.path).toSet == files1)
+    // the tail DOES re-pack when it shrinks: a higher cap merges 4 -> 1
+    val v2 = GraftWriter.optimize(spark, p)
+    assert(v2 > v1)
+    assert(GraftTable(spark, p).snapshot().files.size == 1)
+    // FULL on a table with no clustering keys is refused, not degraded
+    val plain = tmpDir("fullplain")
+    GraftWriter.write(spark, (0 until 8).map(i => (i.toLong, s"$i"))
+      .toDF("k", "v"), plain, WriteOptions(mode = WriteMode.Overwrite))
+    val e = intercept[IllegalArgumentException] {
+      GraftWriter.optimize(spark, plain, full = true)
+    }
+    assert(e.getMessage.contains("requires clustering keys"), e.getMessage)
+  }
+
   test("z-order clustering prunes selective predicates on ANY clustered column") {
     val p = tmpDir("zord")
     val df = spark.range(0, 65536).select(
