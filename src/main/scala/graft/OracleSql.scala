@@ -1158,6 +1158,23 @@ object OracleSql {
     "knn_brute_topk" -> knnBruteSql,
 
     "knn_ivf_topk" -> knnIvfSql,
+    // cluster-balanced diversity selection: same stride-centroid
+    // assignment CTEs as knn_ivf, then a per-cell cap ranked by
+    // similarity-to-centroid ascending
+    "cluster_balanced_select" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
+          scored AS (SELECT e.vec_id, c_id,
+                            ${simE6("e.embedding", "c_vec")} AS c_sim
+                     FROM embeddings e, cent),
+          assign AS (SELECT vec_id, c_id AS cell, c_sim AS c_sim_e6 FROM
+                       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+                        FROM scored) WHERE rn = 1),
+          ranked AS (SELECT vec_id, cell, c_sim_e6,
+                            row_number() OVER (PARTITION BY cell ORDER BY c_sim_e6 ASC, vec_id) AS rank_in_cell
+                     FROM assign)
+          SELECT vec_id, cell, c_sim_e6,
+                 CAST(rank_in_cell AS BIGINT) AS rank_in_cell
+          FROM ranked WHERE rank_in_cell <= 10""",
 
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
 
@@ -1432,6 +1449,22 @@ object OracleSql {
                   row_number() OVER (PARTITION BY source
                     ORDER BY n_chars DESC, doc_id) AS rn
            FROM documents) WHERE rn <= 3""",
+
+    // per-source quantile gate: exactly ceil(n·250/1000) rows survive
+    // per source, ranked by stopword permille ascending, doc_id tie —
+    // integer `//` cutoff mirrors Spark's `div` exactly
+    "quality_quantile_filter" ->
+      s"""WITH d AS ($DOCS_TOKS),
+          q AS (SELECT doc_id, source,
+                       CAST(floor(1000 * len([x for x in toks if list_contains(['the','a','of','and','is','to','in'], x)]) / len(toks)) AS BIGINT) AS stop_permille
+                FROM d JOIN documents USING (doc_id)),
+          ranked AS (SELECT doc_id, source, stop_permille,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY stop_permille ASC, doc_id) AS rn,
+                            count(*) OVER (PARTITION BY source) AS n
+                     FROM q)
+          SELECT doc_id, source, stop_permille FROM ranked
+          WHERE rn <= (n * 250 + 999) // 1000""",
 
     "text_normalize" ->
       """SELECT doc_id,

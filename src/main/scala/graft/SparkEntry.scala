@@ -740,6 +740,27 @@ object SparkEntry {
         col("n_chars").cast("long").as("n_chars")),
       quota = 3, groupCol = "source", scoreCol = "n_chars")
 
+  /** Per-source quantile gate: each source keeps its best 25% by
+    * stopword ratio (ascending — fewer stopwords per token = junkier
+    * prose filtered first is the DESCENDING variant; here the score
+    * demonstrates the lower-is-better path), exact integer cutoff.
+    */
+  private def qQualityQuantile(spark: SparkSession, dir: String): DataFrame =
+    Sampling.topQuantileByGroup(
+      TextAnalysis.qualityScore(t(spark, dir, "documents"),
+        carry = Seq("source")),
+      permille = 250, groupCol = "source", scoreCol = "stop_permille",
+      idCol = "doc_id", ascending = true)
+      .select(col("doc_id"), col("source"), col("stop_permille"))
+
+  /** Embedding-space diversity curation: nearest-cell assignment, keep
+    * at most 10 vectors per cell (similarity-to-centroid ascending) —
+    * over-represented clusters shed their most prototypical members.
+    */
+  private def qClusterBalanced(spark: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSelect(t(spark, dir, "embeddings"),
+      numCells = 32, perCell = 10, rowCountHint = embRows(spark, dir))
+
   /** NFC + control-strip + whitespace-collapse cleaning pass. */
   private def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.normalizeText(t(spark, dir, "documents"))
@@ -1592,6 +1613,8 @@ object SparkEntry {
     "text_decontam" -> (qDecontam _),
     "sample_weighted" -> (qSampleWeighted _),
     "source_quota" -> (qSourceQuota _),
+    "quality_quantile_filter" -> (qQualityQuantile _),
+    "cluster_balanced_select" -> (qClusterBalanced _),
     "text_normalize" -> (qTextNormalize _),
     "sample_hash" -> (qSampleHash _),
     "sample_stratified" -> (qSampleStratified _),
@@ -1659,6 +1682,7 @@ object SparkEntry {
     "dedup_clusters", "q24_exact_moments", "q25_window_suite",
     "text_pii_scrub", "text_decontam", "sample_hash",
     "sample_weighted", "source_quota", "text_normalize",
+    "quality_quantile_filter", "cluster_balanced_select",
     "text_chunks", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
     "text_gopher_rules", "text_bm25", "domain_mix", "corpus_select",

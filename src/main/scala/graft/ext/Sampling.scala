@@ -293,4 +293,38 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Per-group quantile gate — the DataComp/fineweb-style curation
+    * step "keep each source's best `permille`/1000 by quality score".
+    * Unlike [[groupQuota]]'s absolute cap, the kept count scales with
+    * the group: exactly ceil(n_group · permille / 1000) rows survive
+    * (integer-exact cutoff — no float percent_rank edge cases), ranked
+    * by `scoreCol` (descending by default; `ascending = true` for
+    * lower-is-better scores) with the id as the deterministic
+    * tie-break.
+    *
+    * Plan shape at 100 TB: ONE shuffle on the group key; both windows
+    * (rank + group count) share the same partitioning, so the second
+    * window adds no exchange. Never a global sort.
+    */
+  def topQuantileByGroup(
+      df: DataFrame,
+      permille: Int,
+      groupCol: String = "source",
+      scoreCol: String = "score",
+      idCol: String = "doc_id",
+      ascending: Boolean = false): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille must be in [0, 1000]")
+    val order =
+      if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    val ranked = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(order, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    // ceil(n·p/1000) via integral `div` — exact for any group size
+    // (double division would wobble at 2^53-scale products)
+    ranked
+      .filter(col("__rn") <= expr(s"(__n * $permille + 999) div 1000"))
+      .drop("__rn", "__n")
+  }
 }

@@ -182,6 +182,46 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("__probe.c_id").as("cell"))
   }
 
+  /** Cluster-balanced corpus selection — the embedding-space diversity
+    * curation step (SemDeDup / prototype-pruning family): assign every
+    * vector to its nearest coarse cell, then keep at most `perCell`
+    * per cell ranked by similarity-to-centroid ASCENDING (the cell's
+    * most prototypical near-duplicates are what over-represented
+    * clusters shed first), id tie-break. A dominant cluster contributes
+    * `perCell` rows like every other — the kept corpus is balanced
+    * across embedding-space regions instead of mirroring the raw
+    * distribution.
+    *
+    * Plan shape at 100 TB: centroids are plan literals (narrow
+    * assignment pass, no shuffle), the centroid re-join is a broadcast
+    * of k rows, and the per-cell ranking is ONE shuffle on `cell` —
+    * never vector×vector.
+    *
+    * Output: (idCol, cell, c_sim_e6, rank_in_cell).
+    */
+  def clusterBalancedSelect(
+      corpus: DataFrame,
+      numCells: Int,
+      perCell: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = centroidsK(corpus, numCells, idCol, vecCol, rowCountHint)
+    val assigned = assignCells(corpus, cents, idCol, vecCol)
+    val withSim = assigned
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("c_vec"))),
+        Seq("cell"))
+      .withColumn("c_sim_e6", simE6(col(vecCol), col("c_vec")))
+    withSim
+      .withColumn("rank_in_cell", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(col("c_sim_e6").asc, col(idCol).asc)).cast("long"))
+      .filter(col("rank_in_cell") <= perCell)
+      .select(col(idCol), col("cell"), col("c_sim_e6"), col("rank_in_cell"))
+  }
+
   /** Lloyd (k-means) refinement of the coarse IVF centroids: assign to
     * the nearest centroid, recompute each cell's element-wise mean,
     * repeat. The mean runs through the exact fixed-point

@@ -749,18 +749,24 @@ object TextAnalysis {
   /** Quality scoring: punctuation count, stopword count/ratio — the
     * usual cheap pre-filters before expensive pipeline stages.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(
+      docs: DataFrame,
+      /** Extra input columns to carry through (e.g. `source` for a
+        * downstream per-source gate) — carried here instead of a
+        * doc_id self-join after the fact, which would scan twice.
+        */
+      carry: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col("text"))
     val stop = array(Seq("the", "a", "of", "and", "is", "to", "in").map(lit): _*)
     val nTok = size(toks)
     val nStop = size(filter(toks, t => array_contains(stop, t)))
     val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
     docs.select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      nStop.as("n_stopwords"),
-      nPunct.as("n_punct"),
-      floor(lit(1000) * nStop / nTok).cast("long").as("stop_permille"))
+      col("doc_id") +: carry.map(col) :+
+        nTok.as("n_tokens") :+
+        nStop.as("n_stopwords") :+
+        nPunct.as("n_punct") :+
+        floor(lit(1000) * nStop / nTok).cast("long").as("stop_permille"): _*)
   }
 
   /** BM25 relevance of every document to a fixed query-term set (the

@@ -344,6 +344,58 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("per-group quantile gate keeps exactly ceil(n*p/1000), boundary-exact") {
+    import spark.implicits._
+    // uneven groups exercise the ceil: 7 rows @250 -> 2, 1 row -> 1, 4 -> 1
+    val df = ((1 to 7).map(i => (i.toLong, "a", i.toLong)) ++
+      Seq((100L, "b", 9L)) ++
+      (200 to 203).map(i => (i.toLong, "c", i.toLong))).toDF(
+      "doc_id", "source", "score")
+    val out = Sampling.topQuantileByGroup(df, permille = 250).collect()
+    val byGroup = out.groupBy(_.getString(1)).view.mapValues(
+      _.map(_.getLong(0)).toSet).toMap
+    assert(byGroup == Map(
+      "a" -> Set(6L, 7L),   // ceil(7*0.25)=2, top scores 7,6
+      "b" -> Set(100L),     // ceil(1*0.25)=1 — a singleton always survives
+      "c" -> Set(203L)))    // ceil(4*0.25)=1
+    // ascending flips the kept end; permille=1000 keeps everything
+    val asc = Sampling.topQuantileByGroup(df, 250, ascending = true)
+      .collect().groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(asc("a") == Set(1L, 2L))
+    assert(Sampling.topQuantileByGroup(df, 1000).count() == df.count())
+    assert(Sampling.topQuantileByGroup(df, 0).count() == 0)
+  }
+
+  test("cluster-balanced selection caps every cell and keeps rank order") {
+    import spark.implicits._
+    val dim = 8
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim)(d => (((i * 17 + d * 5) % 11) - 5).toFloat / 2f)
+    val corpus = (0L until 200L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Similarity.clusterBalancedSelect(
+      corpus, numCells = 8, perCell = 5, rowCountHint = Some(200L)).collect()
+    val byCell = out.groupBy(_.getLong(1))
+    assert(byCell.values.forall(_.length <= 5), "per-cell cap must hold")
+    assert(byCell.size > 1, "selection must span multiple cells")
+    // ranks are 1..n within a cell, ordered by sim asc then id
+    byCell.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to rows.length).toSeq)
+      val sims = sorted.map(r => (r.getLong(2), r.getLong(0))).toSeq
+      assert(sims == sims.sorted, "within a cell: sim asc, id tie-break")
+    }
+    // a dominant cluster cannot exceed the cap: duplicate one vector 50x
+    val skewed = corpus.union(
+      (1000L until 1050L).map(i => (i, vec(3L))).toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val sel = Similarity.clusterBalancedSelect(
+      skewed, numCells = 8, perCell = 5, rowCountHint = Some(250L))
+    assert(sel.collect().groupBy(_.getLong(1)).values.forall(_.length <= 5))
+  }
+
   test("text normalization unifies composed forms, strips controls, collapses space") {
     import spark.implicits._
     val decomposed = "cafe\u0301"   // e + combining acute
