@@ -304,6 +304,32 @@ object AnnIndex {
     Some(curV)
   }
 
+  /** Continuous index maintenance: a change-feed stream on the SOURCE
+    * whose every micro-batch triggers one [[refresh]]. The stream is
+    * the TRIGGER, not the data path — refresh reads `tableChanges`
+    * against the index's own committed watermark, so a replayed
+    * micro-batch applies nothing (exactly-once without coupling to
+    * Spark's batch ids; the [[MaterializedAgg.maintainStream]]
+    * pattern). Searches against the index stay fresh to within one
+    * trigger interval. Call `processAllAvailable()` /
+    * `awaitTermination()` on the returned query.
+    */
+  def maintainStream(
+      spark: SparkSession,
+      indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sourcePath = prop(
+      GraftTable(spark, indexPath).log.tableProperties(), SourcePathKey)
+    graft.streaming.Streams.readChangeFeed(spark, sourcePath)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, indexPath)
+        ()
+      }
+      .start()
+  }
+
   /** Indexed vs current source version — the staleness probe `search`'s
     * `requireFresh` gate consults.
     */

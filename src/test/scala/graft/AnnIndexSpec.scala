@@ -163,6 +163,24 @@ class AnnIndexSpec extends SparkSpec {
     assert(moved == frozenRecompute(idx, src))
   }
 
+  test("streaming maintenance keeps the index fresh, exactly-once") {
+    val src = tmpDir("ann_stream_src"); val idx = tmpDir("ann_stream_idx") + "/ix"
+    val ckpt = tmpDir("ann_stream_ckpt")
+    mkCorpus(src, 0L until 60L)
+    AnnIndex.build(spark, src, idx, numCells = 4, m = 4, ksub = 8)
+    val q = AnnIndex.maintainStream(spark, idx, ckpt)
+    try {
+      GraftWriter.write(spark, embDf(Seq((400L, vec(400L), 0L))), src,
+        WriteOptions(mode = WriteMode.Append))
+      Dml.delete(spark, src, col("vec_id") === 2L)
+      q.processAllAvailable()
+      assert(!AnnIndex.status(spark, idx).stale)
+      val codes = codesOf(idx)
+      assert(codes.exists(_._1 == 400L) && !codes.exists(_._1 == 2L))
+      assert(codes == frozenRecompute(idx, src))
+    } finally q.stop()
+  }
+
   test("staleness is detectable and requireFresh refuses a stale index") {
     val src = tmpDir("ann_ssrc"); val idx = tmpDir("ann_sidx") + "/ix"
     mkCorpus(src, 0L until 60L)
