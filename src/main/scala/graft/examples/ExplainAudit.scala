@@ -155,6 +155,15 @@ object ExplainAudit {
       s"block): $embScans")
     graft.ext.Scratch.drain()
 
+    println("=== [O] per-group quantile gate (expect ONE exchange on the " +
+      "group key — rank and count windows share the partitioning; no " +
+      "global sort) ===")
+    val qg = graft.SparkEntry.queries("quality_quantile_filter")(spark, sfDir)
+    qg.explain("formatted")
+    val qgExchanges = qg.queryExecution.executedPlan.toString()
+      .split("\n").count(_.contains("Exchange "))
+    println(s"--- exchanges in the plan (must be 1): $qgExchanges")
+
     spark.stop()
   }
 

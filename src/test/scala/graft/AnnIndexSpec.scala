@@ -203,6 +203,28 @@ class AnnIndexSpec extends SparkSpec {
       requireFresh = true)).nonEmpty)
   }
 
+  test("compacting the codes table never changes search results") {
+    val src = tmpDir("ann_opt_src"); val idx = tmpDir("ann_opt_idx") + "/ix"
+    mkCorpus(src, 0L until 80L)
+    AnnIndex.build(spark, src, idx, numCells = 4, m = 4, ksub = 8)
+    // several refreshes fragment the codes table with small merge files
+    (0 until 3).foreach { r =>
+      GraftWriter.write(spark,
+        embDf(Seq((500L + r, vec(500L + r), 0L))), src,
+        WriteOptions(mode = WriteMode.Append))
+      AnnIndex.refresh(spark, idx)
+    }
+    val q = GraftTable(spark, src).toDf().filter(col("vec_id") < 6)
+    val before = ranked(AnnIndex.search(spark, idx, q, k = 4,
+      requireFresh = true))
+    // the index is an ordinary graft table: routine OPTIMIZE compacts it
+    // (cell partitioning and properties survive), searches bit-match
+    GraftWriter.optimize(spark, idx)
+    assert(codesOf(idx) == frozenRecompute(idx, src))
+    assert(ranked(AnnIndex.search(spark, idx, q, k = 4,
+      requireFresh = true)) == before)
+  }
+
   test("k-means build round-trips its refined quantizers through the properties") {
     val src = tmpDir("ann_ksrc"); val idx = tmpDir("ann_kidx") + "/ix"
     mkCorpus(src, 0L until 100L)
