@@ -132,7 +132,12 @@ object AnnIndex {
           CentroidsKey -> packCentroids(centRows),
           BooksKey -> packBooks(books.map(_.map(_._2))),
           ParamsKey -> (s"m=$m,ksub=$ksub,numCells=$numCells," +
-            s"idCol=$idCol,vecCol=$vecCol"))))
+            s"idCol=$idCol,vecCol=$vecCol"),
+          // the codes table is engine-managed: every refresh merge adds a
+          // small file per touched cell, so bounded maintenance is the
+          // right DEFAULT here (compaction never changes search results
+          // — spec'd) rather than an opt-in the user must remember
+          GraftWriter.AutoCompactKey -> "true")))
   }
 
   /** Top-k ADC search against the persisted index: quantizers load from

@@ -380,6 +380,20 @@ object GraftWriter {
       added: Seq[AddFile],
       props: Map[String, String]): Unit = {
     if (opts.mode != WriteMode.Append) return
+    maybeAutoCompactTouched(spark, path, added, props)
+  }
+
+  /** The write-mode-agnostic auto-compact body: merge/DML rewrites
+    * ([[writeCow]]) also accumulate small files — a matview or ANN-index
+    * refresh commits one merge per trigger, and without this the codes
+    * table's file count grows per refresh forever (Delta's autoCompact
+    * fires after MERGE for the same reason).
+    */
+  private def maybeAutoCompactTouched(
+      spark: SparkSession,
+      path: String,
+      added: Seq[AddFile],
+      props: Map[String, String]): Unit = {
     if (!props.get(AutoCompactKey).exists(_.equalsIgnoreCase("true"))) return
     val minFiles = props.get(AutoCompactMinFilesKey)
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
@@ -1163,10 +1177,14 @@ object GraftWriter {
       remove = removals,
       expectedVersion = Some(expected),
       cdc = cdc)
-    profile match {
+    val v = profile match {
       case Some(p) => log.commitOrRebase(p, snap)(doCommit)
       case None    => doCommit(snap.version)
     }
+    // merge/DML rewrites accumulate small files exactly like appends —
+    // honor the table's autoCompact declaration post-commit, best-effort
+    maybeAutoCompactTouched(spark, path, added, log.tableProperties())
+    v
   }
 
   /** Write `df` under a staging dir, then promote the parquet files into

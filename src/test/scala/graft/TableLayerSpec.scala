@@ -388,6 +388,28 @@ class TableLayerSpec extends SparkSpec {
     } finally spark.conf.unset(floorKey)
   }
 
+  test("autoCompact fires after merge/DML rewrites, not only appends") {
+    import spark.implicits._
+    val p = tmpDir("acmerge")
+    GraftWriter.write(spark,
+      (0 until 64).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(2),
+      p, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(
+          GraftWriter.AutoCompactKey -> "true",
+          GraftWriter.AutoCompactMinFilesKey -> "2")))
+    assert(GraftTable(spark, p).snapshot().files.size >= 2)
+    // a COW UPDATE commits through writeCow — the rewrite's post-commit
+    // hook must compact the accumulated small files like an append's
+    graft.merge.Dml.update(spark, p, col("k") < 10L,
+      Map("v" -> org.apache.spark.sql.functions.lit("upd")))
+    val files = GraftTable(spark, p).snapshot().files
+    assert(files.size == 1,
+      s"auto-compact after the DML rewrite must bin-pack, got ${files.size}")
+    assert(GraftTable(spark, p).toDf().count() == 64)
+    assert(GraftTable(spark, p).toDf()
+      .filter(col("v") === "upd").count() == 10)
+  }
+
   test("a sub-floor steady state reaches a fixed point; FULL needs clustering keys") {
     import spark.implicits._
     val p = tmpDir("incclusterfp")
