@@ -39,8 +39,18 @@ final case class GraftCatalogTable(
   override def name: String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
   override def schema: StructType = tableSchema
-  override def partitioning: Array[Transform] =
-    partitionCols.map(Expressions.identity).toArray
+  override def partitioning: Array[Transform] = {
+    // declared clustering keys surface as the ClusterByTransform so
+    // catalog-level introspection (DESCRIBE, SHOW CREATE via Spark's
+    // own paths) sees the layout the same way Delta exposes it
+    val cluster = props.get(graft.io.GraftWriter.ClusterByKey).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val ct =
+      if (cluster.isEmpty) Nil
+      else Seq(org.apache.spark.sql.connector.expressions.ClusterByTransform(
+        cluster.map(c => Expressions.column(c))))
+    (partitionCols.map(Expressions.identity) ++ ct).toArray
+  }
   override def properties: util.Map[String, String] =
     (props + (TableCatalog.PROP_LOCATION -> path)).asJava
   override def capabilities: util.Set[TableCapability] =

@@ -274,6 +274,8 @@ final case class GraftDescribeDetailCommand(
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("num_records", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
+    // Delta's DESCRIBE DETAIL surfaces clusteringColumns the same way
+    AttributeReference("clustering_columns", StringType, nullable = false)(),
     AttributeReference("schema_ddl", StringType, nullable = false)(),
     AttributeReference("properties", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -283,7 +285,9 @@ final case class GraftDescribeDetailCommand(
     val props = t.log.tableProperties()
     Seq(Row("graft", path, snap.version, snap.files.size.toLong,
       snap.files.map(_.sizeBytes).sum, snap.files.map(_.liveRecords).sum,
-      snap.partitionColumns.mkString(","), snap.schema.toDDL,
+      snap.partitionColumns.mkString(","),
+      props.getOrElse(graft.io.GraftWriter.ClusterByKey, ""),
+      snap.schema.toDDL,
       props.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(";")))
   }
 }

@@ -698,6 +698,9 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE graft.`$p` CLUSTER BY (k, v)")
     assert(GraftTable(spark, p).log.tableProperties()
       .get(GraftWriter.ClusterByKey).contains("k,v"))
+    // DESCRIBE DETAIL surfaces the layout (Delta's clusteringColumns)
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$p`").head()
+      .getAs[String]("clustering_columns") == "k,v")
     // SHOW CREATE TABLE renders the clause (not the raw property) and
     // the emitted DDL round-trips: executing it re-declares the layout
     val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$p`").head().getString(0)
