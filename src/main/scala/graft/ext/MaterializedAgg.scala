@@ -54,22 +54,49 @@ object MaterializedAgg {
       sourcePath: String,
       summaryPath: String,
       keyCols: Seq[String],
-      valueCol: String): Option[Long] = {
+      valueCol: String): Option[Long] =
+    refreshSums(spark, sourcePath, summaryPath, keyCols, Seq(valueCol))
+
+  /** Per-column summary naming: the single-column form keeps the
+    * historical `sum_val`/`n_vals` names; N columns name theirs
+    * `sum_<col>`/`nvals_<col>` (plus the shared `n_rows`).
+    */
+  private def specsOf(valueCols: Seq[String]): Seq[(String, String, String)] =
+    valueCols match {
+      case Seq(only) => Seq((only, "sum_val", "n_vals"))
+      case many      => many.map(c => (c, s"sum_$c", s"nvals_$c"))
+    }
+
+  /** [[refresh]] generalized to MULTIPLE summed columns — the
+    * `SELECT k, sum(a), sum(b) ... GROUP BY k` materialized view. The
+    * incremental math is per-column independent, so one change-feed
+    * scan and ONE merge commit maintain every sum together.
+    */
+  def refreshSums(
+      spark: SparkSession,
+      sourcePath: String,
+      summaryPath: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): Option[Long] = {
     require(keyCols.nonEmpty, "at least one grouping key")
+    require(valueCols.nonEmpty, "at least one summed column")
+    require(valueCols.distinct == valueCols,
+      s"duplicate summed columns: ${valueCols.mkString(",")}")
+    val specs = specsOf(valueCols)
     val src = GraftTable(spark, sourcePath)
     val curV = src.version()
 
     if (!GraftTable.exists(spark, summaryPath)) {
       // initial build: one full aggregate; the version watermark AND the
-      // view definition (source/keys/value) pin in the same creating
+      // view definition (source/keys/values) pin in the same creating
       // commit, so REFRESH MATERIALIZED VIEW can re-derive the spec
-      GraftWriter.write(spark, summarize(src.toDf(), keyCols, valueCol),
+      GraftWriter.write(spark, summarizeSums(src.toDf(), keyCols, valueCols),
         summaryPath, WriteOptions(mode = WriteMode.ErrorIfExists,
           metadata = Map(
             SourceVersionKey -> curV.toString,
             SourceKey -> sourcePath,
             KeysKey -> keyCols.mkString(","),
-            ValueKey -> valueCol)))
+            ValueKey -> valueCols.mkString(","))))
       return Some(curV)
     }
 
@@ -79,33 +106,44 @@ object MaterializedAgg {
       .getOrElse(throw new IllegalStateException(
         s"$summaryPath is not a materialized aggregate of $sourcePath " +
           s"(missing $SourceVersionKey)"))
-    // summaries written before the NULL-semantics fix lack n_vals and
-    // its value is NOT derivable from (sum_val, n_rows) — fail with the
-    // remedy instead of a cryptic merge-validation error
-    require(summary.snapshot().schema.fieldNames.contains("n_vals"),
-      s"$summaryPath predates the n_vals column (exact sum() NULL " +
-        "semantics); drop it and rebuild the materialized aggregate")
+    // summaries written before the NULL-semantics fix lack the non-null
+    // value counts and their values are NOT derivable from the sums —
+    // fail with the remedy instead of a cryptic merge-validation error
+    val sumSchema = summary.snapshot().schema.fieldNames.toSet
+    specs.foreach { case (_, _, nv) =>
+      require(sumSchema.contains(nv),
+        s"$summaryPath predates the $nv column (exact sum() NULL " +
+          "semantics); drop it and rebuild the materialized aggregate")
+    }
     if (curV <= lastV) return None // already current
 
     // per-key deltas from the change feed: insert/update_postimage rows
     // add, delete/update_preimage rows subtract — net zero keys drop out.
-    // NULL values are coalesced to 0 PER ROW so d_sum is never NULL (a
-    // batch whose changed rows all carry NULL would otherwise null the
-    // accumulated sum through `t.sum_val + s.d_sum`); exact sum() NULL
-    // semantics are restored from n_vals (the non-null value count):
-    // sum_val is NULL iff no non-null value remains, exactly as a full
-    // recompute's sum() would report.
+    // NULL values are coalesced to 0 PER ROW so a delta sum is never
+    // NULL (a batch whose changed rows all carry NULL would otherwise
+    // null the accumulated sum through `t.sum + s.d_sum`); exact sum()
+    // NULL semantics are restored from the non-null value count: a sum
+    // is NULL iff no non-null value remains, exactly as a recompute's.
     val changes = src.tableChanges(lastV, curV) // EXCLUSIVE from
     val sign = when(col(graft.io.Cdc.ChangeCol)
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    def dv(i: Int) = s"__dv_$i"
+    def nv(i: Int) = s"__nv_$i"
+    val perCol = specs.zipWithIndex.flatMap { case ((c, _, _), i) =>
+      Seq((coalesce(col(c).cast("long"), lit(0L)) * sign).as(dv(i)),
+        when(col(c).isNotNull, sign).otherwise(0L).as(nv(i)))
+    }
+    val aggs = sum(col("__sign")).as("d_n") +:
+      specs.indices.flatMap(i => Seq(
+        sum(col(dv(i))).as(s"d_sum_$i"), sum(col(nv(i))).as(s"d_nv_$i")))
+    val anyChange = specs.indices
+      .flatMap(i => Seq(col(s"d_sum_$i") =!= 0L, col(s"d_nv_$i") =!= 0L))
+      .foldLeft(col("d_n") =!= 0L)(_ || _)
     val deltas = changes
-      .select(keyCols.map(col) :+ sign.as("__sign") :+
-        (coalesce(col(valueCol).cast("long"), lit(0L)) * sign).as("__dv") :+
-        when(col(valueCol).isNotNull, sign).otherwise(0L).as("__nv"): _*)
+      .select(keyCols.map(col) ++ Seq(sign.as("__sign")) ++ perCol: _*)
       .groupBy(keyCols.map(col): _*)
-      .agg(sum(col("__dv")).as("d_sum"), sum(col("__sign")).as("d_n"),
-        sum(col("__nv")).as("d_nv"))
-      .filter(col("d_n") =!= 0L || col("d_sum") =!= 0L || col("d_nv") =!= 0L)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(anyChange)
 
     // upsert the deltas; the source-version watermark rides the SAME
     // commit — atomic exactly-once. NULL-SAFE equality: a NULL grouping
@@ -113,23 +151,27 @@ object MaterializedAgg {
     // `=` its delta row would never match and every refresh would
     // insert a fresh duplicate NULL-key summary row
     val pred = keyCols.map(k => s"s.$k <=> t.$k").mkString(" AND ")
-    val newNv = coalesce(col("t.n_vals"), lit(0L)) + col("s.d_nv")
+    val updates = specs.zipWithIndex.flatMap { case ((_, sumC, nvC), i) =>
+      val newNv = coalesce(col(s"t.$nvC"), lit(0L)) + col(s"s.d_nv_$i")
+      Seq(
+        sumC -> when(newNv === 0L, lit(null).cast("long"))
+          .otherwise(coalesce(col(s"t.$sumC"), lit(0L)) + col(s"s.d_sum_$i")),
+        nvC -> newNv)
+    }.toMap
+    val inserts = specs.zipWithIndex.flatMap { case ((_, sumC, nvC), i) =>
+      Seq(
+        sumC -> when(col(s"s.d_nv_$i") === 0L, lit(null).cast("long"))
+          .otherwise(col(s"s.d_sum_$i")),
+        nvC -> col(s"s.d_nv_$i"))
+    }.toMap
     MergeClausesExecutor.merge(spark, deltas, summaryPath, pred,
       matched = Seq(
         // a key whose row count nets to zero disappeared from the source
         Delete(Some(col("t.n_rows") + col("s.d_n") === 0L)),
-        UpdateSet(Map(
-          "sum_val" -> when(newNv === 0L, lit(null).cast("long"))
-            .otherwise(coalesce(col("t.sum_val"), lit(0L)) + col("s.d_sum")),
-          "n_rows" -> (col("t.n_rows") + col("s.d_n")),
-          "n_vals" -> newNv))),
+        UpdateSet(updates + ("n_rows" -> (col("t.n_rows") + col("s.d_n"))))),
       notMatched = Seq(InsertValues(
         keyCols.map(k => k -> col(s"s.$k")).toMap ++
-          Map(
-            "sum_val" -> when(col("s.d_nv") === 0L, lit(null).cast("long"))
-              .otherwise(col("s.d_sum")),
-            "n_rows" -> col("s.d_n"),
-            "n_vals" -> col("s.d_nv")))),
+          inserts + ("n_rows" -> col("s.d_n")))),
       extraMetadata = Map(SourceVersionKey -> curV.toString))
     Some(curV)
   }
@@ -148,7 +190,8 @@ object MaterializedAgg {
       s"$summaryPath is not a materialized view (missing $SourceKey — " +
         "was it created with CREATE MATERIALIZED VIEW / MaterializedAgg?)"))
     val keys = props(KeysKey).split(',').toSeq.filter(_.nonEmpty)
-    refresh(spark, source, summaryPath, keys, props(ValueKey))
+    refreshSums(spark, source, summaryPath, keys,
+      props(ValueKey).split(',').toSeq.filter(_.nonEmpty))
   }
 
   /** Continuous maintenance: a change-feed stream whose every
@@ -181,8 +224,24 @@ object MaterializedAgg {
     * n_vals = 0).
     */
   def summarize(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
-    df.groupBy(keyCols.map(col): _*)
-      .agg(sum(col(valueCol).cast("long")).as("sum_val"),
+    summarizeSums(df, keyCols, Seq(valueCol))
+
+  /** [[summarize]] over multiple summed columns: per column the exact
+    * integer sum + non-null value count, plus one shared row count.
+    */
+  def summarizeSums(
+      df: DataFrame, keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    // single column keeps the historical (sum_val, n_rows, n_vals)
+    // column ORDER — existing summaries and positional readers rely on it
+    val aggs = valueCols match {
+      case Seq(only) => Seq(
+        sum(col(only).cast("long")).as("sum_val"),
         count(lit(1)).as("n_rows"),
-        count(col(valueCol)).as("n_vals"))
+        count(col(only)).as("n_vals"))
+      case many => specsOf(many).flatMap { case (c, sumC, nvC) =>
+        Seq(sum(col(c).cast("long")).as(sumC), count(col(c)).as(nvC))
+      } :+ count(lit(1)).as("n_rows")
+    }
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

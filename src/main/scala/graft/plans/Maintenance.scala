@@ -115,8 +115,9 @@ final case class GraftCopyIntoCommand(
   * rescan). The view definition and source-version watermark ride the
   * creating commit as carried properties. The SELECT shape is
   * deliberately the one the incremental engine maintains exactly:
-  * grouping keys plus one integral `sum(col)` (summary columns land as
-  * `sum_val`/`n_rows`/`n_vals` regardless of any alias).
+  * grouping keys plus integral `sum(col)` entries (one column lands as
+  * `sum_val`/`n_rows`/`n_vals` regardless of alias; several land as
+  * `sum_<col>`/`nvals_<col>` plus the shared `n_rows`).
   */
 final case class GraftCreateMatViewCommand(
     target: Either[String, Seq[String]],
@@ -130,25 +131,25 @@ final case class GraftCreateMatViewCommand(
     val dstPath = GraftMaintenance.resolvePath(spark, target)
     require(!GraftTable.exists(spark, dstPath),
       s"materialized view target already exists: $dstPath")
-    // select list = the grouping keys (bare identifiers) + exactly one
-    // SUM(col) [AS alias]; anything richer is not incrementally
+    // select list = the grouping keys (bare identifiers) + one or more
+    // SUM(col) [AS alias] entries; anything richer is not incrementally
     // maintainable by the delta engine and is refused loudly
     val sumRe = """(?i)^sum\s*\(\s*([\w.]+)\s*\)(?:\s+as\s+\w+)?$""".r
     val items = selectList.split(',').map(_.trim).filter(_.nonEmpty)
     val (sums, keys) = items.partition(sumRe.pattern.matcher(_).matches())
-    require(sums.length == 1,
-      "CREATE MATERIALIZED VIEW needs exactly one sum(col) in the " +
-        s"select list, got ${sums.length} in: $selectList")
+    require(sums.nonEmpty,
+      "CREATE MATERIALIZED VIEW needs at least one sum(col) in the " +
+        s"select list; got: $selectList")
     keys.foreach(k => require(k.matches("""[\w.]+"""),
-      s"materialized-view select entries must be grouping keys or one " +
+      s"materialized-view select entries must be grouping keys or " +
         s"sum(col); cannot maintain '$k' incrementally"))
     require(keys.map(_.toLowerCase).toSet == groupBy.map(_.toLowerCase).toSet,
       s"select keys ${keys.mkString(",")} must equal GROUP BY " +
         groupBy.mkString(","))
-    val valueCol = sums.head match { case sumRe(c) => c }
+    val valueCols = sums.toSeq.map { case sumRe(c) => c }
     // preserve the SELECT's key order (groupBy order may differ)
-    val v = graft.ext.MaterializedAgg.refresh(
-      spark, srcPath, dstPath, keys.toSeq, valueCol)
+    val v = graft.ext.MaterializedAgg.refreshSums(
+      spark, srcPath, dstPath, keys.toSeq, valueCols)
     Seq(Row(v.getOrElse(
       throw new IllegalStateException("initial build applied no version"))))
   }

@@ -52,6 +52,36 @@ class MaterializedAggSpec extends SparkSpec {
     assert(summaryOf(sum) == recompute(src, sum))
   }
 
+  test("multi-sum views maintain every column from one change scan") {
+    val src = tmpDir("mv_multi_src")
+    val sum = tmpDir("mv_multi_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10L, 1L), (2L, "b", 20L, 2L), (3L, "a", 30L, 3L))
+        .toDF("id", "cat", "v", "w"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT cat, sum(v), sum(w) FROM graft.`$src` GROUP BY cat")
+    def rows() = GraftTable(spark, sum).toDf()
+      .select("cat", "sum_v", "sum_w", "n_rows").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows() == Map("a" -> ((40L, 4L, 2L)), "b" -> ((20L, 2L, 1L))))
+    // one incremental refresh catches BOTH sums up exactly
+    GraftWriter.write(spark, Seq((4L, "b", 5L, 50L)).toDF("id", "cat", "v", "w"),
+      src, WriteOptions(mode = WriteMode.Append))
+    Dml.update(spark, src, col("id") === 1L, Map("w" -> lit(100L)))
+    Dml.delete(spark, src, col("id") === 3L)
+    assert(!spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+      .head().isNullAt(0))
+    val expect = MaterializedAgg.summarizeSums(
+      GraftTable(spark, src).toDf(), Seq("cat"), Seq("v", "w")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(rows() == expect)
+    assert(rows() == Map("a" -> ((10L, 100L, 1L)), "b" -> ((25L, 52L, 2L))))
+  }
+
   test("NULL grouping keys are one group, not a duplicate row per refresh") {
     val src = tmpDir("mv_nullkey_src")
     val sum = tmpDir("mv_nullkey_sum")
