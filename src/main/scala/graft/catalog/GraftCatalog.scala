@@ -43,8 +43,7 @@ final case class GraftCatalogTable(
     // declared clustering keys surface as the ClusterByTransform so
     // catalog-level introspection (DESCRIBE, SHOW CREATE via Spark's
     // own paths) sees the layout the same way Delta exposes it
-    val cluster = props.get(graft.io.GraftWriter.ClusterByKey).toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val cluster = graft.io.GraftWriter.clusterByOf(props)
     val ct =
       if (cluster.isEmpty) Nil
       else Seq(org.apache.spark.sql.connector.expressions.ClusterByTransform(

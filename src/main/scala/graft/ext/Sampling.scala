@@ -315,8 +315,14 @@ object Sampling {
       idCol: String = "doc_id",
       ascending: Boolean = false): DataFrame = {
     require(permille >= 0 && permille <= 1000, "permille must be in [0, 1000]")
+    // NULL scores rank WORST in either direction: a row whose quality is
+    // unknown must never win the gate. This also pins cross-engine
+    // parity — Spark's bare asc is NULLS FIRST while DuckDB defaults to
+    // NULLS LAST, so an ascending gate over a NULL-able score would
+    // otherwise keep different rows per engine.
     val order =
-      if (ascending) col(scoreCol).asc else col(scoreCol).desc
+      if (ascending) col(scoreCol).asc_nulls_last
+      else col(scoreCol).desc_nulls_last
     val ranked = df
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(order, col(idCol).asc)))

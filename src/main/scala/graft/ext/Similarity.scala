@@ -152,7 +152,16 @@ object Similarity {
       cents: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      /** Also emit `c_sim_e6`, the micro-rounded cosine to the chosen
+        * centroid the assignment already computed — callers that rank
+        * by centrality ([[clusterBalancedSelect]]) reuse it instead of
+        * re-joining centroids and re-evaluating the dot product.
+        * `-nsim` is bit-identical to [[simE6]] by construction (the
+        * literal c_norm is the driver-side [[foldNorm]] of the same
+        * doubles `norm` folds).
+        */
+      keepSim: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centRows = cents
       .select(col("c_id").cast("long"), col("c_vec"))
@@ -176,10 +185,15 @@ object Similarity {
         .cast("long")).as("nsim"),
         c("c_id").as("c_id")))
     // ascending struct sort = sim desc, c_id asc — the old tie-break
-    TextOps.spread(corpus)
+    val probed = TextOps.spread(corpus)
       .select(col(idCol), col(vecCol))
       .withColumn("__probe", explode(slice(sort_array(scored), 1, nprobe)))
-      .select(col(idCol), col(vecCol), col("__probe.c_id").as("cell"))
+    if (keepSim)
+      probed.select(col(idCol), col(vecCol),
+        col("__probe.c_id").as("cell"),
+        (-col("__probe.nsim")).as("c_sim_e6"))
+    else
+      probed.select(col(idCol), col(vecCol), col("__probe.c_id").as("cell"))
   }
 
   /** Cluster-balanced corpus selection — the embedding-space diversity
@@ -209,12 +223,10 @@ object Similarity {
     require(perCell > 0, "perCell must be positive")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = centroidsK(corpus, numCells, idCol, vecCol, rowCountHint)
-    val assigned = assignCells(corpus, cents, idCol, vecCol)
-    val withSim = assigned
-      .join(broadcast(cents.select(col("c_id").as("cell"), col("c_vec"))),
-        Seq("cell"))
-      .withColumn("c_sim_e6", simE6(col(vecCol), col("c_vec")))
-    withSim
+    // the assignment pass already computed each row's centroid cosine —
+    // keepSim reuses it (no centroid re-join, no second dot product)
+    val assigned = assignCells(corpus, cents, idCol, vecCol, keepSim = true)
+    assigned
       .withColumn("rank_in_cell", row_number().over(
         Window.partitionBy(col("cell"))
           .orderBy(col("c_sim_e6").asc, col(idCol).asc)).cast("long"))

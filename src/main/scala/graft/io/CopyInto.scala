@@ -211,13 +211,19 @@ object CopyInto {
   private def ingestedIdentities(table: GraftTable): Set[String] = {
     val log = table.log
     val out = Set.newBuilder[String]
-    out ++= log.foldedMetadata(SourcesKey)
+    // ORDER MATTERS: commits first, sidecars second. Retention writes
+    // the fold BEFORE deleting the commits it covers, so a commit
+    // missing from the listing implies its sidecar already exists — the
+    // reverse order has a window (sidecar not yet read, commit already
+    // pruned) where a concurrent cleanOldLogs hides identities and a
+    // racing COPY INTO silently re-ingests.
     log.versions().foreach { v =>
       val c = log.readCommit(v)
       c.metadata.get(SourcesKey).foreach { s =>
         s.split("\n").iterator.filter(_.nonEmpty).foreach(out += _)
       }
     }
+    out ++= log.foldedMetadata(SourcesKey)
     out.result()
   }
 }

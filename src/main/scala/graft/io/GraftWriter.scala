@@ -917,9 +917,17 @@ object GraftWriter {
     val mustWork = candidates.exists(f =>
       !f.clusteredBy.contains(layout) || f.dv.isDefined ||
         GraftTable.isExternalRef(f.path))
+    // shrink estimate is PER PARTITION — the rewrite can never merge
+    // across partition directories, so a partitioned steady state of
+    // one small clustered file per partition must count as already
+    // packed (a table-wide ceil would claim 3 files pack into 1 and
+    // rewrite the tail forever)
     val packs = candidates.size > 1 && {
-      val rows = candidates.map(_.liveRecords).sum
-      math.ceil(rows.toDouble / maxRecordsPerFile).toLong < candidates.size
+      val expectedOut = candidates.groupBy(_.partitionValues).valuesIterator
+        .map(fs => math.max(1L, math.ceil(
+          fs.map(_.liveRecords).sum.toDouble / maxRecordsPerFile).toLong))
+        .sum
+      expectedOut < candidates.size
     }
     if (mustWork || packs) candidates else Nil
   }

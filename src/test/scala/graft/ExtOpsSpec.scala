@@ -365,6 +365,15 @@ class ExtOpsSpec extends SparkSpec {
     assert(asc("a") == Set(1L, 2L))
     assert(Sampling.topQuantileByGroup(df, 1000).count() == df.count())
     assert(Sampling.topQuantileByGroup(df, 0).count() == 0)
+    // a NULL score must rank WORST in either direction (Spark's bare
+    // asc is NULLS FIRST — an unknown-quality row would win the gate)
+    val withNull = (Seq((900L, "z", Option.empty[Long])) ++
+      (1 to 3).map(i => (i.toLong, "z", Option(i.toLong))))
+      .toDF("doc_id", "source", "score")
+    assert(Sampling.topQuantileByGroup(withNull, 500, ascending = true)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Sampling.topQuantileByGroup(withNull, 500)
+      .collect().map(_.getLong(0)).toSet == Set(3L, 2L))
   }
 
   test("cluster-balanced selection caps every cell and keeps rank order") {

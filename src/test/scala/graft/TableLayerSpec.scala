@@ -436,6 +436,21 @@ class TableLayerSpec extends SparkSpec {
     val v2 = GraftWriter.optimize(spark, p)
     assert(v2 > v1)
     assert(GraftTable(spark, p).snapshot().files.size == 1)
+    // PARTITIONED fixed point: one small clustered file per partition
+    // is already packed — the rewrite can never merge across partition
+    // dirs, so a table-wide ceil must not claim it shrinks
+    val pp = tmpDir("incclusterpfp")
+    GraftWriter.write(spark,
+      (0 until 96).map(j => (j.toLong, j % 3, s"v$j")).toDF("k", "part", "v"),
+      pp, WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("part")))
+    graft.io.Alter.alter(spark, pp,
+      props = Map(GraftWriter.ClusterByKey -> "k"))
+    GraftWriter.optimize(spark, pp)
+    val ppFiles = GraftTable(spark, pp).snapshot().files.map(_.path).toSet
+    val ppV = GraftTable(spark, pp).version()
+    assert(GraftWriter.optimize(spark, pp) == ppV,
+      "one packed file per partition must be a no-op, not an eternal rewrite")
+    assert(GraftTable(spark, pp).snapshot().files.map(_.path).toSet == ppFiles)
     // FULL on a table with no clustering keys is refused, not degraded
     val plain = tmpDir("fullplain")
     GraftWriter.write(spark, (0 until 8).map(i => (i.toLong, s"$i"))
