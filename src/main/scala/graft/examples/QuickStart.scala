@@ -621,6 +621,20 @@ object QuickStart {
     println(s"[44] SQL matview: REFRESH caught up to source " +
       s"v${mvV.getLong(0)} from the recorded definition; second REFRESH " +
       s"${if (mvAgain.isNullAt(0)) "no-op (already current)" else "RE-APPLIED?!"}")
+
+    // 45. corpus curation: per-source quantile gate + cluster-balanced
+    // selection over the embedding space
+    val gated = graft.ext.Sampling.topQuantileByGroup(
+      graft.ext.TextAnalysis.qualityScore(mediaDocs, carry = Seq("source")),
+      permille = 250, groupCol = "source", scoreCol = "stop_permille",
+      idCol = "doc_id", ascending = true)
+    val balanced = graft.ext.Similarity.clusterBalancedSelect(
+      embsDf, numCells = 16, perCell = 8)
+    val cellsKept = balanced.select("cell").distinct().count()
+    println(s"[45] curation: quantile gate keeps ${gated.count()} of " +
+      s"${mediaDocs.count()} docs (best 25% per source); balanced " +
+      s"selection keeps ${balanced.count()} vectors across $cellsKept " +
+      "cells (max 8 per cell — dominant clusters shed duplicates first)")
     spark.stop()
   }
 }
