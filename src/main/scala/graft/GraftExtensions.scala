@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // INTO / INSERT) to the COW Dml/Merge engines and substitutes the
     // native columnar plan for plain reads
     ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
+    // join planning sees skipping-aware scan sizes: a partition/stats
+    // -pruned slice of a huge table can qualify for broadcast instead of
+    // shuffling at full logical width (Delta's stats-aware scan prep)
+    ext.injectPreCBORule(session => new graft.sources.GraftScanStats(session))
     ext.injectResolutionRule(session => new graft.plans.GraftSqlDml(session))
     // graft catalog tables (spark.sql.catalog.<name>=graft.catalog.
     // GraftCatalog): reads become the native columnar plan, SQL writes

@@ -57,7 +57,21 @@ final class GraftFileIndex(
 
   override def listFiles(
       partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    prunedAdds(partitionFilters, dataFilters).map { case (row, kept) =>
+      PartitionDirectory(row, kept.map(status).toArray)
+    }
+
+  /** The add actions surviving partition pruning + footer-stats/bloom
+    * skipping for the given filters, grouped by partition value row —
+    * the metadata-only answer to "how much data will this scan read".
+    * Shared by [[listFiles]] (the actual scan planning) and
+    * [[prunedSizeInBytes]] (join-size estimation in
+    * [[GraftScanStats]]); both see the same file set by construction.
+    */
+  private[graft] def prunedAdds(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[(InternalRow, Seq[AddFile])] = {
     val selected =
       if (partitionFilters.isEmpty || partitionSchema.isEmpty) dirs
       else {
@@ -112,10 +126,19 @@ final class GraftFileIndex(
           (row, fs.filter(f => bloomMemo.get((f.path, checksKey))))
         }
       }
-    result.map { case (row, kept) =>
-      PartitionDirectory(row, kept.map(status).toArray)
-    }
+    result
   }
+
+  /** Bytes the scan will actually read under these filters — the pruned
+    * file set's size sum, computed entirely from commit-log metadata
+    * (no filesystem calls beyond any bloom-footer consultations, which
+    * are memoised and shared with the scan's own `listFiles`).
+    */
+  private[graft] def prunedSizeInBytes(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Long =
+    prunedAdds(partitionFilters, dataFilters)
+      .iterator.flatMap(_._2).map(_.sizeBytes).sum
 
   /** Declared bloom columns (physical names) at this snapshot. */
   private lazy val bloomPhysCols: Set[String] =

@@ -128,7 +128,14 @@ class SourceSpec extends SparkSpec {
     val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.getOrElse(fail("no FileSourceScanExec in plan"))
-    assert(scan.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+    // the commit-log index plans the scan (possibly behind the stats pin
+    // GraftScanStats adds for the pushed k=1234 filter)
+    assert(scan.relation.location match {
+      case _: graft.sources.GraftFileIndex => true
+      case p: graft.sources.PinnedSizeFileIndex =>
+        p.underlying.isInstanceOf[graft.sources.GraftFileIndex]
+      case _ => false
+    }, s"unexpected file index: ${scan.relation.location}")
     assert(scan.metrics("numFiles").value == 1L,
       s"expected stats skipping to 1 file, read ${scan.metrics("numFiles").value}")
   }
