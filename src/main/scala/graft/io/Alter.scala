@@ -247,15 +247,15 @@ object Alter {
         s"cannot DROP FEATURE ${Protocol.DeletionVectors}: " +
           s"${liveDvFiles.size} live file(s) in the current snapshot " +
           "carry deletion vectors — a pre-DV build reading the table " +
-          "would resurrect deleted rows. Run OPTIMIZE (purges DVs) " +
-          "first, then retry")
+          "would resurrect deleted rows. Run REORG TABLE ... APPLY " +
+          "(PURGE) (rewrites only the DV'd files) first, then retry")
       val dvCommits = log.versions()
         .filter(v => log.readCommit(v).add.exists(_.dv.isDefined))
       require(dvCommits.isEmpty,
         s"cannot DROP FEATURE ${Protocol.DeletionVectors}: retained " +
           s"commits ${dvCommits.mkString(", ")} carry deletion vectors — " +
           "a pre-DV build time-traveling there would resurrect deleted " +
-          "rows. OPTIMIZE (purges DVs), wait out retention, run " +
+          "rows. REORG ... APPLY (PURGE), wait out retention, run " +
           "cleanOldLogs, then retry")
       val props = log.tableProperties()
       val newFeatures = Seq(Protocol.ReaderFeaturesKey, Protocol.WriterFeaturesKey)

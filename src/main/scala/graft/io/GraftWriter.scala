@@ -717,6 +717,25 @@ object GraftWriter {
     }
   }
 
+  /** `REORG TABLE t [WHERE pred] APPLY (PURGE)` — rewrite ONLY the
+    * files that carry deletion vectors, materializing the anti-filter
+    * and dropping the DV. Unlike OPTIMIZE this never compacts: the
+    * rewrite set is exactly the soft-deleted files, so the pass is
+    * O(DV'd data) no matter how large the table — the precise
+    * precursor to `ALTER TABLE ... DROP FEATURE deletionVectors`
+    * (purge, then retention-age the old commits, then drop). A table
+    * with no DVs (in scope) is a clean no-op at the current version.
+    * Rewritten files on a clusterBy table lose their layout tag and
+    * fold back in on the next incremental OPTIMIZE.
+    */
+  def reorgPurge(
+      spark: SparkSession,
+      path: String,
+      where: Option[Column] = None,
+      maxRecordsPerFile: Long = 4 * 1024 * 1024): Long = retryDerived {
+    optimizeOnce(spark, path, maxRecordsPerFile, where, purgeOnly = true)
+  }
+
   private def optimizeOnce(
       spark: SparkSession,
       path: String,
@@ -735,7 +754,11 @@ object GraftWriter {
         * every maintenance pass. Conf:
         * `spark.graft.optimize.minFileSizeBytes`; default 256 MiB.
         */
-      minFileSizeBytes: Option[Long] = None): Long = {
+      minFileSizeBytes: Option[Long] = None,
+      /** REORG ... APPLY (PURGE): candidates are exactly the DV'd
+        * files in scope — no bin-packing, no compaction of plain files.
+        */
+      purgeOnly: Boolean = false): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
@@ -767,15 +790,17 @@ object GraftWriter {
     // floor) plus must-rewrite files (DV'd, external ref) compact;
     // already-large plain files stay untouched — and a partition whose
     // candidate set is one plain small file has nothing to gain
-    val toCompact = byPartition.values.flatMap { files =>
-      val candidates = files.filter(f =>
-        f.sizeBytes < sizeFloor || f.dv.isDefined ||
-          GraftTable.isExternalRef(f.path))
-      if (candidates.size > 1 || candidates.exists(f =>
-          f.dv.isDefined || GraftTable.isExternalRef(f.path)))
-        candidates
-      else Nil
-    }.toSeq
+    val toCompact =
+      if (purgeOnly) eligible.filter(_.dv.isDefined)
+      else byPartition.values.flatMap { files =>
+        val candidates = files.filter(f =>
+          f.sizeBytes < sizeFloor || f.dv.isDefined ||
+            GraftTable.isExternalRef(f.path))
+        if (candidates.size > 1 || candidates.exists(f =>
+            f.dv.isDefined || GraftTable.isExternalRef(f.path)))
+          candidates
+        else Nil
+      }.toSeq
     if (toCompact.isEmpty) return snap.version
 
     val table = new GraftTable(spark, path)
@@ -804,8 +829,8 @@ object GraftWriter {
     // a real conflict
     log.commitOrRebase(maintenanceProfile(toCompact), snap) { expected =>
       log.commit(
-        operation = "OPTIMIZE",
-        mode = "compaction",
+        operation = if (purgeOnly) "REORG" else "OPTIMIZE",
+        mode = if (purgeOnly) "purge" else "compaction",
         schemaDdl = snap.schema.toDDL,
         partitionColumns = snap.partitionColumns,
         metadata = Map.empty,

@@ -79,6 +79,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + T + """(\s+FULL)?""" +
       """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+  private val ReorgRe =
+    ("""(?is)^\s*REORG\s+TABLE\s+""" + T +
+      """(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
   private val DetailRe =
@@ -132,6 +135,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
           Option(wpred).map(_.trim).filter(_.nonEmpty),
           full = fullKw != null))
+      case ReorgRe(p, n, wpred) =>
+        Some(GraftReorgCommand(target(p, n),
+          Option(wpred).map(_.trim).filter(_.nonEmpty)))
       case GenerateRe(p, n) => Some(GraftGenerateCommand(target(p, n)))
       case HistoryRe(p, n) => Some(GraftDescribeHistoryCommand(target(p, n)))
       case DetailRe(p, n) => Some(GraftDescribeDetailCommand(target(p, n)))

@@ -246,6 +246,24 @@ final case class GraftOptimizeCommand(
   }
 }
 
+/** `REORG TABLE t [WHERE pred] APPLY (PURGE)` — rewrite ONLY the files
+  * carrying deletion vectors, materializing the anti-filter and
+  * dropping the DVs ([[graft.io.GraftWriter.reorgPurge]]). Bounded by
+  * the soft-deleted file set (never a compaction); the precursor to
+  * `ALTER TABLE ... DROP FEATURE deletionVectors`.
+  */
+final case class GraftReorgCommand(
+    target: Either[String, Seq[String]],
+    where: Option[String] = None) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    Seq(Row(GraftWriter.reorgPurge(spark, path,
+      where = where.map(org.apache.spark.sql.functions.expr))))
+  }
+}
+
 final case class GraftDescribeHistoryCommand(
     target: Either[String, Seq[String]]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

@@ -218,10 +218,10 @@ class GraftStreamSource(
               val v = it.next()
               val c = log.readCommit(v)
               val rewritten = c.remove.map(_.path).toSet
-              // OPTIMIZE commits serve no rows (see getBatch) — admit
-              // them for free instead of counting phantom files
+              // OPTIMIZE/REORG commits serve no rows (see getBatch) —
+              // admit them for free instead of counting phantom files
               val adds =
-                if (c.operation == "OPTIMIZE") Nil
+                if (c.operation == "OPTIMIZE" || c.operation == "REORG") Nil
                 else c.add.filterNot(a => rewritten(a.path))
               files += adds.size
               bytes += adds.map(_.sizeBytes).sum
@@ -307,10 +307,11 @@ class GraftStreamSource(
     // OPTIMIZE commit (bin-pack / Z-order / cluster) is a pure
     // rearrangement of already-delivered rows — Delta marks its files
     // dataChange=false and the source skips them; emitting would replay
-    // every compacted row
+    // every compacted row. REORG (DV purge) likewise rewrites only
+    // already-delivered live rows into new paths.
     val added = versions.flatMap { v =>
       val c = log.readCommit(v)
-      if (c.operation == "OPTIMIZE") Nil
+      if (c.operation == "OPTIMIZE" || c.operation == "REORG") Nil
       else {
         val rewritten = c.remove.map(_.path).toSet
         c.add.filterNot(a => rewritten(a.path))

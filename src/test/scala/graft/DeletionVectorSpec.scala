@@ -378,4 +378,59 @@ class DeletionVectorSpec extends SparkSpec {
     val rewritten = c.remove.map(_.path).toSet
     assert(c.add.nonEmpty && c.add.forall(a => rewritten(a.path)))
   }
+
+  test("REORG APPLY (PURGE) rewrites only DV'd files; clean table is a no-op") {
+    val p = tmpDir("dv_reorg")
+    writeDvTable(p)
+    val t = GraftTable(spark, p)
+    Dml.delete(spark, p, col("o_totalprice") > 150000.0)
+    // appended-after-the-delete files carry no DV — REORG must leave
+    // them alone by path
+    val extra = orders.filter(col("o_totalprice") > 150000.0)
+    GraftWriter.write(spark, extra, p,
+      WriteOptions(mode = WriteMode.Append, partitionBy = Seq("o_orderstatus")))
+    val snap1 = t.snapshot()
+    val dvd = snap1.files.filter(_.dv.isDefined).map(_.path).toSet
+    val plain = snap1.files.filter(_.dv.isEmpty).map(_.path).toSet
+    assert(dvd.nonEmpty && plain.nonEmpty,
+      "fixture needs both DV'd and untouched files")
+
+    val v = GraftWriter.reorgPurge(spark, p)
+    assert(v == snap1.version + 1)
+    assert(t.history().head.operation == "REORG")
+    val snap2 = t.snapshot()
+    // untouched files survive BY PATH; every DV'd file was rewritten;
+    // no DV remains anywhere in the live snapshot
+    assert(plain.subsetOf(snap2.files.map(_.path).toSet))
+    assert(snap2.files.forall(f => !dvd(f.path)))
+    assert(snap2.files.forall(_.dv.isEmpty))
+    // rows are exactly the pre-purge live rows
+    val want = orders.filter(!(col("o_totalprice") > 150000.0))
+      .unionByName(extra)
+    val got = t.toDf()
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // idempotent: a second purge has nothing to do — version unchanged
+    assert(GraftWriter.reorgPurge(spark, p) == snap2.version)
+
+    // SQL route, WHERE-scoped: DV one partition ('F' and 'O' both have
+    // cheap rows), purge only 'F' — the other partition's DV survives
+    Dml.delete(spark, p, col("o_totalprice") < 20000.0)
+    val dvParts = t.snapshot().files.filter(_.dv.isDefined)
+      .map(_.partitionValues("o_orderstatus")).toSet
+    assert(dvParts.size > 1, s"fixture needs DVs in >1 partition: $dvParts")
+    spark.sql(s"REORG TABLE graft.`$p` WHERE o_orderstatus = 'F' APPLY (PURGE)")
+      .collect()
+    val snap3 = t.snapshot()
+    assert(snap3.files.filter(_.dv.isDefined)
+      .forall(_.partitionValues("o_orderstatus") != "F"))
+    assert(snap3.files.exists(_.dv.isDefined), "out-of-scope DVs survive")
+    // the full SQL purge then clears the rest
+    spark.sql(s"REORG TABLE graft.`$p` APPLY (PURGE)").collect()
+    assert(t.snapshot().files.forall(_.dv.isEmpty))
+    val want2 = want.filter(!(col("o_totalprice") < 20000.0))
+    assert(t.toDf().count() == want2.count())
+    assert(t.toDf().exceptAll(want2).isEmpty)
+  }
 }

@@ -595,6 +595,13 @@ class StreamingSpec extends SparkSpec {
     assert(GraftTable(spark, src).history().exists(_.operation == "OPTIMIZE"))
     graft.merge.Dml.delete(spark, src, col("ts") === ts("2024-01-01 09:00:00"))
     assert(GraftTable(spark, src).toDf().count() == 3, "DV delete applied")
+    //  - REORG (DV purge) rewrites the soft-deleted file into a NEW
+    //    path — a pure rearrangement of already-delivered rows that the
+    //    stream must skip like OPTIMIZE (the purged file's live rows
+    //    would replay otherwise)
+    GraftWriter.reorgPurge(spark, src)
+    assert(GraftTable(spark, src).history().head.operation == "REORG")
+    assert(GraftTable(spark, src).snapshot().files.forall(_.dv.isEmpty))
     // epoch 2: new events (a new u1 session, a u3 singleton), restart
     append((ts("2024-01-01 11:30:00"), 1L, "click"),
       (ts("2024-01-01 09:05:00"), 3L, "view"))
