@@ -70,6 +70,16 @@ object OracleSql {
   private def simE6(a: String, b: String) =
     s"CAST(round((${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) * 1000000) AS BIGINT)"
 
+  /** Micro-rounded L2 distance via the dot expansion — mirrors
+    * `Similarity.distE6`'s `(⟨a,a⟩ − 2·⟨a,b⟩) + ⟨b,b⟩` op order exactly
+    * (three shared folds, symbolic 2.0, round on the positive value).
+    */
+  private def distE6(a: String, b: String) =
+    s"CAST(round(sqrt((${dot(a, a)}) - 2.0 * (${dot(a, b)}) + (${dot(b, b)})) * 1000000) AS BIGINT)"
+
+  private def dotE6(a: String, b: String) =
+    s"CAST(round((${dot(a, b)}) * 1000000) AS BIGINT)"
+
   /** Shared MinHash CTE chain (16 perms, 4 rows/band) over `docsToks`
     * (a `SELECT doc_id, ... AS toks` source), ending in a `bands`
     * relation — reused by the LSH pair query, the LSH-first Jaccard
@@ -175,6 +185,28 @@ object OracleSql {
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 32),
         c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
         scored AS (SELECT q_id, n_id, ${simE6("q_vec", "n_vec")} AS sim_e6
+                   FROM q, c WHERE n_id <> q_id),
+        ranked AS (SELECT q_id, n_id, sim_e6,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, n_id) AS "rank"
+                   FROM scored)
+        SELECT q_id, n_id, "rank", sim_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
+  private val knnBruteL2Sql = {
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 32),
+        c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+        scored AS (SELECT q_id, n_id, ${distE6("q_vec", "n_vec")} AS dist_e6
+                   FROM q, c WHERE n_id <> q_id),
+        ranked AS (SELECT q_id, n_id, dist_e6,
+                          row_number() OVER (PARTITION BY q_id ORDER BY dist_e6 ASC, n_id) AS "rank"
+                   FROM scored)
+        SELECT q_id, n_id, "rank", dist_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
+  private val knnBruteDotSql = {
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 32),
+        c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+        scored AS (SELECT q_id, n_id, ${dotE6("q_vec", "n_vec")} AS sim_e6
                    FROM q, c WHERE n_id <> q_id),
         ranked AS (SELECT q_id, n_id, sim_e6,
                           row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, n_id) AS "rank"
@@ -1156,6 +1188,8 @@ object OracleSql {
           FROM shd""",
 
     "knn_brute_topk" -> knnBruteSql,
+    "knn_brute_l2" -> knnBruteL2Sql,
+    "knn_brute_dot" -> knnBruteDotSql,
 
     "knn_ivf_topk" -> knnIvfSql,
     // cluster-balanced diversity selection: same stride-centroid
@@ -1552,6 +1586,31 @@ object OracleSql {
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_match_terms,
                  CAST(sum(score_term_e6) AS BIGINT) AS score_e6
           FROM p GROUP BY doc_id""",
+
+    // smoothed tf-idf keyword extraction — mirrors TextOps.tfidfTopK's
+    // op order exactly: one rounded double per (doc, term) output row
+    // (no summed doubles), N = ALL documents, df counted from the
+    // deduped (doc, term) relation
+    "text_tfidf_topk" ->
+      s"""WITH d AS ($DOCS_TOKS),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                         unnest(toks) AS term FROM d),
+          tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok WHERE term <> '' GROUP BY doc_id, dl, term),
+          dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY term),
+          scored AS (SELECT doc_id, tf.term AS term,
+                            CAST(floor((tf.tf::DOUBLE / tf.dl)
+                              * (ln((n.n_docs::DOUBLE + 1.0) / (dfs.df + 1.0)) + 1.0)
+                              * 1000000 + 0.5) AS BIGINT) AS score_e6
+                     FROM tf JOIN dfs ON dfs.term = tf.term, n),
+          ranked AS (SELECT doc_id, term, score_e6,
+                            row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_e6 DESC, term) AS "rank"
+                     FROM scored)
+          SELECT doc_id, term, CAST("rank" AS BIGINT) AS "rank", score_e6
+          FROM ranked WHERE "rank" <= 3""",
 
     "content_chunks" ->
       s"""WITH d AS ($DOCS_TOKS),

@@ -781,6 +781,24 @@ object SparkEntry {
         col("sim_e6"))
   }
 
+  /** Euclidean metric over the same fixture — ranks ascending by
+    * micro-rounded L2 distance (dot-expansion folds, oracle-identical).
+    */
+  private def qKnnBruteL2(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 32), 5, metric = "l2")
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("dist_e6"))
+  }
+
+  /** Maximum-inner-product metric over the same fixture. */
+  private def qKnnBruteDot(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 32), 5, metric = "dot")
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim_e6"))
+  }
+
   /** Row count for the centroid stride from parquet footers — a driver
     * metadata read instead of the count(*) job centroidsK would schedule.
     */
@@ -1177,6 +1195,10 @@ object SparkEntry {
   private def qBm25(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25(t(spark, dir, "documents"),
       Seq("spark", "query", "merge"))
+
+  /** Top-3 keywords per document by smoothed tf-idf. */
+  private def qTfidfTopK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(t(spark, dir, "documents"), k = 3)
 
   /** Content-defined (rolling-hash boundary) chunking. */
   private def qContentChunks(spark: SparkSession, dir: String): DataFrame =
@@ -1585,6 +1607,8 @@ object SparkEntry {
     "text_repetition" -> (qRepetition _),
     "text_source_stats" -> (qSourceStats _),
     "knn_brute_topk" -> (qKnnBrute _),
+    "knn_brute_l2" -> (qKnnBruteL2 _),
+    "knn_brute_dot" -> (qKnnBruteDot _),
     "knn_ivf_topk" -> (qKnnIvf _),
     "knn_ivf_kmeans" -> (qKnnIvfKmeans _),
     "pq_codes" -> (qPqCodes _),
@@ -1630,6 +1654,7 @@ object SparkEntry {
     "content_chunks" -> (qContentChunks _),
     "text_gopher_rules" -> (qGopherRules _),
     "text_bm25" -> (qBm25 _),
+    "text_tfidf_topk" -> (qTfidfTopK _),
     "table_restore" -> (qTableRestore _),
     "table_truncate" -> (qTableTruncate _),
     "table_changes" -> (qTableChanges _),
@@ -1671,7 +1696,8 @@ object SparkEntry {
     "text_lm_score",
     "paragraph_dedup", "url_filter", "text_bpeish_count", "text_bpe_count",
     "text_fingerprint", "text_repetition", "text_source_stats",
-    "knn_brute_topk", "knn_ivf_topk", "knn_ivf_kmeans",
+    "knn_brute_topk", "knn_brute_l2", "knn_brute_dot",
+    "knn_ivf_topk", "knn_ivf_kmeans",
     "pq_codes", "knn_pq_adc", "knn_pq_adc_kmeans", "knn_ivfpq_adc",
     "knn_ivfpq_rerank", "knn_ivfpq_filtered", "knn_ivfpq_kmeans",
     "cosine_dup_pairs",
@@ -1685,7 +1711,8 @@ object SparkEntry {
     "quality_quantile_filter", "cluster_balanced_select",
     "text_chunks", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
-    "text_gopher_rules", "text_bm25", "domain_mix", "corpus_select",
+    "text_gopher_rules", "text_bm25", "text_tfidf_topk",
+    "domain_mix", "corpus_select",
     "corpus_shuffle", "line_dedup",
     "substring_dedup", "semantic_dedup")
 

@@ -42,6 +42,19 @@ object Similarity {
   def simE6(a: Column, b: Column): Column =
     round(cosine(a, b) * 1e6).cast("long")
 
+  /** Micro-rounded Euclidean distance via the dot expansion
+    * ‖a−b‖² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ — three shared sequential folds
+    * instead of an elementwise-difference pass, so the DuckDB twin
+    * replays the exact IEEE op sequence (constants stay symbolic).
+    */
+  def distE6(a: Column, b: Column): Column =
+    round(sqrt(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)) * 1e6)
+      .cast("long")
+
+  /** Micro-rounded inner product (maximum-inner-product search). */
+  def dotE6(a: Column, b: Column): Column =
+    round(dot(a, b) * 1e6).cast("long")
+
   /** Top-k selection from (q_id, n_id, sim_e6) scored rows through the
     * bounded [[graft.functions.TopKBySim]] aggregator: partial buffers
     * are capped at k, so map-side combine collapses every upstream
@@ -69,25 +82,46 @@ object Similarity {
         (col("pos") + 1).as("rank"), col("s.sim_e6").as("sim_e6"))
   }
 
-  /** Exact top-k cosine neighbors of each query vector, brute force.
-    * `queries` must be small enough to broadcast.
+  /** Exact top-k neighbors of each query vector, brute force.
+    * `queries` must be small enough to broadcast. `metric` picks the
+    * score: `cosine` (default) and `dot` rank by similarity descending
+    * (`sim_e6`); `l2` ranks by Euclidean distance ascending and emits
+    * `dist_e6` instead — internally the negated distance rides the same
+    * bounded top-k aggregator, so all three metrics share one plan
+    * shape (broadcast queries, one narrow corpus pass, capped partial
+    * buffers before the exchange).
     */
   def bruteTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      metric: String = "cosine"): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
     val c = TextOps.spread(corpus)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val score = metric match {
+      case "cosine" => simE6(col("q_vec"), col("n_vec"))
+      case "dot"    => dotE6(col("q_vec"), col("n_vec"))
+      // distances are non-negative, so the micro-round happens on the
+      // positive value and only THEN negates — ordering by sim desc is
+      // exactly dist asc with the identical rounding as the oracle
+      case "l2"     => -distE6(col("q_vec"), col("n_vec"))
+      case other => throw new IllegalArgumentException(
+        s"unknown metric '$other' (cosine | dot | l2)")
+    }
     val scored = c
       .crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim_e6", simE6(col("q_vec"), col("n_vec")))
-    topKRows(scored, k)
+      .withColumn("sim_e6", score)
+    val top = topKRows(scored, k)
+    if (metric == "l2")
+      top.select(col("q_id"), col("n_id"), col("rank"),
+        (-col("sim_e6")).as("dist_e6"))
+    else top
   }
 
   /** Deterministic coarse centroids: every `stride`-th vector by id.

@@ -820,6 +820,48 @@ object TextAnalysis {
         sum(col("score_term_e6")).as("score_e6"))
   }
 
+  /** Per-document top-k keyword extraction by smoothed tf-idf
+    * (sklearn's `smooth_idf` form: `tf/dl · (ln((N+1)/(df+1)) + 1)`),
+    * micro-rounded to e6 fixed point per (doc, term) — a single
+    * rounded value per output row, so cross-engine double parity holds
+    * without order-free summing tricks.
+    *
+    * Plan shape at 100 TB: one narrow token explode, a partial-agged
+    * (doc, term) count shuffle, a term-keyed shuffle join against the
+    * vocabulary document frequencies (the vocabulary is corpus-sized —
+    * never broadcast), then a per-doc top-k window that reuses the
+    * doc-keyed partitioning. Never doc×doc, never a global sort.
+    */
+  def tfidfTopK(
+      docs: DataFrame,
+      k: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = tokens(col(textCol))
+    val base = spread(docs).select(col("doc_id"), toks.as("toks"),
+      size(toks).cast("long").as("dl"))
+    // N counts every document (null/empty text included) — the idf
+    // denominator is corpus size, not matched-doc count
+    val stats = base.agg(count(lit(1)).as("n_docs"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term") =!= "") // empty text tokenizes to [""]
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // each (doc, term) appears once in tf, so df is a plain count
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs").cast("double") + lit(1.0)) /
+      (col("df") + lit(1.0))) + lit(1.0)
+    val score = (col("tf").cast("double") / col("dl")) * idf
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_e6").desc, col("term"))
+    tf.join(dfs, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e6", floor(score * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "rank", "score_e6")
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, public
     * heuristics; exact thresholds are configurable knobs): per-document
     * rule booleans plus the conjunction `keep`. All rules are per-row

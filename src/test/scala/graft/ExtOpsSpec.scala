@@ -90,6 +90,66 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall2 >= recall, s"nprobe=2 recall $recall2 < nprobe=1 $recall")
   }
 
+  test("bruteTopK metrics: l2 ascending, dot descending, independent checks") {
+    val q = embs.filter(col("vec_id") < 4)
+    val l2 = Similarity.bruteTopK(embs, q, 5, metric = "l2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+    val dt = Similarity.bruteTopK(embs, q, 5, metric = "dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+    assert(l2.length == 4 * 5 && dt.length == 4 * 5)
+    // ranks sort by dist ASC (l2) / sim DESC (dot) within each query
+    for (g <- l2.groupBy(_._1).values; Array(a, b) <- g.sortBy(_._3).sliding(2))
+      assert(a._4 <= b._4, s"l2 not ascending: $a $b")
+    for (g <- dt.groupBy(_._1).values; Array(a, b) <- g.sortBy(_._3).sliding(2))
+      assert(a._4 >= b._4, s"dot not descending: $a $b")
+    // independent rank-1 check against a driver-side fold replaying the
+    // operator's exact op order (dot expansion + e6 round) so e6-level
+    // ties break identically (by id)
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def fold(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def dE6(q: Array[Float], n: Array[Float]): Long =
+      math.round(math.sqrt(fold(q, q) - 2.0 * fold(q, n) + fold(n, n)) * 1e6)
+    def pE6(q: Array[Float], n: Array[Float]): Long =
+      math.round(fold(q, n) * 1e6)
+    for (qid <- 0L until 4L) {
+      val bestL2 = vecs.keys.filter(_ != qid)
+        .minBy(n => (dE6(vecs(qid), vecs(n)), n))
+      assert(l2.find(r => r._1 == qid && r._3 == 1L).get._2 == bestL2)
+      val bestDot = vecs.keys.filter(_ != qid)
+        .minBy(n => (-pE6(vecs(qid), vecs(n)), n))
+      assert(dt.find(r => r._1 == qid && r._3 == 1L).get._2 == bestDot)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.bruteTopK(embs, q, 5, metric = "hamming")
+    }
+  }
+
+  test("tfidfTopK: terms come from the doc, ranks are dense, rare beats common") {
+    val fixture = Seq(
+      (1L, "alpha beta beta common"),
+      (2L, "alpha gamma common"),
+      (3L, "alpha delta common common")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(fixture, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.groupBy(_._1).forall { case (_, g) =>
+      g.map(_._3).sorted.sameElements(1L to g.length) })
+    // every emitted term occurs in its document
+    val texts = fixture.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (d, t, _, _) =>
+      texts(d).split("\\s+").contains(t) })
+    // 'alpha' appears in all 3 docs — idf floor; doc 2's rank-1 must be
+    // the unique 'gamma', never the ubiquitous 'alpha'
+    assert(got.find(r => r._1 == 2L && r._3 == 1L).get._2 == "gamma")
+    // score ordering within a doc is strictly enforced by rank
+    for (g <- got.groupBy(_._1).values; Array(a, b) <- g.sortBy(_._3).sliding(2))
+      assert(a._4 >= b._4)
+  }
+
   test("PQ codes are bounded; ADC top-k meets a recall floor vs exact L2") {
     val codes = Similarity.pqEncode(embs)
     assert(codes.count() == embs.count())
