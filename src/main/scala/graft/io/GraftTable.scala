@@ -213,6 +213,14 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def history(): Seq[graft.log.Commit] =
     log.versions().map(log.readCommit).reverse
 
+  /** Highest idempotent-transaction version recorded for `appId`
+    * (Delta's `DeltaTable.txnVersion`): the restart handshake of the
+    * foreachBatch exactly-once pattern — see
+    * [[graft.io.WriteOptions.txnAppId]]. None = never written.
+    */
+  def txnVersion(appId: String): Option[Long] =
+    log.tableProperties().get(graft.log.CommitLog.txnKey(appId)).map(_.toLong)
+
   /** History as a DataFrame (Delta `DESCRIBE HISTORY`): one row per
     * commit, newest first.
     */

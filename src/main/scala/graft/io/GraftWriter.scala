@@ -84,7 +84,21 @@ final case class WriteOptions(
       * against the fresh log and retries; the writer's internal rebase
       * cannot re-derive caller state.
       */
-    casOnVersion: Option[Long] = None)
+    casOnVersion: Option[Long] = None,
+    /** Idempotent-writer transaction (Delta's `txnAppId`/`txnVersion`):
+      * the write applies only if the table has not yet recorded a
+      * transaction at-or-above `txnVersion` for this application id —
+      * otherwise it is a clean no-op at the current version. The check
+      * and the marker ride ONE compare-and-swapped commit, so a crashed
+      * writer replaying its last batch (the foreachBatch exactly-once
+      * pattern) can never double-append, even racing another instance
+      * of itself. Marker = carried property `graft.txn.<appId>` —
+      * survives checkpoints and log retention by construction. Each
+      * appId is an independent namespace: two streams writing one
+      * table use two appIds. Both fields set together or neither.
+      */
+    txnAppId: Option[String] = None,
+    txnVersion: Option[Long] = None)
 
 /** Transactional writer over [[graft.log.CommitLog]].
   *
@@ -100,8 +114,53 @@ object GraftWriter {
       spark: SparkSession,
       df: DataFrame,
       path: String,
-      opts: WriteOptions = WriteOptions()): Long =
-    writeAttempt(spark, df, path, opts, identityAttempt = 0)
+      opts: WriteOptions = WriteOptions()): Long = {
+    require(opts.txnAppId.isDefined == opts.txnVersion.isDefined,
+      "txnAppId and txnVersion must be set together")
+    opts.txnAppId match {
+      case None => writeAttempt(spark, df, path, opts, identityAttempt = 0)
+      case Some(appId) => txnWrite(spark, df, path, opts, appId)
+    }
+  }
+
+  /** Idempotent-transaction write (see [[WriteOptions.txnAppId]]): the
+    * already-applied check and the commit CAS on one snapshot version,
+    * so check→commit is atomic. On a lost CAS the staged files are
+    * cleaned by the casOnVersion path and the whole write re-derives
+    * against the fresh log — where the replayed transaction is now
+    * visible and the retry returns as a no-op.
+    */
+  private def txnWrite(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      opts: WriteOptions,
+      appId: String): Long = {
+    val key = CommitLog.txnKey(appId)
+    val ver = opts.txnVersion.get
+    var attempt = 0
+    while (true) {
+      val log = new CommitLog(path, spark.sessionState.newHadoopConf())
+      val latest = if (log.tableExists()) log.latestVersion() else None
+      val seen =
+        if (latest.isEmpty) None else log.tableProperties().get(key).map(_.toLong)
+      if (seen.exists(_ >= ver)) return latest.get // already applied: no-op
+      val inner = opts.copy(
+        metadata = opts.metadata + (key -> ver.toString),
+        // -1 = "expect an empty log": a concurrent CREATE conflicts too
+        casOnVersion = Some(opts.casOnVersion.getOrElse(latest.getOrElse(-1L))),
+        txnAppId = None, txnVersion = None)
+      try return writeAttempt(spark, df, path, inner, identityAttempt = 0)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // a caller-pinned CAS is the caller's to re-derive; otherwise
+          // bounded retry re-reads the txn state at the loop top
+          if (opts.casOnVersion.isDefined || attempt >= 5) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def writeAttempt(
       spark: SparkSession,

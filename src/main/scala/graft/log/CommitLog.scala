@@ -690,6 +690,19 @@ object CommitLog {
   /** Key for a named CHECK constraint (value = its SQL expression). */
   def constraintKey(name: String): String = s"${ReservedPrefix}constraint.$name"
 
+  /** Idempotent-writer transaction markers (Delta's `txn` /
+    * SetTransaction action): `graft.txn.<appId>` carries the highest
+    * transaction version an application has committed. As a carried
+    * property it rides every commit AND every checkpoint, so the
+    * guarantee survives log retention with no extra machinery.
+    */
+  val TxnPrefix: String = s"${ReservedPrefix}txn."
+
+  def txnKey(appId: String): String = {
+    require(appId.nonEmpty, "txnAppId must be non-empty")
+    TxnPrefix + appId
+  }
+
   /** Per-commit (non-carried) metadata keys whose records must SURVIVE
     * log retention: before pruning, [[CommitLog.cleanOldLogs]] unions
     * the doomed commits' values (newline-joined sets) into a

@@ -309,6 +309,9 @@ final case class GraftShowCreateTableCommand(
     val props = table.log.tableProperties()
       .filterNot(_._1.startsWith(graft.io.ColumnMapping.Prefix))
       .filterNot(_._1.startsWith(graft.io.ColumnMapping.DropPrefix))
+      // writer-transaction markers are operational state, not schema —
+      // a re-created table must not inherit another app's replay guard
+      .filterNot(_._1.startsWith(graft.log.CommitLog.TxnPrefix))
     def q(s: String) = s"`${s.replace("`", "``")}`"
     val name = displayName.getOrElse(s"graft.${q(path)}")
     val cols = snap.schema.map { f =>

@@ -208,12 +208,24 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val committed = lastCommittedBatch(spark, path)
-        if (committed.forall(_ < batchId)) {
+        // exactly-once through the writer's idempotent-transaction
+        // commit: the replay check and the batch-id marker ride ONE
+        // compare-and-swapped commit (atomic, unlike a read-history-
+        // then-append guard), keyed by checkpoint so independent
+        // streams into the same table never collide
+        val appId = s"graft-stream-sink:$checkpoint"
+        // tables written by pre-txn builds recorded only the
+        // streaming_batch_id metadata — honor it once so an upgrade
+        // mid-stream cannot double-apply the replayed batch
+        val legacySkip = GraftTable.exists(spark, path) &&
+          GraftTable(spark, path).txnVersion(appId).isEmpty &&
+          lastCommittedBatch(spark, path).exists(_ >= batchId)
+        if (!legacySkip) {
           GraftWriter.write(spark, batch, path, WriteOptions(
             mode = WriteMode.Append,
             partitionBy = partitionBy,
-            metadata = Map("streaming_batch_id" -> batchId.toString)))
+            metadata = Map("streaming_batch_id" -> batchId.toString),
+            txnAppId = Some(appId), txnVersion = Some(batchId)))
           if (autoCompactMinFiles > 0) {
             val files = GraftTable(spark, path).snapshot().files
             val worst = files.groupBy(_.partitionValues)
