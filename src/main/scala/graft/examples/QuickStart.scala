@@ -635,6 +635,45 @@ object QuickStart {
       s"${mediaDocs.count()} docs (best 25% per source); balanced " +
       s"selection keeps ${balanced.count()} vectors across $cellsKept " +
       "cells (max 8 per cell — dominant clusters shed duplicates first)")
+
+    // 46. REORG APPLY (PURGE): rewrite ONLY the DV'd files — the
+    // bounded precursor to DROP FEATURE deletionVectors
+    val rgTbl = s"$out/reorg"
+    GraftWriter.write(spark,
+      spark.range(0, 400).select(col("id").as("k"),
+        (col("id") % 4).cast("string").as("p")),
+      rgTbl, WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("p"),
+        metadata = Map("graft.dv" -> "true")))
+    graft.merge.Dml.delete(spark, rgTbl, col("k") % 10 === 0)
+    val rgDvd = GraftTable(spark, rgTbl).snapshot()
+    val rgV = spark.sql(s"REORG TABLE graft.`$rgTbl` APPLY (PURGE)")
+      .head().getLong(0)
+    val rgAfter = GraftTable(spark, rgTbl).snapshot()
+    println(s"[46] REORG PURGE: ${rgDvd.files.count(_.dv.isDefined)} DV'd " +
+      s"files rewritten at v$rgV, " +
+      s"${rgAfter.files.count(_.dv.isDefined)} DVs remain, " +
+      s"${rgAfter.files.map(_.liveRecords).sum} live rows unchanged")
+
+    // 47. idempotent writer transactions: a crashed writer replaying its
+    // last batch cannot double-append (Delta's txnAppId/txnVersion)
+    val txTbl = s"$out/txn"
+    def txBatch(ver: Long) = GraftWriter.write(spark,
+      spark.range(ver * 10, ver * 10 + 10).toDF("id"), txTbl,
+      WriteOptions(mode = WriteMode.Append,
+        txnAppId = Some("quickstart-etl"), txnVersion = Some(ver)))
+    txBatch(0); txBatch(1)
+    val txReplayV = txBatch(1) // crash-replay of batch 1: no-op
+    val txT = GraftTable(spark, txTbl)
+    println(s"[47] writer txns: 2 batches = ${txT.toDf().count()} rows; " +
+      s"replaying batch 1 no-ops at v$txReplayV " +
+      s"(recorded txnVersion ${txT.txnVersion("quickstart-etl").get})")
+
+    // 48. metric kNN + tf-idf keywords over the curation corpus
+    val l2Hits = graft.ext.Similarity.bruteTopK(
+      embsDf, embsDf.filter(col("vec_id") < 2), 3, metric = "l2")
+    val keywords = graft.ext.TextAnalysis.tfidfTopK(mediaDocs, k = 2)
+    println(s"[48] metrics: ${l2Hits.count()} L2 neighbor rows; tf-idf " +
+      s"keeps ${keywords.count()} keyword rows over ${mediaDocs.count()} docs")
     spark.stop()
   }
 }
