@@ -674,6 +674,22 @@ object QuickStart {
     val keywords = graft.ext.TextAnalysis.tfidfTopK(mediaDocs, k = 2)
     println(s"[48] metrics: ${l2Hits.count()} L2 neighbor rows; tf-idf " +
       s"keeps ${keywords.count()} keyword rows over ${mediaDocs.count()} docs")
+
+    // 49. row tracking: stable row ids that survive compaction
+    val rtTbl = s"$out/rowids"
+    GraftWriter.write(spark,
+      spark.range(0, 60).select(col("id").as("k")).repartition(4), rtTbl,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.log.CommitLog.RowTrackingKey -> "true")))
+    val rtT = GraftTable(spark, rtTbl)
+    def rtIds() = rtT.toDfWithRowIds().select("k", "_graft_row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rtBefore = rtIds()
+    GraftWriter.optimize(spark, rtTbl)
+    val rtStable = rtIds() == rtBefore
+    println(s"[49] row tracking: ${rtBefore.size} rows with dense ids; " +
+      s"OPTIMIZE rewrote the files and ids ${if (rtStable) "held stable"
+      else "MOVED?!"} (materialized __graft_row_id wins over the default)")
     spark.stop()
   }
 }

@@ -71,6 +71,22 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       graft.sources.GraftNativeRelation.bucketSpecOf(this, snap))
   }
 
+  /** Table read with the stable `_graft_row_id` column appended (row
+    * tracking — [[RowTracking]]): materialized ids win for rewritten
+    * files, `baseRowId + row_index` is the fresh-file default, NULL for
+    * files written before the feature was enabled. Requires
+    * `graft.rowTracking = true`.
+    */
+  def toDfWithRowIds(versionAsOf: Option[Long] = None): DataFrame = {
+    require(RowTracking.enabled(log.tableProperties()),
+      s"row tracking is not enabled on $path — create/alter the table " +
+        s"with ${graft.log.CommitLog.RowTrackingKey} = true")
+    val snap = snapshot(versionAsOf)
+    dfForFiles(snap, snap.files,
+      bucketSpec = graft.sources.GraftNativeRelation.bucketSpecOf(this, snap),
+      withRowId = true)
+  }
+
   /** Advanced: read a specific file subset of a snapshot (used by the
     * streaming source and bucketing internals). Plans over the
     * commit-log FileIndex — zero filesystem listing, with partition
@@ -86,14 +102,21 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       /** Also project `__graft_file` / `__graft_row_index` (the physical
         * row identity deletion-vector DML keys bitmaps on).
         */
-      withRowMeta: Boolean = false): DataFrame = {
+      withRowMeta: Boolean = false,
+      /** Also project `_graft_row_id` (row tracking — see
+        * [[RowTracking]]); requires the native plan.
+        */
+      withRowId: Boolean = false): DataFrame = {
     val schema = snap.schema
     val sub = snap.copy(files = files)
     graft.sources.GraftNativeRelation
       .planFor(spark, path, sub, bucketSpec = bucketSpec, readOptions = readOptions,
-        withRowMeta = withRowMeta)
+        withRowMeta = withRowMeta, withRowId = withRowId)
       .map(p => org.apache.spark.sql.graft.GraftInternal.dfFromPlan(spark, p))
       .getOrElse {
+        require(!withRowId,
+          s"row-id read of $path needs the native plan, which cannot " +
+            "represent this schema")
         if (files.isEmpty)
           return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         val partCols = snap.partitionColumns.toSet

@@ -220,6 +220,13 @@ object GraftWriter {
       }
       existing ++ supplied
     }
+    // row tracking reserves its column names — user data under them
+    // would be mistaken for materialized ids at read time
+    if (RowTracking.enabled(declProps))
+      dfIn.columns.foreach(c => require(
+        !c.equalsIgnoreCase(RowTracking.Col) &&
+          !c.equalsIgnoreCase(RowTracking.PhysicalCol),
+        s"column name $c is reserved by row tracking"))
     // defaults FIRST (a generating expression may reference a defaulted
     // base column), then generated fill, then identity assignment
     val dfDef = Generated.fillDefaults(dfIn, snapOpt.map(_.schema), declProps)
@@ -863,7 +870,7 @@ object GraftWriter {
     if (toCompact.isEmpty) return snap.version
 
     val table = new GraftTable(spark, path)
-    val df = table.dfForFiles(snap, toCompact)
+    val df = rewriteSource(table, log, snap, toCompact)
     val totalRows = toCompact.map(_.liveRecords).sum
     val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
 
@@ -992,6 +999,23 @@ object GraftWriter {
     * by maxRecordsPerFile) would rewrite the whole table on every
     * routine pass, forever.
     */
+  /** Rewrite source for maintenance (compaction / cluster / Z-order /
+    * REORG PURGE): when row tracking is on, the rows carry their ids
+    * MATERIALIZED as a physical `__graft_row_id` column — rewrites
+    * never change a row's id (the read path prefers the materialized
+    * column over the fresh-file baseRowId default).
+    */
+  private def rewriteSource(
+      table: GraftTable,
+      log: CommitLog,
+      snap: graft.log.Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    val rowIds = RowTracking.enabled(log.tableProperties())
+    val df = table.dfForFiles(snap, files, withRowId = rowIds)
+    if (rowIds) df.withColumnRenamed(RowTracking.Col, RowTracking.PhysicalCol)
+    else df
+  }
+
   private def clusterCandidates(
       scoped: Seq[AddFile], layout: String, sizeFloor: Long,
       maxRecordsPerFile: Long): Seq[AddFile] = {
@@ -1046,7 +1070,7 @@ object GraftWriter {
     if (toSort.isEmpty) return snap.version
     val totalRows = toSort.map(_.liveRecords).sum
     val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
-    val clustered = table.dfForFiles(snap, toSort)
+    val clustered = rewriteSource(table, log, snap, toSort)
       .repartitionByRange(nOut, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     val added = stageAndPromote(
@@ -1163,7 +1187,7 @@ object GraftWriter {
       if (eligible.isEmpty) return snap.version
       val totalRows = eligible.map(_.liveRecords).sum
       val nOut = math.max(1, math.ceil(totalRows.toDouble / maxRecordsPerFile).toInt)
-      val df = table.dfForFiles(snap, eligible)
+      val df = rewriteSource(table, log, snap, eligible)
       val zCol = "__graft_z"
       val clustered = df
         .withColumn(zCol, mortonKey(df, cols))

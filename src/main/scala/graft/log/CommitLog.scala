@@ -48,7 +48,16 @@ final case class AddFile(
       * a clusterBy table is O(new data), not O(table). None (absent in
       * older logs) = not known to be clustered.
       */
-    clusteredBy: Option[String] = None) {
+    clusteredBy: Option[String] = None,
+    /** Row tracking (`graft.rowTracking`): the default row id of this
+      * file's first physical row; row i defaults to `baseRowId + i`.
+      * Assigned by [[CommitLog.commit]] from the carried high-water
+      * mark. Files REWRITTEN by maintenance carry the preserved ids as
+      * a materialized `__graft_row_id` column instead, which wins over
+      * the default at read time. None (absent in pre-feature logs) =
+      * no ids for this file.
+      */
+    baseRowId: Option[Long] = None) {
   def liveRecords: Long = numRecords - dv.map(_.cardinality).getOrElse(0L)
 }
 
@@ -587,12 +596,38 @@ final class CommitLog(
     // serving deleted rows (features are append-only — older versions of
     // the table stay time-travelable because the check uses per-version
     // metadata)
-    val mergedMeta =
+    val mergedMeta1 =
       if (!add.exists(_.dv.isDefined)) mergedMeta0
       else Seq(Protocol.ReaderFeaturesKey, Protocol.WriterFeaturesKey)
         .foldLeft(mergedMeta0) { (m, k) =>
           m.updated(k, Protocol.render(Protocol.parse(m, k) + Protocol.DeletionVectors))
         }
+    // row tracking: assign each new add action its base row id from the
+    // carried high-water mark, atomically with the commit that lands the
+    // files (adds that already carry one — none today — keep it). The
+    // feature auto-registers on the WRITER side only: older builds read
+    // these tables fine, they just cannot project row ids.
+    val rowTrackingOn =
+      mergedMeta1.get(CommitLog.RowTrackingKey).exists(_.trim.toBoolean)
+    val (addFinal, mergedMeta) =
+      if (!rowTrackingOn) (add, mergedMeta1)
+      else {
+        var hwm = mergedMeta1.get(CommitLog.RowIdHwmKey).map(_.toLong).getOrElse(-1L)
+        val assigned = add.map { f =>
+          if (f.baseRowId.isDefined) f
+          else {
+            val base = hwm + 1
+            // an empty file still consumes one slot so two empty files
+            // can never share a base
+            hwm = base + math.max(f.numRecords, 1L) - 1
+            f.copy(baseRowId = Some(base))
+          }
+        }
+        val registered = mergedMeta1.updated(Protocol.WriterFeaturesKey,
+          Protocol.render(Protocol.parse(mergedMeta1, Protocol.WriterFeaturesKey) +
+            Protocol.RowTracking))
+        (assigned, registered.updated(CommitLog.RowIdHwmKey, hwm.toString))
+      }
     // in-commit timestamps are MONOTONE per table (Delta's in-commit
     // timestamp contract): ts(v) = max(now, ts(v-1)+1). A writer whose
     // wall clock lags a previous writer's (skew, log copy/restore) can
@@ -603,7 +638,7 @@ final class CommitLog(
       else None).getOrElse(Long.MinValue)
     val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val c = Commit(v, ts, operation, mode, schemaDdl,
-      partitionColumns, mergedMeta, operationMetrics, add, remove, cdc)
+      partitionColumns, mergedMeta, operationMetrics, addFinal, remove, cdc)
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(Serialization.write(c).getBytes("UTF-8"))
@@ -703,6 +738,12 @@ object CommitLog {
     TxnPrefix + appId
   }
 
+  /** Row tracking opt-in (`"true"` enables id assignment + rewrite
+    * materialization) and its carried id high-water mark.
+    */
+  val RowTrackingKey: String = s"${ReservedPrefix}rowTracking"
+  val RowIdHwmKey: String = s"${ReservedPrefix}rowIdHwm"
+
   /** Per-commit (non-carried) metadata keys whose records must SURVIVE
     * log retention: before pruning, [[CommitLog.cleanOldLogs]] unions
     * the doomed commits' values (newline-joined sets) into a
@@ -786,6 +827,15 @@ object Protocol {
     */
   val TypeWidening = "typeWidening"
 
+  /** Row tracking: every add action carries a `baseRowId` and rewrites
+    * materialize preserved ids into the files — a writer unaware of the
+    * feature would commit files with no ids (breaking uniqueness) or
+    * compact without materializing (losing stability), so it gates the
+    * WRITE side only; reads by older builds are unaffected (they simply
+    * cannot project row ids).
+    */
+  val RowTracking = "rowTracking"
+
   /** Everything this build can READ correctly. */
   val SupportedReaderFeatures: Set[String] = Set(DeletionVectors, TypeWidening)
 
@@ -793,7 +843,8 @@ object Protocol {
     * feature imposes (a writer that ignores DVs would e.g. compact a
     * file and resurrect its deleted rows).
     */
-  val SupportedWriterFeatures: Set[String] = Set(DeletionVectors, TypeWidening)
+  val SupportedWriterFeatures: Set[String] =
+    Set(DeletionVectors, TypeWidening, RowTracking)
 
   def parse(metadata: Map[String, String], key: String): Set[String] =
     metadata.get(key).toSet[String]

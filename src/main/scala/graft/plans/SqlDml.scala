@@ -310,8 +310,11 @@ final case class GraftShowCreateTableCommand(
       .filterNot(_._1.startsWith(graft.io.ColumnMapping.Prefix))
       .filterNot(_._1.startsWith(graft.io.ColumnMapping.DropPrefix))
       // writer-transaction markers are operational state, not schema —
-      // a re-created table must not inherit another app's replay guard
+      // a re-created table must not inherit another app's replay guard;
+      // likewise the row-id high-water mark (graft.rowTracking itself,
+      // the declaration, stays visible and round-trips)
       .filterNot(_._1.startsWith(graft.log.CommitLog.TxnPrefix))
+      .filterNot(_._1 == graft.log.CommitLog.RowIdHwmKey)
     def q(s: String) = s"`${s.replace("`", "``")}`"
     val name = displayName.getOrElse(s"graft.${q(path)}")
     val cols = snap.schema.map { f =>

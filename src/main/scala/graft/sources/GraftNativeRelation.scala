@@ -56,7 +56,13 @@ object GraftNativeRelation {
         * `_metadata.row_index`) — the handle deletion-vector DML keys
         * its bitmaps on.
         */
-      withRowMeta: Boolean = false): Option[LogicalPlan] = {
+      withRowMeta: Boolean = false,
+      /** Also project `_graft_row_id` (row tracking): the materialized
+        * `__graft_row_id` column when the file carries one (rewritten
+        * files), else `baseRowId + _metadata.row_index`, else NULL
+        * (pre-feature files).
+        */
+      withRowId: Boolean = false): Option[LogicalPlan] = {
     // read as nullable regardless of the declared schema — files cannot
     // be trusted to honor NOT NULL (Spark's own file sources do the
     // same; a non-nullable read schema lets the optimizer fold
@@ -70,8 +76,17 @@ object GraftNativeRelation {
     // scan, so pushed predicates reference physical attrs, matching the
     // footer-stats keys in the commit log.
     val mapping = graft.io.ColumnMapping.fromSnapshot(snap0)
-    val dataSchema = graft.io.ColumnMapping.physicalSchema(
+    val dataSchema0 = graft.io.ColumnMapping.physicalSchema(
       StructType(snap.schema.filterNot(f => partCols(f.name))), mapping)
+    // row-id reads also request the materialized id column: files
+    // without it (fresh appends) read NULL there and fall back to the
+    // baseRowId default in the projection below
+    val dataSchema =
+      if (withRowId && !dataSchema0.fieldNames.contains(graft.io.RowTracking.PhysicalCol))
+        StructType(dataSchema0.fields :+ org.apache.spark.sql.types.StructField(
+          graft.io.RowTracking.PhysicalCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      else dataSchema0
     // commit-log-backed index: zero FS listing, driver-side partition
     // pruning, footer-stats data skipping
     val index = new GraftFileIndex(spark, path, snap)
@@ -112,12 +127,26 @@ object GraftNativeRelation {
           Filter(Not(graft.io.DvDeleted(idx, filePath, rowIndex)), lr)
         case None => lr
       }
-    val allProjections =
+    val allProjections0 =
       if (withRowMeta)
         projections ++ Seq(
           Alias(filePath, RowMetaFileCol)(),
           Alias(rowIndex, RowMetaIndexCol)())
       else projections
+    val allProjections =
+      if (!withRowId) allProjections0
+      else {
+        val fresh = org.apache.spark.sql.catalyst.expressions.Add(
+          graft.io.FileBaseRowId(
+            graft.io.RowTracking.indexFor(snap0.files), filePath),
+          rowIndex)
+        val rid = byName.get(graft.io.RowTracking.PhysicalCol) match {
+          case Some(mat) =>
+            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(mat, fresh))
+          case None => fresh
+        }
+        allProjections0 :+ Alias(rid, graft.io.RowTracking.Col)()
+      }
     Some(Project(allProjections, filtered))
   }
 

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io._
+import graft.log.CommitLog
+
+/** Row tracking (`graft.rowTracking`): dense unique id assignment,
+  * stability across OPTIMIZE / cluster / REORG PURGE via materialized
+  * ids, late enablement (NULL for pre-feature files), and the writer
+  * feature gate.
+  */
+class RowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def idsByKey(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("k", RowTracking.Col).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ids are dense and unique; OPTIMIZE materializes and preserves them") {
+    val p = tmpDir("rt_basic")
+    GraftWriter.write(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v").repartition(4), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    // the property carries: a plain append keeps assigning
+    GraftWriter.write(spark,
+      (100L until 150L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2), p,
+      WriteOptions(mode = WriteMode.Append))
+    val t = GraftTable(spark, p)
+    val snap1 = t.snapshot()
+    assert(snap1.files.forall(_.baseRowId.isDefined))
+    val ids1 = idsByKey(t.toDfWithRowIds())
+    assert(ids1.size == 150)
+    assert(ids1.values.toSet == (0L until 150L).toSet, "dense unique ids")
+
+    // compaction rewrites every small file; ids must not move
+    val v = GraftWriter.optimize(spark, p)
+    assert(v == snap1.version + 1)
+    val snap2 = t.snapshot()
+    assert(snap2.files.map(_.path).toSet != snap1.files.map(_.path).toSet)
+    assert(idsByKey(t.toDfWithRowIds()) == ids1,
+      "OPTIMIZE changed row ids")
+    // and the writer feature is registered
+    assert(graft.log.Protocol.parse(t.log.tableProperties(),
+      graft.log.Protocol.WriterFeaturesKey)
+      .contains(graft.log.Protocol.RowTracking))
+
+    // fresh rows keep allocating ABOVE everything ever assigned
+    GraftWriter.write(spark,
+      Seq((150L, "v150")).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val ids3 = idsByKey(t.toDfWithRowIds())
+    assert(ids3(150L) > ids1.values.max)
+    assert((ids3 - 150L) == ids1)
+  }
+
+  test("rowTracking + dv: DV delete and REORG PURGE keep survivor ids") {
+    val p = tmpDir("rt_reorg")
+    GraftWriter.write(spark,
+      (0L until 200L).map(i => (i, i % 4)).toDF("k", "p").repartition(2), p,
+      WriteOptions(mode = WriteMode.Overwrite, partitionBy = Seq("p"),
+        metadata = Map(CommitLog.RowTrackingKey -> "true",
+          DeletionVectors.PropKey -> "true")))
+    val t = GraftTable(spark, p)
+    val before = idsByKey(t.toDfWithRowIds())
+    // DV delete never rewrites survivors: ids trivially stable
+    graft.merge.Dml.delete(spark, p, col("k") % 10 === 0)
+    val afterDelete = idsByKey(t.toDfWithRowIds())
+    assert(afterDelete == before.filter { case (k, _) => k % 10 != 0 })
+    // purge rewrites exactly the DV'd files; survivor ids ride along
+    GraftWriter.reorgPurge(spark, p)
+    assert(t.snapshot().files.forall(_.dv.isEmpty))
+    assert(idsByKey(t.toDfWithRowIds()) == afterDelete,
+      "REORG changed row ids")
+  }
+
+  test("cluster/Z-order maintenance preserves ids") {
+    val p = tmpDir("rt_cluster")
+    GraftWriter.write(spark,
+      (0L until 300L).map(i => (i, (i * 37) % 100, i % 7)).toDF("k", "a", "b")
+        .repartition(3), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    val t = GraftTable(spark, p)
+    val before = idsByKey(t.toDfWithRowIds())
+    GraftWriter.optimizeCluster(spark, p, Seq("a"))
+    assert(idsByKey(t.toDfWithRowIds()) == before, "range cluster moved ids")
+    GraftWriter.optimizeZOrder(spark, p, Seq("a", "b"))
+    assert(idsByKey(t.toDfWithRowIds()) == before, "Z-order moved ids")
+  }
+
+  test("late enablement: pre-feature files read NULL ids, new files get ids") {
+    val p = tmpDir("rt_late")
+    GraftWriter.write(spark,
+      (0L until 10L).map(i => (i, "old")).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val t = GraftTable(spark, p)
+    intercept[IllegalArgumentException] { t.toDfWithRowIds() }
+    GraftWriter.write(spark,
+      (10L until 20L).map(i => (i, "new")).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Append,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    val rows = t.toDfWithRowIds().select("k", RowTracking.Col).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert((0L until 10L).forall(rows(_).isEmpty), "pre-feature rows read NULL")
+    assert((10L until 20L).map(rows(_).get).toSet == (0L until 10L).toSet)
+  }
+
+  test("baseRowId and the hwm survive checkpoint replay") {
+    val p = tmpDir("rt_ckpt")
+    GraftWriter.write(spark, Seq((0L, "x")).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    (1L until 13L).foreach { i =>
+      GraftWriter.write(spark, Seq((i, "x")).toDF("k", "v"), p,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    // a COLD log (fresh CommitLog) replays through the checkpoint
+    // written at v10; adds and the carried hwm must round-trip
+    val cold = new CommitLog(p, spark.sessionState.newHadoopConf())
+    val snap = cold.snapshot()
+    assert(snap.files.forall(_.baseRowId.isDefined))
+    assert(idsByKey(GraftTable(spark, p).toDfWithRowIds()).values.toSet ==
+      (0L until 13L).toSet)
+    assert(cold.tableProperties().get(CommitLog.RowIdHwmKey).map(_.toLong)
+      .exists(_ >= 12L))
+  }
+
+  test("reserved column names are refused; SHOW CREATE hides the hwm") {
+    val p = tmpDir("rt_reserved")
+    intercept[IllegalArgumentException] {
+      GraftWriter.write(spark,
+        Seq((1L, 2L)).toDF("k", RowTracking.PhysicalCol), p,
+        WriteOptions(mode = WriteMode.Overwrite,
+          metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    }
+    GraftWriter.write(spark, Seq((1L, "x")).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$p`")
+      .collect().head.getString(0)
+    assert(ddl.contains(CommitLog.RowTrackingKey), "declaration round-trips")
+    assert(!ddl.contains(CommitLog.RowIdHwmKey), "hwm is operational state")
+  }
+}
