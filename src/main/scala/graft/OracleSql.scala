@@ -72,10 +72,13 @@ object OracleSql {
 
   /** Micro-rounded L2 distance via the dot expansion — mirrors
     * `Similarity.distE6`'s `(⟨a,a⟩ − 2·⟨a,b⟩) + ⟨b,b⟩` op order exactly
-    * (three shared folds, symbolic 2.0, round on the positive value).
+    * (three shared folds, symbolic 2.0, round on the positive value),
+    * including the clamp-to-0 before the sqrt (near-duplicate vectors
+    * can round the expansion a hair negative; DuckDB's sqrt ERRORS on
+    * negatives where Spark yields NaN).
     */
   private def distE6(a: String, b: String) =
-    s"CAST(round(sqrt((${dot(a, a)}) - 2.0 * (${dot(a, b)}) + (${dot(b, b)})) * 1000000) AS BIGINT)"
+    s"CAST(round(sqrt(greatest((${dot(a, a)}) - 2.0 * (${dot(a, b)}) + (${dot(b, b)}), 0.0)) * 1000000) AS BIGINT)"
 
   private def dotE6(a: String, b: String) =
     s"CAST(round((${dot(a, b)}) * 1000000) AS BIGINT)"

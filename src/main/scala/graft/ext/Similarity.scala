@@ -46,10 +46,13 @@ object Similarity {
     * ‖a−b‖² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ — three shared sequential folds
     * instead of an elementwise-difference pass, so the DuckDB twin
     * replays the exact IEEE op sequence (constants stay symbolic).
+    * Near-duplicate vectors can round the expansion a hair NEGATIVE —
+    * clamped to 0 on BOTH engines before the sqrt (DuckDB's sqrt errors
+    * on negatives where Spark would yield NaN).
     */
   def distE6(a: Column, b: Column): Column =
-    round(sqrt(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)) * 1e6)
-      .cast("long")
+    round(sqrt(greatest(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b),
+      lit(0.0))) * 1e6).cast("long")
 
   /** Micro-rounded inner product (maximum-inner-product search). */
   def dotE6(a: Column, b: Column): Column =

@@ -203,6 +203,16 @@ object Alter {
     // clusterBy declarations validate here too: keys must be existing
     // NON-partition data columns (partition layout already clusters them)
     GraftWriter.validateClusterBy(schema, snap.partitionColumns, props)
+    // enabling row tracking on a schema that already uses the reserved
+    // id column names would serve user longs as materialized row ids
+    // AND brick every subsequent append (the write-path guard) — refuse
+    // at the enabling ALTER, the same place the write path refuses
+    if (props.get(CommitLog.RowTrackingKey).exists(_.trim.toBoolean))
+      schema.fieldNames.foreach(c => require(
+        !c.equalsIgnoreCase(RowTracking.Col) &&
+          !c.equalsIgnoreCase(RowTracking.PhysicalCol),
+        s"cannot enable ${CommitLog.RowTrackingKey}: column name $c is " +
+          "reserved by row tracking"))
     table.log.commit(
       operation = "ALTER TABLE",
       mode = "metadata",

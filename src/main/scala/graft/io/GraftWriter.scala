@@ -89,10 +89,13 @@ final case class WriteOptions(
       * the write applies only if the table has not yet recorded a
       * transaction at-or-above `txnVersion` for this application id —
       * otherwise it is a clean no-op at the current version. The check
-      * and the marker ride ONE compare-and-swapped commit, so a crashed
-      * writer replaying its last batch (the foreachBatch exactly-once
-      * pattern) can never double-append, even racing another instance
-      * of itself. Marker = carried property `graft.txn.<appId>` —
+      * runs inside [[graft.log.CommitLog.commit]] atomically with the
+      * version claim and the `graft.txn.<appId>` marker merges into the
+      * same commit, so a crashed writer replaying its last batch (the
+      * foreachBatch exactly-once pattern) can never double-append, even
+      * racing another instance of itself — while UNRELATED concurrent
+      * commits (other appIds, maintenance) keep commuting like any
+      * blind append, no spurious conflicts. The carried-property marker
       * survives checkpoints and log retention by construction. Each
       * appId is an independent namespace: two streams writing one
       * table use two appIds. Both fields set together or neither.
@@ -117,49 +120,19 @@ object GraftWriter {
       opts: WriteOptions = WriteOptions()): Long = {
     require(opts.txnAppId.isDefined == opts.txnVersion.isDefined,
       "txnAppId and txnVersion must be set together")
-    opts.txnAppId match {
-      case None => writeAttempt(spark, df, path, opts, identityAttempt = 0)
-      case Some(appId) => txnWrite(spark, df, path, opts, appId)
-    }
-  }
-
-  /** Idempotent-transaction write (see [[WriteOptions.txnAppId]]): the
-    * already-applied check and the commit CAS on one snapshot version,
-    * so check→commit is atomic. On a lost CAS the staged files are
-    * cleaned by the casOnVersion path and the whole write re-derives
-    * against the fresh log — where the replayed transaction is now
-    * visible and the retry returns as a no-op.
-    */
-  private def txnWrite(
-      spark: SparkSession,
-      df: DataFrame,
-      path: String,
-      opts: WriteOptions,
-      appId: String): Long = {
-    val key = CommitLog.txnKey(appId)
-    val ver = opts.txnVersion.get
-    var attempt = 0
-    while (true) {
+    // cheap fast path for the common replay: no-op BEFORE staging any
+    // data. The authoritative check runs again inside CommitLog.commit,
+    // atomically with the version claim (see the `txn` param there) —
+    // so a racer landing after this read can never let a double-apply
+    // through; it only costs the loser its staged bytes.
+    for (appId <- opts.txnAppId; ver <- opts.txnVersion) {
+      val key = CommitLog.txnKey(appId) // validates appId non-empty
       val log = new CommitLog(path, spark.sessionState.newHadoopConf())
-      val latest = if (log.tableExists()) log.latestVersion() else None
-      val seen =
-        if (latest.isEmpty) None else log.tableProperties().get(key).map(_.toLong)
-      if (seen.exists(_ >= ver)) return latest.get // already applied: no-op
-      val inner = opts.copy(
-        metadata = opts.metadata + (key -> ver.toString),
-        // -1 = "expect an empty log": a concurrent CREATE conflicts too
-        casOnVersion = Some(opts.casOnVersion.getOrElse(latest.getOrElse(-1L))),
-        txnAppId = None, txnVersion = None)
-      try return writeAttempt(spark, df, path, inner, identityAttempt = 0)
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          // a caller-pinned CAS is the caller's to re-derive; otherwise
-          // bounded retry re-reads the txn state at the loop top
-          if (opts.casOnVersion.isDefined || attempt >= 5) throw e
-          attempt += 1
-      }
+      if (log.tableExists() &&
+          log.tableProperties().get(key).map(_.toLong).exists(_ >= ver))
+        return log.latestVersion().get
     }
-    throw new IllegalStateException("unreachable")
+    writeAttempt(spark, df, path, opts, identityAttempt = 0)
   }
 
   private def writeAttempt(
@@ -399,10 +372,17 @@ object GraftWriter {
           operationMetrics = metrics,
           add = added,
           remove = removals2,
-          expectedVersion = expected)
+          expectedVersion = expected,
+          txn = opts.txnAppId.map(a => (a, opts.txnVersion.get)))
         maybeAutoCompact(spark, path, opts, added, declProps)
         return v
       } catch {
+        case e: graft.log.TxnAlreadyApplied =>
+          // a concurrent writer of the SAME appId landed this version
+          // between our fast-path check and the commit: clean the
+          // staged bytes and no-op at the table's current version
+          added.foreach(f => fs.delete(new Path(path, f.path), false))
+          return e.tableVersion
         case e: java.util.ConcurrentModificationException
             if opts.casOnVersion.isDefined =>
           // the caller pinned the version its state was read at; only

@@ -64,6 +64,15 @@ final case class AddFile(
 /** Logical deletion of a previously added file. */
 final case class RemoveFile(path: String)
 
+/** Thrown by [[CommitLog.commit]] when an idempotent-writer transaction
+  * (txnAppId/txnVersion) was already applied: the table's recorded
+  * version for the appId is at-or-above the attempted one. Carries the
+  * current table version so the caller can no-op at it.
+  */
+final class TxnAlreadyApplied(val tableVersion: Long)
+    extends RuntimeException(
+      s"transaction already applied; table at version $tableVersion")
+
 /** One atomic commit: metadata + file actions.
   *
   * This is the native replacement for the Delta transaction log the
@@ -571,9 +580,25 @@ final class CommitLog(
       add: Seq[AddFile],
       remove: Seq[RemoveFile],
       expectedVersion: Option[Long] = None,
-      cdc: Seq[AddFile] = Nil): Long = {
+      cdc: Seq[AddFile] = Nil,
+      /** Idempotent-writer transaction (appId, version): the
+        * already-applied check runs HERE, between reading the head and
+        * the atomic publish, and the `graft.txn.<appId>` marker merges
+        * into this commit's carried properties — check and record are
+        * one atomic unit. Already applied → [[TxnAlreadyApplied]]
+        * (caller cleans its staged files and no-ops); a racer landing
+        * between the check and the publish fails THIS publish, and the
+        * caller's ordinary retry re-enters the check. Blind appends
+        * keep commuting: no expectedVersion needed.
+        */
+      txn: Option[(String, Long)] = None): Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     val latest = latestVersion()
+    txn.foreach { case (appId, ver) =>
+      val seen = latest.map(tablePropertiesAt).getOrElse(Map.empty)
+        .get(CommitLog.txnKey(appId)).map(_.toLong)
+      if (seen.exists(_ >= ver)) throw new TxnAlreadyApplied(latest.get)
+    }
     expectedVersion.foreach { exp =>
       if (latest.exists(_ != exp))
         throw new java.util.ConcurrentModificationException(
@@ -587,8 +612,11 @@ final class CommitLog(
     // without understanding DVs would resurrect its deleted rows)
     Protocol.check(props, Protocol.WriterFeaturesKey,
       Protocol.SupportedWriterFeatures, "modify", tablePath)
+    val txnMeta = txn.map { case (appId, ver) =>
+      CommitLog.txnKey(appId) -> ver.toString
+    }.toMap
     val mergedMeta0 = CommitLog.advanceHwms(props,
-      (props ++ metadata).filterNot { case (k, value) =>
+      (props ++ metadata ++ txnMeta).filterNot { case (k, value) =>
         k.startsWith(CommitLog.ReservedPrefix) && value.isEmpty // "" = drop property
       })
     // auto-register the deletionVectors feature the first time a commit

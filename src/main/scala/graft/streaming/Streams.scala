@@ -214,12 +214,20 @@ object Streams {
         // then-append guard), keyed by checkpoint so independent
         // streams into the same table never collide
         val appId = s"graft-stream-sink:$checkpoint"
-        // tables written by pre-txn builds recorded only the
-        // streaming_batch_id metadata — honor it once so an upgrade
-        // mid-stream cannot double-apply the replayed batch
-        val legacySkip = GraftTable.exists(spark, path) &&
-          GraftTable(spark, path).txnVersion(appId).isEmpty &&
-          lastCommittedBatch(spark, path).exists(_ >= batchId)
+        // upgrade corner: a table whose LAST sink batch was written by a
+        // pre-txn build, now replayed by this build mid-stream. Honor the
+        // legacy streaming_batch_id ONLY for that exact replay (equality,
+        // not >=) and only while NO sink has ever recorded a txn marker
+        // here — a `>=`-guard without those bounds silently dropped every
+        // batch of any NEW stream (fresh checkpoint, batchId 0..N) into a
+        // table with prior streaming history, forever, because skipping
+        // records nothing
+        val legacySkip = GraftTable.exists(spark, path) && {
+          val t = GraftTable(spark, path)
+          val anySinkTxn = t.log.tableProperties().keys
+            .exists(_.startsWith(graft.log.CommitLog.TxnPrefix + "graft-stream-sink:"))
+          !anySinkTxn && lastCommittedBatch(spark, path).contains(batchId)
+        }
         if (!legacySkip) {
           GraftWriter.write(spark, batch, path, WriteOptions(
             mode = WriteMode.Append,

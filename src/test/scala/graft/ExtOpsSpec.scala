@@ -113,7 +113,8 @@ class ExtOpsSpec extends SparkSpec {
       s
     }
     def dE6(q: Array[Float], n: Array[Float]): Long =
-      math.round(math.sqrt(fold(q, q) - 2.0 * fold(q, n) + fold(n, n)) * 1e6)
+      math.round(math.sqrt(
+        math.max(fold(q, q) - 2.0 * fold(q, n) + fold(n, n), 0.0)) * 1e6)
     def pE6(q: Array[Float], n: Array[Float]): Long =
       math.round(fold(q, n) * 1e6)
     for (qid <- 0L until 4L) {
