@@ -164,6 +164,26 @@ object ExplainAudit {
       .split("\n").count(_.contains("Exchange "))
     println(s"--- exchanges in the plan (must be 1): $qgExchanges")
 
+    println("=== [P] row-id read (expect ONE scan, ZERO exchanges, and the " +
+      "data filter STILL pushed to parquet through the row-id projection) ===")
+    val ridTbl = java.nio.file.Files.createTempDirectory("audit_rowid").toString
+    graft.io.GraftWriter.write(spark,
+      spark.range(0, 100000).selectExpr("id AS k", "id % 7 AS v").repartition(4),
+      ridTbl, graft.io.WriteOptions(
+        mode = graft.io.WriteMode.Overwrite,
+        metadata = Map(graft.log.CommitLog.RowTrackingKey -> "true")))
+    graft.io.GraftWriter.optimize(spark, ridTbl) // materializes ids
+    val rid = graft.io.GraftTable(spark, ridTbl).toDfWithRowIds()
+      .filter(org.apache.spark.sql.functions.col("k") > 99990L)
+    rid.explain("formatted")
+    val ridPlan = rid.queryExecution.executedPlan.toString()
+    val ridScans = ridPlan.split("\n").count(_.contains("Scan parquet"))
+    val ridExchanges = ridPlan.split("\n").count(_.contains("Exchange "))
+    val ridPushed = ridPlan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,99990)")
+    println(s"--- scans (must be 1): $ridScans; exchanges (must be 0): " +
+      s"$ridExchanges; filter pushed below the row-id projection: $ridPushed; " +
+      s"rows=${rid.count()}")
+
     spark.stop()
   }
 

@@ -100,6 +100,28 @@ class TxnSpec extends SparkSpec {
     assert(props.contains("graft.txn.myapp=1"))
   }
 
+  test("commit-level primitive: replayed txn throws TxnAlreadyApplied atomically") {
+    val p = tmpDir("txn_primitive")
+    GraftWriter.write(spark, rows(1, "x"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val log = new graft.log.CommitLog(p, spark.sessionState.newHadoopConf())
+    val snap = log.snapshot()
+    def metaCommit(txn: (String, Long)): Long = log.commit(
+      operation = "WRITE", mode = "append", schemaDdl = snap.schema.toDDL,
+      partitionColumns = Nil, metadata = Map.empty,
+      operationMetrics = Map.empty, add = Nil, remove = Nil,
+      txn = Some(txn))
+    val v1 = metaCommit("app" -> 3L)
+    // the check runs between the head read and the atomic publish: a
+    // same-or-lower replay is rejected BEFORE claiming a version
+    val e = intercept[graft.log.TxnAlreadyApplied] { metaCommit("app" -> 3L) }
+    assert(e.tableVersion == v1)
+    intercept[graft.log.TxnAlreadyApplied] { metaCommit("app" -> 2L) }
+    assert(log.latestVersion().contains(v1), "rejected replays claim no version")
+    assert(metaCommit("app" -> 4L) == v1 + 1)
+    assert(log.tableProperties()(graft.log.CommitLog.txnKey("app")) == "4")
+  }
+
   test("streaming sink replays through the txn guard, per-checkpoint appId") {
     val src = tmpDir("txn_sink") + "/src"
     val dst = tmpDir("txn_sink") + "/dst"
