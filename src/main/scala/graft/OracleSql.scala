@@ -882,6 +882,16 @@ object OracleSql {
                 l_returnflag, l_quantity, l_shipdate
          FROM lineitem WHERE l_returnflag IN ('A', 'R')""",
 
+    // row tracking: two key-ordered single-file batches (< 3000 first)
+    // make the assigned id equal the global o_orderkey rank, and the
+    // OPTIMIZE rewrite between write and read proves the ids survive
+    // compaction (materialized column wins over fresh baseRowIds)
+    "table_row_tracking" ->
+      """SELECT o_orderkey,
+                CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+                  AS row_id
+         FROM orders""",
+
     // default column values: the append omitted src_tag -> 'bulk'
     "table_default_cols" ->
       """SELECT o_orderkey, o_totalprice, 'seed' AS src_tag FROM orders

@@ -488,6 +488,30 @@ object SparkEntry {
       Seq(StaticDimension("l_returnflag", Seq("A", "R")))))
   }
 
+  /** Row tracking end-to-end with a DuckDB-checkable contract: two
+    * key-ordered single-file batches make the assigned id EQUAL the
+    * global `o_orderkey` rank (first batch = the globally smallest
+    * keys, ids continue across commits from the carried high-water
+    * mark), and the OPTIMIZE rewrite in between proves ids survive
+    * compaction — the materialized `__graft_row_id` column wins over
+    * the fresh files' baseRowId defaults.
+    */
+  private def qTableRowTracking(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "orders").select(col("o_orderkey"))
+    val p = tmp("graft_rowids")
+    def batch(pred: Column) =
+      src.filter(pred).coalesce(1).sortWithinPartitions("o_orderkey")
+    GraftWriter.write(spark, batch(col("o_orderkey") < 3000), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.log.CommitLog.RowTrackingKey -> "true")))
+    GraftWriter.write(spark, batch(col("o_orderkey") >= 3000), p,
+      WriteOptions(mode = WriteMode.Append))
+    GraftWriter.optimize(spark, p) // compacts both files; ids must hold
+    GraftTable(spark, p).toDfWithRowIds()
+      .select(col("o_orderkey"),
+        col(graft.io.RowTracking.Col).as("row_id"))
+  }
+
   /** Point lookup through parquet-footer bloom filters: `doc_id` is
     * hash-scattered across 8 files, so every file's [min,max] covers
     * the probes and footer stats prune NOTHING — the declared
@@ -1577,6 +1601,7 @@ object SparkEntry {
     "merge_upsert_dv" -> (mergeQuery(MergeType.Upsert, dv = true) _),
     "merge_clauses_dv" -> (qMergeClauses(dv = true) _),
     "table_roundtrip" -> (qTableRoundtrip _),
+    "table_row_tracking" -> (qTableRowTracking _),
     "point_lookup_bloom" -> (qPointLookupBloom _),
     "table_default_cols" -> (qDefaultCols _),
     "table_clone" -> (qTableClone _),
