@@ -961,6 +961,12 @@ object OracleSql {
          UNION ALL
          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1""",
 
+    // CSV landing zone, read with the TARGET schema (long+string
+    // columns round-trip text exactly); second run is an exact no-op
+    "copy_into_csv" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderkey % 4 = 0""",
+
     // both generations surface as BIGINT after the metadata-only
     // widening; gen-2 values exceed int range on purpose
     "table_type_widening" ->

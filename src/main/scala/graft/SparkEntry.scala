@@ -619,6 +619,24 @@ object SparkEntry {
     GraftTable(spark, p).toDf()
   }
 
+  /** COPY INTO from a CSV landing zone: text files read with the
+    * TARGET table's schema (no inference flip-flops), same idempotent
+    * identity set — the second run over the same files is a no-op.
+    * Long + string columns only: they round-trip CSV text exactly.
+    */
+  private def qCopyIntoCsv(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_orderstatus")
+    val src = tmp("graft_copy_csv_src")
+    val p = tmp("graft_copy_csv_tbl")
+    o.filter(col("o_orderkey") % 4 === 0).write.mode("overwrite")
+      .option("header", "true").csv(src)
+    GraftWriter.write(spark, o.limit(0), p,
+      WriteOptions(mode = WriteMode.Overwrite))
+    CopyInto.copyInto(spark, p, src, format = "csv")
+    CopyInto.copyInto(spark, p, src, format = "csv") // exact no-op
+    GraftTable(spark, p).toDf()
+  }
+
   /** ALTER TABLE RENAME COLUMN is metadata-only (ColumnMapping): files
     * written BEFORE the rename keep the physical name and still serve
     * the renamed logical column; files written AFTER carry the physical
@@ -1611,6 +1629,7 @@ object SparkEntry {
     "table_schema_evolution" -> (qSchemaEvolution _),
     "table_type_widening" -> (qTypeWidening _),
     "copy_into" -> (qCopyInto _),
+    "copy_into_csv" -> (qCopyIntoCsv _),
     "table_slice_time_window" -> (qSliceTimeWindow _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_latest" -> (qDedupLatest _),

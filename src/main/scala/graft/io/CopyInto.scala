@@ -57,7 +57,19 @@ object CopyInto {
     */
   private val DriverListLimit = 64
 
-  private val SupportedFormats = Seq("parquet")
+  private val SupportedFormats = Seq("parquet", "json", "csv")
+
+  /** File extensions admitted per format (the data-file filter —
+    * anything else in the source tree is skipped, or refused when
+    * EXPLICITLY named via FILES).
+    */
+  private def extensionsOf(format: String): Seq[String] =
+    format.toLowerCase(java.util.Locale.ROOT) match {
+      case "parquet" => Seq(".parquet")
+      case "json"    => Seq(".json", ".jsonl")
+      case "csv"     => Seq(".csv")
+      case other     => throw new IllegalArgumentException(other)
+    }
 
   final case class Result(
       /** Committed version; None when the run was a no-op. */
@@ -65,7 +77,9 @@ object CopyInto {
       ingestedFiles: Int,
       skippedFiles: Int)
 
-  /** Ingest `sourceDir`'s files of `format` into the table at `path`.
+  /** Ingest `sourceDir`'s files of `format` (PARQUET / JSON / CSV —
+    * text formats read with the target table's schema unless
+    * `mergeSchema` infers) into the table at `path`.
     * Files whose identity is already recorded are skipped; if nothing
     * is new, NO commit happens. The table must exist (COPY INTO is an
     * ingestion statement, not a create).
@@ -101,10 +115,11 @@ object CopyInto {
     require(fs.exists(src), s"COPY INTO source not found: $sourceDir")
     val qualifiedSrc = fs.makeQualified(src).toString
 
+    val extensions = extensionsOf(format)
     def isDataFile(p: String): Boolean = {
       val name = p.substring(p.lastIndexOf('/') + 1)
       !name.startsWith("_") && !name.startsWith(".") &&
-        name.toLowerCase(java.util.Locale.ROOT).endsWith(".parquet")
+        extensions.exists(name.toLowerCase(java.util.Locale.ROOT).endsWith)
     }
     def relative(p: String): String =
       p.stripPrefix(qualifiedSrc).stripPrefix("/")
@@ -177,11 +192,24 @@ object CopyInto {
       if (fresh.isEmpty)
         return Result(None, 0, skipped.size) // exact no-op: no commit
 
-      // read the NEW files schema-on-read and let the normal write path
-      // validate compatibility (loud mismatch unless mergeSchema) — the
-      // copy goes through stats/bloom/constraint machinery like any
-      // append
-      val incoming = spark.read.parquet(fresh.map(_._1).toSeq: _*)
+      // read the NEW files and let the normal write path validate
+      // compatibility (loud mismatch unless mergeSchema) — the copy
+      // goes through stats/bloom/constraint machinery like any append.
+      // Parquet is schema-on-read; text formats (json/csv) read with
+      // the TARGET table's schema (text inference is unstable — a batch
+      // of all-integer values in a double column would flip the type),
+      // EXCEPT under mergeSchema, where inference is the point
+      val freshPaths = fresh.map(_._1).toSeq
+      val incoming = format.toLowerCase(java.util.Locale.ROOT) match {
+        case "parquet" => spark.read.parquet(freshPaths: _*)
+        case "json" =>
+          (if (mergeSchema) spark.read else spark.read.schema(snap.schema))
+            .json(freshPaths: _*)
+        case "csv" =>
+          val r = spark.read.option("header", "true")
+          (if (mergeSchema) r.option("inferSchema", "true")
+           else r.schema(snap.schema)).csv(freshPaths: _*)
+      }
       try {
         val v = GraftWriter.write(spark, incoming, path,
           WriteOptions(

@@ -179,8 +179,9 @@ class CopyIntoSpec extends SparkSpec {
     }
     assert(eBoth.getMessage.contains("not both"), eBoth.getMessage)
     // unsupported FILEFORMAT is refused with the supported list
+    // (csv/json are supported since round 14 — avro is not)
     val eFmt = intercept[IllegalArgumentException] {
-      CopyInto.copyInto(spark, p2, src, format = "csv")
+      CopyInto.copyInto(spark, p2, src, format = "avro")
     }
     assert(eFmt.getMessage.contains("PARQUET"), eFmt.getMessage)
     // the SQL route carries PATTERN and FILES through
@@ -274,5 +275,64 @@ class CopyIntoSpec extends SparkSpec {
     val last = t.log.readCommit(t.log.latestVersion().get)
     assert(!last.metadata.contains(CopyInto.SourcesKey),
       "per-commit COPY INTO state leaked into a later commit")
+  }
+
+  test("CSV and JSON landing zones read with the target schema; idempotent") {
+    val data = (0 until 40).map(i => (i.toLong, s"s$i"))
+    val tgtSchema = data.toDF("id", "s").schema
+
+    val csvSrc = tmpDir("ci_csv_src")
+    val csvTbl = tmpDir("ci_csv_tbl")
+    data.toDF("id", "s").coalesce(2).write.mode("overwrite")
+      .option("header", "true").csv(csvSrc)
+    GraftWriter.write(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgtSchema),
+      csvTbl, WriteOptions(mode = WriteMode.Overwrite))
+    val c1 = CopyInto.copyInto(spark, csvTbl, csvSrc, format = "csv")
+    assert(c1.version.isDefined && c1.ingestedFiles > 0)
+    // target schema wins: id comes back LONG even though every text
+    // value also parses as int
+    val got = GraftTable(spark, csvTbl).toDf()
+    assert(got.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.count() == 40)
+    assert(got.as[(Long, String)].collect().toSet == data.toSet)
+    val c2 = CopyInto.copyInto(spark, csvTbl, csvSrc, format = "csv")
+    assert(c2.version.isEmpty && c2.skippedFiles == c1.ingestedFiles)
+
+    val jsonSrc = tmpDir("ci_json_src")
+    val jsonTbl = tmpDir("ci_json_tbl")
+    data.toDF("id", "s").coalesce(2).write.mode("overwrite").json(jsonSrc)
+    GraftWriter.write(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgtSchema),
+      jsonTbl, WriteOptions(mode = WriteMode.Overwrite))
+    val j1 = CopyInto.copyInto(spark, jsonTbl, jsonSrc, format = "json")
+    assert(j1.version.isDefined && j1.ingestedFiles > 0)
+    val gotJ = GraftTable(spark, jsonTbl).toDf()
+    assert(gotJ.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(gotJ.as[(Long, String)].collect().toSet == data.toSet)
+    assert(CopyInto.copyInto(spark, jsonTbl, jsonSrc, format = "json")
+      .version.isEmpty)
+
+    // the parquet filter must NOT admit CSV files and vice versa: a
+    // parquet-format run over the CSV source sees no data files
+    val none = CopyInto.copyInto(spark, csvTbl, csvSrc)
+    assert(none.version.isEmpty && none.ingestedFiles == 0 &&
+      none.skippedFiles == 0)
+    // SQL route with the format keyword
+    val sqlTbl = tmpDir("ci_csv_sql")
+    GraftWriter.write(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgtSchema),
+      sqlTbl, WriteOptions(mode = WriteMode.Overwrite))
+    val row = spark.sql(
+      s"COPY INTO graft.`$sqlTbl` FROM '$csvSrc' FILEFORMAT = CSV").head()
+    assert(!row.isNullAt(0) && row.getLong(1) == c1.ingestedFiles)
+    assert(GraftTable(spark, sqlTbl).toDf().count() == 40)
+    // unsupported format stays loud
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, csvTbl, csvSrc, format = "avro")
+    }
+    assert(e.getMessage.contains("PARQUET/JSON/CSV"))
   }
 }
