@@ -1395,6 +1395,25 @@ object OracleSql {
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> component)""",
 
+    // quality-ranked survivors: the LONGEST member of each near-dup
+    // cluster wins (tie -> smallest id); same component chain, then a
+    // per-cluster argmax instead of min-label
+    "dedup_best_survivor" ->
+      s"""WITH RECURSIVE cand AS ($minhashSql),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                    UNION SELECT doc_b, doc_a FROM cand),
+          reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.r),
+          comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+          ranked AS (SELECT c.doc_id,
+                            row_number() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rk
+                     FROM comp c JOIN documents d USING (doc_id))
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)""",
+
     // exact integer second moments (hugeint partials, like Spark's
     // decimal(38,0)); var/corr are numerator/denominator pairs
     "q24_exact_moments" ->

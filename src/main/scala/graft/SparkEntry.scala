@@ -1066,6 +1066,14 @@ object SparkEntry {
       Dedup.minhashPairs(t(spark, dir, "documents")))
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Quality-ranked survivors: the LONGEST member of each near-dup
+    * cluster wins (tie → smallest id) instead of "smallest id wins".
+    */
+  private def qDedupBestSurvivor(spark: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalByScore(t(spark, dir, "documents"),
+      Dedup.minhashPairs(t(spark, dir, "documents")), scoreCol = "n_chars")
+      .select("doc_id", "lang", "source", "n_chars")
+
   /** Exact distributed second moments: variance / covariance numerators
     * as pure integer arithmetic (decimal(38,0) partial sums), so the
     * result is bit-exact in any engine — no floating-point accumulation
@@ -1675,6 +1683,7 @@ object SparkEntry {
     "embedding_quantize_int8" -> (qEmbedQuantize _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_survivors" -> (qDedupSurvivors _),
+    "dedup_best_survivor" -> (qDedupBestSurvivor _),
     "q24_exact_moments" -> (qExactMoments _),
     "q25_window_suite" -> (qWindowSuite _),
     "text_pii_scrub" -> (qPiiScrub _),

@@ -356,6 +356,31 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-ranked survivor selection: per duplicate cluster keep the
+    * member with the BEST `scoreCol` (tie → smallest id) — the curation
+    * policy that keeps the longest / highest-quality copy instead of
+    * [[canonical]]'s "smallest id wins". Unpaired docs survive
+    * untouched. Cost: the component labels (pair-sized, tiny next to
+    * the corpus) join the doc scores once, one per-cluster argmax
+    * window over that SMALL relation, and one anti-join back — the
+    * corpus is never shuffled on anything but the id key.
+    */
+  def canonicalByScore(
+      docs: DataFrame,
+      pairs: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = components(pairs) // (doc_id, component) — paired docs only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col(scoreCol).desc, col(idCol))
+    val losers = comp
+      .join(docs.select(col(idCol).as("doc_id"), col(scoreCol)), Seq("doc_id"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash signature as a '0'/'1' string. Per-token bits come
     * from the token's md5; each bit of the signature is the sign of the
     * per-bit vote over distinct tokens.

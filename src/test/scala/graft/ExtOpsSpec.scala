@@ -130,6 +130,22 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalByScore keeps the best-scored member, not the smallest id") {
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "a", 9L), (3L, "b", 1L), // 1-2 duplicate, 3 alone
+      (4L, "c", 7L), (5L, "c", 7L)                  // 4-5 tie on score
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val best = Dedup.canonicalByScore(docs, pairs, scoreCol = "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 beats 1 on score; 3 unpaired survives; 4 wins the tie by id
+    assert(best == Set(2L, 3L, 4L))
+    // contrast: min-id canonical keeps 1, not 2
+    val minId = Dedup.canonical(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 3L, 4L))
+  }
+
   test("tfidfTopK: terms come from the doc, ranks are dense, rare beats common") {
     val fixture = Seq(
       (1L, "alpha beta beta common"),
