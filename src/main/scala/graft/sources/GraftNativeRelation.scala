@@ -35,10 +35,14 @@ object GraftNativeRelation {
     * and types, like `GraftTable.toDf`), or None if the relation cannot
     * represent the declared schema (the V1 relation stays correct).
     */
-  def plan(spark: SparkSession, path: String, versionAsOf: Option[Long]): Option[LogicalPlan] = {
+  def plan(
+      spark: SparkSession,
+      path: String,
+      versionAsOf: Option[Long],
+      withRowId: Boolean = false): Option[LogicalPlan] = {
     val table = graft.io.GraftTable(spark, path)
     val snap = table.snapshot(versionAsOf)
-    planFor(spark, path, snap, bucketSpecOf(table, snap))
+    planFor(spark, path, snap, bucketSpecOf(table, snap), withRowId = withRowId)
   }
 
   /** Plan over an explicit snapshot (or file-subset view of one) —
@@ -203,7 +207,8 @@ object GraftNativeRelation {
 class GraftRelationSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case lr @ LogicalRelation(g: GraftRelation, out, _, _, _) =>
-      GraftNativeRelation.plan(spark, g.path, g.versionAsOf) match {
+      GraftNativeRelation.plan(
+        spark, g.path, g.versionAsOf, withRowId = g.withRowIds) match {
         case Some(native) =>
           val byName = native.output.map(a => a.name -> a).toMap
           Project(

@@ -63,7 +63,9 @@ final class GraftSource
         sqlContext,
         pathOf(parameters),
         GraftReadOptions.asOf(
-          sqlContext.sparkSession, pathOf(parameters), parameters))
+          sqlContext.sparkSession, pathOf(parameters), parameters),
+        withRowIds =
+          parameters.get("withRowIds").exists(_.equalsIgnoreCase("true")))
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -136,13 +138,28 @@ final case class GraftChangesRelation(
 final case class GraftRelation(
     sqlContext: SQLContext,
     path: String,
-    versionAsOf: Option[Long])
+    versionAsOf: Option[Long],
+    /** `option("withRowIds", "true")`: append `_graft_row_id` (row
+      * tracking — [[graft.io.RowTracking]]); requires the property.
+      */
+    withRowIds: Boolean = false)
     extends BaseRelation
     with PrunedFilteredScan {
 
   private def table = GraftTable(sqlContext.sparkSession, path)
 
-  override val schema: StructType = table.snapshot(versionAsOf).schema
+  if (withRowIds) require(
+    graft.io.RowTracking.enabled(table.log.tableProperties()),
+    s"withRowIds read of $path requires the " +
+      s"${graft.log.CommitLog.RowTrackingKey} = true table property")
+
+  override val schema: StructType = {
+    val base = table.snapshot(versionAsOf).schema
+    if (!withRowIds) base
+    else StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+      graft.io.RowTracking.Col, org.apache.spark.sql.types.LongType,
+      nullable = true))
+  }
 
   /** Map Catalyst source filters to data-skipping filters where the shape
     * allows (comparisons against literals on stat-bearing columns).
@@ -162,6 +179,17 @@ final case class GraftRelation(
   }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    // row-id reads come from the native plan (they need the file/index
+    // metadata columns the V1 scan cannot surface) — no skipping here;
+    // extension users never reach this branch (the substitution rule
+    // rewrites to the native plan with pushdown intact)
+    if (withRowIds) {
+      val df = table.toDfWithRowIds(versionAsOf)
+      val projected =
+        if (requiredColumns.isEmpty) df
+        else df.select(requiredColumns.head, requiredColumns.tail: _*)
+      return projected.rdd
+    }
     val skips = filters.toSeq.flatMap(toSkip)
       .filter(d => d.op == SkipOp.IsNull || d.op == SkipOp.IsNotNull ||
         (d.value != null && !d.value.isInstanceOf[Array[_]]))

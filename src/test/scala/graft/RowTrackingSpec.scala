@@ -128,6 +128,32 @@ class RowTrackingSpec extends SparkSpec {
       .exists(_ >= 12L))
   }
 
+  test("reader option withRowIds serves ids; refused without the property") {
+    val p = tmpDir("rt_reader")
+    GraftWriter.write(spark,
+      (0L until 30L).map(i => (i, s"v$i")).toDF("k", "v"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    val df = spark.read.format("graft").option("withRowIds", "true").load(p)
+    assert(df.columns.contains(RowTracking.Col))
+    val ids = df.select("k", RowTracking.Col).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.values.toSet == (0L until 30L).toSet)
+    // equals the programmatic read
+    assert(ids == idsByKey(GraftTable(spark, p).toDfWithRowIds()))
+    // plain reads stay untouched — no surprise extra column
+    assert(!spark.read.format("graft").load(p).columns
+      .contains(RowTracking.Col))
+
+    val plain = tmpDir("rt_reader_plain")
+    GraftWriter.write(spark, Seq((1L, "x")).toDF("k", "v"), plain,
+      WriteOptions(mode = WriteMode.Overwrite))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("withRowIds", "true").load(plain)
+        .collect()
+    }
+  }
+
   test("reserved column names are refused; SHOW CREATE hides the hwm") {
     val p = tmpDir("rt_reserved")
     intercept[IllegalArgumentException] {
