@@ -370,14 +370,19 @@ object Dedup {
       pairs: DataFrame,
       scoreCol: String,
       idCol: String = "doc_id"): DataFrame = {
-    val comp = components(pairs) // (doc_id, component) — paired docs only
+    // components() emits (doc_id, component) regardless of idCol —
+    // rename ITS key to the caller's, then every reference below is
+    // uniformly idCol (the earlier doc_id-fixed join broke any
+    // non-default idCol at analysis)
+    val comp = components(pairs)
+      .select(col("doc_id").as(idCol), col("component"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component").orderBy(col(scoreCol).desc, col(idCol))
     val losers = comp
-      .join(docs.select(col(idCol).as("doc_id"), col(scoreCol)), Seq("doc_id"))
+      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") > 1)
-      .select(col("doc_id").as(idCol))
+      .select(idCol)
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -103,7 +103,16 @@ object CopyInto {
         * `sourceDir`); a named file that does not exist fails loudly.
         * Exclusive with `pattern`.
         */
-      files: Option[Seq[String]] = None): Result = {
+      files: Option[Seq[String]] = None,
+      /** `FORMAT_OPTIONS ('k' = 'v', ...)`: reader options for text
+        * formats, layered OVER the loud defaults (`mode = FAILFAST` —
+        * a malformed or schema-mismatched text file must abort the
+        * ingest, never commit NULLs; CSV adds `header = true` and
+        * `enforceSchema = false`, so header names are VALIDATED against
+        * the target schema instead of mapped by position). A headerless
+        * CSV landing zone passes `'header' = 'false'`.
+        */
+      formatOptions: Map[String, String] = Map.empty): Result = {
     require(SupportedFormats.exists(_.equalsIgnoreCase(format)),
       s"COPY INTO supports FILEFORMAT = " +
         s"${SupportedFormats.map(_.toUpperCase).mkString("/")} here, got $format")
@@ -166,9 +175,9 @@ object CopyInto {
       case None => _ => true
     }
     // an EXPLICITLY named file that the data-file filter would drop
-    // (hidden/underscore prefix, non-.parquet suffix) fails loudly —
-    // silently ignoring a FILES entry would report a clean no-op for a
-    // file the user demanded
+    // (hidden/underscore prefix, or an extension not admitted by the
+    // declared FILEFORMAT) fails loudly — silently ignoring a FILES
+    // entry would report a clean no-op for a file the user demanded
     if (files.isDefined) listed.foreach { case (p, _, _) =>
       require(isDataFile(p),
         s"COPY INTO FILES entry is not an ingestible $format data file " +
@@ -203,10 +212,32 @@ object CopyInto {
       val incoming = format.toLowerCase(java.util.Locale.ROOT) match {
         case "parquet" => spark.read.parquet(freshPaths: _*)
         case "json" =>
-          (if (mergeSchema) spark.read else spark.read.schema(snap.schema))
-            .json(freshPaths: _*)
+          // FAILFAST catches MALFORMED records; a well-formed file
+          // whose fields simply don't match the target would still
+          // read as all-NULL rows under a forced schema — so the
+          // inferred field set must be CONTAINED in the target schema
+          // (one sampling-bound inference pass over the NEW files only)
+          val r = spark.read
+            .options(Map("mode" -> "FAILFAST") ++ formatOptions)
+          if (mergeSchema) r.json(freshPaths: _*)
+          else {
+            val target = snap.schema.fieldNames
+              .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+            val unknown = r.json(freshPaths: _*).schema.fieldNames
+              .filterNot(f => target(f.toLowerCase(java.util.Locale.ROOT)))
+            require(unknown.isEmpty,
+              s"COPY INTO source JSON carries fields not in the target " +
+                s"schema: ${unknown.mkString(", ")} (add MERGE SCHEMA to " +
+                "evolve, or fix the source)")
+            r.schema(snap.schema).json(freshPaths: _*)
+          }
         case "csv" =>
-          val r = spark.read.option("header", "true")
+          // enforceSchema=false: header NAMES validate against the
+          // target schema (positional mapping would silently swap
+          // reordered columns); headerless zones pass header=false
+          val r = spark.read.options(Map(
+            "header" -> "true", "enforceSchema" -> "false",
+            "mode" -> "FAILFAST") ++ formatOptions)
           (if (mergeSchema) r.option("inferSchema", "true")
            else r.schema(snap.schema)).csv(freshPaths: _*)
       }

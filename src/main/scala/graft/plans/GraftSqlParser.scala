@@ -105,7 +105,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
       """(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
       """(?:\s+FILES\s*=\s*\(([^)]*)\))?""" +
+      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
       """(\s+MERGE\s+SCHEMA)?\s*;?\s*$""").r
+
+  /** `'k' = 'v', ...` pairs of a FORMAT_OPTIONS clause. */
+  private def optionPairs(s: String): Map[String, String] =
+    """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2)).toMap
   private val CreateMatViewRe =
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + T +
       """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+""" + T +
@@ -145,13 +151,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(v).map(_.toLong), Option(ts)))
       case DropFeatureRe(p, n, feature) =>
         Some(GraftDropFeatureCommand(target(p, n), feature))
-      case CopyIntoRe(p, n, src, fmt, pat, fl, ms) =>
+      case CopyIntoRe(p, n, src, fmt, pat, fl, fo, ms) =>
         Some(GraftCopyIntoCommand(target(p, n), src,
           Option(fmt).getOrElse("parquet"), mergeSchema = ms != null,
           pattern = Option(pat),
           files = Option(fl).map(_.split(',').toSeq
             .map(_.trim.stripPrefix("'").stripSuffix("'"))
-            .filter(_.nonEmpty))))
+            .filter(_.nonEmpty)),
+          formatOptions = Option(fo).map(optionPairs).getOrElse(Map.empty)))
       case CreateMatViewRe(p, n, sel, sp, sn, gb) =>
         Some(GraftCreateMatViewCommand(target(p, n), target(sp, sn),
           sel.trim,

@@ -94,7 +94,12 @@ final case class GraftCopyIntoCommand(
     format: String,
     mergeSchema: Boolean,
     pattern: Option[String] = None,
-    files: Option[Seq[String]] = None) extends LeafRunnableCommand {
+    files: Option[Seq[String]] = None,
+    /** `FORMAT_OPTIONS ('header' = 'false', ...)` — text-format reader
+      * options over the loud defaults (see
+      * [[graft.io.CopyInto.copyInto]]).
+      */
+    formatOptions: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = true)(),
     AttributeReference("ingested_files", LongType, nullable = false)(),
@@ -102,7 +107,8 @@ final case class GraftCopyIntoCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenance.resolvePath(spark, target)
     val r = graft.io.CopyInto.copyInto(spark, path, sourceDir, format,
-      mergeSchema = mergeSchema, pattern = pattern, files = files)
+      mergeSchema = mergeSchema, pattern = pattern, files = files,
+      formatOptions = formatOptions)
     Seq(Row(r.version.map(Long.box).orNull,
       r.ingestedFiles.toLong, r.skippedFiles.toLong))
   }

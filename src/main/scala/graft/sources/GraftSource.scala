@@ -38,10 +38,17 @@ final class GraftSource
     GraftReadOptions.start(
       sqlContext.sparkSession, pathOf(parameters), parameters)
 
+  private def rowIdsOf(parameters: Map[String, String]): Boolean =
+    parameters.get("withRowIds").exists(_.equalsIgnoreCase("true"))
+
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     if (cdfOf(parameters)) {
+      // ignoring the option would hand an id-keyed consumer the wrong
+      // columns without a sound
+      require(!rowIdsOf(parameters),
+        "withRowIds is not supported together with readChangeFeed")
       // Delta's batch-CDF surface: startingVersion/startingTimestamp
       // (inclusive, one required — serving "all changes ever" implicitly
       // would turn a typo into a full-history scan) + optional
@@ -83,6 +90,8 @@ final class GraftSource
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    require(!rowIdsOf(parameters),
+      "withRowIds is not supported on streaming reads")
     val path = pathOf(parameters)
     val base = GraftTable(sqlContext.sparkSession, path).snapshot().schema
     (shortName(),

@@ -335,4 +335,50 @@ class CopyIntoSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("PARQUET/JSON/CSV"))
   }
+
+  test("text-format hazards are loud: headerless CSV, reordered header, bad JSON") {
+    val data = (0 until 20).map(i => (i.toLong, s"s$i"))
+    val tgtSchema = data.toDF("id", "s").schema
+    def freshTbl(tag: String): String = {
+      val p = tmpDir(s"ci_tf_$tag")
+      GraftWriter.write(spark, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgtSchema),
+        p, WriteOptions(mode = WriteMode.Overwrite))
+      p
+    }
+
+    // headerless CSV (Spark's own write default): the header=true
+    // default would eat the first row of every file — FORMAT_OPTIONS
+    // ('header' = 'false') ingests everything
+    val noHead = tmpDir("ci_tf_nohead_src")
+    data.toDF("id", "s").coalesce(1).write.mode("overwrite").csv(noHead)
+    val p1 = freshTbl("nohead")
+    spark.sql(s"COPY INTO graft.`$p1` FROM '$noHead' FILEFORMAT = CSV " +
+      "FORMAT_OPTIONS ('header' = 'false')").collect()
+    assert(GraftTable(spark, p1).toDf().count() == 20,
+      "headerless ingest must not drop rows")
+
+    // reordered header: enforceSchema=false validates NAMES against the
+    // target schema instead of silently mapping by position
+    val reorder = tmpDir("ci_tf_reorder_src")
+    data.toDF("id", "s").select("s", "id").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(reorder)
+    val p2 = freshTbl("reorder")
+    val eReorder = intercept[Throwable] {
+      CopyInto.copyInto(spark, p2, reorder, format = "csv")
+    }
+    assert(GraftTable(spark, p2).toDf().count() == 0,
+      s"reordered columns must not half-ingest: $eReorder")
+
+    // JSON whose fields don't match the target schema: FAILFAST aborts
+    // instead of committing all-NULL rows (the PERMISSIVE hazard)
+    val badJson = tmpDir("ci_tf_badjson_src")
+    data.toDF("a", "b").coalesce(1).write.mode("overwrite").json(badJson)
+    val p3 = freshTbl("badjson")
+    intercept[Throwable] {
+      CopyInto.copyInto(spark, p3, badJson, format = "json")
+    }
+    assert(GraftTable(spark, p3).toDf().count() == 0,
+      "mismatched JSON must not commit NULL rows")
+  }
 }

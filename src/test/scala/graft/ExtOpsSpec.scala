@@ -144,6 +144,13 @@ class ExtOpsSpec extends SparkSpec {
     val minId = Dedup.canonical(docs, pairs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(minId == Set(1L, 3L, 4L))
+    // a NON-default idCol resolves too (regression: the join used to
+    // pin the literal name doc_id and break analysis)
+    val renamed = docs.withColumnRenamed("doc_id", "id")
+    val bestRenamed = Dedup.canonicalByScore(
+      renamed, pairs, scoreCol = "score", idCol = "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(bestRenamed == Set(2L, 3L, 4L))
   }
 
   test("tfidfTopK: terms come from the doc, ranks are dense, rare beats common") {

@@ -152,6 +152,16 @@ class RowTrackingSpec extends SparkSpec {
       spark.read.format("graft").option("withRowIds", "true").load(plain)
         .collect()
     }
+    // combining with the change feed is refused, never silently ignored
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", 0)
+        .option("withRowIds", "true").load(p)
+    }
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft")
+        .option("withRowIds", "true").load(p)
+    }
   }
 
   test("reserved column names are refused; SHOW CREATE hides the hwm") {
