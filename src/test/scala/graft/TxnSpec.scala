@@ -100,6 +100,25 @@ class TxnSpec extends SparkSpec {
     assert(props.contains("graft.txn.myapp=1"))
   }
 
+  test("txn guards non-append modes too: replayed overwrite is a no-op") {
+    val p = tmpDir("txn_overwrite")
+    GraftWriter.write(spark, rows(5, "seed"), p,
+      WriteOptions(mode = WriteMode.Append))
+    val v1 = GraftWriter.write(spark, rows(3, "day1"), p, WriteOptions(
+      mode = WriteMode.Overwrite,
+      txnAppId = Some("etl"), txnVersion = Some(1L)))
+    val t = GraftTable(spark, p)
+    assert(t.toDf().count() == 3)
+    // the crashed-job replay of the SAME overwrite must not run again
+    // (a second overwrite would be harmless here, but the guard also
+    // proves the marker rode the overwrite commit)
+    assert(GraftWriter.write(spark, rows(9, "day1-replay"), p, WriteOptions(
+      mode = WriteMode.Overwrite,
+      txnAppId = Some("etl"), txnVersion = Some(1L))) == v1)
+    assert(t.toDf().count() == 3)
+    assert(t.toDf().filter(col("v") === "day1").count() == 3)
+  }
+
   test("commit-level primitive: replayed txn throws TxnAlreadyApplied atomically") {
     val p = tmpDir("txn_primitive")
     GraftWriter.write(spark, rows(1, "x"), p,
