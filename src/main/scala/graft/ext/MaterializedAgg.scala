@@ -209,14 +209,47 @@ object MaterializedAgg {
       keyCols: Seq[String],
       valueCol: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainStreamSums(
+      spark, sourcePath, summaryPath, keyCols, Seq(valueCol), checkpointDir)
+
+  /** [[maintainStream]] for multi-sum views (several `sum(col)`
+    * entries) — the single-column form would refuse the multi-column
+    * summary layout at the first trigger.
+    */
+  def maintainStreamSums(
+      spark: SparkSession,
+      sourcePath: String,
+      summaryPath: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.Streams.readChangeFeed(spark, sourcePath)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        refresh(spark, sourcePath, summaryPath, keyCols, valueCol)
+        refreshSums(spark, sourcePath, summaryPath, keyCols, valueCols)
         ()
       }
       .start()
+
+  /** Continuous maintenance from the RECORDED definition alone: the
+    * summary's carried properties name the source, keys, and summed
+    * columns — the streaming analog of `REFRESH MATERIALIZED VIEW`.
+    */
+  def maintainStreamByTarget(
+      spark: SparkSession,
+      summaryPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(GraftTable.exists(spark, summaryPath),
+      s"not a graft table: $summaryPath")
+    val props = GraftTable(spark, summaryPath).log.tableProperties()
+    val source = props.getOrElse(SourceKey, throw new IllegalStateException(
+      s"$summaryPath is not a materialized view (missing $SourceKey)"))
+    maintainStreamSums(spark, source, summaryPath,
+      props(KeysKey).split(',').toSeq.filter(_.nonEmpty),
+      props(ValueKey).split(',').toSeq.filter(_.nonEmpty),
+      checkpointDir)
+  }
 
   /** The summary shape: one row per key with the exact integer sum, the
     * row count, and the non-null value count (`n_vals` carries sum()'s

@@ -211,6 +211,31 @@ class MaterializedAggSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming maintenance of a MULTI-sum view from the recorded definition") {
+    val src = tmpDir("mv_msum_src")
+    val sum = tmpDir("mv_msum_sum")
+    val ckpt = tmpDir("mv_msum_ckpt")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10L, 1L), (2L, "b", 20L, 2L)).toDF("id", "cat", "v", "w"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    // build the two-sum view, then maintain it from the DEFINITION the
+    // summary carries (no keys/columns repeated at the call site)
+    assert(MaterializedAgg.refreshSums(
+      spark, src, sum, Seq("cat"), Seq("v", "w")).isDefined)
+    val q = MaterializedAgg.maintainStreamByTarget(spark, sum, ckpt)
+    try {
+      GraftWriter.write(spark,
+        Seq((3L, "a", 5L, 7L)).toDF("id", "cat", "v", "w"), src,
+        WriteOptions(mode = WriteMode.Append))
+      q.processAllAvailable()
+      val rows = GraftTable(spark, sum).toDf()
+        .select("cat", "sum_v", "sum_w").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rows == Map("a" -> ((15L, 8L)), "b" -> ((20L, 2L))))
+    } finally q.stop()
+  }
+
   test("NULL values: incremental refresh matches sum()'s NULL semantics exactly") {
     val src = tmpDir("mv_null_src")
     val sum = tmpDir("mv_null_sum")
