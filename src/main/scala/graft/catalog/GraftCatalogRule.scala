@@ -162,6 +162,13 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val to = graft.sources.GraftReadOptions.end(spark, t.path, optsMap)
           LogicalRelation(
             graft.sources.GraftChangesRelation(spark.sqlContext, t.path, from, to))
+        } else if (Option(opts.get("withRowIds")).exists(_.equalsIgnoreCase("true"))) {
+          // row-id read by catalog name: same relation swap as CDF (the
+          // extra _graft_row_id column cannot ride the table-schema
+          // output; read.table analyzes this relation as the plan root).
+          // The substitution rule upgrades it to the native plan.
+          LogicalRelation(GraftRelation(
+            spark.sqlContext, t.path, t.versionAsOf, withRowIds = true))
         } else rebind(out, nativePlan(t.path, t.versionAsOf))
     }
 

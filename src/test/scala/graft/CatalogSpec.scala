@@ -341,6 +341,26 @@ class CatalogSpec extends SparkSpec {
       (3L, 30.0, "delete")))
   }
 
+  test("catalog-name withRowIds read serves stable row ids") {
+    import graft.io.{GraftWriter, WriteOptions, WriteMode, RowTracking}
+    import spark.implicits._
+    new java.io.File(s"$root/rt").mkdirs()
+    GraftWriter.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      s"$root/rt/ids",
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.log.CommitLog.RowTrackingKey -> "true")))
+    val df = spark.read.option("withRowIds", "true").table("gcat.rt.ids")
+    assert(df.columns.contains(RowTracking.Col))
+    val ids = df.select("k", RowTracking.Col).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.keySet == Set(1L, 2L, 3L))
+    assert(ids.values.toSet == Set(0L, 1L, 2L), s"dense ids, got $ids")
+    // plain catalog reads stay untouched
+    assert(!spark.read.table("gcat.rt.ids").columns
+      .contains(RowTracking.Col))
+  }
+
   test("missing table errors cleanly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gcat.ns1.never_made").collect()
