@@ -1487,6 +1487,19 @@ object OracleSql {
                       unnest(generate_series(0, greatest(length(text) - 1, 0), 100)) AS s
                FROM documents)""",
 
+    // sliding TOKEN windows (24 wide, step 16 = 8-token overlap);
+    // DuckDB list slicing is 1-based INCLUSIVE, matching Spark's
+    // slice(toks, s+1, 24) = elements s+1..s+24, both end-clamped
+    "text_chunk_tokens" ->
+      s"""WITH d AS ($DOCS_TOKS)
+          SELECT doc_id,
+                 CAST(s // 16 AS BIGINT) AS chunk_id,
+                 array_to_string(toks[CAST(s + 1 AS INTEGER):CAST(s + 24 AS INTEGER)], ' ') AS chunk,
+                 CAST(len(toks[CAST(s + 1 AS INTEGER):CAST(s + 24 AS INTEGER)]) AS BIGINT) AS n_tokens
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(0, greatest(len(toks) - 1, 0), 16)) AS s
+                FROM d)""",
+
     "seq_pack" ->
       s"""WITH d AS (
             SELECT doc_id,

@@ -1457,6 +1457,10 @@ object SparkEntry {
   private def qTextChunks(spark: SparkSession, dir: String): DataFrame =
     Chunking.chunk(t(spark, dir, "documents"), 120, 20)
 
+  /** Token-window chunking: 24-token windows, 8 carried over. */
+  private def qTextChunkTokens(spark: SparkSession, dir: String): DataFrame =
+    Chunking.chunkTokens(t(spark, dir, "documents"), 24, 8)
+
   /** Contiguous sequence packing at a 512-token budget over 16 md5
     * shards: deterministic (shard, doc) order, prefix-sum binning —
     * the shard-local window is the whole shuffle.
@@ -1728,6 +1732,7 @@ object SparkEntry {
     "table_convert" -> (qTableConvert _),
     "table_rename" -> (qTableRename _),
     "text_chunks" -> (qTextChunks _),
+    "text_chunk_tokens" -> (qTextChunkTokens _),
     "seq_pack" -> (qSeqPack _)
   )
 
@@ -1762,7 +1767,7 @@ object SparkEntry {
     "text_pii_scrub", "text_decontam", "sample_hash",
     "sample_weighted", "source_quota", "text_normalize",
     "quality_quantile_filter", "cluster_balanced_select",
-    "text_chunks", "seq_pack",
+    "text_chunks", "text_chunk_tokens", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
     "text_gopher_rules", "text_bm25", "text_tfidf_topk",
     "domain_mix", "corpus_select",

@@ -1248,6 +1248,37 @@ object Chunking {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
+  /** Sliding TOKEN windows with `overlap` tokens carried between
+    * consecutive windows — the embedding-pipeline chunker (models
+    * budget tokens, not characters; overlap preserves context across
+    * boundaries). One row per (doc, window), `chunk_id` from 0, last
+    * window may be short, empty docs keep their single empty chunk.
+    * Same narrow shuffle-free explode shape as [[chunk]].
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      chunkTokens: Int,
+      overlap: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens); got $overlap for $chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
+    docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("__toks")) - 1, lit(0)), lit(step))).as("s"))
+      .select(
+        col(idCol),
+        (col("s") / step).cast("long").as("chunk_id"),
+        array_join(
+          slice(col("__toks"), col("s") + 1, lit(chunkTokens)), " ").as("chunk"),
+        size(slice(col("__toks"), col("s") + 1, lit(chunkTokens)))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Contiguous sequence packing: documents are concatenated in
     * deterministic (shard, id) order and split into training sequences
     * of at most `budget` whitespace tokens — `seq_id` is the running
