@@ -1489,7 +1489,10 @@ object OracleSql {
 
     // sliding TOKEN windows (24 wide, step 16 = 8-token overlap);
     // DuckDB list slicing is 1-based INCLUSIVE, matching Spark's
-    // slice(toks, s+1, 24) = elements s+1..s+24, both end-clamped
+    // slice(toks, s+1, 24) = elements s+1..s+24, both end-clamped.
+    // Start bound len − overlap − 1: a window is emitted only when it
+    // contributes tokens beyond the carried overlap (no trailing chunk
+    // fully contained in its predecessor)
     "text_chunk_tokens" ->
       s"""WITH d AS ($DOCS_TOKS)
           SELECT doc_id,
@@ -1497,7 +1500,7 @@ object OracleSql {
                  array_to_string(toks[CAST(s + 1 AS INTEGER):CAST(s + 24 AS INTEGER)], ' ') AS chunk,
                  CAST(len(toks[CAST(s + 1 AS INTEGER):CAST(s + 24 AS INTEGER)]) AS BIGINT) AS n_tokens
           FROM (SELECT doc_id, toks,
-                       unnest(generate_series(0, greatest(len(toks) - 1, 0), 16)) AS s
+                       unnest(generate_series(0, greatest(len(toks) - 8 - 1, 0), 16)) AS s
                 FROM d)""",
 
     "seq_pack" ->

@@ -145,6 +145,10 @@ class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
       case dsv2 @ DataSourceV2Relation(t: GraftCatalogTable, out, _, _, opts, _) =>
         if (Option(opts.get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))) {
+          // same contract as the path route: ignoring the option would
+          // hand an id-keyed consumer the wrong columns silently
+          require(!Option(opts.get("withRowIds")).exists(_.equalsIgnoreCase("true")),
+            "withRowIds is not supported together with readChangeFeed")
           // batch CDF through the catalog name: same relation swap as the
           // streaming case (the `_change_type` column cannot ride the
           // table-schema output). Options resolve through the shared

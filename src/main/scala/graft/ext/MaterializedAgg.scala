@@ -183,14 +183,25 @@ object MaterializedAgg {
     * not a materialized aggregate.
     */
   def refreshByTarget(spark: SparkSession, summaryPath: String): Option[Long] = {
+    val (source, keys, values) = definitionOf(spark, summaryPath)
+    refreshSums(spark, source, summaryPath, keys, values)
+  }
+
+  /** The recorded view definition (source path, grouping keys, summed
+    * columns) from the summary's carried properties — shared by every
+    * definition-driven entry point.
+    */
+  private def definitionOf(
+      spark: SparkSession,
+      summaryPath: String): (String, Seq[String], Seq[String]) = {
     require(GraftTable.exists(spark, summaryPath),
       s"not a graft table: $summaryPath")
     val props = GraftTable(spark, summaryPath).log.tableProperties()
     val source = props.getOrElse(SourceKey, throw new IllegalStateException(
       s"$summaryPath is not a materialized view (missing $SourceKey — " +
         "was it created with CREATE MATERIALIZED VIEW / MaterializedAgg?)"))
-    val keys = props(KeysKey).split(',').toSeq.filter(_.nonEmpty)
-    refreshSums(spark, source, summaryPath, keys,
+    (source,
+      props(KeysKey).split(',').toSeq.filter(_.nonEmpty),
       props(ValueKey).split(',').toSeq.filter(_.nonEmpty))
   }
 
@@ -240,15 +251,8 @@ object MaterializedAgg {
       spark: SparkSession,
       summaryPath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(GraftTable.exists(spark, summaryPath),
-      s"not a graft table: $summaryPath")
-    val props = GraftTable(spark, summaryPath).log.tableProperties()
-    val source = props.getOrElse(SourceKey, throw new IllegalStateException(
-      s"$summaryPath is not a materialized view (missing $SourceKey)"))
-    maintainStreamSums(spark, source, summaryPath,
-      props(KeysKey).split(',').toSeq.filter(_.nonEmpty),
-      props(ValueKey).split(',').toSeq.filter(_.nonEmpty),
-      checkpointDir)
+    val (source, keys, values) = definitionOf(spark, summaryPath)
+    maintainStreamSums(spark, source, summaryPath, keys, values, checkpointDir)
   }
 
   /** The summary shape: one row per key with the exact integer sum, the

@@ -1253,7 +1253,12 @@ object Chunking {
     * budget tokens, not characters; overlap preserves context across
     * boundaries). One row per (doc, window), `chunk_id` from 0, last
     * window may be short, empty docs keep their single empty chunk.
-    * Same narrow shuffle-free explode shape as [[chunk]].
+    * A window is emitted only when it contributes tokens BEYOND the
+    * carried overlap (start bound `len − overlap − 1`, not `len − 1`) —
+    * otherwise a doc whose length lands in the overlap region would end
+    * with a chunk fully contained in the previous one, a duplicate
+    * embedding downstream. Same narrow shuffle-free explode shape as
+    * [[chunk]].
     */
   def chunkTokens(
       docs: DataFrame,
@@ -1266,13 +1271,14 @@ object Chunking {
       s"overlap must be in [0, chunkTokens); got $overlap for $chunkTokens")
     val step = chunkTokens - overlap
     val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
+    val starts = sequence(lit(0),
+      greatest(size(col("__toks")) - lit(overlap) - 1, lit(0)), lit(step))
     docs.select(col(idCol), toks.as("__toks"))
       .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0),
-          greatest(size(col("__toks")) - 1, lit(0)), lit(step))).as("s"))
+        posexplode(starts).as(Seq("pos", "s")))
       .select(
         col(idCol),
-        (col("s") / step).cast("long").as("chunk_id"),
+        col("pos").cast("long").as("chunk_id"),
         array_join(
           slice(col("__toks"), col("s") + 1, lit(chunkTokens)), " ").as("chunk"),
         size(slice(col("__toks"), col("s") + 1, lit(chunkTokens)))

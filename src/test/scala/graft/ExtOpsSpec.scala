@@ -948,6 +948,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(!byStatus.contains("P")) // not in the rate map -> dropped
   }
 
+  test("chunkTokens: overlap carried, NO trailing chunk inside its predecessor") {
+    val d = Seq((1L, "a b c d e"), (2L, ""), (3L, "x y z")).toDF("doc_id", "text")
+    val rows = Chunking.chunkTokens(d, 4, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // 5 tokens, window 4, step 2: starts 0 and 2 only — a start at 4
+    // would emit "e", fully contained in "c d e" (duplicate content)
+    assert(rows.filter(_._1 == 1L).map(_._3).toSeq == Seq("a b c d", "c d e"))
+    assert(rows.filter(_._1 == 1L).map(_._4).toSeq == Seq(4L, 3L))
+    // every token is covered despite the tightened bound
+    assert(rows.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet ==
+      Set("a", "b", "c", "d", "e"))
+    // empty doc keeps its single empty chunk; short doc = one window
+    assert(rows.filter(_._1 == 2L).map(_._3).toSeq == Seq(""))
+    assert(rows.filter(_._1 == 3L).map(_._3).toSeq == Seq("x y z"))
+    // chunk ids are dense from 0
+    assert(rows.filter(_._1 == 1L).map(_._2).toSeq == Seq(0L, 1L))
+    intercept[IllegalArgumentException] { Chunking.chunkTokens(d, 4, 4) }
+  }
+
   test("chunking covers every character once per window; overlap carried") {
     val d = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy"))
       .toDF("doc_id", "text")
