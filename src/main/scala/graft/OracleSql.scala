@@ -886,11 +886,18 @@ object OracleSql {
     // make the assigned id equal the global o_orderkey rank, and the
     // OPTIMIZE rewrite between write and read proves the ids survive
     // compaction (materialized column wins over fresh baseRowIds)
+    // ids = key rank at assignment time; the COW UPDATE (%7 -> 'X')
+    // preserves every id and the COW DELETE (%13) removes only its own
     "table_row_tracking" ->
       """SELECT o_orderkey,
-                CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
-                  AS row_id
-         FROM orders""",
+                CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                row_id
+         FROM (SELECT o_orderkey, o_orderstatus,
+                      CAST(row_number() OVER (ORDER BY o_orderkey) - 1
+                        AS BIGINT) AS row_id
+               FROM orders)
+         WHERE o_orderkey % 13 <> 0""",
 
     // default column values: the append omitted src_tag -> 'bulk'
     "table_default_cols" ->

@@ -492,12 +492,15 @@ object SparkEntry {
     * key-ordered single-file batches make the assigned id EQUAL the
     * global `o_orderkey` rank (first batch = the globally smallest
     * keys, ids continue across commits from the carried high-water
-    * mark), and the OPTIMIZE rewrite in between proves ids survive
-    * compaction — the materialized `__graft_row_id` column wins over
-    * the fresh files' baseRowId defaults.
+    * mark); the OPTIMIZE rewrite proves ids survive compaction, and the
+    * copy-on-write UPDATE + DELETE afterwards prove ids survive point
+    * DML on a non-DV table — updated rows and carried-over neighbors
+    * keep their rank-ids (the COW rewrite materializes them), deleted
+    * rows' ids simply disappear. The materialized `__graft_row_id`
+    * column wins over the fresh files' baseRowId defaults throughout.
     */
   private def qTableRowTracking(spark: SparkSession, dir: String): DataFrame = {
-    val src = t(spark, dir, "orders").select(col("o_orderkey"))
+    val src = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
     val p = tmp("graft_rowids")
     def batch(pred: Column) =
       src.filter(pred).coalesce(1).sortWithinPartitions("o_orderkey")
@@ -507,8 +510,11 @@ object SparkEntry {
     GraftWriter.write(spark, batch(col("o_orderkey") >= 3000), p,
       WriteOptions(mode = WriteMode.Append))
     GraftWriter.optimize(spark, p) // compacts both files; ids must hold
+    graft.merge.Dml.update(spark, p, col("o_orderkey") % 7 === 0,
+      Map("o_orderstatus" -> lit("X"))) // COW rewrite; ids must hold
+    graft.merge.Dml.delete(spark, p, col("o_orderkey") % 13 === 0)
     GraftTable(spark, p).toDfWithRowIds()
-      .select(col("o_orderkey"),
+      .select(col("o_orderkey"), col("o_orderstatus"),
         col(graft.io.RowTracking.Col).as("row_id"))
   }
 

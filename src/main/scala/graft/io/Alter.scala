@@ -209,8 +209,7 @@ object Alter {
     // at the enabling ALTER, the same place the write path refuses
     if (props.get(CommitLog.RowTrackingKey).exists(_.trim.toBoolean))
       schema.fieldNames.foreach(c => require(
-        !c.equalsIgnoreCase(RowTracking.Col) &&
-          !c.equalsIgnoreCase(RowTracking.PhysicalCol),
+        !RowTracking.ReservedCols.exists(_.equalsIgnoreCase(c)),
         s"cannot enable ${CommitLog.RowTrackingKey}: column name $c is " +
           "reserved by row tracking"))
     table.log.commit(

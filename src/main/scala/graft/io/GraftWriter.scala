@@ -197,8 +197,7 @@ object GraftWriter {
     // would be mistaken for materialized ids at read time
     if (RowTracking.enabled(declProps))
       dfIn.columns.foreach(c => require(
-        !c.equalsIgnoreCase(RowTracking.Col) &&
-          !c.equalsIgnoreCase(RowTracking.PhysicalCol),
+        !RowTracking.ReservedCols.exists(_.equalsIgnoreCase(c)),
         s"column name $c is reserved by row tracking"))
     // defaults FIRST (a generating expression may reference a defaulted
     // base column), then generated fill, then identity assignment

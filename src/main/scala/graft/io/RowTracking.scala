@@ -1,33 +1,37 @@
 package graft.io
 
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{DataType, LongType}
-import org.apache.spark.unsafe.types.UTF8String
-
-import graft.log.AddFile
-
 /** Row tracking (Delta's `rowTracking` feature): stable per-row ids.
   *
   * Opt-in via the carried property `graft.rowTracking = true`. Every
   * commit assigns each added file a `baseRowId` from a carried
   * high-water mark ([[graft.log.CommitLog.commit]]); row i of a file
-  * defaults to `baseRowId + i`. Maintenance rewrites (OPTIMIZE,
-  * cluster/Z-order, REORG PURGE) MATERIALIZE the ids they carry into a
-  * physical `__graft_row_id` column, which wins over the default at
-  * read time — so compaction never changes a row's id, which is what
-  * lets an incremental consumer (or a downstream dedup keyed on
-  * provenance) survive routine maintenance on a 100 TB table. Read via
-  * [[GraftTable.toDfWithRowIds]] (`_graft_row_id`).
+  * defaults to `baseRowId + i`. Any rewrite that carries existing rows
+  * forward — maintenance (OPTIMIZE, cluster/Z-order, REORG PURGE) and
+  * copy-on-write DML/merge alike — MATERIALIZES the ids it carries into
+  * a physical `__graft_row_id` column, which wins over the default at
+  * read time. So compaction never changes a row's id, a COW UPDATE
+  * keeps the id on both the updated row and its carried-over neighbors
+  * (Delta's row-id preservation semantics), and only genuinely new
+  * rows (appends, merge inserts) draw fresh ids — which is what lets
+  * an incremental consumer (or a downstream dedup keyed on provenance)
+  * survive both routine maintenance and point DML on a 100 TB table.
+  * Read via [[GraftTable.toDfWithRowIds]] (`_graft_row_id`).
   *
-  * Scope note (documented contract, narrower than Delta's): ids are
-  * stable across MAINTENANCE and across DV-mode DML (merge-on-read
-  * never rewrites surviving rows). Copy-on-write DML rewrites assign
-  * fresh ids to the rows they carry over — pair `graft.rowTracking`
-  * with `graft.dv` for id stability under point deletes/updates.
+  * Scale note: the read plan never ships a global file→baseRowId map.
+  * Each file's base rides as a per-file constant "partition" column
+  * ([[BaseCol]]) supplied by [[graft.sources.GraftFileIndex]] straight
+  * from the commit log — a task only ever sees the bases of its own
+  * splits, exactly like hive partition values, so a 10⁶-file table
+  * costs a row-id read nothing extra.
+  *
+  * Late-enable transition (documented): rows written BEFORE the
+  * property was enabled carry no base and read `_graft_row_id` as
+  * NULL — until the first rewrite that touches their file (OPTIMIZE or
+  * COW DML), at which point the rewritten file's fresh baseRowId
+  * default takes over and those rows transition NULL→id exactly once
+  * (unique and stable afterwards). Id-keyed consumers should either
+  * enable the property at table creation or run one OPTIMIZE right
+  * after enabling it to force the backfill deterministically.
   */
 object RowTracking {
   /** Public projection name (the analog of Delta's `_metadata.row_id`). */
@@ -36,76 +40,17 @@ object RowTracking {
   /** Physical column name materialized into rewritten files. */
   val PhysicalCol = "__graft_row_id"
 
+  /** Per-file constant column carrying the file's `baseRowId` from the
+    * commit log into the scan (a synthetic partition column of
+    * [[graft.sources.GraftFileIndex]] — never stored in the files).
+    */
+  val BaseCol = "__graft_base_row_id"
+
+  /** Column names reserved by the feature — user data under any of them
+    * would be mistaken for id plumbing at read time.
+    */
+  val ReservedCols: Seq[String] = Seq(Col, PhysicalCol, BaseCol)
+
   def enabled(props: Map[String, String]): Boolean =
     props.get(graft.log.CommitLog.RowTrackingKey).exists(_.trim.toBoolean)
-
-  def indexFor(files: Seq[AddFile]): RowIdIndex =
-    new RowIdIndex(files.flatMap(f => f.baseRowId.map(f.path -> _)).toMap)
-}
-
-/** Relative-path → baseRowId lookup shared with executors as a plan
-  * reference object (same suffix-match + per-thread one-entry cache
-  * pattern as [[DvIndex]] — scans hand back absolute paths and batch
-  * rows arrive file-clustered).
-  */
-final class RowIdIndex(baseByRelPath: Map[String, Long]) extends Serializable {
-
-  @transient private lazy val cache =
-    new ThreadLocal[(UTF8String, Long)]()
-
-  private def lookup(absPath: String): Long =
-    baseByRelPath.collectFirst {
-      case (rel, base) if absPath.endsWith("/" + rel) || absPath == rel => base
-    }.getOrElse(-1L)
-
-  /** Base row id of the file at `absPath`; -1 = the file carries none
-    * (pre-feature generation) — the caller surfaces NULL.
-    */
-  def baseOf(absPath: UTF8String): Long = {
-    var c = cache.get()
-    if (c == null || !c._1.equals(absPath)) {
-      c = (absPath.clone(), lookup(absPath.toString))
-      cache.set(c)
-    }
-    c._2
-  }
-}
-
-/** Codegen'd per-row default id: `baseRowId(file) + row_index`, NULL
-  * when the file carries no base (pre-feature files). Used under a
-  * Coalesce with the materialized `__graft_row_id` column, which wins
-  * for rewritten files.
-  */
-case class FileBaseRowId(index: RowIdIndex, filePath: Expression)
-    extends UnaryExpression {
-
-  override def child: Expression = filePath
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-
-  override def eval(input: InternalRow): Any = {
-    val p = filePath.eval(input)
-    if (p == null) null
-    else {
-      val base = index.baseOf(p.asInstanceOf[UTF8String])
-      if (base < 0) null else java.lang.Long.valueOf(base)
-    }
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idx = ctx.addReferenceObj("rowIdIndex", index, classOf[RowIdIndex].getName)
-    val fp = filePath.genCode(ctx)
-    ev.copy(code = code"""
-      ${fp.code}
-      boolean ${ev.isNull} = true;
-      long ${ev.value} = -1L;
-      if (!${fp.isNull}) {
-        ${ev.value} = $idx.baseOf(${fp.value});
-        ${ev.isNull} = ${ev.value} < 0;
-      }
-    """)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(filePath = newChild)
 }

@@ -79,10 +79,21 @@ object Dml {
       candDf.filter(condition).withColumn(fileCol, input_file_name()), fileCol)
     if (touched.isEmpty) return DmlStats(snap.version, 0L)
 
-    // 2. rewrite only the touched files
-    val aff = table.dfForFiles(snap, touched)
-    val matched = coalesce(condition, lit(false)) // WHERE NULL = no-op
+    // 2. rewrite only the touched files. Row tracking: read the touched
+    // rows WITH their current ids and materialize them
+    // (`__graft_row_id`) into the rewritten files — carried-over AND
+    // updated rows keep their ids (Delta's preservation semantics);
+    // only the read column rides along, the declared schema is unchanged
     val props = table.log.tableProperties()
+    val rowIds = graft.io.RowTracking.enabled(props)
+    val aff0 = table.dfForFiles(snap, touched, withRowId = rowIds)
+    val aff =
+      if (rowIds) aff0.withColumnRenamed(
+        graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
+      else aff0
+    val carryCols =
+      if (rowIds) Seq(col(graft.io.RowTracking.PhysicalCol)) else Nil
+    val matched = coalesce(condition, lit(false)) // WHERE NULL = no-op
     val newData = keepMatched match {
       case None => aff.filter(!matched) // DELETE
       case Some(set) =>
@@ -94,7 +105,7 @@ object Dml {
             set.get(c)
               .map(v => when(matched, v).otherwise(col(c)).as(c))
               .getOrElse(col(c))
-          }: _*),
+          } ++ carryCols: _*),
           snap.schema, props, except = set.keys.toSet)
     }
     // change-data feed (opt-in `graft.cdf`): record the matched rows as
@@ -102,7 +113,9 @@ object Dml {
     val cdcFiles: Seq[graft.log.AddFile] =
       if (!graft.io.Cdc.enabled(table.log.tableProperties())) Nil
       else {
-        val hit = aff.filter(matched)
+        // change rows carry the DECLARED schema only — the materialized
+        // row-id plumbing column must not leak into the change feed
+        val hit = aff.drop(graft.io.RowTracking.PhysicalCol).filter(matched)
         val changes = keepMatched match {
           case None =>
             hit.withColumn(graft.io.Cdc.ChangeCol, lit("delete"))

@@ -182,8 +182,18 @@ object MergeExecutor {
       // 3. Rewrite only the touched files; carry over their out-of-scope
       // rows; remove only them. The touched-file frame is shared with
       // the CDC block below (lazy: the append-only strategy never
-      // builds it).
-      lazy val affDf = evolve(table.dfForFiles(snap, touched))
+      // builds it). Row tracking: the touched rows are read WITH their
+      // ids, renamed to the physical materialization column so the
+      // rewrite preserves them (carried + updated rows keep ids;
+      // inserts draw fresh ones from the new files' baseRowId default).
+      val rowIds = graft.io.RowTracking.enabled(table.log.tableProperties())
+      lazy val affDf = {
+        val d = table.dfForFiles(snap, touched, withRowId = rowIds)
+        evolve(
+          if (rowIds) d.withColumnRenamed(
+            graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
+          else d)
+      }
       lazy val affScoped =
         config.partitionFilter.map(affDf.filter).getOrElse(affDf)
       val (newData, removals) = config.mergeType match {
@@ -590,11 +600,25 @@ object MergeExecutor {
     val target =
       if (!config.schemaEvolution) target0
       else graft.io.Schemas.padTo(target0, source.schema)
-    validateSource(target.schema, source, config)
+    // row tracking: a target carrying the physical id column threads it
+    // through every strategy — preserved from the target row wherever a
+    // target row survives (updated or carried), NULL (= fresh default
+    // at write time) for inserted source rows. The column is plumbing,
+    // never part of the merge contract below.
+    val ridCol = graft.io.RowTracking.PhysicalCol
+    val ridCarry = target.columns.contains(ridCol)
+    validateSource(
+      org.apache.spark.sql.types.StructType(
+        target.schema.filterNot(_.name == ridCol)), source, config)
     val ta = config.targetAlias
     val sa = config.sourceAlias
     val cond = expr(config.predicate)
-    val cols = target.columns.toSeq
+    val cols = target.columns.toSeq.filterNot(_ == ridCol)
+    val ridKeep: Seq[Column] =
+      if (ridCarry) Seq(col(s"$ta.$ridCol").as(ridCol)) else Nil
+    val ridPlain: Seq[Column] = if (ridCarry) Seq(col(ridCol)) else Nil
+    val ridFresh: Seq[Column] =
+      if (ridCarry) Seq(lit(null).cast("long").as(ridCol)) else Nil
     val marker = "__graft_matched"
 
     def t = target.alias(ta)
@@ -613,17 +637,19 @@ object MergeExecutor {
       t.join(s.withColumn(marker, lit(true)), cond, "left")
         .select(cols.map { c =>
           when(col(marker), col(s"$sa.$c")).otherwise(col(s"$ta.$c")).as(c)
-        }: _*)
+        } ++ ridKeep: _*)
     def sourceOnly: DataFrame =
-      s.join(t, cond, "left_anti").select(cols.map(col): _*)
+      s.join(t, cond, "left_anti").select(cols.map(col) ++ ridFresh: _*)
 
     config.mergeType match {
       case MergeType.UpdateOnly => updated
       case MergeType.DeduplicateInsert =>
-        target.select(cols.map(col): _*).unionByName(sourceOnly)
+        target.select(cols.map(col) ++ ridPlain: _*).unionByName(sourceOnly)
       case MergeType.Upsert => updated.unionByName(sourceOnly)
       case MergeType.ReplaceDeleteUnmatched =>
-        s.join(t, cond, "left_semi").select(cols.map(col): _*)
+        // the output rows are SOURCE projections (possibly 1:N vs the
+        // matched target rows) — no well-defined target id to carry
+        s.join(t, cond, "left_semi").select(cols.map(col) ++ ridFresh: _*)
     }
   }
 }

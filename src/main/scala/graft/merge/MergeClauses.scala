@@ -216,8 +216,20 @@ object MergeClausesExecutor {
       // once per pair — rewriteRows dedups via `_metadata` row identity
       val needRowLevel = matched.forall(_.condition.isDefined) &&
         (matched.nonEmpty || notMatchedBySource.nonEmpty)
-      val affDf = evolve(table.dfForFiles(snap, touched, withRowMeta = needRowLevel))
       val props = table.log.tableProperties()
+      // row tracking: touched rows read WITH their ids (renamed to the
+      // physical materialization column) — every row the rewrite emits
+      // is a target row (updated or carried), so its id is preserved;
+      // inserted rows get NULL = a fresh default from the new file
+      val rowIds = graft.io.RowTracking.enabled(props)
+      val affDf = {
+        val d = table.dfForFiles(snap, touched,
+          withRowMeta = needRowLevel, withRowId = rowIds)
+        evolve(
+          if (rowIds) d.withColumnRenamed(
+            graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
+          else d)
+      }
       val genCols = graft.io.Generated.generatedOf(props).keys.toSeq
       val rewritten = rewriteRows(
         affDf, src, cond, cols, matched, notMatchedBySource, sourceAlias,
@@ -231,8 +243,12 @@ object MergeClausesExecutor {
       // column keeps its value for post-write validation; any other
       // clause recomputes — Delta parity even when DIFFERENT clauses
       // assign different columns)
+      val insertsAligned =
+        if (rowIds) inserts.withColumn(
+          graft.io.RowTracking.PhysicalCol, lit(null).cast("long"))
+        else inserts
       val newData = dropGenFlags(graft.io.Generated.recomputeGated(
-        rewritten.unionByName(inserts), mergedSchema, props, genFlagCol),
+        rewritten.unionByName(insertsAligned), mergedSchema, props, genFlagCol),
         genCols)
 
       // change-data feed (opt-in `graft.cdf`): row-level pre/postimages
@@ -541,10 +557,15 @@ object MergeClausesExecutor {
             row_number().over(w.orderBy(idxC)))
           .filter(col("__graft_aff_row") || col("__graft_rn") === 1)
       }
+    // row tracking: every emitted row is a target row — carry its id
+    val ridCol = graft.io.RowTracking.PhysicalCol
+    val ridKeep: Seq[Column] =
+      if (target.columns.contains(ridCol)) Seq(col(s"$ta.$ridCol").as(ridCol))
+      else Nil
     pruned
       .withColumn("__graft_keep", d.keep)
       .filter(col("__graft_keep"))
-      .select(cols.map(d.outCol) ++
+      .select(cols.map(d.outCol) ++ ridKeep ++
         genCols.map(g => matchedAssignFlag(d, g).as(genFlagName(g))): _*)
   }
 

@@ -32,28 +32,56 @@ import graft.log.{AddFile, Snapshot}
 final class GraftFileIndex(
     spark: SparkSession,
     tablePath: String,
-    snap: Snapshot) extends FileIndex {
+    snap: Snapshot,
+    /** Row-tracking reads: additionally surface each file's commit-log
+      * `baseRowId` as a synthetic per-file constant "partition" column
+      * ([[graft.io.RowTracking.BaseCol]], NULL for pre-feature files).
+      * Partition values ride per split in `PartitionedFile` — a task
+      * sees only the bases of its own files, so (unlike a plan-embedded
+      * path→base map) the shape is O(1) per task at any file count.
+      */
+    withBaseRowIdCol: Boolean = false) extends FileIndex {
 
-  override val partitionSchema: StructType =
+  private val declaredPartitionSchema: StructType =
     StructType(snap.partitionColumns.map(c =>
       snap.schema.find(_.name == c).getOrElse(
         throw new IllegalStateException(s"partition column $c missing from schema"))))
+
+  override val partitionSchema: StructType =
+    if (!withBaseRowIdCol) declaredPartitionSchema
+    else StructType(declaredPartitionSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        graft.io.RowTracking.BaseCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
   private val zone = spark.sessionState.conf.sessionLocalTimeZone
 
-  /** Typed partition value row per distinct partition-dir value map. */
-  private lazy val dirs: Seq[(InternalRow, Seq[AddFile])] =
-    snap.files.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
-      val row = InternalRow.fromSeq(partitionSchema.map { f =>
+  /** Typed partition value row per distinct partition-dir value map
+    * (per FILE under `withBaseRowIdCol` — each file's base is its own
+    * constant).
+    */
+  private lazy val dirs: Seq[(InternalRow, Seq[AddFile])] = {
+    def declaredValues(pv: Map[String, String]): Seq[Any] =
+      declaredPartitionSchema.map { f =>
         pv.get(f.name) match {
           case None | Some("__HIVE_DEFAULT_PARTITION__") => null
           case Some(s) => Cast(Literal(s), f.dataType, Some(zone)).eval(null)
         }
-      })
-      (row, files)
-    }
+      }
+    if (withBaseRowIdCol)
+      snap.files.map { f =>
+        (InternalRow.fromSeq(
+          declaredValues(f.partitionValues) :+
+            f.baseRowId.map(java.lang.Long.valueOf).orNull),
+          Seq(f))
+      }
+    else
+      snap.files.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+        (InternalRow.fromSeq(declaredValues(pv)), files)
+      }
+  }
 
   override def listFiles(
       partitionFilters: Seq[Expression],

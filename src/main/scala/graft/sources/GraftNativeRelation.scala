@@ -92,8 +92,11 @@ object GraftNativeRelation {
           org.apache.spark.sql.types.LongType, nullable = true))
       else dataSchema0
     // commit-log-backed index: zero FS listing, driver-side partition
-    // pruning, footer-stats data skipping
-    val index = new GraftFileIndex(spark, path, snap)
+    // pruning, footer-stats data skipping. Row-id reads additionally
+    // thread each file's baseRowId through the index as a per-file
+    // constant column — no global path→base map in the plan.
+    val index = new GraftFileIndex(spark, path, snap,
+      withBaseRowIdCol = withRowId)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
@@ -140,10 +143,10 @@ object GraftNativeRelation {
     val allProjections =
       if (!withRowId) allProjections0
       else {
+        // default id = file's baseRowId (a per-file constant from the
+        // file index, NULL for pre-feature files) + physical row index
         val fresh = org.apache.spark.sql.catalyst.expressions.Add(
-          graft.io.FileBaseRowId(
-            graft.io.RowTracking.indexFor(snap0.files), filePath),
-          rowIndex)
+          byName(graft.io.RowTracking.BaseCol), rowIndex)
         val rid = byName.get(graft.io.RowTracking.PhysicalCol) match {
           case Some(mat) =>
             org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(mat, fresh))

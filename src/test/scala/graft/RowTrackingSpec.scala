@@ -180,4 +180,86 @@ class RowTrackingSpec extends SparkSpec {
     assert(ddl.contains(CommitLog.RowTrackingKey), "declaration round-trips")
     assert(!ddl.contains(CommitLog.RowIdHwmKey), "hwm is operational state")
   }
+
+  test("COW DML preserves ids: UPDATE keeps them, DELETE drops only its rows") {
+    val p = tmpDir("rt_cow_dml")
+    GraftWriter.write(spark,
+      (0L until 120L).map(i => (i, s"v$i")).toDF("k", "v").repartition(3), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    val t = GraftTable(spark, p)
+    val ids0 = idsByKey(t.toDfWithRowIds())
+
+    // COW UPDATE (no graft.dv): both the updated rows and their
+    // carried-over neighbors must keep their ids
+    graft.merge.Dml.update(spark, p, col("k") % 5 === 0,
+      Map("v" -> concat(col("v"), lit("!"))))
+    val ids1 = idsByKey(t.toDfWithRowIds())
+    assert(ids1 == ids0, "COW UPDATE changed row ids")
+    assert(t.toDf().filter(col("v").endsWith("!")).count() == 24)
+
+    // COW DELETE: survivors keep ids, deleted ids disappear
+    graft.merge.Dml.delete(spark, p, col("k") % 3 === 0)
+    val ids2 = idsByKey(t.toDfWithRowIds())
+    assert(ids2 == ids0.filter { case (k, _) => k % 3 != 0 },
+      "COW DELETE moved survivor ids")
+  }
+
+  test("COW merge preserves carried/updated ids; inserts draw fresh ones") {
+    val p = tmpDir("rt_cow_merge")
+    GraftWriter.write(spark,
+      (0L until 80L).map(i => (i, i * 10)).toDF("k", "x").repartition(2), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    val t = GraftTable(spark, p)
+    val ids0 = idsByKey(t.toDfWithRowIds())
+
+    // strategy upsert: 10 updates + 5 inserts
+    val src = ((70L until 85L).map(i => (i, i * 100))).toDF("k", "x")
+    graft.merge.MergeExecutor.merge(spark, src, p,
+      graft.merge.MergeConfig(graft.merge.MergeType.Upsert, "s.k = t.k"))
+    val ids1 = idsByKey(t.toDfWithRowIds())
+    assert(ids1.filter(_._1 < 80L) == ids0, "upsert moved existing ids")
+    assert((80L until 85L).forall(k => ids1(k) > ids0.values.max),
+      "merge inserts must draw fresh ids above the hwm")
+
+    // clause merge: conditional UPDATE + DELETE + INSERT
+    val src2 = Seq((1L, 1L), (2L, 2L), (100L, 5L)).toDF("k", "x")
+    graft.merge.MergeClausesExecutor.merge(spark, src2, p,
+      predicate = "s.k = t.k",
+      matched = Seq(
+        graft.merge.Delete(Some(expr("s.k = 2"))),
+        graft.merge.UpdateSet(Map("x" -> expr("t.x + 1")), None)),
+      notMatched = Seq(graft.merge.InsertAll(None)))
+    val ids2 = idsByKey(t.toDfWithRowIds())
+    assert(!ids2.contains(2L), "deleted row still present")
+    assert(ids2.filter(k => k._1 != 2L && k._1 != 100L) == ids1 - 2L,
+      "clause merge moved carried/updated ids")
+    assert(ids2(100L) > ids1.values.max, "clause insert id not fresh")
+    // the updated row really was updated in place, same id
+    assert(t.toDf().filter(col("k") === 1L).head().getLong(1) == 11L)
+  }
+
+  test("read plan ships no global file map: base ids ride as per-file constants") {
+    val p = tmpDir("rt_scale_shape")
+    GraftWriter.write(spark,
+      (0L until 64L).map(i => (i, i)).toDF("k", "v").repartition(16), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    val df = GraftTable(spark, p).toDfWithRowIds()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the base id is a partition-constant column of the scan, so a task
+    // only ever materializes the bases of its own splits — nothing in
+    // the plan holds a table-wide path→base map
+    assert(scans.forall(_.relation.partitionSchema.fieldNames
+      .contains(RowTracking.BaseCol)), "baseRowId not a scan constant")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("RowIdIndex"), "plan embeds a global index object")
+    // and the ids are still right across all 16 files
+    assert(df.select(RowTracking.Col).collect().map(_.getLong(0)).toSet ==
+      (0L until 64L).toSet)
+  }
 }
