@@ -899,6 +899,23 @@ object OracleSql {
                FROM orders)
          WHERE o_orderkey % 13 <> 0""",
 
+    // materialized view with derived avg/count forms: model the
+    // post-DML source (delete %5, then +1000 cents on %7 of the
+    // SURVIVORS), aggregate, and derive avg as the SAME exact-long
+    // division readView performs (never DuckDB's avg() accumulator)
+    "matview_avg" ->
+      """SELECT prio,
+                CAST(sum(price_c) AS DOUBLE) / count(price_c) AS avg_price_c,
+                count(price_c) AS n_price,
+                count(*) AS n_all,
+                sum(price_c) AS sum_price_c
+         FROM (SELECT o_orderpriority AS prio,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        + CASE WHEN o_orderkey % 7 = 0 THEN 1000
+                               ELSE 0 END AS price_c
+               FROM orders WHERE o_orderkey % 5 <> 0)
+         GROUP BY prio""",
+
     // default column values: the append omitted src_tag -> 'bulk'
     "table_default_cols" ->
       """SELECT o_orderkey, o_totalprice, 'seed' AS src_tag FROM orders
@@ -1004,6 +1021,49 @@ object OracleSql {
          WHERE rn = 1""",
 
     "minhash_lsh_pairs" -> minhashSql,
+
+    // incremental dedup against the persisted fingerprint store: bands
+    // over ALL docs, store side (doc_id % 3 <> 0) hot-capped at 500
+    // like DedupIndex.build; a batch doc (doc_id % 3 = 0) survives iff
+    // no store band matches and no smaller-id batch doc shares a band
+    "dedup_incremental" ->
+      s"""WITH $minhashCtes,
+          sb0 AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+          sfreq AS (SELECT band_id, band_key, count(*) AS c
+                    FROM sb0 GROUP BY band_id, band_key),
+          sb AS (SELECT b.doc_id, b.band_id, b.band_key
+                 FROM sb0 b JOIN sfreq f
+                   ON b.band_id = f.band_id AND b.band_key = f.band_key
+                 WHERE f.c <= 500),
+          bb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+          beaten AS (
+            SELECT DISTINCT b.doc_id
+            FROM bb b JOIN sb s
+              ON b.band_id = s.band_id AND b.band_key = s.band_key
+            UNION
+            SELECT DISTINCT a.doc_id
+            FROM bb a JOIN bb b2
+              ON a.band_id = b2.band_id AND a.band_key = b2.band_key
+             AND b2.doc_id < a.doc_id)
+          SELECT doc_id FROM documents
+          WHERE doc_id % 3 = 0
+            AND doc_id NOT IN (SELECT doc_id FROM beaten)""",
+
+    // read-only decontamination probe: batch docs (doc_id % 3 = 0) with
+    // ANY banded match in the hot-capped store — the hits, not survivors
+    "dedup_probe" ->
+      s"""WITH $minhashCtes,
+          sb0 AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+          sfreq AS (SELECT band_id, band_key, count(*) AS c
+                    FROM sb0 GROUP BY band_id, band_key),
+          sb AS (SELECT b.doc_id, b.band_id, b.band_key
+                 FROM sb0 b JOIN sfreq f
+                   ON b.band_id = f.band_id AND b.band_key = f.band_key
+                 WHERE f.c <= 500),
+          bb AS (SELECT * FROM bands WHERE doc_id % 3 = 0)
+          SELECT DISTINCT b.doc_id
+          FROM bb b JOIN sb s
+            ON b.band_id = s.band_id AND b.band_key = s.band_key""",
 
     "minhash_capped_pairs" -> minhashCappedSql,
 

@@ -518,6 +518,68 @@ object SparkEntry {
         col(graft.io.RowTracking.Col).as("row_id"))
   }
 
+  /** SQL materialized view with DERIVED aggregate forms: `avg(col)` /
+    * `count(col)` / `count(*)` ride the maintained integer sums and
+    * counts (`sum_<col>/nvals_<col>/n_rows`) — no float state is ever
+    * maintained incrementally; the avg is ONE exact-long division at
+    * read time, identical on both engines. The DELETE + UPDATE before
+    * the REFRESH prove the derivation stays exact through incremental
+    * delta maintenance (not just the initial build).
+    */
+  private def qMatviewAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderpriority").as("prio"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val src = tmp("graft_mv_src")
+    val sum = tmp("graft_mv_avg")
+    GraftWriter.write(spark, o, src,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT prio, avg(price_c) AS avg_price_c, " +
+      s"count(price_c) AS n_price, count(*) AS n_all, " +
+      s"sum(price_c) AS sum_price_c FROM graft.`$src` GROUP BY prio")
+    graft.merge.Dml.delete(spark, src, col("o_orderkey") % 5 === 0)
+    graft.merge.Dml.update(spark, src, col("o_orderkey") % 7 === 0,
+      Map("price_c" -> (col("price_c") + lit(1000L))))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+    graft.ext.MaterializedAgg.readView(spark, sum)
+  }
+
+  /** Incremental dedup against a PERSISTED fingerprint store
+    * ([[graft.ext.DedupIndex]]): two thirds of the corpus seed the
+    * store (MinHash LSH band rows, hot bands capped), then the last
+    * third ingests as a "new crawl batch" — survivors are batch docs
+    * with no banded match in the store and no smaller-id banded match
+    * within the batch. The store's document text is never rescanned:
+    * ingest cost is one narrow store scan + O(batch).
+    */
+  private def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val idx = tmp("graft_dedup_idx")
+    graft.ext.DedupIndex.build(spark, idx, docs.filter(col("doc_id") % 3 =!= 0))
+    graft.ext.DedupIndex.ingest(spark, idx, docs.filter(col("doc_id") % 3 === 0))
+      .select(col("doc_id"))
+  }
+
+  /** Decontamination probe against the persisted fingerprint store:
+    * same store/batch split as `dedup_incremental`, but [[probe]] is
+    * READ-ONLY membership — output is the batch docs that near-dup
+    * something in the store (an eval set screened against a live
+    * training corpus without rescanning its text).
+    */
+  private def qDedupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val srcP = tmp("graft_dedup_probe_src")
+    GraftWriter.write(spark, docs.filter(col("doc_id") % 3 =!= 0), srcP,
+      WriteOptions(mode = WriteMode.Overwrite))
+    val idx = tmp("graft_dedup_probe_idx")
+    graft.ext.DedupIndex.buildFromTable(spark, srcP, idx)
+    graft.ext.DedupIndex.probe(spark, idx, docs.filter(col("doc_id") % 3 === 0))
+      .select(col("doc_id"))
+  }
+
   /** Point lookup through parquet-footer bloom filters: `doc_id` is
     * hash-scattered across 8 files, so every file's [min,max] covers
     * the probes and footer stats prune NOTHING — the declared
@@ -1638,6 +1700,9 @@ object SparkEntry {
     "merge_clauses_dv" -> (qMergeClauses(dv = true) _),
     "table_roundtrip" -> (qTableRoundtrip _),
     "table_row_tracking" -> (qTableRowTracking _),
+    "matview_avg" -> (qMatviewAvg _),
+    "dedup_incremental" -> (qDedupIncremental _),
+    "dedup_probe" -> (qDedupProbe _),
     "point_lookup_bloom" -> (qPointLookupBloom _),
     "table_default_cols" -> (qDefaultCols _),
     "table_clone" -> (qTableClone _),

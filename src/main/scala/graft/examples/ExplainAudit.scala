@@ -184,6 +184,28 @@ object ExplainAudit {
       s"$ridExchanges; filter pushed below the row-id projection: $ridPushed; " +
       s"rows=${rid.count()}")
 
+    println("=== [Q] dedup-store ingest probe (expect ONE store scan, " +
+      "batch keys BROADCAST into a semi-join, no store-sized shuffle " +
+      "before the partial-aggregated key projection) ===")
+    val dedupIdx = java.nio.file.Files
+      .createTempDirectory("audit_dedup").toString + "/ix"
+    val seedDocs = spark.range(0, 2000).selectExpr("id AS doc_id",
+      "concat('document body text number ', id, ' with shared tail words') AS text")
+    graft.ext.DedupIndex.build(spark, dedupIdx, seedDocs)
+    val auditBands = graft.ext.Dedup.minhashBands(
+      spark.range(5000, 5010).selectExpr("id AS doc_id",
+        "concat('fresh crawl text ', id, ' never seen before') AS text"))
+      .selectExpr("CAST(doc_id AS LONG) AS doc_id",
+        "CAST(band_id AS LONG) AS band_id", "band_key")
+    val probe = graft.ext.DedupIndex.hitKeysOf(
+      graft.io.GraftTable(spark, dedupIdx).toDf(), auditBands)
+    probe.explain("formatted")
+    val probePlan = probe.queryExecution.executedPlan.toString()
+    val probeScans = probePlan.split("\n").count(_.contains("Scan parquet"))
+    val probeBcast = probePlan.contains("BroadcastHashJoin")
+    println(s"--- store scans (must be 1): $probeScans; batch side " +
+      s"broadcast: $probeBcast; hit keys=${probe.count()}")
+
     spark.stop()
   }
 

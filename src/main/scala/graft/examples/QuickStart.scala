@@ -690,6 +690,65 @@ object QuickStart {
     println(s"[49] row tracking: ${rtBefore.size} rows with dense ids; " +
       s"OPTIMIZE rewrote the files and ids ${if (rtStable) "held stable"
       else "MOVED?!"} (materialized __graft_row_id wins over the default)")
+
+    // 50. row ids survive COW DML too (Delta's preservation semantics):
+    // an UPDATE rewrites whole files, yet every row keeps its id
+    graft.merge.Dml.update(spark, rtTbl, col("k") % 5 === 0,
+      Map("k" -> (col("k") + 1000L)))
+    val rtAfterDml = rtT.toDfWithRowIds()
+      .select("k", "_graft_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dmlStable = rtBefore.forall { case (k, id) =>
+      rtAfterDml.getOrElse(if (k % 5 == 0) k + 1000L else k, -1L) == id }
+    println(s"[50] COW UPDATE rewrote files; ids " +
+      s"${if (dmlStable) "held stable" else "MOVED?!"} on updated AND " +
+      "carried rows")
+
+    // 51. SQL vector-index lifecycle + drift advisory
+    val vIdx = s"$out/vector_index"
+    spark.sql(s"CREATE VECTOR INDEX graft.`$vIdx` ON graft.`$annSrc` " +
+      "(embedding) OPTIONS ('numCells' = '4', 'm' = '4', 'ksub' = '8')")
+      .collect()
+    val vHits = graft.ext.AnnIndex.search(spark, vIdx,
+      embsDf.filter(col("vec_id") < 2), k = 3)
+    val vStatus = graft.ext.AnnIndex.status(spark, vIdx, probeDrift = true)
+    println(s"[51] SQL vector index: ${vHits.count()} neighbor rows; " +
+      s"drift ratio ${vStatus.driftRatio.map(r => f"$r%.2f").getOrElse("n/a")}, " +
+      s"rebuildRecommended=${vStatus.rebuildRecommended}")
+    spark.sql(s"DROP VECTOR INDEX graft.`$vIdx`").collect()
+
+    // 52. materialized views with derived avg/count forms
+    val mvAvgSrc = s"$out/mv_avg_src"; val mvAvgTgt = s"$out/mv_avg"
+    GraftWriter.write(spark,
+      spark.range(0, 100).selectExpr("id", "id % 4 AS grp", "id * 3 AS v"),
+      mvAvgSrc, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mvAvgTgt` AS " +
+      s"SELECT grp, avg(v) AS avg_v, count(*) AS n FROM graft.`$mvAvgSrc` " +
+      "GROUP BY grp").collect()
+    graft.merge.Dml.delete(spark, mvAvgSrc, col("id") % 10 === 0)
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mvAvgTgt`").collect()
+    val mvAvgRows = graft.ext.MaterializedAgg.readView(spark, mvAvgTgt)
+      .orderBy("grp").collect()
+    println(s"[52] matview avg/count: ${mvAvgRows.length} groups after an " +
+      s"incremental delete; grp0 avg=${mvAvgRows.head.getDouble(1)}")
+
+    // 53. persisted dedup fingerprint store: the crawl-increment
+    // gatekeeper + decontamination probe (no corpus text rescans)
+    val dedupIdx = s"$out/dedup_store"
+    graft.ext.DedupIndex.build(spark, dedupIdx,
+      mediaDocs.select(col("doc_id"), col("text")))
+    val crawl = mediaDocs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text")).limit(50) // re-crawled copies of known docs
+      .unionByName(spark.sql(
+        "SELECT 9999999L AS doc_id, 'a genuinely novel crawl document " +
+          "about spark physical plans' AS text"))
+    val keptCrawl = graft.ext.DedupIndex.ingest(spark, dedupIdx, crawl)
+    val contaminated = graft.ext.DedupIndex.probe(spark, dedupIdx,
+      mediaDocs.select(col("doc_id"), col("text")).limit(5))
+    println(s"[53] dedup store: ${crawl.count()} crawled docs -> " +
+      s"${keptCrawl.count()} survivors (re-crawls fingerprint-matched); " +
+      s"probe flags ${contaminated.count()}/5 eval docs as contaminated")
     spark.stop()
   }
 }

@@ -57,11 +57,43 @@ object AnnIndex {
   val BooksKey: String = P + "books"
   /** `m=..,ksub=..,numCells=..,idCol=..,vecCol=..` build parameters. */
   val ParamsKey: String = P + "params"
+  /** e6-fixed mean squared ADC distortion of a bounded id-ordered
+    * sample at BUILD time — the drift probe's baseline.
+    */
+  val DistortionKey: String = P + "buildDistortionE6"
+
+  /** current/build distortion ratio above which [[status]] recommends a
+    * rebuild: refreshes encode through FROZEN quantizers, so on a
+    * shifting corpus the codes' reconstruction error creeps up and
+    * recall degrades silently — 1.5× mean distortion is the documented
+    * "retrain now" line (conservative; recall loss is gradual).
+    */
+  val DriftRebuildThreshold: Double = 1.5
 
   final case class Status(
       indexedVersion: Long,
-      sourceVersion: Long) {
+      sourceVersion: Long,
+      /** Build-time baseline ([[DistortionKey]]); None on pre-probe
+        * indexes.
+        */
+      buildDistortionE6: Option[Long] = None,
+      /** Same probe over the CURRENT source through the frozen
+        * quantizers; None unless `status(probeDrift = true)`.
+        */
+      currentDistortionE6: Option[Long] = None) {
     def stale: Boolean = sourceVersion > indexedVersion
+    /** current/build mean-distortion ratio (None without a probe). */
+    def driftRatio: Option[Double] = for {
+      b <- buildDistortionE6
+      c <- currentDistortionE6
+    } yield if (b > 0) c.toDouble / b
+      else if (c == 0) 1.0 else Double.PositiveInfinity
+    /** Quantizer drift passed [[DriftRebuildThreshold]] — refreshes are
+      * still exact about membership, but ADC ranking quality has
+      * drifted from the build-time baseline; prefer [[build]].
+      */
+    def rebuildRecommended: Boolean =
+      driftRatio.exists(_ > DriftRebuildThreshold)
   }
 
   /** Train the quantizers on the corpus at `sourcePath` and commit the
@@ -122,6 +154,10 @@ object AnnIndex {
     val codes = resid.select(
       col(idCol).cast("long").as("n_id"), col("cell"),
       Similarity.pqCodesExpr("__resid", dsub, books).as("codes"))
+    // drift baseline: the same bounded probe status() re-runs later —
+    // id-ordered sample, frozen quantizers, driver-side inner loop
+    val buildDist = frozenDistortionE6(
+      corpus, centRows, books.map(_.map(_._2)), idCol, vecCol)
     GraftWriter.write(spark, codes, indexPath,
       WriteOptions(
         mode = WriteMode.ErrorIfExists,
@@ -131,6 +167,7 @@ object AnnIndex {
           SourceVersionKey -> srcV.toString,
           CentroidsKey -> packCentroids(centRows),
           BooksKey -> packBooks(books.map(_.map(_._2))),
+          DistortionKey -> buildDist.toString,
           ParamsKey -> (s"m=$m,ksub=$ksub,numCells=$numCells," +
             s"idCol=$idCol,vecCol=$vecCol"),
           // the codes table is engine-managed: every refresh merge adds a
@@ -172,11 +209,23 @@ object AnnIndex {
     val books = withSelfDots(unpackBooks(prop(props, BooksKey)))
     if (requireFresh) {
       val st = status(spark, indexPath)
-      require(!st.stale,
-        s"ANN index $indexPath is STALE: codes reflect source version " +
-          s"${st.indexedVersion} but the source is at ${st.sourceVersion} — " +
-          "run AnnIndex.refresh (or rebuild) before searching with " +
-          "requireFresh = true")
+      if (st.stale) {
+        // about to refuse anyway — spend the bounded drift probe so the
+        // remedy can say WHICH kind of refresh is due (the happy path
+        // pays nothing)
+        val drifted = try status(spark, indexPath, probeDrift = true)
+          .rebuildRecommended
+        catch { case _: Exception => false }
+        throw new IllegalArgumentException(
+          s"ANN index $indexPath is STALE: codes reflect source version " +
+            s"${st.indexedVersion} but the source is at ${st.sourceVersion} — " +
+            "run AnnIndex.refresh (or rebuild) before searching with " +
+            "requireFresh = true" + (if (drifted)
+              "; NOTE: quantizer drift exceeds the rebuild threshold " +
+                s"(status().rebuildRecommended) — prefer AnnIndex.build: " +
+                "refresh keeps the FROZEN quantizers and recall will keep " +
+                "degrading" else ""))
+      }
     }
     val cents = centsDf(spark, centRows)
     val q = broadcast(
@@ -269,7 +318,18 @@ object AnnIndex {
     val curV = src.version()
     if (curV <= lastV) return None
 
-    val changes = src.tableChanges(lastV, curV) // EXCLUSIVE from
+    val changes =
+      try src.tableChanges(lastV, curV) // EXCLUSIVE from
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("log retention") =>
+          throw new IllegalStateException(
+            s"cannot incrementally refresh the ANN index $indexPath: the " +
+              s"source log at $sourcePath no longer covers versions " +
+              s"($lastV, $curV] (log retention pruned part of the range). " +
+              "Remedy: REBUILD the index with AnnIndex.build — refresh " +
+              "cannot recover a pruned change range.", e)
+      }
     // net effect per id across the range: keep the latest change by
     // commit version. Removal-shaped rows (delete AND update_preimage)
     // rank BELOW any same-version insert/postimage of the same id: a
@@ -336,14 +396,82 @@ object AnnIndex {
   }
 
   /** Indexed vs current source version — the staleness probe `search`'s
-    * `requireFresh` gate consults.
+    * `requireFresh` gate consults. With `probeDrift = true`, also
+    * re-runs the build-time distortion probe over a bounded id-ordered
+    * sample of the CURRENT source through the FROZEN quantizers:
+    * `rebuildRecommended` flips when mean distortion exceeds the
+    * build-time figure by [[DriftRebuildThreshold]] — the signal that
+    * incremental [[refresh]] (which never retrains) has quietly
+    * outlived its quantizers and an explicit [[build]] is due. The
+    * probe costs one `limit(probeSample)` scan of the source —
+    * metadata-cheap, never corpus-sized.
     */
-  def status(spark: SparkSession, indexPath: String): Status = {
+  def status(
+      spark: SparkSession,
+      indexPath: String,
+      probeDrift: Boolean = false,
+      probeSample: Int = 10000): Status = {
     val props = GraftTable(spark, indexPath).log.tableProperties()
     val sourcePath = prop(props, SourcePathKey)
+    val buildDist = props.get(DistortionKey).map(_.toLong)
+    val curDist =
+      if (!probeDrift) None
+      else buildDist.map { _ =>
+        val (_, _, idColName, vecColName) = params(props)
+        frozenDistortionE6(
+          GraftTable(spark, sourcePath).toDf(),
+          unpackCentroids(prop(props, CentroidsKey)),
+          unpackBooks(prop(props, BooksKey)),
+          idColName, vecColName, probeSample)
+      }
     Status(
       indexedVersion = prop(props, SourceVersionKey).toLong,
-      sourceVersion = GraftTable(spark, sourcePath).version())
+      sourceVersion = GraftTable(spark, sourcePath).version(),
+      buildDistortionE6 = buildDist,
+      currentDistortionE6 = curDist)
+  }
+
+  /** Mean squared reconstruction distortion (e6 fixed point) of a
+    * bounded deterministic sample through FROZEN quantizers: residualize
+    * against the given coarse centroids, then per subspace take the
+    * nearest codeword's squared error (the driver-side inner loop of
+    * [[Similarity.pqDistortion]], against supplied books instead of
+    * freshly trained ones). The id-ordered `limit` keeps the probe
+    * O(maxSample) rows on any corpus size.
+    */
+  private def frozenDistortionE6(
+      corpus: DataFrame,
+      centRows: Array[(Long, Array[Float])],
+      books: Array[Array[Array[Float]]],
+      idCol: String,
+      vecCol: String,
+      maxSample: Int = 10000): Long = {
+    val spark = corpus.sparkSession
+    val dsub = books.head.head.length
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(maxSample)
+    val resid = Similarity.residualizeWith(
+      sample, centsDf(spark, centRows), idCol, vecCol, probes = 1)
+    val vecs = resid.select(col("__resid")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var total = 0.0
+    vecs.foreach { v =>
+      var j = 0
+      while (j < books.length) {
+        val off = j * dsub
+        var best = Double.MaxValue
+        books(j).foreach { c =>
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val t = v(off + i).toDouble - c(i).toDouble; d += t * t; i += 1
+          }
+          if (d < best) best = d
+        }
+        total += best
+        j += 1
+      }
+    }
+    math.round(total / math.max(1, vecs.length) * 1e6)
   }
 
   // ---------- artifact packing ----------

@@ -44,6 +44,16 @@ object MaterializedAgg {
   val ValueKey: String =
     graft.log.CommitLog.ReservedPrefix + "matview.value"
 
+  /** Requested aggregate forms of the view's SELECT list (`fn:col:alias`
+    * entries) — what lets [[readView]] serve `avg(col)` / `count(*)` /
+    * `count(col)` DERIVED from the maintained sums and counts. Only the
+    * sums/counts are maintained incrementally; the derived forms are
+    * read-time projections (no new maintenance math, so they are exact
+    * by construction).
+    */
+  val SelectKey: String =
+    graft.log.CommitLog.ReservedPrefix + "matview.select"
+
   /** Build or incrementally refresh `summaryPath` =
     * `source GROUP BY keyCols AGG sum(valueCol) AS sum_val, count(*) AS
     * n_rows`. Returns the newly applied source version, or None when the
@@ -77,9 +87,15 @@ object MaterializedAgg {
       sourcePath: String,
       summaryPath: String,
       keyCols: Seq[String],
-      valueCols: Seq[String]): Option[Long] = {
+      /** May be EMPTY for a pure `count(*)` view — the summary then
+        * carries only the grouping keys and `n_rows`.
+        */
+      valueCols: Seq[String],
+      /** Extra creating-commit properties (e.g. [[SelectKey]]). Ignored
+        * on refreshes of an existing summary.
+        */
+      createProps: Map[String, String] = Map.empty): Option[Long] = {
     require(keyCols.nonEmpty, "at least one grouping key")
-    require(valueCols.nonEmpty, "at least one summed column")
     require(valueCols.distinct == valueCols,
       s"duplicate summed columns: ${valueCols.mkString(",")}")
     val specs = specsOf(valueCols)
@@ -92,7 +108,7 @@ object MaterializedAgg {
       // commit, so REFRESH MATERIALIZED VIEW can re-derive the spec
       GraftWriter.write(spark, summarizeSums(src.toDf(), keyCols, valueCols),
         summaryPath, WriteOptions(mode = WriteMode.ErrorIfExists,
-          metadata = Map(
+          metadata = createProps ++ Map(
             SourceVersionKey -> curV.toString,
             SourceKey -> sourcePath,
             KeysKey -> keyCols.mkString(","),
@@ -124,7 +140,19 @@ object MaterializedAgg {
     // null the accumulated sum through `t.sum + s.d_sum`); exact sum()
     // NULL semantics are restored from the non-null value count: a sum
     // is NULL iff no non-null value remains, exactly as a recompute's.
-    val changes = src.tableChanges(lastV, curV) // EXCLUSIVE from
+    val changes =
+      try src.tableChanges(lastV, curV) // EXCLUSIVE from
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("log retention") =>
+          throw new IllegalStateException(
+            s"cannot incrementally refresh $summaryPath: the source log " +
+              s"at $sourcePath no longer covers versions ($lastV, $curV] " +
+              "(log retention pruned part of the range). Remedy: REBUILD " +
+              s"the materialized view — drop $summaryPath and re-create " +
+              "it; the incremental path cannot recover a pruned change " +
+              "range.", e)
+      }
     val sign = when(col(graft.io.Cdc.ChangeCol)
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
     def dv(i: Int) = s"__dv_$i"
@@ -187,6 +215,43 @@ object MaterializedAgg {
     refreshSums(spark, source, summaryPath, keys, values)
   }
 
+  /** The view AS DECLARED: keys plus each requested aggregate, with
+    * `avg(col)` / `count(col)` / `count(*)` DERIVED from the maintained
+    * sums and counts (`sum_<col>/nvals_<col>`, `n_rows`) — exact by
+    * construction, including sum()/avg() NULL semantics (an all-NULL
+    * group reads NULL through `nvals = 0`). Falls back to the raw
+    * summary for views created before [[SelectKey]] existed or built
+    * directly via [[refreshSums]].
+    */
+  def readView(spark: SparkSession, summaryPath: String): DataFrame = {
+    val (_, keys, values) = definitionOf(spark, summaryPath)
+    val df = GraftTable(spark, summaryPath).toDf()
+    val props = GraftTable(spark, summaryPath).log.tableProperties()
+    props.get(SelectKey).filter(_.nonEmpty) match {
+      case None => df
+      case Some(sel) =>
+        val naming = specsOf(values)
+          .map { case (c, sumC, nvC) => c -> ((sumC, nvC)) }.toMap
+        val aggCols = sel.split(',').toSeq.filter(_.nonEmpty).map { e =>
+          val Array(fn, c, al) = e.split(":", -1)
+          def name(default: String) = if (al.isEmpty) default else al
+          fn match {
+            case "sum" => col(naming(c)._1).as(name(s"sum_$c"))
+            case "avg" =>
+              // NULL iff the group has no non-null value: sum_<col> is
+              // NULL exactly when nvals_<col> = 0 (maintained invariant)
+              (col(naming(c)._1).cast("double") / col(naming(c)._2))
+                .as(name(s"avg_$c"))
+            case "count" if c == "*" => col("n_rows").as(name("count_star"))
+            case "count" => col(naming(c)._2).as(name(s"count_$c"))
+            case other => throw new IllegalStateException(
+              s"unknown recorded aggregate form '$other' in $SelectKey")
+          }
+        }
+        df.select(keys.map(col) ++ aggCols: _*)
+    }
+  }
+
   /** The recorded view definition (source path, grouping keys, summed
     * columns) from the summary's carried properties — shared by every
     * definition-driven entry point.
@@ -202,7 +267,9 @@ object MaterializedAgg {
         "was it created with CREATE MATERIALIZED VIEW / MaterializedAgg?)"))
     (source,
       props(KeysKey).split(',').toSeq.filter(_.nonEmpty),
-      props(ValueKey).split(',').toSeq.filter(_.nonEmpty))
+      // absent for count(*)-only views (an empty property value is not
+      // persisted) — that's a legal zero-sum definition
+      props.getOrElse(ValueKey, "").split(',').toSeq.filter(_.nonEmpty))
   }
 
   /** Continuous maintenance: a change-feed stream whose every

@@ -873,10 +873,20 @@ object TextAnalysis {
     // N counts every document (null/empty text included) — the idf
     // denominator is corpus size, not matched-doc count
     val stats = base.agg(count(lit(1)).as("n_docs"))
-    val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term") =!= "") // empty text tokenizes to [""]
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // tf is self-joined below (dfs derives from it) — pin it with an
+    // eager checkpoint so the explode+aggregate pipeline runs ONCE, not
+    // once per join side (ReuseExchange is not trusted across a
+    // self-join of an expensive pipeline; see NOTES). Registered so
+    // Scratch.drain() releases the blocks between pipelines.
+    val tf = {
+      val raw = base
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term") =!= "") // empty text tokenizes to [""]
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true)
+      Scratch.register(raw)
+      raw
+    }
     // each (doc, term) appears once in tf, so df is a plain count
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs").cast("double") + lit(1.0)) /

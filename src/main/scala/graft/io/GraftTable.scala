@@ -333,6 +333,20 @@ final class GraftTable(val spark: SparkSession, val path: String) {
   def tableChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    // same loud retention contract as changesForCommits: the range is
+    // EXCLUSIVE-from, so commits (fromVersion, toVersion] must all
+    // survive — cdcChanges' surviving-filter would otherwise silently
+    // SKIP retention-pruned commits and desynchronize every
+    // incremental consumer keyed on this feed
+    log.versions().headOption
+      .filter(oldest => fromVersion + 1 < oldest && fromVersion < toVersion)
+      .foreach { oldest =>
+        throw new IllegalStateException(
+          s"tableChanges at $path: versions [${fromVersion + 1}, " +
+            s"${math.min(toVersion, oldest - 1)}] were removed by log " +
+            "retention (cleanOldLogs); the change range " +
+            s"($fromVersion, $toVersion] is no longer fully available.")
+      }
     cdcChanges(fromVersion, toVersion).getOrElse(
       diffChanges(fromVersion, toVersion))
   }

@@ -24,6 +24,13 @@ package graft.io
   * splits, exactly like hive partition values, so a 10⁶-file table
   * costs a row-id read nothing extra.
   *
+  * Multi-match caveat: the merge executors' documented
+  * emit-one-row-per-match contract means a target row matched by N
+  * source rows yields N output rows — each carrying the SAME preserved
+  * id. If ids must stay unique under merges, deduplicate the source on
+  * the merge key first (or set `failOnMultipleMatches`) — the same
+  * advice the merge contract itself gives.
+  *
   * Late-enable transition (documented): rows written BEFORE the
   * property was enabled carry no base and read `_graft_row_id` as
   * NULL — until the first rewrite that touches their file (OPTIMIZE or

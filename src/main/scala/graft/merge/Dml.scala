@@ -244,11 +244,22 @@ object Dml {
             expectedVersion = Some(expected),
             cdc = cdcFiles)
         }
-      case Some(set) => // UPDATE: postimages append as new files
+      case Some(set) => // UPDATE: postimages append as new files. Row
+        // tracking: the postimage carries its row's CURRENT id
+        // materialized, so a DV update preserves ids exactly like the
+        // COW path (the preimage leaves via the bitmap)
+        val rowIds = graft.io.RowTracking.enabled(props)
+        val postSrc0 = table.dfForFiles(snap, touched, withRowId = rowIds)
+        val postSrc =
+          if (rowIds) postSrc0.withColumnRenamed(
+            graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
+          else postSrc0
+        val carryCols =
+          if (rowIds) Seq(col(graft.io.RowTracking.PhysicalCol)) else Nil
         val postimages = graft.io.Generated.recompute(
-          table.dfForFiles(snap, touched).filter(matched)
+          postSrc.filter(matched)
             .select(cols.map(c =>
-              set.get(c).map(_.as(c)).getOrElse(col(c))): _*),
+              set.get(c).map(_.as(c)).getOrElse(col(c))) ++ carryCols: _*),
           snap.schema, props, except = set.keys.toSet)
         GraftWriter.writeCow(spark, postimages, path, snap,
           removals,

@@ -290,7 +290,16 @@ object MergeExecutor {
     validateSource(mergedSchema, src, config)
 
     val candidates = candidateFiles(spark, snap, src, config)
-    val candDfM = table.dfForFiles(snap, candidates, withRowMeta = true)
+    // row tracking: matched target rows leave via DV and re-enter as
+    // appended source projections — carry each target row's id into its
+    // replacement so a DV merge preserves ids exactly like COW
+    val rowIds = graft.io.RowTracking.enabled(table.log.tableProperties())
+    val candDfM0 = table.dfForFiles(snap, candidates,
+      withRowMeta = true, withRowId = rowIds)
+    val candDfM =
+      if (rowIds) candDfM0.withColumnRenamed(
+        graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
+      else candDfM0
     val scopedM = config.partitionFilter.map(candDfM.filter).getOrElse(candDfM)
     val fileC = col(graft.sources.GraftNativeRelation.RowMetaFileCol)
     val idxC = col(graft.sources.GraftNativeRelation.RowMetaIndexCol)
@@ -316,20 +325,28 @@ object MergeExecutor {
 
     // appended rows are pure source projections (every strategy writes
     // full source rows for its matches), cast to the commit schema like
-    // the COW when/otherwise projection coerces
-    def proj(df: DataFrame, qualifier: Option[String]): DataFrame =
+    // the COW when/otherwise projection coerces. `rid` threads the
+    // matched TARGET row's id into its replacement (None = fresh)
+    def proj(df: DataFrame, qualifier: Option[String],
+        rid: Option[Column] = None): DataFrame =
       df.select(cols.map { c =>
         val base = qualifier.map(q => col(s"$q.$c")).getOrElse(col(c))
         base.cast(mergedSchema(c).dataType).as(c)
-      }: _*)
+      } ++ (if (!rowIds) Nil else Seq(
+        rid.getOrElse(lit(null).cast("long"))
+          .as(graft.io.RowTracking.PhysicalCol))): _*)
+    val keepRid = Some(col(s"$ta.${graft.io.RowTracking.PhysicalCol}"))
     val appended: DataFrame = config.mergeType match {
       case MergeType.UpdateOnly =>
-        proj(scopedM.alias(ta).join(src.alias(sa), cond, "inner"), Some(sa))
+        proj(scopedM.alias(ta).join(src.alias(sa), cond, "inner"), Some(sa),
+          rid = keepRid)
       case MergeType.Upsert =>
-        proj(scopedM.alias(ta).join(src.alias(sa), cond, "inner"), Some(sa))
+        proj(scopedM.alias(ta).join(src.alias(sa), cond, "inner"), Some(sa),
+          rid = keepRid)
           .unionByName(
             proj(src.alias(sa).join(scopedM.alias(ta), cond, "left_anti"), None))
       case MergeType.ReplaceDeleteUnmatched =>
+        // source rows may match N target rows — no well-defined id
         proj(src.alias(sa).join(scopedM.alias(ta), cond, "left_semi"), None)
       case MergeType.DeduplicateInsert =>
         throw new IllegalStateException("unreachable: dedup insert never takes the DV path")

@@ -361,7 +361,18 @@ object MergeClausesExecutor {
       if (notMatchedBySource.nonEmpty) snap.files
       else MergeExecutor.pruneByStats(
         snap.files, snap, src, predicate, sa, ta)
-    val candDfM = evolve(table.dfForFiles(snap, candidates, withRowMeta = true))
+    // row tracking: affected target rows leave via DV and re-enter as
+    // rewrites — carry each row's id into its replacement (same
+    // preservation contract as the COW path; rewriteRows picks the
+    // column up from the target frame by name)
+    val rowIds = graft.io.RowTracking.enabled(table.log.tableProperties())
+    val candDfM = evolve {
+      val d0 = table.dfForFiles(snap, candidates,
+        withRowMeta = true, withRowId = rowIds)
+      if (rowIds) d0.withColumnRenamed(
+        graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
+      else d0
+    }
     val fileC = col(graft.sources.GraftNativeRelation.RowMetaFileCol)
     val idxC = col(graft.sources.GraftNativeRelation.RowMetaIndexCol)
 
@@ -391,15 +402,23 @@ object MergeClausesExecutor {
     // affected row re-emit the target image through the fold's default)
     val props = table.log.tableProperties()
     val genCols = graft.io.Generated.generatedOf(props).keys.toSeq
+    val dvRidKeep: Seq[Column] =
+      if (rowIds) Seq(col(s"$ta.${graft.io.RowTracking.PhysicalCol}")
+        .as(graft.io.RowTracking.PhysicalCol))
+      else Nil
     val rewrites = affected
       .withColumn("__graft_keep", d.keep)
       .filter(col("__graft_keep"))
-      .select(cols.map(d.outCol) ++
+      .select(cols.map(d.outCol) ++ dvRidKeep ++
         genCols.map(g => matchedAssignFlag(d, g).as(genFlagName(g))): _*)
-    val inserts = insertRows(
+    val inserts0 = insertRows(
       // anti join must see ALL candidate rows, not just touched files
       candDfM, src, cond, mergedSchema, notMatched, sa, ta,
       genCols = genCols, defaults = graft.io.Generated.defaultsOf(props))
+    val inserts =
+      if (rowIds) inserts0.withColumn(
+        graft.io.RowTracking.PhysicalCol, lit(null).cast("long"))
+      else inserts0
     val newData = dropGenFlags(graft.io.Generated.recomputeGated(
       rewrites.unionByName(inserts), mergedSchema, props, genFlagCol),
       genCols)
@@ -410,11 +429,13 @@ object MergeClausesExecutor {
       if (!graft.io.Cdc.enabled(props)) Nil
       else {
         val affDf = evolve(table.dfForFiles(snap, touched))
+        // change rows carry the DECLARED schema — use the pre-rid
+        // insert projection, never the id-plumbing one
         val changes = changeRows(affDf, src, cond, cols,
           matched, notMatchedBySource, sa, ta, mergedSchema, props, genCols)
           .unionByName(
             dropGenFlags(graft.io.Generated.recomputeGated(
-              inserts, mergedSchema, props, genFlagCol), genCols)
+              inserts0, mergedSchema, props, genFlagCol), genCols)
               .withColumn(graft.io.Cdc.ChangeCol, lit("insert")))
         graft.io.Cdc.writeChangeFiles(spark, path, changes)
       }

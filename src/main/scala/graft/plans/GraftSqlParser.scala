@@ -108,14 +108,34 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
       """(\s+MERGE\s+SCHEMA)?\s*;?\s*$""").r
 
-  /** `'k' = 'v', ...` pairs of a FORMAT_OPTIONS clause. */
-  private def optionPairs(s: String): Map[String, String] =
-    """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
-      .map(m => m.group(1) -> m.group(2)).toMap
+  /** `'k' = 'v', ...` pairs of a FORMAT_OPTIONS clause. The ENTIRE body
+    * must be consumed by the quoted-pair grammar — an entry that
+    * doesn't match (e.g. unquoted `'header' = false`) would otherwise
+    * be silently dropped, and for header=false the csv default
+    * (header=true) would then eat the first data row of every file.
+    */
+  private def optionPairs(s: String): Map[String, String] = {
+    val pair = """'([^']*)'\s*=\s*'([^']*)'""".r
+    val leftover = pair.replaceAllIn(s, "").replaceAll("[\\s,]+", "")
+    require(leftover.isEmpty,
+      s"FORMAT_OPTIONS entries must be 'key' = 'value' (both quoted); " +
+        s"could not parse: $leftover")
+    pair.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+  }
   private val CreateMatViewRe =
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + T +
       """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+""" + T +
       """\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""").r
+  private val CreateVectorIndexRe =
+    ("""(?is)^\s*CREATE\s+VECTOR\s+INDEX\s+""" + T +
+      """\s+ON\s+""" + T +
+      """\s*\(\s*(\w+)\s*\)""" +
+      """(?:\s+ID\s+(\w+))?""" +
+      """(?:\s+OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""").r
+  private val RefreshVectorIndexRe =
+    ("""(?is)^\s*REFRESH\s+VECTOR\s+INDEX\s+""" + T + """\s*;?\s*$""").r
+  private val DropVectorIndexRe =
+    ("""(?is)^\s*DROP\s+VECTOR\s+INDEX\s+""" + T + """\s*;?\s*$""").r
   private val RefreshMatViewRe =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   private val CloneRe =
@@ -165,6 +185,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           gb.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case RefreshMatViewRe(p, n) =>
         Some(GraftRefreshMatViewCommand(target(p, n)))
+      case CreateVectorIndexRe(p, n, sp, sn, vecCol, idCol, opts) =>
+        Some(GraftCreateVectorIndexCommand(target(p, n), target(sp, sn),
+          vecCol, Option(idCol),
+          Option(opts).map(optionPairs).getOrElse(Map.empty)))
+      case RefreshVectorIndexRe(p, n) =>
+        Some(GraftRefreshVectorIndexCommand(target(p, n)))
+      case DropVectorIndexRe(p, n) =>
+        Some(GraftDropVectorIndexCommand(target(p, n)))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>

@@ -137,25 +137,44 @@ final case class GraftCreateMatViewCommand(
     val dstPath = GraftMaintenance.resolvePath(spark, target)
     require(!GraftTable.exists(spark, dstPath),
       s"materialized view target already exists: $dstPath")
-    // select list = the grouping keys (bare identifiers) + one or more
-    // SUM(col) [AS alias] entries; anything richer is not incrementally
-    // maintainable by the delta engine and is refused loudly
-    val sumRe = """(?i)^sum\s*\(\s*([\w.]+)\s*\)(?:\s+as\s+\w+)?$""".r
+    // select list = the grouping keys (bare identifiers) + aggregate
+    // entries. Maintainable forms: sum(col) (maintained directly),
+    // avg(col) / count(col) / count(*) (DERIVED at read time from the
+    // maintained sum_<col>/nvals_<col>/n_rows — no new maintenance
+    // math). min/max are refused with the reason: under DELETEs a
+    // removed extremum cannot be replaced from the summary alone.
+    val aggRe = """(?i)^(sum|avg|count|min|max)\s*\(\s*([\w.]+|\*)\s*\)(?:\s+as\s+(\w+))?$""".r
     val items = selectList.split(',').map(_.trim).filter(_.nonEmpty)
-    val (sums, keys) = items.partition(sumRe.pattern.matcher(_).matches())
-    require(sums.nonEmpty,
-      "CREATE MATERIALIZED VIEW needs at least one sum(col) in the " +
-        s"select list; got: $selectList")
+    val (aggItems, keys) = items.partition(aggRe.pattern.matcher(_).matches())
+    require(aggItems.nonEmpty,
+      "CREATE MATERIALIZED VIEW needs at least one aggregate " +
+        s"(sum/avg/count) in the select list; got: $selectList")
     keys.foreach(k => require(k.matches("""[\w.]+"""),
       s"materialized-view select entries must be grouping keys or " +
-        s"sum(col); cannot maintain '$k' incrementally"))
+        s"sum(col)/avg(col)/count(col)/count(*); cannot maintain '$k' " +
+        "incrementally"))
     require(keys.map(_.toLowerCase).toSet == groupBy.map(_.toLowerCase).toSet,
       s"select keys ${keys.mkString(",")} must equal GROUP BY " +
         groupBy.mkString(","))
-    val valueCols = sums.toSeq.map { case sumRe(c) => c }
-    // preserve the SELECT's key order (groupBy order may differ)
+    val entries: Seq[(String, String, String)] = aggItems.toSeq.map {
+      case aggRe(fn0, c, alias) =>
+        val fn = fn0.toLowerCase(java.util.Locale.ROOT)
+        require(fn != "min" && fn != "max",
+          s"$fn($c) is not incrementally maintainable under DELETEs: a " +
+            "deleted extremum cannot be replaced from the summary alone " +
+            "(its group would need a rescan). Maintain sum/avg/count, or " +
+            "recompute the aggregate as a plain query")
+        require(c != "*" || fn == "count", s"$fn(*) is not a valid aggregate")
+        (fn, c, Option(alias).getOrElse(""))
+    }
+    val valueCols = entries.collect { case (_, c, _) if c != "*" => c }.distinct
+    // preserve the SELECT's key order (groupBy order may differ); the
+    // requested forms ride the creating commit so readView can serve
+    // avg/count derived from the maintained columns
     val v = graft.ext.MaterializedAgg.refreshSums(
-      spark, srcPath, dstPath, keys.toSeq, valueCols)
+      spark, srcPath, dstPath, keys.toSeq, valueCols,
+      createProps = Map(graft.ext.MaterializedAgg.SelectKey ->
+        entries.map { case (fn, c, al) => s"$fn:$c:$al" }.mkString(",")))
     Seq(Row(v.getOrElse(
       throw new IllegalStateException("initial build applied no version"))))
   }
@@ -172,6 +191,79 @@ final case class GraftRefreshMatViewCommand(
     val path = GraftMaintenance.resolvePath(spark, target)
     Seq(Row(graft.ext.MaterializedAgg.refreshByTarget(spark, path)
       .map(Long.box).orNull))
+  }
+}
+
+/** `CREATE VECTOR INDEX i ON t (vecCol) [ID idCol] [OPTIONS('k'='v')]` —
+  * the SQL face of [[graft.ext.AnnIndex.build]]: train coarse + PQ
+  * quantizers on the source and commit the cell-partitioned codes table
+  * at `target`. OPTIONS keys (quoted ints): `numCells`, `m`, `ksub`,
+  * `coarseIters`, `pqIters`. Returns the source version the codes
+  * reflect; `REFRESH VECTOR INDEX` then folds the source change feed
+  * incrementally and `DROP VECTOR INDEX` removes the codes table.
+  */
+final case class GraftCreateVectorIndexCommand(
+    target: Either[String, Seq[String]],
+    source: Either[String, Seq[String]],
+    vecCol: String,
+    idCol: Option[String],
+    options: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("indexed_source_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idxPath = GraftMaintenance.resolvePath(spark, target)
+    val srcPath = GraftMaintenance.resolvePath(spark, source)
+    val known = Seq("numCells", "m", "ksub", "coarseIters", "pqIters")
+    val unknown = options.keys.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"unknown vector-index OPTIONS: ${unknown.mkString(", ")} " +
+        s"(expected: ${known.mkString(", ")})")
+    def intOf(k: String, d: Int) = options.get(k).map(_.trim.toInt).getOrElse(d)
+    graft.ext.AnnIndex.build(spark, srcPath, idxPath,
+      numCells = intOf("numCells", 32),
+      m = intOf("m", 16),
+      ksub = intOf("ksub", 16),
+      coarseIters = intOf("coarseIters", 0),
+      pqIters = intOf("pqIters", 0),
+      idCol = idCol.getOrElse("vec_id"),
+      vecCol = vecCol)
+    Seq(Row(graft.ext.AnnIndex.status(spark, idxPath).indexedVersion))
+  }
+}
+
+/** `REFRESH VECTOR INDEX i` — incremental change-feed fold
+  * ([[graft.ext.AnnIndex.refresh]]); `source_version` is NULL when the
+  * index was already current.
+  */
+final case class GraftRefreshVectorIndexCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("source_version", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    Seq(Row(graft.ext.AnnIndex.refresh(spark, path).map(Long.box).orNull))
+  }
+}
+
+/** `DROP VECTOR INDEX i` — removes the codes table. Refuses any table
+  * that does not carry the index properties: a typo'd path must never
+  * delete a DATA table.
+  */
+final case class GraftDropVectorIndexCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    require(GraftTable.exists(spark, path), s"not a graft table: $path")
+    val props = GraftTable(spark, path).log.tableProperties()
+    require(props.contains(graft.ext.AnnIndex.SourcePathKey),
+      s"$path is not a vector index (missing " +
+        s"${graft.ext.AnnIndex.SourcePathKey}); refusing to delete a " +
+        "data table")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    Seq(Row(path))
   }
 }
 

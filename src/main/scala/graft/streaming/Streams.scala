@@ -217,16 +217,31 @@ object Streams {
         // upgrade corner: a table whose LAST sink batch was written by a
         // pre-txn build, now replayed by this build mid-stream. Honor the
         // legacy streaming_batch_id ONLY for that exact replay (equality,
-        // not >=) and only while NO sink has ever recorded a txn marker
-        // here — a `>=`-guard without those bounds silently dropped every
-        // batch of any NEW stream (fresh checkpoint, batchId 0..N) into a
-        // table with prior streaming history, forever, because skipping
-        // records nothing
+        // not >=), only while NO sink has ever recorded a txn marker
+        // here, and only when THIS checkpoint has a committed-batch
+        // history (`commits/<batchId-1>` exists — a mid-stream replay of
+        // batch N always follows an engine-committed batch N-1; the
+        // replayed batch's own commit file is precisely the one that's
+        // missing). The identity bound is what keeps a brand-new stream
+        // (fresh checkpoint, batchId 0) into a table whose legacy
+        // history happens to end at batch 0 from silently dropping its
+        // first batch — skipping records nothing, so that loss would be
+        // permanent. The cost: an upgrade replay of a legacy stream's
+        // very FIRST batch double-writes instead of skipping — a
+        // duplicate you can see and repair beats silent loss.
         val legacySkip = GraftTable.exists(spark, path) && {
           val t = GraftTable(spark, path)
           val anySinkTxn = t.log.tableProperties().keys
             .exists(_.startsWith(graft.log.CommitLog.TxnPrefix + "graft-stream-sink:"))
-          !anySinkTxn && lastCommittedBatch(spark, path).contains(batchId)
+          !anySinkTxn && lastCommittedBatch(spark, path).contains(batchId) &&
+            batchId > 0 && {
+              val prevCommit = new org.apache.hadoop.fs.Path(
+                new org.apache.hadoop.fs.Path(checkpoint, "commits"),
+                (batchId - 1).toString)
+              val fs = prevCommit.getFileSystem(
+                spark.sessionState.newHadoopConf())
+              fs.exists(prevCommit)
+            }
         }
         if (!legacySkip) {
           GraftWriter.write(spark, batch, path, WriteOptions(

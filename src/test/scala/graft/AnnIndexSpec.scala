@@ -225,6 +225,99 @@ class AnnIndexSpec extends SparkSpec {
       requireFresh = true)) == before)
   }
 
+  test("SQL DDL drives the index lifecycle: CREATE / REFRESH / DROP VECTOR INDEX") {
+    val src = tmpDir("ann_sql_src"); val idx = tmpDir("ann_sql_idx") + "/ix"
+    mkCorpus(src, 0L until 120L)
+    val created = spark.sql(
+      s"CREATE VECTOR INDEX graft.`$idx` ON graft.`$src` (embedding) " +
+        "ID vec_id OPTIONS ('numCells' = '6', 'm' = '4', 'ksub' = '8')")
+      .head().getLong(0)
+    assert(created == GraftTable(spark, src).version())
+    // SQL-created index searches bit-identically to the Scala build
+    val corpus = GraftTable(spark, src).toDf()
+    val inline = Similarity.ivfpqTopK(corpus, col("vec_id") < 8, k = 4,
+      numCells = 6, m = 4, ksub = 8, rowCountHint = Some(120L))
+    assert(ranked(AnnIndex.search(spark, idx,
+      corpus.filter(col("vec_id") < 8), k = 4)) == ranked(inline))
+    // already current -> NULL; after a source append -> the new version
+    assert(spark.sql(s"REFRESH VECTOR INDEX graft.`$idx`").head().isNullAt(0))
+    GraftWriter.write(spark, embDf(Seq((300L, vec(3), 0L))), src,
+      WriteOptions(mode = WriteMode.Append))
+    assert(spark.sql(s"REFRESH VECTOR INDEX graft.`$idx`").head().getLong(0) ==
+      GraftTable(spark, src).version())
+    assert(codesOf(idx) == frozenRecompute(idx, src))
+    // unknown OPTIONS refused
+    val eOpt = intercept[Exception] {
+      spark.sql(s"CREATE VECTOR INDEX graft.`${tmpDir("ann_sql_bad")}/ix` " +
+        s"ON graft.`$src` (embedding) OPTIONS ('nprobe' = '2')")
+    }
+    assert(eOpt.getMessage.contains("unknown vector-index OPTIONS"))
+    // DROP refuses a data table, removes a real index
+    val eDrop = intercept[Exception] {
+      spark.sql(s"DROP VECTOR INDEX graft.`$src`")
+    }
+    assert(eDrop.getMessage.contains("not a vector index"), eDrop.getMessage)
+    spark.sql(s"DROP VECTOR INDEX graft.`$idx`")
+    assert(!GraftTable.exists(spark, idx))
+  }
+
+  test("retention past the index watermark fails refresh with the rebuild remedy") {
+    val src = tmpDir("ann_ret_src"); val idx = tmpDir("ann_ret_idx") + "/ix"
+    mkCorpus(src, 0L until 60L)
+    AnnIndex.build(spark, src, idx, numCells = 4, m = 4, ksub = 8)
+    // enough appends to pass a checkpoint boundary, then prune the log
+    // past the index's watermark
+    (1 to 15).foreach { i =>
+      GraftWriter.write(spark, embDf(Seq((100L + i, vec(i), 0L))), src,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val log = GraftTable(spark, src).log
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    assert(log.cleanOldLogs(1000L, nowMs = future).nonEmpty)
+    assert(log.versions().head > 1L)
+    val e = intercept[IllegalStateException] { AnnIndex.refresh(spark, idx) }
+    assert(e.getMessage.contains("AnnIndex.build"), e.getMessage)
+  }
+
+  test("quantizer drift: refresh with shifted vectors flips rebuildRecommended") {
+    val src = tmpDir("ann_drift_src"); val idx = tmpDir("ann_drift_idx") + "/ix"
+    mkCorpus(src, 0L until 120L)
+    AnnIndex.build(spark, src, idx, numCells = 4, m = 4, ksub = 8)
+    val st0 = AnnIndex.status(spark, idx, probeDrift = true)
+    assert(st0.buildDistortionE6.isDefined)
+    assert(st0.currentDistortionE6 == st0.buildDistortionE6,
+      "same corpus, same probe — distortion must reproduce exactly")
+    assert(!st0.rebuildRecommended)
+
+    // corpus shifts far outside the trained distribution (an equal-size
+    // append of 50×-scaled vectors); refresh encodes the new rows
+    // through the FROZEN quantizers
+    GraftWriter.write(spark,
+      embDf((200L until 320L).map(i => (i, vec(i).map(_ * 50f), i % 3))),
+      src, WriteOptions(mode = WriteMode.Append))
+    assert(AnnIndex.refresh(spark, idx).isDefined)
+    val st1 = AnnIndex.status(spark, idx, probeDrift = true)
+    assert(!st1.stale, "refresh caught the index up")
+    assert(st1.rebuildRecommended,
+      s"50x-scaled corpus must trip the drift threshold: $st1")
+
+    // a stale + drifted index names BOTH problems in the refusal
+    GraftWriter.write(spark, embDf(Seq((500L, vec(1).map(_ * 50f), 0L))),
+      src, WriteOptions(mode = WriteMode.Append))
+    val q = embDf(Seq((0L, vec(0), 0L)))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.search(spark, idx, q, k = 2, requireFresh = true)
+    }
+    assert(e.getMessage.contains("STALE"))
+    assert(e.getMessage.contains("rebuildRecommended"),
+      s"refusal must mention drift: ${e.getMessage}")
+
+    // an explicit rebuild on the shifted corpus clears the flag
+    val idx2 = tmpDir("ann_drift_idx2") + "/ix"
+    AnnIndex.build(spark, src, idx2, numCells = 4, m = 4, ksub = 8)
+    assert(!AnnIndex.status(spark, idx2, probeDrift = true).rebuildRecommended)
+  }
+
   test("k-means build round-trips its refined quantizers through the properties") {
     val src = tmpDir("ann_ksrc"); val idx = tmpDir("ann_kidx") + "/ix"
     mkCorpus(src, 0L until 100L)

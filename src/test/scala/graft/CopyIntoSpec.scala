@@ -358,6 +358,15 @@ class CopyIntoSpec extends SparkSpec {
     assert(GraftTable(spark, p1).toDf().count() == 20,
       "headerless ingest must not drop rows")
 
+    // a malformed (unquoted) option must be REFUSED, not silently
+    // dropped — 'header' = false ignored would re-enable the default
+    // and eat the first row of every file
+    val eOpt = intercept[Exception] {
+      spark.sql(s"COPY INTO graft.`${freshTbl("badopt")}` FROM '$noHead' " +
+        "FILEFORMAT = CSV FORMAT_OPTIONS ('header' = false)")
+    }
+    assert(eOpt.getMessage.contains("both quoted"), eOpt.getMessage)
+
     // reordered header: enforceSchema=false validates NAMES against the
     // target schema instead of silently mapping by position
     val reorder = tmpDir("ci_tf_reorder_src")

@@ -155,12 +155,13 @@ class MaterializedAggSpec extends SparkSpec {
       .head().getLong(0)
     assert(v1 == GraftTable(spark, src).version())
     assert(summaryOf(sum) == recompute(src, sum))
-    // non-maintainable select shapes and key mismatches are refused
+    // non-maintainable select shapes and key mismatches are refused —
+    // min/max with the delete-recompute explanation, not a generic error
     val e1 = intercept[Exception] {
       spark.sql(s"CREATE MATERIALIZED VIEW graft.`${tmpDir("mv_sql_bad")}` " +
-        s"AS SELECT cat, avg(v) FROM graft.`$src` GROUP BY cat")
+        s"AS SELECT cat, min(v) FROM graft.`$src` GROUP BY cat")
     }
-    assert(e1.getMessage.contains("sum(col)"), e1.getMessage)
+    assert(e1.getMessage.contains("deleted extremum"), e1.getMessage)
     val e2 = intercept[Exception] {
       spark.sql(s"CREATE MATERIALIZED VIEW graft.`${tmpDir("mv_sql_bad2")}` " +
         s"AS SELECT id, sum(v) FROM graft.`$src` GROUP BY cat")
@@ -180,6 +181,77 @@ class MaterializedAggSpec extends SparkSpec {
         s"SELECT cat, sum(v) FROM graft.`$src` GROUP BY cat")
     }
     assert(e4.getMessage.contains("already exists"), e4.getMessage)
+  }
+
+  test("avg/count forms derive from maintained sums; all-NULL avg reads NULL after deletes") {
+    val src = tmpDir("mv_avg_src")
+    val sum = tmpDir("mv_avg_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", Some(10L)), (2L, "a", Some(30L)),
+        (3L, "b", None), (4L, "b", Some(8L)))
+        .toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT cat, avg(v) AS avg_v, count(v) AS n_v, count(*) AS n_all, " +
+      s"sum(v) AS s_v FROM graft.`$src` GROUP BY cat")
+    def view(): Map[String, (Option[Double], Long, Long, Option[Long])] =
+      MaterializedAgg.readView(spark, sum).collect().map { r =>
+        r.getString(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      }.toMap
+    assert(view() == Map(
+      "a" -> ((Some(20.0), 2L, 2L, Some(40L))),
+      "b" -> ((Some(8.0), 1L, 2L, Some(8L)))))
+
+    // delete b's only non-null value: the incremental refresh must take
+    // the group's derived avg to NULL (exact avg() semantics), while
+    // count(*) still sees the surviving NULL row
+    Dml.delete(spark, src, col("id") === 4L)
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+    assert(view() == Map(
+      "a" -> ((Some(20.0), 2L, 2L, Some(40L))),
+      "b" -> ((None, 0L, 1L, None))))
+
+    // count(*)-only views maintain just keys + n_rows
+    val cnt = tmpDir("mv_cnt_sum")
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$cnt` AS " +
+      s"SELECT cat, count(*) AS n FROM graft.`$src` GROUP BY cat")
+    assert(MaterializedAgg.readView(spark, cnt).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
+    Dml.delete(spark, src, col("cat") === "b")
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$cnt`")
+    assert(MaterializedAgg.readView(spark, cnt).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 2L))
+  }
+
+  test("retention past the watermark fails with the rebuild remedy") {
+    val src = tmpDir("mv_ret_src")
+    val sum = tmpDir("mv_ret_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10L)).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    assert(MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v").isDefined)
+    // enough commits to pass a checkpoint boundary, then retention
+    // prunes the log PAST the summary's v0 watermark
+    (2 to 15).foreach { i =>
+      GraftWriter.write(spark,
+        Seq((i.toLong, "a", i.toLong)).toDF("id", "cat", "v"), src,
+        WriteOptions(mode = WriteMode.Append))
+    }
+    val log = GraftTable(spark, src).log
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    assert(log.cleanOldLogs(1000L, nowMs = future).nonEmpty)
+    assert(log.versions().head > 1L, "retention must prune past the watermark")
+    val e = intercept[IllegalStateException] {
+      MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v")
+    }
+    assert(e.getMessage.contains("REBUILD the materialized view"),
+      e.getMessage)
   }
 
   test("streaming maintenance: every micro-batch triggers an exactly-once refresh") {

@@ -240,6 +240,40 @@ class RowTrackingSpec extends SparkSpec {
     assert(t.toDf().filter(col("k") === 1L).head().getLong(1) == 11L)
   }
 
+  test("DV-mode UPDATE and merge preserve ids on their appended postimages") {
+    val p = tmpDir("rt_dv_update")
+    GraftWriter.write(spark,
+      (0L until 90L).map(i => (i, i * 2)).toDF("k", "x").repartition(3), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true",
+          DeletionVectors.PropKey -> "true")))
+    val t = GraftTable(spark, p)
+    val ids0 = idsByKey(t.toDfWithRowIds())
+
+    // DV UPDATE: preimage leaves via bitmap, postimage appends — the
+    // postimage must carry the row's id materialized
+    graft.merge.Dml.update(spark, p, col("k") % 4 === 0,
+      Map("x" -> (col("x") + 1L)))
+    assert(idsByKey(t.toDfWithRowIds()) == ids0, "DV UPDATE moved ids")
+
+    // DV upsert merge: 6 updates keep ids, 3 inserts draw fresh
+    val src = ((84L until 93L).map(i => (i, i * 100))).toDF("k", "x")
+    graft.merge.MergeExecutor.merge(spark, src, p,
+      graft.merge.MergeConfig(graft.merge.MergeType.Upsert, "s.k = t.k"))
+    val ids1 = idsByKey(t.toDfWithRowIds())
+    assert(ids1.filter(_._1 < 90L) == ids0, "DV upsert moved existing ids")
+    assert((90L until 93L).forall(k => ids1(k) > ids0.values.max))
+
+    // DV clause merge: UPDATE SET keeps ids
+    graft.merge.MergeClausesExecutor.merge(spark,
+      Seq((5L, 7L)).toDF("k", "x"), p,
+      predicate = "s.k = t.k",
+      matched = Seq(graft.merge.UpdateSet(Map("x" -> expr("s.x")), None)))
+    val ids2 = idsByKey(t.toDfWithRowIds())
+    assert(ids2 == ids1, "DV clause merge moved ids")
+    assert(t.toDf().filter(col("k") === 5L).head().getLong(1) == 7L)
+  }
+
   test("read plan ships no global file map: base ids ride as per-file constants") {
     val p = tmpDir("rt_scale_shape")
     GraftWriter.write(spark,

@@ -340,6 +340,29 @@ class StreamingSpec extends SparkSpec {
     assert(batches >= 3, s"expected >=3 bounded micro-batches, got $batches")
   }
 
+  test("new stream into a table with legacy batch-0 history loses nothing") {
+    import graft.io.{GraftWriter, WriteMode, WriteOptions}
+    // a PRE-TXN build's sink left streaming_batch_id=0 metadata and no
+    // txn marker; a brand-new stream (fresh checkpoint, batchId 0) into
+    // this table must WRITE its first batch — the old legacy guard
+    // matched on bare batch-id equality and silently dropped it forever
+    val src = tmpDir("graft_leg") + "/src"
+    val dst = tmpDir("graft_leg") + "/dst"
+    GraftWriter.write(spark, Seq((100L, "legacy")).toDF("k", "v"), dst,
+      WriteOptions(mode = WriteMode.Append,
+        metadata = Map("streaming_batch_id" -> "0")))
+    GraftWriter.write(spark, Seq((1L, "new")).toDF("k", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    val q = Streams.toGraftTable(
+      spark.readStream.format("graft").load(src), dst,
+      tmpDir("graft_leg_ckpt"))
+    q.awaitTermination()
+    assert(GraftTable(spark, dst).toDf().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((100L, "legacy"), (1L, "new")),
+      "the new stream's first batch was dropped by the legacy guard")
+  }
+
   test("maxFilesPerTrigger and maxBytesPerTrigger bound catch-up batches") {
     import graft.io.{GraftWriter, WriteMode, WriteOptions}
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
