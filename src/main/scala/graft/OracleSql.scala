@@ -908,7 +908,7 @@ object OracleSql {
                 CAST(sum(price_c) AS DOUBLE) / count(price_c) AS avg_price_c,
                 count(price_c) AS n_price,
                 count(*) AS n_all,
-                sum(price_c) AS sum_price_c
+                CAST(sum(price_c) AS BIGINT) AS sum_price_c
          FROM (SELECT o_orderpriority AS prio,
                       CAST(round(o_totalprice * 100) AS BIGINT)
                         + CASE WHEN o_orderkey % 7 = 0 THEN 1000

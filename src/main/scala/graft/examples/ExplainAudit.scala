@@ -198,7 +198,7 @@ object ExplainAudit {
       .selectExpr("CAST(doc_id AS LONG) AS doc_id",
         "CAST(band_id AS LONG) AS band_id", "band_key")
     val probe = graft.ext.DedupIndex.hitKeysOf(
-      graft.io.GraftTable(spark, dedupIdx).toDf(), auditBands)
+      graft.io.GraftTable(spark, dedupIdx).toDf(), auditBands, 500)
     probe.explain("formatted")
     val probePlan = probe.queryExecution.executedPlan.toString()
     val probeScans = probePlan.split("\n").count(_.contains("Scan parquet"))

@@ -70,6 +70,14 @@ object AnnIndex {
     */
   val DriftRebuildThreshold: Double = 1.5
 
+  /** Absolute floor (e6-fixed MSE) below which drift is never flagged:
+    * with a near-perfectly-quantizable build corpus the baseline rounds
+    * to ~0 and ANY later noise would otherwise read as infinite
+    * relative drift — 1e-4 mean squared error is recall-irrelevant at
+    * unit-norm embedding scale.
+    */
+  val MinDriftDistortionE6: Long = 100L
+
   final case class Status(
       indexedVersion: Long,
       sourceVersion: Long,
@@ -88,12 +96,15 @@ object AnnIndex {
       c <- currentDistortionE6
     } yield if (b > 0) c.toDouble / b
       else if (c == 0) 1.0 else Double.PositiveInfinity
-    /** Quantizer drift passed [[DriftRebuildThreshold]] — refreshes are
-      * still exact about membership, but ADC ranking quality has
-      * drifted from the build-time baseline; prefer [[build]].
+    /** Quantizer drift passed [[DriftRebuildThreshold]] AND the current
+      * distortion is materially nonzero ([[MinDriftDistortionE6]]) —
+      * refreshes are still exact about membership, but ADC ranking
+      * quality has drifted from the build-time baseline; prefer
+      * [[build]].
       */
     def rebuildRecommended: Boolean =
-      driftRatio.exists(_ > DriftRebuildThreshold)
+      driftRatio.exists(_ > DriftRebuildThreshold) &&
+        currentDistortionE6.exists(_ >= AnnIndex.MinDriftDistortionE6)
   }
 
   /** Train the quantizers on the corpus at `sourcePath` and commit the
@@ -448,8 +459,13 @@ object AnnIndex {
       maxSample: Int = 10000): Long = {
     val spark = corpus.sparkSession
     val dsub = books.head.head.length
+    // HASH-ordered sample (deterministic, id tie-break): an id-ordered
+    // prefix would re-measure only the oldest rows forever — on an
+    // append-mostly corpus the probe would never see the drifted data
+    // it exists to detect. xxhash64 is stable across sessions, so the
+    // build-time and status-time probes of identical data agree exactly.
     val sample = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(maxSample)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSample)
     val resid = Similarity.residualizeWith(
       sample, centsDf(spark, centRows), idCol, vecCol, probes = 1)
     val vecs = resid.select(col("__resid")).collect()

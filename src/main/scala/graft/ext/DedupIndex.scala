@@ -73,7 +73,11 @@ object DedupIndex {
         */
       extraProps: Map[String, String] = Map.empty): Long = {
     require(perms % rowsPerBand == 0, "perms must divide into bands")
-    val bands = Dedup.minhashBands(docs, perms, rowsPerBand, idCol, textCol)
+    // NULL text bands like empty text (coalesce): a NULL-text doc must
+    // still be fingerprintable, or it would survive EVERY re-ingest and
+    // break the replay-returns-zero-survivors guarantee
+    val bands = Dedup.minhashBands(
+      nullSafeText(docs, textCol), perms, rowsPerBand, idCol, textCol)
       .localCheckpoint(eager = true)
     val hot = bands.groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("__bn"))
@@ -132,11 +136,16 @@ object DedupIndex {
     val table = GraftTable(spark, indexPath)
     val kv = paramsOf(table)
     val idCol = kv("idCol")
-    val bands = batchBands(batch, kv)
-    val hitKeys = hitKeysOf(table.toDf(), bands)
+    // pinned like ingest's: the band pipeline feeds both the key probe
+    // and the id projection — without the checkpoint it would run twice
+    val bands = batchBands(batch, kv).localCheckpoint(eager = true)
+    val hitKeys = hitKeysOf(table.toDf(), bands, kv("maxDocsPerBand").toInt)
     val hitIds = bands
       .join(broadcast(hitKeys), Seq("band_id", "band_key"), "left_semi")
       .select(col("doc_id").as(idCol)).distinct()
+      .localCheckpoint(eager = true)
+    Scratch.register(hitIds)
+    Scratch.release(bands)
     batch.join(hitIds, Seq(idCol), "left_semi")
   }
 
@@ -188,14 +197,33 @@ object DedupIndex {
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
           .orderBy(col(graft.io.Cdc.VersionCol).desc, col("__pri").desc)))
       .filter(col("__rn") === 1)
-    val upserts = batchBands(
+    // re-encode the survivors, applying the SAME hot-band cap as build
+    // WITHIN this refresh batch: a degenerate key must not re-enter the
+    // store through maintenance (an updated doc's now-hot band converts
+    // to a delete so no stale key lingers); keys that creep hot ACROSS
+    // refreshes are neutralized at query time by hitKeysOf's cap
+    val cap = kv("maxDocsPerBand").toInt
+    val upBands = batchBands(
       latest.filter(col("__pri") === 1L).select(col(idCol), col(textCol)), kv)
+      .localCheckpoint(eager = true)
+    val hotNew = upBands.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > cap)
+      .select("band_id", "band_key")
+    val upserts = upBands
+      .join(broadcast(hotNew), Seq("band_id", "band_key"), "left_anti")
       .withColumn("__op", lit("U"))
+    val cappedAway = upBands
+      .join(broadcast(hotNew), Seq("band_id", "band_key"), "left_semi")
+      .select(col("doc_id"), col("band_id"),
+        lit(null).cast("string").as("band_key"))
+      .withColumn("__op", lit("D"))
     val deletes = latest.filter(col("__pri") === 0L)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(sequence(lit(0L), lit(nBands - 1L))).as("band_id"),
         lit(null).cast("string").as("band_key"))
       .withColumn("__op", lit("D"))
+      .unionByName(cappedAway)
     MergeClausesExecutor.merge(spark, upserts.unionByName(deletes), indexPath,
       "s.doc_id = t.doc_id AND s.band_id = t.band_id",
       matched = Seq(
@@ -206,6 +234,7 @@ object DedupIndex {
           "band_key" -> col("s.band_key")),
         Some(col("s.__op") =!= "D"))),
       extraMetadata = Map(SourceVersionKey -> curV.toString))
+    Scratch.release(upBands)
     Some(curV)
   }
 
@@ -240,13 +269,22 @@ object DedupIndex {
           "with DedupIndex.build")).split(',')
       .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
 
-  /** A batch's typed band rows under the store's recorded parameters. */
+  /** A batch's typed band rows under the store's recorded parameters
+    * (NULL text banded as empty — see [[build]]).
+    */
   private def batchBands(
       batch: DataFrame, kv: Map[String, String]): DataFrame =
-    Dedup.minhashBands(batch, kv("perms").toInt, kv("rowsPerBand").toInt,
+    Dedup.minhashBands(nullSafeText(batch, kv("textCol")),
+      kv("perms").toInt, kv("rowsPerBand").toInt,
       kv("idCol"), kv("textCol"))
       .select(col(kv("idCol")).cast("long").as("doc_id"),
         col("band_id").cast("long").as("band_id"), col("band_key"))
+
+  /** NULL text fingerprints like empty text — every doc must band, or
+    * NULL-text docs would be invisible to the store forever.
+    */
+  private def nullSafeText(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol, coalesce(col(textCol), lit("")))
 
   /** Dedup `batch` against the store and fold the survivors in: returns
     * the surviving batch rows (all input columns) and atomically appends
@@ -269,7 +307,7 @@ object DedupIndex {
     val bands = batchBands(batch, kv).localCheckpoint(eager = true)
 
     // 1. store probe — the only store-sized work (see [[hitKeysOf]])
-    val hitKeys = hitKeysOf(table.toDf(), bands)
+    val hitKeys = hitKeysOf(table.toDf(), bands, kv("maxDocsPerBand").toInt)
     val storeBeaten = bands
       .join(broadcast(hitKeys), Seq("band_id", "band_key"), "left_semi")
       .select("doc_id")
@@ -307,16 +345,24 @@ object DedupIndex {
       survivorIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
   }
 
-  /** The store-sized part of an ingest, isolated so its plan shape is
-    * auditable: ONE store scan, the batch's distinct keys broadcast into
-    * a semi-join, then a partial-aggregated key projection (per-task
-    * output bounded by the batch's key count — a degenerate store band
-    * never materializes its member list).
+  /** The store-sized part of an ingest/probe, isolated so its plan
+    * shape is auditable: ONE store scan, the batch's distinct keys
+    * broadcast into the join, then a partial-aggregated per-key count
+    * (per-task output bounded by the batch's key count — a degenerate
+    * store band never materializes its member list). The count enforces
+    * the hot-band cap at QUERY time too: a key that crept past
+    * `maxDocsPerBand` through post-build appends/refreshes carries no
+    * LSH signal and is ignored, so it can never flood ingest/probe with
+    * false duplicates no matter how it accumulated.
     */
-  private[graft] def hitKeysOf(store: DataFrame, bands: DataFrame): DataFrame = {
+  private[graft] def hitKeysOf(
+      store: DataFrame, bands: DataFrame, maxDocsPerBand: Int): DataFrame = {
     val batchKeys = bands.select("band_id", "band_key").distinct()
-    store
-      .join(broadcast(batchKeys), Seq("band_id", "band_key"), "left_semi")
-      .select("band_id", "band_key").distinct()
+    store.select("band_id", "band_key")
+      .join(broadcast(batchKeys), Seq("band_id", "band_key"))
+      .groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxDocsPerBand)
+      .select("band_id", "band_key")
   }
 }

@@ -94,6 +94,25 @@ final class GraftTable(val spark: SparkSession, val path: String) {
     * [[graft.sources.GraftFileIndex]]); falls back to a plain parquet
     * read if the native plan cannot represent the schema.
     */
+  /** [[dfForFiles]] for a REWRITE under row tracking: when `carryIds`,
+    * the rows come back with their current ids renamed to the physical
+    * materialization column (`__graft_row_id`), so writing the frame
+    * preserves every carried row's id. One definition for all seven
+    * rewrite paths (maintenance, COW/DV DML, the three merge executors)
+    * — the carry semantics cannot drift between them.
+    */
+  private[graft] def dfForFilesCarryingIds(
+      snap: Snapshot,
+      files: Seq[AddFile],
+      carryIds: Boolean,
+      withRowMeta: Boolean = false): DataFrame = {
+    val d = dfForFiles(snap, files,
+      withRowMeta = withRowMeta, withRowId = carryIds)
+    if (carryIds)
+      d.withColumnRenamed(RowTracking.Col, RowTracking.PhysicalCol)
+    else d
+  }
+
   def dfForFiles(
       snap: Snapshot,
       files: Seq[AddFile],

@@ -988,12 +988,9 @@ object GraftWriter {
       table: GraftTable,
       log: CommitLog,
       snap: graft.log.Snapshot,
-      files: Seq[AddFile]): DataFrame = {
-    val rowIds = RowTracking.enabled(log.tableProperties())
-    val df = table.dfForFiles(snap, files, withRowId = rowIds)
-    if (rowIds) df.withColumnRenamed(RowTracking.Col, RowTracking.PhysicalCol)
-    else df
-  }
+      files: Seq[AddFile]): DataFrame =
+    table.dfForFilesCarryingIds(snap, files,
+      carryIds = RowTracking.enabled(log.tableProperties()))
 
   private def clusterCandidates(
       scoped: Seq[AddFile], layout: String, sizeFloor: Long,
@@ -1242,6 +1239,15 @@ object GraftWriter {
     val log = new CommitLog(path, conf)
     val fs = new Path(path).getFileSystem(conf)
     val schema = schemaOverride.getOrElse(snap.schema)
+    // schema-evolution merges can introduce source columns into the
+    // DECLARED schema — under row tracking the reserved names must be
+    // refused here exactly like the append path refuses them, or a
+    // user column named __graft_row_id would be silently hijacked by
+    // the id plumbing AND brick every subsequent append
+    if (RowTracking.enabled(log.tableProperties()))
+      schema.fieldNames.foreach(c => require(
+        !RowTracking.ReservedCols.exists(_.equalsIgnoreCase(c)),
+        s"column name $c is reserved by row tracking"))
     val writeDf =
       if (snap.partitionColumns.nonEmpty)
         df.repartition(snap.partitionColumns.map(col): _*)

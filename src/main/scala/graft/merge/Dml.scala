@@ -86,11 +86,7 @@ object Dml {
     // only the read column rides along, the declared schema is unchanged
     val props = table.log.tableProperties()
     val rowIds = graft.io.RowTracking.enabled(props)
-    val aff0 = table.dfForFiles(snap, touched, withRowId = rowIds)
-    val aff =
-      if (rowIds) aff0.withColumnRenamed(
-        graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
-      else aff0
+    val aff = table.dfForFilesCarryingIds(snap, touched, carryIds = rowIds)
     val carryCols =
       if (rowIds) Seq(col(graft.io.RowTracking.PhysicalCol)) else Nil
     val matched = coalesce(condition, lit(false)) // WHERE NULL = no-op
@@ -249,11 +245,8 @@ object Dml {
         // materialized, so a DV update preserves ids exactly like the
         // COW path (the preimage leaves via the bitmap)
         val rowIds = graft.io.RowTracking.enabled(props)
-        val postSrc0 = table.dfForFiles(snap, touched, withRowId = rowIds)
         val postSrc =
-          if (rowIds) postSrc0.withColumnRenamed(
-            graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
-          else postSrc0
+          table.dfForFilesCarryingIds(snap, touched, carryIds = rowIds)
         val carryCols =
           if (rowIds) Seq(col(graft.io.RowTracking.PhysicalCol)) else Nil
         val postimages = graft.io.Generated.recompute(

@@ -187,13 +187,8 @@ object MergeExecutor {
       // rewrite preserves them (carried + updated rows keep ids;
       // inserts draw fresh ones from the new files' baseRowId default).
       val rowIds = graft.io.RowTracking.enabled(table.log.tableProperties())
-      lazy val affDf = {
-        val d = table.dfForFiles(snap, touched, withRowId = rowIds)
-        evolve(
-          if (rowIds) d.withColumnRenamed(
-            graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
-          else d)
-      }
+      lazy val affDf = evolve(
+        table.dfForFilesCarryingIds(snap, touched, carryIds = rowIds))
       lazy val affScoped =
         config.partitionFilter.map(affDf.filter).getOrElse(affDf)
       val (newData, removals) = config.mergeType match {
@@ -294,12 +289,8 @@ object MergeExecutor {
     // appended source projections — carry each target row's id into its
     // replacement so a DV merge preserves ids exactly like COW
     val rowIds = graft.io.RowTracking.enabled(table.log.tableProperties())
-    val candDfM0 = table.dfForFiles(snap, candidates,
-      withRowMeta = true, withRowId = rowIds)
-    val candDfM =
-      if (rowIds) candDfM0.withColumnRenamed(
-        graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
-      else candDfM0
+    val candDfM = table.dfForFilesCarryingIds(snap, candidates,
+      carryIds = rowIds, withRowMeta = true)
     val scopedM = config.partitionFilter.map(candDfM.filter).getOrElse(candDfM)
     val fileC = col(graft.sources.GraftNativeRelation.RowMetaFileCol)
     val idxC = col(graft.sources.GraftNativeRelation.RowMetaIndexCol)

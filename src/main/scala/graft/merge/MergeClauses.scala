@@ -222,14 +222,8 @@ object MergeClausesExecutor {
       // is a target row (updated or carried), so its id is preserved;
       // inserted rows get NULL = a fresh default from the new file
       val rowIds = graft.io.RowTracking.enabled(props)
-      val affDf = {
-        val d = table.dfForFiles(snap, touched,
-          withRowMeta = needRowLevel, withRowId = rowIds)
-        evolve(
-          if (rowIds) d.withColumnRenamed(
-            graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
-          else d)
-      }
+      val affDf = evolve(table.dfForFilesCarryingIds(snap, touched,
+        carryIds = rowIds, withRowMeta = needRowLevel))
       val genCols = graft.io.Generated.generatedOf(props).keys.toSeq
       val rewritten = rewriteRows(
         affDf, src, cond, cols, matched, notMatchedBySource, sourceAlias,
@@ -366,13 +360,8 @@ object MergeClausesExecutor {
     // preservation contract as the COW path; rewriteRows picks the
     // column up from the target frame by name)
     val rowIds = graft.io.RowTracking.enabled(table.log.tableProperties())
-    val candDfM = evolve {
-      val d0 = table.dfForFiles(snap, candidates,
-        withRowMeta = true, withRowId = rowIds)
-      if (rowIds) d0.withColumnRenamed(
-        graft.io.RowTracking.Col, graft.io.RowTracking.PhysicalCol)
-      else d0
-    }
+    val candDfM = evolve(table.dfForFilesCarryingIds(snap, candidates,
+      carryIds = rowIds, withRowMeta = true))
     val fileC = col(graft.sources.GraftNativeRelation.RowMetaFileCol)
     val idxC = col(graft.sources.GraftNativeRelation.RowMetaIndexCol)
 

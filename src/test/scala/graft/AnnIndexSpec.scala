@@ -300,6 +300,13 @@ class AnnIndexSpec extends SparkSpec {
     assert(!st1.stale, "refresh caught the index up")
     assert(st1.rebuildRecommended,
       s"50x-scaled corpus must trip the drift threshold: $st1")
+    // the probe's sample is HASH-ordered, so a bounded sample smaller
+    // than the corpus still sees the APPENDED (high-id) drifted rows —
+    // an id-ordered prefix would re-measure only the build-time docs
+    // and never flag
+    assert(AnnIndex.status(spark, idx, probeDrift = true, probeSample = 60)
+      .rebuildRecommended,
+      "a small hash-ordered sample must still include appended rows")
 
     // a stale + drifted index names BOTH problems in the refusal
     GraftWriter.write(spark, embDf(Seq((500L, vec(1).map(_ * 50f), 0L))),

@@ -128,6 +128,46 @@ class DedupIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NULL-text docs fingerprint like empty text (replay stays empty)") {
+    val idx = tmpDir("dedup_idx_null")
+    DedupIndex.build(spark, idx, storeDocs.toDF("doc_id", "text"))
+    val batch = Seq((40L, null.asInstanceOf[String]), (41L, ""))
+      .toDF("doc_id", "text")
+    val s1 = DedupIndex.ingest(spark, idx, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // NULL and "" band identically: the smaller id survives, the other
+    // is a within-batch dup
+    assert(s1 == Set(40L), s"got $s1")
+    // replay: both now fingerprinted -> zero survivors (the guarantee)
+    assert(DedupIndex.ingest(spark, idx, batch).count() == 0)
+  }
+
+  test("keys that creep past the cap via refresh go inert at query time") {
+    val srcP = tmpDir("dedup_hot_src")
+    val idx = tmpDir("dedup_hot_idx") + "/ix"
+    val boiler = "identical boilerplate body shared by every doc here"
+    GraftWriter.write(spark,
+      Seq(doc(1L, boiler), doc(2L, boiler)).toDF("doc_id", "text"), srcP,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(Cdc.PropKey -> "true")))
+    // cap = 2: the build keeps the key (count 2 <= cap)...
+    DedupIndex.buildFromTable(spark, srcP, idx, maxDocsPerBand = 2)
+    assert(DedupIndex.probe(spark, idx,
+      Seq(doc(90L, boiler)).toDF("doc_id", "text")).count() == 1)
+    // ...one more refreshed copy pushes the stored count to 3 > cap:
+    // the key still sits in the store, but hitKeysOf ignores it — no
+    // false-duplicate flood from a degenerate band, however it formed
+    GraftWriter.write(spark, Seq(doc(3L, boiler)).toDF("doc_id", "text"),
+      srcP, WriteOptions(mode = WriteMode.Append))
+    assert(DedupIndex.refresh(spark, idx).isDefined)
+    assert(GraftTable(spark, idx).toDf()
+      .groupBy("band_id", "band_key").count()
+      .filter(col("count") > 2).count() > 0, "the key must have crept hot")
+    assert(DedupIndex.probe(spark, idx,
+      Seq(doc(91L, boiler)).toDF("doc_id", "text")).count() == 0,
+      "a hot key must be ignored at query time")
+  }
+
   test("ingest refuses a table that is not a fingerprint store") {
     val p = tmpDir("dedup_idx_notidx")
     GraftWriter.write(spark, Seq((1L, "x")).toDF("doc_id", "text"), p,

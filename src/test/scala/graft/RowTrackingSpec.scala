@@ -274,6 +274,26 @@ class RowTrackingSpec extends SparkSpec {
     assert(t.toDf().filter(col("k") === 5L).head().getLong(1) == 7L)
   }
 
+  test("schema-evolution merges refuse the reserved id column names") {
+    val p = tmpDir("rt_evolve_reserved")
+    GraftWriter.write(spark, (0L until 10L).map(i => (i, i)).toDF("k", "x"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))
+    // a source column named like the id plumbing must be refused at the
+    // merge, not silently hijacked (which would also brick appends)
+    val src = Seq((1L, 5L, 99L)).toDF("k", "x", RowTracking.PhysicalCol)
+    val e = intercept[IllegalArgumentException] {
+      graft.merge.MergeExecutor.merge(spark, src, p,
+        graft.merge.MergeConfig(graft.merge.MergeType.Upsert, "s.k = t.k",
+          schemaEvolution = true))
+    }
+    assert(e.getMessage.contains("reserved by row tracking"), e.getMessage)
+    // the table is still writable afterwards
+    GraftWriter.write(spark, Seq((100L, 1L)).toDF("k", "x"), p,
+      WriteOptions(mode = WriteMode.Append))
+    assert(GraftTable(spark, p).toDf().count() == 11)
+  }
+
   test("read plan ships no global file map: base ids ride as per-file constants") {
     val p = tmpDir("rt_scale_shape")
     GraftWriter.write(spark,
