@@ -346,6 +346,31 @@ object OracleSql {
                    FROM sc)
         SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
 
+  /** Maximum-inner-product twin of [[knnPqAdcSql]]: same codes (L2
+    * argmin), per-subspace DOT tables, ranking DESC on the summed
+    * table (ties by n_id).
+    */
+  private val knnPqAdcIpSql: String = {
+    val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
+    val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
+    s"""WITH $pqCtes,
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 32),
+        dtab AS (SELECT q.q_id, js.j, c.idx,
+                        CAST(round((${dot(qx, cs)}) * 1000000) AS BIGINT) AS d
+                 FROM q, js, cb c),
+        sc AS (SELECT d.q_id, co.vec_id AS n_id,
+                      CAST(sum(d.d) AS BIGINT) AS asim_e6
+               FROM codes co JOIN dtab d ON d.j = co.j AND d.idx = co.code
+               WHERE co.vec_id <> d.q_id
+               GROUP BY d.q_id, co.vec_id),
+        ranked AS (SELECT q_id, n_id, asim_e6,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY asim_e6 DESC, n_id) AS "rank"
+                   FROM sc)
+        SELECT q_id, n_id, "rank", asim_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
   private val knnPqAdcSql: String = {
     val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
     val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
@@ -887,12 +912,17 @@ object OracleSql {
     // OPTIMIZE rewrite between write and read proves the ids survive
     // compaction (materialized column wins over fresh baseRowIds)
     // ids = key rank at assignment time; the COW UPDATE (%7 -> 'X')
-    // preserves every id and the COW DELETE (%13) removes only its own
+    // preserves every id and the COW DELETE (%13) removes only its own.
+    // row versions: write v0 (<3000), append v1, OPTIMIZE v2 preserves,
+    // UPDATE v3 stamps only its matches, DELETE v4 leaves survivors
     "table_row_tracking" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey % 7 = 0 THEN 'X'
                      ELSE o_orderstatus END AS o_orderstatus,
-                row_id
+                row_id,
+                CAST(CASE WHEN o_orderkey % 7 = 0 THEN 3
+                          WHEN o_orderkey < 3000 THEN 0
+                          ELSE 1 END AS BIGINT) AS row_version
          FROM (SELECT o_orderkey, o_orderstatus,
                       CAST(row_number() OVER (ORDER BY o_orderkey) - 1
                         AS BIGINT) AS row_id
@@ -1303,6 +1333,8 @@ object OracleSql {
     "knn_pq_adc_kmeans" -> knnPqAdcKmeansSql,
 
     "knn_pq_adc" -> knnPqAdcSql,
+
+    "knn_pq_adc_ip" -> knnPqAdcIpSql,
 
     "knn_ivfpq_adc" -> knnIvfPqAdcSql,
     // the persisted-index search is bit-identical to the inline IVF-PQ

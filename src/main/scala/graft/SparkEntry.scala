@@ -513,9 +513,15 @@ object SparkEntry {
     graft.merge.Dml.update(spark, p, col("o_orderkey") % 7 === 0,
       Map("o_orderstatus" -> lit("X"))) // COW rewrite; ids must hold
     graft.merge.Dml.delete(spark, p, col("o_orderkey") % 13 === 0)
+    // row VERSIONS are part of the same contract: v0/v1 = the writing
+    // commits, preserved through the OPTIMIZE (v2) and both COW
+    // rewrites — except the UPDATE's matched rows, which take the
+    // update commit's version (v3). The delete (v4) leaves survivors'
+    // versions alone.
     GraftTable(spark, p).toDfWithRowIds()
       .select(col("o_orderkey"), col("o_orderstatus"),
-        col(graft.io.RowTracking.Col).as("row_id"))
+        col(graft.io.RowTracking.Col).as("row_id"),
+        col(graft.io.RowTracking.VersionCol).as("row_version"))
   }
 
   /** SQL materialized view with DERIVED aggregate forms: `avg(col)` /
@@ -972,6 +978,16 @@ object SparkEntry {
       rowCountHint = embRows(spark, dir))
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("adist_e6"))
+
+  /** Maximum-inner-product PQ top-5 (`asim_e6` ranks DESCENDING): the
+    * retrieval mode for unnormalized embeddings whose magnitude carries
+    * signal — same codes, inner-product ADC tables.
+    */
+  private def qKnnPqAdcIp(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopKIp(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
+      rowCountHint = embRows(spark, dir))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("asim_e6"))
 
   /** IVF-PQ ADC top-5: residual-encoded codes within coarse cells —
     * the billion-vector layout (IVF confines, PQ shrinks, residual
@@ -1741,6 +1757,7 @@ object SparkEntry {
     "pq_codes" -> (qPqCodes _),
     "pq_codes_kmeans" -> (qPqCodesKmeans _),
     "knn_pq_adc" -> (qKnnPqAdc _),
+    "knn_pq_adc_ip" -> (qKnnPqAdcIp _),
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
     "knn_index_search" -> (qKnnIndexSearch _),
@@ -1827,7 +1844,8 @@ object SparkEntry {
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_brute_l2", "knn_brute_dot",
     "knn_ivf_topk", "knn_ivf_kmeans",
-    "pq_codes", "knn_pq_adc", "knn_pq_adc_kmeans", "knn_ivfpq_adc",
+    "pq_codes", "knn_pq_adc", "knn_pq_adc_ip", "knn_pq_adc_kmeans",
+    "knn_ivfpq_adc",
     "knn_ivfpq_rerank", "knn_ivfpq_filtered", "knn_ivfpq_kmeans",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "image_decode_stats",

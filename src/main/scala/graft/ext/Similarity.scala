@@ -644,6 +644,47 @@ object Similarity {
     pqTopKWith(corpus, queryPred, k, dsub, books, idCol, vecCol)
   }
 
+  /** Maximum-inner-product PQ retrieval: same codes (L2-nearest
+    * codeword — the standard encoding for MIPS too), but the query-side
+    * ADC table holds per-subspace INNER PRODUCTS and ranking is by the
+    * summed table DESCENDING (`asim_e6` — larger is closer). This is
+    * the retrieval mode for embeddings whose magnitude carries signal
+    * (unnormalized two-tower models), where cosine/L2 would distort the
+    * ranking. Same plan shape as [[pqTopK]]: codes-only corpus side,
+    * broadcast query tables, bounded top-k aggregator.
+    */
+  def pqTopKIp(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      m: Int = 16,
+      ksub: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
+    val codes = TextOps.spread(corpus)
+      .select(col(idCol).as("n_id"), pqCodesExpr(vecCol, dsub, books).as("codes"))
+    val qtab = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqQueryTable(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
+        books.map(_.map(_._2)), ip = true))
+    val q = broadcast(corpus.filter(queryPred)
+      .select(col(idCol).as("q_id"), qtab.as("qtab")))
+    val adc = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqAdcDistance(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
+    val scored = codes
+      .crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim_e6", adc) // approximate dot — already "larger is closer"
+    topKRows(scored, k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        col("sim_e6").as("asim_e6"))
+  }
+
   /** ADC top-k against explicit codebooks (shared by the stride-seeded
     * and k-means paths).
     */

@@ -132,15 +132,18 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
-/** Query-side ADC distance table: for a full-precision vector, the
-  * m × ksub matrix of micro-rounded squared-L2 distances to every
-  * sub-centroid — one codegen'd loop sharing [[PqEncode]]'s arithmetic
-  * (same folds, same rounding), instead of m·ksub separate dot
-  * expressions whose generated class is large enough to dominate the
-  * query in janino compile time. NULL on null input / dim mismatch /
-  * null element.
+/** Query-side ADC table: for a full-precision vector, the m × ksub
+  * matrix of micro-rounded per-subspace scores to every sub-centroid —
+  * squared-L2 distances by default, INNER PRODUCTS with `ip = true`
+  * (maximum-inner-product retrieval: the consumer ranks the summed
+  * table DESCENDING instead). One codegen'd loop sharing [[PqEncode]]'s
+  * arithmetic (same folds, same rounding), instead of m·ksub separate
+  * dot expressions whose generated class is large enough to dominate
+  * the query in janino compile time. NULL on null input / dim mismatch
+  * / null element.
   */
-case class PqQueryTable(child: Expression, books: Array[Array[Array[Float]]])
+case class PqQueryTable(child: Expression, books: Array[Array[Array[Float]]],
+    ip: Boolean = false)
     extends UnaryExpression {
 
   private val m = books.length
@@ -187,7 +190,9 @@ case class PqQueryTable(child: Expression, books: Array[Array[Array[Float]]])
         while (i < dsub) {
           xc += x.getFloat(off + i).toDouble * cv(i).toDouble; i += 1
         }
-        row(c) = PqEncode.roundE6(xx - 2.0 * xc + selfDots(j)(c))
+        row(c) =
+          if (ip) PqEncode.roundE6(xc)
+          else PqEncode.roundE6(xx - 2.0 * xc + selfDots(j)(c))
         c += 1
       }
       out(j) = new GenericArrayData(row)

@@ -110,6 +110,7 @@ final class GraftTable(val spark: SparkSession, val path: String) {
       withRowMeta = withRowMeta, withRowId = carryIds)
     if (carryIds)
       d.withColumnRenamed(RowTracking.Col, RowTracking.PhysicalCol)
+        .withColumnRenamed(RowTracking.VersionCol, RowTracking.PhysicalVersionCol)
     else d
   }
 

@@ -1,6 +1,16 @@
 package graft.io
 
-/** Row tracking (Delta's `rowTracking` feature): stable per-row ids.
+/** Row tracking (Delta's `rowTracking` feature): stable per-row ids
+  * AND per-row commit versions.
+  *
+  * `_graft_row_version` (Delta's `row_commit_version`) answers "when
+  * was this row last modified": appends and merge inserts stamp the
+  * writing commit's version (a per-file default from the commit log —
+  * [[graft.log.AddFile.addedVersion]]), COW and DV UPDATEs refresh it
+  * on exactly their matched rows, and maintenance (OPTIMIZE, cluster,
+  * Z-order, REORG), DV deletes, and RESTORE never touch it — rewrites
+  * materialize carried rows' versions just like their ids, with NULL
+  * for updated rows so they fall through to the new file's default.
   *
   * Opt-in via the carried property `graft.rowTracking = true`. Every
   * commit assigns each added file a `baseRowId` from a carried
@@ -53,10 +63,30 @@ object RowTracking {
     */
   val BaseCol = "__graft_base_row_id"
 
+  /** Public row-version projection (Delta's `row_commit_version`): the
+    * commit that last MODIFIED the row — appends/inserts stamp it, COW
+    * and DV updates refresh it, compaction/clustering/REORG/RESTORE
+    * leave it alone. NULL for rows from pre-feature files/checkpoints.
+    */
+  val VersionCol = "_graft_row_version"
+
+  /** Physical row-version column materialized into rewritten files for
+    * CARRIED rows (updated rows materialize NULL, so they fall through
+    * to the new file's commit-version default).
+    */
+  val PhysicalVersionCol = "__graft_row_version"
+
+  /** Per-file constant carrying the file's `addedVersion` from the
+    * commit log (second synthetic partition column of the scan).
+    */
+  val BaseVersionCol = "__graft_base_row_version"
+
   /** Column names reserved by the feature — user data under any of them
     * would be mistaken for id plumbing at read time.
     */
-  val ReservedCols: Seq[String] = Seq(Col, PhysicalCol, BaseCol)
+  val ReservedCols: Seq[String] =
+    Seq(Col, PhysicalCol, BaseCol,
+      VersionCol, PhysicalVersionCol, BaseVersionCol)
 
   def enabled(props: Map[String, String]): Boolean =
     props.get(graft.log.CommitLog.RowTrackingKey).exists(_.trim.toBoolean)

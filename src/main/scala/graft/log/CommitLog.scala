@@ -57,7 +57,19 @@ final case class AddFile(
       * the default at read time. None (absent in pre-feature logs) =
       * no ids for this file.
       */
-    baseRowId: Option[Long] = None) {
+    baseRowId: Option[Long] = None,
+    /** The commit version whose rows this file's DEFAULT row version is
+      * (row tracking's `_graft_row_version` — "when was this row last
+      * modified"). Stamped at REPLAY time for fresh adds (never written
+      * into their commit json); an action RE-ADDING an existing file
+      * (DV repoint, RESTORE, clone seed) carries the file's original
+      * stamp forward in its json, so attaching a deletion vector or
+      * restoring a version never changes surviving rows' versions.
+      * Rewrites materialize carried rows' versions as a
+      * `__graft_row_version` column that wins over this default. None
+      * (pre-feature checkpoints) = NULL versions.
+      */
+    addedVersion: Option[Long] = None) {
   def liveRecords: Long = numRecords - dv.map(_.cardinality).getOrElse(0L)
 }
 
@@ -357,7 +369,11 @@ final class CommitLog(
     val commits = upTo.filter(_ >= replayFrom).map(readCommit)
     commits.foreach { c =>
       c.remove.foreach(r => live.remove(r.path))
-      c.add.foreach(a => live(a.path) = a)
+      // stamp each fresh add with its commit version (the row-version
+      // default); re-adds that already carry a stamp keep it — a DV
+      // repoint / RESTORE must not bump surviving rows' versions
+      c.add.foreach(a => live(a.path) =
+        a.copy(addedVersion = a.addedVersion.orElse(Some(c.version))))
     }
     val last = commits.last
     // feature gate: refuse to serve a snapshot this build would misread

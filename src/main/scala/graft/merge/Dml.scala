@@ -87,9 +87,16 @@ object Dml {
     val props = table.log.tableProperties()
     val rowIds = graft.io.RowTracking.enabled(props)
     val aff = table.dfForFilesCarryingIds(snap, touched, carryIds = rowIds)
-    val carryCols =
-      if (rowIds) Seq(col(graft.io.RowTracking.PhysicalCol)) else Nil
     val matched = coalesce(condition, lit(false)) // WHERE NULL = no-op
+    // UPDATE keeps every row's id but REFRESHES the matched rows' row
+    // version: a NULL materialized version falls back to the new file's
+    // commit version at read time (carried rows keep theirs)
+    val carryCols =
+      if (!rowIds) Nil
+      else Seq(col(graft.io.RowTracking.PhysicalCol),
+        when(matched, lit(null).cast("long"))
+          .otherwise(col(graft.io.RowTracking.PhysicalVersionCol))
+          .as(graft.io.RowTracking.PhysicalVersionCol))
     val newData = keepMatched match {
       case None => aff.filter(!matched) // DELETE
       case Some(set) =>
@@ -110,8 +117,9 @@ object Dml {
       if (!graft.io.Cdc.enabled(table.log.tableProperties())) Nil
       else {
         // change rows carry the DECLARED schema only — the materialized
-        // row-id plumbing column must not leak into the change feed
-        val hit = aff.drop(graft.io.RowTracking.PhysicalCol).filter(matched)
+        // row-id/version plumbing columns must not leak into the feed
+        val hit = aff.drop(graft.io.RowTracking.PhysicalCol,
+          graft.io.RowTracking.PhysicalVersionCol).filter(matched)
         val changes = keepMatched match {
           case None =>
             hit.withColumn(graft.io.Cdc.ChangeCol, lit("delete"))

@@ -608,26 +608,37 @@ object MergeExecutor {
     val target =
       if (!config.schemaEvolution) target0
       else graft.io.Schemas.padTo(target0, source.schema)
-    // row tracking: a target carrying the physical id column threads it
-    // through every strategy — preserved from the target row wherever a
-    // target row survives (updated or carried), NULL (= fresh default
-    // at write time) for inserted source rows. The column is plumbing,
-    // never part of the merge contract below.
+    // row tracking: a target carrying the physical id/version columns
+    // threads them through every strategy — the id is preserved from
+    // the target row wherever a target row survives (updated or
+    // carried); the row VERSION is preserved only on carried rows (an
+    // updated row materializes NULL and falls through to the rewrite
+    // commit's version — "last modified" semantics). Inserted source
+    // rows get NULL for both (= fresh defaults at write time). The
+    // columns are plumbing, never part of the merge contract below.
     val ridCol = graft.io.RowTracking.PhysicalCol
+    val rverCol = graft.io.RowTracking.PhysicalVersionCol
+    val plumbing = Set(ridCol, rverCol)
     val ridCarry = target.columns.contains(ridCol)
     validateSource(
       org.apache.spark.sql.types.StructType(
-        target.schema.filterNot(_.name == ridCol)), source, config)
+        target.schema.filterNot(f => plumbing(f.name))), source, config)
     val ta = config.targetAlias
     val sa = config.sourceAlias
     val cond = expr(config.predicate)
-    val cols = target.columns.toSeq.filterNot(_ == ridCol)
-    val ridKeep: Seq[Column] =
-      if (ridCarry) Seq(col(s"$ta.$ridCol").as(ridCol)) else Nil
-    val ridPlain: Seq[Column] = if (ridCarry) Seq(col(ridCol)) else Nil
-    val ridFresh: Seq[Column] =
-      if (ridCarry) Seq(lit(null).cast("long").as(ridCol)) else Nil
+    val cols = target.columns.toSeq.filterNot(plumbing)
     val marker = "__graft_matched"
+    val ridKeep: Seq[Column] =
+      if (!ridCarry) Nil
+      else Seq(col(s"$ta.$ridCol").as(ridCol),
+        when(col(marker), lit(null).cast("long"))
+          .otherwise(col(s"$ta.$rverCol")).as(rverCol))
+    val ridPlain: Seq[Column] =
+      if (ridCarry) Seq(col(ridCol), col(rverCol)) else Nil
+    val ridFresh: Seq[Column] =
+      if (ridCarry) Seq(lit(null).cast("long").as(ridCol),
+        lit(null).cast("long").as(rverCol))
+      else Nil
 
     def t = target.alias(ta)
     def s = source.alias(sa)

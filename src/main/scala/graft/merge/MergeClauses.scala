@@ -238,8 +238,10 @@ object MergeClausesExecutor {
       // clause recomputes — Delta parity even when DIFFERENT clauses
       // assign different columns)
       val insertsAligned =
-        if (rowIds) inserts.withColumn(
-          graft.io.RowTracking.PhysicalCol, lit(null).cast("long"))
+        if (rowIds) inserts
+          .withColumn(graft.io.RowTracking.PhysicalCol, lit(null).cast("long"))
+          .withColumn(graft.io.RowTracking.PhysicalVersionCol,
+            lit(null).cast("long"))
         else inserts
       val newData = dropGenFlags(graft.io.Generated.recomputeGated(
         rewritten.unionByName(insertsAligned), mergedSchema, props, genFlagCol),
@@ -392,8 +394,14 @@ object MergeClausesExecutor {
     val props = table.log.tableProperties()
     val genCols = graft.io.Generated.generatedOf(props).keys.toSeq
     val dvRidKeep: Seq[Column] =
-      if (rowIds) Seq(col(s"$ta.${graft.io.RowTracking.PhysicalCol}")
-        .as(graft.io.RowTracking.PhysicalCol))
+      if (rowIds) Seq(
+        col(s"$ta.${graft.io.RowTracking.PhysicalCol}")
+          .as(graft.io.RowTracking.PhysicalCol),
+        // updated rows take the rewrite commit's version (NULL falls
+        // through); carried sibling re-emits keep theirs
+        when(d.kind === "update", lit(null).cast("long"))
+          .otherwise(col(s"$ta.${graft.io.RowTracking.PhysicalVersionCol}"))
+          .as(graft.io.RowTracking.PhysicalVersionCol))
       else Nil
     val rewrites = affected
       .withColumn("__graft_keep", d.keep)
@@ -405,8 +413,10 @@ object MergeClausesExecutor {
       candDfM, src, cond, mergedSchema, notMatched, sa, ta,
       genCols = genCols, defaults = graft.io.Generated.defaultsOf(props))
     val inserts =
-      if (rowIds) inserts0.withColumn(
-        graft.io.RowTracking.PhysicalCol, lit(null).cast("long"))
+      if (rowIds) inserts0
+        .withColumn(graft.io.RowTracking.PhysicalCol, lit(null).cast("long"))
+        .withColumn(graft.io.RowTracking.PhysicalVersionCol,
+          lit(null).cast("long"))
       else inserts0
     val newData = dropGenFlags(graft.io.Generated.recomputeGated(
       rewrites.unionByName(inserts), mergedSchema, props, genFlagCol),
@@ -567,10 +577,17 @@ object MergeClausesExecutor {
             row_number().over(w.orderBy(idxC)))
           .filter(col("__graft_aff_row") || col("__graft_rn") === 1)
       }
-    // row tracking: every emitted row is a target row — carry its id
+    // row tracking: every emitted row is a target row — carry its id;
+    // the row VERSION carries only when no UPDATE clause fired (an
+    // updated row materializes NULL and falls through to the rewrite
+    // commit's version)
     val ridCol = graft.io.RowTracking.PhysicalCol
+    val rverCol = graft.io.RowTracking.PhysicalVersionCol
     val ridKeep: Seq[Column] =
-      if (target.columns.contains(ridCol)) Seq(col(s"$ta.$ridCol").as(ridCol))
+      if (target.columns.contains(ridCol))
+        Seq(col(s"$ta.$ridCol").as(ridCol),
+          when(d.kind === "update", lit(null).cast("long"))
+            .otherwise(col(s"$ta.$rverCol")).as(rverCol))
       else Nil
     pruned
       .withColumn("__graft_keep", d.keep)

@@ -136,6 +136,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*REFRESH\s+VECTOR\s+INDEX\s+""" + T + """\s*;?\s*$""").r
   private val DropVectorIndexRe =
     ("""(?is)^\s*DROP\s+VECTOR\s+INDEX\s+""" + T + """\s*;?\s*$""").r
+  private val CreateDedupStoreRe =
+    ("""(?is)^\s*CREATE\s+DEDUP\s+STORE\s+""" + T +
+      """\s+ON\s+""" + T +
+      """\s*\(\s*(\w+)\s*\)""" +
+      """(?:\s+ID\s+(\w+))?""" +
+      """(?:\s+OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""").r
+  private val RefreshDedupStoreRe =
+    ("""(?is)^\s*REFRESH\s+DEDUP\s+STORE\s+""" + T + """\s*;?\s*$""").r
+  private val DropDedupStoreRe =
+    ("""(?is)^\s*DROP\s+DEDUP\s+STORE\s+""" + T + """\s*;?\s*$""").r
   private val RefreshMatViewRe =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   private val CloneRe =
@@ -193,6 +203,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftRefreshVectorIndexCommand(target(p, n)))
       case DropVectorIndexRe(p, n) =>
         Some(GraftDropVectorIndexCommand(target(p, n)))
+      case CreateDedupStoreRe(p, n, sp, sn, textCol, idCol, opts) =>
+        Some(GraftCreateDedupStoreCommand(target(p, n), target(sp, sn),
+          textCol, Option(idCol),
+          Option(opts).map(optionPairs).getOrElse(Map.empty)))
+      case RefreshDedupStoreRe(p, n) =>
+        Some(GraftRefreshDedupStoreCommand(target(p, n)))
+      case DropDedupStoreRe(p, n) =>
+        Some(GraftDropDedupStoreCommand(target(p, n)))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>

@@ -267,6 +267,77 @@ final case class GraftDropVectorIndexCommand(
   }
 }
 
+/** `CREATE DEDUP STORE s ON t (textCol) [ID idCol] [OPTIONS('k'='v')]` —
+  * the SQL face of [[graft.ext.DedupIndex.buildFromTable]]: MinHash LSH
+  * fingerprints of the source land as a graft table coupled to the
+  * source's change feed. OPTIONS keys (quoted ints): `perms`,
+  * `rowsPerBand`, `maxDocsPerBand`. `REFRESH DEDUP STORE` mirrors
+  * source churn incrementally; `DROP DEDUP STORE` removes the store.
+  * (The gatekeeper/probe verbs stay Scala — `DedupIndex.ingest/probe`
+  * take arbitrary DataFrames, which SQL statements cannot.)
+  */
+final case class GraftCreateDedupStoreCommand(
+    target: Either[String, Seq[String]],
+    source: Either[String, Seq[String]],
+    textCol: String,
+    idCol: Option[String],
+    options: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("mirrored_source_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val storePath = GraftMaintenance.resolvePath(spark, target)
+    val srcPath = GraftMaintenance.resolvePath(spark, source)
+    val known = Seq("perms", "rowsPerBand", "maxDocsPerBand")
+    val unknown = options.keys.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"unknown dedup-store OPTIONS: ${unknown.mkString(", ")} " +
+        s"(expected: ${known.mkString(", ")})")
+    def intOf(k: String, d: Int) = options.get(k).map(_.trim.toInt).getOrElse(d)
+    graft.ext.DedupIndex.buildFromTable(spark, srcPath, storePath,
+      perms = intOf("perms", 16),
+      rowsPerBand = intOf("rowsPerBand", 4),
+      maxDocsPerBand = intOf("maxDocsPerBand", 500),
+      idCol = idCol.getOrElse("doc_id"),
+      textCol = textCol)
+    Seq(Row(GraftTable(spark, storePath).log.tableProperties()(
+      graft.ext.DedupIndex.SourceVersionKey).toLong))
+  }
+}
+
+/** `REFRESH DEDUP STORE s` — incremental change-feed mirror
+  * ([[graft.ext.DedupIndex.refresh]]); NULL when already current.
+  */
+final case class GraftRefreshDedupStoreCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("source_version", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    Seq(Row(graft.ext.DedupIndex.refresh(spark, path).map(Long.box).orNull))
+  }
+}
+
+/** `DROP DEDUP STORE s` — removes the fingerprint table; refuses any
+  * table without the store properties (a typo'd path must never delete
+  * a data table).
+  */
+final case class GraftDropDedupStoreCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    require(GraftTable.exists(spark, path), s"not a graft table: $path")
+    require(GraftTable(spark, path).log.tableProperties()
+      .contains(graft.ext.DedupIndex.ParamsKey),
+      s"$path is not a dedup store (missing " +
+        s"${graft.ext.DedupIndex.ParamsKey}); refusing to delete a data table")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    Seq(Row(path))
+  }
+}
+
 /** `ALTER TABLE t DROP FEATURE f` — see [[graft.io.Alter.dropFeature]]. */
 final case class GraftDropFeatureCommand(
     target: Either[String, Seq[String]],

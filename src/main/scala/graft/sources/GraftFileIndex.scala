@@ -49,10 +49,13 @@ final class GraftFileIndex(
 
   override val partitionSchema: StructType =
     if (!withBaseRowIdCol) declaredPartitionSchema
-    else StructType(declaredPartitionSchema.fields :+
+    else StructType(declaredPartitionSchema.fields ++ Seq(
       org.apache.spark.sql.types.StructField(
         graft.io.RowTracking.BaseCol,
-        org.apache.spark.sql.types.LongType, nullable = true))
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField(
+        graft.io.RowTracking.BaseVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = true)))
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
@@ -73,8 +76,9 @@ final class GraftFileIndex(
     if (withBaseRowIdCol)
       snap.files.map { f =>
         (InternalRow.fromSeq(
-          declaredValues(f.partitionValues) :+
-            f.baseRowId.map(java.lang.Long.valueOf).orNull),
+          declaredValues(f.partitionValues) ++ Seq(
+            f.baseRowId.map(java.lang.Long.valueOf).orNull,
+            f.addedVersion.map(java.lang.Long.valueOf).orNull)),
           Seq(f))
       }
     else

@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.catalog.BucketSpec
-import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, NamedExpression, Not}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -82,15 +82,17 @@ object GraftNativeRelation {
     val mapping = graft.io.ColumnMapping.fromSnapshot(snap0)
     val dataSchema0 = graft.io.ColumnMapping.physicalSchema(
       StructType(snap.schema.filterNot(f => partCols(f.name))), mapping)
-    // row-id reads also request the materialized id column: files
-    // without it (fresh appends) read NULL there and fall back to the
-    // baseRowId default in the projection below
+    // row-id reads also request the materialized id/version columns:
+    // files without them (fresh appends) read NULL there and fall back
+    // to the per-file defaults in the projection below
     val dataSchema =
-      if (withRowId && !dataSchema0.fieldNames.contains(graft.io.RowTracking.PhysicalCol))
-        StructType(dataSchema0.fields :+ org.apache.spark.sql.types.StructField(
-          graft.io.RowTracking.PhysicalCol,
-          org.apache.spark.sql.types.LongType, nullable = true))
-      else dataSchema0
+      if (!withRowId) dataSchema0
+      else StructType(dataSchema0.fields ++
+        Seq(graft.io.RowTracking.PhysicalCol,
+          graft.io.RowTracking.PhysicalVersionCol)
+          .filterNot(dataSchema0.fieldNames.contains)
+          .map(n => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.LongType, nullable = true)))
     // commit-log-backed index: zero FS listing, driver-side partition
     // pruning, footer-stats data skipping. Row-id reads additionally
     // thread each file's baseRowId through the index as a per-file
@@ -144,15 +146,23 @@ object GraftNativeRelation {
       if (!withRowId) allProjections0
       else {
         // default id = file's baseRowId (a per-file constant from the
-        // file index, NULL for pre-feature files) + physical row index
-        val fresh = org.apache.spark.sql.catalyst.expressions.Add(
-          byName(graft.io.RowTracking.BaseCol), rowIndex)
-        val rid = byName.get(graft.io.RowTracking.PhysicalCol) match {
-          case Some(mat) =>
-            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(mat, fresh))
-          case None => fresh
-        }
-        allProjections0 :+ Alias(rid, graft.io.RowTracking.Col)()
+        // file index, NULL for pre-feature files) + physical row index;
+        // default version = the file's commit version, same mechanism.
+        // Materialized columns (rewritten files) win via Coalesce.
+        def tracked(physical: String, fresh: Expression): Expression =
+          byName.get(physical) match {
+            case Some(mat) =>
+              org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(mat, fresh))
+            case None => fresh
+          }
+        val rid = tracked(graft.io.RowTracking.PhysicalCol,
+          org.apache.spark.sql.catalyst.expressions.Add(
+            byName(graft.io.RowTracking.BaseCol), rowIndex))
+        val rver = tracked(graft.io.RowTracking.PhysicalVersionCol,
+          byName(graft.io.RowTracking.BaseVersionCol))
+        allProjections0 ++ Seq(
+          Alias(rid, graft.io.RowTracking.Col)(),
+          Alias(rver, graft.io.RowTracking.VersionCol)())
       }
     Some(Project(allProjections, filtered))
   }

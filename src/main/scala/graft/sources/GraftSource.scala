@@ -165,9 +165,13 @@ final case class GraftRelation(
   override val schema: StructType = {
     val base = table.snapshot(versionAsOf).schema
     if (!withRowIds) base
-    else StructType(base.fields :+ org.apache.spark.sql.types.StructField(
-      graft.io.RowTracking.Col, org.apache.spark.sql.types.LongType,
-      nullable = true))
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        graft.io.RowTracking.Col, org.apache.spark.sql.types.LongType,
+        nullable = true),
+      org.apache.spark.sql.types.StructField(
+        graft.io.RowTracking.VersionCol, org.apache.spark.sql.types.LongType,
+        nullable = true)))
   }
 
   /** Map Catalyst source filters to data-skipping filters where the shape

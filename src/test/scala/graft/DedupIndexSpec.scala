@@ -168,6 +168,40 @@ class DedupIndexSpec extends SparkSpec {
       "a hot key must be ignored at query time")
   }
 
+  test("SQL DDL drives the store lifecycle: CREATE / REFRESH / DROP DEDUP STORE") {
+    val srcP = tmpDir("dedup_sql_src")
+    val store = tmpDir("dedup_sql_store") + "/st"
+    GraftWriter.write(spark, storeDocs.toDF("doc_id", "text"), srcP,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(Cdc.PropKey -> "true")))
+    val v = spark.sql(s"CREATE DEDUP STORE graft.`$store` ON graft.`$srcP` " +
+      "(text) ID doc_id OPTIONS ('perms' = '16', 'rowsPerBand' = '4')")
+      .head().getLong(0)
+    assert(v == GraftTable(spark, srcP).version())
+    assert(DedupIndex.probe(spark, store,
+      Seq(doc(70L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"))
+      .count() == 1)
+    // already current -> NULL; after source churn -> the new version
+    assert(spark.sql(s"REFRESH DEDUP STORE graft.`$store`").head().isNullAt(0))
+    GraftWriter.write(spark,
+      Seq(doc(5L, "added after the SQL build")).toDF("doc_id", "text"),
+      srcP, WriteOptions(mode = WriteMode.Append))
+    assert(spark.sql(s"REFRESH DEDUP STORE graft.`$store`").head().getLong(0) ==
+      GraftTable(spark, srcP).version())
+    // unknown OPTIONS refused; DROP refuses a data table, removes a store
+    val eOpt = intercept[Exception] {
+      spark.sql(s"CREATE DEDUP STORE graft.`${tmpDir("dedup_sql_bad")}/st` " +
+        s"ON graft.`$srcP` (text) OPTIONS ('bands' = '8')")
+    }
+    assert(eOpt.getMessage.contains("unknown dedup-store OPTIONS"))
+    val eDrop = intercept[Exception] {
+      spark.sql(s"DROP DEDUP STORE graft.`$srcP`")
+    }
+    assert(eDrop.getMessage.contains("not a dedup store"), eDrop.getMessage)
+    spark.sql(s"DROP DEDUP STORE graft.`$store`")
+    assert(!GraftTable.exists(spark, store))
+  }
+
   test("ingest refuses a table that is not a fingerprint store") {
     val p = tmpDir("dedup_idx_notidx")
     GraftWriter.write(spark, Seq((1L, "x")).toDF("doc_id", "text"), p,

@@ -274,6 +274,65 @@ class RowTrackingSpec extends SparkSpec {
     assert(t.toDf().filter(col("k") === 5L).head().getLong(1) == 7L)
   }
 
+  test("row versions: appends stamp, DML refreshes matches, maintenance preserves") {
+    val p = tmpDir("rt_versions")
+    def versByKey(t: GraftTable): Map[Long, Option[Long]] =
+      t.toDfWithRowIds().select("k", RowTracking.VersionCol).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    GraftWriter.write(spark,
+      (0L until 40L).map(i => (i, i)).toDF("k", "x").repartition(2), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true")))     // v0
+    GraftWriter.write(spark,
+      (40L until 60L).map(i => (i, i)).toDF("k", "x"), p,
+      WriteOptions(mode = WriteMode.Append))                     // v1
+    val t = GraftTable(spark, p)
+    assert(versByKey(t) == (0L until 60L)
+      .map(k => k -> Some(if (k < 40) 0L else 1L)).toMap)
+
+    GraftWriter.optimize(spark, p)                               // v2
+    assert(versByKey(t).forall { case (k, v) =>
+      v.contains(if (k < 40) 0L else 1L) }, "compaction changed versions")
+
+    graft.merge.Dml.update(spark, p, col("k") % 5 === 0,
+      Map("x" -> (col("x") + 100L)))                             // v3
+    val afterUpd = versByKey(t)
+    assert((0L until 60L).forall { k =>
+      afterUpd(k).contains(
+        if (k % 5 == 0) 3L else if (k < 40) 0L else 1L) },
+      s"UPDATE must stamp only its matches: $afterUpd")
+
+    // merge: updated rows take the merge version, inserts too, carried
+    // rows keep theirs
+    graft.merge.MergeExecutor.merge(spark,
+      Seq((1L, 7L), (100L, 8L)).toDF("k", "x"), p,
+      graft.merge.MergeConfig(graft.merge.MergeType.Upsert, "s.k = t.k"))
+    val v4 = t.version()
+    val afterMerge = versByKey(t)
+    assert(afterMerge(1L).contains(v4) && afterMerge(100L).contains(v4))
+    assert(afterMerge(2L) == afterUpd(2L), "carried row version moved")
+
+    // ids still intact through all of it
+    assert(idsByKey(t.toDfWithRowIds()).size == 61)
+  }
+
+  test("DV tables: version refreshes ride postimages; survivors untouched") {
+    val p = tmpDir("rt_versions_dv")
+    GraftWriter.write(spark,
+      (0L until 30L).map(i => (i, i)).toDF("k", "x"), p,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(CommitLog.RowTrackingKey -> "true",
+          DeletionVectors.PropKey -> "true")))                   // v0
+    val t = GraftTable(spark, p)
+    graft.merge.Dml.update(spark, p, col("k") === 3L,
+      Map("x" -> lit(99L)))                                      // v1
+    val vers = t.toDfWithRowIds().select("k", RowTracking.VersionCol)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vers(3L) == 1L, "DV update postimage must take the new version")
+    assert(vers(2L) == 0L, "DV survivors must keep their version")
+  }
+
   test("schema-evolution merges refuse the reserved id column names") {
     val p = tmpDir("rt_evolve_reserved")
     GraftWriter.write(spark, (0L until 10L).map(i => (i, i)).toDF("k", "x"), p,
