@@ -185,8 +185,8 @@ object ExplainAudit {
       s"rows=${rid.count()}")
 
     println("=== [Q] dedup-store ingest probe (expect ONE store scan, " +
-      "batch keys BROADCAST into a semi-join, no store-sized shuffle " +
-      "before the partial-aggregated key projection) ===")
+      "batch keys BROADCAST into the join, and a partial-aggregated " +
+      "per-key count — no store-sized shuffle) ===")
     val dedupIdx = java.nio.file.Files
       .createTempDirectory("audit_dedup").toString + "/ix"
     val seedDocs = spark.range(0, 2000).selectExpr("id AS doc_id",
@@ -197,8 +197,14 @@ object ExplainAudit {
         "concat('fresh crawl text ', id, ' never seen before') AS text"))
       .selectExpr("CAST(doc_id AS LONG) AS doc_id",
         "CAST(band_id AS LONG) AS band_id", "band_key")
+    // the cap comes from the store's RECORDED params — the same value
+    // production ingest/probe read, never a literal that can drift
+    val auditCap = graft.io.GraftTable(spark, dedupIdx).log.tableProperties()(
+      graft.ext.DedupIndex.ParamsKey).split(',')
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      .apply("maxDocsPerBand").toInt
     val probe = graft.ext.DedupIndex.hitKeysOf(
-      graft.io.GraftTable(spark, dedupIdx).toDf(), auditBands, 500)
+      graft.io.GraftTable(spark, dedupIdx).toDf(), auditBands, auditCap)
     probe.explain("formatted")
     val probePlan = probe.queryExecution.executedPlan.toString()
     val probeScans = probePlan.split("\n").count(_.contains("Scan parquet"))

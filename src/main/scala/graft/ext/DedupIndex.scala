@@ -191,12 +191,22 @@ object DedupIndex {
     // insert/postimage twins (id-changing UPDATEs purge the old id)
     val priority = when(col(graft.io.Cdc.ChangeCol)
       .isin("delete", "update_preimage"), 0L).otherwise(1L)
-    val latest = changes
-      .withColumn("__pri", priority)
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-          .orderBy(col(graft.io.Cdc.VersionCol).desc, col("__pri").desc)))
-      .filter(col("__rn") === 1)
+    // pinned: the change scan + its window shuffle feed BOTH the upsert
+    // and the delete branches of the merge source — without the
+    // checkpoint the feed would execute twice (narrowed to the columns
+    // both branches need before pinning)
+    val latest = {
+      val l = changes
+        .withColumn("__pri", priority)
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+            .orderBy(col(graft.io.Cdc.VersionCol).desc, col("__pri").desc)))
+        .filter(col("__rn") === 1)
+        .select(col(idCol), col(textCol), col("__pri"))
+        .localCheckpoint(eager = true)
+      Scratch.register(l)
+      l
+    }
     // re-encode the survivors, applying the SAME hot-band cap as build
     // WITHIN this refresh batch: a degenerate key must not re-enter the
     // store through maintenance (an updated doc's now-hot band converts
@@ -235,6 +245,7 @@ object DedupIndex {
         Some(col("s.__op") =!= "D"))),
       extraMetadata = Map(SourceVersionKey -> curV.toString))
     Scratch.release(upBands)
+    Scratch.release(latest)
     Some(curV)
   }
 
@@ -306,11 +317,21 @@ object DedupIndex {
     // within-batch join, the survivor filter, and the append
     val bands = batchBands(batch, kv).localCheckpoint(eager = true)
 
-    // 1. store probe — the only store-sized work (see [[hitKeysOf]])
+    // 1. store probe (see [[hitKeysOf]]) — plus a doc_id-level presence
+    // check: a doc whose EVERY band key is over the hot cap would match
+    // nothing by key, so without the id check a crashed-and-replayed
+    // ingest would emit it (and append its bands) twice. The id probe
+    // is a second pass over the store but column-pruned to doc_id with
+    // a broadcast semi — still narrow at any store size.
     val hitKeys = hitKeysOf(table.toDf(), bands, kv("maxDocsPerBand").toInt)
+    val alreadyIngested = table.toDf().select("doc_id")
+      .join(broadcast(batch.select(col(idCol).cast("long").as("doc_id"))
+        .distinct()), Seq("doc_id"), "left_semi")
+      .distinct()
     val storeBeaten = bands
       .join(broadcast(hitKeys), Seq("band_id", "band_key"), "left_semi")
       .select("doc_id")
+      .union(alreadyIngested)
 
     // 2. within-batch: beaten by any smaller-id batch doc sharing a
     // band (columns renamed apart — self-join of one checkpoint)

@@ -664,29 +664,12 @@ object Similarity {
       rowCountHint: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
-    val codes = TextOps.spread(corpus)
-      .select(col(idCol).as("n_id"), pqCodesExpr(vecCol, dsub, books).as("codes"))
-    val qtab = org.apache.spark.sql.graft.GraftInternal.column(
-      graft.functions.PqQueryTable(
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
-        books.map(_.map(_._2)), ip = true))
-    val q = broadcast(corpus.filter(queryPred)
-      .select(col(idCol).as("q_id"), qtab.as("qtab")))
-    val adc = org.apache.spark.sql.graft.GraftInternal.column(
-      graft.functions.PqAdcDistance(
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
-    val scored = codes
-      .crossJoin(q)
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim_e6", adc) // approximate dot — already "larger is closer"
-    topKRows(scored, k)
-      .select(col("q_id"), col("n_id"), col("rank"),
-        col("sim_e6").as("asim_e6"))
+    pqTopKWith(corpus, queryPred, k, dsub, books, idCol, vecCol, ip = true)
   }
 
-  /** ADC top-k against explicit codebooks (shared by the stride-seeded
-    * and k-means paths).
+  /** ADC top-k against explicit codebooks (shared by the stride-seeded,
+    * k-means, and inner-product paths — `ip` flips the table metric and
+    * the ranking direction, nothing else about the plan changes).
     */
   private def pqTopKWith(
       corpus: DataFrame,
@@ -695,13 +678,14 @@ object Similarity {
       dsub: Int,
       books: Array[Array[(Int, Array[Float], Double)]],
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      ip: Boolean = false): DataFrame = {
     val codes = TextOps.spread(corpus)
       .select(col(idCol).as("n_id"), pqCodesExpr(vecCol, dsub, books).as("codes"))
     val qtab = org.apache.spark.sql.graft.GraftInternal.column(
       graft.functions.PqQueryTable(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
-        books.map(_.map(_._2))))
+        books.map(_.map(_._2)), ip = ip))
     val q = broadcast(corpus.filter(queryPred)
       .select(col(idCol).as("q_id"), qtab.as("qtab")))
     val adc = org.apache.spark.sql.graft.GraftInternal.column(
@@ -711,11 +695,13 @@ object Similarity {
     val scored = codes
       .crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("adist_e6", adc)
-      .withColumn("sim_e6", -col("adist_e6")) // top-k wants "larger is closer"
+      // top-k keeps "larger is closer": a summed dot table already is;
+      // a summed distance table negates in and flips back on output
+      .withColumn("sim_e6", if (ip) adc else -adc)
     topKRows(scored, k)
       .select(col("q_id"), col("n_id"), col("rank"),
-        (-col("sim_e6")).as("adist_e6"))
+        (if (ip) col("sim_e6").as("asim_e6")
+         else (-col("sim_e6")).as("adist_e6")))
   }
 
   // ---------- IVF-PQ with residual encoding ----------

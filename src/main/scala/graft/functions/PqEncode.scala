@@ -177,10 +177,13 @@ case class PqQueryTable(child: Expression, books: Array[Array[Array[Float]]],
     while (j < m) {
       val off = j * dsub
       var xx = 0.0
-      var i = 0
-      while (i < dsub) {
-        val v = x.getFloat(off + i).toDouble; xx += v * v; i += 1
+      if (!ip) { // the query self-dot only feeds the L2 expansion
+        var i0 = 0
+        while (i0 < dsub) {
+          val v = x.getFloat(off + i0).toDouble; xx += v * v; i0 += 1
+        }
       }
+      var i = 0
       val row = new Array[Long](ksub)
       var c = 0
       while (c < ksub) {

@@ -669,7 +669,7 @@ final class CommitLog(
         }
         val registered = mergedMeta1.updated(Protocol.WriterFeaturesKey,
           Protocol.render(Protocol.parse(mergedMeta1, Protocol.WriterFeaturesKey) +
-            Protocol.RowTracking))
+            Protocol.RowTracking + Protocol.RowVersions))
         (assigned, registered.updated(CommitLog.RowIdHwmKey, hwm.toString))
       }
     // in-commit timestamps are MONOTONE per table (Delta's in-commit
@@ -880,6 +880,15 @@ object Protocol {
     */
   val RowTracking = "rowTracking"
 
+  /** Row COMMIT VERSIONS (`_graft_row_version`): rewrites must
+    * materialize carried rows' versions (`__graft_row_version`) or a
+    * compaction by a versions-unaware build would silently reset every
+    * carried row's version to the compaction commit — so it gates the
+    * WRITE side separately from [[RowTracking]] (an ids-only build
+    * passes the rowTracking gate but would still corrupt versions).
+    */
+  val RowVersions = "rowVersions"
+
   /** Everything this build can READ correctly. */
   val SupportedReaderFeatures: Set[String] = Set(DeletionVectors, TypeWidening)
 
@@ -888,7 +897,7 @@ object Protocol {
     * file and resurrect its deleted rows).
     */
   val SupportedWriterFeatures: Set[String] =
-    Set(DeletionVectors, TypeWidening, RowTracking)
+    Set(DeletionVectors, TypeWidening, RowTracking, RowVersions)
 
   def parse(metadata: Map[String, String], key: String): Set[String] =
     metadata.get(key).toSet[String]

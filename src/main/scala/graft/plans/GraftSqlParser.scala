@@ -146,6 +146,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*REFRESH\s+DEDUP\s+STORE\s+""" + T + """\s*;?\s*$""").r
   private val DropDedupStoreRe =
     ("""(?is)^\s*DROP\s+DEDUP\s+STORE\s+""" + T + """\s*;?\s*$""").r
+  private val DescribeVectorIndexRe =
+    ("""(?is)^\s*DESCRIBE\s+VECTOR\s+INDEX\s+""" + T + """\s*;?\s*$""").r
+  private val DescribeDedupStoreRe =
+    ("""(?is)^\s*DESCRIBE\s+DEDUP\s+STORE\s+""" + T + """\s*;?\s*$""").r
   private val RefreshMatViewRe =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   private val CloneRe =
@@ -211,6 +215,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftRefreshDedupStoreCommand(target(p, n)))
       case DropDedupStoreRe(p, n) =>
         Some(GraftDropDedupStoreCommand(target(p, n)))
+      case DescribeVectorIndexRe(p, n) =>
+        Some(GraftDescribeVectorIndexCommand(target(p, n)))
+      case DescribeDedupStoreRe(p, n) =>
+        Some(GraftDescribeDedupStoreCommand(target(p, n)))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>

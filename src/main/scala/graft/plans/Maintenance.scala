@@ -338,6 +338,67 @@ final case class GraftDropDedupStoreCommand(
   }
 }
 
+/** `DESCRIBE VECTOR INDEX i` — the staleness AND quantizer-drift
+  * advisory as one SQL row ([[graft.ext.AnnIndex.status]] with the
+  * bounded drift probe): when `rebuild_recommended` is true, REFRESH
+  * keeps degrading recall and a re-`CREATE` is due.
+  */
+final case class GraftDescribeVectorIndexCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source_path", StringType, nullable = false)(),
+    AttributeReference("indexed_version", LongType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("build_distortion_e6", LongType, nullable = true)(),
+    AttributeReference("current_distortion_e6", LongType, nullable = true)(),
+    AttributeReference("rebuild_recommended",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    val st = graft.ext.AnnIndex.status(spark, path, probeDrift = true)
+    val src = GraftTable(spark, path).log.tableProperties()(
+      graft.ext.AnnIndex.SourcePathKey)
+    Seq(Row(src, st.indexedVersion, st.sourceVersion, st.stale,
+      st.buildDistortionE6.map(Long.box).orNull,
+      st.currentDistortionE6.map(Long.box).orNull,
+      st.rebuildRecommended))
+  }
+}
+
+/** `DESCRIBE DEDUP STORE s` — coupling, watermark, parameters, and the
+  * fingerprint row count (commit-log metadata only; no scan).
+  */
+final case class GraftDescribeDedupStoreCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source_path", StringType, nullable = true)(),
+    AttributeReference("mirrored_version", LongType, nullable = true)(),
+    AttributeReference("source_version", LongType, nullable = true)(),
+    AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
+      nullable = true)(),
+    AttributeReference("params", StringType, nullable = false)(),
+    AttributeReference("fingerprints", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    val t = GraftTable(spark, path)
+    val props = t.log.tableProperties()
+    val params = props.getOrElse(graft.ext.DedupIndex.ParamsKey,
+      throw new IllegalStateException(s"$path is not a dedup store"))
+    val srcPath = props.get(graft.ext.DedupIndex.SourcePathKey)
+    val mirrored = props.get(graft.ext.DedupIndex.SourceVersionKey).map(_.toLong)
+    val srcV = srcPath.map(p => GraftTable(spark, p).version())
+    Seq(Row(
+      srcPath.orNull,
+      mirrored.map(Long.box).orNull,
+      srcV.map(Long.box).orNull,
+      (for { m <- mirrored; s <- srcV } yield Boolean.box(s > m)).orNull,
+      params,
+      t.snapshot().files.map(_.liveRecords).sum))
+  }
+}
+
 /** `ALTER TABLE t DROP FEATURE f` — see [[graft.io.Alter.dropFeature]]. */
 final case class GraftDropFeatureCommand(
     target: Either[String, Seq[String]],

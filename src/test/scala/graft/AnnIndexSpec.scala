@@ -246,6 +246,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(spark.sql(s"REFRESH VECTOR INDEX graft.`$idx`").head().getLong(0) ==
       GraftTable(spark, src).version())
     assert(codesOf(idx) == frozenRecompute(idx, src))
+    // DESCRIBE surfaces staleness + the drift advisory in one row
+    val d = spark.sql(s"DESCRIBE VECTOR INDEX graft.`$idx`").head()
+    assert(!d.getBoolean(d.fieldIndex("stale")))
+    assert(!d.getBoolean(d.fieldIndex("rebuild_recommended")))
+    assert(!d.isNullAt(d.fieldIndex("build_distortion_e6")))
+    GraftWriter.write(spark, embDf(Seq((301L, vec(5), 0L))), src,
+      WriteOptions(mode = WriteMode.Append))
+    assert(spark.sql(s"DESCRIBE VECTOR INDEX graft.`$idx`")
+      .head().getBoolean(3), "DESCRIBE must flag staleness")
+    spark.sql(s"REFRESH VECTOR INDEX graft.`$idx`").collect()
     // unknown OPTIONS refused
     val eOpt = intercept[Exception] {
       spark.sql(s"CREATE VECTOR INDEX graft.`${tmpDir("ann_sql_bad")}/ix` " +

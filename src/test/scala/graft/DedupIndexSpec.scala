@@ -188,6 +188,17 @@ class DedupIndexSpec extends SparkSpec {
       srcP, WriteOptions(mode = WriteMode.Append))
     assert(spark.sql(s"REFRESH DEDUP STORE graft.`$store`").head().getLong(0) ==
       GraftTable(spark, srcP).version())
+    // DESCRIBE: coupling, watermark, staleness, fingerprint count
+    val d = spark.sql(s"DESCRIBE DEDUP STORE graft.`$store`").head()
+    assert(d.getString(d.fieldIndex("source_path")) == srcP)
+    assert(!d.getBoolean(d.fieldIndex("stale")))
+    assert(d.getLong(d.fieldIndex("fingerprints")) > 0L)
+    GraftWriter.write(spark,
+      Seq(doc(6L, "one more appended for the describe check")).toDF("doc_id", "text"),
+      srcP, WriteOptions(mode = WriteMode.Append))
+    assert(spark.sql(s"DESCRIBE DEDUP STORE graft.`$store`")
+      .head().getBoolean(3), "DESCRIBE must flag staleness")
+    spark.sql(s"REFRESH DEDUP STORE graft.`$store`").collect()
     // unknown OPTIONS refused; DROP refuses a data table, removes a store
     val eOpt = intercept[Exception] {
       spark.sql(s"CREATE DEDUP STORE graft.`${tmpDir("dedup_sql_bad")}/st` " +

@@ -41,10 +41,13 @@ class RowTrackingSpec extends SparkSpec {
     assert(snap2.files.map(_.path).toSet != snap1.files.map(_.path).toSet)
     assert(idsByKey(t.toDfWithRowIds()) == ids1,
       "OPTIMIZE changed row ids")
-    // and the writer feature is registered
-    assert(graft.log.Protocol.parse(t.log.tableProperties(),
+    // and BOTH writer features are registered — an ids-only build
+    // passing the rowTracking gate alone would still corrupt row
+    // versions on its first rewrite
+    val feats = graft.log.Protocol.parse(t.log.tableProperties(),
       graft.log.Protocol.WriterFeaturesKey)
-      .contains(graft.log.Protocol.RowTracking))
+    assert(feats.contains(graft.log.Protocol.RowTracking))
+    assert(feats.contains(graft.log.Protocol.RowVersions))
 
     // fresh rows keep allocating ABOVE everything ever assigned
     GraftWriter.write(spark,
@@ -325,12 +328,38 @@ class RowTrackingSpec extends SparkSpec {
         metadata = Map(CommitLog.RowTrackingKey -> "true",
           DeletionVectors.PropKey -> "true")))                   // v0
     val t = GraftTable(spark, p)
+    def vers(): Map[Long, Long] =
+      t.toDfWithRowIds().select("k", RowTracking.VersionCol)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.merge.Dml.update(spark, p, col("k") === 3L,
       Map("x" -> lit(99L)))                                      // v1
-    val vers = t.toDfWithRowIds().select("k", RowTracking.VersionCol)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(vers(3L) == 1L, "DV update postimage must take the new version")
-    assert(vers(2L) == 0L, "DV survivors must keep their version")
+    val v1 = vers()
+    assert(v1(3L) == 1L, "DV update postimage must take the new version")
+    assert(v1(2L) == 0L, "DV survivors must keep their version")
+
+    // DV strategy merge: updated rows + inserts take the merge commit's
+    // version; untouched rows keep theirs
+    graft.merge.MergeExecutor.merge(spark,
+      Seq((5L, 50L), (100L, 1L)).toDF("k", "x"), p,
+      graft.merge.MergeConfig(graft.merge.MergeType.Upsert, "s.k = t.k"))
+    val vAfterUpsert = t.version()
+    val v2 = vers()
+    assert(v2(5L) == vAfterUpsert && v2(100L) == vAfterUpsert,
+      s"DV upsert must stamp its postimages/inserts: $v2")
+    assert(v2(2L) == 0L && v2(3L) == 1L, "DV upsert moved untouched versions")
+
+    // DV clause merge: UPDATE SET refreshes exactly its match
+    graft.merge.MergeClausesExecutor.merge(spark,
+      Seq((7L, 70L)).toDF("k", "x"), p,
+      predicate = "s.k = t.k",
+      matched = Seq(graft.merge.UpdateSet(Map("x" -> expr("s.x")), None)))
+    val vAfterClause = t.version()
+    val v3 = vers()
+    assert(v3(7L) == vAfterClause, s"DV clause update version: $v3")
+    assert(v3(5L) == vAfterUpsert && v3(2L) == 0L,
+      "DV clause merge moved untouched versions")
+    // ids held throughout
+    assert(idsByKey(t.toDfWithRowIds()).size == 31)
   }
 
   test("schema-evolution merges refuse the reserved id column names") {
