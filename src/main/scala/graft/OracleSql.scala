@@ -371,6 +371,43 @@ object OracleSql {
         SELECT q_id, n_id, "rank", asim_e6 FROM ranked WHERE "rank" <= 5"""
   }
 
+  /** IVF-IP twin: coarse assignment by rounded-DOT argmax (not cosine),
+    * raw-vector PQ codes (shared [[pqCtes]] — no residuals), per-query
+    * dot tables restricted to the query's own cell, rank DESC.
+    */
+  private val knnIvfIpSql: String = {
+    val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
+    val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
+    s"""WITH $pqCtes,
+        cent AS (SELECT vec_id AS c_id, embedding AS c_vec
+                 FROM embeddings WHERE vec_id % $centStride = 0),
+        scoredA AS (SELECT e.vec_id, e.embedding, c_id,
+                           ${dotE6("e.embedding", "c_vec")} AS c_dot
+                    FROM embeddings e, cent),
+        assign AS (SELECT vec_id, embedding, c_id AS cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY c_dot DESC, c_id) AS rn
+                      FROM scoredA) WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell
+              FROM assign WHERE vec_id < 32),
+        dtab AS (SELECT q.q_id, js.j, c.idx,
+                        CAST(round((${dot(qx, cs)}) * 1000000) AS BIGINT) AS d
+                 FROM q, js, cb c),
+        sc AS (SELECT q.q_id, co.vec_id AS n_id,
+                      CAST(sum(d.d) AS BIGINT) AS asim_e6
+               FROM q JOIN assign a2 ON a2.cell = q.cell
+                    JOIN codes co ON co.vec_id = a2.vec_id
+                    JOIN dtab d ON d.q_id = q.q_id
+                     AND d.j = co.j AND d.idx = co.code
+               WHERE co.vec_id <> q.q_id
+               GROUP BY q.q_id, co.vec_id),
+        ranked AS (SELECT q_id, n_id, asim_e6,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY asim_e6 DESC, n_id) AS "rank"
+                   FROM sc)
+        SELECT q_id, n_id, "rank", asim_e6 FROM ranked WHERE "rank" <= 5"""
+  }
+
   private val knnPqAdcSql: String = {
     val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
     val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
@@ -1335,6 +1372,8 @@ object OracleSql {
     "knn_pq_adc" -> knnPqAdcSql,
 
     "knn_pq_adc_ip" -> knnPqAdcIpSql,
+
+    "knn_ivf_ip" -> knnIvfIpSql,
 
     "knn_ivfpq_adc" -> knnIvfPqAdcSql,
     // the persisted-index search is bit-identical to the inline IVF-PQ

@@ -989,6 +989,16 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("asim_e6"))
 
+  /** Cell-confined MIPS (IVF-IP): dot-assigned coarse cells confine the
+    * candidates, raw-vector PQ books (no residuals — the IP posture),
+    * inner-product ADC tables rank descending.
+    */
+  private def qKnnIvfIp(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfIpTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
+      rowCountHint = embRows(spark, dir))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("asim_e6"))
+
   /** IVF-PQ ADC top-5: residual-encoded codes within coarse cells —
     * the billion-vector layout (IVF confines, PQ shrinks, residual
     * encoding concentrates the books on within-cell variance).
@@ -1758,6 +1768,7 @@ object SparkEntry {
     "pq_codes_kmeans" -> (qPqCodesKmeans _),
     "knn_pq_adc" -> (qKnnPqAdc _),
     "knn_pq_adc_ip" -> (qKnnPqAdcIp _),
+    "knn_ivf_ip" -> (qKnnIvfIp _),
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
     "knn_index_search" -> (qKnnIndexSearch _),
@@ -1844,8 +1855,8 @@ object SparkEntry {
     "text_fingerprint", "text_repetition", "text_source_stats",
     "knn_brute_topk", "knn_brute_l2", "knn_brute_dot",
     "knn_ivf_topk", "knn_ivf_kmeans",
-    "pq_codes", "knn_pq_adc", "knn_pq_adc_ip", "knn_pq_adc_kmeans",
-    "knn_ivfpq_adc",
+    "pq_codes", "knn_pq_adc", "knn_pq_adc_ip", "knn_ivf_ip",
+    "knn_pq_adc_kmeans", "knn_ivfpq_adc",
     "knn_ivfpq_rerank", "knn_ivfpq_filtered", "knn_ivfpq_kmeans",
     "cosine_dup_pairs",
     "multimodal_project", "binary_meta", "image_decode_stats",

@@ -198,7 +198,12 @@ object Similarity {
         * literal c_norm is the driver-side [[foldNorm]] of the same
         * doubles `norm` folds).
         */
-      keepSim: Boolean = false): DataFrame = {
+      keepSim: Boolean = false,
+      /** Rank cells by raw DOT instead of cosine — the inner-product
+        * coarse quantizer for MIPS ([[ivfIpTopK]]); with `keepSim` the
+        * emitted score is then the rounded dot, not the cosine.
+        */
+      byDot: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centRows = cents
       .select(col("c_id").cast("long"), col("c_vec"))
@@ -218,7 +223,9 @@ object Similarity {
     // longs out, so downstream hashes are unchanged
     val qNorm = norm(col(vecCol))
     val scored = transform(centArr, c =>
-      struct((-round(dot(col(vecCol), c("c_vec")) / (qNorm * c("c_norm")) * 1e6)
+      struct((-round(
+        (if (byDot) dot(col(vecCol), c("c_vec"))
+         else dot(col(vecCol), c("c_vec")) / (qNorm * c("c_norm"))) * 1e6)
         .cast("long")).as("nsim"),
         c("c_id").as("c_id")))
     // ascending struct sort = sim desc, c_id asc — the old tie-break
@@ -665,6 +672,60 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
     pqTopKWith(corpus, queryPred, k, dsub, books, idCol, vecCol, ip = true)
+  }
+
+  /** Cell-confined maximum-inner-product retrieval (IVF-IP): the MIPS
+    * analog of [[ivfpqTopK]]. Coarse cells are assigned by raw DOT
+    * (FAISS's inner-product coarse quantizer), PQ books train on the
+    * RAW vectors — no residual encoding, the standard IP posture
+    * (dot doesn't linearize over the residual decomposition the way
+    * squared-L2 does) — queries probe their `nprobe` best-dot cells
+    * with inner-product ADC tables, and ranking is by summed table
+    * DESCENDING. Plan shape matches the L2 family: centroids/books as
+    * plan literals, codes-only corpus side, the one shuffle keyed on
+    * `cell`, bounded top-k. Output: (q_id, n_id, rank, asim_e6).
+    */
+  def ivfIpTopK(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      numCells: Int = 32,
+      m: Int = 16,
+      ksub: Int = 16,
+      nprobe: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = centroidsK(corpus, numCells, idCol, vecCol, rowCountHint)
+    val assigned = assignCells(corpus, cents, idCol, vecCol,
+      nprobe = 1, byDot = true)
+    val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
+    val codes = assigned.select(col(idCol).as("n_id"), col("cell"),
+      pqCodesExpr(vecCol, dsub, books).as("codes"))
+    val qtab = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqQueryTable(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
+        books.map(_.map(_._2)), ip = true))
+    val q = broadcast(
+      assignCells(corpus.filter(queryPred), cents, idCol, vecCol,
+        nprobe = nprobe, byDot = true)
+        .select(col(idCol).as("q_id"), col("cell"), qtab.as("qtab")))
+    val adc = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqAdcDistance(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
+    val scored = codes
+      .join(q, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim_e6", adc)
+      // the IP table is cell-independent (no residuals), so a pair seen
+      // from several probed cells scores identically — max is a dedup
+      .groupBy("q_id", "n_id")
+      .agg(max(col("sim_e6")).as("sim_e6"))
+    topKRows(scored, k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        col("sim_e6").as("asim_e6"))
   }
 
   /** ADC top-k against explicit codebooks (shared by the stride-seeded,

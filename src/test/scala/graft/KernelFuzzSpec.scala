@@ -54,6 +54,56 @@ class KernelFuzzSpec extends SparkSpec {
     assert(out(1L) && out(3L) && !out(2L))
   }
 
+  test("PqQueryTable ip mode matches a plain-Scala dot table; L2 mode the expansion") {
+    val m = 4; val ksub = 8; val dsub = 4
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m, ksub, dsub) {
+      (j, c, i) => rnd.nextFloat() * 4f - 2f
+    }
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Array.fill(m * dsub)(rnd.nextFloat() * 10f - 5f))
+    }
+    def model(v: Array[Float], ip: Boolean): Seq[Seq[Long]] =
+      (0 until m).map { j =>
+        val off = j * dsub
+        var xx = 0.0
+        var i = 0
+        while (i < dsub) { val x = v(off + i).toDouble; xx += x * x; i += 1 }
+        (0 until ksub).map { c =>
+          var xc = 0.0; var cc = 0.0; var t = 0
+          while (t < dsub) {
+            val b = books(j)(c)(t).toDouble
+            xc += v(off + t).toDouble * b; cc += b * b; t += 1
+          }
+          graft.functions.PqEncode.roundE6(if (ip) xc else xx - 2.0 * xc + cc)
+        }
+      }
+    val df = rows.toDF("id", "v")
+    for (ip <- Seq(true, false)) {
+      val tab = org.apache.spark.sql.graft.GraftInternal.column(
+        graft.functions.PqQueryTable(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("v"),
+          books, ip = ip))
+      val got = df.select(col("id"), tab.as("t")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Long]](1).map(_.toSeq).toSeq).toMap
+      rows.foreach { case (id, v) =>
+        assert(got(id) == model(v, ip), s"ip=$ip id=$id")
+      }
+    }
+    // dim mismatch and null element -> NULL table in BOTH modes
+    val bad = Seq(
+      (1L, Array.fill(m * dsub - 1)(1f)),
+      (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    for (ip <- Seq(true, false)) {
+      val tab = org.apache.spark.sql.graft.GraftInternal.column(
+        graft.functions.PqQueryTable(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("v"),
+          books, ip = ip))
+      assert(bad.select(tab.as("t")).collect().forall(_.isNullAt(0)))
+    }
+  }
+
   test("HashedLinearScore matches the plain-Scala model on hostile whitespace") {
     val texts = Seq(
       "", " ", "\t", "hello world", "hello\tworld", "  padded  ",
