@@ -197,12 +197,10 @@ object ExplainAudit {
         "concat('fresh crawl text ', id, ' never seen before') AS text"))
       .selectExpr("CAST(doc_id AS LONG) AS doc_id",
         "CAST(band_id AS LONG) AS band_id", "band_key")
-    // the cap comes from the store's RECORDED params — the same value
-    // production ingest/probe read, never a literal that can drift
-    val auditCap = graft.io.GraftTable(spark, dedupIdx).log.tableProperties()(
-      graft.ext.DedupIndex.ParamsKey).split(',')
-      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-      .apply("maxDocsPerBand").toInt
+    // the cap comes from the store's RECORDED params through the SAME
+    // parser production ingest/probe use — nothing that can drift
+    val auditCap = graft.ext.DedupIndex.paramsOf(
+      graft.io.GraftTable(spark, dedupIdx))("maxDocsPerBand").toInt
     val probe = graft.ext.DedupIndex.hitKeysOf(
       graft.io.GraftTable(spark, dedupIdx).toDf(), auditBands, auditCap)
     probe.explain("formatted")

@@ -13,9 +13,10 @@ import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
   *     band_key)` for a seed corpus ONCE and commits them as a graft
   *     table (with the banding parameters as carried properties);
   *   - [[ingest]] dedups a NEW batch against everything ever ingested
-  *     without rescanning any document text: one narrow scan of the
-  *     band store joined against the (broadcast-sized) batch's band
-  *     rows, then ONE append commit of the survivors' fingerprints.
+  *     without rescanning any document text: two narrow column-pruned
+  *     store passes (band-key probe + doc-id presence) joined against
+  *     the (broadcast-sized) batch side, then ONE append commit of the
+  *     survivors' fingerprints.
   *
   * This is the shape a 100 TB training-data pipeline actually needs:
   * the crawl's daily increment is deduped against the full historical
@@ -24,8 +25,13 @@ import graft.io.{GraftTable, GraftWriter, WriteMode, WriteOptions}
   * docs' band rows (≈ perms/rowsPerBand longs per doc).
   *
   * Survivor semantics (deterministic, oracle-checked): a batch doc
-  * survives iff (a) none of its bands matches a stored fingerprint and
-  * (b) none of its bands matches a SMALLER-id doc of the same batch.
+  * survives iff (a) none of its bands matches a stored fingerprint,
+  * (b) none of its bands matches a SMALLER-id doc of the same batch,
+  * and (c) its doc ID is not already fingerprinted — ids are
+  * identities, so re-ingesting an id (crash replay, re-crawl) never
+  * double-emits and never updates the stored fingerprints (a
+  * re-crawled id with NEW text needs a [[buildFromTable]]-coupled
+  * store, whose [[refresh]] mirrors text changes).
   * Within-batch matching is against ALL batch docs (not just survivors)
   * — one relational pass, no transitive chasing; a batch doc beaten by
   * an (itself beaten) smaller sibling is still dropped, which is the
@@ -273,7 +279,7 @@ object DedupIndex {
   }
 
   /** Banding parameters of a store table, or a loud non-store error. */
-  private def paramsOf(table: GraftTable): Map[String, String] =
+  private[graft] def paramsOf(table: GraftTable): Map[String, String] =
     table.log.tableProperties().getOrElse(ParamsKey,
       throw new IllegalStateException(
         s"not a dedup fingerprint store (missing $ParamsKey) — create " +
@@ -300,10 +306,10 @@ object DedupIndex {
   /** Dedup `batch` against the store and fold the survivors in: returns
     * the surviving batch rows (all input columns) and atomically appends
     * their band rows. The batch is small by contract (a crawl increment,
-    * not a corpus) — its band relation broadcasts; the store is scanned
-    * ONCE with a broadcast semi-join and a partial-aggregated key
-    * projection, so ingest cost is one narrow store pass regardless of
-    * store size.
+    * not a corpus) — its band relation broadcasts; the store-sized work
+    * is TWO column-pruned passes (the band-key probe and the doc-id
+    * presence check, each a broadcast join + partial aggregation), so
+    * ingest cost stays narrow at any store size.
     */
   def ingest(
       spark: SparkSession,

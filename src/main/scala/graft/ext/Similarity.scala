@@ -715,14 +715,14 @@ object Similarity {
       graft.functions.PqAdcDistance(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
+    // no (q, n) dedup needed: corpus rows live in exactly ONE cell
+    // (nprobe = 1 on the codes side) and a query emits one probe row
+    // per DISTINCT cell, so a pair joins at most once — the bounded
+    // top-k aggregation below stays the plan's only exchange
     val scored = codes
       .join(q, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim_e6", adc)
-      // the IP table is cell-independent (no residuals), so a pair seen
-      // from several probed cells scores identically — max is a dedup
-      .groupBy("q_id", "n_id")
-      .agg(max(col("sim_e6")).as("sim_e6"))
     topKRows(scored, k)
       .select(col("q_id"), col("n_id"), col("rank"),
         col("sim_e6").as("asim_e6"))

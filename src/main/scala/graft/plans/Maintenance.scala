@@ -348,22 +348,36 @@ final case class GraftDescribeVectorIndexCommand(
   override val output: Seq[Attribute] = Seq(
     AttributeReference("source_path", StringType, nullable = false)(),
     AttributeReference("indexed_version", LongType, nullable = false)(),
-    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = true)(),
     AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
-      nullable = false)(),
+      nullable = true)(),
     AttributeReference("build_distortion_e6", LongType, nullable = true)(),
     AttributeReference("current_distortion_e6", LongType, nullable = true)(),
     AttributeReference("rebuild_recommended",
-      org.apache.spark.sql.types.BooleanType, nullable = false)())
+      org.apache.spark.sql.types.BooleanType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenance.resolvePath(spark, target)
-    val st = graft.ext.AnnIndex.status(spark, path, probeDrift = true)
-    val src = GraftTable(spark, path).log.tableProperties()(
-      graft.ext.AnnIndex.SourcePathKey)
-    Seq(Row(src, st.indexedVersion, st.sourceVersion, st.stale,
-      st.buildDistortionE6.map(Long.box).orNull,
-      st.currentDistortionE6.map(Long.box).orNull,
-      st.rebuildRecommended))
+    val props = GraftTable(spark, path).log.tableProperties()
+    val src = props.getOrElse(graft.ext.AnnIndex.SourcePathKey,
+      throw new IllegalStateException(
+        s"$path is not a vector index (missing " +
+          s"${graft.ext.AnnIndex.SourcePathKey})"))
+    val indexedV = props(graft.ext.AnnIndex.SourceVersionKey).toLong
+    // a dangling source (vacuumed/moved) must still DESCRIBE — this row
+    // IS the diagnostic; version/drift columns read NULL then
+    scala.util.Try(
+      graft.ext.AnnIndex.status(spark, path, probeDrift = true)) match {
+      case scala.util.Success(st) =>
+        Seq(Row(src, st.indexedVersion, st.sourceVersion, st.stale,
+          st.buildDistortionE6.map(Long.box).orNull,
+          st.currentDistortionE6.map(Long.box).orNull,
+          Boolean.box(st.rebuildRecommended)))
+      case scala.util.Failure(_) =>
+        Seq(Row(src, indexedV, null, null,
+          props.get(graft.ext.AnnIndex.DistortionKey)
+            .map(v => Long.box(v.toLong)).orNull,
+          null, null))
+    }
   }
 }
 
@@ -388,7 +402,11 @@ final case class GraftDescribeDedupStoreCommand(
       throw new IllegalStateException(s"$path is not a dedup store"))
     val srcPath = props.get(graft.ext.DedupIndex.SourcePathKey)
     val mirrored = props.get(graft.ext.DedupIndex.SourceVersionKey).map(_.toLong)
-    val srcV = srcPath.map(p => GraftTable(spark, p).version())
+    // a dangling coupling (source vacuumed/moved) must still DESCRIBE —
+    // this row is the diagnostic that shows the dangle; version/stale
+    // read NULL (the columns are nullable for exactly this shape)
+    val srcV = srcPath.flatMap(p =>
+      scala.util.Try(GraftTable(spark, p).version()).toOption)
     Seq(Row(
       srcPath.orNull,
       mirrored.map(Long.box).orNull,
