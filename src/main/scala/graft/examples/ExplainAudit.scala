@@ -210,6 +210,19 @@ object ExplainAudit {
     println(s"--- store scans (must be 1): $probeScans; batch side " +
       s"broadcast: $probeBcast; hit keys=${probe.count()}")
 
+    println("=== [R] IVF-IP retrieval (expect the query side BROADCAST " +
+      "and exactly ONE shuffle exchange — the bounded top-k " +
+      "aggregation; candidates never leave their cells) ===")
+    val ipHits = graft.SparkEntry.queries("knn_ivf_ip")(spark, sfDir)
+    ipHits.explain("formatted")
+    val ipPlan = ipHits.queryExecution.executedPlan.toString()
+    val ipShuffles = ipPlan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
+    val ipBcast = ipPlan.contains("BroadcastExchange")
+    println(s"--- shuffle exchanges (must be 1): $ipShuffles; query side " +
+      s"broadcast: $ipBcast; rows=${ipHits.count()}")
+
     spark.stop()
   }
 
