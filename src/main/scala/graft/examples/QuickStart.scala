@@ -749,6 +749,20 @@ object QuickStart {
     println(s"[53] dedup store: ${crawl.count()} crawled docs -> " +
       s"${keptCrawl.count()} survivors (re-crawls fingerprint-matched); " +
       s"probe flags ${contaminated.count()}/5 eval docs as contaminated")
+
+    // 54. MIPS retrieval + row commit versions
+    val mips = graft.ext.Similarity.ivfIpTopK(
+      embsDf, col("vec_id") < 2, k = 3, numCells = 4, m = 4, ksub = 8,
+      rowCountHint = Some(embsDf.count()))
+    graft.merge.Dml.update(spark, rtTbl, col("k") === 1000L,
+      Map("k" -> col("k"))) // no-op value, but the row's VERSION refreshes
+    val rv = rtT.toDfWithRowIds()
+      .select("k", graft.io.RowTracking.VersionCol)
+      .filter(col("k").isin(1000L, 2L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(s"[54] MIPS: ${mips.count()} inner-product neighbors " +
+      s"(dot-assigned cells, one shuffle); row versions: updated row " +
+      s"k=1000 now v${rv(1000L)}, untouched k=2 still v${rv(2L)}")
     spark.stop()
   }
 }
