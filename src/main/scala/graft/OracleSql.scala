@@ -371,11 +371,15 @@ object OracleSql {
         SELECT q_id, n_id, "rank", asim_e6 FROM ranked WHERE "rank" <= 5"""
   }
 
-  /** IVF-IP twin: coarse assignment by rounded-DOT argmax (not cosine),
-    * raw-vector PQ codes (shared [[pqCtes]] — no residuals), per-query
-    * dot tables restricted to the query's own cell, rank DESC.
+  /** Shared WITH-body of the IVF-IP (MIPS) twins, ending at `sc` =
+    * per-(q, n) summed inner-product tables within the query's cell:
+    * coarse assignment by rounded-DOT argmax (not cosine), raw-vector
+    * PQ codes (shared [[pqCtes]] — no residuals), per-query dot tables
+    * restricted to the query's own cell. The plain search ranks `sc`
+    * DESC directly; the rerank twin shortlists it then exact-dot
+    * reranks.
     */
-  private val knnIvfIpSql: String = {
+  private val knnIvfIpScCtes: String = {
     val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
     val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
     s"""WITH $pqCtes,
@@ -397,6 +401,83 @@ object OracleSql {
                       CAST(sum(d.d) AS BIGINT) AS asim_e6
                FROM q JOIN assign a2 ON a2.cell = q.cell
                     JOIN codes co ON co.vec_id = a2.vec_id
+                    JOIN dtab d ON d.q_id = q.q_id
+                     AND d.j = co.j AND d.idx = co.code
+               WHERE co.vec_id <> q.q_id
+               GROUP BY q.q_id, co.vec_id)"""
+  }
+
+  private val knnIvfIpSql: String =
+    s"""$knnIvfIpScCtes,
+        ranked AS (SELECT q_id, n_id, asim_e6,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY asim_e6 DESC, n_id) AS "rank"
+                   FROM sc)
+        SELECT q_id, n_id, "rank", asim_e6 FROM ranked WHERE "rank" <= 5"""
+
+  /** Two-stage MIPS twin: inner-product ADC shortlist of 4·k = 20 per
+    * query (same ranking as the plain IVF-IP oracle), then EXACT
+    * rounded dot over the shortlisted pairs' full vectors decides the
+    * final top-5 (DESC, id tie-break).
+    */
+  private val knnIpRerankSql: String =
+    s"""$knnIvfIpScCtes,
+        slranked AS (SELECT q_id, n_id,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY asim_e6 DESC, n_id) AS rn
+                     FROM sc),
+        sl AS (SELECT q_id, n_id FROM slranked WHERE rn <= 20),
+        ex AS (SELECT sl.q_id, sl.n_id,
+                      ${dotE6("qe.embedding", "ne.embedding")} AS sim_e6
+               FROM sl JOIN embeddings qe ON qe.vec_id = sl.q_id
+                       JOIN embeddings ne ON ne.vec_id = sl.n_id),
+        rr AS (SELECT q_id, n_id, sim_e6,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim_e6 DESC, n_id) AS "rank"
+               FROM ex)
+        SELECT q_id, n_id, "rank", sim_e6 FROM rr WHERE "rank" <= 5"""
+
+  /** IVF-IP with Lloyd-refined coarse cells: the two k-means passes
+    * replayed with DOT-argmax assignment (the inner-product quantizer's
+    * loop — same fixed-point mean recompute as the cosine twin), then
+    * the SAME raw-vector PQ codes ([[pqCtes]] — no residual stage means
+    * coarse refinement never touches the books), per-query dot tables
+    * confined to the refined cell, rank DESC.
+    */
+  private val knnIvfIpKmeansSql: String = {
+    val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
+    val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
+    def assign(centCte: String, name: String) =
+      s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
+            (SELECT e.vec_id, e.embedding, c.c_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${dotE6("e.embedding", "c.c_vec")} DESC, c.c_id) AS rn
+             FROM embeddings e, $centCte c) WHERE rn = 1)"""
+    def recompute(assignCte: String, name: String) =
+      s"""${name}_s AS (SELECT cell, i,
+              CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS n
+            FROM $assignCte, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY cell, i),
+          $name AS (SELECT cell AS c_id,
+              list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS c_vec
+            FROM ${name}_s GROUP BY cell)"""
+    s"""WITH $pqCtes,
+        c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
+        ${assign("c0", "a1")},
+        ${recompute("a1", "c1")},
+        ${assign("c1", "a2")},
+        ${recompute("a2", "c2")},
+        ${assign("c2", "af")},
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell
+              FROM af WHERE vec_id < 32),
+        dtab AS (SELECT q.q_id, js.j, c.idx,
+                        CAST(round((${dot(qx, cs)}) * 1000000) AS BIGINT) AS d
+                 FROM q, js, cb c),
+        sc AS (SELECT q.q_id, co.vec_id AS n_id,
+                      CAST(sum(d.d) AS BIGINT) AS asim_e6
+               FROM q JOIN af ax ON ax.cell = q.cell
+                    JOIN codes co ON co.vec_id = ax.vec_id
                     JOIN dtab d ON d.q_id = q.q_id
                      AND d.j = co.j AND d.idx = co.code
                WHERE co.vec_id <> q.q_id
@@ -1374,6 +1455,12 @@ object OracleSql {
     "knn_pq_adc_ip" -> knnPqAdcIpSql,
 
     "knn_ivf_ip" -> knnIvfIpSql,
+    "knn_ivf_ip_kmeans" -> knnIvfIpKmeansSql,
+    "knn_ip_rerank" -> knnIpRerankSql,
+    // the persisted IP index shares the inline IVF-IP oracle: build
+    // stores ivfIpTopK's exact quantizer choices, search replays its
+    // plan stages from the stored codes — bit-identical by construction
+    "knn_index_ip" -> knnIvfIpSql,
 
     "knn_ivfpq_adc" -> knnIvfPqAdcSql,
     // the persisted-index search is bit-identical to the inline IVF-PQ

@@ -999,6 +999,53 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("asim_e6"))
 
+  /** IVF-IP with Lloyd-refined coarse cells — dot-argmax assignment
+    * inside the loop (the inner-product quantizer's training posture).
+    * The PQ books are unaffected by the refinement (no residual stage:
+    * they train on raw vectors either way), so refinement buys better
+    * candidate confinement alone; the oracle replays both Lloyd passes
+    * and the shared raw-vector codes.
+    */
+  private def qKnnIvfIpKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfIpTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
+      rowCountHint = embRows(spark, dir), coarseIters = 2)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("asim_e6"))
+
+  /** Two-stage MIPS: inner-product ADC shortlist (4×k per query from
+    * the IVF-IP stages), exact rounded-DOT rerank of the survivors'
+    * full vectors — the MIPS counterpart of [[qKnnIvfPqRerank]], buying
+    * back ADC quantization error with one broadcast join over a tiny
+    * id set.
+    */
+  private def qKnnIpRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfIpTopKRerank(t(spark, dir, "embeddings"),
+      col("vec_id") < 32, 5, shortlistFactor = 4,
+      rowCountHint = embRows(spark, dir))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim_e6"))
+
+  /** Persisted MIPS index: `AnnIndex.build(metric = "ip")` commits
+    * dot-assigned cells + raw-vector books ONCE; the search plans
+    * against the stored codes with inner-product ADC tables ranked
+    * descending — MIPS retrieval stops paying quantizer training per
+    * call. Bit-identical to the inline [[qKnnIvfIp]] (shared
+    * assignment/table/scoring stages; quantizers round-trip exactly
+    * through table properties), which sharing its oracle SQL checks.
+    */
+  private def qKnnIndexIp(spark: SparkSession, dir: String): DataFrame = {
+    val srcP = tmp("graft_annip_src")
+    val idxP = tmp("graft_annip_idx") + "/ix"
+    GraftWriter.write(spark, t(spark, dir, "embeddings"), srcP,
+      WriteOptions(mode = WriteMode.Overwrite))
+    graft.ext.AnnIndex.build(spark, srcP, idxP, metric = "ip")
+    graft.ext.AnnIndex.search(spark, idxP,
+      GraftTable(spark, srcP).toDf().filter(col("vec_id") < 32), k = 5,
+      requireFresh = true)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("asim_e6"))
+  }
+
   /** IVF-PQ ADC top-5: residual-encoded codes within coarse cells —
     * the billion-vector layout (IVF confines, PQ shrinks, residual
     * encoding concentrates the books on within-cell variance).
@@ -1769,6 +1816,9 @@ object SparkEntry {
     "knn_pq_adc" -> (qKnnPqAdc _),
     "knn_pq_adc_ip" -> (qKnnPqAdcIp _),
     "knn_ivf_ip" -> (qKnnIvfIp _),
+    "knn_ivf_ip_kmeans" -> (qKnnIvfIpKmeans _),
+    "knn_ip_rerank" -> (qKnnIpRerank _),
+    "knn_index_ip" -> (qKnnIndexIp _),
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
     "knn_index_search" -> (qKnnIndexSearch _),
@@ -1856,6 +1906,7 @@ object SparkEntry {
     "knn_brute_topk", "knn_brute_l2", "knn_brute_dot",
     "knn_ivf_topk", "knn_ivf_kmeans",
     "pq_codes", "knn_pq_adc", "knn_pq_adc_ip", "knn_ivf_ip",
+    "knn_ivf_ip_kmeans", "knn_ip_rerank",
     "knn_pq_adc_kmeans", "knn_ivfpq_adc",
     "knn_ivfpq_rerank", "knn_ivfpq_filtered", "knn_ivfpq_kmeans",
     "cosine_dup_pairs",

@@ -55,7 +55,9 @@ object AnnIndex {
   val CentroidsKey: String = P + "centroids"
   /** Base64 [m][ksub][dsub] + m·ksub·dsub floats PQ codebooks. */
   val BooksKey: String = P + "books"
-  /** `m=..,ksub=..,numCells=..,idCol=..,vecCol=..` build parameters. */
+  /** `m=..,ksub=..,numCells=..,idCol=..,vecCol=..,metric=..` build
+    * parameters (`metric` absent on pre-MIPS indexes → `l2`).
+    */
   val ParamsKey: String = P + "params"
   /** e6-fixed mean squared ADC distortion of a bounded id-ordered
     * sample at BUILD time — the drift probe's baseline.
@@ -130,15 +132,29 @@ object AnnIndex {
       coarseIters: Int = 0,
       pqIters: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Long = {
+      vecCol: String = "embedding",
+      /** `l2` (default) = residual IVF-PQ, cosine-assigned cells, ADC
+        * squared-L2 ascending — the cosine/L2 retrieval family. `ip` =
+        * the MIPS posture ([[Similarity.ivfIpTopK]]'s exact quantizer
+        * choices): cells assigned by raw DOT, PQ books trained on the
+        * RAW vectors (no residual stage — dot doesn't linearize over
+        * the residual decomposition the way squared-L2 does), search
+        * ranks inner-product ADC tables DESCENDING. Amortizes the
+        * training the inline MIPS entry points pay per call.
+        */
+      metric: String = "l2"): Long = {
+    require(metric == "l2" || metric == "ip",
+      s"unknown index metric '$metric' (l2 | ip)")
     graft.functions.GraftFunctions.register(spark)
     val src = GraftTable(spark, sourcePath)
     val srcV = src.version()
     val corpus = src.toDf(versionAsOf = Some(srcV))
     val n = corpus.count()
+    val ip = metric == "ip"
     val coarseDf =
       if (coarseIters > 0)
-        Similarity.kmeansCentroids(corpus, numCells, coarseIters, idCol, vecCol, Some(n))
+        Similarity.kmeansCentroids(corpus, numCells, coarseIters, idCol, vecCol,
+          Some(n), byDot = ip)
       else Similarity.centroidsK(corpus, numCells, idCol, vecCol, Some(n))
     val centRows = coarseDf
       .select(col("c_id").cast("long"), col("c_vec"))
@@ -147,28 +163,45 @@ object AnnIndex {
       .sortBy(_._1)
     require(centRows.nonEmpty, "ANN index build needs a non-empty corpus")
     val cents = centsDf(spark, centRows)
-    val resid0 = Similarity.residualizeWith(corpus, cents, idCol, vecCol, probes = 1)
-    // Lloyd PQ training rescans the residuals per pass and the encode
-    // pass reads them again — pin once (same Scratch lifecycle as the
-    // inline path); the stride path reads them only twice
-    val resid =
-      if (pqIters <= 0) resid0
-      else {
-        val pinned = resid0.localCheckpoint(eager = true)
-        Scratch.register(pinned)
-        pinned
+    val (books, codes) =
+      if (ip) {
+        // raw-vector books + dot-assigned cells; no residual stage, so
+        // no corpus-sized pin is ever needed (Lloyd passes rescan the
+        // source table, not a derived pipeline)
+        val (dsub, books) =
+          if (pqIters > 0)
+            Similarity.pqCodebooksKmeans(corpus, m, ksub, pqIters, idCol, vecCol, Some(n))
+          else Similarity.pqCodebooks(corpus, m, ksub, idCol, vecCol, Some(n))
+        val assigned = Similarity.assignCells(
+          corpus, cents, idCol, vecCol, nprobe = 1, byDot = true)
+        (books, assigned.select(
+          col(idCol).cast("long").as("n_id"), col("cell"),
+          Similarity.pqCodesExpr(vecCol, dsub, books).as("codes")))
+      } else {
+        val resid0 = Similarity.residualizeWith(corpus, cents, idCol, vecCol, probes = 1)
+        // Lloyd PQ training rescans the residuals per pass and the encode
+        // pass reads them again — pin once (same Scratch lifecycle as the
+        // inline path); the stride path reads them only twice
+        val resid =
+          if (pqIters <= 0) resid0
+          else {
+            val pinned = resid0.localCheckpoint(eager = true)
+            Scratch.register(pinned)
+            pinned
+          }
+        val (dsub, books) =
+          if (pqIters > 0)
+            Similarity.pqCodebooksKmeans(resid, m, ksub, pqIters, idCol, "__resid", Some(n))
+          else Similarity.pqCodebooks(resid, m, ksub, idCol, "__resid", Some(n))
+        (books, resid.select(
+          col(idCol).cast("long").as("n_id"), col("cell"),
+          Similarity.pqCodesExpr("__resid", dsub, books).as("codes")))
       }
-    val (dsub, books) =
-      if (pqIters > 0)
-        Similarity.pqCodebooksKmeans(resid, m, ksub, pqIters, idCol, "__resid", Some(n))
-      else Similarity.pqCodebooks(resid, m, ksub, idCol, "__resid", Some(n))
-    val codes = resid.select(
-      col(idCol).cast("long").as("n_id"), col("cell"),
-      Similarity.pqCodesExpr("__resid", dsub, books).as("codes"))
     // drift baseline: the same bounded probe status() re-runs later —
-    // id-ordered sample, frozen quantizers, driver-side inner loop
+    // hash-ordered sample, frozen quantizers, driver-side inner loop
     val buildDist = frozenDistortionE6(
-      corpus, centRows, books.map(_.map(_._2)), idCol, vecCol)
+      corpus, centRows, books.map(_.map(_._2)), idCol, vecCol,
+      residual = !ip)
     GraftWriter.write(spark, codes, indexPath,
       WriteOptions(
         mode = WriteMode.ErrorIfExists,
@@ -180,7 +213,7 @@ object AnnIndex {
           BooksKey -> packBooks(books.map(_.map(_._2))),
           DistortionKey -> buildDist.toString,
           ParamsKey -> (s"m=$m,ksub=$ksub,numCells=$numCells," +
-            s"idCol=$idCol,vecCol=$vecCol"),
+            s"idCol=$idCol,vecCol=$vecCol,metric=$metric"),
           // the codes table is engine-managed: every refresh merge adds a
           // small file per touched cell, so bounded maintenance is the
           // right DEFAULT here (compaction never changes search results
@@ -200,8 +233,10 @@ object AnnIndex {
     * `queries` needs the index's (idCol, vecCol) columns; `corpusPred`
     * narrows the candidate side over the index's payload columns
     * (`n_id`/`cell`) — the quantizers are shared, nothing retrains.
-    * Output: (q_id, n_id, rank, adist_e6) — bit-identical to
-    * [[Similarity.ivfpqTopK]] on the corpus the index was built from.
+    * Output on `l2` indexes: (q_id, n_id, rank, adist_e6) —
+    * bit-identical to [[Similarity.ivfpqTopK]] on the corpus the index
+    * was built from. On `ip` indexes: (q_id, n_id, rank, asim_e6),
+    * ranked DESCENDING — bit-identical to [[Similarity.ivfIpTopK]].
     */
   def search(
       spark: SparkSession,
@@ -215,7 +250,7 @@ object AnnIndex {
     graft.functions.GraftFunctions.register(spark)
     val idx = GraftTable(spark, indexPath)
     val props = idx.log.tableProperties()
-    val (_, _, idColName, vecColName) = params(props)
+    val p = params(props)
     val centRows = unpackCentroids(prop(props, CentroidsKey))
     val books = withSelfDots(unpackBooks(prop(props, BooksKey)))
     if (requireFresh) {
@@ -239,10 +274,19 @@ object AnnIndex {
       }
     }
     val cents = centsDf(spark, centRows)
+    // metric picks the query-side preparation (residualize vs dot-assign
+    // + IP tables) and the scoring stage's ranking direction; the codes
+    // scan, partition pruning, and broadcast shape are identical
     val q = broadcast(
-      Similarity.residualizeWith(queries, cents, idColName, vecColName, nprobe)
-        .select(col(idColName).cast("long").as("q_id"), col("cell"),
-          Similarity.pqQueryTabExpr("__resid", books).as("qtab")))
+      if (p.ip)
+        Similarity.assignCells(queries, cents, p.idCol, p.vecCol,
+          nprobe = nprobe, byDot = true)
+          .select(col(p.idCol).cast("long").as("q_id"), col("cell"),
+            Similarity.pqQueryTabExpr(p.vecCol, books, ip = true).as("qtab"))
+      else
+        Similarity.residualizeWith(queries, cents, p.idCol, p.vecCol, nprobe)
+          .select(col(p.idCol).cast("long").as("q_id"), col("cell"),
+            Similarity.pqQueryTabExpr("__resid", books).as("qtab")))
     // the query side is small by contract (it broadcasts); collecting its
     // probed cells costs one tiny job and buys partition pruning on the
     // codes scan — only the probed cells' files are read
@@ -252,7 +296,8 @@ object AnnIndex {
       .filter(col("cell").isin(probed.map(Long.box): _*))
       .select(col("n_id"), col("cell"), col("codes"))
     val codes = corpusPred.fold(codes0)(codes0.filter)
-    Similarity.adcScoreTopK(codes, q, k)
+    if (p.ip) Similarity.adcScoreTopKIp(codes, q, k)
+    else Similarity.adcScoreTopK(codes, q, k)
   }
 
   /** Two-stage retrieval against the persisted index: [[search]]'s ADC
@@ -280,12 +325,13 @@ object AnnIndex {
     val shortlist = search(spark, indexPath, queries, k * shortlistFactor,
       nprobe, corpusPred, requireFresh)
     val props = GraftTable(spark, indexPath).log.tableProperties()
-    val (_, _, idColName, vecColName) = params(props)
+    val p = params(props)
     val indexedV = prop(props, SourceVersionKey).toLong
     val corpus = GraftTable(spark, prop(props, SourcePathKey))
       .toDf(versionAsOf = Some(indexedV))
     Similarity.rerankExactWith(
-      corpus, queries, shortlist, k, idColName, vecColName)
+      corpus, queries, shortlist, k, p.idCol, p.vecCol,
+      metric = if (p.ip) "ip" else "cosine")
   }
 
   /** Encode an arbitrary frame through the index's FROZEN quantizers —
@@ -299,14 +345,20 @@ object AnnIndex {
       df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val props = GraftTable(spark, indexPath).log.tableProperties()
-    val (_, _, idColName, vecColName) = params(props)
+    val p = params(props)
     val centRows = unpackCentroids(prop(props, CentroidsKey))
     val books = withSelfDots(unpackBooks(prop(props, BooksKey)))
     val dsub = books.head.head._2.length
     val cents = centsDf(spark, centRows)
-    Similarity.residualizeWith(df, cents, idColName, vecColName, probes = 1)
-      .select(col(idColName).cast("long").as("n_id"), col("cell"),
-        Similarity.pqCodesExpr("__resid", dsub, books).as("codes"))
+    if (p.ip)
+      Similarity.assignCells(df, cents, p.idCol, p.vecCol,
+        nprobe = 1, byDot = true)
+        .select(col(p.idCol).cast("long").as("n_id"), col("cell"),
+          Similarity.pqCodesExpr(p.vecCol, dsub, books).as("codes"))
+    else
+      Similarity.residualizeWith(df, cents, p.idCol, p.vecCol, probes = 1)
+        .select(col(p.idCol).cast("long").as("n_id"), col("cell"),
+          Similarity.pqCodesExpr("__resid", dsub, books).as("codes"))
   }
 
   /** Incrementally fold the source's change feed into the codes table:
@@ -324,7 +376,8 @@ object AnnIndex {
     val props = idx.log.tableProperties()
     val sourcePath = prop(props, SourcePathKey)
     val lastV = prop(props, SourceVersionKey).toLong
-    val (_, _, idColName, vecColName) = params(props)
+    val p = params(props)
+    val idColName = p.idCol; val vecColName = p.vecCol
     val src = GraftTable(spark, sourcePath)
     val curV = src.version()
     if (curV <= lastV) return None
@@ -428,12 +481,12 @@ object AnnIndex {
     val curDist =
       if (!probeDrift) None
       else buildDist.map { _ =>
-        val (_, _, idColName, vecColName) = params(props)
+        val p = params(props)
         frozenDistortionE6(
           GraftTable(spark, sourcePath).toDf(),
           unpackCentroids(prop(props, CentroidsKey)),
           unpackBooks(prop(props, BooksKey)),
-          idColName, vecColName, probeSample)
+          p.idCol, p.vecCol, residual = !p.ip, probeSample)
       }
     Status(
       indexedVersion = prop(props, SourceVersionKey).toLong,
@@ -444,10 +497,15 @@ object AnnIndex {
 
   /** Mean squared reconstruction distortion (e6 fixed point) of a
     * bounded deterministic sample through FROZEN quantizers: residualize
-    * against the given coarse centroids, then per subspace take the
+    * against the given coarse centroids (`residual = true`, the L2
+    * family) or measure the RAW vectors (`residual = false`, the IP
+    * family — its books train on raw vectors, and by Cauchy–Schwarz the
+    * per-subspace IP-table error |⟨q_sub, v_sub − v̂_sub⟩| is bounded by
+    * ‖q_sub‖·‖v_sub − v̂_sub‖, so rising raw reconstruction MSE IS
+    * rising inner-product ranking error), then per subspace take the
     * nearest codeword's squared error (the driver-side inner loop of
     * [[Similarity.pqDistortion]], against supplied books instead of
-    * freshly trained ones). The id-ordered `limit` keeps the probe
+    * freshly trained ones). The bounded `limit` keeps the probe
     * O(maxSample) rows on any corpus size.
     */
   private def frozenDistortionE6(
@@ -456,6 +514,7 @@ object AnnIndex {
       books: Array[Array[Array[Float]]],
       idCol: String,
       vecCol: String,
+      residual: Boolean,
       maxSample: Int = 10000): Long = {
     val spark = corpus.sparkSession
     val dsub = books.head.head.length
@@ -466,10 +525,15 @@ object AnnIndex {
     // build-time and status-time probes of identical data agree exactly.
     val sample = corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSample)
-    val resid = Similarity.residualizeWith(
-      sample, centsDf(spark, centRows), idCol, vecCol, probes = 1)
-    val vecs = resid.select(col("__resid")).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val vecs =
+      if (residual)
+        Similarity.residualizeWith(
+          sample, centsDf(spark, centRows), idCol, vecCol, probes = 1)
+          .select(col("__resid")).collect()
+          .map(_.getSeq[Float](0).toArray)
+      else
+        sample.select(col(vecCol)).collect()
+          .map(_.getSeq[Float](0).toArray)
     var total = 0.0
     vecs.foreach { v =>
       var j = 0
@@ -497,10 +561,17 @@ object AnnIndex {
       throw new IllegalStateException(
         s"not an ANN index table (missing $key) — build with AnnIndex.build"))
 
-  private def params(props: Map[String, String]): (Int, Int, String, String) = {
+  private[graft] final case class Params(
+      m: Int, ksub: Int, idCol: String, vecCol: String, metric: String) {
+    def ip: Boolean = metric == "ip"
+  }
+
+  private[graft] def params(props: Map[String, String]): Params = {
     val kv = prop(props, ParamsKey).split(',')
       .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-    (kv("m").toInt, kv("ksub").toInt, kv("idCol"), kv("vecCol"))
+    // pre-MIPS indexes carry no metric — they are all residual-L2
+    Params(kv("m").toInt, kv("ksub").toInt, kv("idCol"), kv("vecCol"),
+      kv.getOrElse("metric", "l2"))
   }
 
   private def centsDf(

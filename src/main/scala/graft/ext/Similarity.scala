@@ -292,12 +292,20 @@ object Similarity {
       iters: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      rowCountHint: Option[Long] = None): DataFrame = {
+      rowCountHint: Option[Long] = None,
+      /** Lloyd assignment by rounded-DOT argmax instead of cosine — the
+        * inner-product coarse quantizer's training loop ([[ivfIpTopK]]
+        * with refinement): cells adapt to where the MIPS candidates
+        * live, which for unnormalized corpora differs from the cosine
+        * cells (magnitude carries signal). The mean recompute is
+        * metric-independent (same fixed-point arithmetic).
+        */
+      byDot: Boolean = false): DataFrame = {
     val vecsum = udaf(new graft.functions.VecSumE6())
     val spark = corpus.sparkSession
     var cents = centroidsK(corpus, numCentroids, idCol, vecCol, rowCountHint)
     for (_ <- 1 to iters) {
-      val assigned = assignCells(corpus, cents, idCol, vecCol)
+      val assigned = assignCells(corpus, cents, idCol, vecCol, byDot = byDot)
       val next = assigned
         .groupBy(col("cell").as("c_id"))
         .agg(vecsum(col(vecCol)).as("agg"))
@@ -695,37 +703,82 @@ object Similarity {
       nprobe: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      rowCountHint: Option[Long] = None): DataFrame = {
+      rowCountHint: Option[Long] = None,
+      /** > 0 = Lloyd-refine the coarse centroids with dot-argmax
+        * assignment inside the loop ([[kmeansCentroids]] `byDot`) —
+        * stride seeds bound the recall floor exactly as in the L2
+        * family. The PQ books are UNAFFECTED by coarse refinement here:
+        * with no residual stage they train on the raw vectors either
+        * way, so refinement buys better candidate confinement without
+        * re-deriving the codes' codebooks.
+        */
+      coarseIters: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val cents = centroidsK(corpus, numCells, idCol, vecCol, rowCountHint)
+    val n = rowCountHint.getOrElse(corpus.count())
+    val cents =
+      if (coarseIters > 0)
+        kmeansCentroids(corpus, numCells, coarseIters, idCol, vecCol,
+          Some(n), byDot = true)
+      else centroidsK(corpus, numCells, idCol, vecCol, Some(n))
     val assigned = assignCells(corpus, cents, idCol, vecCol,
       nprobe = 1, byDot = true)
-    val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, rowCountHint)
+    val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, Some(n))
     val codes = assigned.select(col(idCol).as("n_id"), col("cell"),
       pqCodesExpr(vecCol, dsub, books).as("codes"))
-    val qtab = org.apache.spark.sql.graft.GraftInternal.column(
-      graft.functions.PqQueryTable(
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
-        books.map(_.map(_._2)), ip = true))
     val q = broadcast(
       assignCells(corpus.filter(queryPred), cents, idCol, vecCol,
         nprobe = nprobe, byDot = true)
-        .select(col(idCol).as("q_id"), col("cell"), qtab.as("qtab")))
-    val adc = org.apache.spark.sql.graft.GraftInternal.column(
-      graft.functions.PqAdcDistance(
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
-    // no (q, n) dedup needed: corpus rows live in exactly ONE cell
-    // (nprobe = 1 on the codes side) and a query emits one probe row
-    // per DISTINCT cell, so a pair joins at most once — the bounded
-    // top-k aggregation below stays the plan's only exchange
-    val scored = codes
-      .join(q, Seq("cell"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim_e6", adc)
-    topKRows(scored, k)
-      .select(col("q_id"), col("n_id"), col("rank"),
-        col("sim_e6").as("asim_e6"))
+        .select(col(idCol).as("q_id"), col("cell"),
+          pqQueryTabExpr(vecCol, books, ip = true).as("qtab")))
+    adcScoreTopKIp(codes, q, k)
+  }
+
+  /** [[ivfIpTopK]] with an exact-DOT rerank stage — two-stage MIPS:
+    * the inner-product ADC shortlist keeps `shortlistFactor`·k
+    * candidates per query; their full vectors decide the final top-k by
+    * exact rounded dot. Buys back ADC quantization error exactly as the
+    * cosine family's [[ivfpqTopKRerank]] does. Output: (q_id, n_id,
+    * rank, sim_e6) with sim_e6 = the exact rounded inner product.
+    */
+  def ivfIpTopKRerank(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      shortlistFactor: Int = 4,
+      numCells: Int = 32,
+      m: Int = 16,
+      ksub: Int = 16,
+      nprobe: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None,
+      coarseIters: Int = 0): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    rerankExact(corpus,
+      ivfIpTopK(corpus, queryPred, k * shortlistFactor, numCells, m, ksub,
+        nprobe, idCol, vecCol, rowCountHint, coarseIters),
+      k, idCol, vecCol, metric = "ip")
+  }
+
+  /** [[pqTopKIp]] with an exact-DOT rerank stage (flat MIPS two-stage
+    * retrieval — no cell confinement). Output shape as
+    * [[ivfIpTopKRerank]].
+    */
+  def pqTopKIpRerank(
+      corpus: DataFrame,
+      queryPred: Column,
+      k: Int,
+      shortlistFactor: Int = 4,
+      m: Int = 16,
+      ksub: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    rerankExact(corpus,
+      pqTopKIp(corpus, queryPred, k * shortlistFactor, m, ksub,
+        idCol, vecCol, rowCountHint),
+      k, idCol, vecCol, metric = "ip")
   }
 
   /** ADC top-k against explicit codebooks (shared by the stride-seeded,
@@ -937,13 +990,17 @@ object Similarity {
       .select(col(idCol), col("cell"), col("__resid"))
   }
 
-  /** Per-query ADC lookup table over residuals (see [[pqTopK]]). */
+  /** Per-query ADC lookup table over residuals (see [[pqTopK]]); `ip`
+    * flips the per-subspace entries from squared-L2 to inner products
+    * ([[pqTopKIp]] / [[ivfIpTopK]]).
+    */
   private[ext] def pqQueryTabExpr(
-      residCol: String, books: Array[Array[(Int, Array[Float], Double)]]): Column =
+      residCol: String, books: Array[Array[(Int, Array[Float], Double)]],
+      ip: Boolean = false): Column =
     org.apache.spark.sql.graft.GraftInternal.column(
       graft.functions.PqQueryTable(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(residCol),
-        books.map(_.map(_._2))))
+        books.map(_.map(_._2)), ip = ip))
 
   /** The ADC scoring + ranking stage shared by [[ivfpqTopK]] (inline
     * index) and [[AnnIndex.search]] (persisted index): join the
@@ -972,6 +1029,32 @@ object Similarity {
         (-col("sim_e6")).as("adist_e6"))
   }
 
+  /** The inner-product ADC scoring + ranking stage shared by
+    * [[ivfIpTopK]] (inline) and [[AnnIndex.search]] on `metric = "ip"`
+    * indexes: join the codes-only corpus side to the broadcast
+    * inner-product query tables on `cell`, rank the summed tables
+    * DESCENDING through the bounded top-k aggregator. No (q, n) dedup
+    * aggregate: corpus rows live in exactly ONE cell (nprobe = 1 on the
+    * codes side) and a query emits one probe row per DISTINCT cell, so
+    * a pair joins at most once — the top-k aggregation is the plan's
+    * only exchange (ExplainAudit §R). Output: (q_id, n_id, rank,
+    * asim_e6).
+    */
+  private[ext] def adcScoreTopKIp(
+      codes: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val adc = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.functions.PqAdcDistance(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
+    val scored = codes
+      .join(q, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim_e6", adc)
+    topKRows(scored, k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        col("sim_e6").as("asim_e6"))
+  }
+
   // ---------- exact rerank over ANN shortlists ----------
 
   /** Exact-cosine rerank of an ANN shortlist — stage two of the
@@ -995,8 +1078,13 @@ object Similarity {
       shortlist: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    rerankExactWith(corpus, corpus, shortlist, k, idCol, vecCol)
+      vecCol: String = "embedding",
+      /** Exact scorer for the final ranking: `cosine` (default) or `ip`
+        * (rounded dot, descending — the MIPS rerank). One expression
+        * swap; the plan shape is identical.
+        */
+      metric: String = "cosine"): DataFrame =
+    rerankExactWith(corpus, corpus, shortlist, k, idCol, vecCol, metric)
 
   /** [[rerankExact]] with the query vectors drawn from their own frame —
     * the shape the persisted-index path needs, where queries are not
@@ -1008,7 +1096,14 @@ object Similarity {
       shortlist: DataFrame,
       k: Int,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      metric: String = "cosine"): DataFrame = {
+    val exact = metric match {
+      case "cosine" => simE6(col("q_vec"), col("n_vec"))
+      case "ip"     => dotE6(col("q_vec"), col("n_vec"))
+      case other => throw new IllegalArgumentException(
+        s"unknown rerank metric '$other' (cosine | ip)")
+    }
     val pairs = broadcast(shortlist.select(col("q_id"), col("n_id")))
     val qv = broadcast(
       queryVecs.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
@@ -1016,7 +1111,7 @@ object Similarity {
     val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .join(pairs, Seq("n_id"))
       .join(qv, Seq("q_id"))
-      .withColumn("sim_e6", simE6(col("q_vec"), col("n_vec")))
+      .withColumn("sim_e6", exact)
       .select("q_id", "n_id", "sim_e6")
     topKRows(scored, k)
   }

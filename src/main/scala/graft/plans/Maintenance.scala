@@ -198,8 +198,10 @@ final case class GraftRefreshMatViewCommand(
   * the SQL face of [[graft.ext.AnnIndex.build]]: train coarse + PQ
   * quantizers on the source and commit the cell-partitioned codes table
   * at `target`. OPTIONS keys (quoted ints): `numCells`, `m`, `ksub`,
-  * `coarseIters`, `pqIters`. Returns the source version the codes
-  * reflect; `REFRESH VECTOR INDEX` then folds the source change feed
+  * `coarseIters`, `pqIters`; plus `metric` (`'l2'` default | `'ip'` —
+  * the MIPS posture: dot-assigned cells, raw-vector books, descending
+  * inner-product ADC). Returns the source version the codes reflect;
+  * `REFRESH VECTOR INDEX` then folds the source change feed
   * incrementally and `DROP VECTOR INDEX` removes the codes table.
   */
 final case class GraftCreateVectorIndexCommand(
@@ -213,7 +215,7 @@ final case class GraftCreateVectorIndexCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val idxPath = GraftMaintenance.resolvePath(spark, target)
     val srcPath = GraftMaintenance.resolvePath(spark, source)
-    val known = Seq("numCells", "m", "ksub", "coarseIters", "pqIters")
+    val known = Seq("numCells", "m", "ksub", "coarseIters", "pqIters", "metric")
     val unknown = options.keys.filterNot(known.contains)
     require(unknown.isEmpty,
       s"unknown vector-index OPTIONS: ${unknown.mkString(", ")} " +
@@ -226,7 +228,8 @@ final case class GraftCreateVectorIndexCommand(
       coarseIters = intOf("coarseIters", 0),
       pqIters = intOf("pqIters", 0),
       idCol = idCol.getOrElse("vec_id"),
-      vecCol = vecCol)
+      vecCol = vecCol,
+      metric = options.getOrElse("metric", "l2").trim.toLowerCase)
     Seq(Row(graft.ext.AnnIndex.status(spark, idxPath).indexedVersion))
   }
 }
@@ -347,6 +350,7 @@ final case class GraftDescribeVectorIndexCommand(
     target: Either[String, Seq[String]]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("source_path", StringType, nullable = false)(),
+    AttributeReference("metric", StringType, nullable = false)(),
     AttributeReference("indexed_version", LongType, nullable = false)(),
     AttributeReference("source_version", LongType, nullable = true)(),
     AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
@@ -363,17 +367,18 @@ final case class GraftDescribeVectorIndexCommand(
         s"$path is not a vector index (missing " +
           s"${graft.ext.AnnIndex.SourcePathKey})"))
     val indexedV = props(graft.ext.AnnIndex.SourceVersionKey).toLong
+    val metric = graft.ext.AnnIndex.params(props).metric
     // a dangling source (vacuumed/moved) must still DESCRIBE — this row
     // IS the diagnostic; version/drift columns read NULL then
     scala.util.Try(
       graft.ext.AnnIndex.status(spark, path, probeDrift = true)) match {
       case scala.util.Success(st) =>
-        Seq(Row(src, st.indexedVersion, st.sourceVersion, st.stale,
+        Seq(Row(src, metric, st.indexedVersion, st.sourceVersion, st.stale,
           st.buildDistortionE6.map(Long.box).orNull,
           st.currentDistortionE6.map(Long.box).orNull,
           Boolean.box(st.rebuildRecommended)))
       case scala.util.Failure(_) =>
-        Seq(Row(src, indexedV, null, null,
+        Seq(Row(src, metric, indexedV, null, null,
           props.get(graft.ext.AnnIndex.DistortionKey)
             .map(v => Long.box(v.toLong)).orNull,
           null, null))

@@ -253,8 +253,9 @@ class AnnIndexSpec extends SparkSpec {
     assert(!d.isNullAt(d.fieldIndex("build_distortion_e6")))
     GraftWriter.write(spark, embDf(Seq((301L, vec(5), 0L))), src,
       WriteOptions(mode = WriteMode.Append))
-    assert(spark.sql(s"DESCRIBE VECTOR INDEX graft.`$idx`")
-      .head().getBoolean(3), "DESCRIBE must flag staleness")
+    val d2 = spark.sql(s"DESCRIBE VECTOR INDEX graft.`$idx`").head()
+    assert(d2.getBoolean(d2.fieldIndex("stale")), "DESCRIBE must flag staleness")
+    assert(d2.getString(d2.fieldIndex("metric")) == "l2")
     spark.sql(s"REFRESH VECTOR INDEX graft.`$idx`").collect()
     // unknown OPTIONS refused
     val eOpt = intercept[Exception] {
@@ -333,6 +334,96 @@ class AnnIndexSpec extends SparkSpec {
     val idx2 = tmpDir("ann_drift_idx2") + "/ix"
     AnnIndex.build(spark, src, idx2, numCells = 4, m = 4, ksub = 8)
     assert(!AnnIndex.status(spark, idx2, probeDrift = true).rebuildRecommended)
+  }
+
+  private def rankedIp(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Long)] =
+    df.select("q_id", "n_id", "rank", "asim_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  private def rankedSim(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Long)] =
+    df.select("q_id", "n_id", "rank", "sim_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("ip index: search + rerank bit-match the inline MIPS paths; DESCRIBE reports the metric") {
+    val src = tmpDir("annip_src"); val idx = tmpDir("annip_idx") + "/ix"
+    mkCorpus(src, 0L until 120L)
+    AnnIndex.build(spark, src, idx, numCells = 6, m = 4, ksub = 8,
+      metric = "ip")
+    val corpus = GraftTable(spark, src).toDf()
+    val inline = Similarity.ivfIpTopK(corpus, col("vec_id") < 8, k = 4,
+      numCells = 6, m = 4, ksub = 8, rowCountHint = Some(120L))
+    val stored = AnnIndex.search(spark, idx,
+      corpus.filter(col("vec_id") < 8), k = 4)
+    assert(rankedIp(stored) == rankedIp(inline))
+    assert(rankedIp(stored).nonEmpty)
+    // multi-probe parity (query-side nprobe only — same stored codes)
+    assert(rankedIp(AnnIndex.search(spark, idx,
+      corpus.filter(col("vec_id") < 8), k = 4, nprobe = 2)) ==
+      rankedIp(Similarity.ivfIpTopK(corpus, col("vec_id") < 8, k = 4,
+        numCells = 6, m = 4, ksub = 8, nprobe = 2, rowCountHint = Some(120L))))
+    // two-stage parity: the exact stage scores by rounded DOT on both
+    assert(rankedSim(AnnIndex.searchRerank(spark, idx,
+      corpus.filter(col("vec_id") < 8), k = 4, shortlistFactor = 3)) ==
+      rankedSim(Similarity.ivfIpTopKRerank(corpus, col("vec_id") < 8, k = 4,
+        shortlistFactor = 3, numCells = 6, m = 4, ksub = 8,
+        rowCountHint = Some(120L))))
+    // DESCRIBE surfaces the metric next to staleness/drift
+    val d = spark.sql(s"DESCRIBE VECTOR INDEX graft.`$idx`").head()
+    assert(d.getString(d.fieldIndex("metric")) == "ip")
+    assert(!d.getBoolean(d.fieldIndex("stale")))
+    // Lloyd-refined coarse cells round-trip too (dot-argmax inside the
+    // loop on both sides; books unaffected — no residual stage)
+    val idxK = tmpDir("annip_kidx") + "/ix"
+    AnnIndex.build(spark, src, idxK, numCells = 6, m = 4, ksub = 8,
+      coarseIters = 2, metric = "ip")
+    assert(rankedIp(AnnIndex.search(spark, idxK,
+      corpus.filter(col("vec_id") < 8), k = 4)) ==
+      rankedIp(Similarity.ivfIpTopK(corpus, col("vec_id") < 8, k = 4,
+        numCells = 6, m = 4, ksub = 8, rowCountHint = Some(120L),
+        coarseIters = 2)))
+    // the SQL route creates the same artifact
+    val idxS = tmpDir("annip_sidx") + "/ix"
+    spark.sql(s"CREATE VECTOR INDEX graft.`$idxS` ON graft.`$src` " +
+      "(embedding) ID vec_id OPTIONS ('numCells' = '6', 'm' = '4', " +
+      "'ksub' = '8', 'metric' = 'ip')")
+    assert(rankedIp(AnnIndex.search(spark, idxS,
+      corpus.filter(col("vec_id") < 8), k = 4)) == rankedIp(inline))
+    val eM = intercept[Exception] {
+      AnnIndex.build(spark, src, tmpDir("annip_bad") + "/ix",
+        metric = "cosine")
+    }
+    assert(eM.getMessage.contains("unknown index metric"))
+  }
+
+  test("ip index: refresh encodes through the FROZEN dot-cell/raw-book quantizers") {
+    val src = tmpDir("annip_rsrc"); val idx = tmpDir("annip_ridx") + "/ix"
+    mkCorpus(src, 0L until 80L)
+    AnnIndex.build(spark, src, idx, numCells = 4, m = 4, ksub = 8,
+      metric = "ip")
+    assert(codesOf(idx) == frozenRecompute(idx, src))
+    // the raw-vector drift probe reproduces exactly on an unchanged corpus
+    val st0 = AnnIndex.status(spark, idx, probeDrift = true)
+    assert(st0.currentDistortionE6 == st0.buildDistortionE6)
+    assert(!st0.rebuildRecommended)
+
+    GraftWriter.write(spark,
+      embDf((200L until 210L).map(i => (i, vec(i + 3), i % 3))),
+      src, WriteOptions(mode = WriteMode.Append))
+    Dml.update(spark, src, col("vec_id") === 7L,
+      Map("embedding" -> typedLit(vec(999L))))
+    Dml.delete(spark, src, col("vec_id").isin(3L, 5L, 203L))
+    assert(AnnIndex.refresh(spark, idx)
+      .contains(GraftTable(spark, src).version()))
+    val after = codesOf(idx)
+    assert(after == frozenRecompute(idx, src))
+    assert(!after.exists(_._1 == 3L) && after.exists(_._1 == 207L))
+    assert(AnnIndex.refresh(spark, idx).isEmpty)
+    // searches after refresh serve the maintained codes, fresh gate on
+    assert(rankedIp(AnnIndex.search(spark, idx,
+      GraftTable(spark, src).toDf().filter(col("vec_id") < 4), k = 3,
+      requireFresh = true)).nonEmpty)
   }
 
   test("k-means build round-trips its refined quantizers through the properties") {

@@ -297,6 +297,52 @@ class ExtOpsSpec extends SparkSpec {
     info(f"ivf-pq recall stride=$r1%.3f kmeans=$rKm%.3f nprobe2=$r2%.3f")
   }
 
+  test("MIPS family: kmeans cells hold recall; exact-dot rerank recovers brute order") {
+    val pred = col("vec_id") < 16
+    // exact maximum-inner-product reference (rounded dot, id tie-break)
+    val q = embs.filter(pred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val exact = embs.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      .crossJoin(q).filter(col("n_id") =!= col("q_id"))
+      .withColumn("s",
+        round(Similarity.dot(col("qv"), col("nv")) * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("s").desc, col("n_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val stride = recallOf(Similarity.ivfIpTopK(embs, pred, 5))
+    assert(stride >= 0.05, s"IVF-IP recall $stride below floor")
+    // dot-argmax Lloyd refinement must not lose recall vs stride seeds
+    val kmeans = recallOf(Similarity.ivfIpTopK(embs, pred, 5, coarseIters = 2))
+    assert(kmeans >= stride - 0.05,
+      s"IVF-IP kmeans recall $kmeans degraded vs stride $stride")
+    // the exact-dot rerank stage must not lose recall vs its own
+    // shortlist source (it can only re-order/extend what ADC surfaced)
+    val rr = recallOf(Similarity.ivfIpTopKRerank(embs, pred, 5,
+      shortlistFactor = 4))
+    assert(rr >= stride - 0.05,
+      s"IP rerank recall $rr degraded vs plain ADC $stride")
+    // a flat IP shortlist covering the WHOLE corpus, reranked by exact
+    // dot, IS brute-force MIPS — bit-identical output (same rounding,
+    // same id tie-break, same column names)
+    val n = embs.count().toInt
+    val full = Similarity.pqTopKIpRerank(embs, pred, 5,
+      shortlistFactor = (n + 4) / 5)
+    val brute = Similarity.bruteTopK(embs, embs.filter(pred), 5,
+      metric = "dot")
+    assert(full.collect().map(_.toSeq).toSet ==
+      brute.collect().map(_.toSeq).toSet,
+      "corpus-wide IP rerank must equal brute-force MIPS")
+    info(f"ivf-ip recall stride=$stride%.3f kmeans=$kmeans%.3f rerank=$rr%.3f")
+  }
+
   test("skewJoin equals the plain join and broadcasts the hot branch") {
     import spark.implicits._
     // key 1 is hot (40 rows), keys 2..20 cold
