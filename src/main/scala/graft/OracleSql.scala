@@ -1064,6 +1064,23 @@ object OracleSql {
                FROM orders WHERE o_orderkey % 5 <> 0)
          GROUP BY prio""",
 
+    // min/max matview: survivors = keys % 5 <> 0, prices bumped on
+    // % 7 = 0, then everything at-or-above the 40M-cent ceiling deleted
+    // (the extremum-recompute path); oracle = plain recompute
+    "matview_minmax" ->
+      """SELECT prio,
+                min(price_c) AS min_price_c,
+                max(price_c) AS max_price_c,
+                CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+                count(*) AS n_all
+         FROM (SELECT o_orderpriority AS prio,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        + CASE WHEN o_orderkey % 7 = 0 THEN 1000
+                               ELSE 0 END AS price_c
+               FROM orders WHERE o_orderkey % 5 <> 0)
+         WHERE price_c < 40000000
+         GROUP BY prio""",
+
     // default column values: the append omitted src_tag -> 'bulk'
     "table_default_cols" ->
       """SELECT o_orderkey, o_totalprice, 'seed' AS src_tag FROM orders

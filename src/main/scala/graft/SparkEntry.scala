@@ -553,6 +553,38 @@ object SparkEntry {
     graft.ext.MaterializedAgg.readView(spark, sum)
   }
 
+  /** Materialized view maintaining MIN/MAX through extremum-deleting
+    * DML: inserts fold incrementally; the price-ceiling DELETE removes
+    * every group's current maximum, driving the bounded
+    * affected-groups-only recompute ([[graft.ext.MaterializedAgg]]) —
+    * the oracle is a full recompute over the surviving rows.
+    */
+  private def qMatviewMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderpriority").as("prio"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val src = tmp("graft_mv_mm_src")
+    val sum = tmp("graft_mv_minmax")
+    GraftWriter.write(spark, o, src,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT prio, min(price_c) AS min_price_c, " +
+      s"max(price_c) AS max_price_c, sum(price_c) AS sum_price_c, " +
+      s"count(*) AS n_all FROM graft.`$src` GROUP BY prio")
+    // same churn as matview_avg (folds + non-extremum deletes) ...
+    graft.merge.Dml.delete(spark, src, col("o_orderkey") % 5 === 0)
+    graft.merge.Dml.update(spark, src, col("o_orderkey") % 7 === 0,
+      Map("price_c" -> (col("price_c") + lit(1000L))))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+    // ... then chop the TOP of the price range: every group's current
+    // max dies, so this refresh exercises the recompute path group-wide
+    graft.merge.Dml.delete(spark, src, col("price_c") >= lit(40000000L))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+    graft.ext.MaterializedAgg.readView(spark, sum)
+  }
+
   /** Incremental dedup against a PERSISTED fingerprint store
     * ([[graft.ext.DedupIndex]]): two thirds of the corpus seed the
     * store (MinHash LSH band rows, hot bands capped), then the last
@@ -1774,6 +1806,7 @@ object SparkEntry {
     "table_roundtrip" -> (qTableRoundtrip _),
     "table_row_tracking" -> (qTableRowTracking _),
     "matview_avg" -> (qMatviewAvg _),
+    "matview_minmax" -> (qMatviewMinmax _),
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_probe" -> (qDedupProbe _),
     "point_lookup_bloom" -> (qPointLookupBloom _),

@@ -54,6 +54,16 @@ object MaterializedAgg {
   val SelectKey: String =
     graft.log.CommitLog.ReservedPrefix + "matview.select"
 
+  /** Columns whose `min_<col>`/`max_<col>` extrema the summary
+    * maintains. Inserts fold incrementally (`least`/`greatest` against
+    * the stored extremum); a delete/preimage that touches a group's
+    * CURRENT extremum triggers a bounded recompute of exactly the
+    * affected groups from the source — the one aggregate family where a
+    * removed value cannot be replaced from the summary alone.
+    */
+  val MinMaxKey: String =
+    graft.log.CommitLog.ReservedPrefix + "matview.minmax"
+
   /** Build or incrementally refresh `summaryPath` =
     * `source GROUP BY keyCols AGG sum(valueCol) AS sum_val, count(*) AS
     * n_rows`. Returns the newly applied source version, or None when the
@@ -94,10 +104,19 @@ object MaterializedAgg {
       /** Extra creating-commit properties (e.g. [[SelectKey]]). Ignored
         * on refreshes of an existing summary.
         */
-      createProps: Map[String, String] = Map.empty): Option[Long] = {
+      createProps: Map[String, String] = Map.empty,
+      /** Columns maintained as `min_<col>`/`max_<col>`. Inserts fold
+        * incrementally; a delete/preimage touching a group's current
+        * extremum recomputes ONLY that group from the source — one
+        * narrow source pass semi-joined to the (changed-key-bounded)
+        * affected group set, never a view-sized rescan.
+        */
+      minMaxCols: Seq[String] = Nil): Option[Long] = {
     require(keyCols.nonEmpty, "at least one grouping key")
     require(valueCols.distinct == valueCols,
       s"duplicate summed columns: ${valueCols.mkString(",")}")
+    require(minMaxCols.distinct == minMaxCols,
+      s"duplicate min/max columns: ${minMaxCols.mkString(",")}")
     val specs = specsOf(valueCols)
     val src = GraftTable(spark, sourcePath)
     val curV = src.version()
@@ -106,13 +125,15 @@ object MaterializedAgg {
       // initial build: one full aggregate; the version watermark AND the
       // view definition (source/keys/values) pin in the same creating
       // commit, so REFRESH MATERIALIZED VIEW can re-derive the spec
-      GraftWriter.write(spark, summarizeSums(src.toDf(), keyCols, valueCols),
+      GraftWriter.write(spark,
+        summarizeSums(src.toDf(), keyCols, valueCols, minMaxCols),
         summaryPath, WriteOptions(mode = WriteMode.ErrorIfExists,
           metadata = createProps ++ Map(
             SourceVersionKey -> curV.toString,
             SourceKey -> sourcePath,
             KeysKey -> keyCols.mkString(","),
-            ValueKey -> valueCols.mkString(","))))
+            ValueKey -> valueCols.mkString(","),
+            MinMaxKey -> minMaxCols.mkString(","))))
       return Some(curV)
     }
 
@@ -130,6 +151,11 @@ object MaterializedAgg {
       require(sumSchema.contains(nv),
         s"$summaryPath predates the $nv column (exact sum() NULL " +
           "semantics); drop it and rebuild the materialized aggregate")
+    }
+    minMaxCols.foreach { c =>
+      require(sumSchema.contains(s"min_$c") && sumSchema.contains(s"max_$c"),
+        s"$summaryPath does not maintain min_$c/max_$c; drop it and " +
+          "rebuild the materialized aggregate with the min/max entries")
     }
     if (curV <= lastV) return None // already current
 
@@ -161,17 +187,86 @@ object MaterializedAgg {
       Seq((coalesce(col(c).cast("long"), lit(0L)) * sign).as(dv(i)),
         when(col(c).isNotNull, sign).otherwise(0L).as(nv(i)))
     }
-    val aggs = sum(col("__sign")).as("d_n") +:
+    // min/max deltas: per column the inserted-side and removed-side raw
+    // values ride the same change scan; min/max aggregates skip NULLs,
+    // so each side's extremum is NULL iff the batch touched no real
+    // value of that side
+    val mmProj = minMaxCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(when(sign === 1L, col(c)).as(s"__iv_$i"),
+        when(sign === -1L, col(c)).as(s"__rv_$i"))
+    }
+    val mmAggs = minMaxCols.indices.flatMap(i => Seq(
+      min(col(s"__iv_$i")).as(s"d_imin_$i"),
+      max(col(s"__iv_$i")).as(s"d_imax_$i"),
+      min(col(s"__rv_$i")).as(s"d_rmin_$i"),
+      max(col(s"__rv_$i")).as(s"d_rmax_$i")))
+    val aggs = (sum(col("__sign")).as("d_n") +:
       specs.indices.flatMap(i => Seq(
-        sum(col(dv(i))).as(s"d_sum_$i"), sum(col(nv(i))).as(s"d_nv_$i")))
-    val anyChange = specs.indices
-      .flatMap(i => Seq(col(s"d_sum_$i") =!= 0L, col(s"d_nv_$i") =!= 0L))
+        sum(col(dv(i))).as(s"d_sum_$i"), sum(col(nv(i))).as(s"d_nv_$i")))) ++
+      mmAggs
+    // a batch can be sum/count-neutral yet move an extremum (delete
+    // {1,4}, insert {2,3}) — any touched min/max value keeps the key
+    val anyChange = (specs.indices
+      .flatMap(i => Seq(col(s"d_sum_$i") =!= 0L, col(s"d_nv_$i") =!= 0L)) ++
+      minMaxCols.indices
+        .flatMap(i => Seq(col(s"d_imin_$i").isNotNull,
+          col(s"d_rmin_$i").isNotNull)))
       .foldLeft(col("d_n") =!= 0L)(_ || _)
-    val deltas = changes
-      .select(keyCols.map(col) ++ Seq(sign.as("__sign")) ++ perCol: _*)
+    val deltas0 = changes
+      .select(keyCols.map(col) ++ Seq(sign.as("__sign")) ++ perCol ++ mmProj: _*)
       .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .filter(anyChange)
+
+    // bounded extremum recompute: a group needs one iff (a) a removed
+    // value ties-or-beats its STORED extremum (the summary alone cannot
+    // say what replaces it), or (b) the group is NEW to the summary and
+    // its in-range history already contains removals (the insert-side
+    // extremum may have been deleted again). The recompute is one
+    // source pass at curV — which already reflects the batch's inserts
+    // — semi-joined to the affected keys (bounded by changed keys, so
+    // the flag set broadcasts); untouched groups never rescan.
+    val deltas =
+      if (minMaxCols.isEmpty) deltas0
+      else {
+        val curSum = summary.toDf()
+          .select(keyCols.map(col) ++
+            minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
+          .withColumn("__t_present", lit(true))
+        val dAl = deltas0.alias("d")
+        val tAl = curSum.alias("t")
+        val keyEq = keyCols.map(k => col(s"d.$k") <=> col(s"t.$k")).reduce(_ && _)
+        val touched = minMaxCols.zipWithIndex.map { case (c, i) =>
+          (col(s"d.d_rmin_$i").isNotNull &&
+            (col(s"t.min_$c").isNull || col(s"d.d_rmin_$i") <= col(s"t.min_$c"))) ||
+            (col(s"d.d_rmax_$i").isNotNull &&
+              (col(s"t.max_$c").isNull || col(s"d.d_rmax_$i") >= col(s"t.max_$c")))
+        }.reduce(_ || _)
+        val newWithRemovals = col("t.__t_present").isNull &&
+          minMaxCols.indices.map(i => col(s"d.d_rmin_$i").isNotNull)
+            .reduce(_ || _)
+        val flagged = dAl.join(tAl, keyEq, "left_outer")
+          .filter(touched || newWithRemovals)
+          .select(keyCols.map(k => col(s"d.$k")): _*)
+        val flAl = broadcast(flagged).alias("f")
+        val srcKeyEq = keyCols.map(k => col(s"sr.$k") <=> col(s"f.$k")).reduce(_ && _)
+        val rAggs = minMaxCols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).as(s"r_min_$i"), max(col(c)).as(s"r_max_$i"))
+        }
+        val recomputed = src.toDf(versionAsOf = Some(curV)).alias("sr")
+          .join(flAl, srcKeyEq, "left_semi")
+          .groupBy(keyCols.map(col): _*)
+          .agg(rAggs.head, rAggs.tail: _*)
+          .withColumn("__rec", lit(true))
+          .alias("r")
+        val dAl2 = deltas0.alias("d2")
+        val joinEq = keyCols.map(k => col(s"d2.$k") <=> col(s"r.$k")).reduce(_ && _)
+        dAl2.join(recomputed, joinEq, "left_outer")
+          .select(deltas0.columns.map(c => col(s"d2.$c")).toSeq ++
+            minMaxCols.indices
+              .flatMap(i => Seq(col(s"r.r_min_$i"), col(s"r.r_max_$i"))) :+
+            col("r.__rec"): _*)
+      }
 
     // upsert the deltas; the source-version watermark rides the SAME
     // commit — atomic exactly-once. NULL-SAFE equality: a NULL grouping
@@ -186,20 +281,50 @@ object MaterializedAgg {
           .otherwise(coalesce(col(s"t.$sumC"), lit(0L)) + col(s"s.d_sum_$i")),
         nvC -> newNv)
     }.toMap
+    // extrema: a recomputed group takes the fresh scan's value (it
+    // already reflects the batch's inserts); otherwise removals proved
+    // harmless and inserts fold against the stored extremum (NULL-aware:
+    // least/greatest of a NULL and a value is NULL in Spark, so the
+    // all-NULL-so-far and no-inserts cases branch explicitly)
+    val mmUpdates = minMaxCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        s"min_$c" -> when(col("s.__rec") === true, col(s"s.r_min_$i"))
+          .otherwise(
+            when(col(s"t.min_$c").isNull, col(s"s.d_imin_$i"))
+              .when(col(s"s.d_imin_$i").isNull, col(s"t.min_$c"))
+              .otherwise(least(col(s"t.min_$c"), col(s"s.d_imin_$i")))),
+        s"max_$c" -> when(col("s.__rec") === true, col(s"s.r_max_$i"))
+          .otherwise(
+            when(col(s"t.max_$c").isNull, col(s"s.d_imax_$i"))
+              .when(col(s"s.d_imax_$i").isNull, col(s"t.max_$c"))
+              .otherwise(greatest(col(s"t.max_$c"), col(s"s.d_imax_$i")))))
+    }.toMap
     val inserts = specs.zipWithIndex.flatMap { case ((_, sumC, nvC), i) =>
       Seq(
         sumC -> when(col(s"s.d_nv_$i") === 0L, lit(null).cast("long"))
           .otherwise(col(s"s.d_sum_$i")),
         nvC -> col(s"s.d_nv_$i"))
     }.toMap
+    val mmInserts = minMaxCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        s"min_$c" -> when(col("s.__rec") === true, col(s"s.r_min_$i"))
+          .otherwise(col(s"s.d_imin_$i")),
+        s"max_$c" -> when(col("s.__rec") === true, col(s"s.r_max_$i"))
+          .otherwise(col(s"s.d_imax_$i")))
+    }.toMap
     MergeClausesExecutor.merge(spark, deltas, summaryPath, pred,
       matched = Seq(
         // a key whose row count nets to zero disappeared from the source
         Delete(Some(col("t.n_rows") + col("s.d_n") === 0L)),
-        UpdateSet(updates + ("n_rows" -> (col("t.n_rows") + col("s.d_n"))))),
+        UpdateSet(updates ++ mmUpdates +
+          ("n_rows" -> (col("t.n_rows") + col("s.d_n"))))),
       notMatched = Seq(InsertValues(
         keyCols.map(k => k -> col(s"s.$k")).toMap ++
-          inserts + ("n_rows" -> col("s.d_n")))),
+          inserts ++ mmInserts + ("n_rows" -> col("s.d_n")),
+        // a group created AND fully deleted within the range has no
+        // summary row (sum/count-only deltas filtered such keys out
+        // before min/max values could keep them alive)
+        if (minMaxCols.isEmpty) None else Some(col("s.d_n") =!= 0L))),
       extraMetadata = Map(SourceVersionKey -> curV.toString))
     Some(curV)
   }
@@ -211,8 +336,8 @@ object MaterializedAgg {
     * not a materialized aggregate.
     */
   def refreshByTarget(spark: SparkSession, summaryPath: String): Option[Long] = {
-    val (source, keys, values) = definitionOf(spark, summaryPath)
-    refreshSums(spark, source, summaryPath, keys, values)
+    val (source, keys, values, minmax) = definitionOf(spark, summaryPath)
+    refreshSums(spark, source, summaryPath, keys, values, minMaxCols = minmax)
   }
 
   /** The view AS DECLARED: keys plus each requested aggregate, with
@@ -224,7 +349,7 @@ object MaterializedAgg {
     * directly via [[refreshSums]].
     */
   def readView(spark: SparkSession, summaryPath: String): DataFrame = {
-    val (_, keys, values) = definitionOf(spark, summaryPath)
+    val (_, keys, values, _) = definitionOf(spark, summaryPath)
     val df = GraftTable(spark, summaryPath).toDf()
     val props = GraftTable(spark, summaryPath).log.tableProperties()
     props.get(SelectKey).filter(_.nonEmpty) match {
@@ -244,6 +369,8 @@ object MaterializedAgg {
                 .as(name(s"avg_$c"))
             case "count" if c == "*" => col("n_rows").as(name("count_star"))
             case "count" => col(naming(c)._2).as(name(s"count_$c"))
+            case "min" => col(s"min_$c").as(name(s"min_$c"))
+            case "max" => col(s"max_$c").as(name(s"max_$c"))
             case other => throw new IllegalStateException(
               s"unknown recorded aggregate form '$other' in $SelectKey")
           }
@@ -258,7 +385,7 @@ object MaterializedAgg {
     */
   private def definitionOf(
       spark: SparkSession,
-      summaryPath: String): (String, Seq[String], Seq[String]) = {
+      summaryPath: String): (String, Seq[String], Seq[String], Seq[String]) = {
     require(GraftTable.exists(spark, summaryPath),
       s"not a graft table: $summaryPath")
     val props = GraftTable(spark, summaryPath).log.tableProperties()
@@ -269,7 +396,9 @@ object MaterializedAgg {
       props(KeysKey).split(',').toSeq.filter(_.nonEmpty),
       // absent for count(*)-only views (an empty property value is not
       // persisted) — that's a legal zero-sum definition
-      props.getOrElse(ValueKey, "").split(',').toSeq.filter(_.nonEmpty))
+      props.getOrElse(ValueKey, "").split(',').toSeq.filter(_.nonEmpty),
+      // absent (pre-min/max summaries or none requested) — legal
+      props.getOrElse(MinMaxKey, "").split(',').toSeq.filter(_.nonEmpty))
   }
 
   /** Continuous maintenance: a change-feed stream whose every
@@ -300,12 +429,14 @@ object MaterializedAgg {
       summaryPath: String,
       keyCols: Seq[String],
       valueCols: Seq[String],
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      minMaxCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.Streams.readChangeFeed(spark, sourcePath)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        refreshSums(spark, sourcePath, summaryPath, keyCols, valueCols)
+        refreshSums(spark, sourcePath, summaryPath, keyCols, valueCols,
+          minMaxCols = minMaxCols)
         ()
       }
       .start()
@@ -318,8 +449,9 @@ object MaterializedAgg {
       spark: SparkSession,
       summaryPath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val (source, keys, values) = definitionOf(spark, summaryPath)
-    maintainStreamSums(spark, source, summaryPath, keys, values, checkpointDir)
+    val (source, keys, values, minmax) = definitionOf(spark, summaryPath)
+    maintainStreamSums(spark, source, summaryPath, keys, values,
+      checkpointDir, minmax)
   }
 
   /** The summary shape: one row per key with the exact integer sum, the
@@ -331,13 +463,17 @@ object MaterializedAgg {
     summarizeSums(df, keyCols, Seq(valueCol))
 
   /** [[summarize]] over multiple summed columns: per column the exact
-    * integer sum + non-null value count, plus one shared row count.
+    * integer sum + non-null value count, plus one shared row count and
+    * any requested `min_<col>`/`max_<col>` extrema (source type
+    * preserved — extrema are never summed, so the integral-sum rule
+    * does not apply to them).
     */
   def summarizeSums(
-      df: DataFrame, keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+      df: DataFrame, keyCols: Seq[String], valueCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): DataFrame = {
     // single column keeps the historical (sum_val, n_rows, n_vals)
     // column ORDER — existing summaries and positional readers rely on it
-    val aggs = valueCols match {
+    val aggs = (valueCols match {
       case Seq(only) => Seq(
         sum(col(only).cast("long")).as("sum_val"),
         count(lit(1)).as("n_rows"),
@@ -345,7 +481,8 @@ object MaterializedAgg {
       case many => specsOf(many).flatMap { case (c, sumC, nvC) =>
         Seq(sum(col(c).cast("long")).as(sumC), count(col(c)).as(nvC))
       } :+ count(lit(1)).as("n_rows")
-    }
+    }) ++ minMaxCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

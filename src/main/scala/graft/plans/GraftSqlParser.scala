@@ -150,6 +150,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*DESCRIBE\s+VECTOR\s+INDEX\s+""" + T + """\s*;?\s*$""").r
   private val DescribeDedupStoreRe =
     ("""(?is)^\s*DESCRIBE\s+DEDUP\s+STORE\s+""" + T + """\s*;?\s*$""").r
+  private val ShowVectorIndexesRe =
+    """(?is)^\s*SHOW\s+VECTOR\s+INDEXES\s+IN\s+'([^']+)'\s*;?\s*$""".r
+  private val ShowDedupStoresRe =
+    """(?is)^\s*SHOW\s+DEDUP\s+STORES\s+IN\s+'([^']+)'\s*;?\s*$""".r
   private val RefreshMatViewRe =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   private val CloneRe =
@@ -219,6 +223,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftDescribeVectorIndexCommand(target(p, n)))
       case DescribeDedupStoreRe(p, n) =>
         Some(GraftDescribeDedupStoreCommand(target(p, n)))
+      case ShowVectorIndexesRe(root) =>
+        Some(GraftShowVectorIndexesCommand(root))
+      case ShowDedupStoresRe(root) =>
+        Some(GraftShowDedupStoresCommand(root))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>

@@ -141,40 +141,43 @@ final case class GraftCreateMatViewCommand(
     // entries. Maintainable forms: sum(col) (maintained directly),
     // avg(col) / count(col) / count(*) (DERIVED at read time from the
     // maintained sum_<col>/nvals_<col>/n_rows — no new maintenance
-    // math). min/max are refused with the reason: under DELETEs a
-    // removed extremum cannot be replaced from the summary alone.
+    // math), min(col) / max(col) (inserts fold incrementally; a delete
+    // touching a group's current extremum recomputes ONLY that group
+    // from the source — bounded by the changed keys, never a rescan of
+    // the view).
     val aggRe = """(?i)^(sum|avg|count|min|max)\s*\(\s*([\w.]+|\*)\s*\)(?:\s+as\s+(\w+))?$""".r
     val items = selectList.split(',').map(_.trim).filter(_.nonEmpty)
     val (aggItems, keys) = items.partition(aggRe.pattern.matcher(_).matches())
     require(aggItems.nonEmpty,
       "CREATE MATERIALIZED VIEW needs at least one aggregate " +
-        s"(sum/avg/count) in the select list; got: $selectList")
+        s"(sum/avg/count/min/max) in the select list; got: $selectList")
     keys.foreach(k => require(k.matches("""[\w.]+"""),
       s"materialized-view select entries must be grouping keys or " +
-        s"sum(col)/avg(col)/count(col)/count(*); cannot maintain '$k' " +
-        "incrementally"))
+        s"sum(col)/avg(col)/count(col)/count(*)/min(col)/max(col); " +
+        s"cannot maintain '$k' incrementally"))
     require(keys.map(_.toLowerCase).toSet == groupBy.map(_.toLowerCase).toSet,
       s"select keys ${keys.mkString(",")} must equal GROUP BY " +
         groupBy.mkString(","))
     val entries: Seq[(String, String, String)] = aggItems.toSeq.map {
       case aggRe(fn0, c, alias) =>
         val fn = fn0.toLowerCase(java.util.Locale.ROOT)
-        require(fn != "min" && fn != "max",
-          s"$fn($c) is not incrementally maintainable under DELETEs: a " +
-            "deleted extremum cannot be replaced from the summary alone " +
-            "(its group would need a rescan). Maintain sum/avg/count, or " +
-            "recompute the aggregate as a plain query")
         require(c != "*" || fn == "count", s"$fn(*) is not a valid aggregate")
         (fn, c, Option(alias).getOrElse(""))
     }
-    val valueCols = entries.collect { case (_, c, _) if c != "*" => c }.distinct
+    val valueCols = entries
+      .collect { case (fn, c, _) if c != "*" && fn != "min" && fn != "max" => c }
+      .distinct
+    val minMaxCols = entries
+      .collect { case (fn, c, _) if fn == "min" || fn == "max" => c }
+      .distinct
     // preserve the SELECT's key order (groupBy order may differ); the
     // requested forms ride the creating commit so readView can serve
     // avg/count derived from the maintained columns
     val v = graft.ext.MaterializedAgg.refreshSums(
       spark, srcPath, dstPath, keys.toSeq, valueCols,
       createProps = Map(graft.ext.MaterializedAgg.SelectKey ->
-        entries.map { case (fn, c, al) => s"$fn:$c:$al" }.mkString(",")))
+        entries.map { case (fn, c, al) => s"$fn:$c:$al" }.mkString(",")),
+      minMaxCols = minMaxCols)
     Seq(Row(v.getOrElse(
       throw new IllegalStateException("initial build applied no version"))))
   }
@@ -420,6 +423,91 @@ final case class GraftDescribeDedupStoreCommand(
       params,
       t.snapshot().files.map(_.liveRecords).sum))
   }
+}
+
+/** Shared walk for the SHOW ... IN 'root' statements: every graft table
+  * under `root` (identified by its `_graft_log` directory), descent
+  * stopping at table boundaries (a table's partition/data subtree is
+  * never entered) and bounded at `maxDepth` directory levels — lake
+  * roots keep tables shallow, and the bound keeps the driver-side
+  * listing cheap on arbitrarily deep foreign trees.
+  */
+private[plans] object GraftTableWalk {
+  def graftTablesUnder(
+      spark: SparkSession, root: String, maxDepth: Int = 3): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(conf)
+    if (!fs.exists(rp)) return Nil
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_log")))
+        Seq(p.toUri.getPath) // a table: never descend into its data
+      else if (depth >= maxDepth) Nil
+      else fs.listStatus(p).filter(_.isDirectory).toSeq
+        .flatMap(st => walk(st.getPath, depth + 1))
+    walk(rp, 0).sorted
+  }
+}
+
+/** `SHOW VECTOR INDEXES IN '/lake/root'` — enumerate the ANN indexes
+  * under a root (identified by their carried index properties), one row
+  * each with source coupling and staleness. The per-object deep dive
+  * (drift probe, parameters) stays `DESCRIBE VECTOR INDEX` — SHOW is
+  * the discovery surface an operator inheriting a lake starts from, so
+  * it never runs a probe (metadata-only, one log read per table found).
+  */
+final case class GraftShowVectorIndexesCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("source_path", StringType, nullable = false)(),
+    AttributeReference("metric", StringType, nullable = false)(),
+    AttributeReference("indexed_version", LongType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = true)(),
+    AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTableWalk.graftTablesUnder(spark, root).flatMap { p =>
+      val props = GraftTable(spark, p).log.tableProperties()
+      props.get(graft.ext.AnnIndex.SourcePathKey).map { src =>
+        val indexedV = props(graft.ext.AnnIndex.SourceVersionKey).toLong
+        // a dangling source still lists (NULL version/stale) — discovery
+        // must show the broken coupling, not hide the index
+        val srcV = scala.util.Try(GraftTable(spark, src).version()).toOption
+        Row(p, src, graft.ext.AnnIndex.params(props).metric, indexedV,
+          srcV.map(Long.box).orNull,
+          srcV.map(v => Boolean.box(v > indexedV)).orNull)
+      }
+    }
+}
+
+/** `SHOW DEDUP STORES IN '/lake/root'` — the dedup-store counterpart of
+  * [[GraftShowVectorIndexesCommand]]: every fingerprint store under the
+  * root with its coupling and staleness, metadata-only.
+  */
+final case class GraftShowDedupStoresCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("source_path", StringType, nullable = true)(),
+    AttributeReference("mirrored_version", LongType, nullable = true)(),
+    AttributeReference("source_version", LongType, nullable = true)(),
+    AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTableWalk.graftTablesUnder(spark, root).flatMap { p =>
+      val props = GraftTable(spark, p).log.tableProperties()
+      props.get(graft.ext.DedupIndex.ParamsKey).map { _ =>
+        val srcPath = props.get(graft.ext.DedupIndex.SourcePathKey)
+        val mirrored =
+          props.get(graft.ext.DedupIndex.SourceVersionKey).map(_.toLong)
+        val srcV = srcPath.flatMap(sp =>
+          scala.util.Try(GraftTable(spark, sp).version()).toOption)
+        Row(p, srcPath.orNull, mirrored.map(Long.box).orNull,
+          srcV.map(Long.box).orNull,
+          (for { m <- mirrored; s <- srcV } yield Boolean.box(s > m)).orNull)
+      }
+    }
 }
 
 /** `ALTER TABLE t DROP FEATURE f` — see [[graft.io.Alter.dropFeature]]. */

@@ -368,4 +368,53 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")
       || e.getMessage.toLowerCase.contains("cannot be found"), e.getMessage)
   }
+
+  test("vector-index and dedup-store DDL route through catalog names") {
+    import spark.implicits._
+    val srcP = s"$root/nsix/emb"
+    GraftWriter.write(spark,
+      (0L until 60L).map(i =>
+        (i, Array.tabulate(8)(d => ((i + d) % 5).toFloat), s"doc $i text"))
+        .toDF("vec_id", "embedding", "text")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      srcP, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    // CREATE by catalog name lands under the catalog's warehouse layout
+    spark.sql("CREATE VECTOR INDEX gcat.nsix.ix ON gcat.nsix.emb " +
+      "(embedding) ID vec_id OPTIONS ('numCells' = '4', 'm' = '4', " +
+      "'ksub' = '8')")
+    assert(GraftTable.exists(spark, s"$root/nsix/ix"))
+    val d = spark.sql("DESCRIBE VECTOR INDEX gcat.nsix.ix").head()
+    assert(d.getString(d.fieldIndex("metric")) == "l2")
+    assert(!d.getBoolean(d.fieldIndex("stale")))
+    spark.sql("CREATE DEDUP STORE gcat.nsix.fp ON gcat.nsix.emb (text) " +
+      "ID vec_id")
+    assert(GraftTable.exists(spark, s"$root/nsix/fp"))
+    // REFRESH by name after a source append advances both
+    GraftWriter.write(spark,
+      Seq((100L, Array.fill(8)(1f), "fresh doc"))
+        .toDF("vec_id", "embedding", "text")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      srcP, WriteOptions(mode = WriteMode.Append))
+    assert(spark.sql("REFRESH VECTOR INDEX gcat.nsix.ix").head().getLong(0) ==
+      GraftTable(spark, srcP).version())
+    assert(spark.sql("REFRESH DEDUP STORE gcat.nsix.fp").head().getLong(0) ==
+      GraftTable(spark, srcP).version())
+    val st = spark.sql("DESCRIBE DEDUP STORE gcat.nsix.fp").head()
+    assert(!st.getBoolean(st.fieldIndex("stale")))
+    // SHOW under the catalog root discovers both
+    assert(spark.sql(s"SHOW VECTOR INDEXES IN '$root'").collect()
+      .map(_.getString(0)).contains(s"$root/nsix/ix"))
+    assert(spark.sql(s"SHOW DEDUP STORES IN '$root'").collect()
+      .map(_.getString(0)).contains(s"$root/nsix/fp"))
+    // DROP by name removes the artifacts, refuses the data table
+    val eDrop = intercept[Exception] {
+      spark.sql("DROP VECTOR INDEX gcat.nsix.emb")
+    }
+    assert(eDrop.getMessage.contains("not a vector index"))
+    spark.sql("DROP VECTOR INDEX gcat.nsix.ix")
+    spark.sql("DROP DEDUP STORE gcat.nsix.fp")
+    assert(!GraftTable.exists(spark, s"$root/nsix/ix"))
+    assert(!GraftTable.exists(spark, s"$root/nsix/fp"))
+  }
 }

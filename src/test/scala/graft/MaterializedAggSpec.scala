@@ -155,13 +155,12 @@ class MaterializedAggSpec extends SparkSpec {
       .head().getLong(0)
     assert(v1 == GraftTable(spark, src).version())
     assert(summaryOf(sum) == recompute(src, sum))
-    // non-maintainable select shapes and key mismatches are refused —
-    // min/max with the delete-recompute explanation, not a generic error
+    // non-maintainable select shapes and key mismatches are refused
     val e1 = intercept[Exception] {
       spark.sql(s"CREATE MATERIALIZED VIEW graft.`${tmpDir("mv_sql_bad")}` " +
-        s"AS SELECT cat, min(v) FROM graft.`$src` GROUP BY cat")
+        s"AS SELECT cat, v + 1, sum(v) FROM graft.`$src` GROUP BY cat")
     }
-    assert(e1.getMessage.contains("deleted extremum"), e1.getMessage)
+    assert(e1.getMessage.contains("cannot maintain"), e1.getMessage)
     val e2 = intercept[Exception] {
       spark.sql(s"CREATE MATERIALIZED VIEW graft.`${tmpDir("mv_sql_bad2")}` " +
         s"AS SELECT id, sum(v) FROM graft.`$src` GROUP BY cat")
@@ -380,5 +379,95 @@ class MaterializedAggSpec extends SparkSpec {
       props = Map(graft.log.CommitLog.ReservedPrefix + "note" -> "x"))
     assert(MaterializedAgg.refresh(spark, src, sum, Seq("cat"), "v").isDefined)
     assert(summaryOf(sum) == Map("a" -> ((10L, 2L))))
+  }
+
+  test("min/max: inserts fold; extremum-touching deletes recompute only affected groups") {
+    val src = tmpDir("mv_mm_src")
+    val sum = tmpDir("mv_mm_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 1L), (2L, "a", 5L), (3L, "b", 7L), (4L, "b", 7L),
+        (5L, "c", 2L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT cat, sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v, " +
+      s"count(*) AS n FROM graft.`$src` GROUP BY cat")
+    // (sum, min, max, n) per key, via the declared-view projection
+    def view(): Map[String, (Long, Long, Long, Long)] =
+      MaterializedAgg.readView(spark, sum).collect().map(r =>
+        r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // full-recompute reference (summary layout: sum_val, n_rows, n_vals,
+    // min_v, max_v)
+    def full(): Map[String, (Long, Long, Long, Long)] =
+      MaterializedAgg.summarizeSums(
+        GraftTable(spark, src).toDf(), Seq("cat"), Seq("v"), Seq("v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(2)))).toMap
+    def refresh(): Unit = {
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`").collect()
+      assert(view() == full(), "summary must equal a full recompute")
+    }
+    assert(view() == Map("a" -> ((6L, 1L, 5L, 2L)), "b" -> ((14L, 7L, 7L, 2L)),
+      "c" -> ((2L, 2L, 2L, 1L))))
+
+    // insert-only: the new extremum folds incrementally (no recompute)
+    GraftWriter.write(spark, Seq((6L, "a", 9L)).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    refresh()
+    assert(view()("a") == ((15L, 1L, 9L, 3L)))
+
+    // deleting the CURRENT max forces the bounded recompute, which
+    // restores the second-best exactly
+    Dml.delete(spark, src, col("id") === 6L)
+    refresh()
+    assert(view()("a") == ((6L, 1L, 5L, 2L)))
+
+    // duplicate extremum: deleting ONE of b's two 7s keeps max = 7
+    Dml.delete(spark, src, col("id") === 3L)
+    refresh()
+    assert(view()("b") == ((7L, 7L, 7L, 1L)))
+
+    // an UPDATE whose preimage is the extremum recomputes the group
+    Dml.update(spark, src, col("id") === 4L, Map("v" -> lit(3L)))
+    refresh()
+    assert(view()("b") == ((3L, 3L, 3L, 1L)))
+
+    // sum/count-NEUTRAL churn that still moves extrema: {1,4} -> {2,3}
+    // across two commits folded into ONE refresh range
+    GraftWriter.write(spark,
+      Seq((10L, "d", 1L), (11L, "d", 4L)).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    refresh()
+    assert(view()("d") == ((5L, 1L, 4L, 2L)))
+    Dml.delete(spark, src, col("id").isin(10L, 11L))
+    GraftWriter.write(spark,
+      Seq((12L, "d", 2L), (13L, "d", 3L)).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    refresh()
+    assert(view()("d") == ((5L, 2L, 3L, 2L)))
+
+    // a NEW group whose in-range history already lost its extremum:
+    // insert {1,5,9} then delete the 9 before any refresh — the naive
+    // insert-side fold would report max = 9
+    GraftWriter.write(spark,
+      Seq((20L, "e", 1L), (21L, "e", 5L), (22L, "e", 9L))
+        .toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    Dml.delete(spark, src, col("id") === 22L)
+    refresh()
+    assert(view()("e") == ((6L, 1L, 5L, 2L)))
+
+    // a group created AND fully deleted within one range never lands
+    GraftWriter.write(spark, Seq((30L, "f", 3L)).toDF("id", "cat", "v"), src,
+      WriteOptions(mode = WriteMode.Append))
+    Dml.delete(spark, src, col("id") === 30L)
+    refresh()
+    assert(!view().contains("f"))
+
+    // a group deleted to zero rows disappears
+    Dml.delete(spark, src, col("cat") === "c")
+    refresh()
+    assert(!view().contains("c"))
   }
 }

@@ -799,4 +799,46 @@ class SqlDmlSpec extends SparkSpec {
       spark.sql("DELETE FROM nonexistent_tbl WHERE 1=1")
     }
   }
+
+  test("SHOW VECTOR INDEXES / SHOW DEDUP STORES enumerate a lake root") {
+    import spark.implicits._
+    val root = tmpDir("show_root")
+    // one data table (never listed), one vector index, one dedup store
+    val dataP = s"$root/data"
+    GraftWriter.write(spark,
+      (0L until 60L).map(i =>
+        (i, Array.tabulate(8)(d => ((i + d) % 5).toFloat), s"text $i body"))
+        .toDF("vec_id", "embedding", "text")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      dataP, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    val idxP = s"$root/indexes/emb_ix"
+    spark.sql(s"CREATE VECTOR INDEX graft.`$idxP` ON graft.`$dataP` " +
+      "(embedding) ID vec_id OPTIONS ('numCells' = '4', 'm' = '4', " +
+      "'ksub' = '8', 'metric' = 'ip')")
+    val storeP = s"$root/stores/fp"
+    spark.sql(s"CREATE DEDUP STORE graft.`$storeP` ON graft.`$dataP` " +
+      "(text) ID vec_id")
+    val ix = spark.sql(s"SHOW VECTOR INDEXES IN '$root'").collect()
+    assert(ix.length == 1, ix.mkString(";"))
+    assert(ix.head.getString(ix.head.fieldIndex("path")) == idxP)
+    assert(ix.head.getString(ix.head.fieldIndex("metric")) == "ip")
+    assert(!ix.head.getBoolean(ix.head.fieldIndex("stale")))
+    val st = spark.sql(s"SHOW DEDUP STORES IN '$root'").collect()
+    assert(st.length == 1, st.mkString(";"))
+    assert(st.head.getString(st.head.fieldIndex("path")) == storeP)
+    assert(!st.head.getBoolean(st.head.fieldIndex("stale")))
+    // staleness shows up in the listing after a source append
+    GraftWriter.write(spark,
+      Seq((100L, Array.fill(8)(1f), "new doc")).toDF("vec_id", "embedding", "text")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      dataP, WriteOptions(mode = WriteMode.Append))
+    assert(spark.sql(s"SHOW VECTOR INDEXES IN '$root'")
+      .collect().head.getBoolean(5))
+    assert(spark.sql(s"SHOW DEDUP STORES IN '$root'")
+      .collect().head.getBoolean(4))
+    // a root with no indexes/stores lists empty (incl. nonexistent path)
+    assert(spark.sql(s"SHOW VECTOR INDEXES IN '$root/none'").collect().isEmpty)
+    assert(spark.sql(s"SHOW DEDUP STORES IN '$dataP'").collect().isEmpty)
+  }
 }
