@@ -1081,6 +1081,19 @@ object OracleSql {
          WHERE price_c < 40000000
          GROUP BY prio""",
 
+    // count(DISTINCT) matview: survivors = keys % 5 <> 0, bucket moved
+    // ((b+1) % 97) on % 7 = 0; oracle = plain count(DISTINCT) recompute
+    "matview_count_distinct" ->
+      """SELECT prio,
+                count(DISTINCT cust_b) AS nd_cust,
+                count(*) AS n_all
+         FROM (SELECT o_orderpriority AS prio,
+                      CASE WHEN o_orderkey % 7 = 0
+                           THEN ((o_custkey % 97) + 1) % 97
+                           ELSE o_custkey % 97 END AS cust_b
+               FROM orders WHERE o_orderkey % 5 <> 0)
+         GROUP BY prio""",
+
     // default column values: the append omitted src_tag -> 'bulk'
     "table_default_cols" ->
       """SELECT o_orderkey, o_totalprice, 'seed' AS src_tag FROM orders

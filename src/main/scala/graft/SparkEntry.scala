@@ -585,6 +585,34 @@ object SparkEntry {
     graft.ext.MaterializedAgg.readView(spark, sum)
   }
 
+  /** Materialized view maintaining an EXACT count(DISTINCT clerk-bucket)
+    * through deletes and bucket-moving updates: the support relation
+    * (an aux count(*) matview on (prio, bucket)) absorbs the per-key
+    * deltas, and the distinct count derives from it at read time — the
+    * oracle is a plain count(DISTINCT) recompute over the survivors.
+    */
+  private def qMatviewCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderpriority").as("prio"),
+      (col("o_custkey") % 97).as("cust_b"))
+    val src = tmp("graft_mv_cd_src")
+    val sum = tmp("graft_mv_cd")
+    GraftWriter.write(spark, o, src,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT prio, count(DISTINCT cust_b) AS nd_cust, count(*) AS n_all " +
+      s"FROM graft.`$src` GROUP BY prio")
+    // deletes shrink some buckets to zero; updates MOVE rows between
+    // buckets (one bucket may vanish while another appears)
+    graft.merge.Dml.delete(spark, src, col("o_orderkey") % 5 === 0)
+    graft.merge.Dml.update(spark, src, col("o_orderkey") % 7 === 0,
+      Map("cust_b" -> ((col("cust_b") + 1) % 97)))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+    graft.ext.MaterializedAgg.readView(spark, sum)
+  }
+
   /** Incremental dedup against a PERSISTED fingerprint store
     * ([[graft.ext.DedupIndex]]): two thirds of the corpus seed the
     * store (MinHash LSH band rows, hot bands capped), then the last
@@ -1807,6 +1835,7 @@ object SparkEntry {
     "table_row_tracking" -> (qTableRowTracking _),
     "matview_avg" -> (qMatviewAvg _),
     "matview_minmax" -> (qMatviewMinmax _),
+    "matview_count_distinct" -> (qMatviewCountDistinct _),
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_probe" -> (qDedupProbe _),
     "point_lookup_bloom" -> (qPointLookupBloom _),

@@ -64,6 +64,27 @@ object MaterializedAgg {
   val MinMaxKey: String =
     graft.log.CommitLog.ReservedPrefix + "matview.minmax"
 
+  /** Columns maintained as exact `count(DISTINCT col)` — via a SUPPORT
+    * relation per column (the classic incremental-view-maintenance
+    * answer): an auxiliary count(*) matview grouped by (keys..., col)
+    * at [[distinctAuxPath]], maintained by the same per-key delta math
+    * (a value's row count nets to zero → its support row disappears).
+    * The distinct count is then DERIVED at read time as the per-key
+    * count of non-NULL support rows — exact under inserts, updates,
+    * AND deletes, with refresh work O(changed rows) and read work one
+    * narrow aux scan (the aux is the deduplicated value set, never the
+    * source).
+    */
+  val DistinctKey: String =
+    graft.log.CommitLog.ReservedPrefix + "matview.distinct"
+
+  /** The support-relation table of `count(DISTINCT col)` for a summary:
+    * a sibling directory (never nested inside the summary — a table
+    * inside another table's root would read as orphan files to vacuum).
+    */
+  def distinctAuxPath(summaryPath: String, col: String): String =
+    summaryPath.stripSuffix("/") + s"__distinct_$col"
+
   /** Build or incrementally refresh `summaryPath` =
     * `source GROUP BY keyCols AGG sum(valueCol) AS sum_val, count(*) AS
     * n_rows`. Returns the newly applied source version, or None when the
@@ -111,15 +132,37 @@ object MaterializedAgg {
         * narrow source pass semi-joined to the (changed-key-bounded)
         * affected group set, never a view-sized rescan.
         */
-      minMaxCols: Seq[String] = Nil): Option[Long] = {
+      minMaxCols: Seq[String] = Nil,
+      /** Columns maintained as exact `count(DISTINCT col)` — each gets
+        * a support-relation aux matview at [[distinctAuxPath]] (a
+        * count(*) view grouped by keys + the column), refreshed here
+        * alongside the summary. [[readView]] derives the distinct count
+        * from the aux; a crash between the summary's and an aux's merge
+        * leaves their watermarks split, which readView refuses loudly —
+        * re-running REFRESH converges both (each merge is idempotent
+        * against its own watermark).
+        */
+      distinctCols: Seq[String] = Nil): Option[Long] = {
     require(keyCols.nonEmpty, "at least one grouping key")
     require(valueCols.distinct == valueCols,
       s"duplicate summed columns: ${valueCols.mkString(",")}")
     require(minMaxCols.distinct == minMaxCols,
       s"duplicate min/max columns: ${minMaxCols.mkString(",")}")
+    require(distinctCols.distinct == distinctCols,
+      s"duplicate count-distinct columns: ${distinctCols.mkString(",")}")
+    distinctCols.foreach(c => require(!keyCols.contains(c),
+      s"count(DISTINCT $c) over a grouping key is constant 1 — drop it"))
     val specs = specsOf(valueCols)
     val src = GraftTable(spark, sourcePath)
     val curV = src.version()
+
+    // the support relations refresh on EVERY path — including the
+    // already-current early return, so a crash that left an aux behind
+    // the summary converges on the next refresh
+    def refreshAuxes(): Unit = distinctCols.foreach { c =>
+      refreshSums(spark, sourcePath, distinctAuxPath(summaryPath, c),
+        keyCols :+ c, Nil)
+    }
 
     if (!GraftTable.exists(spark, summaryPath)) {
       // initial build: one full aggregate; the version watermark AND the
@@ -133,7 +176,9 @@ object MaterializedAgg {
             SourceKey -> sourcePath,
             KeysKey -> keyCols.mkString(","),
             ValueKey -> valueCols.mkString(","),
-            MinMaxKey -> minMaxCols.mkString(","))))
+            MinMaxKey -> minMaxCols.mkString(","),
+            DistinctKey -> distinctCols.mkString(","))))
+      refreshAuxes()
       return Some(curV)
     }
 
@@ -157,7 +202,7 @@ object MaterializedAgg {
         s"$summaryPath does not maintain min_$c/max_$c; drop it and " +
           "rebuild the materialized aggregate with the min/max entries")
     }
-    if (curV <= lastV) return None // already current
+    if (curV <= lastV) { refreshAuxes(); return None } // already current
 
     // per-key deltas from the change feed: insert/update_postimage rows
     // add, delete/update_preimage rows subtract — net zero keys drop out.
@@ -248,16 +293,8 @@ object MaterializedAgg {
         val flagged = dAl.join(tAl, keyEq, "left_outer")
           .filter(touched || newWithRemovals)
           .select(keyCols.map(k => col(s"d.$k")): _*)
-        val flAl = broadcast(flagged).alias("f")
-        val srcKeyEq = keyCols.map(k => col(s"sr.$k") <=> col(s"f.$k")).reduce(_ && _)
-        val rAggs = minMaxCols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(min(col(c)).as(s"r_min_$i"), max(col(c)).as(s"r_max_$i"))
-        }
-        val recomputed = src.toDf(versionAsOf = Some(curV)).alias("sr")
-          .join(flAl, srcKeyEq, "left_semi")
-          .groupBy(keyCols.map(col): _*)
-          .agg(rAggs.head, rAggs.tail: _*)
-          .withColumn("__rec", lit(true))
+        val recomputed = recomputeExtrema(
+          src.toDf(versionAsOf = Some(curV)), flagged, keyCols, minMaxCols)
           .alias("r")
         val dAl2 = deltas0.alias("d2")
         val joinEq = keyCols.map(k => col(s"d2.$k") <=> col(s"r.$k")).reduce(_ && _)
@@ -326,6 +363,7 @@ object MaterializedAgg {
         // before min/max values could keep them alive)
         if (minMaxCols.isEmpty) None else Some(col("s.d_n") =!= 0L))),
       extraMetadata = Map(SourceVersionKey -> curV.toString))
+    refreshAuxes()
     Some(curV)
   }
 
@@ -336,8 +374,9 @@ object MaterializedAgg {
     * not a materialized aggregate.
     */
   def refreshByTarget(spark: SparkSession, summaryPath: String): Option[Long] = {
-    val (source, keys, values, minmax) = definitionOf(spark, summaryPath)
-    refreshSums(spark, source, summaryPath, keys, values, minMaxCols = minmax)
+    val (source, keys, values, minmax, dist) = definitionOf(spark, summaryPath)
+    refreshSums(spark, source, summaryPath, keys, values,
+      minMaxCols = minmax, distinctCols = dist)
   }
 
   /** The view AS DECLARED: keys plus each requested aggregate, with
@@ -349,9 +388,30 @@ object MaterializedAgg {
     * directly via [[refreshSums]].
     */
   def readView(spark: SparkSession, summaryPath: String): DataFrame = {
-    val (_, keys, values, _) = definitionOf(spark, summaryPath)
-    val df = GraftTable(spark, summaryPath).toDf()
+    val (_, keys, values, _, dist) = definitionOf(spark, summaryPath)
     val props = GraftTable(spark, summaryPath).log.tableProperties()
+    // count(DISTINCT c) joins the support relation's per-key non-NULL
+    // row count onto the summary (left join: a key whose values are all
+    // NULL has no support rows — its distinct count reads 0). The aux
+    // watermark must match the summary's: a split (crash between the
+    // two merges, or a concurrent source commit between them) would
+    // silently mix source versions — refuse with the converging remedy
+    val mainV = props(SourceVersionKey).toLong
+    var df = GraftTable(spark, summaryPath).toDf()
+    dist.foreach { c =>
+      val auxT = GraftTable(spark, distinctAuxPath(summaryPath, c))
+      val auxV = auxT.log.tableProperties()(SourceVersionKey).toLong
+      require(auxV == mainV,
+        s"the count(DISTINCT $c) support relation reflects source " +
+          s"version $auxV but the summary reflects $mainV — run REFRESH " +
+          "MATERIALIZED VIEW again to converge them")
+      val nd = auxT.toDf().filter(col(c).isNotNull)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"__nd_$c"))
+      val cond = keys.map(k => df(k) <=> nd(k)).reduce(_ && _)
+      df = keys.foldLeft(df.join(nd, cond, "left_outer"))(
+        (acc, k) => acc.drop(nd(k)))
+    }
     props.get(SelectKey).filter(_.nonEmpty) match {
       case None => df
       case Some(sel) =>
@@ -369,6 +429,9 @@ object MaterializedAgg {
                 .as(name(s"avg_$c"))
             case "count" if c == "*" => col("n_rows").as(name("count_star"))
             case "count" => col(naming(c)._2).as(name(s"count_$c"))
+            case "countd" =>
+              coalesce(col(s"__nd_$c"), lit(0L))
+                .as(name(s"count_distinct_$c"))
             case "min" => col(s"min_$c").as(name(s"min_$c"))
             case "max" => col(s"max_$c").as(name(s"max_$c"))
             case other => throw new IllegalStateException(
@@ -379,13 +442,39 @@ object MaterializedAgg {
     }
   }
 
+  /** The bounded extremum-recompute scan: fresh min/max of EXACTLY the
+    * flagged groups, via a broadcast left-semi join of the (changed-key-
+    * bounded) flag set into one narrow source pass + a partial-aggregated
+    * groupBy. The source is read once with only (keys, minMaxCols)
+    * columns; on a source partitioned by the grouping key, Spark's
+    * dynamic partition pruning narrows the scan to the affected
+    * partitions (ExplainAudit §T prints this plan). Output: keys,
+    * r_min_<i>/r_max_<i>, __rec = true.
+    */
+  private[graft] def recomputeExtrema(
+      source: DataFrame,
+      flagged: DataFrame,
+      keyCols: Seq[String],
+      minMaxCols: Seq[String]): DataFrame = {
+    val flAl = broadcast(flagged).alias("f")
+    val srcKeyEq = keyCols.map(k => col(s"sr.$k") <=> col(s"f.$k")).reduce(_ && _)
+    val rAggs = minMaxCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"r_min_$i"), max(col(c)).as(s"r_max_$i"))
+    }
+    source.select((keyCols ++ minMaxCols).distinct.map(col): _*).alias("sr")
+      .join(flAl, srcKeyEq, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(rAggs.head, rAggs.tail: _*)
+      .withColumn("__rec", lit(true))
+  }
+
   /** The recorded view definition (source path, grouping keys, summed
     * columns) from the summary's carried properties — shared by every
     * definition-driven entry point.
     */
   private def definitionOf(
       spark: SparkSession,
-      summaryPath: String): (String, Seq[String], Seq[String], Seq[String]) = {
+      summaryPath: String): (String, Seq[String], Seq[String], Seq[String], Seq[String]) = {
     require(GraftTable.exists(spark, summaryPath),
       s"not a graft table: $summaryPath")
     val props = GraftTable(spark, summaryPath).log.tableProperties()
@@ -398,7 +487,8 @@ object MaterializedAgg {
       // persisted) — that's a legal zero-sum definition
       props.getOrElse(ValueKey, "").split(',').toSeq.filter(_.nonEmpty),
       // absent (pre-min/max summaries or none requested) — legal
-      props.getOrElse(MinMaxKey, "").split(',').toSeq.filter(_.nonEmpty))
+      props.getOrElse(MinMaxKey, "").split(',').toSeq.filter(_.nonEmpty),
+      props.getOrElse(DistinctKey, "").split(',').toSeq.filter(_.nonEmpty))
   }
 
   /** Continuous maintenance: a change-feed stream whose every
@@ -430,13 +520,14 @@ object MaterializedAgg {
       keyCols: Seq[String],
       valueCols: Seq[String],
       checkpointDir: String,
-      minMaxCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+      minMaxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.Streams.readChangeFeed(spark, sourcePath)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) =>
         refreshSums(spark, sourcePath, summaryPath, keyCols, valueCols,
-          minMaxCols = minMaxCols)
+          minMaxCols = minMaxCols, distinctCols = distinctCols)
         ()
       }
       .start()
@@ -449,9 +540,9 @@ object MaterializedAgg {
       spark: SparkSession,
       summaryPath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val (source, keys, values, minmax) = definitionOf(spark, summaryPath)
+    val (source, keys, values, minmax, dist) = definitionOf(spark, summaryPath)
     maintainStreamSums(spark, source, summaryPath, keys, values,
-      checkpointDir, minmax)
+      checkpointDir, minmax, dist)
   }
 
   /** The summary shape: one row per key with the exact integer sum, the

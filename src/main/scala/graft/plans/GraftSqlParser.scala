@@ -154,6 +154,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*SHOW\s+VECTOR\s+INDEXES\s+IN\s+'([^']+)'\s*;?\s*$""".r
   private val ShowDedupStoresRe =
     """(?is)^\s*SHOW\s+DEDUP\s+STORES\s+IN\s+'([^']+)'\s*;?\s*$""".r
+  private val ShowMatViewsRe =
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s+IN\s+'([^']+)'\s*;?\s*$""".r
   private val RefreshMatViewRe =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   private val CloneRe =
@@ -227,6 +229,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftShowVectorIndexesCommand(root))
       case ShowDedupStoresRe(root) =>
         Some(GraftShowDedupStoresCommand(root))
+      case ShowMatViewsRe(root) =>
+        Some(GraftShowMatViewsCommand(root))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>

@@ -144,31 +144,43 @@ final case class GraftCreateMatViewCommand(
     // math), min(col) / max(col) (inserts fold incrementally; a delete
     // touching a group's current extremum recomputes ONLY that group
     // from the source — bounded by the changed keys, never a rescan of
-    // the view).
-    val aggRe = """(?i)^(sum|avg|count|min|max)\s*\(\s*([\w.]+|\*)\s*\)(?:\s+as\s+(\w+))?$""".r
+    // the view), count(DISTINCT col) (exact, via an incrementally
+    // maintained support relation — see MaterializedAgg.DistinctKey).
+    val aggRe = """(?i)^(sum|avg|count|min|max)\s*\(\s*(?:(distinct)\s+)?([\w.]+|\*)\s*\)(?:\s+as\s+(\w+))?$""".r
     val items = selectList.split(',').map(_.trim).filter(_.nonEmpty)
     val (aggItems, keys) = items.partition(aggRe.pattern.matcher(_).matches())
     require(aggItems.nonEmpty,
       "CREATE MATERIALIZED VIEW needs at least one aggregate " +
-        s"(sum/avg/count/min/max) in the select list; got: $selectList")
+        s"(sum/avg/count/min/max/count(distinct)) in the select list; " +
+        s"got: $selectList")
     keys.foreach(k => require(k.matches("""[\w.]+"""),
       s"materialized-view select entries must be grouping keys or " +
-        s"sum(col)/avg(col)/count(col)/count(*)/min(col)/max(col); " +
-        s"cannot maintain '$k' incrementally"))
+        s"sum(col)/avg(col)/count(col)/count(*)/min(col)/max(col)/" +
+        s"count(distinct col); cannot maintain '$k' incrementally"))
     require(keys.map(_.toLowerCase).toSet == groupBy.map(_.toLowerCase).toSet,
       s"select keys ${keys.mkString(",")} must equal GROUP BY " +
         groupBy.mkString(","))
     val entries: Seq[(String, String, String)] = aggItems.toSeq.map {
-      case aggRe(fn0, c, alias) =>
-        val fn = fn0.toLowerCase(java.util.Locale.ROOT)
-        require(c != "*" || fn == "count", s"$fn(*) is not a valid aggregate")
+      case aggRe(fn0, distinctKw, c, alias) =>
+        val fn0l = fn0.toLowerCase(java.util.Locale.ROOT)
+        require(distinctKw == null || fn0l == "count",
+          s"$fn0l(DISTINCT $c) is not incrementally maintainable " +
+            "(only count(DISTINCT col) is)")
+        require(c != "*" || fn0l == "count", s"$fn0l(*) is not a valid aggregate")
+        require(distinctKw == null || c != "*",
+          "count(DISTINCT *) is not a valid aggregate")
+        val fn = if (distinctKw != null) "countd" else fn0l
         (fn, c, Option(alias).getOrElse(""))
     }
     val valueCols = entries
-      .collect { case (fn, c, _) if c != "*" && fn != "min" && fn != "max" => c }
+      .collect { case (fn, c, _)
+        if c != "*" && fn != "min" && fn != "max" && fn != "countd" => c }
       .distinct
     val minMaxCols = entries
       .collect { case (fn, c, _) if fn == "min" || fn == "max" => c }
+      .distinct
+    val distinctCols = entries
+      .collect { case ("countd", c, _) => c }
       .distinct
     // preserve the SELECT's key order (groupBy order may differ); the
     // requested forms ride the creating commit so readView can serve
@@ -177,7 +189,8 @@ final case class GraftCreateMatViewCommand(
       spark, srcPath, dstPath, keys.toSeq, valueCols,
       createProps = Map(graft.ext.MaterializedAgg.SelectKey ->
         entries.map { case (fn, c, al) => s"$fn:$c:$al" }.mkString(",")),
-      minMaxCols = minMaxCols)
+      minMaxCols = minMaxCols,
+      distinctCols = distinctCols)
     Seq(Row(v.getOrElse(
       throw new IllegalStateException("initial build applied no version"))))
   }
@@ -506,6 +519,38 @@ final case class GraftShowDedupStoresCommand(root: String)
         Row(p, srcPath.orNull, mirrored.map(Long.box).orNull,
           srcV.map(Long.box).orNull,
           (for { m <- mirrored; s <- srcV } yield Boolean.box(s > m)).orNull)
+      }
+    }
+}
+
+/** `SHOW MATERIALIZED VIEWS IN '/lake/root'` — the matview counterpart
+  * of [[GraftShowVectorIndexesCommand]]: every incrementally-maintained
+  * summary under the root with its definition and staleness,
+  * metadata-only. Support relations of `count(DISTINCT)` views carry
+  * the same properties but ARE auxiliary — they still list (an
+  * operator should see them; their path names the owning view).
+  */
+final case class GraftShowMatViewsCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("source_path", StringType, nullable = false)(),
+    AttributeReference("group_keys", StringType, nullable = false)(),
+    AttributeReference("view_version", LongType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = true)(),
+    AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTableWalk.graftTablesUnder(spark, root).flatMap { p =>
+      val props = GraftTable(spark, p).log.tableProperties()
+      props.get(graft.ext.MaterializedAgg.SourceKey).map { src =>
+        val viewV =
+          props(graft.ext.MaterializedAgg.SourceVersionKey).toLong
+        val srcV = scala.util.Try(GraftTable(spark, src).version()).toOption
+        Row(p, src,
+          props.getOrElse(graft.ext.MaterializedAgg.KeysKey, ""),
+          viewV, srcV.map(Long.box).orNull,
+          srcV.map(v => Boolean.box(v > viewV)).orNull)
       }
     }
 }

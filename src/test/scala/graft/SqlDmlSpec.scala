@@ -840,5 +840,14 @@ class SqlDmlSpec extends SparkSpec {
     // a root with no indexes/stores lists empty (incl. nonexistent path)
     assert(spark.sql(s"SHOW VECTOR INDEXES IN '$root/none'").collect().isEmpty)
     assert(spark.sql(s"SHOW DEDUP STORES IN '$dataP'").collect().isEmpty)
+    // matviews list with their definition + staleness; the data table,
+    // index, and store never appear here
+    val mvP = s"$root/views/by_none"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mvP` AS " +
+      s"SELECT vec_id, count(*) AS n FROM graft.`$dataP` GROUP BY vec_id")
+    val mv = spark.sql(s"SHOW MATERIALIZED VIEWS IN '$root'").collect()
+    assert(mv.length == 1 && mv.head.getString(0) == mvP, mv.mkString(";"))
+    assert(mv.head.getString(mv.head.fieldIndex("group_keys")) == "vec_id")
+    assert(!mv.head.getBoolean(mv.head.fieldIndex("stale")))
   }
 }
