@@ -223,6 +223,50 @@ object ExplainAudit {
     println(s"--- shuffle exchanges (must be 1): $ipShuffles; query side " +
       s"broadcast: $ipBcast; rows=${ipHits.count()}")
 
+    println("=== [S] persisted IP-index search (expect a PARTITION filter " +
+      "on cell — only probed cells' files read — plus broadcast query " +
+      "tables and ONE shuffle, the bounded top-k) ===")
+    val ipSrc = java.nio.file.Files
+      .createTempDirectory("audit_annip").toString
+    val ipIdx = ipSrc + "/ix"
+    GraftWriter.write(spark,
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), ipSrc + "/src",
+      WriteOptions(mode = WriteMode.Overwrite))
+    graft.ext.AnnIndex.build(spark, ipSrc + "/src", ipIdx, metric = "ip")
+    val ipSearch = graft.ext.AnnIndex.search(spark, ipIdx,
+      GraftTable(spark, ipSrc + "/src").toDf().filter(col("vec_id") < 4),
+      k = 3)
+    ipSearch.explain("formatted")
+    println(s"--- codes files read: ${scannedFiles(ipSearch)} of " +
+      s"${GraftTable(spark, ipIdx).snapshot().files.size} (partition " +
+      "pruning = probed cells only)")
+
+    println("=== [T] matview extremum recompute (expect the flagged key " +
+      "set BROADCAST into a left-semi join over ONE narrow source scan " +
+      "— keys + extremum columns only — and a partial-aggregated " +
+      "groupBy; dynamic partition pruning narrows a key-partitioned " +
+      "source) ===")
+    val mmSrc = java.nio.file.Files
+      .createTempDirectory("audit_mm").toString + "/src"
+    GraftWriter.write(spark,
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .selectExpr("o_orderkey", "o_orderpriority AS prio",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c"),
+      mmSrc, WriteOptions(mode = WriteMode.Overwrite,
+        partitionBy = Seq("prio")))
+    import spark.implicits._
+    val flagged = Seq("1-URGENT", "3-MEDIUM").toDF("prio")
+    val rec = graft.ext.MaterializedAgg.recomputeExtrema(
+      GraftTable(spark, mmSrc).toDf(), flagged, Seq("prio"), Seq("price_c"))
+    rec.explain("formatted")
+    val recPlan = rec.queryExecution.executedPlan.toString()
+    val recBcast = recPlan.contains("BroadcastHashJoin") &&
+      recPlan.contains("LeftSemi")
+    val recScans = recPlan.split("\n").count(_.contains("Scan parquet"))
+    println(s"--- flag set broadcast into LeftSemi: $recBcast; source " +
+      s"scans (must be 1): $recScans; recomputed groups=${rec.count()} " +
+      "(only the flagged ones)")
+
     spark.stop()
   }
 
@@ -235,13 +279,21 @@ object ExplainAudit {
 
   /** Files ACTUALLY read (post partition-pruning/skipping): execute and
     * read the scan's numFiles metric — `inputFiles` above is the
-    * pre-pruning index listing.
+    * pre-pruning index listing. AQE hides scans inside adaptive
+    * wrappers and query stages (both leaves to `collect`), so unwrap
+    * them explicitly or an aggregating query reads as "0 files".
     */
   private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
     import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     df.collect()
-    df.queryExecution.executedPlan.collect {
-      case f: FileSourceScanExec => f.metrics.get("numFiles").map(_.value).getOrElse(0L)
-    }.sum
+    def from(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => from(a.executedPlan)
+        case s: QueryStageExec => from(s.plan)
+        case f: FileSourceScanExec =>
+          f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+      }.sum
+    from(df.queryExecution.executedPlan)
   }
 }

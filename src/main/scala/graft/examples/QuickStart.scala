@@ -763,6 +763,44 @@ object QuickStart {
     println(s"[54] MIPS: ${mips.count()} inner-product neighbors " +
       s"(dot-assigned cells, one shuffle); row versions: updated row " +
       s"k=1000 now v${rv(1000L)}, untouched k=2 still v${rv(2L)}")
+
+    // 55. persisted IP-metric index: MIPS without per-call training —
+    // build once (dot cells + raw books), search many, exact-dot rerank
+    val ipIdx = s"$out/ip_index"
+    spark.sql(s"CREATE VECTOR INDEX graft.`$ipIdx` ON graft.`$annSrc` " +
+      "(embedding) OPTIONS ('numCells' = '4', 'm' = '4', 'ksub' = '8', " +
+      "'metric' = 'ip')").collect()
+    val ipHits = graft.ext.AnnIndex.search(spark, ipIdx,
+      embsDf.filter(col("vec_id") < 2), k = 3, requireFresh = true)
+    val ipExact = graft.ext.AnnIndex.searchRerank(spark, ipIdx,
+      embsDf.filter(col("vec_id") < 2), k = 3, shortlistFactor = 4)
+    val ipMeta = spark.sql(s"DESCRIBE VECTOR INDEX graft.`$ipIdx`").head()
+    println(s"[55] IP index: ${ipHits.count()} ADC hits + " +
+      s"${ipExact.count()} exact-dot reranked (metric=" +
+      s"${ipMeta.getString(ipMeta.fieldIndex("metric"))}, quantizers " +
+      "trained once, stored in the commit log)")
+
+    // 56. matview MIN/MAX: inserts fold; deleting a group's extremum
+    // recomputes only the affected groups from the source
+    val mmTgt = s"$out/mv_minmax"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mmTgt` AS " +
+      s"SELECT grp, min(v) AS min_v, max(v) AS max_v, count(*) AS n " +
+      s"FROM graft.`$mvAvgSrc` GROUP BY grp").collect()
+    val mmMaxBefore = graft.ext.MaterializedAgg.readView(spark, mmTgt)
+      .agg(max("max_v")).head().getLong(0)
+    graft.merge.Dml.delete(spark, mvAvgSrc,
+      col("v") === lit(mmMaxBefore)) // kill the global maximum
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mmTgt`").collect()
+    val mmMaxAfter = graft.ext.MaterializedAgg.readView(spark, mmTgt)
+      .agg(max("max_v")).head().getLong(0)
+    println(s"[56] matview min/max: deleting the maximum ($mmMaxBefore) " +
+      s"recomputed ONLY its group; new max $mmMaxAfter")
+
+    // 57. discovery: SHOW enumerates the indexes/stores under a root
+    val shownIx = spark.sql(s"SHOW VECTOR INDEXES IN '$out'").count()
+    val shownFp = spark.sql(s"SHOW DEDUP STORES IN '$out'").count()
+    println(s"[57] SHOW under $out: $shownIx vector index(es), " +
+      s"$shownFp dedup store(s) — an inherited lake is discoverable")
     spark.stop()
   }
 }
