@@ -346,11 +346,11 @@ object OracleSql {
                    FROM sc)
         SELECT q_id, n_id, "rank", adist_e6 FROM ranked WHERE "rank" <= 5"""
 
-  /** Maximum-inner-product twin of [[knnPqAdcSql]]: same codes (L2
-    * argmin), per-subspace DOT tables, ranking DESC on the summed
-    * table (ties by n_id).
+  /** Shared WITH-body of the FLAT MIPS twins (no cell confinement),
+    * ending at `sc` = per-(q, n) summed inner-product tables: same
+    * codes as [[knnPqAdcSql]] (L2 argmin), per-subspace DOT tables.
     */
-  private val knnPqAdcIpSql: String = {
+  private val knnPqIpScCtes: String = {
     val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
     val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
     s"""WITH $pqCtes,
@@ -363,13 +363,39 @@ object OracleSql {
                       CAST(sum(d.d) AS BIGINT) AS asim_e6
                FROM codes co JOIN dtab d ON d.j = co.j AND d.idx = co.code
                WHERE co.vec_id <> d.q_id
-               GROUP BY d.q_id, co.vec_id),
+               GROUP BY d.q_id, co.vec_id)"""
+  }
+
+  /** Maximum-inner-product twin of [[knnPqAdcSql]]: ranking DESC on the
+    * summed dot table (ties by n_id).
+    */
+  private val knnPqAdcIpSql: String =
+    s"""$knnPqIpScCtes,
         ranked AS (SELECT q_id, n_id, asim_e6,
                           row_number() OVER (PARTITION BY q_id
                             ORDER BY asim_e6 DESC, n_id) AS "rank"
                    FROM sc)
         SELECT q_id, n_id, "rank", asim_e6 FROM ranked WHERE "rank" <= 5"""
-  }
+
+  /** Flat two-stage MIPS twin: IP-ADC shortlist of 4·k = 20 per query
+    * over the WHOLE corpus (no cells), exact rounded-dot rerank.
+    */
+  private val knnPqIpRerankSql: String =
+    s"""$knnPqIpScCtes,
+        slranked AS (SELECT q_id, n_id,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY asim_e6 DESC, n_id) AS rn
+                     FROM sc),
+        sl AS (SELECT q_id, n_id FROM slranked WHERE rn <= 20),
+        ex AS (SELECT sl.q_id, sl.n_id,
+                      ${dotE6("qe.embedding", "ne.embedding")} AS sim_e6
+               FROM sl JOIN embeddings qe ON qe.vec_id = sl.q_id
+                       JOIN embeddings ne ON ne.vec_id = sl.n_id),
+        rr AS (SELECT q_id, n_id, sim_e6,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim_e6 DESC, n_id) AS "rank"
+               FROM ex)
+        SELECT q_id, n_id, "rank", sim_e6 FROM rr WHERE "rank" <= 5"""
 
   /** Shared WITH-body of the IVF-IP (MIPS) twins, ending at `sc` =
     * per-(q, n) summed inner-product tables within the query's cell:
@@ -413,6 +439,21 @@ object OracleSql {
                           row_number() OVER (PARTITION BY q_id
                             ORDER BY asim_e6 DESC, n_id) AS "rank"
                    FROM sc)
+        SELECT q_id, n_id, "rank", asim_e6 FROM ranked WHERE "rank" <= 5"""
+
+  /** Filtered-MIPS twin: same full-corpus IP index CTEs, candidates
+    * restricted to label-0 vectors before ranking (filtering the scored
+    * pairs ≡ filtering candidates — scores are per-pair).
+    */
+  private val knnIvfIpFilteredSql: String =
+    s"""$knnIvfIpScCtes,
+        fsc AS (SELECT sc.q_id, sc.n_id, sc.asim_e6
+                FROM sc JOIN embeddings el ON el.vec_id = sc.n_id
+                WHERE el.label = 0),
+        ranked AS (SELECT q_id, n_id, asim_e6,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY asim_e6 DESC, n_id) AS "rank"
+                   FROM fsc)
         SELECT q_id, n_id, "rank", asim_e6 FROM ranked WHERE "rank" <= 5"""
 
   /** Two-stage MIPS twin: inner-product ADC shortlist of 4·k = 20 per
@@ -1487,6 +1528,8 @@ object OracleSql {
     "knn_ivf_ip" -> knnIvfIpSql,
     "knn_ivf_ip_kmeans" -> knnIvfIpKmeansSql,
     "knn_ip_rerank" -> knnIpRerankSql,
+    "knn_ivf_ip_filtered" -> knnIvfIpFilteredSql,
+    "knn_pq_ip_rerank" -> knnPqIpRerankSql,
     // the persisted IP index shares the inline IVF-IP oracle: build
     // stores ivfIpTopK's exact quantizer choices, search replays its
     // plan stages from the stored codes — bit-identical by construction

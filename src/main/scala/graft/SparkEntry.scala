@@ -1085,6 +1085,31 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
         col("sim_e6"))
 
+  /** Flat two-stage MIPS ([[Similarity.pqTopKIpRerank]]): inner-product
+    * ADC shortlist over the whole corpus (no cell confinement), exact
+    * rounded-DOT rerank of the survivors — the flat sibling of
+    * [[qKnnIpRerank]].
+    */
+  private def qKnnPqIpRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopKIpRerank(t(spark, dir, "embeddings"),
+      col("vec_id") < 32, 5, shortlistFactor = 4,
+      rowCountHint = embRows(spark, dir))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("sim_e6"))
+
+  /** Filtered MIPS over the SHARED index: cells + books train on the
+    * FULL corpus, only label-0 vectors become candidates (semi-join on
+    * the qualifying ids) — "best inner-product matches among label=X"
+    * without per-filter retraining, completing the IP family's parity
+    * with [[qKnnIvfPqFiltered]].
+    */
+  private def qKnnIvfIpFiltered(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfIpTopK(t(spark, dir, "embeddings"), col("vec_id") < 32, 5,
+      rowCountHint = embRows(spark, dir),
+      corpusPred = Some(col("label") === 0))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("asim_e6"))
+
   /** Persisted MIPS index: `AnnIndex.build(metric = "ip")` commits
     * dot-assigned cells + raw-vector books ONCE; the search plans
     * against the stored codes with inner-product ADC tables ranked
@@ -1880,6 +1905,8 @@ object SparkEntry {
     "knn_ivf_ip" -> (qKnnIvfIp _),
     "knn_ivf_ip_kmeans" -> (qKnnIvfIpKmeans _),
     "knn_ip_rerank" -> (qKnnIpRerank _),
+    "knn_pq_ip_rerank" -> (qKnnPqIpRerank _),
+    "knn_ivf_ip_filtered" -> (qKnnIvfIpFiltered _),
     "knn_index_ip" -> (qKnnIndexIp _),
     "knn_pq_adc_kmeans" -> (qKnnPqAdcKmeans _),
     "knn_ivfpq_adc" -> (qKnnIvfPqAdc _),
@@ -1968,7 +1995,8 @@ object SparkEntry {
     "knn_brute_topk", "knn_brute_l2", "knn_brute_dot",
     "knn_ivf_topk", "knn_ivf_kmeans",
     "pq_codes", "knn_pq_adc", "knn_pq_adc_ip", "knn_ivf_ip",
-    "knn_ivf_ip_kmeans", "knn_ip_rerank",
+    "knn_ivf_ip_kmeans", "knn_ip_rerank", "knn_pq_ip_rerank",
+    "knn_ivf_ip_filtered",
     "knn_pq_adc_kmeans", "knn_ivfpq_adc",
     "knn_ivfpq_rerank", "knn_ivfpq_filtered", "knn_ivfpq_kmeans",
     "cosine_dup_pairs",

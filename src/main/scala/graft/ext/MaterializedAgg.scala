@@ -177,7 +177,13 @@ object MaterializedAgg {
             KeysKey -> keyCols.mkString(","),
             ValueKey -> valueCols.mkString(","),
             MinMaxKey -> minMaxCols.mkString(","),
-            DistinctKey -> distinctCols.mkString(","))))
+            DistinctKey -> distinctCols.mkString(","),
+            // the summary is engine-managed and every refresh merge adds
+            // small files — bounded maintenance is the right DEFAULT
+            // (same posture as the ANN codes table; compaction never
+            // changes a read). Support relations inherit via their own
+            // creating write below
+            GraftWriter.AutoCompactKey -> "true")))
       refreshAuxes()
       return Some(curV)
     }
@@ -274,11 +280,29 @@ object MaterializedAgg {
     val deltas =
       if (minMaxCols.isEmpty) deltas0
       else {
+        // the delta aggregation feeds BOTH sides of the recompute join
+        // (directly, and through the flagged set) — pin it once or the
+        // change scan + groupBy run twice per refresh. Delta rows are
+        // bounded by changed keys, never corpus-sized
+        val pinned = deltas0.localCheckpoint(eager = true)
+        Scratch.register(pinned)
+        // removal-free batch (the common append case): no extremum can
+        // have been lost, so skip the summary scan + flag join entirely
+        // and carry the merge's recompute columns as typed NULLs
+        val anyRemoval = minMaxCols.indices
+          .map(i => col(s"d_rmin_$i").isNotNull).reduce(_ || _)
+        if (pinned.filter(anyRemoval).limit(1).isEmpty) {
+          minMaxCols.indices.foldLeft(pinned) { (acc, i) =>
+            val vt = pinned.schema(s"d_imin_$i").dataType
+            acc.withColumn(s"r_min_$i", lit(null).cast(vt))
+              .withColumn(s"r_max_$i", lit(null).cast(vt))
+          }.withColumn("__rec", lit(null).cast("boolean"))
+        } else {
         val curSum = summary.toDf()
           .select(keyCols.map(col) ++
             minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
           .withColumn("__t_present", lit(true))
-        val dAl = deltas0.alias("d")
+        val dAl = pinned.alias("d")
         val tAl = curSum.alias("t")
         val keyEq = keyCols.map(k => col(s"d.$k") <=> col(s"t.$k")).reduce(_ && _)
         val touched = minMaxCols.zipWithIndex.map { case (c, i) =>
@@ -296,13 +320,14 @@ object MaterializedAgg {
         val recomputed = recomputeExtrema(
           src.toDf(versionAsOf = Some(curV)), flagged, keyCols, minMaxCols)
           .alias("r")
-        val dAl2 = deltas0.alias("d2")
+        val dAl2 = pinned.alias("d2")
         val joinEq = keyCols.map(k => col(s"d2.$k") <=> col(s"r.$k")).reduce(_ && _)
         dAl2.join(recomputed, joinEq, "left_outer")
-          .select(deltas0.columns.map(c => col(s"d2.$c")).toSeq ++
+          .select(pinned.columns.map(c => col(s"d2.$c")).toSeq ++
             minMaxCols.indices
               .flatMap(i => Seq(col(s"r.r_min_$i"), col(s"r.r_max_$i"))) :+
             col("r.__rec"): _*)
+        }
       }
 
     // upsert the deltas; the source-version watermark rides the SAME
@@ -413,7 +438,15 @@ object MaterializedAgg {
         (acc, k) => acc.drop(nd(k)))
     }
     props.get(SelectKey).filter(_.nonEmpty) match {
-      case None => df
+      case None =>
+        // raw-summary fallback (API-built views, pre-SelectKey views):
+        // surface the distinct counts under their public names — never
+        // the internal __nd_<col> join column, whose NULL (no support
+        // rows) must read as distinct count 0 exactly as the declared
+        // path's coalesce does
+        dist.foldLeft(df)((acc, c) =>
+          acc.withColumn(s"count_distinct_$c",
+            coalesce(col(s"__nd_$c"), lit(0L))).drop(s"__nd_$c"))
       case Some(sel) =>
         val naming = specsOf(values)
           .map { case (c, sumC, nvC) => c -> ((sumC, nvC)) }.toMap

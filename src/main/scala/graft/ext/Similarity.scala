@@ -712,7 +712,14 @@ object Similarity {
         * way, so refinement buys better candidate confinement without
         * re-deriving the codes' codebooks.
         */
-      coarseIters: Int = 0): DataFrame = {
+      coarseIters: Int = 0,
+      /** Filtered MIPS over the SHARED index (the [[ivfpqTopK]]
+        * contract): cells and books still train on the FULL corpus,
+        * only rows satisfying the predicate become candidates — a
+        * broadcast-friendly semi-join on the predicate's id set narrows
+        * the codes side; nothing retrains per filter.
+        */
+      corpusPred: Option[Column] = None): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val n = rowCountHint.getOrElse(corpus.count())
     val cents =
@@ -720,8 +727,16 @@ object Similarity {
         kmeansCentroids(corpus, numCells, coarseIters, idCol, vecCol,
           Some(n), byDot = true)
       else centroidsK(corpus, numCells, idCol, vecCol, Some(n))
-    val assigned = assignCells(corpus, cents, idCol, vecCol,
+    val assigned0 = assignCells(corpus, cents, idCol, vecCol,
       nprobe = 1, byDot = true)
+    // the predicate's columns are gone after assignment — narrow with a
+    // semi-join on the qualifying ids (reads only (id, predicate cols))
+    val assigned = corpusPred match {
+      case Some(p) =>
+        assigned0.join(corpus.filter(p).select(col(idCol)), Seq(idCol),
+          "left_semi")
+      case None => assigned0
+    }
     val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, Some(n))
     val codes = assigned.select(col(idCol).as("n_id"), col("cell"),
       pqCodesExpr(vecCol, dsub, books).as("codes"))

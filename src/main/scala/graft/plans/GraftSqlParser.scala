@@ -158,6 +158,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s+IN\s+'([^']+)'\s*;?\s*$""".r
   private val RefreshMatViewRe =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
+  private val DropMatViewRe =
+    ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" + T +
       """\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+""" + T +
@@ -205,6 +207,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           gb.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case RefreshMatViewRe(p, n) =>
         Some(GraftRefreshMatViewCommand(target(p, n)))
+      case DropMatViewRe(p, n) =>
+        Some(GraftDropMatViewCommand(target(p, n)))
       case CreateVectorIndexRe(p, n, sp, sn, vecCol, idCol, opts) =>
         Some(GraftCreateVectorIndexCommand(target(p, n), target(sp, sn),
           vecCol, Option(idCol),

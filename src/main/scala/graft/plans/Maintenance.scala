@@ -196,6 +196,36 @@ final case class GraftCreateMatViewCommand(
   }
 }
 
+/** `DROP MATERIALIZED VIEW s` — removes the summary AND its
+  * `count(DISTINCT)` support relations (recorded in the carried
+  * definition; a user should never have to know the sibling-aux layout
+  * to clean up a view). Refuses any table without the matview
+  * properties — a typo'd path must never delete a data table.
+  */
+final case class GraftDropMatViewCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenance.resolvePath(spark, target)
+    require(GraftTable.exists(spark, path), s"not a graft table: $path")
+    val props = GraftTable(spark, path).log.tableProperties()
+    require(props.contains(graft.ext.MaterializedAgg.SourceKey),
+      s"$path is not a materialized view (missing " +
+        s"${graft.ext.MaterializedAgg.SourceKey}); refusing to delete a " +
+        "data table")
+    val auxes = props.getOrElse(graft.ext.MaterializedAgg.DistinctKey, "")
+      .split(',').toSeq.filter(_.nonEmpty)
+      .map(c => graft.ext.MaterializedAgg.distinctAuxPath(path, c))
+    val conf = spark.sessionState.newHadoopConf()
+    (auxes :+ path).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, true)
+    }
+    (auxes :+ path).map(Row(_))
+  }
+}
+
 /** `REFRESH MATERIALIZED VIEW s` — incremental delta refresh from the
   * recorded definition; `source_version` is NULL when already current.
   */
@@ -402,8 +432,15 @@ final case class GraftDescribeVectorIndexCommand(
   }
 }
 
-/** `DESCRIBE DEDUP STORE s` — coupling, watermark, parameters, and the
-  * fingerprint row count (commit-log metadata only; no scan).
+/** `DESCRIBE DEDUP STORE s` — coupling, watermark, parameters, the
+  * fingerprint row count (commit-log metadata), PLUS the band-health
+  * advisory (one partial-aggregated store scan — the dedup analog of
+  * the vector index's drift probe): `hot_bands` counts band keys AT
+  * the `maxDocsPerBand` cap. Capped bands are where candidate recall
+  * is being truncated — a build on boilerplate-heavy data legitimately
+  * caps a few, but a CREEPING count means the banding parameters are
+  * too coarse for the corpus and the store should be re-created with
+  * more permutations / rows-per-band.
   */
 final case class GraftDescribeDedupStoreCommand(
     target: Either[String, Seq[String]]) extends LeafRunnableCommand {
@@ -414,13 +451,20 @@ final case class GraftDescribeDedupStoreCommand(
     AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
       nullable = true)(),
     AttributeReference("params", StringType, nullable = false)(),
-    AttributeReference("fingerprints", LongType, nullable = false)())
+    AttributeReference("fingerprints", LongType, nullable = false)(),
+    AttributeReference("distinct_bands", LongType, nullable = false)(),
+    AttributeReference("hot_bands", LongType, nullable = false)(),
+    AttributeReference("max_band_docs", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
     val path = GraftMaintenance.resolvePath(spark, target)
     val t = GraftTable(spark, path)
     val props = t.log.tableProperties()
     val params = props.getOrElse(graft.ext.DedupIndex.ParamsKey,
       throw new IllegalStateException(s"$path is not a dedup store"))
+    val cap = params.split(',').map(_.split("=", 2))
+      .collectFirst { case Array("maxDocsPerBand", v) => v.toInt }
+      .getOrElse(Int.MaxValue)
     val srcPath = props.get(graft.ext.DedupIndex.SourcePathKey)
     val mirrored = props.get(graft.ext.DedupIndex.SourceVersionKey).map(_.toLong)
     // a dangling coupling (source vacuumed/moved) must still DESCRIBE —
@@ -428,13 +472,27 @@ final case class GraftDescribeDedupStoreCommand(
     // read NULL (the columns are nullable for exactly this shape)
     val srcV = srcPath.flatMap(p =>
       scala.util.Try(GraftTable(spark, p).version()).toOption)
+    // band health: per-(band_id, band_key) doc counts, partial-
+    // aggregated — one narrow store scan, the shuffle carries one row
+    // per distinct band
+    val bandStats = t.toDf()
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("bands"),
+        count(org.apache.spark.sql.functions
+          .when(col("n") >= cap, 1)).as("hot"),
+        max(col("n")).as("mx"))
+      .head()
     Seq(Row(
       srcPath.orNull,
       mirrored.map(Long.box).orNull,
       srcV.map(Long.box).orNull,
       (for { m <- mirrored; s <- srcV } yield Boolean.box(s > m)).orNull,
       params,
-      t.snapshot().files.map(_.liveRecords).sum))
+      t.snapshot().files.map(_.liveRecords).sum,
+      bandStats.getLong(0),
+      bandStats.getLong(1),
+      if (bandStats.isNullAt(2)) null else Long.box(bandStats.getLong(2))))
   }
 }
 
@@ -449,12 +507,23 @@ private[plans] object GraftTableWalk {
   def graftTablesUnder(
       spark: SparkSession, root: String, maxDepth: Int = 3): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
-    val rp = new org.apache.hadoop.fs.Path(root)
-    val fs = rp.getFileSystem(conf)
+    val rp0 = new org.apache.hadoop.fs.Path(root)
+    val fs = rp0.getFileSystem(conf)
+    val rp = fs.makeQualified(rp0)
     if (!fs.exists(rp)) return Nil
+    // emit each hit under the CALLER's root spelling: the filesystem
+    // walks fully-qualified paths (file:/…, s3a://bucket/…), but the
+    // returned strings must round-trip into DESCRIBE / GraftTable on
+    // the same filesystem — stripping to toUri.getPath would lose the
+    // scheme/authority and resolve an s3a:// root's hits against the
+    // DEFAULT filesystem
+    val rootStr = root.stripSuffix("/")
+    val qualRoot = rp.toString.stripSuffix("/")
+    def emit(p: org.apache.hadoop.fs.Path): String =
+      rootStr + p.toString.stripPrefix(qualRoot)
     def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
       if (fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_log")))
-        Seq(p.toUri.getPath) // a table: never descend into its data
+        Seq(emit(p)) // a table: never descend into its data
       else if (depth >= maxDepth) Nil
       else fs.listStatus(p).filter(_.isDirectory).toSeq
         .flatMap(st => walk(st.getPath, depth + 1))

@@ -168,6 +168,29 @@ class DedupIndexSpec extends SparkSpec {
       "a hot key must be ignored at query time")
   }
 
+  test("DESCRIBE band health: bands AT the cap read as hot") {
+    val srcP = tmpDir("dedup_hot_src")
+    val store = tmpDir("dedup_hot_store") + "/st"
+    val same = "identical boilerplate footer text shared by every crawled page"
+    GraftWriter.write(spark,
+      Seq(doc(1L, same), doc(2L, same),
+        doc(3L, "a genuinely unique document about catalyst plan shapes"))
+        .toDF("doc_id", "text"),
+      srcP, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(Cdc.PropKey -> "true")))
+    // cap = 2: the duplicated text's bands sit exactly AT the cap —
+    // kept by the build (only > cap is dropped) but saturated, which is
+    // precisely where candidate recall starts truncating
+    spark.sql(s"CREATE DEDUP STORE graft.`$store` ON graft.`$srcP` " +
+      "(text) ID doc_id OPTIONS ('maxDocsPerBand' = '2')")
+    val d = spark.sql(s"DESCRIBE DEDUP STORE graft.`$store`").head()
+    assert(d.getLong(d.fieldIndex("hot_bands")) > 0L, d.toString)
+    assert(d.getLong(d.fieldIndex("max_band_docs")) == 2L)
+    assert(d.getLong(d.fieldIndex("distinct_bands")) >
+      d.getLong(d.fieldIndex("hot_bands")),
+      "the unique doc's bands must stay cold")
+  }
+
   test("SQL DDL drives the store lifecycle: CREATE / REFRESH / DROP DEDUP STORE") {
     val srcP = tmpDir("dedup_sql_src")
     val store = tmpDir("dedup_sql_store") + "/st"
@@ -188,11 +211,15 @@ class DedupIndexSpec extends SparkSpec {
       srcP, WriteOptions(mode = WriteMode.Append))
     assert(spark.sql(s"REFRESH DEDUP STORE graft.`$store`").head().getLong(0) ==
       GraftTable(spark, srcP).version())
-    // DESCRIBE: coupling, watermark, staleness, fingerprint count
+    // DESCRIBE: coupling, watermark, staleness, fingerprint count, and
+    // band health — distinct seed texts saturate nothing
     val d = spark.sql(s"DESCRIBE DEDUP STORE graft.`$store`").head()
     assert(d.getString(d.fieldIndex("source_path")) == srcP)
     assert(!d.getBoolean(d.fieldIndex("stale")))
     assert(d.getLong(d.fieldIndex("fingerprints")) > 0L)
+    assert(d.getLong(d.fieldIndex("distinct_bands")) > 0L)
+    assert(d.getLong(d.fieldIndex("hot_bands")) == 0L)
+    assert(d.getLong(d.fieldIndex("max_band_docs")) >= 1L)
     GraftWriter.write(spark,
       Seq(doc(6L, "one more appended for the describe check")).toDF("doc_id", "text"),
       srcP, WriteOptions(mode = WriteMode.Append))

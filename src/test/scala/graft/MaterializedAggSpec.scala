@@ -526,5 +526,19 @@ class MaterializedAggSpec extends SparkSpec {
     assert(e.getMessage.contains("REFRESH MATERIALIZED VIEW"), e.getMessage)
     spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`").collect()
     assert(view()("b") == ((2L, 4L)))
+
+    // DROP removes the summary AND its support relation; refuses a
+    // plain data table
+    val aux = MaterializedAgg.distinctAuxPath(sum, "v")
+    assert(GraftTable.exists(spark, aux))
+    val eDrop = intercept[Exception] {
+      spark.sql(s"DROP MATERIALIZED VIEW graft.`$src`")
+    }
+    assert(eDrop.getMessage.contains("not a materialized view"),
+      eDrop.getMessage)
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$sum`")
+    assert(!GraftTable.exists(spark, sum))
+    assert(!GraftTable.exists(spark, aux),
+      "the count-distinct support relation must be dropped with its view")
   }
 }
