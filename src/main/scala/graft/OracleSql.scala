@@ -262,6 +262,47 @@ object OracleSql {
   private def pqD2(x: String, c: String) =
     s"CAST(round((${dot(x, x)} - 2*${dot(x, c)} + ${dot(c, c)}) * 1000000) AS BIGINT)"
 
+  /** Coarse-Lloyd CTE builders shared by every k-means oracle twin:
+    * assignment by rounded-metric argmax (cosine for the L2 family,
+    * raw dot for MIPS — the ONLY difference between the training
+    * loops), recompute as the fixed-point elementwise mean cast to
+    * float (empty cells drop — mirrors [[Similarity.kmeansCentroids]]).
+    * One copy, or the VecSumE6 replay arithmetic could silently drift
+    * between twins.
+    */
+  private def lloydAssignCte(
+      centCte: String, name: String, byDot: Boolean): String = {
+    val score =
+      if (byDot) dotE6("e.embedding", "c.c_vec")
+      else simE6("e.embedding", "c.c_vec")
+    s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
+          (SELECT e.vec_id, e.embedding, c.c_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY $score DESC, c.c_id) AS rn
+           FROM embeddings e, $centCte c) WHERE rn = 1)"""
+  }
+
+  private def lloydRecomputeCte(assignCte: String, name: String): String =
+    s"""${name}_s AS (SELECT cell, i,
+            CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
+            count(*) AS n
+          FROM $assignCte, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+          GROUP BY cell, i),
+        $name AS (SELECT cell AS c_id,
+            list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS c_vec
+          FROM ${name}_s GROUP BY cell)"""
+
+  /** Two coarse-Lloyd passes over `embeddings` from the stride seeds
+    * (`c0` → `af`), metric-parameterized.
+    */
+  private def lloydTwoPassCtes(byDot: Boolean): String =
+    s"""c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
+        ${lloydAssignCte("c0", "a1", byDot)},
+        ${lloydRecomputeCte("a1", "c1")},
+        ${lloydAssignCte("c1", "a2", byDot)},
+        ${lloydRecomputeCte("a2", "c2")},
+        ${lloydAssignCte("c2", "af", byDot)}"""
+
   private val pqCtes: String = {
     val xs = "e.embedding[js.j*4+1:js.j*4+4]"
     val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
@@ -488,28 +529,8 @@ object OracleSql {
   private val knnIvfIpKmeansSql: String = {
     val qx = "q.q_vec[js.j*4+1:js.j*4+4]"
     val cs = "c.c_vec[js.j*4+1:js.j*4+4]"
-    def assign(centCte: String, name: String) =
-      s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
-            (SELECT e.vec_id, e.embedding, c.c_id,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY ${dotE6("e.embedding", "c.c_vec")} DESC, c.c_id) AS rn
-             FROM embeddings e, $centCte c) WHERE rn = 1)"""
-    def recompute(assignCte: String, name: String) =
-      s"""${name}_s AS (SELECT cell, i,
-              CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
-              count(*) AS n
-            FROM $assignCte, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-            GROUP BY cell, i),
-          $name AS (SELECT cell AS c_id,
-              list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS c_vec
-            FROM ${name}_s GROUP BY cell)"""
     s"""WITH $pqCtes,
-        c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
-        ${assign("c0", "a1")},
-        ${recompute("a1", "c1")},
-        ${assign("c1", "a2")},
-        ${recompute("a2", "c2")},
-        ${assign("c2", "af")},
+        ${lloydTwoPassCtes(byDot = true)},
         q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell
               FROM af WHERE vec_id < 32),
         dtab AS (SELECT q.q_id, js.j, c.idx,
@@ -646,21 +667,6 @@ object OracleSql {
     * confined to the query's own cell.
     */
   private val knnIvfPqKmeansSql: String = {
-    def assign(centCte: String, name: String) =
-      s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
-            (SELECT e.vec_id, e.embedding, c.c_id,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY ${simE6("e.embedding", "c.c_vec")} DESC, c.c_id) AS rn
-             FROM embeddings e, $centCte c) WHERE rn = 1)"""
-    def recompute(assignCte: String, name: String) =
-      s"""${name}_s AS (SELECT cell, i,
-              CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
-              count(*) AS n
-            FROM $assignCte, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-            GROUP BY cell, i),
-          $name AS (SELECT cell AS c_id,
-              list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS c_vec
-            FROM ${name}_s GROUP BY cell)"""
     def pqAssign(cb: String, name: String) =
       s"""$name AS (SELECT vec_id, j, idx AS code FROM (
             SELECT es.vec_id, es.j, c.idx,
@@ -682,12 +688,7 @@ object OracleSql {
             SELECT p.j, p.idx, p.sub FROM $prev p
             WHERE NOT EXISTS (SELECT 1 FROM ${name}_m x
                               WHERE x.j = p.j AND x.idx = p.idx))"""
-    s"""WITH c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
-        ${assign("c0", "a1")},
-        ${recompute("a1", "c1")},
-        ${assign("c1", "a2")},
-        ${recompute("a2", "c2")},
-        ${assign("c2", "af")},
+    s"""WITH ${lloydTwoPassCtes(byDot = false)},
         resid AS (SELECT a.vec_id, a.cell,
                          list_transform(range(1, len(a.embedding) + 1),
                            i -> (a.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)::FLOAT) AS r
@@ -726,27 +727,7 @@ object OracleSql {
   }
 
   private val knnIvfKmeansSql: String = {
-    def assign(centCte: String, name: String) =
-      s"""$name AS (SELECT vec_id, embedding, c_id AS cell FROM
-            (SELECT e.vec_id, e.embedding, c.c_id,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY ${simE6("e.embedding", "c.c_vec")} DESC, c.c_id) AS rn
-             FROM embeddings e, $centCte c) WHERE rn = 1)"""
-    def recompute(assignCte: String, name: String) =
-      s"""${name}_s AS (SELECT cell, i,
-              CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s,
-              count(*) AS n
-            FROM $assignCte, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-            GROUP BY cell, i),
-          $name AS (SELECT cell AS c_id,
-              list(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) ORDER BY i) AS c_vec
-            FROM ${name}_s GROUP BY cell)"""
-    s"""WITH c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id % $centStride = 0),
-        ${assign("c0", "a1")},
-        ${recompute("a1", "c1")},
-        ${assign("c1", "a2")},
-        ${recompute("a2", "c2")},
-        ${assign("c2", "af")},
+    s"""WITH ${lloydTwoPassCtes(byDot = false)},
         q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM af WHERE vec_id < 32),
         n AS (SELECT vec_id AS n_id, embedding AS n_vec, cell FROM af),
         sc AS (SELECT q_id, n_id, ${simE6("q_vec", "n_vec")} AS sim_e6

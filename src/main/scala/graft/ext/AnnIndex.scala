@@ -296,8 +296,7 @@ object AnnIndex {
       .filter(col("cell").isin(probed.map(Long.box): _*))
       .select(col("n_id"), col("cell"), col("codes"))
     val codes = corpusPred.fold(codes0)(codes0.filter)
-    if (p.ip) Similarity.adcScoreTopKIp(codes, q, k)
-    else Similarity.adcScoreTopK(codes, q, k)
+    Similarity.adcScoreTopK(codes, q, k, ip = p.ip)
   }
 
   /** Two-stage retrieval against the persisted index: [[search]]'s ADC

@@ -142,7 +142,15 @@ object MaterializedAgg {
         * re-running REFRESH converges both (each merge is idempotent
         * against its own watermark).
         */
-      distinctCols: Seq[String] = Nil): Option[Long] = {
+      distinctCols: Seq[String] = Nil,
+      /** Refresh up to THIS source version instead of the latest — the
+        * support-relation recursion pins the auxes to the exact version
+        * the summary just applied (a continuously-committing source
+        * would otherwise land a newer version in every aux and split
+        * the watermarks on every refresh, making the view unreadable
+        * until the writer pauses).
+        */
+      asOfVersion: Option[Long] = None): Option[Long] = {
     require(keyCols.nonEmpty, "at least one grouping key")
     require(valueCols.distinct == valueCols,
       s"duplicate summed columns: ${valueCols.mkString(",")}")
@@ -154,22 +162,28 @@ object MaterializedAgg {
       s"count(DISTINCT $c) over a grouping key is constant 1 — drop it"))
     val specs = specsOf(valueCols)
     val src = GraftTable(spark, sourcePath)
-    val curV = src.version()
+    val curV = asOfVersion.getOrElse(src.version())
 
     // the support relations refresh on EVERY path — including the
     // already-current early return, so a crash that left an aux behind
-    // the summary converges on the next refresh
-    def refreshAuxes(): Unit = distinctCols.foreach { c =>
+    // the summary converges on the next refresh. They pin to the SAME
+    // source version this call applied (or, when already current, the
+    // summary's own watermark) — never a fresh src.version() read
+    def refreshAuxes(toV: Long): Unit = distinctCols.foreach { c =>
       refreshSums(spark, sourcePath, distinctAuxPath(summaryPath, c),
-        keyCols :+ c, Nil)
+        keyCols :+ c, Nil, asOfVersion = Some(toV))
     }
 
     if (!GraftTable.exists(spark, summaryPath)) {
-      // initial build: one full aggregate; the version watermark AND the
-      // view definition (source/keys/values) pin in the same creating
-      // commit, so REFRESH MATERIALIZED VIEW can re-derive the spec
+      // initial build: one full aggregate over the source PINNED at the
+      // watermark version (a commit landing between the version read
+      // and the scan would otherwise be silently double-applied by the
+      // next refresh); the watermark AND the view definition
+      // (source/keys/values) pin in the same creating commit, so
+      // REFRESH MATERIALIZED VIEW can re-derive the spec
       GraftWriter.write(spark,
-        summarizeSums(src.toDf(), keyCols, valueCols, minMaxCols),
+        summarizeSums(src.toDf(versionAsOf = Some(curV)),
+          keyCols, valueCols, minMaxCols),
         summaryPath, WriteOptions(mode = WriteMode.ErrorIfExists,
           metadata = createProps ++ Map(
             SourceVersionKey -> curV.toString,
@@ -184,7 +198,7 @@ object MaterializedAgg {
             // changes a read). Support relations inherit via their own
             // creating write below
             GraftWriter.AutoCompactKey -> "true")))
-      refreshAuxes()
+      refreshAuxes(curV)
       return Some(curV)
     }
 
@@ -208,7 +222,18 @@ object MaterializedAgg {
         s"$summaryPath does not maintain min_$c/max_$c; drop it and " +
           "rebuild the materialized aggregate with the min/max entries")
     }
-    if (curV <= lastV) { refreshAuxes(); return None } // already current
+    // the requested distinct set must match the RECORDED one: a direct
+    // API call with an extra column would silently build an orphan aux
+    // (never joined by readView, never dropped by DROP) and a missing
+    // one would silently stop maintaining a served count
+    val recordedDistinct = summary.log.tableProperties()
+      .getOrElse(DistinctKey, "").split(',').toSeq.filter(_.nonEmpty)
+    require(recordedDistinct.toSet == distinctCols.toSet,
+      s"$summaryPath maintains count(DISTINCT) for " +
+        s"[${recordedDistinct.mkString(",")}] but this refresh asked for " +
+        s"[${distinctCols.mkString(",")}]; drop and rebuild the view to " +
+        "change its distinct set")
+    if (curV <= lastV) { refreshAuxes(lastV); return None } // already current
 
     // per-key deltas from the change feed: insert/update_postimage rows
     // add, delete/update_preimage rows subtract — net zero keys drop out.
@@ -388,7 +413,7 @@ object MaterializedAgg {
         // before min/max values could keep them alive)
         if (minMaxCols.isEmpty) None else Some(col("s.d_n") =!= 0L))),
       extraMetadata = Map(SourceVersionKey -> curV.toString))
-    refreshAuxes()
+    refreshAuxes(curV)
     Some(curV)
   }
 
@@ -424,6 +449,13 @@ object MaterializedAgg {
     val mainV = props(SourceVersionKey).toLong
     var df = GraftTable(spark, summaryPath).toDf()
     dist.foreach { c =>
+      // a crash between the summary's creating write and the aux's
+      // build leaves no aux at all — same split-state class as a
+      // watermark mismatch, same converging remedy
+      require(GraftTable.exists(spark, distinctAuxPath(summaryPath, c)),
+        s"the count(DISTINCT $c) support relation at " +
+          s"${distinctAuxPath(summaryPath, c)} does not exist yet — run " +
+          "REFRESH MATERIALIZED VIEW again to converge the view")
       val auxT = GraftTable(spark, distinctAuxPath(summaryPath, c))
       val auxV = auxT.log.tableProperties()(SourceVersionKey).toLong
       require(auxV == mainV,

@@ -745,7 +745,7 @@ object Similarity {
         nprobe = nprobe, byDot = true)
         .select(col(idCol).as("q_id"), col("cell"),
           pqQueryTabExpr(vecCol, books, ip = true).as("qtab")))
-    adcScoreTopKIp(codes, q, k)
+    adcScoreTopK(codes, q, k, ip = true)
   }
 
   /** [[ivfIpTopK]] with an exact-DOT rerank stage — two-stage MIPS:
@@ -1017,57 +1017,43 @@ object Similarity {
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(residCol),
         books.map(_.map(_._2)), ip = ip))
 
-  /** The ADC scoring + ranking stage shared by [[ivfpqTopK]] (inline
-    * index) and [[AnnIndex.search]] (persisted index): join the
-    * codes-only corpus side to the broadcast query tables on `cell`,
-    * score each pair with m table lookups, and rank through the bounded
-    * top-k aggregator. `codes` = (n_id, cell, codes); `q` = (q_id, cell,
-    * qtab), already broadcast by the caller.
+  /** The ADC scoring + ranking stage shared by [[ivfpqTopK]] /
+    * [[ivfIpTopK]] (inline) and [[AnnIndex.search]] (persisted, both
+    * metrics): join the codes-only corpus side to the broadcast query
+    * tables on `cell`, score each pair with m table lookups, and rank
+    * through the bounded top-k aggregator. `codes` = (n_id, cell,
+    * codes); `q` = (q_id, cell, qtab), already broadcast by the caller.
+    *
+    * `ip = false` (summed squared-L2 tables, ascending → `adist_e6`)
+    * keeps the defensive (q, n) dedup aggregate of the residual family;
+    * `ip = true` (summed dot tables, descending → `asim_e6`) omits it:
+    * corpus rows live in exactly ONE cell (nprobe = 1 on the codes
+    * side) and a query emits one probe row per DISTINCT cell, so a pair
+    * joins at most once and the top-k aggregation stays the plan's only
+    * exchange (ExplainAudit §R).
     */
   private[ext] def adcScoreTopK(
-      codes: DataFrame, q: DataFrame, k: Int): DataFrame = {
+      codes: DataFrame, q: DataFrame, k: Int, ip: Boolean = false): DataFrame = {
     val adc = org.apache.spark.sql.graft.GraftInternal.column(
       graft.functions.PqAdcDistance(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
-    val scored = codes
+    val joined = codes
       .join(q, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("adist_e6", adc)
-      // multi-probe can score one (q, n) pair from several cells; keep
-      // the best (then min = the true probed-cell distance)
-      .groupBy("q_id", "n_id")
-      .agg(min(col("adist_e6")).as("adist_e6"))
-      .withColumn("sim_e6", -col("adist_e6"))
+    val scored =
+      if (ip) joined.withColumn("sim_e6", adc)
+      else joined
+        .withColumn("adist_e6", adc)
+        // multi-probe can score one (q, n) pair from several cells; keep
+        // the best (then min = the true probed-cell distance)
+        .groupBy("q_id", "n_id")
+        .agg(min(col("adist_e6")).as("adist_e6"))
+        .withColumn("sim_e6", -col("adist_e6"))
     topKRows(scored, k)
       .select(col("q_id"), col("n_id"), col("rank"),
-        (-col("sim_e6")).as("adist_e6"))
-  }
-
-  /** The inner-product ADC scoring + ranking stage shared by
-    * [[ivfIpTopK]] (inline) and [[AnnIndex.search]] on `metric = "ip"`
-    * indexes: join the codes-only corpus side to the broadcast
-    * inner-product query tables on `cell`, rank the summed tables
-    * DESCENDING through the bounded top-k aggregator. No (q, n) dedup
-    * aggregate: corpus rows live in exactly ONE cell (nprobe = 1 on the
-    * codes side) and a query emits one probe row per DISTINCT cell, so
-    * a pair joins at most once — the top-k aggregation is the plan's
-    * only exchange (ExplainAudit §R). Output: (q_id, n_id, rank,
-    * asim_e6).
-    */
-  private[ext] def adcScoreTopKIp(
-      codes: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val adc = org.apache.spark.sql.graft.GraftInternal.column(
-      graft.functions.PqAdcDistance(
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("qtab"),
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("codes")))
-    val scored = codes
-      .join(q, Seq("cell"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim_e6", adc)
-    topKRows(scored, k)
-      .select(col("q_id"), col("n_id"), col("rank"),
-        col("sim_e6").as("asim_e6"))
+        (if (ip) col("sim_e6").as("asim_e6")
+         else (-col("sim_e6")).as("adist_e6")))
   }
 
   // ---------- exact rerank over ANN shortlists ----------

@@ -149,7 +149,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DescribeVectorIndexRe =
     ("""(?is)^\s*DESCRIBE\s+VECTOR\s+INDEX\s+""" + T + """\s*;?\s*$""").r
   private val DescribeDedupStoreRe =
-    ("""(?is)^\s*DESCRIBE\s+DEDUP\s+STORE\s+""" + T + """\s*;?\s*$""").r
+    ("""(?is)^\s*DESCRIBE\s+DEDUP\s+STORE\s+""" + T +
+      """(\s+WITH\s+STATS)?\s*;?\s*$""").r
   private val ShowVectorIndexesRe =
     """(?is)^\s*SHOW\s+VECTOR\s+INDEXES\s+IN\s+'([^']+)'\s*;?\s*$""".r
   private val ShowDedupStoresRe =
@@ -227,8 +228,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftDropDedupStoreCommand(target(p, n)))
       case DescribeVectorIndexRe(p, n) =>
         Some(GraftDescribeVectorIndexCommand(target(p, n)))
-      case DescribeDedupStoreRe(p, n) =>
-        Some(GraftDescribeDedupStoreCommand(target(p, n)))
+      case DescribeDedupStoreRe(p, n, ws) =>
+        Some(GraftDescribeDedupStoreCommand(target(p, n), withStats = ws != null))
       case ShowVectorIndexesRe(root) =>
         Some(GraftShowVectorIndexesCommand(root))
       case ShowDedupStoresRe(root) =>

@@ -432,18 +432,22 @@ final case class GraftDescribeVectorIndexCommand(
   }
 }
 
-/** `DESCRIBE DEDUP STORE s` — coupling, watermark, parameters, the
-  * fingerprint row count (commit-log metadata), PLUS the band-health
-  * advisory (one partial-aggregated store scan — the dedup analog of
-  * the vector index's drift probe): `hot_bands` counts band keys AT
-  * the `maxDocsPerBand` cap. Capped bands are where candidate recall
-  * is being truncated — a build on boilerplate-heavy data legitimately
-  * caps a few, but a CREEPING count means the banding parameters are
-  * too coarse for the corpus and the store should be re-created with
-  * more permutations / rows-per-band.
+/** `DESCRIBE DEDUP STORE s [WITH STATS]` — coupling, watermark,
+  * parameters, and the fingerprint row count from commit-log metadata
+  * alone (the default stays scan-free — an operator reading staleness
+  * must never pay a store-wide job). `WITH STATS` additionally runs
+  * the band-health advisory (one partial-aggregated store scan — the
+  * dedup analog of the vector index's opt-in drift probe): `hot_bands`
+  * counts band keys AT the `maxDocsPerBand` cap. Capped bands are
+  * where candidate recall is being truncated — a build on
+  * boilerplate-heavy data legitimately caps a few, but a CREEPING
+  * count means the banding parameters are too coarse for the corpus
+  * and the store should be re-created with more permutations /
+  * rows-per-band. Without WITH STATS the three stat columns read NULL.
   */
 final case class GraftDescribeDedupStoreCommand(
-    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+    target: Either[String, Seq[String]],
+    withStats: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("source_path", StringType, nullable = true)(),
     AttributeReference("mirrored_version", LongType, nullable = true)(),
@@ -452,8 +456,8 @@ final case class GraftDescribeDedupStoreCommand(
       nullable = true)(),
     AttributeReference("params", StringType, nullable = false)(),
     AttributeReference("fingerprints", LongType, nullable = false)(),
-    AttributeReference("distinct_bands", LongType, nullable = false)(),
-    AttributeReference("hot_bands", LongType, nullable = false)(),
+    AttributeReference("distinct_bands", LongType, nullable = true)(),
+    AttributeReference("hot_bands", LongType, nullable = true)(),
     AttributeReference("max_band_docs", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, count, lit, max}
@@ -472,17 +476,19 @@ final case class GraftDescribeDedupStoreCommand(
     // read NULL (the columns are nullable for exactly this shape)
     val srcV = srcPath.flatMap(p =>
       scala.util.Try(GraftTable(spark, p).version()).toOption)
-    // band health: per-(band_id, band_key) doc counts, partial-
-    // aggregated — one narrow store scan, the shuffle carries one row
-    // per distinct band
-    val bandStats = t.toDf()
-      .groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("bands"),
-        count(org.apache.spark.sql.functions
-          .when(col("n") >= cap, 1)).as("hot"),
-        max(col("n")).as("mx"))
-      .head()
+    // band health (opt-in): per-(band_id, band_key) doc counts,
+    // partial-aggregated — one narrow store scan, the shuffle carries
+    // one row per distinct band
+    val bandStats =
+      if (!withStats) None
+      else Some(t.toDf()
+        .groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("bands"),
+          count(org.apache.spark.sql.functions
+            .when(col("n") >= cap, 1)).as("hot"),
+          max(col("n")).as("mx"))
+        .head())
     Seq(Row(
       srcPath.orNull,
       mirrored.map(Long.box).orNull,
@@ -490,9 +496,10 @@ final case class GraftDescribeDedupStoreCommand(
       (for { m <- mirrored; s <- srcV } yield Boolean.box(s > m)).orNull,
       params,
       t.snapshot().files.map(_.liveRecords).sum,
-      bandStats.getLong(0),
-      bandStats.getLong(1),
-      if (bandStats.isNullAt(2)) null else Long.box(bandStats.getLong(2))))
+      bandStats.map(r => Long.box(r.getLong(0))).orNull,
+      bandStats.map(r => Long.box(r.getLong(1))).orNull,
+      bandStats.filterNot(_.isNullAt(2))
+        .map(r => Long.box(r.getLong(2))).orNull))
   }
 }
 

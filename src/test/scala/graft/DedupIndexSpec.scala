@@ -183,7 +183,7 @@ class DedupIndexSpec extends SparkSpec {
     // precisely where candidate recall starts truncating
     spark.sql(s"CREATE DEDUP STORE graft.`$store` ON graft.`$srcP` " +
       "(text) ID doc_id OPTIONS ('maxDocsPerBand' = '2')")
-    val d = spark.sql(s"DESCRIBE DEDUP STORE graft.`$store`").head()
+    val d = spark.sql(s"DESCRIBE DEDUP STORE graft.`$store` WITH STATS").head()
     assert(d.getLong(d.fieldIndex("hot_bands")) > 0L, d.toString)
     assert(d.getLong(d.fieldIndex("max_band_docs")) == 2L)
     assert(d.getLong(d.fieldIndex("distinct_bands")) >
@@ -211,15 +211,20 @@ class DedupIndexSpec extends SparkSpec {
       srcP, WriteOptions(mode = WriteMode.Append))
     assert(spark.sql(s"REFRESH DEDUP STORE graft.`$store`").head().getLong(0) ==
       GraftTable(spark, srcP).version())
-    // DESCRIBE: coupling, watermark, staleness, fingerprint count, and
-    // band health — distinct seed texts saturate nothing
+    // DESCRIBE: coupling, watermark, staleness, fingerprint count —
+    // metadata-only by default (stat columns NULL, no store scan)
     val d = spark.sql(s"DESCRIBE DEDUP STORE graft.`$store`").head()
     assert(d.getString(d.fieldIndex("source_path")) == srcP)
     assert(!d.getBoolean(d.fieldIndex("stale")))
     assert(d.getLong(d.fieldIndex("fingerprints")) > 0L)
-    assert(d.getLong(d.fieldIndex("distinct_bands")) > 0L)
-    assert(d.getLong(d.fieldIndex("hot_bands")) == 0L)
-    assert(d.getLong(d.fieldIndex("max_band_docs")) >= 1L)
+    assert(d.isNullAt(d.fieldIndex("distinct_bands")))
+    assert(d.isNullAt(d.fieldIndex("hot_bands")))
+    // WITH STATS opts into the band-health scan; distinct seed texts
+    // saturate nothing
+    val ds = spark.sql(s"DESCRIBE DEDUP STORE graft.`$store` WITH STATS").head()
+    assert(ds.getLong(ds.fieldIndex("distinct_bands")) > 0L)
+    assert(ds.getLong(ds.fieldIndex("hot_bands")) == 0L)
+    assert(ds.getLong(ds.fieldIndex("max_band_docs")) >= 1L)
     GraftWriter.write(spark,
       Seq(doc(6L, "one more appended for the describe check")).toDF("doc_id", "text"),
       srcP, WriteOptions(mode = WriteMode.Append))

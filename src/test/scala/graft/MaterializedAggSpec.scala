@@ -541,4 +541,46 @@ class MaterializedAggSpec extends SparkSpec {
     assert(!GraftTable.exists(spark, aux),
       "the count-distinct support relation must be dropped with its view")
   }
+
+  test("asOfVersion pins a refresh and its support relations to ONE source version") {
+    val src = tmpDir("mv_pin_src")
+    val sum = tmpDir("mv_pin_sum")
+    GraftWriter.write(spark, Seq((1L, "a", 10L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    // API-built distinct view (no SelectKey): the raw-summary fallback
+    // must surface count_distinct_v (coalesced to 0), never __nd_v
+    MaterializedAgg.refreshSums(spark, src, sum, Seq("cat"), Nil,
+      distinctCols = Seq("v"))
+    def nd(): Long = {
+      val row = MaterializedAgg.readView(spark, sum)
+        .filter(col("cat") === "a").head()
+      assert(!row.schema.fieldNames.exists(_.startsWith("__nd")),
+        row.schema.fieldNames.mkString(","))
+      row.getLong(row.fieldIndex("count_distinct_v"))
+    }
+    assert(nd() == 1L)
+    GraftWriter.write(spark, Seq((2L, "a", 20L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Append))
+    GraftWriter.write(spark, Seq((3L, "a", 30L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Append))
+    val head = GraftTable(spark, src).version()
+    // pin the refresh one version back: summary AND aux land on the
+    // SAME pinned watermark (a fresh src.version() read in the aux
+    // recursion would split them under a continuously-committing
+    // source), so the view reads consistently at head-1
+    MaterializedAgg.refreshSums(spark, src, sum, Seq("cat"), Nil,
+      distinctCols = Seq("v"), asOfVersion = Some(head - 1))
+    assert(nd() == 2L)
+    // an ordinary refresh catches up to head
+    MaterializedAgg.refreshSums(spark, src, sum, Seq("cat"), Nil,
+      distinctCols = Seq("v"))
+    assert(nd() == 3L)
+    // a mismatched distinct set is refused loudly (orphan-aux guard)
+    val eSet = intercept[Exception] {
+      MaterializedAgg.refreshSums(spark, src, sum, Seq("cat"), Nil,
+        distinctCols = Seq("id"))
+    }
+    assert(eSet.getMessage.contains("drop and rebuild"), eSet.getMessage)
+  }
 }
