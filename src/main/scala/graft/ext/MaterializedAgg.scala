@@ -180,7 +180,21 @@ object MaterializedAgg {
       // and the scan would otherwise be silently double-applied by the
       // next refresh); the watermark AND the view definition
       // (source/keys/values) pin in the same creating commit, so
-      // REFRESH MATERIALIZED VIEW can re-derive the spec
+      // REFRESH MATERIALIZED VIEW can re-derive the spec. A PRUNED pin
+      // (a crash left this aux missing long enough for source log
+      // retention to pass the summary's watermark) gets the rebuild
+      // remedy, not a raw time-travel error
+      try src.snapshot(versionAsOf = Some(curV)) // eager existence check
+      catch {
+        case e: IllegalArgumentException
+            if asOfVersion.isDefined && e.getMessage != null &&
+              e.getMessage.contains("not in log") =>
+          throw new IllegalStateException(
+            s"cannot build $summaryPath at source version $curV: log " +
+              s"retention pruned it from $sourcePath. Remedy: DROP and " +
+              "re-CREATE the materialized view — a pruned watermark " +
+              "cannot be rebuilt incrementally.", e)
+      }
       GraftWriter.write(spark,
         summarizeSums(src.toDf(versionAsOf = Some(curV)),
           keyCols, valueCols, minMaxCols),
@@ -203,11 +217,30 @@ object MaterializedAgg {
     }
 
     val summary = GraftTable(spark, summaryPath)
-    val lastV = summary.log.tableProperties().get(SourceVersionKey)
+    val sumProps = summary.log.tableProperties()
+    val lastV = sumProps.get(SourceVersionKey)
       .map(_.toLong)
       .getOrElse(throw new IllegalStateException(
         s"$summaryPath is not a materialized aggregate of $sourcePath " +
           s"(missing $SourceVersionKey)"))
+    // the requested spec must match the RECORDED definition wherever one
+    // was recorded (an empty property is not persisted — count(*)-only
+    // views legitimately lack ValueKey; pre-definition summaries lack
+    // all of them and keep their historical direct-call contract): a
+    // refresh with a SUBSET of the recorded columns would apply the
+    // range's deltas to some columns, advance the shared watermark, and
+    // leave the omitted columns silently, permanently wrong
+    def recordedSpec(key: String): Option[Set[String]] =
+      sumProps.get(key).map(_.split(',').toSet.filter(_.nonEmpty))
+    def checkSpec(key: String, what: String, passed: Seq[String]): Unit =
+      recordedSpec(key).foreach(r => require(r == passed.toSet,
+        s"$summaryPath records $what [${r.toSeq.sorted.mkString(",")}] but " +
+          s"this refresh asked for [${passed.sorted.mkString(",")}]; a " +
+          "partial refresh would corrupt the omitted columns — drop and " +
+          "rebuild the view to change its definition"))
+    checkSpec(KeysKey, "grouping keys", keyCols)
+    checkSpec(ValueKey, "summed columns", valueCols)
+    checkSpec(MinMaxKey, "min/max columns", minMaxCols)
     // summaries written before the NULL-semantics fix lack the non-null
     // value counts and their values are NOT derivable from the sums —
     // fail with the remedy instead of a cryptic merge-validation error
@@ -222,17 +255,14 @@ object MaterializedAgg {
         s"$summaryPath does not maintain min_$c/max_$c; drop it and " +
           "rebuild the materialized aggregate with the min/max entries")
     }
-    // the requested distinct set must match the RECORDED one: a direct
-    // API call with an extra column would silently build an orphan aux
-    // (never joined by readView, never dropped by DROP) and a missing
-    // one would silently stop maintaining a served count
-    val recordedDistinct = summary.log.tableProperties()
-      .getOrElse(DistinctKey, "").split(',').toSeq.filter(_.nonEmpty)
-    require(recordedDistinct.toSet == distinctCols.toSet,
+    // the distinct guard is stricter: an ABSENT DistinctKey still means
+    // "no distinct columns" (a stray distinct col would build an orphan
+    // aux never joined by readView and never dropped by DROP)
+    require(recordedSpec(DistinctKey).getOrElse(Set.empty) == distinctCols.toSet,
       s"$summaryPath maintains count(DISTINCT) for " +
-        s"[${recordedDistinct.mkString(",")}] but this refresh asked for " +
-        s"[${distinctCols.mkString(",")}]; drop and rebuild the view to " +
-        "change its distinct set")
+        s"[${recordedSpec(DistinctKey).getOrElse(Set.empty).toSeq.sorted.mkString(",")}] " +
+        s"but this refresh asked for [${distinctCols.sorted.mkString(",")}]; " +
+        "drop and rebuild the view to change its distinct set")
     if (curV <= lastV) { refreshAuxes(lastV); return None } // already current
 
     // per-key deltas from the change feed: insert/update_postimage rows
