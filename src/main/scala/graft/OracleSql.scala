@@ -1103,6 +1103,27 @@ object OracleSql {
          WHERE price_c < 40000000
          GROUP BY prio""",
 
+    // the FULL matview composition: survivors = keys % 5 <> 0, prices
+    // bumped AND buckets moved on % 7 = 0, then the 40M-cent price
+    // ceiling deleted — all five aggregates recomputed plainly
+    "matview_full" ->
+      """SELECT prio,
+                CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+                min(price_c) AS min_price_c,
+                max(price_c) AS max_price_c,
+                count(DISTINCT cust_b) AS nd_cust,
+                count(*) AS n_all
+         FROM (SELECT o_orderpriority AS prio,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        + CASE WHEN o_orderkey % 7 = 0 THEN 1000
+                               ELSE 0 END AS price_c,
+                      CASE WHEN o_orderkey % 7 = 0
+                           THEN ((o_custkey % 97) + 1) % 97
+                           ELSE o_custkey % 97 END AS cust_b
+               FROM orders WHERE o_orderkey % 5 <> 0)
+         WHERE price_c < 40000000
+         GROUP BY prio""",
+
     // count(DISTINCT) matview: survivors = keys % 5 <> 0, bucket moved
     // ((b+1) % 97) on % 7 = 0; oracle = plain count(DISTINCT) recompute
     "matview_count_distinct" ->

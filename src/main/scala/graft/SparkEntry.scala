@@ -585,6 +585,40 @@ object SparkEntry {
     graft.ext.MaterializedAgg.readView(spark, sum)
   }
 
+  /** The FULL matview composition in one view — sum + min + max +
+    * count(DISTINCT) + count(*) maintained together through the same
+    * delete/update churn: the merge carries the extremum fold AND the
+    * recompute columns while the support relation refreshes on the
+    * same pinned watermark; the oracle is a plain recompute of all
+    * five aggregates over the survivors.
+    */
+  private def qMatviewFull(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderpriority").as("prio"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"),
+      (col("o_custkey") % 97).as("cust_b"))
+    val src = tmp("graft_mv_full_src")
+    val sum = tmp("graft_mv_full")
+    GraftWriter.write(spark, o, src,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT prio, sum(price_c) AS sum_price_c, " +
+      s"min(price_c) AS min_price_c, max(price_c) AS max_price_c, " +
+      s"count(DISTINCT cust_b) AS nd_cust, count(*) AS n_all " +
+      s"FROM graft.`$src` GROUP BY prio")
+    graft.merge.Dml.delete(spark, src, col("o_orderkey") % 5 === 0)
+    graft.merge.Dml.update(spark, src, col("o_orderkey") % 7 === 0,
+      Map("price_c" -> (col("price_c") + lit(1000L)),
+        "cust_b" -> ((col("cust_b") + 1) % 97)))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+    // second refresh range: chop the price ceiling (extremum recompute)
+    graft.merge.Dml.delete(spark, src, col("price_c") >= lit(40000000L))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+    graft.ext.MaterializedAgg.readView(spark, sum)
+  }
+
   /** Materialized view maintaining an EXACT count(DISTINCT clerk-bucket)
     * through deletes and bucket-moving updates: the support relation
     * (an aux count(*) matview on (prio, bucket)) absorbs the per-key
@@ -1861,6 +1895,7 @@ object SparkEntry {
     "matview_avg" -> (qMatviewAvg _),
     "matview_minmax" -> (qMatviewMinmax _),
     "matview_count_distinct" -> (qMatviewCountDistinct _),
+    "matview_full" -> (qMatviewFull _),
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_probe" -> (qDedupProbe _),
     "point_lookup_bloom" -> (qPointLookupBloom _),
