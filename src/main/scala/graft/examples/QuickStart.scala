@@ -796,11 +796,17 @@ object QuickStart {
     println(s"[56] matview min/max: deleting the maximum ($mmMaxBefore) " +
       s"recomputed ONLY its group; new max $mmMaxAfter")
 
-    // 57. discovery: SHOW enumerates the indexes/stores under a root
+    // 57. discovery + lifecycle closure: SHOW enumerates the engine-
+    // managed artifacts under a root, and DROP MATERIALIZED VIEW takes
+    // a view's support relations with it
     val shownIx = spark.sql(s"SHOW VECTOR INDEXES IN '$out'").count()
     val shownFp = spark.sql(s"SHOW DEDUP STORES IN '$out'").count()
+    val shownMv = spark.sql(s"SHOW MATERIALIZED VIEWS IN '$out'").count()
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$mmTgt`").collect()
+    val afterDrop = spark.sql(s"SHOW MATERIALIZED VIEWS IN '$out'").count()
     println(s"[57] SHOW under $out: $shownIx vector index(es), " +
-      s"$shownFp dedup store(s) — an inherited lake is discoverable")
+      s"$shownFp dedup store(s), $shownMv matview(s) — an inherited " +
+      s"lake is discoverable; DROP MATERIALIZED VIEW leaves $afterDrop")
     spark.stop()
   }
 }
