@@ -78,6 +78,22 @@ object MaterializedAgg {
   val DistinctKey: String =
     graft.log.CommitLog.ReservedPrefix + "matview.distinct"
 
+  /** Stamped on every `count(DISTINCT)` SUPPORT relation at creation:
+    * the summary path that owns it. Support relations carry the full
+    * matview property set (they ARE matviews of the source), so without
+    * this marker `DROP MATERIALIZED VIEW` could not tell an aux from a
+    * user view and would delete one out from under its owner.
+    */
+  val AuxOfKey: String =
+    graft.log.CommitLog.ReservedPrefix + "matview.auxOf"
+
+  /** Delta-row count above which the extremum-recompute flag set is no
+    * longer broadcast-hinted (narrow key rows at 1M ≈ tens of MB —
+    * comfortably under executor broadcast budgets; beyond it the flag
+    * set may be every changed group of a boundary-deleting batch).
+    */
+  private[graft] val BroadcastFlagMaxKeys = 1000000L
+
   /** The support-relation table of `count(DISTINCT col)` for a summary:
     * a sibling directory (never nested inside the summary — a table
     * inside another table's root would read as orphan files to vacuum).
@@ -171,7 +187,11 @@ object MaterializedAgg {
     // summary's own watermark) — never a fresh src.version() read
     def refreshAuxes(toV: Long): Unit = distinctCols.foreach { c =>
       refreshSums(spark, sourcePath, distinctAuxPath(summaryPath, c),
-        keyCols :+ c, Nil, asOfVersion = Some(toV))
+        keyCols :+ c, Nil,
+        // the owner marker lets DROP MATERIALIZED VIEW refuse a direct
+        // drop of a support relation (redirecting to the owning view)
+        createProps = Map(AuxOfKey -> summaryPath.stripSuffix("/")),
+        asOfVersion = Some(toV))
     }
 
     if (!GraftTable.exists(spark, summaryPath)) {
@@ -372,8 +392,14 @@ object MaterializedAgg {
         val flagged = dAl.join(tAl, keyEq, "left_outer")
           .filter(touched || newWithRemovals)
           .select(keyCols.map(k => col(s"d.$k")): _*)
+        // flagged ⊆ the batch's changed keys, so the pinned delta-row
+        // count (cheap — localCheckpointed) upper-bounds the flag set;
+        // only hint the broadcast when that bound is small. Past the
+        // bound, Spark/AQE picks the strategy (and still broadcasts at
+        // runtime if the ACTUAL flagged set turns out tiny)
         val recomputed = recomputeExtrema(
-          src.toDf(versionAsOf = Some(curV)), flagged, keyCols, minMaxCols)
+          src.toDf(versionAsOf = Some(curV)), flagged, keyCols, minMaxCols,
+          hintBroadcast = pinned.count() <= BroadcastFlagMaxKeys)
           .alias("r")
         val dAl2 = pinned.alias("d2")
         val joinEq = keyCols.map(k => col(s"d2.$k") <=> col(s"r.$k")).reduce(_ && _)
@@ -469,30 +495,56 @@ object MaterializedAgg {
     */
   def readView(spark: SparkSession, summaryPath: String): DataFrame = {
     val (_, keys, values, _, dist) = definitionOf(spark, summaryPath)
-    val props = GraftTable(spark, summaryPath).log.tableProperties()
+    val sumT = GraftTable(spark, summaryPath)
     // count(DISTINCT c) joins the support relation's per-key non-NULL
     // row count onto the summary (left join: a key whose values are all
     // NULL has no support rows — its distinct count reads 0). The aux
     // watermark must match the summary's: a split (crash between the
     // two merges, or a concurrent source commit between them) would
-    // silently mix source versions — refuse with the converging remedy
-    val mainV = props(SourceVersionKey).toLong
-    var df = GraftTable(spark, summaryPath).toDf()
-    dist.foreach { c =>
-      // a crash between the summary's creating write and the aux's
-      // build leaves no aux at all — same split-state class as a
-      // watermark mismatch, same converging remedy
-      require(GraftTable.exists(spark, distinctAuxPath(summaryPath, c)),
-        s"the count(DISTINCT $c) support relation at " +
-          s"${distinctAuxPath(summaryPath, c)} does not exist yet — run " +
-          "REFRESH MATERIALIZED VIEW again to converge the view")
+    // silently mix source versions — refuse with the converging remedy.
+    //
+    // Every check AND scan below derives from ONE pinned version per
+    // table (summary and each aux): checking latest properties and then
+    // scanning latest separately races a REFRESH landing in between into
+    // exactly the mixed-version join the check exists to refuse. A
+    // refresh landing BETWEEN the summary pin and an aux pin shows as a
+    // watermark mismatch — retried a couple of times (the refresh that
+    // caused it also converges it), then refused loudly.
+    def pinAll(): Either[String, (Long, Long, Seq[(String, Long)])] = {
+      val sumV = sumT.version()
+      val mainV = sumT.log.tablePropertiesAt(sumV)(SourceVersionKey).toLong
+      val pins = dist.map { c =>
+        // a crash between the summary's creating write and the aux's
+        // build leaves no aux at all — same split-state class as a
+        // watermark mismatch, same converging remedy
+        require(GraftTable.exists(spark, distinctAuxPath(summaryPath, c)),
+          s"the count(DISTINCT $c) support relation at " +
+            s"${distinctAuxPath(summaryPath, c)} does not exist yet — run " +
+            "REFRESH MATERIALIZED VIEW again to converge the view")
+        val auxT = GraftTable(spark, distinctAuxPath(summaryPath, c))
+        val auxOwnV = auxT.version()
+        val auxSrcV =
+          auxT.log.tablePropertiesAt(auxOwnV)(SourceVersionKey).toLong
+        (c, auxOwnV, auxSrcV)
+      }
+      pins.find(_._3 != mainV) match {
+        case Some((c, _, auxSrcV)) => Left(
+          s"the count(DISTINCT $c) support relation reflects source " +
+            s"version $auxSrcV but the summary reflects $mainV — run " +
+            "REFRESH MATERIALIZED VIEW again to converge them")
+        case None => Right((sumV, mainV, pins.map(p => (p._1, p._2))))
+      }
+    }
+    val (sumV, _, auxPins) = Iterator.range(0, 3).map(_ => pinAll())
+      .collectFirst { case Right(ok) => ok }
+      .getOrElse(pinAll().fold(
+        msg => throw new IllegalStateException(msg),
+        identity))
+    val props = sumT.log.tablePropertiesAt(sumV)
+    var df = sumT.toDf(versionAsOf = Some(sumV))
+    auxPins.foreach { case (c, auxOwnV) =>
       val auxT = GraftTable(spark, distinctAuxPath(summaryPath, c))
-      val auxV = auxT.log.tableProperties()(SourceVersionKey).toLong
-      require(auxV == mainV,
-        s"the count(DISTINCT $c) support relation reflects source " +
-          s"version $auxV but the summary reflects $mainV — run REFRESH " +
-          "MATERIALIZED VIEW again to converge them")
-      val nd = auxT.toDf().filter(col(c).isNotNull)
+      val nd = auxT.toDf(versionAsOf = Some(auxOwnV)).filter(col(c).isNotNull)
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as(s"__nd_$c"))
       val cond = keys.map(k => df(k) <=> nd(k)).reduce(_ && _)
@@ -550,8 +602,18 @@ object MaterializedAgg {
       source: DataFrame,
       flagged: DataFrame,
       keyCols: Seq[String],
-      minMaxCols: Seq[String]): DataFrame = {
-    val flAl = broadcast(flagged).alias("f")
+      minMaxCols: Seq[String],
+      /** The broadcast hint is only safe when the flagged key set is
+        * provably small: a batch that deletes a range BOUNDARY (price
+        * ceiling, latest timestamp) flags every changed group, and on a
+        * high-cardinality grouping key forcing the broadcast can exceed
+        * driver/broadcast memory. Callers gate this on a cheap upper
+        * bound (the pinned delta-row count); ungated it stays true for
+        * the audited small-flag-set shape.
+        */
+      hintBroadcast: Boolean = true): DataFrame = {
+    val flAl =
+      (if (hintBroadcast) broadcast(flagged) else flagged).alias("f")
     val srcKeyEq = keyCols.map(k => col(s"sr.$k") <=> col(s"f.$k")).reduce(_ && _)
     val rAggs = minMaxCols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).as(s"r_min_$i"), max(col(c)).as(s"r_max_$i"))

@@ -151,12 +151,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DescribeDedupStoreRe =
     ("""(?is)^\s*DESCRIBE\s+DEDUP\s+STORE\s+""" + T +
       """(\s+WITH\s+STATS)?\s*;?\s*$""").r
+  // optional MAX DEPTH n: the discovery walk is bounded (default 3
+  // levels) and WARNS when it pruned unexplored directories — the
+  // clause widens it for deep lake layouts
   private val ShowVectorIndexesRe =
-    """(?is)^\s*SHOW\s+VECTOR\s+INDEXES\s+IN\s+'([^']+)'\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+VECTOR\s+INDEXES\s+IN\s+'([^']+)'(?:\s+MAX\s+DEPTH\s+(\d+))?\s*;?\s*$""".r
   private val ShowDedupStoresRe =
-    """(?is)^\s*SHOW\s+DEDUP\s+STORES\s+IN\s+'([^']+)'\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+DEDUP\s+STORES\s+IN\s+'([^']+)'(?:\s+MAX\s+DEPTH\s+(\d+))?\s*;?\s*$""".r
   private val ShowMatViewsRe =
-    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s+IN\s+'([^']+)'\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s+IN\s+'([^']+)'(?:\s+MAX\s+DEPTH\s+(\d+))?\s*;?\s*$""".r
   private val RefreshMatViewRe =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   private val DropMatViewRe =
@@ -169,6 +172,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def target(path: String, name: String): Either[String, Seq[String]] =
     if (path != null) Left(path) else Right(name.split('.').toSeq)
+
+  private def maxDepthOf(d: String): Int = if (d == null) 3 else d.toInt
 
   /** The utility statements ([[GraftVacuumCommand]] etc.); None when the
     * text is not one of them — then the whole statement goes to Spark's
@@ -230,12 +235,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftDescribeVectorIndexCommand(target(p, n)))
       case DescribeDedupStoreRe(p, n, ws) =>
         Some(GraftDescribeDedupStoreCommand(target(p, n), withStats = ws != null))
-      case ShowVectorIndexesRe(root) =>
-        Some(GraftShowVectorIndexesCommand(root))
-      case ShowDedupStoresRe(root) =>
-        Some(GraftShowDedupStoresCommand(root))
-      case ShowMatViewsRe(root) =>
-        Some(GraftShowMatViewsCommand(root))
+      case ShowVectorIndexesRe(root, d) =>
+        Some(GraftShowVectorIndexesCommand(root, maxDepthOf(d)))
+      case ShowDedupStoresRe(root, d) =>
+        Some(GraftShowDedupStoresCommand(root, maxDepthOf(d)))
+      case ShowMatViewsRe(root, d) =>
+        Some(GraftShowMatViewsCommand(root, maxDepthOf(d)))
       case ConvertRe(p, parts) => Some(GraftConvertCommand(p,
         Option(parts).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
       case CloneRe(ine, dp, dn, kind, sp, sn, v, ts) =>

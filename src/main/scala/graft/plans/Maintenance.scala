@@ -200,23 +200,70 @@ final case class GraftCreateMatViewCommand(
   * `count(DISTINCT)` support relations (recorded in the carried
   * definition; a user should never have to know the sibling-aux layout
   * to clean up a view). Refuses any table without the matview
-  * properties — a typo'd path must never delete a data table.
+  * properties — a typo'd path must never delete a data table — and
+  * refuses a SUPPORT RELATION whose owning view still records it (a
+  * direct aux drop would break the owner's reads until the next
+  * REFRESH rebuilt it; redirect to the owner instead). An aux whose
+  * owner is gone (manual partial cleanup) drops normally.
   */
 final case class GraftDropMatViewCommand(
     target: Either[String, Seq[String]]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    import graft.ext.MaterializedAgg
     val path = GraftMaintenance.resolvePath(spark, target)
     require(GraftTable.exists(spark, path), s"not a graft table: $path")
     val props = GraftTable(spark, path).log.tableProperties()
-    require(props.contains(graft.ext.MaterializedAgg.SourceKey),
+    require(props.contains(MaterializedAgg.SourceKey),
       s"$path is not a materialized view (missing " +
-        s"${graft.ext.MaterializedAgg.SourceKey}); refusing to delete a " +
+        s"${MaterializedAgg.SourceKey}); refusing to delete a " +
         "data table")
-    val auxes = props.getOrElse(graft.ext.MaterializedAgg.DistinctKey, "")
+    val norm = path.stripSuffix("/")
+    // support relations carry the matview property set too — identify
+    // one by its stamped owner marker, or (pre-marker auxes) by the
+    // `<view>__distinct_<col>` naming contract, and refuse while the
+    // owner still records it
+    val AuxNameRe = "^(.*)__distinct_([^/]+)$".r
+    val ownerCandidate = props.get(MaterializedAgg.AuxOfKey)
+      .orElse(norm match {
+        case AuxNameRe(owner, _) => Some(owner)
+        case _ => None
+      })
+    val liveOwner = ownerCandidate.map(_.stripSuffix("/")).filter { o =>
+      o != norm && GraftTable.exists(spark, o) && {
+        val op = GraftTable(spark, o).log.tableProperties()
+        op.getOrElse(MaterializedAgg.DistinctKey, "")
+          .split(',').filter(_.nonEmpty)
+          .exists(c =>
+            MaterializedAgg.distinctAuxPath(o, c).stripSuffix("/") == norm)
+      }
+    }
+    require(liveOwner.isEmpty,
+      s"$path is the count(DISTINCT) support relation of the " +
+        s"materialized view at ${liveOwner.getOrElse("")}; dropping it " +
+        "directly would break the owning view's reads — DROP " +
+        "MATERIALIZED VIEW the owner instead (it removes its support " +
+        "relations too)")
+    // recorded auxes: confirm each actually honors the aux contract
+    // before the recursive delete — a foreign table that happens to sit
+    // at the aux name must be refused, a missing one (crash before the
+    // aux build) skipped
+    val auxes = props.getOrElse(MaterializedAgg.DistinctKey, "")
       .split(',').toSeq.filter(_.nonEmpty)
-      .map(c => graft.ext.MaterializedAgg.distinctAuxPath(path, c))
+      .map(c => MaterializedAgg.distinctAuxPath(path, c))
+      .filter(GraftTable.exists(spark, _))
+    auxes.foreach { p =>
+      val ap = GraftTable(spark, p).log.tableProperties()
+      require(ap.contains(MaterializedAgg.SourceKey),
+        s"refusing to delete $p: recorded as a count(DISTINCT) support " +
+          "relation but it is not a materialized aggregate — remove it " +
+          "manually if it is truly foreign")
+      ap.get(MaterializedAgg.AuxOfKey).foreach(o =>
+        require(o.stripSuffix("/") == norm,
+          s"refusing to delete $p: it records ${o} as its owning view, " +
+            s"not $path"))
+    }
     val conf = spark.sessionState.newHadoopConf()
     (auxes :+ path).foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -510,14 +557,22 @@ final case class GraftDescribeDedupStoreCommand(
   * roots keep tables shallow, and the bound keeps the driver-side
   * listing cheap on arbitrarily deep foreign trees.
   */
-private[plans] object GraftTableWalk {
+private[graft] object GraftTableWalk {
+  /** @return the tables found, plus whether the walk was DEPTH-TRUNCATED
+    * — some directory at `maxDepth` still had subdirectories the walk
+    * never entered, so "no rows" must not read as "none exist". The
+    * SHOW statements surface the flag as a warning and accept
+    * `MAX DEPTH n` to widen the walk.
+    */
   def graftTablesUnder(
-      spark: SparkSession, root: String, maxDepth: Int = 3): Seq[String] = {
+      spark: SparkSession, root: String, maxDepth: Int = 3)
+      : (Seq[String], Boolean) = {
+    require(maxDepth >= 0, s"MAX DEPTH must be non-negative, got $maxDepth")
     val conf = spark.sessionState.newHadoopConf()
     val rp0 = new org.apache.hadoop.fs.Path(root)
     val fs = rp0.getFileSystem(conf)
     val rp = fs.makeQualified(rp0)
-    if (!fs.exists(rp)) return Nil
+    if (!fs.exists(rp)) return (Nil, false)
     // emit each hit under the CALLER's root spelling: the filesystem
     // walks fully-qualified paths (file:/…, s3a://bucket/…), but the
     // returned strings must round-trip into DESCRIBE / GraftTable on
@@ -528,13 +583,26 @@ private[plans] object GraftTableWalk {
     val qualRoot = rp.toString.stripSuffix("/")
     def emit(p: org.apache.hadoop.fs.Path): String =
       rootStr + p.toString.stripPrefix(qualRoot)
+    var truncated = false
     def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
       if (fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_log")))
         Seq(emit(p)) // a table: never descend into its data
-      else if (depth >= maxDepth) Nil
+      else if (depth >= maxDepth) {
+        // one extra listing per BOUNDARY dir (few): only a real
+        // truncation — subdirectories exist that were never visited —
+        // flags; an empty leaf at the bound does not
+        if (fs.listStatus(p).exists(_.isDirectory)) truncated = true
+        Nil
+      }
       else fs.listStatus(p).filter(_.isDirectory).toSeq
         .flatMap(st => walk(st.getPath, depth + 1))
-    walk(rp, 0).sorted
+    val hits = walk(rp, 0).sorted
+    if (truncated)
+      System.err.println(
+        s"[graft] SHOW ... IN '$root': discovery stopped at MAX DEPTH " +
+          s"$maxDepth with unexplored subdirectories below the bound — " +
+          "results may be incomplete; re-run with a larger MAX DEPTH n")
+    (hits, truncated)
   }
 }
 
@@ -545,7 +613,7 @@ private[plans] object GraftTableWalk {
   * the discovery surface an operator inheriting a lake starts from, so
   * it never runs a probe (metadata-only, one log read per table found).
   */
-final case class GraftShowVectorIndexesCommand(root: String)
+final case class GraftShowVectorIndexesCommand(root: String, maxDepth: Int = 3)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -556,7 +624,7 @@ final case class GraftShowVectorIndexesCommand(root: String)
     AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
       nullable = true)())
   override def run(spark: SparkSession): Seq[Row] =
-    GraftTableWalk.graftTablesUnder(spark, root).flatMap { p =>
+    GraftTableWalk.graftTablesUnder(spark, root, maxDepth)._1.flatMap { p =>
       val props = GraftTable(spark, p).log.tableProperties()
       props.get(graft.ext.AnnIndex.SourcePathKey).map { src =>
         val indexedV = props(graft.ext.AnnIndex.SourceVersionKey).toLong
@@ -574,7 +642,7 @@ final case class GraftShowVectorIndexesCommand(root: String)
   * [[GraftShowVectorIndexesCommand]]: every fingerprint store under the
   * root with its coupling and staleness, metadata-only.
   */
-final case class GraftShowDedupStoresCommand(root: String)
+final case class GraftShowDedupStoresCommand(root: String, maxDepth: Int = 3)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -584,7 +652,7 @@ final case class GraftShowDedupStoresCommand(root: String)
     AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
       nullable = true)())
   override def run(spark: SparkSession): Seq[Row] =
-    GraftTableWalk.graftTablesUnder(spark, root).flatMap { p =>
+    GraftTableWalk.graftTablesUnder(spark, root, maxDepth)._1.flatMap { p =>
       val props = GraftTable(spark, p).log.tableProperties()
       props.get(graft.ext.DedupIndex.ParamsKey).map { _ =>
         val srcPath = props.get(graft.ext.DedupIndex.SourcePathKey)
@@ -606,7 +674,7 @@ final case class GraftShowDedupStoresCommand(root: String)
   * the same properties but ARE auxiliary — they still list (an
   * operator should see them; their path names the owning view).
   */
-final case class GraftShowMatViewsCommand(root: String)
+final case class GraftShowMatViewsCommand(root: String, maxDepth: Int = 3)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -617,7 +685,7 @@ final case class GraftShowMatViewsCommand(root: String)
     AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
       nullable = true)())
   override def run(spark: SparkSession): Seq[Row] =
-    GraftTableWalk.graftTablesUnder(spark, root).flatMap { p =>
+    GraftTableWalk.graftTablesUnder(spark, root, maxDepth)._1.flatMap { p =>
       val props = GraftTable(spark, p).log.tableProperties()
       props.get(graft.ext.MaterializedAgg.SourceKey).map { src =>
         val viewV =

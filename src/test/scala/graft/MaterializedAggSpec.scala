@@ -583,4 +583,101 @@ class MaterializedAggSpec extends SparkSpec {
     }
     assert(eSet.getMessage.contains("drop and rebuild"), eSet.getMessage)
   }
+
+  test("DROP refuses a LIVE support relation and redirects to its owner; orphans drop") {
+    val src = tmpDir("mv_auxdrop_src")
+    val sum = tmpDir("mv_auxdrop_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT cat, count(DISTINCT v) AS nd FROM graft.`$src` GROUP BY cat")
+    val aux = MaterializedAgg.distinctAuxPath(sum, "v")
+    assert(GraftTable.exists(spark, aux))
+    // the aux is stamped with its owner at creation
+    assert(GraftTable(spark, aux).log.tableProperties()
+      .get(MaterializedAgg.AuxOfKey).contains(sum.stripSuffix("/")))
+    // a direct DROP of the aux is refused while the owner records it —
+    // it carries the matview property set, so only the owner marker /
+    // naming contract tells it apart from a user view
+    val e = intercept[Exception] {
+      spark.sql(s"DROP MATERIALIZED VIEW graft.`$aux`")
+    }
+    assert(e.getMessage.contains("support relation") &&
+      e.getMessage.contains(sum.stripSuffix("/")), e.getMessage)
+    assert(GraftTable.exists(spark, aux), "refusal must not delete")
+    // owner gone (manual partial cleanup) → the aux is an orphan and
+    // drops normally
+    val hp = new org.apache.hadoop.fs.Path(sum)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$aux`").collect()
+    assert(!GraftTable.exists(spark, aux))
+  }
+
+  test("DROP confirms the aux contract before deleting; a foreign table at the aux name refuses") {
+    val src = tmpDir("mv_foreign_src")
+    val sum = tmpDir("mv_foreign_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT cat, count(DISTINCT v) AS nd FROM graft.`$src` GROUP BY cat")
+    // replace the aux with a FOREIGN data table at the recorded name
+    val aux = MaterializedAgg.distinctAuxPath(sum, "v")
+    val hp = new org.apache.hadoop.fs.Path(aux)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    GraftWriter.write(spark, Seq((1L, "keep me")).toDF("id", "t"),
+      aux, WriteOptions(mode = WriteMode.Overwrite))
+    val e = intercept[Exception] {
+      spark.sql(s"DROP MATERIALIZED VIEW graft.`$sum`")
+    }
+    assert(e.getMessage.contains("refusing to delete"), e.getMessage)
+    assert(GraftTable.exists(spark, aux), "the foreign table must survive")
+    // a MISSING aux (crash before the aux build) is skipped, not an error
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$sum`").collect()
+    assert(!GraftTable.exists(spark, sum))
+  }
+
+  test("readView pins each table to ONE snapshot — a refresh after plan build cannot mix versions") {
+    val src = tmpDir("mv_pin2_src")
+    val sum = tmpDir("mv_pin2_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT cat, count(DISTINCT v) AS nd, count(*) AS n " +
+      s"FROM graft.`$src` GROUP BY cat")
+    val pinned = MaterializedAgg.readView(spark, sum) // plan built NOW
+    // a whole refresh cycle lands underneath the un-collected plan
+    GraftWriter.write(spark, Seq((3L, "a", 30L)).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Append))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`").collect()
+    // the pinned plan serves the snapshot pair it was resolved against —
+    // summary AND aux from the SAME source version, never summary@new
+    // joined to aux@old or vice versa
+    val r = pinned.filter(col("cat") === "a").head()
+    assert(r.getLong(r.fieldIndex("nd")) == 2L &&
+      r.getLong(r.fieldIndex("n")) == 2L, r.toString)
+    val fresh = MaterializedAgg.readView(spark, sum)
+      .filter(col("cat") === "a").head()
+    assert(fresh.getLong(fresh.fieldIndex("nd")) == 3L &&
+      fresh.getLong(fresh.fieldIndex("n")) == 3L, fresh.toString)
+  }
+
+  test("extremum recompute broadcast-hints only under the flagged-key bound") {
+    val srcDf = Seq(("a", 1L), ("b", 2L)).toDF("cat", "v")
+    val flagged = Seq("a").toDF("cat")
+    def hinted(h: Boolean): Boolean =
+      MaterializedAgg.recomputeExtrema(srcDf, flagged, Seq("cat"), Seq("v"),
+        hintBroadcast = h)
+        .queryExecution.analyzed.toString.toLowerCase.contains("hint")
+    assert(hinted(true), "small flag sets keep the broadcast hint")
+    assert(!hinted(false),
+      "past the bound the hint must be absent — Spark/AQE picks the " +
+        "strategy (a boundary-deleting batch can flag every changed group)")
+  }
 }

@@ -850,4 +850,41 @@ class SqlDmlSpec extends SparkSpec {
     assert(mv.head.getString(mv.head.fieldIndex("group_keys")) == "vec_id")
     assert(!mv.head.getBoolean(mv.head.fieldIndex("stale")))
   }
+
+  test("SHOW ... MAX DEPTH widens the bounded discovery walk") {
+    import spark.implicits._
+    val root = tmpDir("show_deep_root")
+    val dataP = s"$root/data"
+    GraftWriter.write(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"),
+      dataP, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    // a view nested FIVE directory levels down — past the default bound
+    val deepMv = s"$root/a/b/c/d/by_id"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$deepMv` AS " +
+      s"SELECT id, count(*) AS n FROM graft.`$dataP` GROUP BY id")
+    // the default walk (3 levels) prunes it — an empty result, but the
+    // walk self-reports the truncation (warning + flag) instead of
+    // reading as "none exist"
+    val (hits, truncated) = graft.plans.GraftTableWalk
+      .graftTablesUnder(spark, root)
+    assert(!hits.contains(deepMv) && truncated,
+      s"hits=$hits truncated=$truncated")
+    assert(spark.sql(s"SHOW MATERIALIZED VIEWS IN '$root'")
+      .collect().map(_.getString(0)).forall(_ != deepMv))
+    // MAX DEPTH n reaches it — and a wide-enough walk reports NO
+    // truncation (tables at any depth stop descent at their boundary)
+    val deep = spark.sql(
+      s"SHOW MATERIALIZED VIEWS IN '$root' MAX DEPTH 6").collect()
+    assert(deep.exists(_.getString(0) == deepMv), deep.mkString(";"))
+    val (hits6, truncated6) = graft.plans.GraftTableWalk
+      .graftTablesUnder(spark, root, maxDepth = 6)
+    assert(hits6.contains(deepMv) && !truncated6,
+      s"hits=$hits6 truncated=$truncated6")
+    // the other SHOW statements accept the clause too
+    assert(spark.sql(s"SHOW VECTOR INDEXES IN '$root' MAX DEPTH 6")
+      .collect().isEmpty)
+    assert(spark.sql(s"SHOW DEDUP STORES IN '$root' MAX DEPTH 6")
+      .collect().isEmpty)
+  }
 }
