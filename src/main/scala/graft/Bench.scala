@@ -103,7 +103,21 @@ object Bench {
     val maintNoisy = maint.collect {
       case (k, med, mn) if mn > 0 && med / mn > 3.0 => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_queries":$mins,"noisy":$noisy,"maintenance":$maintJson,"maintenance_min":$maintMins,"maintenance_noisy":$maintNoisy,"sf":"$sfDir","runs":$runs,"agg":"median"}""")
+    val detailed = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_queries":$mins,"noisy":$noisy,"maintenance":$maintJson,"maintenance_min":$maintMins,"maintenance_noisy":$maintNoisy,"sf":"$sfDir","runs":$runs,"agg":"median"}"""
+    println(detailed)
+    // The detailed line above is ~5000 chars; the round driver captures
+    // only the LAST 2000 chars of stdout, so a truncated head makes it
+    // unparseable (every BENCH_r{9..16}.json has parsed:null). Persist
+    // the full detail to a file and print a COMPACT summary line LAST —
+    // short enough to always land complete inside the tail window.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (detailed + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+    }
+    val totalR = math.round(total * 1000).toDouble / 1000
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries_n":${results.length},"noisy":$noisy,"maintenance":$maintJson,"maintenance_noisy":$maintNoisy,"sf":"$sfDir","runs":$runs,"agg":"median","detail":"bench_detail.json"}""")
     spark.stop()
   }
 
