@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pass so DML targets are intercepted before the read substitution
     // rewrites them.
     ext.injectResolutionRule(session => new graft.catalog.GraftCatalogRule(session))
+    // transparent aggregate rewrite over registered materialized views
+    // (opt-in via spark.graft.matview.rewrite; empty conf = no-op)
+    ext.injectOptimizerRule(session => new graft.plans.MatviewRewriteRule(session))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProductFP64].getName, GraftFunctions.DotName),

@@ -1172,6 +1172,29 @@ object OracleSql {
          WHERE price_c < 40000000
          GROUP BY prio""",
 
+    // transparent aggregate rewrite: the Spark side asserts the plan
+    // reads the VIEW (never the source); this twin recomputes the same
+    // aggregates from the churned source, so a hash match proves the
+    // view-served answer is bit-exact
+    "matview_rewrite" ->
+      """SELECT prio,
+                CAST(sum(price_c) AS BIGINT) AS s,
+                count(*) AS n,
+                count(price_c) AS nv,
+                CAST(sum(price_c) AS DOUBLE) / count(price_c) AS a,
+                min(price_c) AS mn,
+                max(price_c) AS mx,
+                count(DISTINCT cust_b) AS nd
+         FROM (SELECT o_orderpriority AS prio,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        + CASE WHEN o_orderkey % 7 = 0 THEN 1000
+                               ELSE 0 END AS price_c,
+                      CASE WHEN o_orderkey % 7 = 0
+                           THEN ((o_custkey % 97) + 1) % 97
+                           ELSE o_custkey % 97 END AS cust_b
+               FROM orders WHERE o_orderkey % 5 <> 0)
+         GROUP BY prio""",
+
     // count(DISTINCT) matview: survivors = keys % 5 <> 0, bucket moved
     // ((b+1) % 97) on % 7 = 0; oracle = plain count(DISTINCT) recompute
     "matview_count_distinct" ->

@@ -619,6 +619,63 @@ object SparkEntry {
     graft.ext.MaterializedAgg.readView(spark, sum)
   }
 
+  /** Transparent aggregate rewrite ([[graft.plans.MatviewRewriteRule]]):
+    * a plain `GROUP BY` SQL query over the SOURCE is answered from the
+    * registered materialized view — the plan is asserted to scan the
+    * summary (never the source), and the oracle recomputes the same
+    * aggregates from the churned source data, so the row proves the
+    * rewrite fired AND returned bit-exact results.
+    */
+  private def qMatviewRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderpriority").as("prio"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"),
+      (col("o_custkey") % 97).as("cust_b"))
+    val src = tmp("graft_mv_rw_src")
+    val sum = tmp("graft_mv_rw")
+    GraftWriter.write(spark, o, src,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT prio, sum(price_c) AS s, count(*) AS n, " +
+      s"count(price_c) AS nv, avg(price_c) AS a, " +
+      s"min(price_c) AS mn, max(price_c) AS mx, " +
+      s"count(DISTINCT cust_b) AS nd FROM graft.`$src` GROUP BY prio")
+    // churn through a refresh so the answering view is maintained
+    // state, not the initial build
+    graft.merge.Dml.delete(spark, src, col("o_orderkey") % 5 === 0)
+    graft.merge.Dml.update(spark, src, col("o_orderkey") % 7 === 0,
+      Map("price_c" -> (col("price_c") + lit(1000L)),
+        "cust_b" -> ((col("cust_b") + 1) % 97)))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+    spark.conf.set(graft.plans.MatviewRewriteRule.ConfKey, sum)
+    val df = spark.sql(
+      s"SELECT prio, sum(price_c) AS s, count(*) AS n, " +
+        s"count(price_c) AS nv, avg(price_c) AS a, " +
+        s"min(price_c) AS mn, max(price_c) AS mx, " +
+        s"count(DISTINCT cust_b) AS nd FROM graft.`$src` GROUP BY prio")
+    // the gate must fail LOUDLY if the rewrite stops firing — a silent
+    // fallback to the source scan would produce the same values
+    val scanned = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location match {
+              case ix: graft.sources.GraftFileIndex =>
+                Seq(ix.scannedTablePath)
+              case p: graft.sources.PinnedSizeFileIndex =>
+                Seq(p.underlying.scannedTablePath)
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+    }.flatten
+    require(scanned.contains(sum) && !scanned.contains(src),
+      s"matview rewrite did not fire: scanned $scanned")
+    df
+  }
+
   /** Materialized view maintaining an EXACT count(DISTINCT clerk-bucket)
     * through deletes and bucket-moving updates: the support relation
     * (an aux count(*) matview on (prio, bucket)) absorbs the per-key
@@ -1911,6 +1968,7 @@ object SparkEntry {
     "matview_minmax" -> (qMatviewMinmax _),
     "matview_count_distinct" -> (qMatviewCountDistinct _),
     "matview_full" -> (qMatviewFull _),
+    "matview_rewrite" -> (qMatviewRewrite _),
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_probe" -> (qDedupProbe _),
     "point_lookup_bloom" -> (qPointLookupBloom _),

@@ -118,7 +118,7 @@ object MaterializedAgg {
     * historical `sum_val`/`n_vals` names; N columns name theirs
     * `sum_<col>`/`nvals_<col>` (plus the shared `n_rows`).
     */
-  private def specsOf(valueCols: Seq[String]): Seq[(String, String, String)] =
+  private[graft] def specsOf(valueCols: Seq[String]): Seq[(String, String, String)] =
     valueCols match {
       case Seq(only) => Seq((only, "sum_val", "n_vals"))
       case many      => many.map(c => (c, s"sum_$c", s"nvals_$c"))
@@ -495,6 +495,58 @@ object MaterializedAgg {
     */
   def readView(spark: SparkSession, summaryPath: String): DataFrame = {
     val (_, keys, values, _, dist) = definitionOf(spark, summaryPath)
+    val (df, _) = summaryWithSupports(spark, summaryPath, keys, dist)
+    val props = GraftTable(spark, summaryPath).log.tableProperties()
+    props.get(SelectKey).filter(_.nonEmpty) match {
+      case None =>
+        // raw-summary fallback (API-built views, pre-SelectKey views):
+        // surface the distinct counts under their public names — never
+        // the internal __nd_<col> join column, whose NULL (no support
+        // rows) must read as distinct count 0 exactly as the declared
+        // path's coalesce does
+        dist.foldLeft(df)((acc, c) =>
+          acc.withColumn(s"count_distinct_$c",
+            coalesce(col(s"__nd_$c"), lit(0L))).drop(s"__nd_$c"))
+      case Some(sel) =>
+        val naming = specsOf(values)
+          .map { case (c, sumC, nvC) => c -> ((sumC, nvC)) }.toMap
+        val aggCols = sel.split(',').toSeq.filter(_.nonEmpty).map { e =>
+          val Array(fn, c, al) = e.split(":", -1)
+          def name(default: String) = if (al.isEmpty) default else al
+          fn match {
+            case "sum" => col(naming(c)._1).as(name(s"sum_$c"))
+            case "avg" =>
+              // NULL iff the group has no non-null value: sum_<col> is
+              // NULL exactly when nvals_<col> = 0 (maintained invariant)
+              (col(naming(c)._1).cast("double") / col(naming(c)._2))
+                .as(name(s"avg_$c"))
+            case "count" if c == "*" => col("n_rows").as(name("count_star"))
+            case "count" => col(naming(c)._2).as(name(s"count_$c"))
+            case "countd" =>
+              coalesce(col(s"__nd_$c"), lit(0L))
+                .as(name(s"count_distinct_$c"))
+            case "min" => col(s"min_$c").as(name(s"min_$c"))
+            case "max" => col(s"max_$c").as(name(s"max_$c"))
+            case other => throw new IllegalStateException(
+              s"unknown recorded aggregate form '$other' in $SelectKey")
+          }
+        }
+        df.select(keys.map(col) ++ aggCols: _*)
+    }
+  }
+
+  /** The pinned, watermark-consistent summary relation with one
+    * `__nd_<col>` distinct-count column joined per requested
+    * count(DISTINCT) column. Returns the DataFrame and the SOURCE
+    * version the whole pair reflects — shared by [[readView]] and the
+    * transparent aggregate rewrite
+    * ([[graft.plans.MatviewRewriteRule]]).
+    */
+  private[graft] def summaryWithSupports(
+      spark: SparkSession,
+      summaryPath: String,
+      keys: Seq[String],
+      dist: Seq[String]): (DataFrame, Long) = {
     val sumT = GraftTable(spark, summaryPath)
     // count(DISTINCT c) joins the support relation's per-key non-NULL
     // row count onto the summary (left join: a key whose values are all
@@ -535,12 +587,11 @@ object MaterializedAgg {
         case None => Right((sumV, mainV, pins.map(p => (p._1, p._2))))
       }
     }
-    val (sumV, _, auxPins) = Iterator.range(0, 3).map(_ => pinAll())
+    val (sumV, mainV, auxPins) = Iterator.range(0, 3).map(_ => pinAll())
       .collectFirst { case Right(ok) => ok }
       .getOrElse(pinAll().fold(
         msg => throw new IllegalStateException(msg),
         identity))
-    val props = sumT.log.tablePropertiesAt(sumV)
     var df = sumT.toDf(versionAsOf = Some(sumV))
     auxPins.foreach { case (c, auxOwnV) =>
       val auxT = GraftTable(spark, distinctAuxPath(summaryPath, c))
@@ -551,42 +602,7 @@ object MaterializedAgg {
       df = keys.foldLeft(df.join(nd, cond, "left_outer"))(
         (acc, k) => acc.drop(nd(k)))
     }
-    props.get(SelectKey).filter(_.nonEmpty) match {
-      case None =>
-        // raw-summary fallback (API-built views, pre-SelectKey views):
-        // surface the distinct counts under their public names — never
-        // the internal __nd_<col> join column, whose NULL (no support
-        // rows) must read as distinct count 0 exactly as the declared
-        // path's coalesce does
-        dist.foldLeft(df)((acc, c) =>
-          acc.withColumn(s"count_distinct_$c",
-            coalesce(col(s"__nd_$c"), lit(0L))).drop(s"__nd_$c"))
-      case Some(sel) =>
-        val naming = specsOf(values)
-          .map { case (c, sumC, nvC) => c -> ((sumC, nvC)) }.toMap
-        val aggCols = sel.split(',').toSeq.filter(_.nonEmpty).map { e =>
-          val Array(fn, c, al) = e.split(":", -1)
-          def name(default: String) = if (al.isEmpty) default else al
-          fn match {
-            case "sum" => col(naming(c)._1).as(name(s"sum_$c"))
-            case "avg" =>
-              // NULL iff the group has no non-null value: sum_<col> is
-              // NULL exactly when nvals_<col> = 0 (maintained invariant)
-              (col(naming(c)._1).cast("double") / col(naming(c)._2))
-                .as(name(s"avg_$c"))
-            case "count" if c == "*" => col("n_rows").as(name("count_star"))
-            case "count" => col(naming(c)._2).as(name(s"count_$c"))
-            case "countd" =>
-              coalesce(col(s"__nd_$c"), lit(0L))
-                .as(name(s"count_distinct_$c"))
-            case "min" => col(s"min_$c").as(name(s"min_$c"))
-            case "max" => col(s"max_$c").as(name(s"max_$c"))
-            case other => throw new IllegalStateException(
-              s"unknown recorded aggregate form '$other' in $SelectKey")
-          }
-        }
-        df.select(keys.map(col) ++ aggCols: _*)
-    }
+    (df, mainV)
   }
 
   /** The bounded extremum-recompute scan: fresh min/max of EXACTLY the
@@ -629,7 +645,7 @@ object MaterializedAgg {
     * columns) from the summary's carried properties — shared by every
     * definition-driven entry point.
     */
-  private def definitionOf(
+  private[graft] def definitionOf(
       spark: SparkSession,
       summaryPath: String): (String, Seq[String], Seq[String], Seq[String], Seq[String]) = {
     require(GraftTable.exists(spark, summaryPath),

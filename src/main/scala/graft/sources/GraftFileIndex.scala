@@ -59,6 +59,14 @@ final class GraftFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
+  /** The table path / snapshot version this index plans over — the
+    * identity [[graft.plans.MatviewRewriteRule]] keys its freshness
+    * check on (a rewrite is legal only when the view's watermark equals
+    * the EXACT version this scan was planned against).
+    */
+  private[graft] def scannedTablePath: String = tablePath
+  private[graft] def scannedVersion: Long = snap.version
+
   private val zone = spark.sessionState.conf.sessionLocalTimeZone
 
   /** Typed partition value row per distinct partition-dir value map
