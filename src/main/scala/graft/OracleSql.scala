@@ -1195,6 +1195,24 @@ object OracleSql {
                FROM orders WHERE o_orderkey % 5 <> 0)
          GROUP BY prio""",
 
+    // rollup rewrite: the query collapses `prio` out of a (prio, stat)
+    // view — the rule re-aggregates the summary; this twin recomputes
+    // from the churned source grouped the query's way
+    "matview_rollup_rewrite" ->
+      """SELECT stat,
+                CAST(sum(price_c) AS BIGINT) AS s,
+                count(*) AS n,
+                count(price_c) AS nv,
+                CAST(sum(price_c) AS DOUBLE) / count(price_c) AS a,
+                min(price_c) AS mn,
+                max(price_c) AS mx
+         FROM (SELECT o_orderstatus AS stat,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        + CASE WHEN o_orderkey % 7 = 0 THEN 1000
+                               ELSE 0 END AS price_c
+               FROM orders WHERE o_orderkey % 5 <> 0)
+         GROUP BY stat""",
+
     // count(DISTINCT) matview: survivors = keys % 5 <> 0, bucket moved
     // ((b+1) % 97) on % 7 = 0; oracle = plain count(DISTINCT) recompute
     "matview_count_distinct" ->

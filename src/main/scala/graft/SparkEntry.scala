@@ -655,8 +655,15 @@ object SparkEntry {
         s"count(price_c) AS nv, avg(price_c) AS a, " +
         s"min(price_c) AS mn, max(price_c) AS mx, " +
         s"count(DISTINCT cust_b) AS nd FROM graft.`$src` GROUP BY prio")
-    // the gate must fail LOUDLY if the rewrite stops firing — a silent
-    // fallback to the source scan would produce the same values
+    requireViewServed(df, sum, src)
+    df
+  }
+
+  /** The gate must fail LOUDLY if a matview rewrite stops firing — a
+    * silent fallback to the source scan would produce the same values.
+    */
+  private def requireViewServed(
+      df: DataFrame, view: String, src: String): Unit = {
     val scanned = df.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
@@ -671,8 +678,42 @@ object SparkEntry {
           case _ => Nil
         }
     }.flatten
-    require(scanned.contains(sum) && !scanned.contains(src),
+    require(scanned.contains(view) && !scanned.contains(src),
       s"matview rewrite did not fire: scanned $scanned")
+  }
+
+  /** ROLLUP rewrite: the query groups a strict SUBSET of the view's
+    * keys (collapsing `prio`), so the rule RE-AGGREGATES the summary —
+    * sum of sums, min of mins, sum of counts — O(groups) work; the
+    * oracle recomputes from the churned source grouped the query's way.
+    */
+  private def qMatviewRollupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderpriority").as("prio"),
+      col("o_orderstatus").as("stat"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val src = tmp("graft_mv_ru_src")
+    val sum = tmp("graft_mv_ru")
+    GraftWriter.write(spark, o, src,
+      WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT prio, stat, sum(price_c) AS s, count(*) AS n, " +
+      s"count(price_c) AS nv, avg(price_c) AS a, " +
+      s"min(price_c) AS mn, max(price_c) AS mx " +
+      s"FROM graft.`$src` GROUP BY prio, stat")
+    graft.merge.Dml.delete(spark, src, col("o_orderkey") % 5 === 0)
+    graft.merge.Dml.update(spark, src, col("o_orderkey") % 7 === 0,
+      Map("price_c" -> (col("price_c") + lit(1000L))))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`")
+    spark.conf.set(graft.plans.MatviewRewriteRule.ConfKey, sum)
+    val df = spark.sql(
+      s"SELECT stat, sum(price_c) AS s, count(*) AS n, " +
+        s"count(price_c) AS nv, avg(price_c) AS a, " +
+        s"min(price_c) AS mn, max(price_c) AS mx " +
+        s"FROM graft.`$src` GROUP BY stat")
+    requireViewServed(df, sum, src)
     df
   }
 
@@ -1969,6 +2010,7 @@ object SparkEntry {
     "matview_count_distinct" -> (qMatviewCountDistinct _),
     "matview_full" -> (qMatviewFull _),
     "matview_rewrite" -> (qMatviewRewrite _),
+    "matview_rollup_rewrite" -> (qMatviewRollupRewrite _),
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_probe" -> (qDedupProbe _),
     "point_lookup_bloom" -> (qPointLookupBloom _),

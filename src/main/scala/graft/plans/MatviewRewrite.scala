@@ -108,14 +108,19 @@ class MatviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       catch { case _: IllegalStateException => return None }
     if (qualified(source) != qualified(scannedPath)) return None
 
-    // grouping keys must be bare attributes equal (as a set) to the
-    // recorded keys
+    // grouping keys must be bare attributes forming a SUBSET of the
+    // recorded keys: equality answers directly from the summary rows; a
+    // strict subset (including the empty set — a global aggregate)
+    // ROLLS UP by re-aggregating the summary (sum of sums, min of mins,
+    // sum of counts — O(groups) work, exact by associativity). Only
+    // count(DISTINCT) cannot roll up (distinct sets do not add).
     val keySet = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val groupNames = agg.groupingExpressions.map(attrName)
     if (groupNames.exists(_.isEmpty)) return None
     val groupSet = groupNames.flatten.toSet
-    if (groupSet != keySet ||
+    if (!groupSet.subsetOf(keySet) ||
       groupNames.size != agg.groupingExpressions.size) return None
+    val rollup = groupSet != keySet
 
     val valueSet = values.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val mmSet = minmax.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -134,48 +139,71 @@ class MatviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // support relations join (and gate freshness)
     val neededDist = scala.collection.mutable.LinkedHashSet[String]()
 
+    import org.apache.spark.sql.functions.{max => fMax, min => fMin, sum => fSum}
+
+    /** Summary expression answering one aggregate. Direct mode reads the
+      * maintained column; rollup mode RE-AGGREGATES it across the
+      * collapsed keys — exact by associativity (integer sums/counts add,
+      * extrema nest; maintained NULL-iff-no-value columns are skipped by
+      * the outer aggregate exactly as the source rows' NULLs were).
+      * Counts coalesce to 0 so a GLOBAL rollup over an empty summary
+      * still reads count = 0 (sum over empty is NULL, like the source).
+      */
     def mapAgg(ae: AggregateExpression): Option[Column] = {
       if (ae.filter.isDefined) return None
       ae.aggregateFunction match {
         case s: Sum if !ae.isDistinct && integral(s.child) =>
-          attrName(s.child).filter(valueSet).map(n => col(naming(n)._1))
-        case c: Count if !ae.isDistinct && c.children.size == 1 =>
-          c.children.head match {
-            case IntegerLiteral(_) => Some(col("n_rows"))
-            case e => attrName(e).filter(valueSet).map(n => col(naming(n)._2))
+          attrName(s.child).filter(valueSet).map { n =>
+            if (rollup) fSum(col(naming(n)._1)) else col(naming(n)._1)
           }
-        case c: Count if ae.isDistinct && c.children.size == 1 =>
+        case c: Count if !ae.isDistinct && c.children.size == 1 =>
+          val src = c.children.head match {
+            case IntegerLiteral(_) => Some("n_rows")
+            case e => attrName(e).filter(valueSet).map(n => naming(n)._2)
+          }
+          src.map(n =>
+            if (rollup) coalesce(fSum(col(n)), lit(0L)) else col(n))
+        case c: Count if ae.isDistinct && c.children.size == 1 && !rollup =>
           attrName(c.children.head).filter(distSet).map { n =>
             val rec = recorded(dist, n)
             neededDist += rec
             coalesce(col(s"__nd_$rec"), lit(0L))
           }
         case a: Average if !ae.isDistinct && integral(a.child) =>
-          attrName(a.child).filter(valueSet)
-            .map(n => col(naming(n)._1).cast("double") / col(naming(n)._2))
+          attrName(a.child).filter(valueSet).map { n =>
+            if (rollup)
+              fSum(col(naming(n)._1)).cast("double") / fSum(col(naming(n)._2))
+            else col(naming(n)._1).cast("double") / col(naming(n)._2)
+          }
         case m: Min =>
-          attrName(m.child).filter(mmSet)
-            .map(n => col(s"min_${recorded(minmax, n)}"))
+          attrName(m.child).filter(mmSet).map { n =>
+            val c = col(s"min_${recorded(minmax, n)}")
+            if (rollup) fMin(c) else c
+          }
         case m: Max =>
-          attrName(m.child).filter(mmSet)
-            .map(n => col(s"max_${recorded(minmax, n)}"))
+          attrName(m.child).filter(mmSet).map { n =>
+            val c = col(s"max_${recorded(minmax, n)}")
+            if (rollup) fMax(c) else c
+          }
         case _ => None
       }
     }
 
-    def mapNamed(ne: NamedExpression): Option[Column] = ne match {
-      case a: AttributeReference if keySet(
+    /** (isGroupingKey, summary expression) per output. */
+    def mapNamed(ne: NamedExpression): Option[(Boolean, Column)] = ne match {
+      case a: AttributeReference if groupSet(
           a.name.toLowerCase(java.util.Locale.ROOT)) =>
-        Some(col(keyByLower(a.name.toLowerCase(java.util.Locale.ROOT))))
+        Some((true, col(keyByLower(a.name.toLowerCase(java.util.Locale.ROOT)))))
       case al: Alias => al.child match {
-        case ae: AggregateExpression => mapAgg(ae)
+        case ae: AggregateExpression => mapAgg(ae).map((false, _))
         case _ => None
       }
       case _ => None
     }
 
-    val mapped = agg.aggregateExpressions.map(mapNamed)
-    if (mapped.exists(_.isEmpty)) return None
+    val mapped0 = agg.aggregateExpressions.map(mapNamed)
+    if (mapped0.exists(_.isEmpty)) return None
+    val mapped = mapped0.flatten
 
     // freshness: the view (and every needed support relation) must
     // reflect EXACTLY the snapshot version the scan was planned against
@@ -185,8 +213,31 @@ class MatviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       catch { case scala.util.control.NonFatal(_) => return None }
     if (mainV != scannedVersion) return None
 
-    val replacement = sumDf.select(mapped.flatten: _*)
-      .queryExecution.analyzed
+    val projected =
+      if (!rollup) sumDf.select(mapped.map(_._2): _*)
+      else {
+        // rollup: re-aggregate the summary over the collapsed key set —
+        // aggregate outputs ride temp aliases, then one select restores
+        // the query's output order (keys and aggregates interleave)
+        val groupCols = agg.groupingExpressions.flatMap(attrName)
+          .map(n => col(keyByLower(n)))
+        val aggCols = mapped.zipWithIndex.collect {
+          case ((false, c), i) => c.as(s"__mv_$i")
+        }
+        // NOTE: never .distinct()/.dropDuplicates() here — the injected
+        // subtree is spliced in AFTER ReplaceDeduplicateWithAggregate
+        // ran, so a Deduplicate node would reach the planner unreplaced
+        val aggCols1 =
+          if (aggCols.nonEmpty) aggCols
+          else Seq(org.apache.spark.sql.functions.count(lit(1)).as("__mv_drop"))
+        val grouped = sumDf.groupBy(groupCols: _*)
+          .agg(aggCols1.head, aggCols1.tail: _*)
+        grouped.select(mapped.zipWithIndex.map {
+          case ((true, c), _) => c
+          case ((false, _), i) => col(s"__mv_$i")
+        }: _*)
+      }
+    val replacement = projected.queryExecution.analyzed
     // exprId + type graft: parents keep resolving against the original
     // output; a type mismatch (summary schema drift) refuses the rewrite
     if (replacement.output.size != agg.output.size) return None

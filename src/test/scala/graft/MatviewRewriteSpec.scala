@@ -125,6 +125,57 @@ class MatviewRewriteSpec extends SparkSpec {
     }
   }
 
+  test("ROLLUP: grouping a subset of the keys re-aggregates the summary") {
+    val src = tmpDir("mvr_ru_src")
+    val sum = tmpDir("mvr_ru_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", "x", Option(10L)), (2L, "a", "y", Option(10L)),
+        (3L, "a", "y", Option(25L)), (4L, "b", "x", Option(7L)),
+        (5L, "b", "x", Option.empty[Long]), (6L, "c", "y", Option(3L)))
+        .toDF("id", "cat", "sub", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT cat, sub, sum(v) AS s, count(*) AS n, count(v) AS nv, " +
+      s"avg(v) AS a, min(v) AS mn, max(v) AS mx " +
+      s"FROM graft.`$src` GROUP BY cat, sub")
+    withRewrite(sum) {
+      // collapse `sub`: every aggregate re-aggregates exactly
+      val df = spark.sql(
+        s"SELECT cat, sum(v) AS s, count(*) AS n, count(v) AS nv, " +
+          s"avg(v) AS a, min(v) AS mn, max(v) AS mx " +
+          s"FROM graft.`$src` GROUP BY cat")
+      assert(scans(df).contains(sum) && !scans(df).contains(src),
+        s"rollup must answer from the view, scanned: ${scans(df)}")
+      val rows = df.collect().map(r => r.getString(0) -> r).toMap
+      val a = rows("a")
+      assert(a.getLong(a.fieldIndex("s")) == 45L &&
+        a.getLong(a.fieldIndex("n")) == 3L &&
+        a.getLong(a.fieldIndex("mn")) == 10L &&
+        a.getLong(a.fieldIndex("mx")) == 25L &&
+        a.getDouble(a.fieldIndex("a")) == 15.0)
+      val b = rows("b")
+      assert(b.getLong(b.fieldIndex("n")) == 2L &&
+        b.getLong(b.fieldIndex("nv")) == 1L)
+      // GLOBAL aggregate (empty grouping) rolls up too
+      val g = spark.sql(
+        s"SELECT sum(v) AS s, count(*) AS n, min(v) AS mn, max(v) AS mx " +
+          s"FROM graft.`$src`")
+      assert(scans(g).contains(sum) && !scans(g).contains(src))
+      val gr = g.collect().head
+      assert(gr.getLong(0) == 55L && gr.getLong(1) == 6L &&
+        gr.getLong(2) == 3L && gr.getLong(3) == 25L)
+      // bare-keys distinct (no aggregates) over a key subset
+      val d = spark.sql(s"SELECT sub FROM graft.`$src` GROUP BY sub")
+      assert(scans(d).contains(sum) && !scans(d).contains(src))
+      assert(d.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+      // count(DISTINCT) can NOT roll up — refuse (distinct sets don't add)
+      val nd = spark.sql(
+        s"SELECT cat, count(DISTINCT v) AS nd FROM graft.`$src` GROUP BY cat")
+      assert(scans(nd).contains(src), "countd rollup must not rewrite")
+    }
+  }
+
   test("a SUBSET of the maintained aggregates still rewrites (keys may reorder)") {
     val (src, sum) = fixture()
     withRewrite(sum) {
