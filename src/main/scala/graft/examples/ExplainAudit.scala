@@ -267,6 +267,63 @@ object ExplainAudit {
       s"scans (must be 1): $recScans; recomputed groups=${rec.count()} " +
       "(only the flagged ones)")
 
+    println("=== [U] hybrid RRF retrieval (expect BOTH candidate lists " +
+      "bounded by TakeOrderedAndProject — distributed top-N, never a " +
+      "global sort — the query vector BROADCAST into the dense branch, " +
+      "and the fusion join over two <=nCand-row lists) ===")
+    val hybrid = graft.ext.Retrieval.hybridRrfTopK(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      Seq("spark", "query", "merge"), queryVecId = 7L, k = 5)
+    hybrid.explain("formatted")
+    val hPlan = hybrid.queryExecution.executedPlan.toString()
+    val hTopN = hPlan.split("\n").count(_.contains("TakeOrderedAndProject"))
+    println(s"--- TakeOrderedAndProject nodes (must be >= 2 — one per " +
+      s"candidate list bound): $hTopN; residual Sort nodes (rank " +
+      "windows ABOVE the top-N bounds — each sorts <= nCand rows, " +
+      s"never the corpus): " +
+      s"${hPlan.split("\n").count(l => l.contains("Sort ") && !l.contains("SortMergeJoin"))}; " +
+      s"rows=${hybrid.count()}")
+
+    println("=== [V] transparent matview rewrite (expect the optimized " +
+      "plan to scan the VIEW's summary files only — the source is " +
+      "never read; the rollup variant adds one O(groups) re-aggregate) ===")
+    val rwSrc = java.nio.file.Files
+      .createTempDirectory("audit_rw").toString + "/src"
+    val rwView = rwSrc + "_view"
+    GraftWriter.write(spark,
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .selectExpr("o_orderkey", "o_orderpriority AS prio",
+          "o_orderstatus AS stat",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c"),
+      rwSrc, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$rwView` AS " +
+      s"SELECT prio, stat, sum(price_c) AS s, count(*) AS n " +
+      s"FROM graft.`$rwSrc` GROUP BY prio, stat").collect()
+    spark.conf.set(graft.plans.MatviewRewriteRule.ConfKey, rwView)
+    val rwQ = spark.sql(s"SELECT stat, sum(price_c) AS s, count(*) AS n " +
+      s"FROM graft.`$rwSrc` GROUP BY stat")
+    rwQ.explain("formatted")
+    val rwScans = rwQ.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location match {
+              case ix: graft.sources.GraftFileIndex =>
+                Seq(ix.scannedTablePath)
+              case px: graft.sources.PinnedSizeFileIndex =>
+                Seq(px.underlying.scannedTablePath)
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+    }.flatten
+    spark.conf.unset(graft.plans.MatviewRewriteRule.ConfKey)
+    println(s"--- scans view only: ${rwScans.contains(rwView) &&
+      !rwScans.contains(rwSrc)} (scanned: ${rwScans.mkString(", ")}); " +
+      s"rollup rows=${rwQ.count()}")
+
     spark.stop()
   }
 

@@ -807,6 +807,64 @@ object QuickStart {
     println(s"[57] SHOW under $out: $shownIx vector index(es), " +
       s"$shownFp dedup store(s), $shownMv matview(s) — an inherited " +
       s"lake is discoverable; DROP MATERIALIZED VIEW leaves $afterDrop")
+
+    // 58. hybrid retrieval: BM25 + vector candidates fused by RRF —
+    // rank-based, so the two branches' incomparable scores never mix;
+    // the IVF variant swaps in cell-pruned dense candidates unchanged
+    val hybrid = graft.ext.Retrieval.hybridRrfTopK(
+      mediaDocs, embsDf, Seq("spark", "query", "merge"),
+      queryVecId = 7L, k = 5)
+    val hybridIvf = graft.ext.Retrieval.hybridRrfTopKIvf(
+      mediaDocs, embsDf, Seq("spark", "query", "merge"),
+      queryVecId = 7L, k = 5, numCentroids = 8)
+    val hTop = hybrid.head()
+    println(s"[58] hybrid RRF: top hit doc ${hTop.getLong(0)} " +
+      s"(lex rank ${hTop.get(hTop.fieldIndex("r_lex"))}, vec rank " +
+      s"${hTop.get(hTop.fieldIndex("r_vec"))}); IVF-pruned variant " +
+      s"returns ${hybridIvf.count()} fused hits")
+
+    // 59. transparent aggregate rewrite: a plain GROUP BY over the
+    // SOURCE is answered from a fresh materialized view — and a
+    // grouping SUBSET rolls the summary up (sum of sums)
+    val rwSrc = s"$out/rw_src"; val rwView = s"$out/rw_view"
+    GraftWriter.write(spark,
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .selectExpr("o_orderkey", "o_orderpriority AS prio",
+          "o_orderstatus AS stat",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c"),
+      rwSrc, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$rwView` AS " +
+      s"SELECT prio, stat, sum(price_c) AS s, count(*) AS n " +
+      s"FROM graft.`$rwSrc` GROUP BY prio, stat").collect()
+    spark.conf.set(graft.plans.MatviewRewriteRule.ConfKey, rwView)
+    val rwDirect = spark.sql(s"SELECT prio, stat, sum(price_c) AS s, " +
+      s"count(*) AS n FROM graft.`$rwSrc` GROUP BY prio, stat")
+    val rwRollup = spark.sql(s"SELECT stat, sum(price_c) AS s, " +
+      s"count(*) AS n FROM graft.`$rwSrc` GROUP BY stat")
+    def viewServed(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val scanned = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location match {
+                case ix: graft.sources.GraftFileIndex =>
+                  Seq(ix.scannedTablePath)
+                case p: graft.sources.PinnedSizeFileIndex =>
+                  Seq(p.underlying.scannedTablePath)
+                case _ => Nil
+              }
+            case _ => Nil
+          }
+      }.flatten
+      scanned.contains(rwView) && !scanned.contains(rwSrc)
+    }
+    println(s"[59] transparent rewrite: GROUP BY (prio, stat) answered " +
+      s"from the view = ${viewServed(rwDirect)} (${rwDirect.count()} " +
+      s"rows); GROUP BY stat ROLLED UP from it = " +
+      s"${viewServed(rwRollup)} (${rwRollup.count()} rows) — the " +
+      "source is never rescanned")
+    spark.conf.unset(graft.plans.MatviewRewriteRule.ConfKey)
     spark.stop()
   }
 }
