@@ -116,8 +116,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
     }
+    // counts, not name arrays: a bad machine day can flag dozens of
+    // queries, and 93 quoted names would overflow the tail window the
+    // compact line exists to fit (full arrays live in the detail line)
     val totalR = math.round(total * 1000).toDouble / 1000
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries_n":${results.length},"noisy":$noisy,"maintenance":$maintJson,"maintenance_noisy":$maintNoisy,"sf":"$sfDir","runs":$runs,"agg":"median","detail":"bench_detail.json"}""")
+    val noisyN = results.count { case (_, med, mn) => mn > 0 && med / mn > 3.0 }
+    val maintNoisyN = maint.count { case (_, med, mn) => mn > 0 && med / mn > 3.0 }
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries_n":${results.length},"noisy_n":$noisyN,"maintenance":$maintJson,"maintenance_noisy_n":$maintNoisyN,"sf":"$sfDir","runs":$runs,"agg":"median","detail":"bench_detail.json"}""")
     spark.stop()
   }
 

@@ -45,19 +45,19 @@ object Retrieval {
       docs: DataFrame,
       queryTerms: Seq[String],
       excludeId: Long,
-      nCand: Int,
-      idCol: String): DataFrame = {
+      nCand: Int): DataFrame = {
+    // `doc_id` is bm25's output contract (the documents-table id)
     val scored = TextAnalysis.bm25(docs, queryTerms)
-      .filter(col(idCol) =!= excludeId)
-      .select(col(idCol), col("score_e6"))
+      .filter(col("doc_id") =!= excludeId)
+      .select(col("doc_id"), col("score_e6"))
       // distributed top-nCand (TakeOrderedAndProject), THEN the rank
       // window over the bounded list
-      .orderBy(col("score_e6").desc, col(idCol)).limit(nCand)
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(nCand)
     scored
       .withColumn("r_lex", row_number()
-        .over(Window.orderBy(col("score_e6").desc, col(idCol)))
+        .over(Window.orderBy(col("score_e6").desc, col("doc_id")))
         .cast("long"))
-      .select(col(idCol), col("r_lex"))
+      .select(col("doc_id"), col("r_lex"))
   }
 
   /** RRF fusion of two ranked candidate lists (id, r_lex) ⋈ (id, r_vec)
@@ -68,17 +68,16 @@ object Retrieval {
       lex: DataFrame,
       vec: DataFrame,
       k: Int,
-      kRrf: Int,
-      idCol: String): DataFrame = {
+      kRrf: Int): DataFrame = {
     val fusedScore =
       coalesce(rrfTermE9(col("r_lex"), kRrf), lit(0L)) +
         coalesce(rrfTermE9(col("r_vec"), kRrf), lit(0L))
-    lex.join(vec, Seq(idCol), "full_outer")
-      .select(col(idCol), col("r_lex"), col("r_vec"),
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
         fusedScore.as("rrf_e9"))
-      .orderBy(col("rrf_e9").desc, col(idCol)).limit(k)
+      .orderBy(col("rrf_e9").desc, col("doc_id")).limit(k)
       .withColumn("rank", row_number()
-        .over(Window.orderBy(col("rrf_e9").desc, col(idCol)))
+        .over(Window.orderBy(col("rrf_e9").desc, col("doc_id")))
         .cast("long"))
   }
 
@@ -87,8 +86,9 @@ object Retrieval {
     * exact on both branches; [[hybridRrfTopKIvf]] is the indexed scale
     * path with the identical fusion.
     *
-    * `docs` and `embeddings` are joined by identity of `idCol` /
-    * `vecIdCol` values (the corpus's documents and their embeddings).
+    * `docs` follows the documents-table contract (`doc_id`, `text` —
+    * bm25's input shape); `embeddings` rows are the same corpus's
+    * vectors, joined by `doc_id = vecIdCol` value identity.
     */
   def hybridRrfTopK(
       docs: DataFrame,
@@ -98,15 +98,13 @@ object Retrieval {
       k: Int = 10,
       nCand: Int = 100,
       kRrf: Int = 60,
-      idCol: String = "doc_id",
       vecIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val vec = Similarity.bruteTopK(embeddings,
       embeddings.filter(col(vecIdCol) === queryVecId), nCand,
       idCol = vecIdCol, vecCol = vecCol)
-      .select(col("n_id").as(idCol), col("rank").cast("long").as("r_vec"))
-    fuse(lexCandidates(docs, queryTerms, queryVecId, nCand, idCol),
-      vec, k, kRrf, idCol)
+      .select(col("n_id").as("doc_id"), col("rank").cast("long").as("r_vec"))
+    fuse(lexCandidates(docs, queryTerms, queryVecId, nCand), vec, k, kRrf)
   }
 
   /** [[hybridRrfTopK]] with the vector branch served by a cell-pruned
@@ -125,14 +123,12 @@ object Retrieval {
       kRrf: Int = 60,
       numCentroids: Int = 32,
       rowCountHint: Option[Long] = None,
-      idCol: String = "doc_id",
       vecIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val vec = Similarity.ivfTopK(embeddings,
       col(vecIdCol) === queryVecId, nCand, numCentroids,
       idCol = vecIdCol, vecCol = vecCol, rowCountHint = rowCountHint)
-      .select(col("n_id").as(idCol), col("rank").cast("long").as("r_vec"))
-    fuse(lexCandidates(docs, queryTerms, queryVecId, nCand, idCol),
-      vec, k, kRrf, idCol)
+      .select(col("n_id").as("doc_id"), col("rank").cast("long").as("r_vec"))
+    fuse(lexCandidates(docs, queryTerms, queryVecId, nCand), vec, k, kRrf)
   }
 }

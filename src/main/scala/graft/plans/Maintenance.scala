@@ -225,12 +225,15 @@ final case class GraftDropMatViewCommand(
     // `<view>__distinct_<col>` naming contract, and refuse while the
     // owner still records it
     val AuxNameRe = "^(.*)__distinct_([^/]+)$".r
-    val ownerCandidate = props.get(MaterializedAgg.AuxOfKey)
-      .orElse(norm match {
-        case AuxNameRe(owner, _) => Some(owner)
-        case _ => None
-      })
-    val liveOwner = ownerCandidate.map(_.stripSuffix("/")).filter { o =>
+    // BOTH candidates are checked — a stale owner marker (the owner was
+    // moved/recreated) must not shadow a live owner the naming contract
+    // still points at
+    val ownerCandidates = (props.get(MaterializedAgg.AuxOfKey).toSeq ++
+      (norm match {
+        case AuxNameRe(owner, _) => Seq(owner)
+        case _ => Nil
+      })).map(_.stripSuffix("/")).distinct
+    val liveOwner = ownerCandidates.find { o =>
       o != norm && GraftTable.exists(spark, o) && {
         val op = GraftTable(spark, o).log.tableProperties()
         op.getOrElse(MaterializedAgg.DistinctKey, "")

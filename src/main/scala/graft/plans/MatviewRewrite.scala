@@ -53,13 +53,27 @@ class MatviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     if (listed.isEmpty) return plan
     plan.transformUp {
-      case agg: Aggregate =>
+      case agg: Aggregate if shapeCandidate(agg) =>
         scanTarget(agg.child).flatMap { case (path, version) =>
           listed.view.flatMap(v =>
             tryRewrite(agg, v, path, version)).headOption
         }.getOrElse(agg)
     }
   }
+
+  /** Cheap view-independent precheck — bare-attribute grouping and
+    * plain aliased aggregates only — so unmatched plan shapes never pay
+    * the per-view commit-log reads (the rule runs inside the optimizer
+    * fixed point, on every Aggregate of every query while the conf is
+    * set).
+    */
+  private def shapeCandidate(agg: Aggregate): Boolean =
+    agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]) &&
+      agg.aggregateExpressions.forall {
+        case _: AttributeReference => true
+        case al: Alias => al.child.isInstanceOf[AggregateExpression]
+        case _ => false
+      }
 
   /** The (table path, pinned snapshot version) under `p` iff `p` is a
     * graft native scan with nothing but attribute-only Projects above
@@ -239,7 +253,11 @@ class MatviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     val replacement = projected.queryExecution.analyzed
     // exprId + type graft: parents keep resolving against the original
-    // output; a type mismatch (summary schema drift) refuses the rewrite
+    // output; a type mismatch (summary schema drift) refuses the rewrite.
+    // Nullability may WIDEN (summary columns read nullable): parents
+    // that folded on the original count's non-nullability stay correct
+    // because n_rows/nvals are never NULL by the maintenance invariant
+    // (every merge writes them; rollup counts coalesce to 0)
     if (replacement.output.size != agg.output.size) return None
     val aliased = agg.output.zip(replacement.output).map { case (o, n) =>
       if (o.dataType != n.dataType) return None
