@@ -151,6 +151,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DescribeDedupStoreRe =
     ("""(?is)^\s*DESCRIBE\s+DEDUP\s+STORE\s+""" + T +
       """(\s+WITH\s+STATS)?\s*;?\s*$""").r
+  private val DescribeMatViewRe =
+    ("""(?is)^\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   // optional MAX DEPTH n: the discovery walk is bounded (default 3
   // levels) and WARNS when it pruned unexplored directories — the
   // clause widens it for deep lake layouts
@@ -235,6 +237,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftDescribeVectorIndexCommand(target(p, n)))
       case DescribeDedupStoreRe(p, n, ws) =>
         Some(GraftDescribeDedupStoreCommand(target(p, n), withStats = ws != null))
+      case DescribeMatViewRe(p, n) =>
+        Some(GraftDescribeMatViewCommand(target(p, n)))
       case ShowVectorIndexesRe(root, d) =>
         Some(GraftShowVectorIndexesCommand(root, maxDepthOf(d)))
       case ShowDedupStoresRe(root, d) =>

@@ -609,6 +609,73 @@ private[graft] object GraftTableWalk {
   }
 }
 
+/** `DESCRIBE MATERIALIZED VIEW v` — the matview counterpart of
+  * DESCRIBE VECTOR INDEX / DEDUP STORE: the recorded definition, the
+  * watermark vs the source's current version (staleness), the
+  * count(DISTINCT) support relations with their convergence state, and
+  * — when the target IS a support relation — its owning view. One
+  * metadata-only row; the data stays unread.
+  */
+final case class GraftDescribeMatViewCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source_path", StringType, nullable = false)(),
+    AttributeReference("group_keys", StringType, nullable = false)(),
+    AttributeReference("sum_cols", StringType, nullable = true)(),
+    AttributeReference("minmax_cols", StringType, nullable = true)(),
+    AttributeReference("distinct_cols", StringType, nullable = true)(),
+    AttributeReference("select_forms", StringType, nullable = true)(),
+    AttributeReference("view_version", LongType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = true)(),
+    AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
+      nullable = true)(),
+    AttributeReference("support_relations", StringType, nullable = true)(),
+    AttributeReference("supports_consistent",
+      org.apache.spark.sql.types.BooleanType, nullable = true)(),
+    AttributeReference("aux_of", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.ext.MaterializedAgg
+    val path = GraftMaintenance.resolvePath(spark, target)
+    require(GraftTable.exists(spark, path), s"not a graft table: $path")
+    val props = GraftTable(spark, path).log.tableProperties()
+    require(props.contains(MaterializedAgg.SourceKey),
+      s"$path is not a materialized view (missing " +
+        s"${MaterializedAgg.SourceKey})")
+    val source = props(MaterializedAgg.SourceKey)
+    def recorded(k: String): Seq[String] =
+      props.getOrElse(k, "").split(',').toSeq.filter(_.nonEmpty)
+    val dist = recorded(MaterializedAgg.DistinctKey)
+    val viewV = props(MaterializedAgg.SourceVersionKey).toLong
+    // a dangling source (vacuumed/moved) still DESCRIBEs — this row is
+    // the diagnostic showing the dangle; version/stale read NULL
+    val srcV = scala.util.Try(GraftTable(spark, source).version()).toOption
+    val auxes = dist.map(c => MaterializedAgg.distinctAuxPath(path, c))
+    // convergence: every support relation exists and reflects the SAME
+    // source version as the summary (a split means a crashed refresh —
+    // one more REFRESH converges; NULL when there are none)
+    val consistent =
+      if (dist.isEmpty) null
+      else Boolean.box(auxes.forall(a =>
+        GraftTable.exists(spark, a) &&
+          scala.util.Try(GraftTable(spark, a).log.tableProperties()(
+            MaterializedAgg.SourceVersionKey).toLong).toOption
+            .contains(viewV)))
+    Seq(Row(
+      source,
+      props(MaterializedAgg.KeysKey),
+      props.get(MaterializedAgg.ValueKey).orNull,
+      props.get(MaterializedAgg.MinMaxKey).orNull,
+      props.get(MaterializedAgg.DistinctKey).orNull,
+      props.get(MaterializedAgg.SelectKey).orNull,
+      viewV,
+      srcV.map(Long.box).orNull,
+      srcV.map(v => Boolean.box(v > viewV)).orNull,
+      if (auxes.isEmpty) null else auxes.mkString(","),
+      consistent,
+      props.get(MaterializedAgg.AuxOfKey).orNull))
+  }
+}
+
 /** `SHOW VECTOR INDEXES IN '/lake/root'` — enumerate the ANN indexes
   * under a root (identified by their carried index properties), one row
   * each with source coupling and staleness. The per-object deep dive

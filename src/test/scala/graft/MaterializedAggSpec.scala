@@ -668,6 +668,54 @@ class MaterializedAggSpec extends SparkSpec {
       fresh.getLong(fresh.fieldIndex("n")) == 3L, fresh.toString)
   }
 
+  test("DESCRIBE MATERIALIZED VIEW: definition, staleness, support convergence, aux_of") {
+    val src = tmpDir("mv_desc_src")
+    val sum = tmpDir("mv_desc_sum")
+    GraftWriter.write(spark,
+      Seq((1L, "a", Option(10L)), (2L, "b", Option(20L)))
+        .toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Overwrite,
+        metadata = Map(graft.io.Cdc.PropKey -> "true")))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$sum` AS " +
+      s"SELECT cat, sum(v) AS s, min(v) AS mn, count(DISTINCT v) AS nd " +
+      s"FROM graft.`$src` GROUP BY cat")
+    def describe() = spark.sql(s"DESCRIBE MATERIALIZED VIEW graft.`$sum`").head()
+    val d0 = describe()
+    assert(d0.getString(d0.fieldIndex("source_path")) == src)
+    assert(d0.getString(d0.fieldIndex("group_keys")) == "cat")
+    assert(d0.getString(d0.fieldIndex("sum_cols")) == "v")
+    assert(d0.getString(d0.fieldIndex("minmax_cols")) == "v")
+    assert(d0.getString(d0.fieldIndex("distinct_cols")) == "v")
+    assert(!d0.getBoolean(d0.fieldIndex("stale")))
+    assert(d0.getBoolean(d0.fieldIndex("supports_consistent")))
+    assert(d0.isNullAt(d0.fieldIndex("aux_of")))
+    val aux = MaterializedAgg.distinctAuxPath(sum, "v")
+    assert(d0.getString(d0.fieldIndex("support_relations")) == aux)
+    // a source commit flips stale; the supports stay mutually consistent
+    GraftWriter.write(spark, Seq((3L, "a", Option(30L))).toDF("id", "cat", "v"),
+      src, WriteOptions(mode = WriteMode.Append))
+    val d1 = describe()
+    assert(d1.getBoolean(d1.fieldIndex("stale")))
+    assert(d1.getBoolean(d1.fieldIndex("supports_consistent")))
+    // refreshing ONLY the aux (simulated crash) splits the watermarks —
+    // DESCRIBE reports the divergence the read would refuse on
+    MaterializedAgg.refreshByTarget(spark, aux)
+    val d2 = describe()
+    assert(!d2.getBoolean(d2.fieldIndex("supports_consistent")))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$sum`").collect()
+    val d3 = describe()
+    assert(!d3.getBoolean(d3.fieldIndex("stale")) &&
+      d3.getBoolean(d3.fieldIndex("supports_consistent")))
+    // describing the SUPPORT RELATION itself names its owner
+    val da = spark.sql(s"DESCRIBE MATERIALIZED VIEW graft.`$aux`").head()
+    assert(da.getString(da.fieldIndex("aux_of")) == sum.stripSuffix("/"))
+    // a plain data table refuses
+    val e = intercept[Exception] {
+      spark.sql(s"DESCRIBE MATERIALIZED VIEW graft.`$src`").collect()
+    }
+    assert(e.getMessage.contains("not a materialized view"), e.getMessage)
+  }
+
   test("extremum recompute broadcast-hints only under the flagged-key bound") {
     val srcDf = Seq(("a", 1L), ("b", 2L)).toDF("cat", "v")
     val flagged = Seq("a").toDF("cat")
