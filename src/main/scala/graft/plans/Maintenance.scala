@@ -753,7 +753,10 @@ final case class GraftShowMatViewsCommand(root: String, maxDepth: Int = 3)
     AttributeReference("view_version", LongType, nullable = false)(),
     AttributeReference("source_version", LongType, nullable = true)(),
     AttributeReference("stale", org.apache.spark.sql.types.BooleanType,
-      nullable = true)())
+      nullable = true)(),
+    // NULL for user views; a count(DISTINCT) support relation names
+    // its owning view here, so discovery tells the two apart
+    AttributeReference("aux_of", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] =
     GraftTableWalk.graftTablesUnder(spark, root, maxDepth)._1.flatMap { p =>
       val props = GraftTable(spark, p).log.tableProperties()
@@ -764,7 +767,8 @@ final case class GraftShowMatViewsCommand(root: String, maxDepth: Int = 3)
         Row(p, src,
           props.getOrElse(graft.ext.MaterializedAgg.KeysKey, ""),
           viewV, srcV.map(Long.box).orNull,
-          srcV.map(v => Boolean.box(v > viewV)).orNull)
+          srcV.map(v => Boolean.box(v > viewV)).orNull,
+          props.get(graft.ext.MaterializedAgg.AuxOfKey).orNull)
       }
     }
 }

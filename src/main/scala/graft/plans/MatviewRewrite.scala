@@ -132,8 +132,7 @@ class MatviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val groupNames = agg.groupingExpressions.map(attrName)
     if (groupNames.exists(_.isEmpty)) return None
     val groupSet = groupNames.flatten.toSet
-    if (!groupSet.subsetOf(keySet) ||
-      groupNames.size != agg.groupingExpressions.size) return None
+    if (!groupSet.subsetOf(keySet)) return None
     val rollup = groupSet != keySet
 
     val valueSet = values.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -227,14 +226,19 @@ class MatviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       catch { case scala.util.control.NonFatal(_) => return None }
     if (mainV != scannedVersion) return None
 
-    val projected =
+    // any failure CONSTRUCTING the replacement (analysis surprises,
+    // summary schema drift) must fall back to the source scan, never
+    // fail the user's query (NonFatal spares the method-level returns)
+    val projected = try {
       if (!rollup) sumDf.select(mapped.map(_._2): _*)
       else {
         // rollup: re-aggregate the summary over the collapsed key set —
         // aggregate outputs ride temp aliases, then one select restores
-        // the query's output order (keys and aggregates interleave)
+        // the query's output order (keys and aggregates interleave).
+        // Names dedup so `GROUP BY k, k` can't make the groupBy output
+        // ambiguous
         val groupCols = agg.groupingExpressions.flatMap(attrName)
-          .map(n => col(keyByLower(n)))
+          .distinct.map(n => col(keyByLower(n)))
         val aggCols = mapped.zipWithIndex.collect {
           case ((false, c), i) => c.as(s"__mv_$i")
         }
@@ -251,6 +255,7 @@ class MatviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case ((false, _), i) => col(s"__mv_$i")
         }: _*)
       }
+    } catch { case scala.util.control.NonFatal(_) => return None }
     val replacement = projected.queryExecution.analyzed
     // exprId + type graft: parents keep resolving against the original
     // output; a type mismatch (summary schema drift) refuses the rewrite.

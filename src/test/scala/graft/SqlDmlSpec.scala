@@ -849,6 +849,13 @@ class SqlDmlSpec extends SparkSpec {
     assert(mv.length == 1 && mv.head.getString(0) == mvP, mv.mkString(";"))
     assert(mv.head.getString(mv.head.fieldIndex("group_keys")) == "vec_id")
     assert(!mv.head.getBoolean(mv.head.fieldIndex("stale")))
+    // a user view reads aux_of NULL; a count(DISTINCT) support relation
+    // would name its owner here (discovery tells the two apart)
+    assert(mv.head.isNullAt(mv.head.fieldIndex("aux_of")))
+    // DESCRIBE MATERIALIZED VIEW is the per-object deep dive
+    val dmv = spark.sql(s"DESCRIBE MATERIALIZED VIEW graft.`$mvP`").head()
+    assert(dmv.getString(dmv.fieldIndex("source_path")) == dataP &&
+      !dmv.getBoolean(dmv.fieldIndex("stale")))
   }
 
   test("SHOW ... MAX DEPTH widens the bounded discovery walk") {
