@@ -1124,9 +1124,12 @@ object SparkEntry {
     * end-to-end through the training).
     */
   private def qKnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    Similarity.ivfTopKWith(emb,
-      Similarity.kmeansCentroids(emb, numCentroids = 32, iters = 2,
+    // pin the spread corpus once (seed + 2 Lloyd passes + the probe scan
+    // re-read it) and thread the centroid ARRAYS straight into the
+    // probe — no DataFrame round trip between training and search
+    val emb = Similarity.pinSpread(t(spark, dir, "embeddings"))
+    Similarity.ivfTopKWithArr(emb,
+      Similarity.kmeansCentroidArrays(emb, numCentroids = 32, iters = 2,
         rowCountHint = embRows(spark, dir)),
       col("vec_id") < 32, 5)
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),

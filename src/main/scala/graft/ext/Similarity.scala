@@ -161,6 +161,61 @@ object Similarity {
     centroids(corpus, stride, idCol, vecCol)
   }
 
+  /** Localize a centroid frame to the id-sorted driver-side array every
+    * literal-centroid plan builds from — ONE collect job. Internal
+    * pipelines thread this array through training, assignment and
+    * residualization instead of re-collecting a centroid DataFrame per
+    * stage: each avoided collect was a whole extra Spark job (plan +
+    * schedule + run), a fixed cost every retrieval query paid 2-5 times.
+    */
+  private[ext] def collectCentroidArr(cents: DataFrame): Array[(Long, Array[Float])] =
+    cents
+      .select(col("c_id").cast("long"), col("c_vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Spread + pin a corpus that a multi-pass training pipeline will
+    * re-read (Lloyd iterations, codebook seeds, the final encode): ONE
+    * parquet decode + ONE parallelizing exchange back every pass,
+    * instead of a fresh scan + repartition per pass. Same
+    * corpus-sized-block budget and Scratch lifecycle as the IVF-PQ
+    * residual pin (consume results before `Scratch.drain()`).
+    */
+  private[graft] def pinSpread(df: DataFrame): DataFrame = {
+    val pinned = TextOps.spread(df).localCheckpoint(eager = true)
+    Scratch.register(pinned)
+    pinned
+  }
+
+  /** [[centroidsK]] localized ([[collectCentroidArr]]) in one job. */
+  private[ext] def centroidArraysK(
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None): Array[(Long, Array[Float])] =
+    collectCentroidArr(centroidsK(corpus, k, idCol, vecCol, rowCountHint))
+
+  /** A centroid array re-expressed as the (local-relation) DataFrame the
+    * public centroid APIs return — no scan, no job behind it.
+    */
+  private[ext] def centArrToDf(
+      spark: org.apache.spark.sql.SparkSession,
+      arr: Array[(Long, Array[Float])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = arr.toIndexedSeq.map { case (id, v) =>
+      org.apache.spark.sql.Row(id, v.toIndexedSeq)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("c_id", LongType, nullable = true),
+        StructField("c_vec", ArrayType(FloatType, containsNull = true),
+          nullable = true))))
+  }
+
   /** Sequential-fold L2 norm on the driver — bit-identical to
     * `sqrt(dot(v, v))` through [[graft.functions.DotProductFP64]] (same
     * left-to-right double fold), so centroid norms can be baked into the
@@ -203,13 +258,27 @@ object Similarity {
         * coarse quantizer for MIPS ([[ivfIpTopK]]); with `keepSim` the
         * emitted score is then the rounded dot, not the cosine.
         */
-      byDot: Boolean = false): DataFrame = {
+      byDot: Boolean = false): DataFrame =
+    assignCellsArr(corpus, collectCentroidArr(cents), idCol, vecCol,
+      nprobe, keepSim, byDot)
+
+  /** [[assignCells]] against an already-localized centroid array — the
+    * internal form every Similarity pipeline uses so one query collects
+    * its centroids exactly once. `spreadInput = false` skips the
+    * parallelizing round-robin repartition: query-side assignments are
+    * tiny-by-contract and immediately broadcast, so the exchange bought
+    * nothing (one whole shuffle per retrieval query).
+    */
+  private[graft] def assignCellsArr(
+      corpus: DataFrame,
+      centRows: Array[(Long, Array[Float])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nprobe: Int = 1,
+      keepSim: Boolean = false,
+      byDot: Boolean = false,
+      spreadInput: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val centRows = cents
-      .select(col("c_id").cast("long"), col("c_vec"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
     if (centRows.isEmpty)
       return corpus.select(col(idCol), col(vecCol)).limit(0)
         .withColumn("cell", lit(0L))
@@ -229,7 +298,8 @@ object Similarity {
         .cast("long")).as("nsim"),
         c("c_id").as("c_id")))
     // ascending struct sort = sim desc, c_id asc — the old tie-break
-    val probed = TextOps.spread(corpus)
+    val base = if (spreadInput) TextOps.spread(corpus) else corpus
+    val probed = base
       .select(col(idCol), col(vecCol))
       .withColumn("__probe", explode(slice(sort_array(scored), 1, nprobe)))
     if (keepSim)
@@ -301,23 +371,44 @@ object Similarity {
         * metric-independent (same fixed-point arithmetic).
         */
       byDot: Boolean = false): DataFrame = {
+    if (iters <= 0)
+      return centroidsK(corpus, numCentroids, idCol, vecCol, rowCountHint)
+    centArrToDf(corpus.sparkSession,
+      kmeansCentroidArrays(corpus, numCentroids, iters, idCol, vecCol,
+        rowCountHint, byDot))
+  }
+
+  /** [[kmeansCentroids]] keeping the centroids as driver arrays between
+    * iterations: the seed collect plus ONE heavy job per Lloyd pass is
+    * the minimum the algorithm admits — the DataFrame round trips the
+    * old loop paid (a collect job inside every assignment, another to
+    * localize each `next`) were pure per-query fixed cost.
+    */
+  private[graft] def kmeansCentroidArrays(
+      corpus: DataFrame,
+      numCentroids: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rowCountHint: Option[Long] = None,
+      byDot: Boolean = false): Array[(Long, Array[Float])] = {
     val vecsum = udaf(new graft.functions.VecSumE6())
-    val spark = corpus.sparkSession
-    var cents = centroidsK(corpus, numCentroids, idCol, vecCol, rowCountHint)
+    var cents = centroidArraysK(corpus, numCentroids, idCol, vecCol, rowCountHint)
     for (_ <- 1 to iters) {
-      val assigned = assignCells(corpus, cents, idCol, vecCol, byDot = byDot)
-      val next = assigned
+      val assigned = assignCellsArr(corpus, cents, idCol, vecCol, byDot = byDot)
+      // one job per iteration: the assignment pass + fixed-point mean,
+      // collected straight into the next iteration's literal array (a
+      // cell that loses every member drops, exactly as before)
+      cents = assigned
         .groupBy(col("cell").as("c_id"))
         .agg(vecsum(col(vecCol)).as("agg"))
         .select(col("c_id"),
           transform(col("agg.sums"),
             s => (s.cast("double") / lit(1e6) / col("agg.n")).cast("float"))
             .as("c_vec"))
-      // localize the k centroid rows (tiny by construction): each Lloyd
-      // step otherwise stacks a full assignment pass into the lineage,
-      // which every downstream assignCells would replay per use
-      cents = spark.createDataFrame(
-        java.util.Arrays.asList(next.collect(): _*), next.schema)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
     }
     cents
   }
@@ -333,10 +424,30 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
+      nprobe: Int = 1): DataFrame =
+    ivfTopKWithArr(corpus, collectCentroidArr(cents), queryPred, k,
+      idCol, vecCol, nprobe)
+
+  /** [[ivfTopKWith]] with localized centroids: ONE centroid collect per
+    * query (not one per assignment pass), no repartition of the
+    * tiny-by-contract query side, and the query side EXPLICITLY
+    * broadcast — left to size estimates, the planner was building the
+    * hash relation from the CORPUS side (fatal at real scale) and could
+    * fall back to shuffling corpus vectors by cell.
+    */
+  private[graft] def ivfTopKWithArr(
+      corpus: DataFrame,
+      centArr: Array[(Long, Array[Float])],
+      queryPred: Column,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
       nprobe: Int = 1): DataFrame = {
-    val cells = assignCells(corpus, cents, idCol, vecCol)
-    val q = assignCells(corpus.filter(queryPred), cents, idCol, vecCol, nprobe)
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell"))
+    val cells = assignCellsArr(corpus, centArr, idCol, vecCol)
+    val q = broadcast(
+      assignCellsArr(corpus.filter(queryPred), centArr, idCol, vecCol,
+        nprobe, spreadInput = false)
+        .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell")))
     val c = cells
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
     val scored = q
@@ -377,11 +488,21 @@ object Similarity {
     val k =
       if (numCentroids > 0) numCentroids
       else math.max(32, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cells = assignCells(corpus,
-      centroidsK(corpus, k, idCol, vecCol, Some(n)), idCol, vecCol)
-      .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cell")))
-      .filter(col("__cn") <= maxCell)
-      .drop("__cn")
+    // the capped cell relation is SELF-JOINED below — pin it once
+    // (eager localCheckpoint, the minhashPairs/components lifecycle) or
+    // each join side replays the whole assignment pass + hot-cell window
+    // (a second corpus-wide pass at 100 TB; Exchange reuse is not
+    // trusted across self-joins of expensive pipelines — see NOTES)
+    val cells = {
+      val raw = assignCellsArr(corpus,
+        centroidArraysK(corpus, k, idCol, vecCol, Some(n)), idCol, vecCol)
+        .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cell")))
+        .filter(col("__cn") <= maxCell)
+        .drop("__cn")
+        .localCheckpoint(eager = true)
+      Scratch.register(raw)
+      raw
+    }
     val a = cells.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cell"))
     val b = cells.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cell"))
     a.join(b, Seq("cell"))
@@ -458,9 +579,7 @@ object Similarity {
       vecCol: String,
       rowCountHint: Option[Long]): (Int, Array[Array[(Int, Array[Float], Double)]]) = {
     require(m > 0 && ksub > 0, "m and ksub must be positive")
-    val cents = centroidsK(corpus, ksub, idCol, vecCol, rowCountHint)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val cents = centroidArraysK(corpus, ksub, idCol, vecCol, rowCountHint)
     require(cents.nonEmpty, "PQ codebooks need a non-empty corpus")
     val dim = cents.head._2.length
     require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
@@ -538,8 +657,11 @@ object Similarity {
       vecCol: String = "embedding",
       rowCountHint: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val (dsub, books) = pqCodebooksKmeans(corpus, m, ksub, iters, idCol, vecCol, rowCountHint)
-    TextOps.spread(corpus)
+    // seed scan + `iters` Lloyd passes + the final encode all re-read
+    // the corpus — pin it once ([[pinSpread]])
+    val pinned = pinSpread(corpus)
+    val (dsub, books) = pqCodebooksKmeans(pinned, m, ksub, iters, idCol, vecCol, rowCountHint)
+    pinned
       .select(col(idCol), pqCodesExpr(vecCol, dsub, books).as("codes"))
   }
 
@@ -557,8 +679,11 @@ object Similarity {
       vecCol: String = "embedding",
       rowCountHint: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val (dsub, books) = pqCodebooksKmeans(corpus, m, ksub, iters, idCol, vecCol, rowCountHint)
-    pqTopKWith(corpus, queryPred, k, dsub, books, idCol, vecCol)
+    // seed scan + `iters` Lloyd passes + the final ADC scan all re-read
+    // the corpus — pin it once ([[pinSpread]])
+    val pinned = pinSpread(corpus)
+    val (dsub, books) = pqCodebooksKmeans(pinned, m, ksub, iters, idCol, vecCol, rowCountHint)
+    pqTopKWith(pinned, queryPred, k, dsub, books, idCol, vecCol)
   }
 
   /** Mean squared quantization distortion of a codebook set over the
@@ -722,12 +847,18 @@ object Similarity {
       corpusPred: Option[Column] = None): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val n = rowCountHint.getOrElse(corpus.count())
-    val cents =
+    // Lloyd refinement re-reads the corpus per pass — pin it once
+    // ([[pinSpread]]); the stride path reads it only thrice (cell seed,
+    // book seed, codes pass), below the pin's break-even
+    val base = if (coarseIters > 0) pinSpread(corpus) else corpus
+    // centroids live as ONE driver array threaded through both
+    // assignment passes — the per-pass centroid collect jobs are gone
+    val centArr =
       if (coarseIters > 0)
-        kmeansCentroids(corpus, numCells, coarseIters, idCol, vecCol,
+        kmeansCentroidArrays(base, numCells, coarseIters, idCol, vecCol,
           Some(n), byDot = true)
-      else centroidsK(corpus, numCells, idCol, vecCol, Some(n))
-    val assigned0 = assignCells(corpus, cents, idCol, vecCol,
+      else centroidArraysK(base, numCells, idCol, vecCol, Some(n))
+    val assigned0 = assignCellsArr(base, centArr, idCol, vecCol,
       nprobe = 1, byDot = true)
     // the predicate's columns are gone after assignment — narrow with a
     // semi-join on the qualifying ids (reads only (id, predicate cols))
@@ -737,12 +868,13 @@ object Similarity {
           "left_semi")
       case None => assigned0
     }
-    val (dsub, books) = pqCodebooks(corpus, m, ksub, idCol, vecCol, Some(n))
+    val (dsub, books) = pqCodebooks(base, m, ksub, idCol, vecCol, Some(n))
     val codes = assigned.select(col(idCol).as("n_id"), col("cell"),
       pqCodesExpr(vecCol, dsub, books).as("codes"))
+    // query side: no repartition (tiny by contract, broadcast right after)
     val q = broadcast(
-      assignCells(corpus.filter(queryPred), cents, idCol, vecCol,
-        nprobe = nprobe, byDot = true)
+      assignCellsArr(base.filter(queryPred), centArr, idCol, vecCol,
+        nprobe = nprobe, byDot = true, spreadInput = false)
         .select(col(idCol).as("q_id"), col("cell"),
           pqQueryTabExpr(vecCol, books, ip = true).as("qtab")))
     adcScoreTopK(codes, q, k, ip = true)
@@ -878,7 +1010,8 @@ object Similarity {
       corpusPred: Option[Column] = None): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val n = rowCountHint.getOrElse(corpus.count())
-    ivfpqWith(corpus, centroidsK(corpus, numCells, idCol, vecCol, Some(n)),
+    ivfpqWith(corpus,
+      centroidArraysK(corpus, numCells, idCol, vecCol, Some(n)),
       queryPred, k, m, ksub, pqIters = 0, n, idCol, vecCol, nprobe,
       corpusPred)
   }
@@ -915,14 +1048,19 @@ object Similarity {
       nprobe: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val n = rowCountHint.getOrElse(corpus.count())
-    ivfpqWith(corpus,
-      kmeansCentroids(corpus, numCells, coarseIters, idCol, vecCol, Some(n)),
+    // coarse seed + `coarseIters` Lloyd passes + the residualize pass
+    // all re-read the corpus — pin it once ([[pinSpread]]; the residuals
+    // get their own pin below for the PQ Lloyd passes)
+    val pinned = pinSpread(corpus)
+    ivfpqWith(pinned,
+      kmeansCentroidArrays(pinned, numCells, coarseIters, idCol, vecCol,
+        Some(n)),
       queryPred, k, m, ksub, pqIters, n, idCol, vecCol, nprobe)
   }
 
   private def ivfpqWith(
       corpus: DataFrame,
-      coarse: DataFrame,
+      coarse: Array[(Long, Array[Float])],
       queryPred: Column,
       k: Int,
       m: Int,
@@ -936,10 +1074,14 @@ object Similarity {
       vecCol: String,
       nprobe: Int,
       corpusPred: Option[Column] = None): DataFrame = {
-    def residualize(df: DataFrame, probes: Int): DataFrame =
-      residualizeWith(df, coarse, idCol, vecCol, probes)
+    // one local centroid-join frame per query, shared by both
+    // residualize sites (corpus + queries) — zero collect jobs behind it
+    val centLocal = broadcast(centArrToDf(corpus.sparkSession, coarse)
+      .select(col("c_id").as("cell"), col("c_vec")))
+    def residualize(df: DataFrame, probes: Int, spreadInput: Boolean): DataFrame =
+      residualizeArr(df, coarse, centLocal, idCol, vecCol, probes, spreadInput)
 
-    val resid0 = residualize(corpus, probes = 1)
+    val resid0 = residualize(corpus, probes = 1, spreadInput = true)
     // the Lloyd PQ training rescans the residuals once per pass (seed
     // collect + one per iteration) and the ADC scan reads them again —
     // pin them once (same Scratch lifecycle as the pair-generators;
@@ -975,9 +1117,12 @@ object Similarity {
     val codes = residCand
       .select(col(idCol).as("n_id"), col("cell"),
         pqCodesExpr("__resid", dsub, books).as("codes"))
-    val q = broadcast(residualize(corpus.filter(queryPred), probes = nprobe)
-      .select(col(idCol).as("q_id"), col("cell"),
-        pqQueryTabExpr("__resid", books).as("qtab")))
+    // query side: no repartition (tiny by contract, broadcast right after)
+    val q = broadcast(
+      residualize(corpus.filter(queryPred), probes = nprobe,
+        spreadInput = false)
+        .select(col(idCol).as("q_id"), col("cell"),
+          pqQueryTabExpr("__resid", books).as("qtab")))
     adcScoreTopK(codes, q, k)
   }
 
@@ -996,14 +1141,29 @@ object Similarity {
       probes: Int): DataFrame = {
     val centLocal = broadcast(
       coarse.select(col("c_id").as("cell"), col("c_vec")))
-    assignCells(df, coarse, idCol, vecCol, probes)
+    residualizeArr(df, collectCentroidArr(coarse), centLocal, idCol, vecCol,
+      probes, spreadInput = true)
+  }
+
+  /** [[residualizeWith]] against localized centroids and a shared
+    * centroid-join frame — assignment reads the array, never collects.
+    */
+  private def residualizeArr(
+      df: DataFrame,
+      centArr: Array[(Long, Array[Float])],
+      centLocal: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: Int,
+      spreadInput: Boolean): DataFrame =
+    assignCellsArr(df, centArr, idCol, vecCol, probes,
+      spreadInput = spreadInput)
       .join(centLocal, "cell")
       .withColumn("__resid", org.apache.spark.sql.graft.GraftInternal.column(
         graft.functions.VecSub(
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(vecCol),
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("c_vec"))))
       .select(col(idCol), col("cell"), col("__resid"))
-  }
 
   /** Per-query ADC lookup table over residuals (see [[pqTopK]]); `ip`
     * flips the per-subspace entries from squared-L2 to inner products
