@@ -222,7 +222,15 @@ object Dedup {
       // driver (its per-round shuffles key on vertex ids, never
       // all-pairs), and both paths converge to the same min-label
       // fixpoint.
-      if (edges.count() <= localEdgeThreshold) {
+      // ONE job decides the route AND fetches the edges: a bounded
+      // limit-collect replaces the old count()-then-collect() pair (two
+      // full reads of the edge checkpoint). At most threshold+1 rows
+      // reach the driver — the same driver-memory budget the count
+      // guard enforced, discarded in the rare over-threshold case.
+      val probe = edges.select("src", "dst")
+        .limit(math.min(localEdgeThreshold + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (probe.length <= localEdgeThreshold) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -231,7 +239,7 @@ object Dedup {
           while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        edges.select("src", "dst").collect().foreach { row =>
+        probe.foreach { row =>
           val (a, b) = (row.getLong(0), row.getLong(1))
           parent.getOrElseUpdate(a, a)
           parent.getOrElseUpdate(b, b)
@@ -544,10 +552,17 @@ object Dedup {
       minDupCount: Long = 5,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val lines = TextOps.spread(docs)
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("blank", trim(col("line")) === "")
-      .withColumn("lk", md5(trim(col("line"))))
+    // the line relation is consumed twice (boilerplate count + the join
+    // back) — pin it once or each side replays the split+md5 pass
+    val lines = {
+      val raw = TextOps.spread(docs)
+        .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        .withColumn("blank", trim(col("line")) === "")
+        .withColumn("lk", md5(trim(col("line"))))
+        .localCheckpoint(eager = true)
+      Scratch.register(raw)
+      raw
+    }
     val boiler = lines.filter(!col("blank"))
       .groupBy("lk").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minDupCount)
@@ -598,19 +613,36 @@ object Dedup {
     // a NULL text tokenizes to NULL — treat it as an empty document
     // (n_tokens 0, nothing duplicated) instead of letting size(NULL)
     // poison the stats downstream
-    val toks = TextOps.spread(docs)
-      .select(col(idCol),
-        coalesce(TextOps.tokens(col(textCol)),
-          array().cast("array<string>")).as("toks"))
+    // the token relation feeds THREE consumers (anchors, the position
+    // explode, the final stats) and the anchor relation TWO (the
+    // duplicate-count aggregation and the join back) — pin each once
+    // (eager localCheckpoint, the pair-generator lifecycle) or every
+    // consumer replays the tokenize / the slice+concat+md5-per-anchor
+    // pass, the two most expensive stages of this pipeline (a second
+    // and third full corpus-hash pass at 100 TB)
+    val toks = {
+      val raw = TextOps.spread(docs)
+        .select(col(idCol),
+          coalesce(TextOps.tokens(col(textCol)),
+            array().cast("array<string>")).as("toks"))
+        .localCheckpoint(eager = true)
+      Scratch.register(raw)
+      raw
+    }
     // anchor i (1-based) covers tokens [i, i+k-1]; a doc shorter than k
     // tokens cannot contain a >= k-token duplicate and contributes none
-    val anchors = toks
-      .filter(size(col("toks")) >= k)
-      .select(col(idCol),
-        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("pos"),
-        col("toks"))
-      .select(col(idCol), col("pos"),
-        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(k)))).as("h"))
+    val anchors = {
+      val raw = toks
+        .filter(size(col("toks")) >= k)
+        .select(col(idCol),
+          explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("pos"),
+          col("toks"))
+        .select(col(idCol), col("pos"),
+          md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(k)))).as("h"))
+        .localCheckpoint(eager = true)
+      Scratch.register(raw)
+      raw
+    }
     val dup = anchors.groupBy("h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
       .select("h")
@@ -828,14 +860,22 @@ object TextAnalysis {
       size(toks).cast("long").as("dl"))
     val stats = base.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    val dfs = base
-      .select(col("doc_id"),
-        explode(array_distinct(array_intersect(col("toks"), termLits))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val tf = base
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("toks"), t => array_contains(termLits, t))).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // tf is unique per (doc, term) by construction, so the per-term
+    // document frequency is a plain row count over tf — deriving dfs
+    // from a pinned tf drops a WHOLE corpus tokenize+explode pass (the
+    // old dfs branch re-read and re-intersected every document; same
+    // derivation tfidfTopK already uses). Pinned because it feeds both
+    // dfs and the scoring join.
+    val tf = {
+      val raw = base
+        .select(col("doc_id"), col("dl"),
+          explode(filter(col("toks"), t => array_contains(termLits, t))).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true)
+      Scratch.register(raw)
+      raw
+    }
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgdl = col("total_tokens").cast("double") / col("n_docs")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5)
       / (col("df") + 0.5) + 1.0)
@@ -980,6 +1020,11 @@ object TextAnalysis {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // NOT pinned/spread: measured at sf0.1, the bigram double-reference
+    // is served by Spark's ReuseExchange here (both consumers sit
+    // directly on the identical count exchange), so eager checkpoints
+    // and a parallelizing repartition only ADDED jobs (1.2 s → 1.5 s
+    // profiled — reverted; see OPTIMIZATION_r17.md)
     val toks = docs
       .select(col(idCol).cast("long").as("doc_id"),
         tokens(col(textCol)).as("toks"))
@@ -1045,8 +1090,15 @@ object TextAnalysis {
       parTokens: Int = 10,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val pars = paragraphs(docs, parTokens, idCol, textCol)
-      .select(col("doc_id"), md5(col("paragraph")).as("h"))
+    // consumed twice (frequency count + the join back) — pin once or
+    // each side replays the paragraph split + md5 pass
+    val pars = {
+      val raw = paragraphs(docs, parTokens, idCol, textCol)
+        .select(col("doc_id"), md5(col("paragraph")).as("h"))
+        .localCheckpoint(eager = true)
+      Scratch.register(raw)
+      raw
+    }
     val freq = pars.groupBy("h").agg(count(lit(1)).as("freq"))
     pars.join(freq, "h")
       .groupBy("doc_id")
