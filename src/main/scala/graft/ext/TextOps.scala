@@ -517,9 +517,17 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val cand = minhashPairs(docs, perms, rowsPerBand)
     // sort each token set ONCE per document; candidate verification is a
-    // two-pointer merge per pair, no hash-set builds
+    // two-pointer merge per pair, no hash-set builds. The relation is
+    // joined TWICE (doc_a side, doc_b side) — pin it once or each side
+    // re-tokenizes and re-sorts the whole corpus (a second corpus pass
+    // at 100 TB on top of the one minhashPairs already hashed).
     val toks = array_sort(array_distinct(TextOps.tokens(col(textCol))))
-    val base = docs.select(col(idCol), toks.as("toks"))
+    val base = {
+      val raw = docs.select(col(idCol), toks.as("toks"))
+        .localCheckpoint(eager = true)
+      Scratch.register(raw)
+      raw
+    }
     cand
       .join(base.select(col(idCol).as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(base.select(col(idCol).as("doc_b"), col("toks").as("tb")), "doc_b")
