@@ -151,18 +151,15 @@ object AnnIndex {
     val corpus = src.toDf(versionAsOf = Some(srcV))
     val n = corpus.count()
     val ip = metric == "ip"
-    val coarseDf =
+    // centroids live as ONE driver array (the batch-1 r17 pattern):
+    // training hands the array straight to assignment/residualization —
+    // no per-stage centroid-DataFrame collect jobs
+    val centRows =
       if (coarseIters > 0)
-        Similarity.kmeansCentroids(corpus, numCells, coarseIters, idCol, vecCol,
-          Some(n), byDot = ip)
-      else Similarity.centroidsK(corpus, numCells, idCol, vecCol, Some(n))
-    val centRows = coarseDf
-      .select(col("c_id").cast("long"), col("c_vec"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+        Similarity.kmeansCentroidArrays(corpus, numCells, coarseIters,
+          idCol, vecCol, Some(n), byDot = ip)
+      else Similarity.centroidArraysK(corpus, numCells, idCol, vecCol, Some(n))
     require(centRows.nonEmpty, "ANN index build needs a non-empty corpus")
-    val cents = centsDf(spark, centRows)
     val (books, codes) =
       if (ip) {
         // raw-vector books + dot-assigned cells; no residual stage, so
@@ -172,13 +169,14 @@ object AnnIndex {
           if (pqIters > 0)
             Similarity.pqCodebooksKmeans(corpus, m, ksub, pqIters, idCol, vecCol, Some(n))
           else Similarity.pqCodebooks(corpus, m, ksub, idCol, vecCol, Some(n))
-        val assigned = Similarity.assignCells(
-          corpus, cents, idCol, vecCol, nprobe = 1, byDot = true)
+        val assigned = Similarity.assignCellsArr(
+          corpus, centRows, idCol, vecCol, nprobe = 1, byDot = true)
         (books, assigned.select(
           col(idCol).cast("long").as("n_id"), col("cell"),
           Similarity.pqCodesExpr(vecCol, dsub, books).as("codes")))
       } else {
-        val resid0 = Similarity.residualizeWith(corpus, cents, idCol, vecCol, probes = 1)
+        val resid0 = residualizeArr(spark, corpus, centRows, idCol, vecCol,
+          probes = 1)
         // Lloyd PQ training rescans the residuals per pass and the encode
         // pass reads them again — pin once (same Scratch lifecycle as the
         // inline path); the stride path reads them only twice
@@ -273,18 +271,20 @@ object AnnIndex {
                 "degrading" else ""))
       }
     }
-    val cents = centsDf(spark, centRows)
     // metric picks the query-side preparation (residualize vs dot-assign
     // + IP tables) and the scoring stage's ranking direction; the codes
-    // scan, partition pruning, and broadcast shape are identical
+    // scan, partition pruning, and broadcast shape are identical. The
+    // query side is tiny by contract and broadcast right after — no
+    // centroid collect job, no parallelizing exchange (r17).
     val q = broadcast(
       if (p.ip)
-        Similarity.assignCells(queries, cents, p.idCol, p.vecCol,
-          nprobe = nprobe, byDot = true)
+        Similarity.assignCellsArr(queries, centRows, p.idCol, p.vecCol,
+          nprobe = nprobe, byDot = true, spreadInput = false)
           .select(col(p.idCol).cast("long").as("q_id"), col("cell"),
             Similarity.pqQueryTabExpr(p.vecCol, books, ip = true).as("qtab"))
       else
-        Similarity.residualizeWith(queries, cents, p.idCol, p.vecCol, nprobe)
+        residualizeArr(spark, queries, centRows, p.idCol, p.vecCol, nprobe,
+          spreadInput = false)
           .select(col(p.idCol).cast("long").as("q_id"), col("cell"),
             Similarity.pqQueryTabExpr("__resid", books).as("qtab")))
     // the query side is small by contract (it broadcasts); collecting its
@@ -348,14 +348,13 @@ object AnnIndex {
     val centRows = unpackCentroids(prop(props, CentroidsKey))
     val books = withSelfDots(unpackBooks(prop(props, BooksKey)))
     val dsub = books.head.head._2.length
-    val cents = centsDf(spark, centRows)
     if (p.ip)
-      Similarity.assignCells(df, cents, p.idCol, p.vecCol,
+      Similarity.assignCellsArr(df, centRows, p.idCol, p.vecCol,
         nprobe = 1, byDot = true)
         .select(col(p.idCol).cast("long").as("n_id"), col("cell"),
           Similarity.pqCodesExpr(p.vecCol, dsub, books).as("codes"))
     else
-      Similarity.residualizeWith(df, cents, p.idCol, p.vecCol, probes = 1)
+      residualizeArr(spark, df, centRows, p.idCol, p.vecCol, probes = 1)
         .select(col(p.idCol).cast("long").as("n_id"), col("cell"),
           Similarity.pqCodesExpr("__resid", dsub, books).as("codes"))
   }
@@ -577,6 +576,24 @@ object AnnIndex {
       spark: SparkSession, rows: Array[(Long, Array[Float])]): DataFrame = {
     import spark.implicits._
     rows.toSeq.toDF("c_id", "c_vec")
+  }
+
+  /** [[Similarity.residualizeArr]] against a centroid array already in
+    * hand (stored quantizers / fresh training) — assignment reads the
+    * array, the subtract joins one local centroid frame; no collect.
+    */
+  private def residualizeArr(
+      spark: SparkSession,
+      df: DataFrame,
+      centRows: Array[(Long, Array[Float])],
+      idCol: String,
+      vecCol: String,
+      probes: Int,
+      spreadInput: Boolean = true): DataFrame = {
+    val centLocal = broadcast(
+      centsDf(spark, centRows).select(col("c_id").as("cell"), col("c_vec")))
+    Similarity.residualizeArr(df, centRows, centLocal, idCol, vecCol,
+      probes, spreadInput)
   }
 
   private def withSelfDots(

@@ -1087,7 +1087,10 @@ object Similarity {
     // pin them once (same Scratch lifecycle as the pair-generators;
     // Bench/Verify drain between queries) instead of recomputing the
     // assignment+join per pass. The stride path reads them only twice;
-    // not worth a corpus-sized block there — EXCEPT under a filtered
+    // not worth a corpus-sized block there (r17 measured the always-pin
+    // variant: executor CPU halves but wall time is flat-to-worse — the
+    // saved evaluation was parallel while the checkpoint job is serial
+    // latency) — EXCEPT under a filtered
     // search, where the pin is what lets the candidate side reuse the
     // training residuals instead of re-residualizing (below).
     val resid =
@@ -1148,7 +1151,7 @@ object Similarity {
   /** [[residualizeWith]] against localized centroids and a shared
     * centroid-join frame — assignment reads the array, never collects.
     */
-  private def residualizeArr(
+  private[graft] def residualizeArr(
       df: DataFrame,
       centArr: Array[(Long, Array[Float])],
       centLocal: DataFrame,
