@@ -60,6 +60,35 @@ object Experiment {
     time("E scan+repartition only") {
       c.write.format("noop").mode("overwrite").save()
     }
+    // cost of spread()'s df.rdd.getNumPartitions probe (plans the
+    // subtree + builds the RDD DAG without running a job)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val heavy = docs.select(col("doc_id"),
+      explode(graft.ext.TextOps.shingles(
+        graft.ext.TextOps.tokens(col("text")), 3)).as("s"))
+    time("F .rdd probe on plain scan", 5) {
+      val _ = docs.rdd.getNumPartitions
+    }
+    time("G .rdd probe on explode subtree", 5) {
+      val _ = heavy.rdd.getNumPartitions
+    }
+    // spread fast-path decision parity: the structural answer must agree
+    // with the physical probe on the canonical shapes
+    def check(name: String, d: org.apache.spark.sql.DataFrame): Unit = {
+      val target = spark.sparkContext.defaultParallelism
+      val spreadParts = graft.ext.TextOps.spread(d).rdd.getNumPartitions
+      val probeParts = d.rdd.getNumPartitions
+      val expect = if (probeParts < target) target else probeParts
+      println(s"H spread-parity $name: spread=$spreadParts expected=$expect " +
+        s"raw=$probeParts ${if (spreadParts == expect) "OK" else "MISMATCH"}")
+    }
+    check("raw docs scan", docs)
+    check("filtered scan", docs.filter(col("doc_id") > 10))
+    check("projected scan", docs.select("doc_id", "text"))
+    check("pinned 32p", docs.repartition(32).localCheckpoint(true))
+    check("pinned 2p", docs.repartition(2).localCheckpoint(true))
+    check("join (fallback path)", docs.join(emb, col("doc_id") === col("vec_id")))
+    check("agg (fallback path)", docs.groupBy("source").count())
     spark.stop()
   }
 }

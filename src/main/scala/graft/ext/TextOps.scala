@@ -19,7 +19,70 @@ object TextOps {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    spreadDecision(df, target) match {
+      case Some(true)  => df.repartition(target)
+      case Some(false) => df
+      // structurally undecidable: pay the physical-plan probe
+      case None =>
+        if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
+
+  /** Decide `numPartitions < target` WITHOUT building the physical plan
+    * when the (already-analyzed) logical plan answers it structurally:
+    * the `.rdd` probe plans + DAGs the whole subtree just to read a
+    * partition count — a measured 20-80 ms fixed tax per operator entry
+    * that every fresh DataFrame pays again. Covered cases: a pinned
+    * checkpoint leaf (exact RDD partition count, free) and a plain
+    * Project/Filter chain over ONE file relation (Spark's own
+    * maxSplitBytes arithmetic bounds the scan's partition count from
+    * both sides). Anything else — joins, aggregates, exchanges already
+    * in the tree — returns None and takes the probe, so behavior never
+    * changes where the structure is not obvious.
+    */
+  private def spreadDecision(df: DataFrame, target: Int): Option[Boolean] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project => LProject, SubqueryAlias}
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @annotation.tailrec
+    def leafOf(p: LogicalPlan): LogicalPlan = p match {
+      case LProject(_, c)      => leafOf(c)
+      case LFilter(_, c)       => leafOf(c)
+      case SubqueryAlias(_, c) => leafOf(c)
+      case other               => other
+    }
+    leafOf(df.queryExecution.analyzed) match {
+      case lr: LogicalRDD => Some(lr.rdd.getNumPartitions < target)
+      case rel: LogicalRelation =>
+        rel.relation match {
+          case fs: HadoopFsRelation =>
+            val conf = df.sparkSession.sessionState.conf
+            val openCost = conf.filesOpenCostInBytes
+            val maxSplit = conf.filesMaxPartitionBytes
+            val totalBytes = fs.location.sizeInBytes
+            if (totalBytes <= 0) return Some(true)
+            // Spark packs weighted file splits (len + openCost each) into
+            // bins of maxSplitBytes' = min(maxSplit, max(openCost,
+            // weighted/minPartitionNum)); bins >= ceil(weighted/cap) and
+            // every bin holds >= 1 split. Without listing files we bound
+            // weighted from totalBytes alone (>= totalBytes, one openCost
+            // minimum), which keeps both tests conservative.
+            val minPartitionNum =
+              conf.filesMinPartitionNum.getOrElse(target)
+            val weightedLow = totalBytes + openCost
+            val cap = math.min(maxSplit,
+              math.max(openCost, weightedLow / math.max(1, minPartitionNum)))
+            val lowerBound = math.ceil(weightedLow.toDouble / maxSplit).toLong
+            val upperBoundSplits =
+              math.ceil(totalBytes.toDouble / math.max(1L, cap)).toLong +
+                1L // the one guaranteed openCost can add at most one split
+            if (upperBoundSplits < target) Some(true)
+            else if (lowerBound >= target) Some(false)
+            else None
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** Whitespace tokens of the normalized text. */
@@ -919,8 +982,11 @@ object TextAnalysis {
     val base = spread(docs).select(col("doc_id"), toks.as("toks"),
       size(toks).cast("long").as("dl"))
     // N counts every document (null/empty text included) — the idf
-    // denominator is corpus size, not matched-doc count
-    val stats = base.agg(count(lit(1)).as("n_docs"))
+    // denominator is corpus size, not matched-doc count. Counted on the
+    // RAW docs frame: deriving it from `base` shuffled the whole corpus
+    // text through spread()'s repartition just to count rows (column
+    // pruning removed the tokenize but not the exchange).
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
     // tf is self-joined below (dfs derives from it) — pin it with an
     // eager checkpoint so the explode+aggregate pipeline runs ONCE, not
     // once per join side (ReuseExchange is not trusted across a

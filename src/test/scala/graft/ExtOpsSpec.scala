@@ -27,6 +27,33 @@ class ExtOpsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("spread's structural fast path agrees with the physical probe") {
+    // spread decides `numPartitions < defaultParallelism` from the
+    // analyzed plan where possible (r17: the .rdd probe cost 20-80 ms
+    // of planning per operator entry); the decision must match the
+    // probe on every canonical shape — raw/filtered/projected file
+    // scans, pinned checkpoints on both sides of the threshold, and
+    // the undecidable fallbacks (join/aggregate)
+    val target = spark.sparkContext.defaultParallelism
+    def expected(df: org.apache.spark.sql.DataFrame): Int = {
+      val raw = df.rdd.getNumPartitions
+      if (raw < target) target else raw
+    }
+    val shapes = Seq(
+      "raw scan" -> docs,
+      "filtered scan" -> docs.filter(col("doc_id") > 10),
+      "projected scan" -> docs.select("doc_id", "text"),
+      "pinned below target" -> docs.repartition(1).localCheckpoint(true),
+      "pinned above target" ->
+        docs.repartition(target + 3).localCheckpoint(true),
+      "join fallback" -> docs.as("a").join(docs.as("b"), Seq("doc_id")),
+      "agg fallback" -> docs.groupBy("source").count())
+    shapes.foreach { case (name, df) =>
+      assert(TextOps.spread(df).rdd.getNumPartitions == expected(df),
+        s"spread decision diverged from the probe on: $name")
+    }
+  }
+
   test("minhash LSH candidates contain all exact-duplicate pairs") {
     val pairs = Dedup.minhashPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
