@@ -116,15 +116,54 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
     }
-    // counts, not name arrays: a bad machine day can flag dozens of
-    // queries, and 93 quoted names would overflow the tail window the
-    // compact line exists to fit (full arrays live in the detail line)
+    // The driver adjudicates per-query regressions from THIS line (the
+    // detailed line above has been tail-truncated since round 9, so
+    // PERF_r{9..17}.per_query was always empty). The hard constraint: the
+    // driver captures only the LAST 2000 chars of stdout, and sbt's
+    // trailing "[success] Total time: ..." line eats ~75 of them — so the
+    // final line must stay under ~1925 chars. All 95 query names alone
+    // are 1419 chars (+4 chars/entry of JSON punctuation ≈ 1800), so a
+    // FULL per-query map can never fit at any value precision. Ship the
+    // medians (2 decimals) for every headline query EXCEPT a FIXED
+    // omit-set of the 25 historically-cheapest ones (~8% of suite cost;
+    // their full-precision medians stay in the detailed line /
+    // bench_detail.json). The set is hard-coded by NAME, not recomputed
+    // per run, so the compact map's key set is identical across rounds —
+    // a query can never flap in/out of the driver's comparison because
+    // its timing moved. Maintenance medians and per-query mins live in
+    // bench_detail.json per the r17 verdict (worst-case line length with
+    // this envelope: 1857 chars, measured).
     val totalR = math.round(total * 1000).toDouble / 1000
     val noisyN = results.count { case (_, med, mn) => mn > 0 && med / mn > 3.0 }
     val maintNoisyN = maint.count { case (_, med, mn) => mn > 0 && med / mn > 3.0 }
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries_n":${results.length},"noisy_n":$noisyN,"maintenance":$maintJson,"maintenance_noisy_n":$maintNoisyN,"sf":"$sfDir","runs":$runs,"agg":"median","detail":"bench_detail.json"}""")
+    val compactQs = results
+      .filterNot { case (k, _, _) => compactOmit(k) }
+      .map { case (k, med, _) => "\"" + k + "\":" + f"$med%.2f" }
+      .mkString("{", ",", "}")
+    val omittedN = results.count { case (k, _, _) => compactOmit(k) }
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries_n":${results.length},"noisy_n":$noisyN,"queries_omitted_n":$omittedN,"queries":$compactQs,"maintenance_noisy_n":$maintNoisyN,"sf":"$sfDir","runs":$runs,"agg":"median","detail":"bench_detail.json"}""")
     spark.stop()
   }
+
+  /** Headline queries EXCLUDED from the final compact line's per-query
+    * map (their medians remain in the detailed line and
+    * bench_detail.json). These are the 25 cheapest queries of the r17
+    * record (6.0 s of the 72.8 s suite) — the map that fits the driver's
+    * 2000-char stdout-tail window keeps 92% of suite cost visible.
+    * FIXED BY NAME for cross-round stability: do not recompute from
+    * timings, and ADD new headline queries here first if the compact
+    * line would otherwise outgrow the window (never remove one — the
+    * driver would read removal as a dropped query).
+    */
+  private val compactOmit: Set[String] = Set(
+    "binary_meta", "text_bpe_count", "split_assign", "text_chunks",
+    "text_quality_classifier", "text_bpeish_count",
+    "embedding_quantize_int8", "text_normalize", "embedding_stats",
+    "text_chunk_tokens", "q02_filter_project", "text_token_stats",
+    "source_quota", "url_filter", "embedding_normalize",
+    "text_quality_score", "q09_global_topk", "q07_cust_no_orders",
+    "embedding_centroid_sums", "domain_mix", "multimodal_project",
+    "text_source_stats", "text_lang_id", "seq_pack", "sample_hash")
 
   /** Times the WRITE/maintenance surface on a scratch table built from
     * the SF's orders table: fragmented appends, bin-pack OPTIMIZE,
