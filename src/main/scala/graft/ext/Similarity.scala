@@ -1187,13 +1187,16 @@ object Similarity {
     * through the bounded top-k aggregator. `codes` = (n_id, cell,
     * codes); `q` = (q_id, cell, qtab), already broadcast by the caller.
     *
-    * `ip = false` (summed squared-L2 tables, ascending → `adist_e6`)
-    * keeps the defensive (q, n) dedup aggregate of the residual family;
-    * `ip = true` (summed dot tables, descending → `asim_e6`) omits it:
-    * corpus rows live in exactly ONE cell (nprobe = 1 on the codes
-    * side) and a query emits one probe row per DISTINCT cell, so a pair
-    * joins at most once and the top-k aggregation stays the plan's only
-    * exchange (ExplainAudit §R).
+    * Both metrics rank WITHOUT a per-(q, n) dedup aggregate: corpus
+    * rows live in exactly ONE cell (nprobe = 1 on the codes side) and a
+    * query emits at most one probe row per DISTINCT cell
+    * ([[assignCellsArr]] slices a sorted array of distinct c_ids), so a
+    * pair joins at most once at ANY query-side nprobe and the top-k
+    * aggregation stays the plan's only exchange (ExplainAudit §R). The
+    * residual family carried a defensive min-per-pair aggregate here
+    * through r17 — a whole extra Exchange + two HashAggregates on every
+    * IVF-PQ query for a dedup that is a no-op by construction (r18;
+    * oracle hashes unchanged across knn_ivfpq_* and knn_index_*).
     */
   private[ext] def adcScoreTopK(
       codes: DataFrame, q: DataFrame, k: Int, ip: Boolean = false): DataFrame = {
@@ -1206,13 +1209,7 @@ object Similarity {
       .filter(col("n_id") =!= col("q_id"))
     val scored =
       if (ip) joined.withColumn("sim_e6", adc)
-      else joined
-        .withColumn("adist_e6", adc)
-        // multi-probe can score one (q, n) pair from several cells; keep
-        // the best (then min = the true probed-cell distance)
-        .groupBy("q_id", "n_id")
-        .agg(min(col("adist_e6")).as("adist_e6"))
-        .withColumn("sim_e6", -col("adist_e6"))
+      else joined.withColumn("sim_e6", -adc)
     topKRows(scored, k)
       .select(col("q_id"), col("n_id"), col("rank"),
         (if (ip) col("sim_e6").as("asim_e6")
