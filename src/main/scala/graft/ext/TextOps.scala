@@ -85,6 +85,23 @@ object TextOps {
     }
   }
 
+  /** 128-bit internal grouping/join key: two independently-seeded
+    * xxhash64 halves over the input (the second folds a literal seed in
+    * first). For keys that never reach declared output values this
+    * replaces md5-of-concatenated-strings: both halves are codegen'd
+    * long arithmetic straight over the input bytes (or array elements —
+    * no concat buffer is ever built), and the shuffle/join key is a
+    * 16-byte struct instead of a 32-char string. Two halves, not one:
+    * a single 64-bit key collides with near-certainty at 100 TB anchor
+    * volumes (birthday bound ~5e9), which would silently erode the
+    * exact-dedup contracts; 128 bits keeps the same collision posture
+    * as the md5 it replaces (r18 measured the single-hash variant ~0.4 s
+    * faster on substring_dedup and rejected it on that contract).
+    * (Guide §4: built-in codegen expressions on the hot path.)
+    */
+  private[ext] def key128(c: Column): Column =
+    struct(xxhash64(c).as("k0"), xxhash64(lit(42L), c).as("k1"))
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -540,18 +557,28 @@ object Dedup {
       col(idCol).as("doc_a"), col("simhash").as("sa"))
     val b = bands.select(col("band_id"), col("chunk"),
       col(idCol).as("doc_b"), col("simhash").as("sb"))
-    val cand = a.join(b, Seq("band_id", "chunk"))
+    // Exact Hamming distance as popcount-of-xor over four 16-bit lanes
+    // parsed straight off the '0'/'1' signature — value-identical to the
+    // old split-into-64-strings + zip_with + HOF-aggregate form, which
+    // allocated 128 single-char strings per compared pair and ran in the
+    // final (AQE-coalesced, single-partition) stage: an 0.8 s SERIAL
+    // tail at sf0.1 (r18 profile). Computing it BEFORE the distinct also
+    // lets the exchange carry (doc_a, doc_b, hamming) rows instead of
+    // two 64-char signatures (guide §2.3 project early / filter before
+    // the exchange; the filter prunes failed candidates pre-shuffle).
+    // Same output set: hamming is a function of the pair, so
+    // filter+distinct commute.
+    def lane(c: Column, i: Int): Column =
+      conv(substring(c, i * 16 + 1, 16), 2, 10).cast("long")
+    val hamming = (0 until 4)
+      .map(i => bit_count(lane(col("sa"), i).bitwiseXOR(lane(col("sb"), i))))
+      .reduce(_ + _)
+    val pairs = a.join(b, Seq("band_id", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sa", "sb")
-      .distinct()
-    val hamming = aggregate(
-      zip_with(split(col("sa"), ""), split(col("sb"), ""),
-        (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    val pairs = cand
       .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
     // Seal the (small) pair set and release the corpus-sized banded
     // relation NOW (see Scratch).
     Scratch.seal(pairs, banded, hot)
@@ -629,7 +656,8 @@ object Dedup {
       val raw = TextOps.spread(docs)
         .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
         .withColumn("blank", trim(col("line")) === "")
-        .withColumn("lk", md5(trim(col("line"))))
+        // internal count/join key only (outputs are counts + clean_text)
+        .withColumn("lk", key128(trim(col("line"))))
         .localCheckpoint(eager = true)
       Scratch.register(raw)
       raw
@@ -708,8 +736,14 @@ object Dedup {
         .select(col(idCol),
           explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("pos"),
           col("toks"))
+        // the anchor key is internal (outputs are counts + clean_text):
+        // hash the k-token window ARRAY directly — tokens cannot contain
+        // whitespace, so window identity equals the old concat-string
+        // identity — and skip both the per-anchor concat buffer and the
+        // md5 (the two hottest per-row costs of this pipeline, r17
+        // profile: 15.7 s executor in this stage at sf0.1)
         .select(col(idCol), col("pos"),
-          md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(k)))).as("h"))
+          key128(slice(col("toks"), col("pos"), lit(k))).as("h"))
         .localCheckpoint(eager = true)
       Scratch.register(raw)
       raw
@@ -1099,6 +1133,15 @@ object TextAnalysis {
     // directly on the identical count exchange), so eager checkpoints
     // and a parallelizing repartition only ADDED jobs (1.2 s → 1.5 s
     // profiled — reverted; see OPTIMIZATION_r17.md)
+    // r18 re-adjudication (VERDICT item 6): BOTH escape hatches from the
+    // double-consumer shape measured/reasoned losers, so the join-back
+    // stands. (a) plain spread (no pin): 1.6 -> 4.3 s profiled — the
+    // round-robin exchange gives every task its own vocabulary-sized
+    // partial-agg hash map (32x the agg work) and the heavy stage ran
+    // twice; (b) one-pass groupBy(w1,w2).agg(count, collect_list(doc))
+    // + explode: per-key collected doc lists are unbounded state — a hot
+    // bigram at 100 TB holds billions of ids in ONE aggregation buffer
+    // (guide §2.5); the join-back fan-out is the scale-correct shape.
     val toks = docs
       .select(col(idCol).cast("long").as("doc_id"),
         tokens(col(textCol)).as("toks"))
@@ -1167,8 +1210,9 @@ object TextAnalysis {
     // consumed twice (frequency count + the join back) — pin once or
     // each side replays the paragraph split + md5 pass
     val pars = {
+      // internal frequency key only (outputs are per-doc counts)
       val raw = paragraphs(docs, parTokens, idCol, textCol)
-        .select(col("doc_id"), md5(col("paragraph")).as("h"))
+        .select(col("doc_id"), key128(col("paragraph")).as("h"))
         .localCheckpoint(eager = true)
       Scratch.register(raw)
       raw
