@@ -228,6 +228,55 @@ object Bench {
         GraftTable(spark, p).vacuumOrphans(0L,
           nowMs = System.currentTimeMillis() + 60000L)
       }
+      // --- r18 additions: the previously unbenched lifecycles (matview
+      // refresh, dedup-store incremental, ANN index build/search) under
+      // the same per-round scrutiny. Additions-only, placed AFTER the
+      // original entries on their OWN scratch tables so the original
+      // entries' table state (and cross-round comparability) is
+      // untouched. Setup writes are outside the timed regions.
+      val mvSrc = s"$root/mv_src"; val mvSum = s"$root/mv_sum"
+      GraftWriter.write(spark, orders, mvSrc,
+        WriteOptions(mode = WriteMode.ErrorIfExists))
+      time("maint_matview_build") {
+        graft.ext.MaterializedAgg.refresh(spark, mvSrc, mvSum,
+          Seq("o_orderstatus"), "o_totalprice")
+      }
+      GraftWriter.write(spark, orders.filter(col("o_orderkey") % 16 === 0),
+        mvSrc, WriteOptions(mode = WriteMode.Append))
+      time("maint_matview_refresh") {
+        graft.ext.MaterializedAgg.refresh(spark, mvSrc, mvSum,
+          Seq("o_orderstatus"), "o_totalprice")
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dsIdx = s"$root/dedup_idx"
+      // seed = 15/16 of the corpus, batch = the remaining 1/16: ingest's
+      // documented shape is "a crawl increment, not a corpus" (its band
+      // relation broadcasts)
+      time("maint_dedup_build") {
+        graft.ext.DedupIndex.build(spark, dsIdx,
+          docs.filter(col("doc_id") % 16 =!= 0))
+      }
+      time("maint_dedup_ingest") {
+        graft.ext.DedupIndex.ingest(spark, dsIdx,
+            docs.filter(col("doc_id") % 16 === 0))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val annSrc = s"$root/ann_src"; val annIdx = s"$root/ann_idx"
+      GraftWriter.write(spark,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), annSrc,
+        WriteOptions(mode = WriteMode.ErrorIfExists))
+      time("maint_ann_build") {
+        graft.ext.AnnIndex.build(spark, annSrc, annIdx,
+          coarseIters = 1, pqIters = 1)
+      }
+      time("maint_ann_search") {
+        graft.ext.AnnIndex.search(spark, annIdx,
+            GraftTable(spark, annSrc).toDf().filter(col("vec_id") < 32),
+            k = 5, nprobe = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // release the pins build/ingest registered before the next round
+      graft.ext.Scratch.drain()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
     acc.toSeq.map { case (k, raw) =>

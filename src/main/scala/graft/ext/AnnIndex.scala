@@ -228,6 +228,11 @@ object AnnIndex {
     * with C cells and nprobe probes, a search reads ~nprobe/C of the
     * index's files, which is the point of partitioning codes by cell.
     *
+    * `queries` must be SMALL ENOUGH TO BROADCAST (a probe set; the
+    * [[Similarity.ivfTopKWith]] query-side size contract) — the scoring
+    * stage pins the broadcast to the query side by design, so a
+    * corpus-sized `queries` frame fails on broadcast memory rather than
+    * silently shuffling the stored codes by cell.
     * `queries` needs the index's (idCol, vecCol) columns; `corpusPred`
     * narrows the candidate side over the index's payload columns
     * (`n_id`/`cell`) — the quantizers are shared, nothing retrains.

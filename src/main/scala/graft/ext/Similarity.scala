@@ -181,6 +181,22 @@ object Similarity {
     * instead of a fresh scan + repartition per pass. Same
     * corpus-sized-block budget and Scratch lifecycle as the IVF-PQ
     * residual pin (consume results before `Scratch.drain()`).
+    *
+    * Fault-tolerance posture (r18 recorded decision, VERDICT item 9):
+    * localCheckpoint truncates lineage with non-replicated blocks, so
+    * at cluster scale an executor loss during the training passes fails
+    * the query instead of recomputing. KEPT, for three measured/
+    * structural reasons: (1) the lineage-preserving alternative
+    * (`persist(DISK_ONLY)` + materialize) measured slower on every
+    * kmeans path same-window (mins: knn_ivfpq_kmeans 3.45 vs 3.06,
+    * knn_pq_adc_kmeans 1.73 vs 1.55, knn_ivf_kmeans 1.42 vs 1.37 —
+    * forced disk write plus per-pass disk reads); (2) the pin
+    * lives only for the duration of one training pipeline and is
+    * released by `Scratch.drain()` — the blast radius of a lost block
+    * is one retriable query, not a session; (3) at 100 TB the
+    * multi-pass training entry points are the wrong tool anyway — the
+    * persisted [[AnnIndex]] lifecycle trains once and serves many
+    * searches, so the pin's exposure window is a bounded build job.
     */
   private[graft] def pinSpread(df: DataFrame): DataFrame = {
     val pinned = TextOps.spread(df).localCheckpoint(eager = true)
@@ -416,6 +432,21 @@ object Similarity {
   /** IVF top-k against an explicit centroid set (e.g. k-means-refined).
     * Queries probe their `nprobe` nearest cells (corpus rows stay in
     * exactly one cell, so candidates are distinct by construction).
+    *
+    * ==Query-side size contract==
+    * `queryPred` must select a query set SMALL ENOUGH TO BROADCAST (a
+    * probe set — thousands to low millions of rows, comfortably under
+    * `spark.sql.autoBroadcastJoinThreshold`-scale budgets and Spark's
+    * hard 8 GB broadcast cap). The cell join deliberately pins the
+    * build side to the query side instead of trusting size estimates:
+    * left to the planner, an estimate accident built the hash relation
+    * from the CORPUS side (fatal at real scale) or degraded to
+    * shuffling corpus vectors by cell. The trade (r17, kept after r18
+    * review): a caller passing a corpus-sized `queryPred` now fails on
+    * broadcast memory instead of silently degrading — at 100 TB the
+    * "degraded" plan was never viable anyway. This contract applies to
+    * every retrieval entry point taking `queryPred` (the brute / PQ /
+    * IVF-PQ / IP families and [[AnnIndex.search]]'s `queries` frame).
     */
   def ivfTopKWith(
       corpus: DataFrame,

@@ -56,27 +56,44 @@ object TextOps {
       case rel: LogicalRelation =>
         rel.relation match {
           case fs: HadoopFsRelation =>
+            // Partition-pruned scans: location.sizeInBytes is the UNPRUNED
+            // total, so both bounds below would reason about the wrong
+            // byte count (stripped Filters may prune partitions). Take
+            // the probe — it plans the pruned scan (r17 ADVICE).
+            if (fs.partitionSchema.nonEmpty) return None
             val conf = df.sparkSession.sessionState.conf
             val openCost = conf.filesOpenCostInBytes
             val maxSplit = conf.filesMaxPartitionBytes
             val totalBytes = fs.location.sizeInBytes
             if (totalBytes <= 0) return Some(true)
-            // Spark packs weighted file splits (len + openCost each) into
-            // bins of maxSplitBytes' = min(maxSplit, max(openCost,
-            // weighted/minPartitionNum)); bins >= ceil(weighted/cap) and
-            // every bin holds >= 1 split. Without listing files we bound
-            // weighted from totalBytes alone (>= totalBytes, one openCost
-            // minimum), which keeps both tests conservative.
+            // The file count makes both bounds sound for MULTI-file
+            // relations (the r17 single-openCost bound under-counted
+            // splits for many-small-file scans and could repartition
+            // DOWN, against the documented invariant — r17 ADVICE). The
+            // listing is already cached by the FileIndex (it sized
+            // sizeInBytes from it).
+            val nFiles = fs.location.inputFiles.length.toLong
+            if (nFiles <= 0) return Some(true)
+            // Spark's own split arithmetic (FilePartition.maxSplitBytes):
+            // every file is weighted len + openCost; bin capacity =
+            // min(maxSplit, max(openCost, weighted / minPartitionNum)).
             val minPartitionNum =
               conf.filesMinPartitionNum.getOrElse(target)
-            val weightedLow = totalBytes + openCost
-            val cap = math.min(maxSplit,
-              math.max(openCost, weightedLow / math.max(1, minPartitionNum)))
-            val lowerBound = math.ceil(weightedLow.toDouble / maxSplit).toLong
-            val upperBoundSplits =
-              math.ceil(totalBytes.toDouble / math.max(1L, cap)).toLong +
-                1L // the one guaranteed openCost can add at most one split
-            if (upperBoundSplits < target) Some(true)
+            val weighted = totalBytes + nFiles * openCost
+            val cap = math.max(1L, math.min(maxSplit,
+              math.max(openCost, weighted / math.max(1, minPartitionNum))))
+            // partitions <= chunks (every bin holds >= 1 chunk), and
+            // chunks = sum(ceil(len_i / cap)) <= ceil(total / cap) +
+            // nFiles (each file's ceil rounds up at most once)
+            val upperBound =
+              math.ceil(totalBytes.toDouble / cap).toLong + nFiles
+            // a bin closes only when the NEXT chunk would push its
+            // accumulated weight past cap, so a closed bin holds at most
+            // cap + openCost of weight: bins >= ceil(weighted / (cap +
+            // openCost)) — conservative on the Some(false) side
+            val lowerBound =
+              math.ceil(weighted.toDouble / (cap + openCost)).toLong
+            if (upperBound < target) Some(true)
             else if (lowerBound >= target) Some(false)
             else None
           case _ => None
@@ -307,10 +324,16 @@ object Dedup {
       // full reads of the edge checkpoint). At most threshold+1 rows
       // reach the driver — the same driver-memory budget the count
       // guard enforced, discarded in the rare over-threshold case.
+      // clamp BEFORE the +1: thresholds near Long.MaxValue overflowed to
+      // a negative limit, and thresholds >= Int.MaxValue made the old
+      // probe.length guard vacuously true (a >2B-edge graph would have
+      // been force-collected); past the clamp the distributed loop is
+      // the only route that can hold the edges anyway (r17 ADVICE)
+      val localCap = math.min(localEdgeThreshold, Int.MaxValue - 1L).toInt
       val probe = edges.select("src", "dst")
-        .limit(math.min(localEdgeThreshold + 1, Int.MaxValue.toLong).toInt)
+        .limit(localCap + 1)
         .collect()
-      if (probe.length <= localEdgeThreshold) {
+      if (probe.length <= localCap) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x

@@ -54,6 +54,52 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("spread fast path stays sound on multi-file and partitioned scans") {
+    // r17 ADVICE: the single-openCost upper bound under-counted splits
+    // for many-small-file relations (each file is weighted len+openCost
+    // and rounds up per file), so spread could repartition DOWN — the
+    // fast path must agree with the probe on every file layout. Also:
+    // partition-pruned scans must fall back to the probe (sizeInBytes
+    // is the unpruned total).
+    val target = spark.sparkContext.defaultParallelism
+    def expected(df: org.apache.spark.sql.DataFrame): Int = {
+      val raw = df.rdd.getNumPartitions
+      if (raw < target) target else raw
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    // many tiny files: openCost-dominated packing (the unsound case)
+    docs.repartition(target * 3).write.parquet(s"$root/many")
+    // a couple of files: the mid-band where bounds may not decide
+    docs.repartition(2).write.parquet(s"$root/two")
+    // hive-partitioned table + partition filter: pruning case
+    docs.withColumn("p", col("doc_id") % 4)
+      .write.partitionBy("p").parquet(s"$root/part")
+    val shapes = Seq(
+      "many small files" -> spark.read.parquet(s"$root/many"),
+      "two files" -> spark.read.parquet(s"$root/two"),
+      "partitioned, pruned" ->
+        spark.read.parquet(s"$root/part").filter(col("p") === 1),
+      "partitioned, unpruned" -> spark.read.parquet(s"$root/part"))
+    shapes.foreach { case (name, df) =>
+      assert(TextOps.spread(df).rdd.getNumPartitions == expected(df),
+        s"spread decision diverged from the probe on: $name")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("IVF cell join builds its hash side from the query side (broadcast contract)") {
+    // the query side is tiny by contract (scaladoc on ivfTopKWith) and
+    // explicitly broadcast — left to size estimates the planner once
+    // built the hash relation from the CORPUS side (BuildRight), which
+    // broadcasts the big side at real scale (r17 fix, r18 contract doc)
+    val df = Similarity.ivfTopK(embs, col("vec_id") < 8, 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast cell join:\n$plan")
+    assert(!plan.contains("BuildRight"),
+      s"the corpus side became the broadcast build side:\n$plan")
+  }
+
   test("minhash LSH candidates contain all exact-duplicate pairs") {
     val pairs = Dedup.minhashPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
